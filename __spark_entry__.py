@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (broadcast star join) on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2,
+keyed by the §2 operator id it demonstrates.
+``oracle_sql()`` — matching ANSI SQL for the DuckDB oracle.
+
+Aggregate float outputs are rounded in BOTH engines so the driver's
+value-hash is bitwise-stable.
 """
 
 from __future__ import annotations
@@ -12,27 +14,320 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drugbankner_spark.operators import relational as R
+from drugbankner_spark.tables import load_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: regional revenue star join (TPC-H Q5 shape) on sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    t = {n: load_table(spark, sf, n) for n in
+         ("region", "nation", "customer", "supplier", "orders", "lineitem")}
+    return R.regional_revenue(
+        t["region"], t["nation"], t["customer"], t["supplier"],
+        t["orders"], t["lineitem"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query catalog. Each builder takes (spark, sf_dir) → DataFrame.
+# ---------------------------------------------------------------------------
+
+def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return R.pricing_summary(load_table(spark, sf, "lineitem"))
+
+
+def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    return R.shipping_priority(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+
+
+def _q5_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    return R.regional_revenue(
+        load_table(spark, sf, "region"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+
+
+def _j1_dim_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    # J1 (node_synonymizer.py:67-86): key-normalized broadcast dim lookup.
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    step1 = R.dim_lookup_join(cust, nation, "c_nationkey", "n_nationkey")
+    step2 = R.dim_lookup_join(step1, region, "n_regionkey", "r_regionkey")
+    return step2.select("c_custkey", "c_name", "n_name", "r_name")
+
+
+def _j2_mode_vote(spark: SparkSession, sf: str) -> DataFrame:
+    # A1/J2 (node_synonymizer.py:371-379): modal cluster per name.
+    orders = load_table(spark, sf, "orders")
+    return R.mode_vote(orders, "o_custkey", "o_orderpriority")
+
+
+def _j4_coalesce_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    # J4 (node_synonymizer.py:229-234): primary lookup, fallback on miss.
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("pk"), F.col("c_name").alias("primary_name")
+    )
+    supp = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("fk"), F.col("s_name").alias("fallback_name")
+    )
+    out = R.coalesce_fallback_join(
+        orders.select("o_orderkey", "o_custkey"),
+        cust, supp, "o_custkey", "pk", "fk",
+        "primary_name", "fallback_name", "resolved_name",
+    )
+    return out.select("o_orderkey", "o_custkey", "resolved_name")
+
+
+def _j5_prefix_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    # J5 (node_synonymizer.py:43-56): suffix × literal prefixes → inner join.
+    nation = load_table(spark, sf, "nation")
+    suffixes = nation.select(F.col("n_name").alias("suffix")).distinct()
+    dim = nation.select(
+        F.concat_ws(":", F.lit("N"), F.col("n_name")).alias("dim_key"),
+        F.col("n_nationkey"),
+    )
+    hit = R.prefix_expansion_join(suffixes, "suffix", ["N", "X"], dim, "dim_key")
+    return hit.select("suffix", "candidate", "n_nationkey")
+
+
+def _j9_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return R.semi_join(cust, orders, "c_custkey", "o_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _u3_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    # U3: inputs with no match (node_synonymizer.py:144-146). The right side
+    # is selective (high-value orders) so the result is non-trivial.
+    cust = load_table(spark, sf, "customer")
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return R.anti_join(cust, big, "c_custkey", "o_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _a2_longest_value(spark: SparkSession, sf: str) -> DataFrame:
+    # A2 (perform_NER.py:39-53): longest surface name per entity group.
+    docs = load_table(spark, sf, "documents")
+    return R.longest_value_argmax(docs, "lang", "text")
+
+
+def _a4_category_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    return R.category_histogram(cust, "c_nationkey", "c_mktsegment")
+
+
+def _a5_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return R.distinct_rows(orders, ["o_orderstatus", "o_orderpriority"])
+
+
+def _a6_first_writer_wins(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    out = R.first_writer_wins(
+        events.select("user_id", "ts", "event_id", "event_type"),
+        ["user_id"], ["ts", "event_id"],
+    )
+    return out.select("user_id", "event_id", "event_type")
+
+
+def _o1_topk(spark: SparkSession, sf: str) -> DataFrame:
+    supp = load_table(spark, sf, "supplier")
+    return R.top_k(
+        supp.select("s_suppkey", "s_name", "s_acctbal"),
+        [F.desc("s_acctbal"), F.asc("s_suppkey")], 10,
+    )
+
+
+def _u1_union_merge(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    b1 = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    b2 = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return R.union_merge([b1, b2], ["c_custkey"])
+
+
+def _w1_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_regional_revenue": _q5_regional_revenue,
+        "j1_dim_lookup": _j1_dim_lookup,
+        "j2_mode_vote": _j2_mode_vote,
+        "j4_coalesce_fallback": _j4_coalesce_fallback,
+        "j5_prefix_expansion": _j5_prefix_expansion,
+        "j9_semi_join": _j9_semi_join,
+        "u3_anti_join": _u3_anti_join,
+        "a2_longest_value": _a2_longest_value,
+        "a4_category_histogram": _a4_category_histogram,
+        "a5_distinct": _a5_distinct,
+        "a6_first_writer_wins": _a6_first_writer_wins,
+        "o1_topk": _o1_topk,
+        "u1_union_merge": _u1_union_merge,
+        "w1_running_sum": _w1_running_sum,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)      AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6)      AS avg_qty,
+                   round(avg(l_discount), 6)      AS avg_disc,
+                   count(*)                       AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate  > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM region
+            JOIN nation   ON n_regionkey = r_regionkey
+            JOIN supplier ON s_nationkey = n_nationkey
+            JOIN lineitem ON l_suppkey = s_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "j1_dim_lookup": """
+            SELECT c_custkey, c_name, n_name, r_name
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "j2_mode_vote": """
+            WITH counted AS (
+                SELECT o_custkey, o_orderpriority, count(*) AS cnt
+                FROM orders GROUP BY o_custkey, o_orderpriority
+            ), ranked AS (
+                SELECT o_custkey, o_orderpriority, cnt,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY cnt DESC, o_orderpriority ASC
+                       ) AS rn,
+                       max(cnt) OVER (PARTITION BY o_custkey) AS modal_count
+                FROM counted
+            )
+            SELECT o_custkey, o_orderpriority AS modal_value, modal_count
+            FROM ranked WHERE rn = 1
+        """,
+        "j4_coalesce_fallback": """
+            SELECT o_orderkey, o_custkey,
+                   coalesce(c.c_name, s.s_name) AS resolved_name
+            FROM orders
+            LEFT JOIN customer c ON o_custkey = c.c_custkey
+            LEFT JOIN supplier s ON o_custkey = s.s_suppkey
+        """,
+        "j5_prefix_expansion": """
+            WITH suffixes AS (SELECT DISTINCT n_name AS suffix FROM nation),
+            expanded AS (
+                SELECT suffix, pfx || ':' || suffix AS candidate
+                FROM suffixes, UNNEST(['N', 'X']) AS t(pfx)
+            ),
+            dim AS (SELECT 'N:' || n_name AS dim_key, n_nationkey FROM nation)
+            SELECT suffix, candidate, n_nationkey
+            FROM expanded JOIN dim ON candidate = dim_key
+        """,
+        "j9_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "u3_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 300000
+            )
+        """,
+        "a2_longest_value": """
+            WITH ranked AS (
+                SELECT lang, text,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY length(text) DESC, text ASC
+                       ) AS rn,
+                       max(length(text)) OVER (PARTITION BY lang) AS longest_len
+                FROM documents
+            )
+            SELECT lang, text AS longest_value, longest_len
+            FROM ranked WHERE rn = 1
+        """,
+        "a4_category_histogram": """
+            SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        """,
+        "a5_distinct": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        """,
+        "a6_first_writer_wins": """
+            WITH ranked AS (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id, event_id, event_type FROM ranked WHERE rn = 1
+        """,
+        "o1_topk": """
+            SELECT s_suppkey, s_name, s_acctbal FROM supplier
+            ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 10
+        """,
+        "u1_union_merge": """
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+            UNION
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "w1_running_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS running_value
+            FROM events
+        """,
+    }

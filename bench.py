@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": N}.
+
+Each query is fully materialized (collect) — results are small aggregates;
+wall time measures scan + shuffle + agg, not driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "j2_mode_vote",
+    "a6_first_writer_wins",
+    "w1_running_sum",
+    # EXT headliners are appended as they land (dedup, similarity, streaming).
+    "e1_minhash_near_dup",
+    "e2_cosine_topk",
+    "e3_text_quality",
+    "e6_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from drugbankner_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="drugbankner-bench")
+    qs = entrymod.queries()
+    # Warm the JVM/parquet footers with a trivial action (not counted).
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    # Warmup pass: JIT/codegen + OS page cache; not measured.
+    for name in HEADLINE:
+        if name in qs:
+            qs[name](spark, sf_dir).toPandas()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = len(df.toPandas())  # Arrow-batched materialization
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

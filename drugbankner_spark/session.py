@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); production is a
+multi-executor cluster — every config below is chosen to be correct for both:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting. At
+  100 TB the skewed keys (Zipfian entity names — SURVEY.md §4) are handled by
+  AQE's skew-join rule rather than hand-salting in the common path.
+- ``spark.sql.shuffle.partitions`` defaults to 2×cores locally; on a real
+  cluster AQE coalesces from a high initial number, so we only pin it when
+  running local.
+- Arrow enabled: every Pandas-UDF boundary (NER, embedding kernels) is
+  Arrow-batched, never row-at-a-time pickling.
+- UTC session timezone: deterministic timestamp semantics vs the DuckDB
+  oracle and across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "drugbankner-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local-mode parallelism; if a master is
+    already configured (spark-submit on a cluster) we do not override it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    # Only force a local master when none is configured (cluster submits set it).
+    if "SPARK_MASTER" in os.environ:
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,46 @@
+"""Run every queries() entry against its oracle_sql() via DuckDB at
+sf0.001 — the same gate the driver applies at sf0.01."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.oracle_utils import compare_frames, duck_con  # noqa: E402
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_con(sf_dir)
+    yield c
+    c.close()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, sf_dir, con, name):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLES:
+        # rows-only contract (non-SQL-expressible op): must run, stable schema.
+        assert sdf is not None
+        return
+    odf = con.execute(ORACLES[name]).df()
+    compare_frames(sdf, odf, name)
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
