@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drugbankner_spark.functions import identifiers as I
+from drugbankner_spark.functions import normalize as N
 from drugbankner_spark.operators import relational as R
 from drugbankner_spark.tables import load_table
 
@@ -171,6 +173,77 @@ def _w1_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _f1_bracket_strip(spark: SparkSession, sf: str) -> DataFrame:
+    # F1 (utils.py:47-53): non-greedy [..] removal; brackets synthesized
+    # around `source` so the op has real work to do.
+    docs = load_table(spark, sf, "documents")
+    tagged = F.concat(
+        F.lit("["), F.col("source"), F.lit("] "), F.substring(F.col("text"), 1, 60)
+    )
+    return docs.select("doc_id", N.remove_brackets(tagged).alias("cleaned"))
+
+
+def _f2_strip_marks(spark: SparkSession, sf: str) -> DataFrame:
+    # F2 (NER.py:99-100): remove .,;:?! before NER.
+    events = load_table(spark, sf, "events")
+    return events.select(
+        "event_id", N.strip_sentence_marks(F.col("props")).alias("stripped")
+    )
+
+
+def _f3_simplify_name(spark: SparkSession, sf: str) -> DataFrame:
+    # F3 (node_synonymizer.py:425-429): the name_simplified join key.
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        N.simplify_name(F.substring(F.col("text"), 1, 40)).alias("name_simplified"),
+    )
+
+
+def _f4_curie_prefix_upper(spark: SparkSession, sf: str) -> DataFrame:
+    # F4 (node_synonymizer.py:387-390): uppercase prefix, preserve tail.
+    part = load_table(spark, sf, "part")
+    curie = F.concat_ws(":", F.lower(F.col("p_brand")), F.col("p_name"))
+    return part.select(
+        "p_partkey", N.capitalize_curie_prefix(curie).alias("id_simplified")
+    )
+
+
+def _f5_sentence_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    # F5+P3+P4 composite (perform_NER.py:22-28): naive '.'-split →
+    # length-band filter → long-token removal. Periods synthesized by
+    # replacing a common token so the split has real sentence structure.
+    docs = load_table(spark, sf, "documents")
+    dotted = F.regexp_replace(F.col("text"), " the ", ". ")
+    sent = docs.select(
+        "doc_id", F.explode(N.split_sentences(dotted)).alias("sentence")
+    )
+    kept = sent.filter(N.sentence_length_ok(F.col("sentence"), 15, 80))
+    return kept.select(
+        "doc_id", N.delete_long_tokens(F.col("sentence"), 6).alias("sentence")
+    )
+
+
+def _f7_identifier_extract(spark: SparkSession, sf: str) -> DataFrame:
+    # F7 (look_for_identifiers.py:27-31): per-database regex scan; the
+    # candidate CURIE uses the FULL text, one row per match occurrence.
+    events = load_table(spark, sf, "events")
+    return I.extract_identifier_candidates(
+        events.select("event_id", "props"), "props", ["event_id"]
+    )
+
+
+def _f10_prefix_extract(spark: SparkSession, sf: str) -> DataFrame:
+    # F10 (CONSTANTS.py:64-67): distinct prefixes of constructed curies.
+    events = load_table(spark, sf, "events")
+    cands = I.extract_identifier_candidates(
+        events.select("event_id", "props"), "props", ["event_id"]
+    )
+    return cands.select(
+        N.curie_prefix(F.col("candidate_curie")).alias("prefix")
+    ).distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -189,7 +262,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_topk": _o1_topk,
         "u1_union_merge": _u1_union_merge,
         "w1_running_sum": _w1_running_sum,
+        "f1_bracket_strip": _f1_bracket_strip,
+        "f2_strip_marks": _f2_strip_marks,
+        "f3_simplify_name": _f3_simplify_name,
+        "f4_curie_prefix_upper": _f4_curie_prefix_upper,
+        "f5_sentence_pipeline": _f5_sentence_pipeline,
+        "f7_identifier_extract": _f7_identifier_extract,
+        "f10_prefix_extract": _f10_prefix_extract,
     }
+
+
+def _punct_ws_sql() -> str:
+    """SQL expression for Python's string.punctuation + string.whitespace
+    (the F3 char-delete set), control chars via chr()."""
+    import string as _s
+
+    printable = "".join(c for c in _s.punctuation if c != "'") + "''" + " "
+    ctrl = "||".join(f"chr({ord(c)})" for c in "\t\n\x0b\x0c\r")
+    return f"'{printable}'||{ctrl}"
+
+
+def _f7_oracle() -> str:
+    from drugbankner_spark.functions.identifiers import IDENTIFIER_PATTERNS
+
+    stanzas = []
+    for db, prefix, pattern in IDENTIFIER_PATTERNS:
+        stanzas.append(f"""
+            SELECT event_id, database, candidate_curie FROM (
+                SELECT event_id, '{db}' AS database,
+                       '{prefix}' || ':' || props AS candidate_curie,
+                       unnest(regexp_extract_all(props, '{pattern}')) AS m
+                FROM events
+            )""")
+    return "\nUNION ALL\n".join(stanzas)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -329,5 +434,53 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 6) AS running_value
             FROM events
+        """,
+        "f1_bracket_strip": """
+            SELECT doc_id,
+                   regexp_replace('[' || source || '] ' || substr(text, 1, 60),
+                                  '\\[.*?\\]', '', 'g') AS cleaned
+            FROM documents
+        """,
+        "f2_strip_marks": """
+            SELECT event_id, translate(props, '.,;:?!', '') AS stripped
+            FROM events
+        """,
+        "f3_simplify_name": f"""
+            SELECT doc_id,
+                   translate(lower(substr(text, 1, 40)), {_punct_ws_sql()}, '')
+                       AS name_simplified
+            FROM documents
+        """,
+        "f4_curie_prefix_upper": """
+            WITH c AS (
+                SELECT p_partkey, lower(p_brand) || ':' || p_name AS curie
+                FROM part
+            )
+            SELECT p_partkey,
+                   CASE WHEN strpos(curie, ':') > 0
+                        THEN upper(split_part(curie, ':', 1)) || ':' ||
+                             substr(curie, length(split_part(curie, ':', 1)) + 2)
+                        ELSE upper(curie) END AS id_simplified
+            FROM c
+        """,
+        "f5_sentence_pipeline": """
+            WITH sent AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           regexp_replace(text, ' the ', '. ', 'g'), '.'
+                       )) AS sentence
+                FROM documents
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                       list_filter(string_split(sentence, ' '),
+                                   t -> length(t) < 6), ' '), '') AS sentence
+            FROM sent
+            WHERE length(sentence) BETWEEN 15 AND 80
+        """,
+        "f7_identifier_extract": _f7_oracle(),
+        "f10_prefix_extract": f"""
+            SELECT DISTINCT split_part(candidate_curie, ':', 1) AS prefix
+            FROM ({_f7_oracle()})
         """,
     }

@@ -1,0 +1,155 @@
+"""Normalization-kernel parity tests: each Spark column function is checked
+against a tiny executable spec that mirrors the reference semantics
+(SURVEY.md §5.3). The corpus covers every quirk branch: empty strings,
+multi-colon curies, unclosed brackets, long tokens, punctuation-only names.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import string
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from drugbankner_spark.functions import identifiers as I  # noqa: E402
+from drugbankner_spark.functions import normalize as N  # noqa: E402
+
+
+# --- executable specs (reference semantics, cited in module docstrings) ---
+
+def spec_simplify(s: str) -> str:
+    return s.lower().translate(
+        {ord(c): None for c in string.punctuation + string.whitespace}
+    )
+
+
+def spec_cap_prefix(s: str) -> str:
+    chunks = s.split(":")
+    chunks[0] = chunks[0].upper()
+    return ":".join(chunks)
+
+
+def spec_remove_brackets(s: str) -> str:
+    return re.sub(r"\[.*?\]", "", s)
+
+
+def spec_delete_long_tokens(s: str, n: int = 100) -> str:
+    return " ".join(t for t in s.split(" ") if len(t) < n)
+
+
+def spec_strip_marks(s: str) -> str:
+    return s.translate(str.maketrans("", "", ".,;:?!"))
+
+
+CORPUS = [
+    "",
+    "aspirin",
+    "Aspirin  [see note 1] and [2] caffeine",
+    "[unclosed bracket",
+    "nested [a [b] c] end",
+    "CHEBI:12345",
+    "chebi:12345:extra:colons",
+    "no-colon-here",
+    ":leading",
+    "trailing:",
+    "Beta-Blocker (oral); 2nd gen!",
+    "  spaces   and\ttabs\nnewlines  ",
+    "UPPER lower MiXeD",
+    "tok " + "x" * 120 + " short",
+    "a.b.c. sentence one. and two.",
+    "punct-only !!! ??? ...",
+    "DB00945 and CAS 50-78-2 or C12345",
+    "P:1234 Q9H0H5 AB123456 0363-0160-01",
+]
+
+
+@pytest.fixture(scope="module")
+def kernel_results(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CORPUS)], ["i", "s"])
+    c = F.col("s")
+    out = df.select(
+        "i", "s",
+        N.remove_brackets(c).alias("f1"),
+        N.strip_sentence_marks(c).alias("f2"),
+        N.simplify_name(c).alias("f3"),
+        N.capitalize_curie_prefix(c).alias("f4"),
+        N.curie_prefix(c).alias("f10"),
+        N.delete_long_tokens(c, 100).alias("p4"),
+        N.split_sentences(c).alias("f5"),
+        N.sentence_length_ok(c).alias("p3"),
+    ).collect()
+    return {r["i"]: r for r in out}
+
+
+@pytest.mark.parametrize("idx", range(len(CORPUS)))
+def test_kernels_match_spec(kernel_results, idx):
+    s = CORPUS[idx]
+    r = kernel_results[idx]
+    assert r["f1"] == spec_remove_brackets(s)
+    assert r["f2"] == spec_strip_marks(s)
+    assert r["f3"] == spec_simplify(s)
+    assert r["f4"] == spec_cap_prefix(s)
+    assert r["f10"] == s.split(":")[0]
+    assert r["p4"] == spec_delete_long_tokens(s)
+    assert r["f5"] == s.split(".")
+    assert r["p3"] == (15 <= len(s) <= 1000)
+
+
+def test_concat_text_fields(spark):
+    rows = [
+        ("a", None, "c"),
+        (None, None, None),
+        ("", "x", ""),
+        ("one", "two", "three"),
+    ]
+    df = spark.createDataFrame(rows, ["f1", "f2", "f3"])
+    out = df.select(
+        N.concat_text_fields([F.col("f1"), F.col("f2"), F.col("f3")]).alias("t")
+    ).collect()
+    # reference (perform_NER.py:127-131): only truthy fields, '\n ' sep
+    expect = ["\n ".join(x for x in row if x) for row in rows]
+    assert [r["t"] for r in out] == expect
+
+
+def test_identifier_candidates_match_spec(spark):
+    texts = [
+        "DB00945",
+        "50-78-2",
+        "abc def",           # HET \w{3} hits twice
+        "1234567",           # PubChem x2 dbs, ChEBI, DPD, GenBank? no
+        "P:42",
+        "Q9H0H5",
+        "already:curie",     # still scanned by extract (routing is separate)
+        "",
+        "0363-0160-01",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = (
+        I.extract_identifier_candidates(df, "t", ["i"])
+        .groupBy("i", "database", "candidate_curie")
+        .count()
+        .collect()
+    )
+    got_set = {(r["i"], r["database"], r["candidate_curie"], r["count"]) for r in got}
+
+    expect = {}
+    for i, t in enumerate(texts):
+        for db, prefix, pattern in I.IDENTIFIER_PATTERNS:
+            n = len(re.findall(pattern, t))
+            if n:
+                key = (i, db, f"{prefix}:{t}")
+                expect[key] = expect.get(key, 0) + n
+    expect_set = {(*k, v) for k, v in expect.items()}
+    assert got_set == expect_set
+
+
+def test_is_curie_routing(spark):
+    df = spark.createDataFrame([("a:b",), ("plain",), ("",)], ["t"])
+    out = df.select(I.is_curie(F.col("t")).alias("c")).collect()
+    assert [r["c"] for r in out] == [True, False, False]
