@@ -244,6 +244,57 @@ def _f10_prefix_extract(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
 
 
+# ---------------------------------------------------------------------------
+# Synonymizer queries (EP3): run the engine's Synonymizer over the mini
+# fixture; oracles embed the same rows as VALUES so semantics are
+# hash-checked (joins, mode vote, biolink prefixing, None-for-miss).
+# ---------------------------------------------------------------------------
+
+def _syn(spark: SparkSession):
+    from drugbankner_spark.fixtures import mini_synonymizer_frames
+    from drugbankner_spark.operators.synonymizer import Synonymizer
+
+    nodes, clusters, edges = mini_synonymizer_frames(spark)
+    return Synonymizer(nodes, clusters, edges)
+
+
+def _entities(spark: SparkSession, vals: list[str]) -> DataFrame:
+    return spark.createDataFrame([(v,) for v in vals], ["entity"])
+
+
+_SYN_CURIE_INPUTS = ["chebi:100", "Drugbank:200", "MESH:999", "CHEBI:101", "umls:600"]
+_SYN_NAME_INPUTS = ["Aspirin", "A S P I R I N!!", "TIEBREAK", "Ecotrin",
+                    "head ache", "nope"]
+_SYN_EQ_INPUTS = ["chebi:100", "Aspirin", "CHEBI:101", "miss"]
+_SYN_NORM_INPUTS = ["Aspirin", "umls:600"]
+
+
+def _syn_canonical_curie(spark: SparkSession, sf: str) -> DataFrame:
+    syn = _syn(spark)
+    return syn.canonical_from_curies(_entities(spark, _SYN_CURIE_INPUTS), "entity")
+
+
+def _syn_canonical_name(spark: SparkSession, sf: str) -> DataFrame:
+    syn = _syn(spark)
+    return syn.canonical_from_names(_entities(spark, _SYN_NAME_INPUTS), "entity")
+
+
+def _syn_equivalent_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    syn = _syn(spark)
+    return syn.equivalent_nodes(
+        _entities(spark, _SYN_EQ_INPUTS), "entity", explode=True
+    )
+
+
+def _syn_category_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return _syn(spark).cluster_category_counts()
+
+
+def _syn_normalizer_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    syn = _syn(spark)
+    return syn.normalizer_nodes(_entities(spark, _SYN_NORM_INPUTS), "entity")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -269,6 +320,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_sentence_pipeline": _f5_sentence_pipeline,
         "f7_identifier_extract": _f7_identifier_extract,
         "f10_prefix_extract": _f10_prefix_extract,
+        "syn_canonical_curie": _syn_canonical_curie,
+        "syn_canonical_name": _syn_canonical_name,
+        "syn_equivalent_nodes": _syn_equivalent_nodes,
+        "syn_category_histogram": _syn_category_histogram,
+        "syn_normalizer_nodes": _syn_normalizer_nodes,
     }
 
 
@@ -295,6 +351,126 @@ def _f7_oracle() -> str:
                 FROM events
             )""")
     return "\nUNION ALL\n".join(stanzas)
+
+
+def _sql_cap(e: str) -> str:
+    """F4 in SQL: uppercase prefix before first ':', else whole string."""
+    head = f"split_part({e}, ':', 1)"
+    return (f"CASE WHEN strpos({e}, ':') > 0 THEN upper({head}) || ':' || "
+            f"substr({e}, length({head}) + 2) ELSE upper({e}) END")
+
+
+def _sql_simplify(e: str) -> str:
+    return f"translate(lower({e}), {_punct_ws_sql()}, '')"
+
+
+def _sql_biolink(e: str) -> str:
+    return (f"CASE WHEN {e} IS NOT NULL AND {e} <> '' "
+            f"THEN 'biolink:' || {e} ELSE {e} END")
+
+
+def _sql_inputs(vals: list[str]) -> str:
+    body = ", ".join("('" + v.replace("'", "''") + "')" for v in vals)
+    return f"(SELECT * FROM (VALUES {body}) AS t(entity))"
+
+
+def _syn_with(extra: str = "") -> str:
+    from drugbankner_spark import fixtures as FX
+
+    return f"""WITH syn_nodes AS {FX.nodes_values_sql()},
+        syn_clusters AS {FX.clusters_values_sql()},
+        name_counts AS (
+            SELECT name_simplified, cluster_id, count(*) AS cnt
+            FROM syn_nodes WHERE name_simplified IS NOT NULL
+            GROUP BY name_simplified, cluster_id
+        ),
+        name_best AS (
+            SELECT name_simplified, cluster_id FROM (
+                SELECT name_simplified, cluster_id,
+                       row_number() OVER (
+                           PARTITION BY name_simplified
+                           ORDER BY cnt DESC, cluster_id
+                       ) AS rn
+                FROM name_counts
+            ) WHERE rn = 1
+        ){extra}"""
+
+
+def _syn_canonical_curie_oracle() -> str:
+    return _syn_with() + f"""
+        SELECT i.entity,
+               n.cluster_id AS preferred_curie,
+               c.name AS preferred_name,
+               {_sql_biolink('c.category')} AS preferred_category
+        FROM {_sql_inputs(_SYN_CURIE_INPUTS)} i
+        LEFT JOIN syn_nodes n ON n.id_simplified = {_sql_cap('i.entity')}
+        LEFT JOIN syn_clusters c ON c.cluster_id = n.cluster_id
+    """
+
+
+def _syn_canonical_name_oracle() -> str:
+    return _syn_with() + f"""
+        SELECT i.entity,
+               b.cluster_id AS preferred_curie,
+               c.name AS preferred_name,
+               {_sql_biolink('c.category')} AS preferred_category
+        FROM {_sql_inputs(_SYN_NAME_INPUTS)} i
+        LEFT JOIN name_best b ON b.name_simplified = {_sql_simplify('i.entity')}
+        LEFT JOIN syn_clusters c ON c.cluster_id = b.cluster_id
+    """
+
+
+def _syn_equivalent_nodes_oracle() -> str:
+    return _syn_with(f""",
+        resolved AS (
+            SELECT i.entity, coalesce(n.cluster_id, b.cluster_id) AS cid
+            FROM {_sql_inputs(_SYN_EQ_INPUTS)} i
+            LEFT JOIN syn_nodes n ON n.id_simplified = {_sql_cap('i.entity')}
+            LEFT JOIN name_best b ON b.name_simplified = {_sql_simplify('i.entity')}
+        )""") + """
+        SELECT entity, equivalent_id FROM (
+            SELECT r.entity, unnest(c.member_ids) AS equivalent_id
+            FROM resolved r JOIN syn_clusters c ON c.cluster_id = r.cid
+        )
+    """
+
+
+def _syn_category_histogram_oracle() -> str:
+    return _syn_with() + f"""
+        SELECT cluster_id, {_sql_biolink('category')} AS category,
+               count(*) AS cnt
+        FROM syn_nodes GROUP BY cluster_id, category
+    """
+
+
+def _syn_normalizer_nodes_oracle() -> str:
+    return _syn_with(f""",
+        resolved AS (
+            SELECT i.entity, coalesce(n.cluster_id, b.cluster_id) AS cid
+            FROM {_sql_inputs(_SYN_NORM_INPUTS)} i
+            LEFT JOIN syn_nodes n ON n.id_simplified = {_sql_cap('i.entity')}
+            LEFT JOIN name_best b ON b.name_simplified = {_sql_simplify('i.entity')}
+        ),
+        eq AS (
+            SELECT entity, unnest(c.member_ids) AS equivalent_id, r.cid
+            FROM resolved r JOIN syn_clusters c ON c.cluster_id = r.cid
+        )""") + f"""
+        SELECT eq.entity, eq.equivalent_id,
+               n.name AS label,
+               {_sql_biolink('n.category')} AS category,
+               n.major_branch,
+               n.name_sri,
+               n.category_sri IS NOT NULL AS in_sri,
+               {_sql_biolink('n.category_sri')} AS category_sri,
+               n.name_kg2pre,
+               n.category_kg2pre IS NOT NULL AS in_kg2pre,
+               {_sql_biolink('n.category_kg2pre')} AS category_kg2pre,
+               n.cluster_id,
+               cr.name AS cluster_preferred_name
+        FROM eq
+        LEFT JOIN syn_nodes n ON n.id = eq.equivalent_id
+        LEFT JOIN syn_clusters cr ON cr.cluster_id = n.cluster_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -483,4 +659,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT split_part(candidate_curie, ':', 1) AS prefix
             FROM ({_f7_oracle()})
         """,
+        "syn_canonical_curie": _syn_canonical_curie_oracle(),
+        "syn_canonical_name": _syn_canonical_name_oracle(),
+        "syn_equivalent_nodes": _syn_equivalent_nodes_oracle(),
+        "syn_category_histogram": _syn_category_histogram_oracle(),
+        "syn_normalizer_nodes": _syn_normalizer_nodes_oracle(),
     }

@@ -1,0 +1,320 @@
+"""Node-synonymizer query family (SURVEY.md §2.3 J1-J5/J9, §2.4 A1/A4;
+reference EP3: node_synonymizer.py).
+
+The reference canonicalizes biomedical entities against a SQLite
+concept-cluster graph: nodes belong to clusters; the cluster_id IS the
+canonical ("preferred") CURIE and is itself a member node's id; clusters
+carry a preferred name/category and member/edge id lists. Every lookup is
+an equi probe over precomputed normalized keys:
+
+- by CURIE: uppercase the prefix, probe ``nodes.id_simplified``
+  (node_synonymizer.py:67-86)
+- by name: lowercase + strip punctuation/whitespace, probe
+  ``nodes.name_simplified``, then MODE-VOTE the cluster per name
+  (node_synonymizer.py:88-119, 371-379)
+
+The engine holds the three tables as DataFrames (snapshotted from SQLite
+once — see sources.sqlite_snapshot) and expresses every method as a
+broadcast hash join: the dims are small relative to any fact side, so no
+fact-side shuffle occurs. Misses stay as NULLs (the reference's explicit
+None-for-miss contract, node_synonymizer.py:143-146).
+
+Determinism note: the reference's mode vote uses Python ``max`` over dict
+iteration order — nondeterministic on ties. We pin (count desc,
+cluster_id asc); documented divergence per SURVEY.md §2.4 A1.
+
+Scale note: at 100 TB the *query* side is huge, not the dims; every join
+here broadcasts the dim and AQE's skew-join handles Zipfian name keys.
+If the synonymizer itself outgrew broadcast range (~10^9 nodes), the same
+code runs as a shuffle hash join — switch by dropping the broadcast hint
+via ``Synonymizer(..., broadcast_dims=False)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from drugbankner_spark.functions.normalize import (
+    capitalize_curie_prefix,
+    simplify_name,
+)
+
+#: CURIE prefixes observed in the reference KG (CONSTANTS.py:69-87
+#: documents these as the distinct ``SUBSTR(id,1,INSTR(id,':')-1)`` of the
+#: nodes table). Used by suffix expansion; the engine derives the live set
+#: from its own nodes dim at snapshot time (see ``known_prefixes``).
+DEFAULT_SUFFIX_PREFIXES: tuple[str, ...] = (
+    "CHEBI", "DRUGBANK", "MESH", "UMLS", "MONDO", "RXNORM", "KEGG.DRUG",
+    "KEGG.COMPOUND", "PUBCHEM.COMPOUND", "UniProtKB", "NCBIGene", "GO",
+    "HP", "DOID", "OMIM", "SMPDB", "CAS", "NDC", "PHARMGKB", "GENBANK",
+)
+
+
+def add_biolink_prefix(col: F.Column) -> F.Column:
+    """``biolink:`` prefixing; NULL/empty stay as-is
+    (node_synonymizer.py:363-368)."""
+    return F.when(
+        col.isNotNull() & (col != ""), F.concat(F.lit("biolink:"), col)
+    ).otherwise(col)
+
+
+class Synonymizer:
+    """Relational form of the reference's NodeSynonymizer.
+
+    ``nodes``/``clusters``/``edges`` schemas per FIXTURES.md B2; member and
+    edge id lists are real arrays (decoded at snapshot time — the SQLite
+    source stores stringified Python lists, node_synonymizer.py:172).
+    """
+
+    def __init__(
+        self,
+        nodes: DataFrame,
+        clusters: DataFrame,
+        edges: DataFrame | None = None,
+        broadcast_dims: bool = True,
+    ):
+        self.nodes = nodes
+        self.clusters = clusters
+        self.edges = edges
+        self._hint = F.broadcast if broadcast_dims else (lambda df: df)
+
+    # -- internals ---------------------------------------------------------
+
+    def _dim(self, df: DataFrame) -> DataFrame:
+        return self._hint(df)
+
+    def _curie_hits(self) -> DataFrame:
+        """nodes ⋈ clusters keyed by id_simplified (J1)."""
+        return (
+            self.nodes.select("id_simplified", "cluster_id")
+            .join(
+                self.clusters.select(
+                    "cluster_id",
+                    F.col("name").alias("_cluster_name"),
+                    F.col("category").alias("_cluster_category"),
+                    F.col("member_ids").alias("_member_ids"),
+                ),
+                "cluster_id",
+            )
+        )
+
+    def _name_vote(self) -> DataFrame:
+        """Per name_simplified: modal cluster (A1), count over node rows;
+        ties pinned to the smallest cluster_id."""
+        counted = (
+            self.nodes.select("name_simplified", "cluster_id")
+            .filter(F.col("name_simplified").isNotNull())
+            .groupBy("name_simplified", "cluster_id")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        return counted.groupBy("name_simplified").agg(
+            F.min_by(
+                "cluster_id",
+                F.struct((-F.col("_cnt")).alias("n"), F.col("cluster_id")),
+            ).alias("cluster_id")
+        )
+
+    def _name_hits(self) -> DataFrame:
+        """name_simplified → modal cluster ⋈ clusters (J2)."""
+        return self._name_vote().join(
+            self.clusters.select(
+                "cluster_id",
+                F.col("name").alias("_cluster_name"),
+                F.col("category").alias("_cluster_category"),
+                F.col("member_ids").alias("_member_ids"),
+            ),
+            "cluster_id",
+        )
+
+    # -- public API (each mirrors a reference method) ----------------------
+
+    def canonical_from_curies(
+        self, df: DataFrame, curie_col: str, prefix: str = ""
+    ) -> DataFrame:
+        """get_canonical_curies(curies=...) (node_synonymizer.py:66-86):
+        capitalize the CURIE prefix, probe id_simplified, return preferred
+        (curie, name, biolink-category); misses → NULLs.
+        """
+        key = capitalize_curie_prefix(F.col(curie_col))
+        hits = self._dim(
+            self._curie_hits().select(
+                F.col("id_simplified").alias("_key"),
+                F.col("cluster_id").alias(f"{prefix}preferred_curie"),
+                F.col("_cluster_name").alias(f"{prefix}preferred_name"),
+                add_biolink_prefix(F.col("_cluster_category")).alias(
+                    f"{prefix}preferred_category"
+                ),
+            )
+        )
+        return df.withColumn("_key", key).join(hits, "_key", "left").drop("_key")
+
+    def canonical_from_names(
+        self, df: DataFrame, name_col: str, prefix: str = ""
+    ) -> DataFrame:
+        """get_canonical_curies(names=...) (node_synonymizer.py:88-119):
+        simplify the name, probe name_simplified, mode-vote the cluster."""
+        key = simplify_name(F.col(name_col))
+        hits = self._dim(
+            self._name_hits().select(
+                F.col("name_simplified").alias("_nkey"),
+                F.col("cluster_id").alias(f"{prefix}preferred_curie"),
+                F.col("_cluster_name").alias(f"{prefix}preferred_name"),
+                add_biolink_prefix(F.col("_cluster_category")).alias(
+                    f"{prefix}preferred_category"
+                ),
+            )
+        )
+        return df.withColumn("_nkey", key).join(hits, "_nkey", "left").drop("_nkey")
+
+    def canonical_lookup(self, df: DataFrame, entity_col: str) -> DataFrame:
+        """Curie-first, name-fallback (J4; CLI path
+        node_synonymizer.py:468-472): coalesce the two probes, plus a
+        ``matched_via`` provenance column ('curie' | 'name' | NULL)."""
+        c = self.canonical_from_curies(df, entity_col, prefix="c_")
+        cn = self.canonical_from_names(c, entity_col, prefix="n_")
+        out = cn.select(
+            *df.columns,
+            F.coalesce("c_preferred_curie", "n_preferred_curie").alias(
+                "preferred_curie"
+            ),
+            F.coalesce("c_preferred_name", "n_preferred_name").alias(
+                "preferred_name"
+            ),
+            F.coalesce("c_preferred_category", "n_preferred_category").alias(
+                "preferred_category"
+            ),
+            F.when(F.col("c_preferred_curie").isNotNull(), F.lit("curie"))
+            .when(F.col("n_preferred_curie").isNotNull(), F.lit("name"))
+            .alias("matched_via"),
+        )
+        return out
+
+    def canonical_from_suffix(
+        self, df: DataFrame, suffix_col: str, prefixes: list[str] | None = None
+    ) -> DataFrame:
+        """get_canonical_curies_from_suffix (node_synonymizer.py:42-56, J5):
+        bare suffixes fan out across all known prefixes; candidates inner-
+        join the dim (the fan-out never materializes past the projection).
+        Inputs already containing ``:`` follow the plain CURIE path."""
+        pfx = list(prefixes) if prefixes is not None else list(
+            DEFAULT_SUFFIX_PREFIXES
+        )
+        has_colon = df.filter(F.col(suffix_col).contains(":"))
+        bare = df.filter(~F.col(suffix_col).contains(":"))
+        expanded = bare.withColumn(
+            "candidate_curie",
+            F.explode(F.array(*[F.lit(p) for p in pfx])),
+        ).withColumn(
+            "candidate_curie",
+            F.concat_ws(":", F.col("candidate_curie"), F.col(suffix_col)),
+        )
+        exp_hit = self.canonical_from_curies(expanded, "candidate_curie").filter(
+            F.col("preferred_curie").isNotNull()
+        )
+        colon_hit = self.canonical_from_curies(
+            has_colon.withColumn("candidate_curie", F.col(suffix_col)),
+            "candidate_curie",
+        ).filter(F.col("preferred_curie").isNotNull())
+        return exp_hit.unionByName(colon_hit)
+
+    def known_prefixes(self) -> DataFrame:
+        """F10: the live prefix inventory, derived from the nodes dim
+        exactly like the documented provenance query (CONSTANTS.py:64-67)."""
+        return (
+            self.nodes.filter(F.col("id").contains(":"))
+            .select(F.substring_index("id", ":", 1).alias("prefix"))
+            .distinct()
+        )
+
+    def equivalent_nodes(
+        self, df: DataFrame, entity_col: str, explode: bool = False
+    ) -> DataFrame:
+        """get_equivalent_nodes (node_synonymizer.py:150-214, J3): same
+        curie-first/name-fallback probes but projecting the cluster's
+        member_ids array; misses → NULL array."""
+        c = self.canonical_from_curies(df, entity_col, prefix="c_")
+        cn = self.canonical_from_names(c, entity_col, prefix="n_")
+        members = self._dim(
+            self.clusters.select(
+                F.col("cluster_id").alias("_mcid"), "member_ids"
+            )
+        )
+        out = (
+            cn.withColumn(
+                "_cid", F.coalesce("c_preferred_curie", "n_preferred_curie")
+            )
+            .join(members, F.col("_cid") == F.col("_mcid"), "left")
+            .select(*df.columns, F.col("member_ids").alias("equivalent_ids"))
+        )
+        if explode:
+            out = out.select(
+                *df.columns, F.explode("equivalent_ids").alias("equivalent_id")
+            )
+        return out
+
+    def cluster_category_counts(self) -> DataFrame:
+        """return_all_categories (node_synonymizer.py:125-141, A4): member
+        count per (cluster, biolink-category)."""
+        return (
+            self.nodes.groupBy(
+                "cluster_id",
+                add_biolink_prefix(F.col("category")).alias("category"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def normalizer_nodes(self, df: DataFrame, entity_col: str) -> DataFrame:
+        """get_normalizer_results (node_synonymizer.py:216-297) in
+        relational form: one row per (input entity, equivalent node) with
+        the node's full record, its cluster-rep preferred fields, and the
+        SRI flags (``in_sri`` ≡ category_sri IS NOT NULL — the reference
+        keys both flags off the *category* columns, :249-254). The nested
+        JSON shape is an aggregation over this (sink-time concern).
+        """
+        eq = self.equivalent_nodes(df, entity_col, explode=True)
+        node_info = self._dim(
+            self.nodes.select(
+                F.col("id").alias("equivalent_id"),
+                F.col("name").alias("label"),
+                add_biolink_prefix(F.col("category")).alias("category"),
+                "major_branch",
+                "name_sri",
+                F.col("category_sri").isNotNull().alias("in_sri"),
+                add_biolink_prefix(F.col("category_sri")).alias("category_sri"),
+                "name_kg2pre",
+                F.col("category_kg2pre").isNotNull().alias("in_kg2pre"),
+                add_biolink_prefix(F.col("category_kg2pre")).alias(
+                    "category_kg2pre"
+                ),
+                F.col("cluster_id"),
+            )
+        )
+        rep = self._dim(
+            self.clusters.select(
+                F.col("cluster_id"),
+                F.col("name").alias("cluster_preferred_name"),
+            )
+        )
+        return (
+            eq.join(node_info, "equivalent_id", "left")
+            .join(rep, "cluster_id", "left")
+        )
+
+    def cluster_table(self, cluster_ids: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """print_cluster_table (node_synonymizer.py:301-339, J9): member
+        nodes and intra-cluster edges for a set of cluster ids, via
+        semi-join against the exploded id lists."""
+        want = cluster_ids.select(F.col(cluster_ids.columns[0]).alias("cluster_id"))
+        cl = self.clusters.join(self._dim(want), "cluster_id")
+        member_ids = cl.select(F.explode("member_ids").alias("id"))
+        nodes_out = self.nodes.join(member_ids, "id", "left_semi").select(
+            "id", "category", "name"
+        )
+        if self.edges is None:
+            return nodes_out, None
+        edge_ids = cl.select(F.explode("intra_cluster_edge_ids").alias("id"))
+        edges_out = self.edges.join(edge_ids, "id", "left_semi").select(
+            "subject", "predicate", "object",
+            "upstream_resource_id", "primary_knowledge_source",
+        )
+        return nodes_out, edges_out

@@ -1,0 +1,125 @@
+"""Golden tests for the synonymizer query family over the hand-built
+mini fixture (FIXTURES.md B2) — expected values computed by hand from the
+reference semantics (node_synonymizer.py, cited per method)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from drugbankner_spark.fixtures import mini_synonymizer_frames  # noqa: E402
+from drugbankner_spark.operators.synonymizer import Synonymizer  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def syn(spark):
+    nodes, clusters, edges = mini_synonymizer_frames(spark)
+    return Synonymizer(nodes, clusters, edges)
+
+
+def _inputs(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], ["entity"])
+
+
+def _by_entity(rows):
+    return {r["entity"]: r for r in rows}
+
+
+def test_canonical_from_curies(spark, syn):
+    df = _inputs(spark, ["chebi:100", "Drugbank:200", "MESH:999", "CHEBI:101"])
+    out = _by_entity(syn.canonical_from_curies(df, "entity").collect())
+    # prefix-case-insensitive hit → cluster preferred fields, biolink-prefixed
+    assert out["chebi:100"]["preferred_curie"] == "CHEBI:100"
+    assert out["chebi:100"]["preferred_name"] == "Aspirin"
+    assert out["chebi:100"]["preferred_category"] == "biolink:Drug"
+    assert out["Drugbank:200"]["preferred_curie"] == "CHEBI:100"
+    assert out["CHEBI:101"]["preferred_name"] == "Aspirin(tm)"
+    # miss → explicit NULLs (None-for-miss contract)
+    assert out["MESH:999"]["preferred_curie"] is None
+
+
+def test_canonical_from_names_mode_vote(spark, syn):
+    df = _inputs(spark, ["Aspirin", "A S P I R I N!!", "TIEBREAK", "nope"])
+    out = _by_entity(syn.canonical_from_names(df, "entity").collect())
+    # 'aspirin' appears 2× in cluster CHEBI:100, 1× in CHEBI:101 → mode wins
+    assert out["Aspirin"]["preferred_curie"] == "CHEBI:100"
+    # punctuation/whitespace variants simplify to the same key
+    assert out["A S P I R I N!!"]["preferred_curie"] == "CHEBI:100"
+    # 1-1 tie → pinned to smallest cluster_id (documented divergence from
+    # the reference's dict-order max)
+    assert out["TIEBREAK"]["preferred_curie"] == "KEGG.DRUG:700"
+    assert out["nope"]["preferred_curie"] is None
+
+
+def test_canonical_lookup_fallback(spark, syn):
+    df = _inputs(spark, ["CHEBI:101", "Ecotrin", "head ache", "zzz"])
+    out = _by_entity(syn.canonical_lookup(df, "entity").collect())
+    assert out["CHEBI:101"]["matched_via"] == "curie"
+    assert out["Ecotrin"]["matched_via"] == "name"
+    assert out["Ecotrin"]["preferred_curie"] == "CHEBI:101"
+    assert out["head ache"]["preferred_curie"] == "MONDO:500"
+    assert out["zzz"]["preferred_curie"] is None
+    assert out["zzz"]["matched_via"] is None
+
+
+def test_canonical_from_suffix(spark, syn):
+    df = _inputs(spark, ["42", "100", "zzz", "CHEBI:101"])
+    rows = syn.canonical_from_suffix(df, "entity").collect()
+    hits = {(r["entity"], r["preferred_curie"]) for r in rows}
+    # suffix valid under two prefixes → both clusters surface
+    assert ("42", "CHEBI:42") in hits and ("42", "DRUGBANK:42") in hits
+    assert ("100", "CHEBI:100") in hits
+    # colon-bearing input routed down the plain CURIE path
+    assert ("CHEBI:101", "CHEBI:101") in hits
+    assert not any(e == "zzz" for e, _ in hits)
+
+
+def test_equivalent_nodes(spark, syn):
+    df = _inputs(spark, ["chebi:100", "Aspirin", "miss"])
+    out = _by_entity(syn.equivalent_nodes(df, "entity").collect())
+    assert out["chebi:100"]["equivalent_ids"] == ["CHEBI:100", "drugbank:200", "MESH:300"]
+    assert out["Aspirin"]["equivalent_ids"] == ["CHEBI:100", "drugbank:200", "MESH:300"]
+    assert out["miss"]["equivalent_ids"] is None
+
+
+def test_cluster_category_counts(syn):
+    rows = syn.cluster_category_counts().collect()
+    got = {(r["cluster_id"], r["category"]): r["cnt"] for r in rows}
+    assert got[("CHEBI:100", "biolink:Drug")] == 2          # CHEBI:100 + MESH:300
+    assert got[("CHEBI:100", "biolink:SmallMolecule")] == 1  # drugbank:200
+    assert got[("MONDO:500", "biolink:Disease")] == 1
+    assert got[("MONDO:500", "biolink:PhenotypicFeature")] == 1
+
+
+def test_normalizer_nodes(spark, syn):
+    df = _inputs(spark, ["Aspirin"])
+    rows = syn.normalizer_nodes(df, "entity").collect()
+    by_id = {r["equivalent_id"]: r for r in rows}
+    assert set(by_id) == {"CHEBI:100", "drugbank:200", "MESH:300"}
+    # in_sri keys off category_sri IS NOT NULL (node_synonymizer.py:249-254)
+    assert by_id["CHEBI:100"]["in_sri"] is True
+    assert by_id["drugbank:200"]["in_sri"] is False
+    assert by_id["drugbank:200"]["in_kg2pre"] is True
+    assert by_id["MESH:300"]["in_kg2pre"] is False
+    assert all(r["cluster_preferred_name"] == "Aspirin" for r in rows)
+    assert by_id["drugbank:200"]["category"] == "biolink:SmallMolecule"
+
+
+def test_cluster_table(spark, syn):
+    want = spark.createDataFrame([("CHEBI:100",)], ["cluster_id"])
+    nodes_out, edges_out = syn.cluster_table(want)
+    assert {r["id"] for r in nodes_out.collect()} == {
+        "CHEBI:100", "drugbank:200", "MESH:300"
+    }
+    assert {r["subject"] for r in edges_out.collect()} == {"CHEBI:100"}
+    assert edges_out.count() == 2
+
+
+def test_known_prefixes(syn):
+    got = {r["prefix"] for r in syn.known_prefixes().collect()}
+    assert got == {"CHEBI", "drugbank", "MESH", "RXNORM", "MONDO", "umls",
+                   "KEGG.DRUG", "DRUGBANK"}
