@@ -295,6 +295,59 @@ def _syn_normalizer_nodes(spark: SparkSession, sf: str) -> DataFrame:
     return syn.normalizer_nodes(_entities(spark, _SYN_NORM_INPUTS), "entity")
 
 
+# ---------------------------------------------------------------------------
+# EP1/EP2 pipeline queries (rows-only: XML source + NER UDF are not
+# SQL-expressible; golden-tested in tests/test_pipelines.py instead).
+# ---------------------------------------------------------------------------
+
+_MINI_XML = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "tests", "fixtures", "mini_drugbank.xml",
+)
+
+
+def _ep1_bundle(spark: SparkSession):
+    from drugbankner_spark import pipelines as P
+    from drugbankner_spark.operators.ner import make_stub_model_factory
+
+    syn_obj = _syn(spark)
+    lexicon = {
+        "treats headache": ["UMLS:600"], "headache": ["UMLS:600"],
+        "fever": [], "cyclooxygenase": ["GO:0815"],
+        "hepatic metabolism": ["MESH:300"], "aspirin": ["RXNORM:400"],
+        "ecotrin": [],
+    }
+    out = P.run_ep1(spark, _MINI_XML, syn_obj,
+                    make_stub_model_factory(lexicon))
+    out["syn"] = syn_obj
+    return out
+
+
+def _ep1_drug_records(spark: SparkSession, sf: str) -> DataFrame:
+    # S1+J6+P1/P2+A5: XML ingest through the KG2 anchor join; arrays
+    # flattened to counts for a stable scalar schema.
+    r = _ep1_bundle(spark)["records"]
+    return r.select(
+        "kg2_id", "name", "category", "drug_bank_id",
+        F.size(F.col("targets")["names"]).alias("n_target_names"),
+        F.size(F.col("pathway_ids")).alias("n_pathways"),
+    )
+
+
+def _ep1_mechanistic_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    # X1(stub)+J7+A2/A3/A6: the full NER stage end to end.
+    b = _ep1_bundle(spark)
+    return b["mechanistic_nodes"]
+
+
+def _ep2_aligned_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    # J8+F7+A6: EP2 merge over EP1 output.
+    from drugbankner_spark import pipelines as P
+
+    b = _ep1_bundle(spark)
+    return P.run_ep2(b["records"], b["mechanistic_nodes"], b["syn"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -325,6 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syn_equivalent_nodes": _syn_equivalent_nodes,
         "syn_category_histogram": _syn_category_histogram,
         "syn_normalizer_nodes": _syn_normalizer_nodes,
+        "ep1_drug_records": _ep1_drug_records,
+        "ep1_mechanistic_nodes": _ep1_mechanistic_nodes,
+        "ep2_aligned_nodes": _ep2_aligned_nodes,
     }
 
 

@@ -101,8 +101,15 @@ def sentence_length_ok(col: Column, lo: int = 15, hi: int = 1000) -> Column:
 
 
 def concat_text_fields(cols: list[Column], sep: str = "\n ") -> Column:
-    """X4 (perform_NER.py:127-131): join non-empty text fields with
-    ``'\\n '``. The reference appends only truthy fields — NULL and ''
-    are both skipped — so filter before joining."""
+    """X4 (perform_NER.py:127-131): concatenate truthy text fields, each
+    followed by ``'\\n '`` (the reference appends the separator AFTER every
+    field, including the last — ``text += field + '\\n '``). NULL and ''
+    fields are skipped entirely."""
     arr = F.array(*[F.coalesce(c, F.lit("")) for c in cols])
-    return F.array_join(F.filter(arr, lambda c: c != F.lit("")), sep)
+    return F.array_join(
+        F.transform(
+            F.filter(arr, lambda c: c != F.lit("")),
+            lambda c: F.concat(c, F.lit(sep)),
+        ),
+        "",
+    )

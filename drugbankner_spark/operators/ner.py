@@ -1,0 +1,281 @@
+"""NER stage (SURVEY.md §2.9 X1-X4, §2.3 J7, §2.4 A2/A3, §2.7 U1;
+reference NER.py + perform_NER.py:19-54).
+
+The only non-relational operator in the engine. The reference runs five
+scispaCy pipelines per sentence in-process; here detection is a
+``mapInPandas`` UDTF — Arrow-batched, lazy per-executor-process model
+singleton, per-sentence RuntimeErrors swallowed (rows fail, jobs don't:
+perform_NER.py:31-34). Everything around it (sentence prep, alignment,
+merges) stays JVM-side.
+
+Detection contract (one output row per (sentence, entity, kb_id)):
+- entity with linker hits  → one row per ``LINKER:kb_id`` (NER.py:106-108)
+- entity with no linker hit → one row, kb_id NULL (→ name-fallback J7)
+- sentence with no entities → one row, entity_text NULL (the reference
+  then looks up the WHOLE sentence as a name — NER.py:117-120)
+
+Model lifecycle at scale: the heavy model loads once per executor Python
+worker (module-global cache keyed by config) — the biggest memory knob is
+executor cores × model size; configure fewer task slots per executor or
+``spark.executor.pyspark.memory`` accordingly. GPU is a per-executor
+resource config, never required (the reference hard-requires it,
+perform_NER.py:16 — engine makes it optional).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from drugbankner_spark.operators.relational import first_writer_wins
+from drugbankner_spark.operators.synonymizer import Synonymizer
+
+#: Disease categories for indication alignment (perform_NER.py:121-123).
+DISEASE_CATEGORIES = (
+    "biolink:Disease", "biolink:PhenotypicFeature",
+    "biolink:DiseaseOrPhenotypicFeature",
+)
+
+#: Mechanistic category set (CONSTANTS.py:2-12).
+MECHANISTIC_CATEGORIES = (
+    "biolink:BiologicalProcess", "biolink:BiologicalProcessOrActivity",
+    "biolink:Cell", "biolink:CellularComponent", "biolink:Drug",
+    "biolink:Disease", "biolink:DiseaseOrPhenotypicFeature",
+    "biolink:Gene", "biolink:GeneProduct", "biolink:GeneFamily",
+    "biolink:GeneGroupingMixin", "biolink:GeneOrGeneProduct",
+    "biolink:MolecularActivity", "biolink:NoncodingRNAProduct",
+    "biolink:PathologicalProcess", "biolink:PhenotypicFeature",
+    "biolink:Pathway", "biolink:Protein", "biolink:ProteinDomain",
+    "biolink:ProteinFamily", "biolink:PhysiologicalProcess",
+    "biolink:RNAProduct", "biolink:SmallMolecule", "biolink:Transcript",
+)
+
+# --------------------------------------------------------------------------
+# Models. A model is a callable: sentence -> {entity_text: set[kb_curie]}
+# where kb_curie is already 'LINKER:<kb_id>'-prefixed. Factories must be
+# module-level (pickled to executors); instances are cached per process.
+# --------------------------------------------------------------------------
+
+_MODEL_CACHE: dict[int, Any] = {}
+
+
+class StubNerModel:
+    """Deterministic scispaCy stand-in (FIXTURES.md B4): substring lexicon
+    match, case-insensitive; a sentinel substring raises RuntimeError to
+    exercise the swallow path. Same output shape as the real pipeline."""
+
+    ERROR_TRIGGER = "TRIGGER_NER_ERROR"
+
+    def __init__(self, lexicon: dict[str, list[str]]):
+        # {surface_text -> [kb_curie, ...]}; [] means detected-but-unlinked
+        self.lexicon = {k.lower(): (k, list(v)) for k, v in lexicon.items()}
+
+    def __call__(self, sentence: str) -> dict[str, set]:
+        if self.ERROR_TRIGGER in sentence:
+            raise RuntimeError("stub NER failure")
+        low = sentence.lower()
+        out: dict[str, set] = {}
+        for key, (surface, kbs) in self.lexicon.items():
+            if key in low:
+                out.setdefault(surface, set()).update(kbs)
+        return out
+
+
+def make_stub_model_factory(lexicon: dict[str, list[str]]) -> Callable[[], Any]:
+    def factory() -> StubNerModel:
+        return StubNerModel(lexicon)
+
+    return factory
+
+
+def make_scispacy_factory(
+    spacy_model: str = "en_core_sci_lg",
+    linkers: tuple[str, ...] = ("umls",),
+    threshold: float = 0.7,
+    k: int = 15,
+    max_entities_per_mention: int = 1,
+) -> Callable[[], Any]:
+    """Real-model factory (NER.py:42-51 config shape). Import-gated: the
+    container has no scispaCy — raises ImportError at first use on an
+    executor, never at import time."""
+
+    def factory():
+        import spacy  # noqa: F401 — optional dependency
+        from scispacy.abbreviation import AbbreviationDetector  # noqa: F401
+        from scispacy.linking import EntityLinker  # noqa: F401
+
+        pipes = {}
+        for linker in linkers:
+            nlp = spacy.load(spacy_model)
+            nlp.add_pipe("abbreviation_detector")
+            nlp.add_pipe(
+                "scispacy_linker",
+                config={
+                    "resolve_abbreviations": True, "linker_name": linker,
+                    "threshold": threshold, "k": k,
+                    "max_entities_per_mention": max_entities_per_mention,
+                },
+            )
+            pipes[linker] = nlp
+
+        def run(sentence: str) -> dict[str, set]:
+            detected: dict[str, set] = {}
+            for linker, nlp in pipes.items():
+                doc = nlp(sentence)
+                for ent in doc.ents:
+                    detected.setdefault(ent.text, set()).update(
+                        f"{linker.upper()}:{kb_id}"
+                        for kb_id, _score in ent._.kb_ents
+                    )
+            return detected
+
+        return run
+
+    return factory
+
+
+def _cached_model(factory: Callable[[], Any]) -> Any:
+    key = id(factory)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = factory()
+    return _MODEL_CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# Detection (X1/X3) — the mapInPandas UDTF.
+# --------------------------------------------------------------------------
+
+def detect_entities(
+    sentences: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    model_factory: Callable[[], Any],
+) -> DataFrame:
+    """One row in per sentence → N rows out per detection contract above.
+    Arrow-batched; the model loads lazily once per executor process."""
+    id_fields = [sentences.schema[c] for c in id_cols]
+    out_schema = T.StructType(
+        [*id_fields,
+         T.StructField("sentence", T.StringType()),
+         T.StructField("entity_text", T.StringType()),
+         T.StructField("kb_id", T.StringType())]
+    )
+    cols = [*id_cols, text_col]
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _cached_model(model_factory)
+        for pdf in batches:
+            rows = []
+            for tup in pdf[cols].itertuples(index=False):
+                *ids, sent = tup
+                if not isinstance(sent, str) or not sent:
+                    continue  # P8 (NER.py:95-96)
+                try:
+                    detected = model(sent)
+                except RuntimeError:
+                    continue  # X3 (perform_NER.py:31-34)
+                if not detected:
+                    rows.append((*ids, sent, None, None))
+                    continue
+                for entity, kbs in detected.items():
+                    if kbs:
+                        rows.extend((*ids, sent, entity, kb) for kb in sorted(kbs))
+                    else:
+                        rows.append((*ids, sent, entity, None))
+            yield pd.DataFrame(rows, columns=names)
+
+    return sentences.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Alignment (J7 + A3) and the per-drug merge (A2/A6/U1).
+# --------------------------------------------------------------------------
+
+def align_detected(detected: DataFrame, syn: Synonymizer, id_cols: list[str]) -> DataFrame:
+    """J7 (NER.py:53-81): canonicalize detections — kb curies through the
+    CURIE path; unlinked entities and entity-less sentences through the
+    name path (whole sentence as the 'entity'). Returns one row per
+    (ids, entity_text, preferred_*) hit with the matched-synonym count
+    (A3; ordering dropped — it never affects downstream content)."""
+    base = [*id_cols, "sentence", "entity_text"]
+    with_kb = detected.filter(F.col("kb_id").isNotNull())
+    by_curie = syn.canonical_from_curies(with_kb, "kb_id").select(
+        *base, F.col("kb_id").alias("matched_input"),
+        "preferred_curie", "preferred_name", "preferred_category",
+    )
+    unlinked = detected.filter(
+        F.col("kb_id").isNull() & F.col("entity_text").isNotNull()
+    )
+    by_name = syn.canonical_from_names(unlinked, "entity_text").select(
+        *base, F.col("entity_text").alias("matched_input"),
+        "preferred_curie", "preferred_name", "preferred_category",
+    )
+    sentence_only = detected.filter(F.col("entity_text").isNull()).withColumn(
+        "entity_text", F.col("sentence")
+    )
+    by_sentence = syn.canonical_from_names(sentence_only, "entity_text").select(
+        *base, F.col("entity_text").alias("matched_input"),
+        "preferred_curie", "preferred_name", "preferred_category",
+    )
+    hits = (
+        by_curie.unionByName(by_name).unionByName(by_sentence)
+        .filter(F.col("preferred_curie").isNotNull())
+    )
+    return hits.groupBy(
+        *id_cols, "entity_text",
+        "preferred_curie", "preferred_name", "preferred_category",
+    ).agg(F.countDistinct("matched_input").alias("n_matched_synonyms"))
+
+
+def merge_longest_name(
+    aligned: DataFrame, id_cols: list[str], categories: tuple[str, ...] | None
+) -> DataFrame:
+    """A2+A6+U1 (perform_NER.py:30-53): per (ids, preferred_curie) keep the
+    LONGEST entity surface text as the node name (category-filtered first).
+    Reference ties are first-seen; pinned here to (len desc, text asc)."""
+    f = aligned
+    if categories is not None:
+        f = f.filter(F.col("preferred_category").isin(*categories))  # P5
+    return f.groupBy(*id_cols, F.col("preferred_curie").alias("curie")).agg(
+        F.min_by(
+            "entity_text",
+            F.struct((-F.length("entity_text")).alias("l"), F.col("entity_text")),
+        ).alias("name"),
+        F.any_value("preferred_category").alias("category"),
+    )
+
+
+def text_to_kg2_nodes(
+    records: DataFrame,
+    text_col: F.Column,
+    id_cols: list[str],
+    syn: Synonymizer,
+    model_factory: Callable[[], Any],
+    categories: tuple[str, ...] | None,
+) -> DataFrame:
+    """Full sentence pipeline (perform_NER.py:19-54): split on '.' (F5) →
+    15..1000 length band (P3) → delete ≥100-char tokens (P4) → strip
+    .,;:?! (F2, get_kg2_match remove_mark=True) → detect (X1) → align (J7)
+    → per-drug longest-name merge (A2/A6). Returns (ids, curie, name,
+    category)."""
+    from drugbankner_spark.functions import normalize as N
+
+    sentences = (
+        records.select(*id_cols, F.explode(N.split_sentences(text_col)).alias("_raw"))
+        .filter(N.sentence_length_ok(F.col("_raw")))
+        .select(
+            *id_cols,
+            N.strip_sentence_marks(
+                N.delete_long_tokens(F.col("_raw"))
+            ).alias("sentence"),
+        )
+    )
+    detected = detect_entities(sentences, "sentence", id_cols, model_factory)
+    aligned = align_detected(detected, syn, id_cols)
+    return merge_longest_name(aligned, id_cols, categories)

@@ -112,8 +112,9 @@ def test_concat_text_fields(spark):
     out = df.select(
         N.concat_text_fields([F.col("f1"), F.col("f2"), F.col("f3")]).alias("t")
     ).collect()
-    # reference (perform_NER.py:127-131): only truthy fields, '\n ' sep
-    expect = ["\n ".join(x for x in row if x) for row in rows]
+    # reference (perform_NER.py:127-131): only truthy fields, '\n '
+    # appended AFTER each (text += field + '\n ')
+    expect = ["".join(x + "\n " for x in row if x) for row in rows]
     assert [r["t"] for r in out] == expect
 
 

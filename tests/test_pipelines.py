@@ -1,0 +1,109 @@
+"""EP1 + EP2 golden tests: mini DrugBank XML + mini synonymizer + stub
+NER model (FIXTURES.md B4/B5), expected values hand-computed from the
+reference semantics (perform_NER.py, look_for_identifiers.py)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from drugbankner_spark import pipelines as P  # noqa: E402
+from drugbankner_spark.fixtures import mini_synonymizer_frames  # noqa: E402
+from drugbankner_spark.operators.ner import make_stub_model_factory  # noqa: E402
+from drugbankner_spark.operators.synonymizer import Synonymizer  # noqa: E402
+
+XML_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "mini_drugbank.xml")
+
+#: FIXTURES.md B4: deterministic lexicon; [] = detected-but-unlinked
+#: (name-fallback path); GO:0815 is absent from the synonymizer (dropped).
+STUB_LEXICON = {
+    "treats headache": ["UMLS:600"],
+    "headache": ["UMLS:600"],
+    "fever": [],
+    "cyclooxygenase": ["GO:0815"],
+    "hepatic metabolism": ["MESH:300"],
+    "aspirin": ["RXNORM:400"],
+    "ecotrin": [],
+}
+
+
+@pytest.fixture(scope="module")
+def ep1(spark):
+    nodes, clusters, edges = mini_synonymizer_frames(spark)
+    syn = Synonymizer(nodes, clusters, edges)
+    out = P.run_ep1(spark, XML_PATH, syn, make_stub_model_factory(STUB_LEXICON))
+    out["syn"] = syn
+    return out
+
+
+def _nodes_map(df):
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["kg2_id"], {})[r["curie"]] = (r["name"], r["category"])
+    return got
+
+
+def test_indication_aligned(ep1):
+    got = _nodes_map(ep1["indication_aligned"])
+    # 'Treats headache' sentence: both lexicon surfaces hit UMLS:600 →
+    # MONDO:500; longest surface wins (A2). 'fever' is unlinked and its
+    # name-lookup misses. Drug 42 has an empty indication → nothing.
+    assert got == {
+        "CHEBI:100": {"MONDO:500": ("treats headache", "biolink:Disease")}
+    }
+
+
+def test_mechanistic_nodes(ep1):
+    got = _nodes_map(ep1["mechanistic_nodes"])
+    # 'hepatic metabolism' → MESH:300 → cluster CHEBI:100 (biolink:Drug);
+    # cyclooxygenase's GO:0815 misses the synonymizer; the
+    # TRIGGER_NER_ERROR sentence ('ecotrin') is swallowed (X3), so
+    # CHEBI:101 must NOT appear; the 100+-char token was deleted (P4)
+    # without killing its sentence.
+    assert got == {
+        "CHEBI:100": {
+            "MONDO:500": ("treats headache", "biolink:Disease"),
+            "CHEBI:100": ("hepatic metabolism", "biolink:Drug"),
+        }
+    }
+
+
+def test_ep2_merge(ep1):
+    merged = P.run_ep2(ep1["records"], ep1["mechanistic_nodes"], ep1["syn"])
+    got = _nodes_map(merged)
+    # rank 0 (NER) survives untouched; rank 1 adds carrier name 'Ecotrin'
+    # → CHEBI:101 with the cluster's preferred name (NOT the surface);
+    # target name 'head ache' → MONDO:500 already present → first-writer-
+    # wins keeps 'treats headache'; rank 2 adds bare id '42' via the
+    # regex sweep (full-text CURIE 'CHEBI:42').
+    assert got["CHEBI:100"] == {
+        "MONDO:500": ("treats headache", "biolink:Disease"),
+        "CHEBI:100": ("hepatic metabolism", "biolink:Drug"),
+        "CHEBI:101": ("Aspirin(tm)", "biolink:SmallMolecule"),
+        "CHEBI:42": ("Answer", "biolink:Drug"),
+    }
+    # drug 42: albumin names and BE/P ids all miss → no mechanistic nodes
+    assert "DRUGBANK:42" not in got
+
+
+def test_reference_json_shape(ep1, spark):
+    merged = P.run_ep2(ep1["records"], ep1["mechanistic_nodes"], ep1["syn"])
+    nested = P.assemble_reference_json(
+        ep1["records"], ep1["indication_aligned"], merged
+    )
+    rows = {r["kg2_id"]: r for r in nested.collect()}
+    assert set(rows) == {"CHEBI:100", "DRUGBANK:42"}
+    r = rows["CHEBI:100"]
+    assert set(r["indication_NER_aligned"].keys()) == {"MONDO:500"}
+    assert r["indication_NER_aligned"]["MONDO:500"]["name"] == "treats headache"
+    assert set(r["mechanistic_intermediate_nodes"].keys()) == {
+        "MONDO:500", "CHEBI:100", "CHEBI:101", "CHEBI:42"
+    }
+    # drugs with no hits get EMPTY maps, not NULL (perform_NER.py:124-125)
+    assert rows["DRUGBANK:42"]["indication_NER_aligned"] == {}
+    assert rows["DRUGBANK:42"]["mechanistic_intermediate_nodes"] == {}
