@@ -348,6 +348,127 @@ def _ep2_aligned_nodes(spark: SparkSession, sf: str) -> DataFrame:
     return P.run_ep2(b["records"], b["mechanistic_nodes"], b["syn"])
 
 
+# ---------------------------------------------------------------------------
+# E1-E4: dedup / similarity / text analysis / multimodal queries.
+# ---------------------------------------------------------------------------
+
+def _e1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import dedup as D
+
+    docs = load_table(spark, sf, "documents")
+    return D.hash_canonical_dedup(docs, "text", "doc_id")
+
+
+def _doc_shingles(spark: SparkSession, sf: str):
+    from drugbankner_spark.operators import dedup as D
+
+    docs = load_table(spark, sf, "documents")
+    return D.token_shingles(docs, "text", "doc_id", n=3)
+
+
+def _e1_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import dedup as D
+
+    return D.minhash_signatures(_doc_shingles(spark, sf), "doc_id", 16)
+
+
+def _e1_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import dedup as D
+
+    sigs = D.minhash_signatures(_doc_shingles(spark, sf), "doc_id", 16)
+    return D.minhash_band_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+
+
+def _e1_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import dedup as D
+
+    docs = load_table(spark, sf, "documents")
+    return D.simhash_signatures(docs, "text", "doc_id")
+
+
+def _e1_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import dedup as D
+
+    return D.ngram_jaccard_pairs(_doc_shingles(spark, sf), "doc_id", 0.05)
+
+
+def _e2_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _e2_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5,
+                        num_planes=8, dim=64)
+
+
+def _e2_pandas_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    qpdf = emb.filter(F.col("vec_id") < 5).toPandas()
+    return SIM.cosine_topk_pandas(emb, qpdf, k=5)
+
+
+def _e3_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import textanalysis as TA
+
+    return TA.quality_score(load_table(spark, sf, "documents"))
+
+
+def _e3_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import textanalysis as TA
+
+    return TA.predict_language(load_table(spark, sf, "documents"), spark)
+
+
+def _e3_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import textanalysis as TA
+
+    return TA.doc_fingerprint(load_table(spark, sf, "documents"))
+
+
+def _e4_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents")
+    return MM.media_metadata(MM.documents_as_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# E6: windowed event aggregations (batch kernels; the streaming wrappers
+# run the identical plans — tests/test_streaming.py asserts equality).
+# ---------------------------------------------------------------------------
+
+def _e6_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(load_table(spark, sf, "events"))
+
+
+def _e6_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(load_table(spark, sf, "events"))
+
+
+def _e6_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.streaming.windows import session_windows
+
+    return session_windows(load_table(spark, sf, "events"))
+
+
+def _e6_props_json(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.streaming.windows import parse_props
+
+    return parse_props(load_table(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -381,6 +502,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ep1_drug_records": _ep1_drug_records,
         "ep1_mechanistic_nodes": _ep1_mechanistic_nodes,
         "ep2_aligned_nodes": _ep2_aligned_nodes,
+        "e1_exact_dedup": _e1_exact_dedup,
+        "e1_minhash_signatures": _e1_minhash_signatures,
+        "e1_minhash_near_dup": _e1_minhash_near_dup,
+        "e1_simhash": _e1_simhash,
+        "e1_ngram_jaccard": _e1_ngram_jaccard,
+        "e2_cosine_topk": _e2_cosine_topk,
+        "e2_lsh_topk": _e2_lsh_topk,
+        "e2_pandas_topk": _e2_pandas_topk,
+        "e3_text_quality": _e3_text_quality,
+        "e3_lang_id": _e3_lang_id,
+        "e3_fingerprint": _e3_fingerprint,
+        "e4_media_metadata": _e4_media_metadata,
+        "e6_tumbling": _e6_tumbling,
+        "e6_sliding": _e6_sliding,
+        "e6_sessionize": _e6_sessionize,
+        "e6_props_json": _e6_props_json,
     }
 
 
@@ -526,6 +663,193 @@ def _syn_normalizer_nodes_oracle() -> str:
         FROM eq
         LEFT JOIN syn_nodes n ON n.id = eq.equivalent_id
         LEFT JOIN syn_clusters cr ON cr.cluster_id = n.cluster_id
+    """
+
+
+# --- E-family oracle builders ----------------------------------------------
+
+#: md5-prefix 32-bit hash in DuckDB SQL (mirrors dedup.content_hash32).
+def _sql_hash32(e: str) -> str:
+    return (f"CAST(list_sum(list_transform(generate_series(1, 8), i -> "
+            f"(strpos('0123456789abcdef', substr(substr(md5({e}), 1, 8), i, 1)) - 1)"
+            f" * power(16, 8 - i))) AS BIGINT)")
+
+
+_SQL_SHINGLES = """
+    shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)
+        )
+    )
+"""
+
+_SQL_MINHASH = f"""
+    {_SQL_SHINGLES},
+    hashed AS (
+        SELECT doc_id, {_sql_hash32('shingle')} AS h FROM shingles
+    ),
+    sigs AS (
+        SELECT doc_id, perm,
+               min(((2 * perm + 1) * h + perm * perm + 7) % 4294967311) AS minhash
+        FROM hashed, UNNEST(generate_series(0, 15)) AS p(perm)
+        GROUP BY doc_id, perm
+    )
+"""
+
+
+def _e1_minhash_signatures_oracle() -> str:
+    return f"WITH {_SQL_MINHASH} SELECT doc_id, perm, minhash FROM sigs"
+
+
+def _e1_minhash_near_dup_oracle() -> str:
+    return f"""WITH {_SQL_MINHASH},
+        banded AS (
+            SELECT doc_id, CAST(floor(perm / 4) AS INT) AS band,
+                   string_agg(minhash, '-' ORDER BY perm) AS band_key
+            FROM sigs GROUP BY CAST(floor(perm / 4) AS INT), doc_id
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    """
+
+
+def _e1_simhash_oracle() -> str:
+    return f"""WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+        ),
+        hashed AS (SELECT doc_id, {_sql_hash32('tok')} AS h FROM toks),
+        votes AS (
+            SELECT doc_id, bit,
+                   sum(((h >> bit) & 1) * 2 - 1) AS tally
+            FROM hashed, UNNEST(generate_series(0, 31)) AS b(bit)
+            GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    """
+
+
+def _e1_ngram_jaccard_oracle() -> str:
+    return f"""WITH {_SQL_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_common,
+               round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.05
+    """
+
+
+_SQL_COSINE = """
+    list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))
+"""
+
+
+def _e2_cosine_topk_oracle() -> str:
+    return f"""WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_SQL_COSINE}, 6) AS cos_sim
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _e2_lsh_topk_oracle() -> str:
+    from drugbankner_spark.operators.similarity import hyperplane
+
+    planes = [hyperplane(64, j) for j in range(8)]
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""WITH bucketed AS (
+            SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_SQL_COSINE}, 6) AS cos_sim
+            FROM bucketed c JOIN bucketed q ON c.bucket = q.bucket
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _e3_lang_id_oracle() -> str:
+    from drugbankner_spark.operators.textanalysis import STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
+    )
+    return f"""WITH sw(sw_lang, sw_word) AS (VALUES {rows}),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, sw_lang, count(*) AS n_hits
+            FROM toks JOIN sw ON tok = sw_word
+            GROUP BY doc_id, sw_lang
+        ),
+        best AS (
+            SELECT doc_id, sw_lang AS predicted_lang, n_hits AS n_stopword_hits,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY n_hits DESC, sw_lang ASC
+                   ) AS rn
+            FROM hits
+        )
+        SELECT d.doc_id, b.predicted_lang, b.n_stopword_hits
+        FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """
+
+
+def _e3_fingerprint_oracle() -> str:
+    return f"""WITH chunks AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, i, i + 15), ' ') AS chunk_text
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 UNNEST(generate_series(1, greatest(len(toks) - 15, 1), 16)) AS g(i)
+        ),
+        hashed AS (
+            SELECT doc_id, {_sql_hash32('chunk_text')} AS chunk_hash FROM chunks
+        )
+        SELECT doc_id, min(chunk_hash) AS min_fingerprint,
+               count(*) AS n_chunks
+        FROM hashed GROUP BY doc_id
     """
 
 
@@ -714,6 +1038,95 @@ def oracle_sql() -> dict[str, str]:
         "f10_prefix_extract": f"""
             SELECT DISTINCT split_part(candidate_curie, ':', 1) AS prefix
             FROM ({_f7_oracle()})
+        """,
+        "e1_exact_dedup": """
+            SELECT sha256(text) AS content_sha,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY sha256(text)
+        """,
+        "e1_minhash_signatures": _e1_minhash_signatures_oracle(),
+        "e1_minhash_near_dup": _e1_minhash_near_dup_oracle(),
+        "e1_simhash": _e1_simhash_oracle(),
+        "e1_ngram_jaccard": _e1_ngram_jaccard_oracle(),
+        "e2_cosine_topk": _e2_cosine_topk_oracle(),
+        "e2_lsh_topk": _e2_lsh_topk_oracle(),
+        "e2_pandas_topk": _e2_cosine_topk_oracle(),
+        "e3_text_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round(length(text) / len(string_split(text, ' ')), 6)
+                       AS mean_token_len,
+                   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / length(text), 6) AS digit_ratio,
+                   round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                         / length(text), 6) AS upper_ratio,
+                   round(len(list_distinct(string_split(text, ' ')))
+                         / len(string_split(text, ' ')), 6) AS distinct_token_ratio
+            FROM documents
+        """,
+        "e3_lang_id": _e3_lang_id_oracle(),
+        "e3_fingerprint": _e3_fingerprint_oracle(),
+        "e4_media_metadata": """
+            SELECT doc_id AS media_id,
+                   'application/octet-stream' AS mime_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS payload_sha256
+            FROM documents
+        """,
+        "e6_tumbling": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY window_start, event_type
+        """,
+        "e6_sliding": """
+            WITH b AS (
+                SELECT value, time_bucket(INTERVAL '5 minutes', ts) AS tb
+                FROM events
+            ),
+            x AS (
+                SELECT value,
+                       unnest([tb, tb - INTERVAL '5 minutes']) AS window_start
+                FROM b
+            )
+            SELECT window_start,
+                   window_start + INTERVAL '10 minutes' AS window_end,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM x GROUP BY window_start
+        """,
+        "e6_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN prev IS NULL
+                                 OR ts - prev > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS sid
+                FROM m
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "e6_props_json": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+            FROM events
         """,
         "syn_canonical_curie": _syn_canonical_curie_oracle(),
         "syn_canonical_name": _syn_canonical_name_oracle(),

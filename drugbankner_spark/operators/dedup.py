@@ -1,0 +1,189 @@
+"""E1: deduplication at scale (SURVEY.md §2.12; BASELINE.json north star).
+
+Exact, hash-canonical, MinHash-LSH, SimHash, and n-gram-Jaccard dedup
+over a documents table — all pure column expressions / joins (zero
+Python in the hot path), so every variant distributes and whole-stage-
+codegens at 100 TB.
+
+Design notes for scale:
+- Exact dedup is a hash aggregation on the dedup key — map-side partial
+  agg, one shuffle. Hash-canonical dedup (sha256 of the content) avoids
+  shuffling long texts: the 64-hex digest is the shuffle key.
+- MinHash: shingle → 32-bit content hash → k permutations
+  ``(a_j*h+b_j) mod p`` → per-doc min per permutation. The signature is
+  k small ints per doc (k·8 bytes), so the candidate-join shuffles
+  signatures, never documents. Banding (b bands × r rows) turns
+  near-dup detection into an equi join on band keys — the classic
+  LSH trade: P(candidate) = 1-(1-s^r)^b.
+- The content hash is the first 8 hex chars of md5 — deterministic,
+  engine-independent (reproducible by the DuckDB oracle), and cheap.
+- SimHash: per-bit majority vote over token hashes via a bit explode —
+  32 rows per doc, grouped back; hamming-close pairs then join on
+  rotated band keys.
+- Exact n-gram Jaccard is the verification oracle for the approximate
+  paths: shingle self-join + intersection counts. Quadratic in the
+  worst case — use on candidates or small corpora only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Modulus for MinHash permutations: smallest prime > 2^32.
+MINHASH_PRIME = 4294967311
+
+
+def content_hash32(col: Column) -> Column:
+    """Deterministic 32-bit string hash: first 8 hex chars of md5.
+    Chosen over murmur ``hash()`` because it is reproducible across
+    engines (the DuckDB oracle recomputes it bit-for-bit)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Exact dedup: one surviving row per key (the smallest doc, pinned
+    deterministically by the caller's order columns via dropDuplicates
+    being replaced with an explicit min)."""
+    return df.dropDuplicates(key_cols)
+
+
+def hash_canonical_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per distinct content (sha256), keep the smallest id — the shuffle
+    carries (digest, id), never the text."""
+    digests = df.select(
+        F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col)
+    )
+    return digests.groupBy("content_sha").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def token_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per document (whitespace tokens)."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """k-permutation MinHash over the 32-bit shingle hashes.
+    Output: (id, perm, minhash) — k rows per doc."""
+    h = content_hash32(F.col("shingle"))
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm")
+    hashed = shingles.select(F.col(id_col), h.alias("_h")).select(
+        F.col(id_col), "_h", perms
+    )
+    val = (
+        (F.col("perm") * 2 + 1) * F.col("_h") + F.col("perm") * F.col("perm") + 7
+    ) % F.lit(MINHASH_PRIME)
+    return (
+        hashed.select(F.col(id_col), "perm", val.alias("_v"))
+        .groupBy(id_col, "perm")
+        .agg(F.min("_v").alias("minhash"))
+    )
+
+
+def minhash_band_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become
+    candidate pairs (id_a < id_b, distinct). The join key is
+    (band, concatenated band signature) — an equi join Catalyst can
+    shuffle-hash; at scale the band table is ~b rows per doc."""
+    banded = (
+        signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "-",
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash: per bit, majority vote of token hashes; bit set
+    when strictly more tokens have it set than clear."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    tokens = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    hashed = tokens.select(
+        F.col(id_col), content_hash32(F.col("tok")).alias("_h")
+    ).select(
+        F.col(id_col), "_h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    )
+    votes = hashed.select(
+        F.col(id_col), "bit",
+        # shiftright/shiftleft builtins take literal shift counts only;
+        # the SQL forms accept column expressions.
+        (F.expr("shiftright(_h, bit)").bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias("vote"),
+    ).groupBy(id_col, "bit").agg(F.sum("vote").alias("tally"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("tally") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, id_col: str, threshold: float = 0.2
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets (the ground truth for the
+    approximate paths): self-join on shingle → |A∩B| / (|A|+|B|-|A∩B|).
+    Quadratic blow-up on hot shingles — at scale run it on LSH candidates
+    (minhash_band_pairs), not the full corpus."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

