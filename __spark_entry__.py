@@ -173,6 +173,66 @@ def _w1_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _w2_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id", "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+def _w3_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+def _o2_sort_upper(spark: SparkSession, sf: str) -> DataFrame:
+    # O2 (node_synonymizer.py:280-281): deterministic ordering by
+    # uppercased key, materialized as a position column.
+    from pyspark.sql import Window
+    nation = load_table(spark, sf, "nation")
+    w = Window.orderBy(F.upper("n_name"), "n_nationkey")
+    return nation.select(
+        "n_name", F.row_number().over(w).alias("pos")
+    )
+
+
+def _a7_count(spark: SparkSession, sf: str) -> DataFrame:
+    # A7 (perform_NER.py:106,112): corpus counts.
+    return load_table(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def _a8_explode_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # A8 (node_synonymizer.py:238): union of id sets across rows.
+    from drugbankner_spark.fixtures import mini_synonymizer_frames
+    _, clusters, _ = mini_synonymizer_frames(spark)
+    return clusters.select(
+        F.explode("member_ids").alias("member_id")
+    ).distinct()
+
+
+def _agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    # §2.4 note: grouping-set aggregates (free from Catalyst; the
+    # reference has none).
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def _f1_bracket_strip(spark: SparkSession, sf: str) -> DataFrame:
     # F1 (utils.py:47-53): non-greedy [..] removal; brackets synthesized
     # around `source` so the op has real work to do.
@@ -367,16 +427,22 @@ def _doc_shingles(spark: SparkSession, sf: str):
 
 
 def _e1_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    # shuffle-free signature computation (per-row array expressions)
     from drugbankner_spark.operators import dedup as D
 
-    return D.minhash_signatures(_doc_shingles(spark, sf), "doc_id", 16)
+    docs = load_table(spark, sf, "documents")
+    return D.minhash_signatures_rowwise(docs, "text", "doc_id", 16)
 
 
 def _e1_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    # single-shuffle near-dup candidates (the band join)
     from drugbankner_spark.operators import dedup as D
 
-    sigs = D.minhash_signatures(_doc_shingles(spark, sf), "doc_id", 16)
-    return D.minhash_band_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    docs = load_table(spark, sf, "documents")
+    cpus = int(__import__("os").environ.get("SPARK_GRAFT_CPUS", "32"))
+    return D.minhash_band_pairs_rowwise(
+        docs, "text", "doc_id", 16, parallelism=cpus
+    )
 
 
 def _e1_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -487,6 +553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_topk": _o1_topk,
         "u1_union_merge": _u1_union_merge,
         "w1_running_sum": _w1_running_sum,
+        "w2_lag_lead": _w2_lag_lead,
+        "w3_rank": _w3_rank,
+        "o2_sort_upper": _o2_sort_upper,
+        "a7_count": _a7_count,
+        "a8_explode_distinct": _a8_explode_distinct,
+        "agg_rollup": _agg_rollup,
         "f1_bracket_strip": _f1_bracket_strip,
         "f2_strip_marks": _f2_strip_marks,
         "f3_simplify_name": _f3_simplify_name,
@@ -681,7 +753,7 @@ _SQL_SHINGLES = """
             SELECT doc_id,
                    array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-                 UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS g(i)
+                 UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
         )
     )
 """
@@ -990,6 +1062,42 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 6) AS running_value
             FROM events
+        """,
+        "w2_lag_lead": """
+            SELECT user_id, event_id,
+                   lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_value,
+                   lead(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS next_value
+            FROM events
+        """,
+        "w3_rank": """
+            SELECT o_custkey, o_orderkey,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS price_rank,
+                   dense_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC) AS price_dense_rank
+            FROM orders
+        """,
+        "o2_sort_upper": """
+            SELECT n_name,
+                   row_number() OVER (ORDER BY upper(n_name), n_nationkey) AS pos
+            FROM nation
+        """,
+        "a7_count": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem
+        """,
+        "a8_explode_distinct": f"""
+            WITH syn_clusters AS {__import__('drugbankner_spark.fixtures', fromlist=['x']).clusters_values_sql()}
+            SELECT DISTINCT unnest(member_ids) AS member_id FROM syn_clusters
+        """,
+        "agg_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "f1_bracket_strip": """
             SELECT doc_id,

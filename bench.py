@@ -24,11 +24,14 @@ HEADLINE = [
     "j2_mode_vote",
     "a6_first_writer_wins",
     "w1_running_sum",
-    # EXT headliners are appended as they land (dedup, similarity, streaming).
+    # EXT headliners: dedup, similarity (exact + LSH), text, streaming,
+    # and the 15-regex identifier sweep.
     "e1_minhash_near_dup",
     "e2_cosine_topk",
+    "e2_lsh_topk",
     "e3_text_quality",
     "e6_sessionize",
+    "f7_identifier_extract",
 ]
 
 
@@ -50,14 +53,21 @@ def main() -> None:
         if name in qs:
             qs[name](spark, sf_dir).toPandas()
 
+    # min-of-2 measured runs per query: the environment (shared VM) shows
+    # order-of-magnitude noise spikes; the minimum is the honest estimate
+    # of the query's cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = len(df.toPandas())  # Arrow-batched materialization
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = len(df.toPandas())  # Arrow-batched materialization
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

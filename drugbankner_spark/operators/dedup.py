@@ -62,15 +62,22 @@ def hash_canonical_dedup(
     )
 
 
-def token_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per document (whitespace tokens)."""
+def shingle_array(text_col: str, n: int = 3) -> Column:
+    """n-token shingles of a text column as an array (per-row, no
+    shuffle). Documents shorter than n tokens yield one truncated
+    shingle (lower bound 1 — Spark's ``sequence(1,0)`` would count
+    DOWN, not empty)."""
     toks = F.split(F.col(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
+
+
+def token_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per document (relational form)."""
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        df.select(F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -78,8 +85,8 @@ def token_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """k-permutation MinHash over the 32-bit shingle hashes.
-    Output: (id, perm, minhash) — k rows per doc."""
+    """k-permutation MinHash over the 32-bit shingle hashes (relational
+    form over an exploded shingle table). Output: (id, perm, minhash)."""
     h = content_hash32(F.col("shingle"))
     perms = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm")
     hashed = shingles.select(F.col(id_col), h.alias("_h")).select(
@@ -92,6 +99,89 @@ def minhash_signatures(
         hashed.select(F.col(id_col), "perm", val.alias("_v"))
         .groupBy(id_col, "perm")
         .agg(F.min("_v").alias("minhash"))
+    )
+
+
+def minhash_signature_array(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 16, n: int = 3,
+) -> DataFrame:
+    """Shuffle-free MinHash: the whole signature is computed per row with
+    array expressions (shingle → hash → k permutation minima), so the
+    ONLY shuffle in a near-dup pipeline is the band join itself. Output:
+    (id, sig: array<long>[k]). Identical values to minhash_signatures —
+    min over the same shingle multiset."""
+    hashes = F.transform(
+        shingle_array(text_col, n), lambda s: content_hash32(s)
+    )
+    # One traversal of the shingle hashes; the accumulator is the whole
+    # k-wide signature (elementwise running min). Expressing it as a fold
+    # evaluates the md5 per shingle ONCE — k separate array_min transforms
+    # would re-evaluate the hash array k times (no CSE across lambdas).
+    perm_idx = F.array(*[F.lit(j) for j in range(num_hashes)])
+    init = F.array(*[F.lit(MINHASH_PRIME)] * num_hashes)
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, perm_idx,
+            lambda a, j: F.least(
+                a, ((j * 2 + 1) * h + j * j + 7) % F.lit(MINHASH_PRIME)
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_signatures_rowwise(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 16, n: int = 3,
+) -> DataFrame:
+    """(id, perm, minhash) view of minhash_signature_array (parity shape
+    with minhash_signatures, zero pre-explode shuffles)."""
+    arr = minhash_signature_array(df, text_col, id_col, num_hashes, n)
+    return arr.select(
+        F.col(id_col), F.posexplode("sig").alias("perm", "minhash")
+    )
+
+
+def minhash_band_pairs_rowwise(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 16, n: int = 3,
+    bands: int = 4, rows_per_band: int = 4,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates with exactly ONE data shuffle (the band-key
+    join): band keys are sliced out of the per-row signature array.
+
+    ``parallelism``: repartition before the CPU-bound hashing — useful
+    when the source collapses to few input splits (small files locally;
+    at real scale the scan already yields enough partitions)."""
+    if parallelism:
+        df = df.repartition(parallelism)
+    arr = minhash_signature_array(df, text_col, id_col, num_hashes, n)
+    banded = arr.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    "-",
+                )
+                for b in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 

@@ -1,0 +1,72 @@
+"""Physical-plan property tests (SURVEY.md §4): the plans we designed for
+100 TB are the plans Catalyst actually produces. A failure here means a
+scale regression even if results stay correct."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from drugbankner_spark.plans import explain as X  # noqa: E402
+
+QUERIES = entrymod.queries()
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    pushed = " ".join(X.pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+    schema = " ".join(X.read_schemas(df))
+    # projection pruning: untouched columns must not reach the scan
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    df = QUERIES["q5_regional_revenue"](spark, SF)
+    assert X.count_broadcast_joins(df) >= 3  # region/nation/supplier (+cust)
+    assert not X.has_cartesian(df)
+    # lineitem⋈orders is the only join allowed to shuffle the fact side;
+    # plus the final aggregation/sort exchanges.
+    assert X.count_shuffles(df) <= 4, X.plan_string(df, "simple")
+
+
+def test_j1_lookup_is_broadcast_no_fact_shuffle(spark):
+    df = QUERIES["j1_dim_lookup"](spark, SF)
+    assert X.count_broadcast_joins(df) == 2
+    assert X.count_shuffles(df) == 0, "dim lookup must not shuffle the fact side"
+
+
+def test_synonymizer_lookup_broadcasts(spark):
+    df = QUERIES["syn_canonical_curie"](spark, SF)
+    assert X.count_broadcast_joins(df) >= 1
+    assert not X.has_cartesian(df)
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    df = QUERIES["e2_cosine_topk"](spark, SF)
+    assert X.count_broadcast_joins(df) >= 1  # query side broadcast
+    assert not X.has_cartesian(df)
+
+
+def test_minhash_stays_jvm_side(spark):
+    df = QUERIES["e1_minhash_near_dup"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "minhash must not call into Python"
+    )
+    assert X.codegen_stage_count(df) >= 2
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    for name in ("q1_pricing_summary", "e3_text_quality", "e6_tumbling",
+                 "f7_identifier_extract"):
+        df = QUERIES[name](spark, SF)
+        assert X.codegen_stage_count(df) >= 1, f"{name} lost codegen"
+        plan = X.plan_string(df, "simple")
+        assert "BatchEvalPython" not in plan, f"{name} fell back to Python"
