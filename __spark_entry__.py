@@ -223,6 +223,43 @@ def _a8_explode_distinct(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
 
 
+def _u2_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    # U2 (NER.py:36-37): set intersection, relational form.
+    cust = load_table(spark, sf, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+def _u4_union_prefer_first(spark: SparkSession, sf: str) -> DataFrame:
+    # U4 (node_synonymizer.py:119, 206): merge two result sets, rows from
+    # the first source winning on key collision.
+    cust = load_table(spark, sf, "customer")
+    primary = cust.filter(F.col("c_acctbal") > 8000).select(
+        "c_custkey", F.lit("high_balance").alias("reason")
+    )
+    secondary = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey", F.lit("machinery").alias("reason")
+    )
+    merged = primary.withColumn("_rank", F.lit(0)).unionByName(
+        secondary.withColumn("_rank", F.lit(1))
+    )
+    return R.first_writer_wins(merged, ["c_custkey"], ["_rank"]).select(
+        "c_custkey", "reason"
+    )
+
+
+def _approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # Sketch aggregate (engine-native; no cross-engine hash parity
+    # possible → rows-only). HLL++ relative error 1% default.
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95)").alias("approx_p95"),
+    )
+
+
 def _agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     # §2.4 note: grouping-set aggregates (free from Catalyst; the
     # reference has none).
@@ -473,6 +510,14 @@ def _e2_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
                         num_planes=8, dim=64)
 
 
+def _e2_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5,
+                        n_centroids=8, n_probe=3, dim=64)
+
+
 def _e2_pandas_topk(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators import similarity as SIM
 
@@ -559,6 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_count": _a7_count,
         "a8_explode_distinct": _a8_explode_distinct,
         "agg_rollup": _agg_rollup,
+        "u2_intersect": _u2_intersect,
+        "u4_union_prefer_first": _u4_union_prefer_first,
+        "approx_distinct": _approx_distinct,
         "f1_bracket_strip": _f1_bracket_strip,
         "f2_strip_marks": _f2_strip_marks,
         "f3_simplify_name": _f3_simplify_name,
@@ -581,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_ngram_jaccard": _e1_ngram_jaccard,
         "e2_cosine_topk": _e2_cosine_topk,
         "e2_lsh_topk": _e2_lsh_topk,
+        "e2_ivf_topk": _e2_ivf_topk,
         "e2_pandas_topk": _e2_pandas_topk,
         "e3_text_quality": _e3_text_quality,
         "e3_lang_id": _e3_lang_id,
@@ -881,6 +930,46 @@ def _e2_lsh_topk_oracle() -> str:
     """
 
 
+def _e2_ivf_topk_oracle() -> str:
+    from drugbankner_spark.operators.similarity import hyperplane
+
+    cents = [hyperplane(64, 1000 + j) for j in range(8)]
+    structs = ", ".join(
+        "{'sim': list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in c)}]), 'cell': {j}}}"
+        for j, c in enumerate(cents)
+    )
+    return f"""WITH scored_cells AS (
+            SELECT vec_id, embedding, [{structs}] AS cells FROM embeddings
+        ),
+        corpus AS (
+            SELECT vec_id AS neighbor_id, embedding,
+                   list_max(cells).cell AS cell
+            FROM scored_cells
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding,
+                   unnest(list_transform(
+                       list_slice(list_reverse(list_sort(cells)), 1, 3),
+                       x -> x.cell)) AS cell
+            FROM scored_cells WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT DISTINCT q.query_id, c.neighbor_id,
+                   round({_SQL_COSINE}, 6) AS cos_sim
+            FROM corpus c JOIN probes q USING (cell)
+            WHERE c.neighbor_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
 def _e3_lang_id_oracle() -> str:
     from drugbankner_spark.operators.textanalysis import STOPWORDS
 
@@ -1099,6 +1188,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "u2_intersect": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        "u4_union_prefer_first": """
+            WITH merged AS (
+                SELECT c_custkey, 'high_balance' AS reason, 0 AS r
+                FROM customer WHERE c_acctbal > 8000
+                UNION ALL
+                SELECT c_custkey, 'machinery' AS reason, 1 AS r
+                FROM customer WHERE c_mktsegment = 'MACHINERY'
+            ),
+            ranked AS (
+                SELECT c_custkey, reason,
+                       row_number() OVER (PARTITION BY c_custkey ORDER BY r)
+                           AS rn
+                FROM merged
+            )
+            SELECT c_custkey, reason FROM ranked WHERE rn = 1
+        """,
         "f1_bracket_strip": """
             SELECT doc_id,
                    regexp_replace('[' || source || '] ' || substr(text, 1, 60),
@@ -1159,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "e1_ngram_jaccard": _e1_ngram_jaccard_oracle(),
         "e2_cosine_topk": _e2_cosine_topk_oracle(),
         "e2_lsh_topk": _e2_lsh_topk_oracle(),
+        "e2_ivf_topk": _e2_ivf_topk_oracle(),
         "e2_pandas_topk": _e2_cosine_topk_oracle(),
         "e3_text_quality": """
             SELECT doc_id,

@@ -132,6 +132,74 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to the
+    nearest of ``n_centroids`` deterministic pseudo-random centroids
+    (coarse quantizer); each query probes its ``n_probe`` nearest cells
+    and exact-cosine re-ranks only those members.
+
+    At scale the corpus can additionally be REPARTITIONED by cell id so
+    a probe touches n_probe/n_centroids of the data with partition
+    pruning. Deterministic centroids keep results reproducible; swap in
+    k-means centroids (pyspark.ml.clustering.KMeans) for real
+    deployments — the plan shape is identical.
+    """
+    from pyspark.sql import Window
+
+    cents = [hyperplane(dim, 1000 + j) for j in range(n_centroids)]
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                dot(vec, F.array(*[F.lit(x) for x in c])).alias("sim"),
+                F.lit(j).alias("cell"),
+            )
+            for j, c in enumerate(cents)
+        ])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("_cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(cell_scores(F.col(vec_col)))),
+                    1, n_probe,
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries_pdf,

@@ -1,0 +1,84 @@
+"""Hypothesis property tests (SURVEY.md §5.3): the column kernels match
+their executable Python specs on randomized inputs, batched into one
+Spark job per example set to keep runtime sane."""
+
+from __future__ import annotations
+
+import os
+import re
+import string
+import sys
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from drugbankner_spark.functions import normalize as N  # noqa: E402
+
+ALPHABET = (
+    string.ascii_letters + string.digits + string.punctuation
+    + " \t\n" + "éüñ漢字"
+)
+texts = st.lists(
+    st.text(alphabet=ALPHABET, max_size=60), min_size=1, max_size=25
+)
+
+
+def _spark():
+    from drugbankner_spark.session import get_spark
+
+    return get_spark(app_name="props", shuffle_partitions=4)
+
+
+def _apply(rows, col_expr):
+    spark = _spark()
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)], ["i", "s"])
+    out = df.select("i", col_expr(F.col("s")).alias("v")).collect()
+    return [r["v"] for r in sorted(out, key=lambda r: r["i"])]
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_simplify_matches_spec(rows):
+    got = _apply(rows, N.simplify_name)
+    table = {ord(c): None for c in string.punctuation + string.whitespace}
+    assert got == [s.lower().translate(table) for s in rows]
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_cap_prefix_matches_spec(rows):
+    got = _apply(rows, N.capitalize_curie_prefix)
+
+    def spec(s):
+        ch = s.split(":")
+        ch[0] = ch[0].upper()
+        return ":".join(ch)
+
+    assert got == [spec(s) for s in rows]
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_remove_brackets_matches_spec(rows):
+    got = _apply(rows, N.remove_brackets)
+    assert got == [re.sub(r"\[.*?\]", "", s) for s in rows]
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts, st.integers(min_value=1, max_value=20))
+def test_delete_long_tokens_matches_spec(rows, n):
+    got = _apply(rows, lambda c: N.delete_long_tokens(c, n))
+    assert got == [
+        " ".join(t for t in s.split(" ") if len(t) < n) for s in rows
+    ]
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_simplify_is_idempotent(rows):
+    once = _apply(rows, N.simplify_name)
+    twice = _apply(once, N.simplify_name)
+    assert once == twice

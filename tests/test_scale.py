@@ -1,0 +1,50 @@
+"""Scale-utility tests: salting preserves join semantics; bucketing
+eliminates the join shuffle (plan-verified)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from drugbankner_spark.operators import scale as SC  # noqa: E402
+from drugbankner_spark.plans import explain as X  # noqa: E402
+from drugbankner_spark.tables import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    cust = load_table(spark, SF, "customer")
+    nation = load_table(spark, SF, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    plain = cust.join(nation, "c_nationkey").select("c_custkey", "n_name")
+    salted = SC.salted_join(cust, nation, "c_nationkey", salt_buckets=4).select(
+        "c_custkey", "n_name"
+    )
+    a = sorted((r["c_custkey"], r["n_name"]) for r in plain.collect())
+    b = sorted((r["c_custkey"], r["n_name"]) for r in salted.collect())
+    assert a == b
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = load_table(spark, SF, "orders").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+    items = load_table(spark, SF, "lineitem").withColumnRenamed(
+        "l_orderkey", "k"
+    )
+    SC.write_bucketed(orders.select("k", "o_totalprice"), "t_orders_b", "k", 4)
+    SC.write_bucketed(items.select("k", "l_quantity"), "t_items_b", "k", 4)
+    joined = SC.bucketed_join(spark, "t_orders_b", "t_items_b", "k")
+    # co-located buckets: no Exchange on either join side
+    assert X.count_shuffles(joined) == 0, X.plan_string(joined, "simple")
+    # and the join still returns the right row count
+    plain = orders.select("k").join(items.select("k"), "k")
+    assert joined.count() == plain.count()
