@@ -526,6 +526,25 @@ def _e2_pandas_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.cosine_topk_pandas(emb, qpdf, k=5)
 
 
+def _e1_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import similarity as SIM
+
+    # The synthetic corpus has no true near-dups (max pairwise cosine
+    # ≈0.51), so demonstrate with a permissive threshold + fewer planes;
+    # production near-dup settings (θ≈0.9+, stacked bands) are exercised
+    # on planted data in tests/test_ext_operators.py.
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.embedding_near_dup_pairs(
+        emb, threshold=0.4, num_planes=4
+    )
+
+
+def _e3_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import textanalysis as TA
+
+    return TA.bpe_token_stats(load_table(spark, sf, "documents"))
+
+
 def _e3_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators import textanalysis as TA
 
@@ -627,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_minhash_near_dup": _e1_minhash_near_dup,
         "e1_simhash": _e1_simhash,
         "e1_ngram_jaccard": _e1_ngram_jaccard,
+        "e1_embedding_near_dup": _e1_embedding_near_dup,
+        "e3_bpe_tokens": _e3_bpe_tokens,
         "e2_cosine_topk": _e2_cosine_topk,
         "e2_lsh_topk": _e2_lsh_topk,
         "e2_ivf_topk": _e2_ivf_topk,
@@ -902,17 +923,20 @@ def _e2_cosine_topk_oracle() -> str:
     """
 
 
-def _e2_lsh_topk_oracle() -> str:
+def _lsh_bits_sql(num_planes: int = 8) -> str:
     from drugbankner_spark.operators.similarity import hyperplane
 
-    planes = [hyperplane(64, j) for j in range(8)]
-    bits = " || ".join(
+    planes = [hyperplane(64, j) for j in range(num_planes)]
+    return " || ".join(
         "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
         f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN '1' ELSE '0' END)"
         for p in planes
     )
+
+
+def _e2_lsh_topk_oracle() -> str:
     return f"""WITH bucketed AS (
-            SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+            SELECT vec_id, embedding, {_lsh_bits_sql()} AS bucket FROM embeddings
         ),
         scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1267,6 +1291,28 @@ def oracle_sql() -> dict[str, str]:
         "e1_minhash_near_dup": _e1_minhash_near_dup_oracle(),
         "e1_simhash": _e1_simhash_oracle(),
         "e1_ngram_jaccard": _e1_ngram_jaccard_oracle(),
+        "e1_embedding_near_dup": f"""
+            WITH bucketed AS (
+                SELECT vec_id, embedding, {_lsh_bits_sql(4)} AS bucket
+                FROM embeddings
+            )
+            SELECT c.vec_id AS id_a, q.vec_id AS id_b,
+                   round({_SQL_COSINE}, 6) AS cos_sim
+            FROM bucketed c JOIN bucketed q ON c.bucket = q.bucket
+            WHERE c.vec_id < q.vec_id
+              AND round({_SQL_COSINE}, 6) >= 0.4
+        """,
+        "e3_bpe_tokens": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+                   round(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                       / greatest(len(string_split(text, ' ')), 1), 6)
+                       AS pieces_per_word
+            FROM documents
+        """,
         "e2_cosine_topk": _e2_cosine_topk_oracle(),
         "e2_lsh_topk": _e2_lsh_topk_oracle(),
         "e2_ivf_topk": _e2_ivf_topk_oracle(),

@@ -132,6 +132,42 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """E1's embedding flavor: near-duplicate pairs by cosine ≥ threshold.
+    Candidates come from LSH buckets (same deterministic hyperplanes), so
+    the pair generation is an equi join, not a cross product; exact
+    cosine filters candidates. High thresholds + multiple planes keep
+    recall near 1 (θ ≤ 18° ⇒ P(same 8-bit bucket) ≈ (1-θ/π)^8 ≈ 0.66 per
+    band — stack bands for production recall)."""
+    planes = [hyperplane(dim, j) for j in range(num_planes)]
+    b = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+    )
+    return (
+        left.join(right, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

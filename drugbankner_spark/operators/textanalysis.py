@@ -85,6 +85,30 @@ def quality_score(
     )
 
 
+#: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
+#: symbols — the standard GPT-style pre-split approximated in one regex
+#: that behaves identically in Java (Spark) and RE2 (DuckDB).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting beyond whitespace: BPE-ish regex token count +
+    whitespace token count side by side (the cost estimator for LLM
+    training-data budgeting)."""
+    t = F.col(text_col)
+    pieces = F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens(t)).alias("ws_tokens"),
+        F.size(pieces).alias("bpe_tokens"),
+        F.round(
+            F.size(pieces) / F.greatest(F.size(tokens(t)), F.lit(1)), 6
+        ).alias("pieces_per_word"),
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     chunk: int = 16,

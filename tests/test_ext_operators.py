@@ -83,6 +83,23 @@ def test_lsh_topk_is_subset_of_exact_scores(spark):
         assert truth[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_embedding_near_dup_finds_planted_pair(spark):
+    # Plant a true near-duplicate embedding (tiny perturbation): the LSH
+    # bucket join + cosine threshold must recover exactly that pair.
+    base = load_table(spark, SF, "embeddings").limit(20)
+    dup = base.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 1.000001).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = base.unionByName(dup)
+    pairs = SIM.embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 100000)}
+    assert pairs[0]["cos_sim"] >= 0.999
+
+
 def test_multimodal_stub_paths(spark):
     docs = load_table(spark, SF, "documents").limit(10)
     media = MM.documents_as_media(docs)
