@@ -223,6 +223,30 @@ def _a8_explode_distinct(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
 
 
+_SQL_Q10 = """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def _sql_api_q10(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: the engine's SQL surface — identical text runs on spark.sql and
+    # the DuckDB oracle (ANSI subset, TPC-H Q10 shape).
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q10)
+
+
 def _u2_intersect(spark: SparkSession, sf: str) -> DataFrame:
     # U2 (NER.py:36-37): set intersection, relational form.
     cust = load_table(spark, sf, "customer")
@@ -623,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_count": _a7_count,
         "a8_explode_distinct": _a8_explode_distinct,
         "agg_rollup": _agg_rollup,
+        "sql_api_q10": _sql_api_q10,
         "u2_intersect": _u2_intersect,
         "u4_union_prefer_first": _u4_union_prefer_first,
         "approx_distinct": _approx_distinct,
@@ -1212,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "sql_api_q10": _SQL_Q10,
         "u2_intersect": """
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
             INTERSECT

@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from drugbankner_spark.operators.relational import first_writer_wins
 from drugbankner_spark.operators.synonymizer import Synonymizer
 
 #: Disease categories for indication alignment (perform_NER.py:121-123).

@@ -64,6 +64,35 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    user, maintain cumulative (event count, value sum) state across
+    micro-batches, emitting the updated totals each batch. The pattern
+    for operators Spark's built-ins can't express (running sketches,
+    session models with custom logic). State is per-key and partitioned —
+    scales with user cardinality, not event volume."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     query_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

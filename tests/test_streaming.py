@@ -72,6 +72,34 @@ def test_sliding_stream_equals_batch(spark, event_dir):
     assert _sorted_rows(stream, cols) == _sorted_rows(batch, cols)
 
 
+def test_stateful_user_totals(spark, event_dir):
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(S.EVENTS_STREAM_SCHEMA).parquet(event_dir)
+    out = S.run_to_memory(
+        S.stateful_user_totals(stream), "t_totals", output_mode="update"
+    )
+    # latest emitted row per user == the batch cumulative totals
+    latest = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("sum_value").alias("sum_value"))
+    )
+    ev = load_table(spark, SF, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value"])
+           for r in latest.collect()}
+    want = {r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-4
+
+
 def test_streaming_dedup_drops_duplicates(spark, event_dir):
     stream = S.read_event_stream(spark, event_dir, watermark="1 hour")
     deduped = S.run_to_memory(
