@@ -247,6 +247,37 @@ def _sql_api_q10(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_SQL_Q10)
 
 
+def _q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: HAVING + semi-join shape (TPC-H Q18): customers with any order
+    # whose line quantity total exceeds a threshold.
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+def _q_correlated_avg(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: correlated-subquery shape — parts larger than their type's
+    # average size (decorrelated by Catalyst into an aggregate + join).
+    part = load_table(spark, sf, "part")
+    part.createOrReplaceTempView("part")
+    return spark.sql("""
+        SELECT p_partkey, p_type, p_size
+        FROM part p
+        WHERE p_size > (SELECT avg(p2.p_size) FROM part p2
+                        WHERE p2.p_type = p.p_type)
+    """)
+
+
 def _u2_intersect(spark: SparkSession, sf: str) -> DataFrame:
     # U2 (NER.py:36-37): set intersection, relational form.
     cust = load_table(spark, sf, "customer")
@@ -648,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_explode_distinct": _a8_explode_distinct,
         "agg_rollup": _agg_rollup,
         "sql_api_q10": _sql_api_q10,
+        "q18_large_orders": _q18_large_orders,
+        "q_correlated_avg": _q_correlated_avg,
         "u2_intersect": _u2_intersect,
         "u4_union_prefer_first": _u4_union_prefer_first,
         "approx_distinct": _approx_distinct,
@@ -1238,6 +1271,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "sql_api_q10": _SQL_Q10,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 2) > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+        """,
+        "q_correlated_avg": """
+            SELECT p_partkey, p_type, p_size
+            FROM part p
+            WHERE p_size > (SELECT avg(p2.p_size) FROM part p2
+                            WHERE p2.p_type = p.p_type)
+        """,
         "u2_intersect": """
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
             INTERSECT
