@@ -53,15 +53,15 @@ def main() -> None:
         if name in qs:
             qs[name](spark, sf_dir).toPandas()
 
-    # min-of-2 measured runs per query: the environment (shared VM) shows
-    # order-of-magnitude noise spikes; the minimum is the honest estimate
-    # of the query's cost.
+    # min-of-3 measured runs per query: the environment (shared VM, JIT
+    # re-compilation stalls) shows order-of-magnitude noise spikes; the
+    # minimum is the honest estimate of the query's cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = len(df.toPandas())  # Arrow-batched materialization
