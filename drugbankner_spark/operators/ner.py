@@ -255,14 +255,21 @@ def text_to_kg2_nodes(
     text_col: F.Column,
     id_cols: list[str],
     syn: Synonymizer,
-    model_factory: Callable[[], Any],
+    model_factory: Callable[[], Any] | list[Callable[[], Any]],
     categories: tuple[str, ...] | None,
 ) -> DataFrame:
     """Full sentence pipeline (perform_NER.py:19-54): split on '.' (F5) →
     15..1000 length band (P3) → delete ≥100-char tokens (P4) → strip
     .,;:?! (F2, get_kg2_match remove_mark=True) → detect (X1) → align (J7)
     → per-drug longest-name merge (A2/A6). Returns (ids, curie, name,
-    category)."""
+    category).
+
+    ``model_factory`` may be a LIST of factories: the reference runs FIVE
+    NER pipeline configs per sentence and folds their hits together
+    (perform_NER.py:79-99, U1). Here each config is a parallel
+    ``mapInPandas`` branch over the same sentences, unioned before
+    alignment — the merge semantics (first-wins + longest-name upgrade)
+    are identical because merge_longest_name is config-agnostic."""
     from drugbankner_spark.functions import normalize as N
 
     sentences = (
@@ -275,6 +282,14 @@ def text_to_kg2_nodes(
             ).alias("sentence"),
         )
     )
-    detected = detect_entities(sentences, "sentence", id_cols, model_factory)
+    factories = (
+        list(model_factory) if isinstance(model_factory, (list, tuple))
+        else [model_factory]
+    )
+    detected = detect_entities(sentences, "sentence", id_cols, factories[0])
+    for mf in factories[1:]:
+        detected = detected.unionByName(
+            detect_entities(sentences, "sentence", id_cols, mf)
+        )
     aligned = align_detected(detected, syn, id_cols)
     return merge_longest_name(aligned, id_cols, categories)

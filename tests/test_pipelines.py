@@ -91,6 +91,33 @@ def test_ep2_merge(ep1):
     assert "DRUGBANK:42" not in got
 
 
+def test_multi_model_union(spark):
+    # U1 (perform_NER.py:30-53): several NER configs over the same
+    # sentences, hits folded with longest-name-wins across models.
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.ner import text_to_kg2_nodes
+
+    nodes, clusters, edges = mini_synonymizer_frames(spark)
+    syn = Synonymizer(nodes, clusters, edges)
+    docs = spark.createDataFrame(
+        [("D1", "This sentence mentions a bad headache today.")],
+        ["kg2_id", "txt"],
+    )
+    # model A finds the short surface, model B the longer one — both land
+    # on MONDO:500; the longer surface must win. Model B also finds an
+    # entity only it knows (RXNORM:400 → CHEBI:101).
+    m_a = make_stub_model_factory({"headache": ["UMLS:600"]})
+    m_b = make_stub_model_factory({
+        "bad headache": ["UMLS:600"], "sentence": ["RXNORM:400"],
+    })
+    out = text_to_kg2_nodes(
+        docs, F.col("txt"), ["kg2_id"], syn, [m_a, m_b], None
+    )
+    got = {r["curie"]: r["name"] for r in out.collect()}
+    assert got == {"MONDO:500": "bad headache", "CHEBI:101": "sentence"}
+
+
 def test_reference_json_shape(ep1, spark):
     merged = P.run_ep2(ep1["records"], ep1["mechanistic_nodes"], ep1["syn"])
     nested = P.assemble_reference_json(
