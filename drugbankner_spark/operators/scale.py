@@ -16,6 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fact_salt_expr(salt_buckets: int):
+    """The fact-side salt: ROW-varying (id-derived), never key-derived.
+    Exposed so tests can assert that a hot key's rows actually spread
+    across salt buckets (the round-1 key-derived salt could not)."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).cast("int")
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -23,18 +30,19 @@ def salted_join(
     salt_buckets: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-proof equi join: the fact side gets a random-ish salt derived
-    from a second column hash (deterministic — crc32 of the row's key
-    representation), the dim side is EXPLODED across all salt values, and
-    the join key becomes (key, salt). A hot key's rows now spread across
+    """Skew-proof equi join: the fact side gets a ROW-unique salt (derived
+    from ``monotonically_increasing_id`` — NOT from the join key, which
+    would give every row of a hot key the same salt and defeat the whole
+    point), the dim side is EXPLODED across all salt values, and the join
+    key becomes (key, salt). A hot key's rows now spread across
     ``salt_buckets`` reducers instead of one.
 
     Cost model: dim side is replicated ×salt_buckets (fine for dims; do
     NOT salt fact-fact joins this way — use AQE skew handling there).
+    Which salt a given row receives is partition-layout dependent; join
+    RESULTS are unaffected because the dim side carries every salt value.
     """
-    fact_s = fact.withColumn(
-        "_salt", (F.crc32(F.col(key).cast("string")) % salt_buckets).cast("int")
-    )
+    fact_s = fact.withColumn("_salt", fact_salt_expr(salt_buckets))
     dim_s = dim.withColumn(
         "_salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),

@@ -266,15 +266,23 @@ def cosine_topk_pandas(
         for pdf in batches:
             cm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = cn @ qn.T  # (batch, Q)
+            sims = np.round(cn @ qn.T, 6)  # (batch, Q); round BEFORE the
+            # per-batch cut so batch selection uses the exact order the
+            # final window ranks by — selecting on unrounded scores could
+            # drop a smaller-id candidate that ties after rounding
+            # (ADVICE r01).
             nids = pdf[id_col].to_numpy()
             rows = []
             for qi, qid in enumerate(qids):
-                order = np.argsort(-sims[:, qi])[: k + 1]
-                for ci in order:
-                    if nids[ci] != qid:
-                        rows.append((int(qid), int(nids[ci]),
-                                     round(float(sims[ci, qi]), 6)))
+                not_self = nids != qid
+                cand_sims = sims[not_self, qi]
+                cand_ids = nids[not_self]
+                # composite (sim desc, id asc) — identical to the window
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                rows.extend(
+                    (int(qid), int(cand_ids[ci]), float(cand_sims[ci]))
+                    for ci in order
+                )
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos_sim"])
 
     scored = corpus.mapInPandas(kernel, schema)

@@ -39,14 +39,41 @@ from drugbankner_spark.functions.normalize import (
     simplify_name,
 )
 
-#: CURIE prefixes observed in the reference KG (CONSTANTS.py:69-87
-#: documents these as the distinct ``SUBSTR(id,1,INSTR(id,':')-1)`` of the
-#: nodes table). Used by suffix expansion; the engine derives the live set
-#: from its own nodes dim at snapshot time (see ``known_prefixes``).
-DEFAULT_SUFFIX_PREFIXES: tuple[str, ...] = (
-    "CHEBI", "DRUGBANK", "MESH", "UMLS", "MONDO", "RXNORM", "KEGG.DRUG",
-    "KEGG.COMPOUND", "PUBCHEM.COMPOUND", "UniProtKB", "NCBIGene", "GO",
-    "HP", "DOID", "OMIM", "SMPDB", "CAS", "NDC", "PHARMGKB", "GENBANK",
+#: The reference's full CURIE-prefix inventory (CONSTANTS.py:69-87 —
+#: generated there as the distinct ``SUBSTR(id,1,INSTR(id,':')-1)`` of the
+#: nodes table). Suffix expansion defaults to the LIVE set derived from
+#: this synonymizer's own nodes dim (``known_prefixes``) — same provenance
+#: query, always in sync with the loaded snapshot; this constant is the
+#: static fallback for callers composing candidate CURIEs without a dim.
+ALL_PREFIXES: tuple[str, ...] = (
+    "AEO", "ARO", "ATC", "AraPort", "BAO", "BFO", "BSPO", "BTO", "CARO",
+    "CAS", "CEPH", "CGNC", "CHEBI", "CHEMBL.COMPOUND", "CHEMBL.MECHANISM",
+    "CHEMBL.TARGET", "CHMO", "CL", "CLO", "CP", "CVDO", "DDANAT", "DGIdb",
+    "DOID", "DRUGBANK", "DisGeNET", "DrugCentral", "EC", "ECO", "ECOCORE",
+    "ECTO", "EDAM", "EFO", "EHDAA2", "EMAPA", "ENSEMBL", "ENVO", "EO",
+    "EPO", "ERO", "EnsemblGenomes", "ExO", "FAO", "FB", "FBbt", "FBdv",
+    "FBgn", "FIX", "FLU", "FMA", "FOODON", "GAZ", "GENEPIO", "GENO", "GEO",
+    "GO", "GOREL", "GTOPDB", "HANCESTRO", "HCPCS", "HGNC", "HMDB", "HP",
+    "IAO", "ICD10", "ICD10PCS", "ICD9", "ICO", "IDO", "INCHIKEY",
+    "JensenLab", "KEGG.COMPOUND", "KEGG.DISEASE", "KEGG.DRUG",
+    "KEGG.ENZYME", "KEGG.GLYCAN", "KEGG.REACTION", "KEGG", "KEGG_source",
+    "MA", "MAXO", "MEDDRA", "MESH", "MF", "MFOMD", "MGI", "MI", "MMO",
+    "MOD", "MONDO", "MP", "MPATH", "NBO", "NCBIGene", "NCBITaxon", "NCIT",
+    "NCRO", "NDDF", "OAE", "OBA", "OBAN", "OBI", "OBO", "OGG", "OGMS",
+    "OIO", "OMIABIS", "OMIM.PS", "OMIM", "OMIT", "OMP", "OMRSE", "OPL",
+    "ORPHANET", "PATO", "PCO", "PDQ", "PECO", "PO", "PR", "PSY",
+    "PUBCHEM.COMPOUND", "PW", "PathWhiz.Bound", "PathWhiz.Compound",
+    "PathWhiz.ElementCollection", "PathWhiz.NucleicAcid",
+    "PathWhiz.ProteinComplex", "PathWhiz.Reaction", "PathWhiz", "PomBase",
+    "REACT", "REPODB", "RGD", "RHEA", "RO", "RTX", "RXNORM", "SEMMEDDB",
+    "SGD", "SIO", "SMPDB", "SNOMED", "SNOMEDCT", "SO", "STATO", "STY",
+    "SYMP", "TCDB", "TO", "TRANS", "TypOn", "UBERON", "UBERON_CORE",
+    "UBPROP", "UMLS", "UNICHEM_source", "UNII", "UO", "UPHENO",
+    "UniProtKB", "VCARD", "VT", "WBbt", "WBls", "WormBase", "XCO", "ZEA",
+    "ZFA", "ZFIN", "biolink", "biolink_download_source", "dbpedia", "dc",
+    "dct", "dictyBase", "dictybase.gene", "doap", "ecogene", "foaf",
+    "identifiers_org_registry", "linkml", "medgen", "miRBase", "owl",
+    "rdf", "rdfs", "skos", "ttd.target", "umls_source", "wb",
 )
 
 
@@ -193,11 +220,19 @@ class Synonymizer:
         self, df: DataFrame, suffix_col: str, prefixes: list[str] | None = None
     ) -> DataFrame:
         """get_canonical_curies_from_suffix (node_synonymizer.py:42-56, J5):
-        bare suffixes fan out across all known prefixes; candidates inner-
+        bare suffixes fan out across ALL known prefixes; candidates inner-
         join the dim (the fan-out never materializes past the projection).
-        Inputs already containing ``:`` follow the plain CURIE path."""
-        pfx = list(prefixes) if prefixes is not None else list(
-            DEFAULT_SUFFIX_PREFIXES
+        Inputs already containing ``:`` follow the plain CURIE path.
+
+        ``prefixes`` defaults to the LIVE inventory of this synonymizer's
+        nodes dim (known_prefixes — one tiny collect, the same provenance
+        query that generated the reference's ALL_PREFIXES). Round 1
+        defaulted to a 20-prefix subset, silently missing suffixes that
+        only resolve under e.g. HGNC/NCIT/CHEMBL.* (ADVICE r01)."""
+        pfx = (
+            list(prefixes)
+            if prefixes is not None
+            else sorted(r["prefix"] for r in self.known_prefixes().collect())
         )
         has_colon = df.filter(F.col(suffix_col).contains(":"))
         bare = df.filter(~F.col(suffix_col).contains(":"))

@@ -39,6 +39,47 @@ def test_minhash_finds_planted_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_xxhash_kernel_identical_recall_on_planted_pairs(spark):
+    # The production (xxhash64) and oracle (md5) shingle hashes must
+    # find the same planted near-dup pairs and reject the same
+    # unrelated ones: both are uniform 32-bit families, only cost
+    # differs (VERDICT r01 next-round item #5).
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("theta", "thetaX", 1)
+    other = "one two three four five six seven eight nine ten " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    out = {}
+    for kernel in ("md5", "xxhash64"):
+        out[kernel] = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_band_pairs_rowwise(
+                docs, "text", "doc_id", 16, kernel=kernel
+            ).collect()
+        }
+    assert out["md5"] == out["xxhash64"] == {(1, 2)}
+
+
+def test_exact_dedup_survivor_is_deterministic(spark):
+    # Same duplicate groups presented in two different partition layouts
+    # must yield the SAME survivor rows (round 1's dropDuplicates kept an
+    # arbitrary first-seen row).
+    rows = [
+        ("k1", 5, "e"), ("k1", 2, "b"), ("k1", 2, "a"),
+        ("k2", 9, "z"), ("k2", 1, "q"),
+    ]
+    a = spark.createDataFrame(rows, ["k", "rank", "val"])
+    b = spark.createDataFrame(list(reversed(rows)), ["k", "rank", "val"]).repartition(7)
+    pick = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    got_a = pick(D.exact_dedup(a, ["k"]))
+    got_b = pick(D.exact_dedup(b, ["k"]))
+    assert got_a == got_b == [("k1", 2, "a"), ("k2", 1, "q")]
+    # explicit order_cols: survivor minimal by val, not rank
+    got_c = pick(D.exact_dedup(a, ["k"], order_cols=["val"]))
+    assert got_c == [("k1", 2, "a"), ("k2", 1, "q")]
+
+
 def test_exact_jaccard_confirms_candidates(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     near = base.replace("theta", "thetaX", 1)
@@ -70,6 +111,29 @@ def test_pandas_kernel_matches_codegen_topk(spark):
     a = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in exact}
     b = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in kernel}
     assert a == b
+
+
+def test_pandas_topk_rounds_before_batch_cut(spark):
+    # Three candidates whose unrounded sims differ by <5e-7 (so they TIE
+    # after round(...,6)): the batch-stage cut must already use the
+    # (rounded desc, id asc) order, else the smallest-id candidate —
+    # the correct winner — is dropped before the final window sees it
+    # (ADVICE r01, low).
+    import math
+
+    import pandas as pd
+
+    def vec(s):  # unit vector with exact cosine s against [1, 0]
+        return [s, math.sqrt(1.0 - s * s)]
+
+    corpus = spark.createDataFrame(
+        [(2, vec(0.89999991)), (7, vec(0.89999994)), (9, vec(0.89999997))],
+        ["vec_id", "embedding"],
+    ).repartition(1)
+    queries = pd.DataFrame({"vec_id": [100], "embedding": [vec(1.0)]})
+    got = SIM.cosine_topk_pandas(corpus, queries, k=1).collect()
+    assert len(got) == 1
+    assert got[0]["neighbor_id"] == 2 and got[0]["cos_sim"] == 0.9
 
 
 def test_lsh_topk_is_subset_of_exact_scores(spark):

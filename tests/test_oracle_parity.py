@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 from tests.oracle_utils import compare_frames, duck_con  # noqa: E402
 
-QUERIES = entrymod.queries()
+QUERIES = entrymod.all_queries()  # driver registry + pre-consolidation forms
 ORACLES = entrymod.oracle_sql()
 
 

@@ -118,6 +118,53 @@ def test_multi_model_union(spark):
     assert got == {"MONDO:500": "bad headache", "CHEBI:101": "sentence"}
 
 
+def test_rank_by_synonym_count_orders_desc(spark):
+    # A3 (NER.py:81): within one lookup group, rank 1 = most matched
+    # synonyms; ties pinned by preferred_curie asc (reference tie order
+    # is dict-insertion — not reproducible).
+    from drugbankner_spark.operators.ner import rank_by_synonym_count
+
+    aligned = spark.createDataFrame(
+        [
+            ("D1", "aspirin", "CHEBI:100", "Aspirin", "biolink:Drug", 1),
+            ("D1", "aspirin", "MONDO:500", "Headache", "biolink:Disease", 3),
+            ("D1", "aspirin", "CHEBI:042", "Answer", "biolink:Drug", 1),
+            ("D1", "fever", "MONDO:500", "Headache", "biolink:Disease", 2),
+        ],
+        ["kg2_id", "entity_text", "preferred_curie", "preferred_name",
+         "preferred_category", "n_matched_synonyms"],
+    )
+    out = rank_by_synonym_count(aligned, ["kg2_id"])
+    ranks = {
+        (r["entity_text"], r["preferred_curie"]): r["synonym_rank"]
+        for r in out.collect()
+    }
+    assert ranks == {
+        ("aspirin", "MONDO:500"): 1,
+        ("aspirin", "CHEBI:042"): 2,  # tie with CHEBI:100 → curie asc
+        ("aspirin", "CHEBI:100"): 3,
+        ("fever", "MONDO:500"): 1,
+    }
+
+
+def test_model_cache_key_is_config_stable():
+    # The executor cache key is computed ONCE on the driver and shipped
+    # as a string, so every task of a stage shares it by construction;
+    # the digest must additionally be identical for two factory OBJECTS
+    # with the same config and distinct across configs — id() was
+    # neither (ADVICE r01, high: per-task model rebuilds + id()-reuse
+    # serving the wrong config's model).
+    from drugbankner_spark.operators.ner import _factory_key
+
+    f1 = make_stub_model_factory({"headache": ["UMLS:600"]})
+    f1_same_cfg = make_stub_model_factory({"headache": ["UMLS:600"]})
+    f2 = make_stub_model_factory({"fever": []})
+    assert f1 is not f1_same_cfg
+    assert _factory_key(f1) == _factory_key(f1_same_cfg)
+    assert _factory_key(f1) != _factory_key(f2)
+    assert _factory_key(f1, model_key="explicit") == "explicit"
+
+
 def test_reference_json_shape(ep1, spark):
     merged = P.run_ep2(ep1["records"], ep1["mechanistic_nodes"], ep1["syn"])
     nested = P.assemble_reference_json(

@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 from drugbankner_spark.plans import explain as X  # noqa: E402
 
-QUERIES = entrymod.queries()
+QUERIES = entrymod.all_queries()  # incl. pre-consolidation forms
 SF = "/root/testdata/sf0.001"
 
 

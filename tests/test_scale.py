@@ -33,6 +33,25 @@ def test_salted_join_matches_plain_join(spark):
     assert a == b
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """The point of salting: a planted hot key (90% of fact rows) must
+    receive MORE THAN ONE distinct salt value, so its rows land on
+    multiple reducers. Round 1's key-derived salt failed exactly this."""
+    hot = spark.range(900).select(F.lit("protein").alias("k"))
+    cold = spark.range(100).select(
+        F.concat(F.lit("rare_"), F.col("id")).cast("string").alias("k")
+    )
+    fact = hot.unionByName(cold)
+    salted = fact.withColumn("_salt", SC.fact_salt_expr(8))
+    hot_salts = (
+        salted.filter(F.col("k") == "protein").select("_salt").distinct().count()
+    )
+    assert hot_salts > 1, "hot key collapsed onto a single salt bucket"
+    # and every salt value the fact side can produce is in [0, buckets)
+    rng = salted.agg(F.min("_salt"), F.max("_salt")).first()
+    assert rng[0] >= 0 and rng[1] < 8
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     orders = load_table(spark, SF, "orders").withColumnRenamed(
         "o_orderkey", "k"
