@@ -335,6 +335,53 @@ def _q_correlated_avg(spark: SparkSession, sf: str) -> DataFrame:
     """)
 
 
+def _q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: two-nation volume shipping (TPC-H Q7 shape) — self-joined dim
+    # (nation twice), OR-pair predicate, year extraction.
+    supp = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9")
+    ) | ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") <= "1996-12-31")
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: CUBE grouping sets (superset of rollup — all 4 combinations).
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def _u2_intersect(spark: SparkSession, sf: str) -> DataFrame:
     # U2 (NER.py:36-37): set intersection, relational form.
     cust = load_table(spark, sf, "customer")
@@ -837,6 +884,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **queries(),
         "j1_dim_lookup": _j1_dim_lookup,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "agg_cube": _agg_cube,
         "w1_running_sum": _w1_running_sum,
         "w2_lag_lead": _w2_lag_lead,
         "w3_rank": _w3_rank,
@@ -1458,6 +1507,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             JOIN big ON o_orderkey = l_orderkey
             JOIN customer ON c_custkey = o_custkey
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM supplier
+                JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+                    OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+                  AND l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate <= TIMESTAMP '1996-12-31'
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "agg_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "q_correlated_avg": """
             SELECT p_partkey, p_type, p_size

@@ -132,6 +132,59 @@ def lsh_topk(
     )
 
 
+def lsh_topk_banded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes_per_band: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Band-stacked LSH top-k: B independent bands of hyperplanes; a
+    corpus vector is a candidate if it shares ANY band's bucket with the
+    query. Per-band miss probability multiplies across bands —
+    P(candidate) = 1-(1-p^r)^B — so recall approaches 1 while each band's
+    bucket stays selective. One equi join on (band, bucket) (bands via
+    posexplode — B rows per vector, not B joins), dedupe, exact re-rank."""
+    from pyspark.sql import Window
+
+    band_planes = [
+        [hyperplane(dim, b * planes_per_band + j) for j in range(planes_per_band)]
+        for b in range(bands)
+    ]
+
+    def banded(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vecc).alias(f"_{out_id}_v"),
+            F.posexplode(
+                F.array(*[lsh_bucket(F.col(vecc), ps) for ps in band_planes])
+            ).alias("_band", "_bucket"),
+        )
+
+    c = banded(corpus, id_col, vec_col, "neighbor_id")
+    q = banded(queries, id_col, vec_col, "query_id")
+    scored = (
+        c.join(F.broadcast(q), ["_band", "_bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), 6
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -185,13 +238,58 @@ def ivf_topk(
 
     At scale the corpus can additionally be REPARTITIONED by cell id so
     a probe touches n_probe/n_centroids of the data with partition
-    pruning. Deterministic centroids keep results reproducible; swap in
-    k-means centroids (pyspark.ml.clustering.KMeans) for real
-    deployments — the plan shape is identical.
+    pruning. Deterministic centroids keep results reproducible; for
+    learned centroids use ``ivf_topk_kmeans`` — the plan shape is
+    identical.
     """
-    from pyspark.sql import Window
-
     cents = [hyperplane(dim, 1000 + j) for j in range(n_centroids)]
+    return _ivf_with_centroids(corpus, queries, cents, id_col, vec_col, k, n_probe)
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    seed: int = 7,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF with LEARNED centroids: pyspark.ml KMeans fit on (a sample of)
+    the corpus, then the identical probe/re-rank plan as ivf_topk. Data-
+    adapted cells give tighter clusters → better recall at the same
+    n_probe than fixed pseudo-random centroids. The fit is a one-off
+    build step (sampled — at 100 TB train on ~1e6 vectors, not the
+    corpus); the serving plan stays a cell equi join."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus if train_fraction >= 1.0 else corpus.sample(
+        train_fraction, seed=seed
+    )
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    cents = [c.tolist() for c in model.clusterCenters()]
+    return _ivf_with_centroids(corpus, queries, cents, id_col, vec_col, k, n_probe)
+
+
+def _ivf_with_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF serving plan: assign corpus rows to their argmax-dot
+    cell, probe each query's n_probe best cells, exact-cosine re-rank
+    bucket members only."""
+    from pyspark.sql import Window
 
     def cell_scores(vec: Column) -> Column:
         return F.array(*[

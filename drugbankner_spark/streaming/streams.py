@@ -93,6 +93,36 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch(
+    query_df: DataFrame,
+    batch_fn,
+    output_mode: str = "update",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drive a streaming DF through a ``foreachBatch`` sink over all
+    available input. ``batch_fn(batch_df, epoch_id)`` is the custom-sink
+    escape hatch: upserts into a JDBC/Delta table, multi-sink fan-out —
+    anything the built-in sinks can't express. Spark re-runs a failed
+    epoch with the SAME epoch_id, so idempotency-by-epoch gives
+    effectively-exactly-once delivery."""
+    w = query_df.writeStream.foreachBatch(batch_fn).outputMode(output_mode)
+    if max_files_per_trigger is not None:
+        w = w.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def parquet_overwrite_sink(path: str):
+    """foreachBatch sink for COMPLETE-mode aggregations: each epoch holds
+    the full current result, so overwriting the target with the newest
+    epoch is idempotent (a replayed epoch rewrites identical content) and
+    the final files equal the batch answer."""
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    return write
+
+
 def run_to_memory(
     query_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

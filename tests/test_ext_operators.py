@@ -147,6 +147,75 @@ def test_lsh_topk_is_subset_of_exact_scores(spark):
         assert truth[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_banded_lsh_recall_beats_single_band(spark):
+    # Band stacking: candidates from ANY of B bands. Recall vs exact
+    # top-k must be >= the single-band recall on the same fixture (and
+    # every returned score must be exact — re-ranked, not approximated).
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(emb, queries, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(emb, queries, k=5, num_planes=8, dim=64).collect()
+    }
+    banded = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk_banded(
+            emb, queries, k=5, planes_per_band=8, bands=4, dim=64
+        ).collect()
+    }
+    # fixture vectors are near-random (max pairwise cos ≈0.5), so absolute
+    # recall is low for ANY LSH here; the stacking property still holds
+    assert len(banded & exact) >= len(single & exact)
+    # planted TRUE near-neighbors (cos ≈ 0.999): band-stacked LSH must
+    # find them — this is the production regime (near-dup retrieval)
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(5)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))                                   # query
+        rows.append((100 + i, [x + rng.gauss(0, 0.02) for x in v]))  # near
+    for j in range(200, 260):                                 # distractors
+        rows.append((j, [rng.gauss(0, 1) for _ in range(64)]))
+    planted = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk_banded(
+            planted, planted.filter(F.col("vec_id") < 5), k=1,
+            planes_per_band=8, bands=4, dim=64,
+        ).collect()
+    }
+    hits = sum((i, 100 + i) in got for i in range(5))
+    assert hits >= 4, got
+
+
+def test_ivf_kmeans_matches_fixed_centroid_contract(spark):
+    # Learned-centroid IVF: same serving plan, deterministic under a
+    # fixed seed, k rows per query, scores exact (subset of brute-force
+    # scores).
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = SIM.ivf_topk_kmeans(
+        emb, queries, k=5, n_centroids=8, n_probe=3, seed=7
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in per_q.values())
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in SIM.cosine_topk(emb, queries, k=len(emb.collect())).collect()
+    }
+    for r in got:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
 def test_embedding_near_dup_finds_planted_pair(spark):
     # Plant a true near-duplicate embedding (tiny perturbation): the LSH
     # bucket join + cosine threshold must recover exactly that pair.

@@ -100,6 +100,96 @@ def test_stateful_user_totals(spark, event_dir):
         assert abs(got[u][1] - want[u][1]) < 1e-4
 
 
+def _write_event_file(path, rows, mtime):
+    """One parquet file = one micro-batch (maxFilesPerTrigger=1 processes
+    oldest-mtime first). Timestamps coerced to micros so the stream's
+    TimestampType schema reads them directly."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
+    )
+    os.utime(path, (mtime, mtime))
+
+
+def test_watermark_drops_late_rows(spark):
+    # The watermark contract (E6): once a window is FINALIZED and its
+    # state evicted (watermark passed window_end), a straggler for it is
+    # dropped — never aggregated, never re-emitted. (A late row arriving
+    # while the window's state is still live MAY still merge — Spark's
+    # watermark is an eviction bound, not an input filter — so the
+    # straggler is sequenced to arrive one batch AFTER eviction.)
+    # Four sequenced micro-batches (maxFilesPerTrigger=1, mtime order):
+    #   1. three rows in window A = [00:00, 00:05)
+    #   2. a row at 00:30 → next batch's watermark becomes 00:20 > A end
+    #   3. a row at 00:35 → batch runs with wm 00:20: A emits and evicts
+    #   4. a LATE row at 00:02:30 for the evicted A → must be dropped
+    # Output must contain exactly ONE row for window A: (3, 3.0).
+    d = tempfile.mkdtemp(prefix="late_events_")
+    try:
+        t0 = "2024-01-01 00:"
+        _write_event_file(os.path.join(d, "b1.parquet"), [
+            (1, t0 + "01:00", 1, "x", 1.0, "{}"),
+            (2, t0 + "02:00", 1, "x", 1.0, "{}"),
+            (3, t0 + "03:00", 2, "x", 1.0, "{}"),
+        ], mtime=1_700_000_000)
+        _write_event_file(os.path.join(d, "b2.parquet"), [
+            (4, t0 + "30:00", 1, "x", 1.0, "{}"),
+        ], mtime=1_700_000_100)
+        _write_event_file(os.path.join(d, "b3.parquet"), [
+            (5, t0 + "35:00", 2, "x", 1.0, "{}"),
+        ], mtime=1_700_000_200)
+        _write_event_file(os.path.join(d, "b4.parquet"), [
+            (6, t0 + "02:30", 2, "x", 99.0, "{}"),   # straggler for evicted A
+        ], mtime=1_700_000_300)
+        stream = (
+            spark.readStream.schema(S.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "10 minutes")
+        )
+        out = S.run_to_memory(
+            S.tumbling_stream(stream), "t_late", output_mode="append"
+        )
+        a_rows = [
+            (r["n_events"], r["sum_value"])
+            for r in out.collect()
+            if "00:00:00" in str(r["window_start"])
+        ]
+        # exactly one finalized emission, without the 99.0 straggler
+        assert a_rows == [(3, 3.0)], a_rows
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_batch_parquet_sink(spark, event_dir):
+    # foreachBatch escape-hatch sink: complete-mode agg overwritten per
+    # epoch → final parquet equals the batch kernel's answer.
+    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    try:
+        stream = S.tumbling_stream(S.read_event_stream(spark, event_dir))
+        S.run_foreach_batch(
+            stream, S.parquet_overwrite_sink(out_dir), output_mode="complete"
+        )
+        got = spark.read.parquet(out_dir)
+        batch = tumbling_counts(load_table(spark, SF, "events"))
+        cols = ["window_start", "event_type", "n_events", "sum_value"]
+        assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_streaming_dedup_drops_duplicates(spark, event_dir):
     stream = S.read_event_stream(spark, event_dir, watermark="1 hour")
     deduped = S.run_to_memory(
