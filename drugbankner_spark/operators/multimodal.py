@@ -81,3 +81,77 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 
     return media.mapInPandas(run, out_schema)
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """1→1 image resize over Arrow batches. Real path = PIL (absent here
+    → NotImplementedError per batch); ``fake=True`` emits a deterministic
+    ``width*height``-byte payload (truncate/cycle the source bytes) with
+    the REAL output schema — (media_id, payload, width, height) — so
+    partitioning, batch shape, and downstream joins are testable."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+    n = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL; pass fake=True for the "
+                    "test path"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                src = bytes(payload) or b"\x00"
+                out = (src * (n // len(src) + 1))[:n]
+                rows.append((int(mid), out, width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height"]
+            )
+
+    return media.mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, fake: bool = False
+) -> DataFrame:
+    """1→N video frame sampling over Arrow batches (the row fan-out shape:
+    one input payload → ``n_frames`` output rows with frame index +
+    timestamp). Real path = ffmpeg (absent → NotImplementedError);
+    ``fake=True`` slices the payload into n equal chunks as stand-in
+    frames — deterministic, so downstream dedup/similarity over frames is
+    testable end to end."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg; pass fake=True for "
+                    "the test path"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                src = bytes(payload) or b"\x00"
+                step = max(len(src) // n_frames, 1)
+                for i in range(n_frames):
+                    rows.append(
+                        (int(mid), i, i * 1000, src[i * step:(i + 1) * step])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_ts_ms", "frame_payload"],
+            )
+
+    return media.mapInPandas(run, out_schema)

@@ -240,3 +240,32 @@ def test_multimodal_stub_paths(spark):
     assert len(feats) == 10 and all(len(r["feature"]) == 8 for r in feats)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         MM.decode_media(media, fake=False).collect()
+
+
+def test_multimodal_resize_shape(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    media = MM.documents_as_media(docs)
+    out = MM.resize_images(media, width=8, height=4, fake=True).collect()
+    assert len(out) == 10
+    assert all(len(bytes(r["payload"])) == 32 for r in out)
+    assert all((r["width"], r["height"]) == (8, 4) for r in out)
+    # deterministic: same input → same bytes
+    again = MM.resize_images(media, width=8, height=4, fake=True).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == \
+           {r["media_id"]: bytes(r["payload"]) for r in again}
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        MM.resize_images(media, fake=False).collect()
+
+
+def test_multimodal_frame_fanout(spark):
+    docs = load_table(spark, SF, "documents").limit(5)
+    media = MM.documents_as_media(docs)
+    frames = MM.sample_frames(media, n_frames=4, fake=True).collect()
+    assert len(frames) == 20  # 1 -> N fan-out
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+    assert all(sorted(v) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+               for v in per.values())
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg|frame"):
+        MM.sample_frames(media, fake=False).collect()

@@ -63,6 +63,41 @@ def test_minhash_stays_jvm_side(spark):
     assert X.codegen_stage_count(df) >= 2
 
 
+def test_f7_single_scan(spark):
+    # F7 is ONE projection over ONE scan of events (round 1 was a
+    # 15-branch union that rescanned the source per database — 15x I/O).
+    df = QUERIES["f7_identifier_extract"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert X.count_shuffles(df) == 0
+
+
+def test_window_suite_single_exchange(spark):
+    # w_window_suite computes running sum, lag/lead AND ranks over one
+    # partitioning key — exactly one shuffle (two sort orders, same
+    # hash partitioning reused).
+    df = QUERIES["w_window_suite"](spark, SF)
+    assert X.count_shuffles(df) == 1, X.plan_string(df, "simple")
+
+
+def test_e6_windows_no_python(spark):
+    df = QUERIES["e6_windows"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not X.has_cartesian(df)
+
+
+def test_dedup_survivor_is_partial_aggregate(spark):
+    # min-by-struct dedup must plan as a hash aggregation (map-side
+    # partial + final), i.e. exactly one shuffle of (key, packed row) —
+    # not a window sort.
+    df = QUERIES["e1_dedup_survivor"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+    assert "Window" not in plan
+    assert X.count_shuffles(df) == 1, plan
+
+
 def test_whole_stage_codegen_everywhere(spark):
     for name in ("q1_pricing_summary", "e3_text_quality", "e6_tumbling",
                  "f7_identifier_extract"):
