@@ -382,6 +382,88 @@ def _agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q6 shape — tight range+band filter, single global agg.
+    # Every predicate pushes to the parquet scan; the agg is one partial
+    # + one final row. (Shipdate window shifted to this dataset's
+    # 1995+ date range.)
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q14 shape — conditional aggregation over a broadcast
+    # fact-dim join (share of promo revenue in one month).
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= "1996-09-01")
+            & (F.col("l_shipdate") < "1996-10-01")
+        )
+        .agg(
+            F.round(
+                100
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(disc),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def _q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q4 shape — EXISTS correlated on a non-key condition,
+    # planned as a LEFT SEMI join (no fact-row duplication). Condition
+    # adapted to this dataset's columns: a lineitem shipped >30 days
+    # after the order date.
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cond = (li.l_orderkey == quarter.o_orderkey) & (
+        li.l_shipdate > quarter.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        quarter.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _a9_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    # Engine extra: exact interpolated percentiles per group (Spark
+    # `percentile` == DuckDB `quantile_cont`). approx_percentile is the
+    # sketch variant for 100 TB (rows-only checkable, like HLL).
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias(
+            "p95_price"
+        ),
+    )
+
+
 def _u2_intersect(spark: SparkSession, sf: str) -> DataFrame:
     # U2 (NER.py:36-37): set intersection, relational form.
     cust = load_table(spark, sf, "customer")
@@ -726,6 +808,58 @@ def _e1_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e1_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # E1 pairs → CLUSTERS: connected components over the MinHash band
+    # graph (min-label propagation; see operators/graph.py). The oracle
+    # recomputes the same fixpoint with a recursive CTE.
+    from drugbankner_spark.operators import dedup as D
+    from drugbankner_spark.operators.graph import near_dup_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = D.minhash_band_pairs_rowwise(docs, "text", "doc_id", 16)
+    return near_dup_clusters(docs, pairs, "doc_id")
+
+
+def _t_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Temporal engine extra: backward-inclusive as-of join — each
+    # purchase picks up the user's most recent click at-or-before it
+    # (DuckDB ASOF LEFT JOIN is the oracle). Right side pre-aggregated
+    # to one row per (user, ts) — the as-of contract.
+    from drugbankner_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(purchases, clicks, on="user_id", left_ts="ts")
+
+
+def _t_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Temporal engine extra: interval containment as a binned EQUI join
+    # (purchases within 2h of the same user's signup) — avoids the
+    # BroadcastNestedLoopJoin a raw inequality join would plan.
+    from drugbankner_spark.operators.temporal import range_join_binned
+
+    ev = load_table(spark, sf, "events")
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("signup_id"),
+    )
+    return range_join_binned(
+        points, intervals, "user_id", "ts", "start_ts", "end_ts", 3600
+    )
+
+
 def _e3_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators import textanalysis as TA
 
@@ -903,6 +1037,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_pandas_topk": _e2_pandas_topk,
         "e6_tumbling": _e6_tumbling,
         "e6_sliding": _e6_sliding,
+        # round 2: temporal joins, dedup clustering, E5 widening
+        "t_asof_join": _t_asof_join,
+        "t_range_join": _t_range_join,
+        "e1_dup_clusters": _e1_dup_clusters,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q4_order_priority": _q4_order_priority,
+        "a9_percentiles": _a9_percentiles,
     }
 
 
@@ -1753,4 +1895,93 @@ def oracle_sql() -> dict[str, str]:
         "syn_equivalent_nodes": _syn_equivalent_nodes_oracle(),
         "syn_category_histogram": _syn_category_histogram_oracle(),
         "syn_normalizer_nodes": _syn_normalizer_nodes_oracle(),
+        # -- round 2: temporal joins, dedup clustering, E5 widening -----
+        "t_asof_join": """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts, max(value) AS click_value
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.ts AS matched_ts, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "t_range_join": """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            s AS (
+                SELECT user_id, ts AS start_ts,
+                       ts + INTERVAL 2 HOUR AS end_ts,
+                       event_id AS signup_id
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   s.start_ts, s.end_ts, s.signup_id
+            FROM p JOIN s
+              ON p.user_id = s.user_id
+             AND p.ts >= s.start_ts AND p.ts < s.end_ts
+        """,
+        "e1_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_e1_minhash_near_dup_oracle()}),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(id, lab) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS cluster_id,
+                   c.component IS NULL AS is_singleton
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END)
+                    / sum(l_extendedprice * (1 - l_discount)), 6
+            ) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate <  TIMESTAMP '1996-10-01'
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "a9_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
     }

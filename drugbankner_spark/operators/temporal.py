@@ -1,0 +1,159 @@
+"""Temporal joins the engine extension set needs at event scale: as-of
+join and range join (SURVEY.md §2.12 E5/engine extras).
+
+The reference has no temporal operators (its pipeline is per-drug batch
+— ``drug_processing.py`` loops records with no time axis), but any
+event/feature pipeline built on this engine needs "latest value at or
+before t" (as-of) and "rows inside an interval" (range). Open-source
+Spark has neither as a primitive; both are implemented here as
+compositions of built-in operators so they distribute and codegen:
+
+- **as-of join**: union the two sides, sort per key by (ts, side) inside
+  one hash partitioning, and carry the most recent right-side payload
+  forward with ``last(..., ignorenulls=True)``. Cost shape == a
+  sort-merge join (one shuffle per side, one sort) — NO range explosion,
+  NO per-key collect. At 100 TB the shuffle is keyed by the join key
+  exactly like any equi join; per-key skew behaves like SMJ skew (AQE
+  handles it).
+- **range join**: the naive plan is a cross-ish join with an inequality
+  filter (BroadcastNestedLoopJoin — quadratic). Binning turns it into an
+  EQUI join on (key, time-bin): each interval explodes to the bins it
+  overlaps, points join their single bin, and the exact predicate
+  re-filters. Bin width trades dup factor vs selectivity — set it near
+  the median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward, inclusive as-of LEFT join: for each left row, attach the
+    right-side payload with the greatest ``right_ts`` <= ``left_ts`` for
+    the same key (ties at equal timestamps match, like DuckDB's
+    ``ASOF JOIN``). Left rows with no earlier right row keep NULLs.
+
+    ``right`` must be unique per (on, right_ts) — pre-aggregate if not
+    (which survivor "the" value at time t is is otherwise undefined; the
+    same ambiguity exists in DuckDB/pandas ``merge_asof``).
+
+    ``tolerance_seconds``: a match older than this is discarded (NULLs),
+    mirroring pandas ``merge_asof(tolerance=...)``.
+
+    Plan: one union, one shuffle on the key, one per-key sort — the
+    sort-merge-join cost shape. ``last(..., ignorenulls=True)`` over
+    ``rowsBetween(unboundedPreceding, currentRow)`` is a running carry,
+    not a re-scan per row.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    payload = (
+        list(right_cols)
+        if right_cols is not None
+        else [c for c in right.columns if c not in {*keys, rts}]
+    )
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload collides with left columns: {sorted(clash)}")
+
+    # One tagged union: right rows sort BEFORE left rows at equal ts
+    # (side 0 < 1) so an equal-timestamp right row is visible to the left
+    # row — the inclusive backward contract.
+    lpart = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(F.col(rts).alias("_rts"), *payload).alias("s"))
+            .schema["s"].dataType
+        ).alias("_rrow"),
+    )
+    rpart = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+        F.struct(F.col(rts).alias("_rts"), *payload).alias("_rrow"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        lpart.unionByName(rpart)
+        .withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_seconds is not None:
+        # cast-to-double keeps sub-second precision (unix_timestamp
+        # truncates to whole seconds).
+        in_tol = (
+            F.col("_ts").cast("double") - F.col("_match._rts").cast("double")
+        ) <= F.lit(tolerance_seconds)
+        carried = carried.withColumn(
+            "_match", F.when(in_tol, F.col("_match"))
+        )
+    return carried.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        F.col("_match._rts").alias("matched_ts"),
+        *[F.col(f"_match.{c}").alias(c) for c in payload],
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str] | str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join of point rows to every interval row of the same key
+    with ``start <= point_ts < end`` (half-open), as an EQUI join.
+
+    Each interval explodes to the time bins it overlaps; each point maps
+    to its single bin; the equi join on (key, bin) prunes to near-matches
+    and the exact range predicate finishes. Dup factor per interval =
+    ceil(span / bin_seconds) — pick ``bin_seconds`` near the median span.
+    An interval row duplicated across bins can meet the same point only
+    in the point's single bin, so no post-join distinct is needed.
+
+    This replaces the BroadcastNestedLoopJoin Spark would otherwise plan
+    for an inequality-only condition — the difference between O(P·I) and
+    O(P + I·dup) at 100 TB.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    # Epochs via cast-to-double (sub-second precise — unix_timestamp
+    # truncates to seconds, which would silently drop matches for
+    # intervals ending mid-second).
+    p_bin = F.floor(F.col(point_ts).cast("double") / bin_seconds).cast("long")
+    i_lo = F.floor(F.col(start_col).cast("double") / bin_seconds).cast("long")
+    # end is exclusive: a bin-aligned end never reaches the next bin.
+    i_hi = F.floor(
+        (F.col(end_col).cast("double") - F.lit(1e-6)) / bin_seconds
+    ).cast("long")
+    pts = points.withColumn("_bin", p_bin)
+    ivs = intervals.withColumn(
+        "_bin", F.explode(F.sequence(i_lo, F.greatest(i_hi, i_lo)))
+    )
+    joined = pts.join(ivs, [*keys, "_bin"]).filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_bin")

@@ -1,0 +1,58 @@
+"""Golden tests for connected components / near-dup clustering
+(operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from drugbankner_spark.operators.graph import (
+    connected_components,
+    near_dup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # triangle 10-11-12, isolated edge 20-21
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+    )
+    got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_components_label_is_min_regardless_of_direction(spark):
+    # edges stored "backwards" (high -> low) still label by global min
+    e = _edges(spark, [(9, 5), (5, 7), (7, 3)])
+    got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert set(got.values()) == {3}
+
+
+def test_components_partitioning_invariant(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (4, 5)])
+    a = sorted(map(tuple, connected_components(e).collect()))
+    b = sorted(map(tuple, connected_components(e.repartition(7)).collect()))
+    assert a == b
+
+
+def test_near_dup_clusters_singletons(spark):
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    pairs = _edges(spark, [(0, 1), (1, 2), (4, 5)])
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_singleton"])
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert out == {
+        0: (0, False), 1: (0, False), 2: (0, False),
+        3: (3, True),                      # no pair: own cluster
+        4: (4, False), 5: (4, False),
+    }
