@@ -808,6 +808,14 @@ def _e1_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e2_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    # E2 support op: per-label mean-pooled centroid (IVF coarse
+    # quantizer / class prototype), long format for stable value-hashes.
+    from drugbankner_spark.operators.similarity import label_centroids
+
+    return label_centroids(load_table(spark, sf, "embeddings"))
+
+
 def _e1_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # E1 pairs → CLUSTERS: connected components over the MinHash band
     # graph (min-label propagation; see operators/graph.py). The oracle
@@ -1041,6 +1049,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_asof_join": _t_asof_join,
         "t_range_join": _t_range_join,
         "e1_dup_clusters": _e1_dup_clusters,
+        "e2_label_centroids": _e2_label_centroids,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q14_promo_revenue": _q14_promo_revenue,
         "q4_order_priority": _q4_order_priority,
@@ -1983,5 +1992,12 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "e2_label_centroids": """
+            SELECT label, pos, round(avg(v), 6) AS centroid
+            FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) - 1 AS pos
+                  FROM embeddings)
+            GROUP BY label, pos
         """,
     }

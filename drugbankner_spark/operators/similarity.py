@@ -386,3 +386,27 @@ def cosine_topk_pandas(
     scored = corpus.mapInPandas(kernel, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Mean-pooled centroid per group, LONG format: (group, pos,
+    centroid) — the support op for IVF coarse quantizers, per-class
+    prototypes, and cluster summaries.
+
+    posexplode → groupBy (group, pos) avg: the explode is per-row (no
+    shuffle) and the single shuffle moves (group, pos, partial-sum)
+    partials after map-side combine — dim × groups cells regardless of
+    row count, so it scales to any corpus. Long format keeps every value
+    scalar (array<double> columns don't value-hash stably across
+    engines); ``F.array_sort(F.collect_list(struct(pos, centroid)))``
+    re-packs vectors when needed.
+    """
+    ex = df.select(F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    return ex.groupBy(group_col, "pos").agg(
+        F.round(F.avg("v"), round_to).alias("centroid")
+    )

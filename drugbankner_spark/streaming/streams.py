@@ -93,6 +93,42 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER join with a time-range condition: each left
+    event joins right events of the same user in ``[l.ts - lookback,
+    l.ts]`` — the streaming face of the batch range join
+    (operators/temporal.range_join_binned).
+
+    Both inputs must carry watermarks: the range condition + watermark
+    bound the join state Spark retains per side (right rows older than
+    ``watermark + lookback`` are evicted), so state is O(rate × horizon),
+    not O(stream length). This is the canonical enrich-in-flight pattern
+    (purchases × recent clicks) at any scale.
+
+    Left columns are kept as-is; right contributes ``r_ts`` and
+    ``r_value``. Inner join only — that is what Spark supports without
+    extra outer-join watermark constraints, and the batch-equality test
+    pins the semantics.
+    """
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    return left.join(
+        r,
+        F.expr(
+            f"user_id = r_user AND r_ts >= ts - INTERVAL {lookback}"
+            " AND r_ts <= ts"
+        ),
+        "inner",
+    ).drop("r_user")
+
+
 def run_foreach_batch(
     query_df: DataFrame,
     batch_fn,

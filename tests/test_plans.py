@@ -105,3 +105,39 @@ def test_whole_stage_codegen_everywhere(spark):
         assert X.codegen_stage_count(df) >= 1, f"{name} lost codegen"
         plan = X.plan_string(df, "simple")
         assert "BatchEvalPython" not in plan, f"{name} fell back to Python"
+
+
+def test_asof_join_is_join_free_single_window(spark):
+    # as-of is planned as union + ONE keyed window sort — no join
+    # operator at all, so no range explosion and no BNLJ risk at scale.
+    df = QUERIES["t_asof_join"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    # clicks-dedup agg + the window partitioning (+ at most one AQE
+    # coalesce) — the union itself must not add exchanges.
+    assert X.count_shuffles(df) <= 3, X.plan_string(df, "simple")
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    # the binned rewrite must plan as an equi join on (key, bin) — a raw
+    # inequality condition would fall back to BroadcastNestedLoopJoin.
+    df = QUERIES["t_range_join"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert not X.has_cartesian(df)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_dup_clusters_edges_stay_jvm_side(spark):
+    # the component loop materializes via localCheckpoint, so assert on
+    # the edge/pair stage instead: band join only, no Python eval.
+    from drugbankner_spark.operators import dedup as D
+    from drugbankner_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    pairs = D.minhash_band_pairs_rowwise(docs, "text", "doc_id", 16)
+    plan = X.plan_string(pairs, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not X.has_cartesian(pairs)

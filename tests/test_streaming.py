@@ -200,3 +200,30 @@ def test_streaming_dedup_drops_duplicates(spark, event_dir):
     # property under test is that the stateful operator runs and keeps
     # exactly one row per key.
     assert deduped.count() == ev.select("event_id").distinct().count()
+
+
+def test_stream_interval_join_equals_batch(spark, event_dir):
+    from pyspark.sql import functions as F
+
+    # Long watermark so no row is treated as late: this test pins JOIN
+    # semantics (stream == batch); the eviction contract has its own test.
+    def sides(df):
+        left = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = df.filter(F.col("event_type") == "click")
+        return left, right
+
+    ev = load_table(spark, SF, "events")
+    b_left, b_right = sides(ev)
+    batch = S.stream_interval_join(b_left, b_right)
+
+    st = S.read_event_stream(spark, event_dir, watermark="400 days")
+    s_left, s_right = sides(st)
+    stream = S.run_to_memory(
+        S.stream_interval_join(s_left, s_right), "t_ivjoin",
+        output_mode="append",
+    )
+    cols = ["event_id", "r_ts", "r_value"]
+    assert stream.count() > 0
+    assert _sorted_rows(stream, cols) == _sorted_rows(batch, cols)
