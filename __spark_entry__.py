@@ -808,6 +808,26 @@ def _e1_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e3_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # E3: Gopher-style rule filter — one scan, zero shuffles, flags +
+    # keep emitted together so drop reasons are auditable.
+    from drugbankner_spark.operators.textanalysis import gopher_quality_filter
+
+    return gopher_quality_filter(load_table(spark, sf, "documents"))
+
+
+def _pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # Flagship composition: MinHash pairs → duplicate clusters →
+    # min-id canonical per cluster → Gopher quality rules on survivors.
+    # The whole post-fixpoint pipeline is one lazy Catalyst plan.
+    from drugbankner_spark.operators import dedup as D
+    from drugbankner_spark.operators.corpus import clean_corpus
+
+    docs = load_table(spark, sf, "documents")
+    pairs = D.minhash_band_pairs_rowwise(docs, "text", "doc_id", 16)
+    return clean_corpus(docs, pairs)
+
+
 def _e2_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     # E2 support op: per-label mean-pooled centroid (IVF coarse
     # quantizer / class prototype), long format for stable value-hashes.
@@ -1050,11 +1070,25 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_range_join": _t_range_join,
         "e1_dup_clusters": _e1_dup_clusters,
         "e2_label_centroids": _e2_label_centroids,
+        "e3_gopher_filter": _e3_gopher_filter,
+        "pipeline_clean_corpus": _pipeline_clean_corpus,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q14_promo_revenue": _q14_promo_revenue,
         "q4_order_priority": _q4_order_priority,
         "a9_percentiles": _a9_percentiles,
     }
+
+
+def _sql_en_stopwords() -> str:
+    """DuckDB list literal of the Gopher filter's English stopwords —
+    derived from the SAME constant the Spark operator uses, so the two
+    engines can never drift."""
+    from drugbankner_spark.operators.textanalysis import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+_SQL_EN_STOPWORDS = _sql_en_stopwords()
 
 
 def _punct_ws_sql() -> str:
@@ -1999,5 +2033,78 @@ def oracle_sql() -> dict[str, str]:
                          generate_subscripts(embedding, 1) - 1 AS pos
                   FROM embeddings)
             GROUP BY label, pos
+        """,
+        "e3_gopher_filter": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[0-9]', '', 'g'))
+                           AS n_nondigit,
+                       len(list_distinct(string_split(text, ' ')))
+                           AS n_distinct,
+                       len(list_intersect(string_split(lower(text), ' '),
+                           {_SQL_EN_STOPWORDS})) > 0 AS has_sw
+                FROM documents
+            ),
+            flags AS (
+                SELECT doc_id, n_tokens,
+                       n_tokens >= 20 AND n_tokens <= 100000 AS len_ok,
+                       n_chars / n_tokens >= 3.0
+                           AND n_chars / n_tokens <= 10.0
+                           AS mean_token_len_ok,
+                       (n_chars - n_nondigit) / n_chars <= 0.2
+                           AS digit_ratio_ok,
+                       n_distinct / n_tokens >= 0.2 AS repetition_ok,
+                       has_sw AS stopword_ok
+                FROM f
+            )
+            SELECT *, len_ok AND mean_token_len_ok AND digit_ratio_ok
+                      AND repetition_ok AND stopword_ok AS keep
+            FROM flags
+        """,
+        "pipeline_clean_corpus": f"""
+            WITH RECURSIVE pairs AS ({_e1_minhash_near_dup_oracle()}),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(id, lab) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+            clusters AS (
+                SELECT d.doc_id,
+                       coalesce(c.component, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            ),
+            canon AS (
+                SELECT cluster_id, min(doc_id) AS doc_id,
+                       count(*) AS cluster_size
+                FROM clusters GROUP BY cluster_id
+            ),
+            canonq AS (
+                SELECT cn.doc_id, cn.cluster_id, cn.cluster_size,
+                       len(string_split(d.text, ' ')) AS n_tokens,
+                       length(d.text) AS n_chars,
+                       length(regexp_replace(d.text, '[0-9]', '', 'g'))
+                           AS n_nondigit,
+                       len(list_distinct(string_split(d.text, ' ')))
+                           AS n_distinct,
+                       len(list_intersect(
+                           string_split(lower(d.text), ' '),
+                           {_SQL_EN_STOPWORDS})) > 0 AS has_sw
+                FROM canon cn JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, cluster_id, cluster_size, n_tokens
+            FROM canonq
+            WHERE n_tokens >= 20 AND n_tokens <= 100000
+              AND n_chars / n_tokens >= 3.0 AND n_chars / n_tokens <= 10.0
+              AND (n_chars - n_nondigit) / n_chars <= 0.2
+              AND n_distinct / n_tokens >= 0.2
+              AND has_sw
         """,
     }

@@ -134,3 +134,54 @@ def doc_fingerprint(
         F.min("chunk_hash").alias("min_fingerprint"),
         F.count(F.lit(1)).alias("n_chunks"),
     )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_digit_ratio: float = 0.2,
+    min_distinct_token_ratio: float = 0.2,
+    require_stopword: bool = True,
+) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1 heuristics,
+    adapted to this feature set): per document, a boolean per rule plus
+    the final ``keep``. Emitting the flags (not just the survivors) is
+    deliberate — at 100 TB you audit WHY mass was dropped before you
+    drop it, and the flags are free (same single pass).
+
+    Pure column expressions — one scan, no joins, no shuffle (the
+    stopword check is an array_intersect against a literal array, not a
+    dim join), so the filter runs at full scan throughput ahead of every
+    expensive stage."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    mean_tok = F.length(t) / n_tokens
+    digit_ratio = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    ) / F.length(t)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    flags = {
+        "len_ok": (n_tokens >= min_tokens) & (n_tokens <= max_tokens),
+        "mean_token_len_ok": (mean_tok >= min_mean_token_len)
+        & (mean_tok <= max_mean_token_len),
+        "digit_ratio_ok": digit_ratio <= max_digit_ratio,
+        "repetition_ok": distinct_ratio >= min_distinct_token_ratio,
+        "stopword_ok": ~F.lit(require_stopword)
+        | (F.size(F.array_intersect(F.split(F.lower(t), " "), sw)) > 0),
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )

@@ -269,3 +269,49 @@ def test_multimodal_frame_fanout(spark):
                for v in per.values())
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg|frame"):
         MM.sample_frames(media, fake=False).collect()
+
+
+def test_gopher_filter_flags(spark):
+    from drugbankner_spark.operators.textanalysis import gopher_quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog near the bank "
+                "and then runs off to the distant hills again today ok"),
+            (2, "short text only"),                          # too few tokens
+            (3, " ".join(["word"] * 30)),                    # repetitive, no stopword
+            (4, " ".join(["the"] + ["12345"] * 29)),         # digit-heavy
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           gopher_quality_filter(docs, min_tokens=10).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["len_ok"] is False and out[2]["keep"] is False
+    assert out[3]["repetition_ok"] is False
+    assert out[3]["stopword_ok"] is False and out[3]["keep"] is False
+    assert out[4]["digit_ratio_ok"] is False and out[4]["keep"] is False
+
+
+def test_clean_corpus_dedups_then_filters(spark):
+    from drugbankner_spark.operators.corpus import clean_corpus
+
+    good = ("the quick brown fox jumps over a lazy dog near the river "
+            "bank and then runs away to the distant green hills again")
+    docs = spark.createDataFrame(
+        [
+            (10, good),                  # cluster canonical (kept)
+            (11, good + " extra"),       # same cluster (pair below)
+            (20, "tiny doc"),            # singleton, fails length rule
+            (30, good + " another variant of the same passage here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 30)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in clean_corpus(docs, pairs, min_tokens=10).collect()}
+    # one surviving canonical per cluster; the 3-doc cluster keeps id 10
+    assert set(out) == {10}
+    assert out[10]["cluster_size"] == 3

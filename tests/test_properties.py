@@ -82,3 +82,75 @@ def test_simplify_is_idempotent(rows):
     once = _apply(rows, N.simplify_name)
     twice = _apply(once, N.simplify_name)
     assert once == twice
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # left events: (key, ts-offset seconds)
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+        min_size=1, max_size=30,
+    ),
+    st.lists(  # right events: (key, ts-offset, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 5000),
+                  st.integers(-100, 100)),
+        min_size=0, max_size=30,
+    ),
+)
+def test_asof_matches_pandas_merge_asof(left_rows, right_rows):
+    # executable spec: pandas merge_asof (backward, inclusive, by key)
+    import datetime as dt
+
+    import pandas as pd
+
+    from drugbankner_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    spark = _spark()
+    left = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s))
+         for i, (k, s) in enumerate(left_rows)],
+        "event_id long, k long, ts timestamp",
+    )
+    # the as-of contract: right unique per (key, ts) — dedup like the
+    # demo query does (max payload)
+    rdedup = {}
+    for k, s, p in right_rows:
+        key = (k, s)
+        rdedup[key] = max(p, rdedup.get(key, p))
+    right = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), float(p))
+         for (k, s), p in sorted(rdedup.items())],
+        "k long, ts timestamp, payload double",
+    )
+    got = {
+        r["event_id"]: (r["matched_ts"], r["payload"])
+        for r in asof_join(left, right, on="k", left_ts="ts").collect()
+    }
+
+    lpdf = pd.DataFrame(
+        [(i, k, base + dt.timedelta(seconds=s))
+         for i, (k, s) in enumerate(left_rows)],
+        columns=["event_id", "k", "ts"],
+    ).sort_values(["ts", "event_id"])
+    rpdf = pd.DataFrame(
+        [(k, base + dt.timedelta(seconds=s), float(p))
+         for (k, s), p in sorted(rdedup.items())]
+        or None,
+        columns=["k", "ts", "payload"],
+    ).sort_values(["ts", "k"])
+    if len(rpdf):
+        spec = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="k", direction="backward",
+            suffixes=("", "_r"),
+        )
+        # merge_asof keeps only the left ts, so the spec checks payload;
+        # matched_ts itself is pinned by the golden tests.
+        want = {
+            int(r.event_id): None if pd.isnull(r.payload) else r.payload
+            for r in spec.itertuples()
+        }
+        for eid, pay in want.items():
+            assert got[eid][1] == pay, (eid, got[eid], pay)
+    else:
+        assert all(v == (None, None) for v in got.values())
+    assert len(got) == len(left_rows)
