@@ -808,6 +808,32 @@ def _e1_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic 10% sample keyed on event_id — stable across runs,
+    # partitionings, and engines (md5-bucket, not RNG).
+    from drugbankner_spark.operators.sampling import hash_sample
+
+    ev = load_table(spark, sf, "events")
+    return hash_sample(ev, "event_id", 0.10).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def _e5_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Leak-proof train/valid/test split by doc_id bucket ranges;
+    # verified via per-split aggregate (count + char mass).
+    from drugbankner_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf, "documents")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def _e3_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     # E3: Gopher-style rule filter — one scan, zero shuffles, flags +
     # keep emitted together so drop reasons are auditable.
@@ -1072,6 +1098,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_label_centroids": _e2_label_centroids,
         "e3_gopher_filter": _e3_gopher_filter,
         "pipeline_clean_corpus": _pipeline_clean_corpus,
+        "e5_hash_sample": _e5_hash_sample,
+        "e5_hash_split": _e5_hash_split,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q14_promo_revenue": _q14_promo_revenue,
         "q4_order_priority": _q4_order_priority,
@@ -2062,6 +2090,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, len_ok AND mean_token_len_ok AND digit_ratio_ok
                       AND repetition_ok AND stopword_ok AS keep
             FROM flags
+        """,
+        "e5_hash_sample": f"""
+            SELECT event_id, user_id, event_type
+            FROM events
+            WHERE {_sql_hash32("CAST(event_id AS VARCHAR)")} % 10000 < 1000
+        """,
+        "e5_hash_split": f"""
+            WITH b AS (
+                SELECT n_chars,
+                       {_sql_hash32("CAST(doc_id AS VARCHAR)")} % 10000
+                           AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM b GROUP BY 1
         """,
         "pipeline_clean_corpus": f"""
             WITH RECURSIVE pairs AS ({_e1_minhash_near_dup_oracle()}),

@@ -315,3 +315,39 @@ def test_clean_corpus_dedups_then_filters(spark):
     # one surviving canonical per cluster; the 3-doc cluster keeps id 10
     assert set(out) == {10}
     assert out[10]["cluster_size"] == 3
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from drugbankner_spark.operators.sampling import hash_sample
+
+    ev = load_table(spark, SF, "events")
+    a = {r["event_id"] for r in hash_sample(ev, "event_id", 0.2).collect()}
+    b = {r["event_id"] for r in
+         hash_sample(ev.repartition(13), "event_id", 0.2).collect()}
+    assert a == b and len(a) > 0
+    # ~20% within loose tolerance (hash uniformity, n=1000)
+    assert 0.1 < len(a) / ev.count() < 0.3
+    # different seed -> different (roughly independent) sample
+    c = {r["event_id"] for r in
+         hash_sample(ev, "event_id", 0.2, seed="s2").collect()}
+    assert c != a
+
+
+def test_hash_split_disjoint_complete_and_stable(spark):
+    import pytest as _pytest
+
+    from drugbankner_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, SF, "documents")
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = hash_split(docs, "doc_id", w)
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == docs.count()              # complete, no dup rows
+    assignment = {r["doc_id"]: r["split"] for r in rows}
+    again = {r["doc_id"]: r["split"]
+             for r in hash_split(docs.repartition(7), "doc_id", w)
+             .select("doc_id", "split").collect()}
+    assert assignment == again                    # stable under repartition
+    assert set(assignment.values()) == {"train", "valid", "test"}
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"train": 0.5, "test": 0.1})
