@@ -464,6 +464,266 @@ def _a9_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q8 shape — one supplier nation's share of a regional
+    # market (ASIA customers, PROMO parts) by order year. Conditional
+    # share over a 7-table star join; every dim side broadcast.
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load_table(spark, sf, "nation")
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q9 shape — profit by supplier nation × order year for a
+    # part-name pattern. No partsupp table in this star schema, so
+    # supply cost is approximated as 10% of retail price × quantity
+    # (the join/agg shape — fact × 2 dims × nation — is what matters).
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    nation = load_table(spark, sf, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+def _q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q11 shape — parts whose stocked value exceeds a fraction
+    # of the GLOBAL total (scalar-subquery HAVING). Value derives from
+    # lineitem (no partsupp); the single-row total is cross-joined back
+    # (broadcast — a 1-row build side, never a real cartesian).
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier").filter(F.col("s_nationkey") < 5)
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("total"))
+        .select("l_partkey", F.round("value", 2).alias("part_value"))
+    )
+
+
+def _q12_late_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q12 shape — conditional counts split by order priority
+    # over a lateness predicate (shipped >30 days after ordering; this
+    # schema has no shipmode/commitdate, so returnflag is the band).
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            & (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q13 shape — customer order-count distribution via LEFT
+    # OUTER join (zero-order customers must appear with count 0) and a
+    # two-level aggregation.
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q15 shape — supplier(s) with the maximum quarterly
+    # revenue. The max is an unpartitioned window over the ALREADY
+    # AGGREGATED per-supplier frame (cardinality = |suppliers|, not
+    # |lineitem|) — cheap at any fact scale; ties all surface.
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.withColumn(
+        "_max", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_max"))
+    return mx.join(supp, mx.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def _q16_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q16 shape — distinct-supplier counts per part attribute
+    # combo, with a NOT-IN exclusion (negative-balance suppliers)
+    # planned as a broadcast LEFT ANTI join. The part↔supplier
+    # association comes from lineitem (no partsupp in this schema).
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 4, 9, 14, 23)
+    )
+    bad = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    assoc = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        assoc.join(F.broadcast(part), assoc.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), assoc.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q19 shape — OR of AND-blocks mixing fact and dim
+    # predicates. Written as one boolean expression so Catalyst can
+    # push the dim-only parts (brand+size) below the join.
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    blocks = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(blocks)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _q21_late_sole_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q21 shape — suppliers who were the SOLE late shipper on
+    # a multi-supplier order. The reference formulation is
+    # EXISTS/NOT-EXISTS self-joins; here it is one aggregation per
+    # (order, supplier) + one per order, both shuffling on l_orderkey —
+    # co-partitioned, and linear instead of quadratic in suppliers/order.
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf, "supplier")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        per_pair.join(per_order, "l_orderkey")
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def _q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q22 shape — customers above the global positive-balance
+    # average (scalar subquery → 1-row broadcast) with no RECENT order
+    # (correlated NOT EXISTS → LEFT ANTI join against the filtered
+    # order set), grouped by market segment. "Recent" because this
+    # synthetic star has no order-less customers at all.
+    cust = load_table(spark, sf, "customer")
+    recent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    segs = ("BUILDING", "MACHINERY", "FURNITURE")
+    in_seg = cust.filter(F.col("c_mktsegment").isin(*segs))
+    avg_bal = in_seg.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        in_seg.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, in_seg.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def _u2_intersect(spark: SparkSession, sf: str) -> DataFrame:
     # U2 (NER.py:36-37): set intersection, relational form.
     cust = load_table(spark, sf, "customer")
@@ -1104,6 +1364,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q14_promo_revenue,
         "q4_order_priority": _q4_order_priority,
         "a9_percentiles": _a9_percentiles,
+        # round 2: full TPC-H-shape sweep over the star schema
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q12_late_priority": _q12_late_priority,
+        "q13_order_count_distribution": _q13_order_count_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q21_late_sole_supplier": _q21_late_sole_supplier,
+        "q22_idle_customers": _q22_idle_customers,
     }
 
 
@@ -2054,6 +2325,146 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_5'
+                                  THEN volume ELSE 0.0 END) / sum(volume),
+                         6) AS mkt_share
+            FROM (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            )
+            GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.1), 2)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "q11_important_parts": """
+            WITH pv AS (
+                SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey < 5
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, round(value, 2) AS part_value
+            FROM pv
+            WHERE value > 0.001 * (SELECT sum(value) FROM pv)
+        """,
+        "q12_late_priority": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                                AND o_orderstatus <> 'F'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND p_size IN (1, 4, 9, 14, 23)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q21_late_sole_supplier": """
+            WITH pair AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate >
+                                     o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey, l_suppkey
+            ),
+            per_order AS (
+                SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+                FROM pair GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM pair
+            JOIN per_order USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+            GROUP BY s_name
+        """,
+        "q22_idle_customers": """
+            SELECT c_mktsegment, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'FURNITURE')
+              AND c_acctbal > (
+                  SELECT avg(c_acctbal) FROM customer
+                  WHERE c_acctbal > 0
+                    AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'FURNITURE'))
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY c_mktsegment
         """,
         "e2_label_centroids": """
             SELECT label, pos, round(avg(v), 6) AS centroid
