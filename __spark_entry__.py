@@ -1198,6 +1198,22 @@ def _e3_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return TA.doc_fingerprint(load_table(spark, sf, "documents"))
 
 
+def _e5_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # Heavy-hitter profile over the orders fact's customer key — the
+    # measurement that decides plain join vs AQE skew vs salted_join.
+    from drugbankner_spark.operators import scale as SC
+
+    return SC.key_skew_profile(
+        load_table(spark, sf, "orders"), "o_custkey", top_n=20, hot_share=0.0005
+    )
+
+
+def _e3_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import textanalysis as TA
+
+    return TA.tfidf_scores(load_table(spark, sf, "documents"))
+
+
 def _e4_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators import multimodal as MM
 
@@ -1360,6 +1376,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "e5_hash_sample": _e5_hash_sample,
         "e5_hash_split": _e5_hash_split,
+        "e3_tfidf": _e3_tfidf,
+        "e5_skew_profile": _e5_skew_profile,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q14_promo_revenue": _q14_promo_revenue,
         "q4_order_priority": _q4_order_priority,
@@ -2124,6 +2142,36 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(len(string_split(text, ' ')), 1), 6)
                        AS pieces_per_word
             FROM documents
+        """,
+        "e5_skew_profile": """
+            WITH c AS (
+                SELECT o_custkey, count(*) AS n_rows
+                FROM orders GROUP BY o_custkey
+            ),
+            t AS (SELECT sum(n_rows) AS total FROM c)
+            SELECT o_custkey, n_rows,
+                   round(n_rows / total, 6) AS share,
+                   n_rows / total > 0.0005 AS is_hot
+            FROM c CROSS JOIN t
+            ORDER BY n_rows DESC, o_custkey ASC
+            LIMIT 20
+        """,
+        "e3_tfidf": """
+            WITH tok AS (
+                SELECT doc_id, t AS term
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents)
+                WHERE t <> ''
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, term, tf, df,
+                   round(tf * (ln((1 + n_docs) / (1 + df)) + 1), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
         """,
         "e2_cosine_topk": _e2_cosine_topk_oracle(),
         "e2_lsh_topk": _e2_lsh_topk_oracle(),

@@ -82,3 +82,94 @@ def bucketed_join(
     recognizes the co-partitioning and plans SortMergeJoin with no
     Exchange on either side (verified in tests/test_scale.py)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, top_n: int = 20, hot_share: float = 0.01
+) -> DataFrame:
+    """Heavy-hitter profile for a join/agg key: the ``top_n`` most
+    frequent keys with their absolute count, share of all rows, and a
+    ``is_hot`` flag (share > ``hot_share``). This is the measurement that
+    DECIDES between a plain join, AQE skew handling, and salted_join —
+    salting costs ×buckets dim replication, so apply it to keys this
+    profile flags, not speculatively.
+
+    Cost: one map-side-combinable groupBy + a 1-row total broadcast back;
+    the result is top_n rows. Run it on a hash_sample() at 100 TB — key
+    SHARE is scale-invariant under uniform sampling.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("total_rows"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("share"),
+            (F.col("n_rows") / F.col("total_rows") > hot_share).alias("is_hot"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc(key))
+        .limit(top_n)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-partitioned Parquet sink with explicit file-count control.
+
+    The naive ``df.write.partitionBy(c)`` writes one file per (task ×
+    partition value) — at 1000 executors × 1000 partition values that is
+    a million tiny files, and small files are the dominant failure mode
+    of 100 TB table layouts (NameNode/listing pressure, per-file open
+    cost, no scan parallelism *within* a value). Repartitioning by the
+    partition columns first routes each value's rows to
+    ``files_per_partition`` tasks (salted when >1 so a hot value still
+    splits), and ``maxRecordsPerFile`` caps the opposite failure (one
+    giant file per value)."""
+    parts = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        parts.append(F.pmod(F.monotonically_increasing_id(),
+                            F.lit(files_per_partition)))
+    n_target = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    (
+        df.repartition(n_target, *parts)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Table-maintenance compaction: rewrite a Parquet directory so each
+    output file is ~``target_file_bytes``. Returns the number of files
+    written. Streaming sinks and incremental appends accrete small files;
+    periodic compaction restores scan efficiency (fewer opens, full
+    vectorized-reader batches). Sizing derives from the CURRENT on-disk
+    bytes — a pure metadata sum, no data scan."""
+    import glob
+
+    on_disk = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, round(on_disk / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -185,3 +185,45 @@ def gopher_quality_filter(
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    broadcast_idf: bool = True,
+) -> DataFrame:
+    """TF-IDF per (document, term) — the classic relevance weight
+    (SURVEY.md §2.12 E3), smooth-idf form: ``tf * (ln((1+N)/(1+df))+1)``.
+
+    Plan shape: one scan → explode → two hash aggregations (doc×term,
+    then term) → join the tiny idf dim back onto tf. Exactly two
+    shuffles, both map-side-combinable; the idf dim is vocabulary-sized
+    (≪ corpus), so it broadcasts — set ``broadcast_idf=False`` at
+    extreme vocabularies to fall back to a shuffle join on term. The tf
+    subtree feeds both branches; at 100 TB checkpoint/persist tf so the
+    scan runs once (here Catalyst's exchange reuse usually covers it).
+    """
+    term = F.explode(tokens(F.col(text_col))).alias("term")
+    tok = docs.select(F.col(id_col), term).filter(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )  # 1-row build side: crossJoin(broadcast) is a map-side literal, not a cartesian
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        (F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1).alias("idf"),
+    )
+    idf = F.broadcast(idf) if broadcast_idf else idf
+    return tf.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )

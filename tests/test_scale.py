@@ -67,3 +67,46 @@ def test_bucketed_join_has_no_shuffle(spark):
     # and the join still returns the right row count
     plain = orders.select("k").join(items.select("k"), "k")
     assert joined.count() == plain.count()
+
+
+def test_key_skew_profile_flags_hot_key(spark):
+    hot = spark.range(900).select(F.lit("protein").alias("k"))
+    cold = spark.range(100).select(
+        F.concat(F.lit("rare_"), F.col("id")).cast("string").alias("k")
+    )
+    prof = SC.key_skew_profile(hot.unionByName(cold), "k", top_n=5).collect()
+    assert prof[0]["k"] == "protein"
+    assert prof[0]["n_rows"] == 900
+    assert abs(prof[0]["share"] - 0.9) < 1e-6
+    assert prof[0]["is_hot"]
+    # rare keys (share 0.1%) are not hot at the 1% default threshold
+    assert all(not r["is_hot"] for r in prof[1:])
+
+
+def test_write_partitioned_one_file_per_value(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "docs_by_lang")
+    SC.write_partitioned(docs, out, ["lang"])
+    import glob
+
+    part_dirs = glob.glob(os.path.join(out, "lang=*"))
+    assert part_dirs, "no hive partition directories written"
+    for d in part_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, f"{d}: expected 1 file, got {len(files)}"
+    assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_compact_small_files_reduces_file_count(spark, tmp_path):
+    import glob
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    out = str(tmp_path / "fragmented")
+    docs.repartition(16).write.parquet(out)
+    before = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert before == 16
+    n_rows = docs.count()
+    written = SC.compact_small_files(spark, out)  # tiny table -> 1 file
+    after = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert written == 1 and after == 1
+    assert spark.read.parquet(out).count() == n_rows
