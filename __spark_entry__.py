@@ -1214,6 +1214,40 @@ def _e3_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     return TA.tfidf_scores(load_table(spark, sf, "documents"))
 
 
+def _e1_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental-ingest dedup: corpus = single-digit sources; the
+    # arriving batch re-ingests corpus content under new ids (must be
+    # anti-joined away) and brings each new document twice (the
+    # within-batch min-id survivor must win).
+    from drugbankner_spark.operators import dedup as D
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("source").rlike("^src[0-9]$"))
+    fresh = docs.filter(F.col("source").rlike("^src1[0-9]$"))
+
+    def shifted(df: DataFrame, k: int) -> DataFrame:
+        return df.withColumn("doc_id", F.col("doc_id") + k)
+
+    batch = (
+        shifted(fresh, 100000)
+        .unionByName(shifted(fresh, 200000))
+        .unionByName(shifted(corpus, 300000))
+    )
+    return D.incremental_exact_dedup(batch, corpus)
+
+
+def _e3_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import textanalysis as TA
+
+    return TA.repetition_stats(load_table(spark, sf, "documents"))
+
+
+def _e3_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    from drugbankner_spark.operators import textanalysis as TA
+
+    return TA.redact_pii(load_table(spark, sf, "documents"))
+
+
 def _e4_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators import multimodal as MM
 
@@ -1377,6 +1411,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_hash_sample": _e5_hash_sample,
         "e5_hash_split": _e5_hash_split,
         "e3_tfidf": _e3_tfidf,
+        "e1_incremental_dedup": _e1_incremental_dedup,
+        "e3_repetition": _e3_repetition,
+        "e3_redact_pii": _e3_redact_pii,
         "e5_skew_profile": _e5_skew_profile,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q14_promo_revenue": _q14_promo_revenue,
@@ -2141,6 +2178,68 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                        / greatest(len(string_split(text, ' ')), 1), 6)
                        AS pieces_per_word
+            FROM documents
+        """,
+        "e1_incremental_dedup": """
+            WITH corpus AS (
+                SELECT * FROM documents
+                WHERE regexp_matches(source, '^src[0-9]$')
+            ),
+            batch AS (
+                SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+                FROM documents WHERE regexp_matches(source, '^src1[0-9]$')
+                UNION ALL
+                SELECT doc_id + 200000, text, lang, source, n_chars
+                FROM documents WHERE regexp_matches(source, '^src1[0-9]$')
+                UNION ALL
+                SELECT doc_id + 300000, text, lang, source, n_chars
+                FROM corpus
+            )
+            SELECT doc_id, text, lang, source, n_chars
+            FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+              AND doc_id = (SELECT min(doc_id) FROM batch b2
+                            WHERE b2.text = b.text)
+        """,
+        "e3_repetition": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(s)),
+                           i -> s[i] || ' ' || s[i + 1]) AS bg,
+                       CASE WHEN len(s) >= 3
+                            THEN list_transform(range(1, len(s) - 1),
+                                i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2])
+                            ELSE [] END AS tg
+                FROM (SELECT doc_id, string_split(text, ' ') AS s
+                      FROM documents)
+            )
+            SELECT doc_id,
+                   len(bg) AS n_bigrams,
+                   round(1 - len(list_distinct(bg)) / len(bg), 6)
+                       AS dup_bigram_frac,
+                   CASE WHEN len(tg) > 0
+                        THEN round(1 - len(list_distinct(tg)) / len(tg), 6)
+                   END AS dup_trigram_frac
+            FROM grams
+            WHERE len(bg) > 0
+        """,
+        "e3_redact_pii": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                       AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IPV4>', 'g'),
+                       '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')
+                       AS redacted_text
             FROM documents
         """,
         "e5_skew_profile": """

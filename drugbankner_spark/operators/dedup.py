@@ -95,6 +95,39 @@ def hash_canonical_dedup(
     )
 
 
+def incremental_exact_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: admit only rows of ``new_batch`` whose
+    content is (a) absent from the existing ``corpus`` and (b) the
+    minimal-id representative within the batch itself.
+
+    The continuous-pipeline counterpart of :func:`hash_canonical_dedup`
+    — corpora are never rebuilt at 100 TB; each arriving batch is
+    deduplicated against what is already stored. Both checks ride the
+    sha256 digest, so the anti-join and the batch-internal min-by
+    shuffle (digest, id) pairs — never document bodies. The corpus side
+    only needs its digest column; at scale keep that as a bucketed
+    digest index table so the anti-join is shuffle-free on ingest.
+    """
+    digest = F.sha2(F.col(text_col), 256).alias("content_sha")
+    seen = corpus.select(digest).distinct()
+    fresh = new_batch.withColumn("content_sha", digest).join(
+        seen, "content_sha", "left_anti"
+    )
+    survivor = fresh.groupBy("content_sha").agg(
+        F.min(id_col).alias("_keep_id")
+    )
+    return (
+        fresh.join(survivor, "content_sha")
+        .filter(F.col(id_col) == F.col("_keep_id"))
+        .drop("content_sha", "_keep_id")
+    )
+
+
 def shingle_array(text_col: str, n: int = 3) -> Column:
     """n-token shingles of a text column as an array (per-row, no
     shuffle). Documents shorter than n tokens yield one truncated

@@ -187,6 +187,86 @@ def gopher_quality_filter(
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams as an array column: one slice+join per start
+    position. Pure per-row expression — no explode, no shuffle."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1): the
+    fraction of word bigrams / trigrams that are duplicate occurrences.
+    High values mark boilerplate and degenerate generations — a standard
+    pre-training corpus filter.
+
+    Entirely per-row array expressions (``transform`` + ``array_distinct``
+    — no explode, no join, NO SHUFFLE), so it runs at scan throughput on
+    any corpus size; documents with fewer than 2 tokens are excluded
+    (they have no bigrams).
+    """
+    toks = tokens(F.col(text_col))
+    bg, tg = _word_ngrams(toks, 2), _word_ngrams(toks, 3)
+
+    def dup_frac(arr: Column) -> Column:
+        return F.round(
+            1 - F.size(F.array_distinct(arr)) / F.size(arr), 6
+        )
+
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(bg).alias("n_bigrams"),
+            dup_frac(bg).alias("dup_bigram_frac"),
+            F.when(F.size(tg) > 0, dup_frac(tg)).otherwise(None).alias(
+                "dup_trigram_frac"
+            ),
+        )
+        .filter(F.col("n_bigrams") > 0)
+    )
+
+
+#: PII patterns written in the regex subset where Java (Spark) and RE2
+#: (DuckDB) agree — ASCII classes, explicit quantifiers, \b boundaries.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub for training corpora: replace emails / IPv4s / phone
+    numbers with ``<TYPE>`` placeholder tokens and report per-type match
+    counts (audit trail — at scale you MEASURE leakage before and after).
+    Chained ``regexp_replace`` — one scan, zero shuffles; counts come
+    from ``regexp_extract_all`` on the original text in the same
+    projection. Order matters: counts first, then destructive rewrite."""
+    t = F.col(text_col)
+    redacted = t
+    for name, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return docs.select(
+        F.col(id_col),
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+            for name, pat in PII_PATTERNS
+        ],
+        redacted.alias("redacted_text"),
+    )
+
+
 def tfidf_scores(
     docs: DataFrame,
     text_col: str = "text",

@@ -351,3 +351,79 @@ def test_hash_split_disjoint_complete_and_stable(spark):
     assert set(assignment.values()) == {"train", "valid", "test"}
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(docs, "doc_id", {"train": 0.5, "test": 0.1})
+
+
+def test_redact_pii_planted_fixtures(spark):
+    from drugbankner_spark.operators import textanalysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.org or bob@sub.host.io now"),
+            (2, "server 10.0.255.3 called 192.168.1.1 and phone 555-867-5309"),
+            (3, "nothing sensitive here, just 1234 and a.b words"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TA.redact_pii(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 0, 0)
+    assert out[1]["redacted_text"] == "mail me at <EMAIL> or <EMAIL> now"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 2, 1)
+    assert out[2]["redacted_text"] == (
+        "server <IPV4> called <IPV4> and phone <PHONE>"
+    )
+    assert out[3]["redacted_text"] == docs.filter("doc_id = 3").first()["text"]
+
+
+def test_repetition_stats_known_fractions(spark):
+    from drugbankner_spark.operators import textanalysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+            (2, "w x y z"),       # all bigrams distinct
+            (3, "solo"),          # no bigrams -> excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TA.repetition_stats(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 5
+    assert abs(out[1]["dup_bigram_frac"] - (1 - 2 / 5)) < 1e-9
+    # trigrams of doc1: aba,bab,aba,bab -> 4 total, 2 distinct
+    assert abs(out[1]["dup_trigram_frac"] - 0.5) < 1e-9
+    assert out[2]["dup_bigram_frac"] == 0.0
+
+
+def test_repetition_stats_no_shuffle(spark):
+    """The scale contract: repetition metrics are pure per-row array
+    expressions — the plan must contain NO exchange."""
+    from drugbankner_spark.operators import textanalysis as TA
+    from drugbankner_spark.plans import explain as X
+    from drugbankner_spark.tables import load_table
+
+    df = TA.repetition_stats(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    assert X.count_shuffles(df) == 0, X.plan_string(df, "simple")
+
+
+def test_incremental_exact_dedup_both_paths(spark):
+    """Anti-join drops content already in the corpus; within-batch dups
+    collapse to the min-id survivor; genuinely new content passes."""
+    from drugbankner_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, "old news"), (2, "ancient text")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old news"),      # already in corpus -> dropped
+            (11, "fresh stuff"),   # new, duplicated in-batch -> min id wins
+            (12, "fresh stuff"),
+            (13, "also new"),      # new, unique -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r["doc_id"], r["text"])
+        for r in D.incremental_exact_dedup(batch, corpus).collect()
+    )
+    assert out == [(11, "fresh stuff"), (13, "also new")]

@@ -141,3 +141,43 @@ def test_dup_clusters_edges_stay_jvm_side(spark):
     plan = X.plan_string(pairs, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert not X.has_cartesian(pairs)
+
+
+def test_q8_star_broadcasts_all_dims(spark):
+    # 7-table star: part/nation×2/region broadcast; only the fact-side
+    # chains (lineitem⋈orders⋈customer, ⋈supplier) may shuffle.
+    df = QUERIES["q8_market_share"](spark, SF)
+    assert X.count_broadcast_joins(df) >= 4, X.plan_string(df, "simple")
+    assert not X.has_cartesian(df)
+
+
+def test_q11_scalar_subquery_is_broadcast_not_cartesian(spark):
+    # The global-total denominator is a 1-row build side: it must plan
+    # as a broadcast nested-loop over ONE row, never a real cartesian
+    # (CartesianProduct = both sides shuffled to every pairing).
+    df = QUERIES["q11_important_parts"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q16_not_in_plans_as_broadcast_anti(spark):
+    df = QUERIES["q16_supplier_counts"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_q21_is_linear_not_self_joined_quadratic(spark):
+    # The EXISTS/NOT-EXISTS formulation would self-join lineitem twice;
+    # this plan must instead aggregate per (order,supplier) and per
+    # order — lineitem is scanned once, no join of lineitem to itself.
+    df = QUERIES["q21_late_sole_supplier"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert plan.count("Scan parquet /root/testdata") <= 4, plan
+    assert not X.has_cartesian(df)
+
+
+def test_tfidf_two_shuffles_and_broadcast_idf(spark):
+    df = QUERIES["e3_tfidf"](spark, SF)
+    # doc×term agg + term agg; the idf dim comes back via broadcast.
+    assert X.count_broadcast_joins(df) >= 1, X.plan_string(df, "simple")
+    assert X.count_shuffles(df) <= 3, X.plan_string(df, "simple")
