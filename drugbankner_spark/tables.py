@@ -56,15 +56,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and convert (values carry µs
-        # precision, so the truncation is lossless).
+        # events.ts varies by testdata generation: TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects — read nanos as long and
+        # convert; µs precision makes the truncation lossless) or plain
+        # TIMESTAMP(MICROS) read as NTZ. Branch on the loaded type and
+        # normalize to session-TZ TimestampType (UTC session → the NTZ
+        # cast is value-preserving and matches the DuckDB oracle).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer div: float division loses µs precision on 1.7e18-ns values
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer div: float division loses µs precision on 1.7e18-ns values
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
