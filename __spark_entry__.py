@@ -908,14 +908,14 @@ def _syn_normalizer_nodes(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# EP1/EP2 pipeline queries (rows-only: XML source + NER UDF are not
-# SQL-expressible; golden-tested in tests/test_pipelines.py instead).
+# EP1/EP2 pipeline queries. The NER UDF itself is not SQL-expressible, but
+# the stub model is deterministic: its detections over the mini XML are
+# frozen in fixtures_ner (drift-tested against the live pipeline), so the
+# DuckDB oracles start from those rows and hash-check the ENTIRE downstream
+# relational assembly (J7 + A2/A6/U1, then J8 + F7 + A6).
 # ---------------------------------------------------------------------------
 
-_MINI_XML = __import__("os").path.join(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
-    "tests", "fixtures", "mini_drugbank.xml",
-)
+from drugbankner_spark.fixtures_ner import EP1_LEXICON, MINI_XML as _MINI_XML
 
 
 def _ep1_bundle(spark: SparkSession):
@@ -923,14 +923,8 @@ def _ep1_bundle(spark: SparkSession):
     from drugbankner_spark.operators.ner import make_stub_model_factory
 
     syn_obj = _syn(spark)
-    lexicon = {
-        "treats headache": ["UMLS:600"], "headache": ["UMLS:600"],
-        "fever": [], "cyclooxygenase": ["GO:0815"],
-        "hepatic metabolism": ["MESH:300"], "aspirin": ["RXNORM:400"],
-        "ecotrin": [],
-    }
     out = P.run_ep1(spark, _MINI_XML, syn_obj,
-                    make_stub_model_factory(lexicon))
+                    make_stub_model_factory(EP1_LEXICON))
     out["syn"] = syn_obj
     return out
 
@@ -1587,6 +1581,134 @@ def _syn_normalizer_nodes_oracle() -> str:
         FROM eq
         LEFT JOIN syn_nodes n ON n.id = eq.equivalent_id
         LEFT JOIN syn_clusters cr ON cr.cluster_id = n.cluster_id
+    """
+
+
+# --- EP1/EP2 pipeline oracle builders --------------------------------------
+
+def _mech_cats_sql() -> str:
+    from drugbankner_spark.operators.ner import MECHANISTIC_CATEGORIES
+
+    return "(" + ", ".join(f"'{c}'" for c in MECHANISTIC_CATEGORIES) + ")"
+
+
+def _ep1_assembly_cte() -> str:
+    """J7 + A2/A6 (perform_NER.py:119-134) in SQL, starting from the
+    frozen stub detections: curie path / name path / sentence-as-name
+    path unioned, distinct per (drug, surface, preferred), then the
+    category-filtered longest-surface merge."""
+    from drugbankner_spark import fixtures_ner as FN
+
+    return f""",
+        detected AS {FN.detected_values_sql()},
+        ner_hits AS (
+            SELECT d.kg2_id, d.entity_text,
+                   n.cluster_id AS preferred_curie,
+                   {_sql_biolink('c.category')} AS preferred_category
+            FROM detected d
+            JOIN syn_nodes n
+              ON d.kb_id IS NOT NULL
+             AND n.id_simplified = {_sql_cap('d.kb_id')}
+            JOIN syn_clusters c ON c.cluster_id = n.cluster_id
+            UNION ALL
+            SELECT d.kg2_id, d.entity_text, b.cluster_id,
+                   {_sql_biolink('c.category')}
+            FROM detected d
+            JOIN name_best b
+              ON d.kb_id IS NULL AND d.entity_text IS NOT NULL
+             AND b.name_simplified = {_sql_simplify('d.entity_text')}
+            JOIN syn_clusters c ON c.cluster_id = b.cluster_id
+            UNION ALL
+            SELECT d.kg2_id, d.sentence AS entity_text, b.cluster_id,
+                   {_sql_biolink('c.category')}
+            FROM detected d
+            JOIN name_best b
+              ON d.entity_text IS NULL
+             AND b.name_simplified = {_sql_simplify('d.sentence')}
+            JOIN syn_clusters c ON c.cluster_id = b.cluster_id
+        ),
+        ner_aligned AS (
+            SELECT DISTINCT kg2_id, entity_text, preferred_curie,
+                            preferred_category
+            FROM ner_hits
+        ),
+        ep1_nodes AS (
+            SELECT kg2_id, curie, name, category FROM (
+                SELECT kg2_id, preferred_curie AS curie,
+                       entity_text AS name,
+                       preferred_category AS category,
+                       row_number() OVER (
+                           PARTITION BY kg2_id, preferred_curie
+                           ORDER BY length(entity_text) DESC, entity_text
+                       ) AS rn
+                FROM ner_aligned
+                WHERE preferred_category IN {_mech_cats_sql()}
+            ) WHERE rn = 1
+        )"""
+
+
+def _ep1_mechanistic_oracle() -> str:
+    return _syn_with(_ep1_assembly_cte()) + """
+        SELECT kg2_id, curie, name, category FROM ep1_nodes
+    """
+
+
+def _ep2_aligned_oracle() -> str:
+    """EP2 merge (look_for_identifiers.py:71-105) in SQL: J8 name hits
+    (rank 1) + F7 full-text-CURIE id hits (rank 2) unioned under the EP1
+    NER nodes (rank 0), first-writer-wins per (drug, curie)."""
+    from drugbankner_spark import fixtures_ner as FN
+    from drugbankner_spark.functions.identifiers import IDENTIFIER_PATTERNS
+
+    id_stanzas = "\nUNION ALL\n".join(
+        f"""SELECT kg2_id, field_rank, candidate FROM (
+                SELECT kg2_id, field_rank,
+                       '{prefix}' || ':' || value AS candidate,
+                       unnest(regexp_extract_all(value, '{pattern}')) AS m
+                FROM bioent
+                WHERE kind = 'id' AND strpos(value, ':') = 0
+            )"""
+        for _db, prefix, pattern in IDENTIFIER_PATTERNS
+    )
+    return _syn_with(_ep1_assembly_cte() + f""",
+        bioent AS {FN.bioentities_values_sql()},
+        name_hits AS (
+            SELECT e.kg2_id, b.cluster_id AS curie, c.name AS name,
+                   {_sql_biolink('c.category')} AS category,
+                   1 AS _rank, e.field_rank AS _field_rank
+            FROM bioent e
+            JOIN name_best b ON b.name_simplified = {_sql_simplify('e.value')}
+            JOIN syn_clusters c ON c.cluster_id = b.cluster_id
+            WHERE e.kind = 'name'
+        ),
+        id_candidates AS ({id_stanzas}),
+        id_hits AS (
+            SELECT ic.kg2_id, n.cluster_id AS curie, c.name AS name,
+                   {_sql_biolink('c.category')} AS category,
+                   2 AS _rank, ic.field_rank AS _field_rank
+            FROM id_candidates ic
+            JOIN syn_nodes n ON n.id_simplified = {_sql_cap('ic.candidate')}
+            JOIN syn_clusters c ON c.cluster_id = n.cluster_id
+        ),
+        merged AS (
+            SELECT kg2_id, curie, name, category,
+                   0 AS _rank, -1 AS _field_rank
+            FROM ep1_nodes
+            UNION ALL
+            SELECT kg2_id, curie, name, category, _rank, _field_rank
+            FROM name_hits
+            UNION ALL
+            SELECT kg2_id, curie, name, category, _rank, _field_rank
+            FROM id_hits
+        )""") + """
+        SELECT kg2_id, curie, name, category FROM (
+            SELECT kg2_id, curie, name, category,
+                   row_number() OVER (
+                       PARTITION BY kg2_id, curie
+                       ORDER BY _rank, _field_rank, name
+                   ) AS rn
+            FROM merged
+        ) WHERE rn = 1
     """
 
 
@@ -2384,6 +2506,9 @@ def oracle_sql() -> dict[str, str]:
         "syn_equivalent_nodes": _syn_equivalent_nodes_oracle(),
         "syn_category_histogram": _syn_category_histogram_oracle(),
         "syn_normalizer_nodes": _syn_normalizer_nodes_oracle(),
+        # -- round 3: the flagship pipelines, hash-checked --------------
+        "ep1_mechanistic_nodes": _ep1_mechanistic_oracle(),
+        "ep2_aligned_nodes": _ep2_aligned_oracle(),
         # -- round 2: temporal joins, dedup clustering, E5 widening -----
         "t_asof_join": """
             WITH p AS (

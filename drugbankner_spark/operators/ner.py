@@ -287,29 +287,16 @@ def merge_longest_name(
     )
 
 
-def text_to_kg2_nodes(
-    records: DataFrame,
-    text_col: F.Column,
-    id_cols: list[str],
-    syn: Synonymizer,
-    model_factory: Callable[[], Any] | list[Callable[[], Any]],
-    categories: tuple[str, ...] | None,
+def prepare_sentences(
+    records: DataFrame, text_col: F.Column, id_cols: list[str]
 ) -> DataFrame:
-    """Full sentence pipeline (perform_NER.py:19-54): split on '.' (F5) →
-    15..1000 length band (P3) → delete ≥100-char tokens (P4) → strip
-    .,;:?! (F2, get_kg2_match remove_mark=True) → detect (X1) → align (J7)
-    → per-drug longest-name merge (A2/A6). Returns (ids, curie, name,
-    category).
-
-    ``model_factory`` may be a LIST of factories: the reference runs FIVE
-    NER pipeline configs per sentence and folds their hits together
-    (perform_NER.py:79-99, U1). Here each config is a parallel
-    ``mapInPandas`` branch over the same sentences, unioned before
-    alignment — the merge semantics (first-wins + longest-name upgrade)
-    are identical because merge_longest_name is config-agnostic."""
+    """Sentence prep (perform_NER.py:19-28): split on '.' (F5) → 15..1000
+    length band (P3) → delete ≥100-char tokens (P4) → strip .,;:?! (F2,
+    get_kg2_match remove_mark=True). Shared by the pipeline and the
+    oracle-fixture generator so both freeze the same sentences."""
     from drugbankner_spark.functions import normalize as N
 
-    sentences = (
+    return (
         records.select(*id_cols, F.explode(N.split_sentences(text_col)).alias("_raw"))
         .filter(N.sentence_length_ok(F.col("_raw")))
         .select(
@@ -319,6 +306,27 @@ def text_to_kg2_nodes(
             ).alias("sentence"),
         )
     )
+
+
+def text_to_kg2_nodes(
+    records: DataFrame,
+    text_col: F.Column,
+    id_cols: list[str],
+    syn: Synonymizer,
+    model_factory: Callable[[], Any] | list[Callable[[], Any]],
+    categories: tuple[str, ...] | None,
+) -> DataFrame:
+    """Full sentence pipeline (perform_NER.py:19-54): prepare_sentences →
+    detect (X1) → align (J7) → per-drug longest-name merge (A2/A6).
+    Returns (ids, curie, name, category).
+
+    ``model_factory`` may be a LIST of factories: the reference runs FIVE
+    NER pipeline configs per sentence and folds their hits together
+    (perform_NER.py:79-99, U1). Here each config is a parallel
+    ``mapInPandas`` branch over the same sentences, unioned before
+    alignment — the merge semantics (first-wins + longest-name upgrade)
+    are identical because merge_longest_name is config-agnostic."""
+    sentences = prepare_sentences(records, text_col, id_cols)
     factories = (
         list(model_factory) if isinstance(model_factory, (list, tuple))
         else [model_factory]

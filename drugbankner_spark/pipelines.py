@@ -34,6 +34,31 @@ from drugbankner_spark.operators.synonymizer import Synonymizer
 from drugbankner_spark.sources.xml_source import normalize_drugs, read_drugbank_xml
 
 
+def mechanistic_text() -> F.Column:
+    """The mechanistic-branch source text (perform_NER.py:127-131, X4):
+    bracket-stripped text fields concatenated with '\\n ' appended after
+    each truthy field.
+
+    The reference intends MOSTLY_TEXT_FIELDS (6 fields, CONSTANTS.py:14-15)
+    here, but looks them up with hyphenated keys against an
+    underscore-keyed record (perform_NER.py:128 vs utils.py:112-116), so
+    mechanism-of-action and protein-binding silently drop out. The engine
+    uses the five fields the record actually stores — documented
+    divergence (fixes the key-mismatch; protein_binding is not stored in
+    the record, faithful to utils.py:112-116)."""
+    return F.array_join(
+        F.transform(
+            F.filter(
+                F.array(*[F.coalesce(remove_brackets(F.col(f)), F.lit(""))
+                          for f in RECORD_TEXT_FIELDS]),
+                lambda c: c != F.lit(""),
+            ),
+            lambda c: F.concat(c, F.lit("\n ")),
+        ),
+        "",
+    )
+
+
 def run_ep1(
     spark: SparkSession,
     xml_path: str,
@@ -63,27 +88,8 @@ def run_ep1(
         NER.DISEASE_CATEGORIES,
     )
 
-    # The reference intends MOSTLY_TEXT_FIELDS (6 fields, CONSTANTS.py:14-15)
-    # here, but looks them up with hyphenated keys against an
-    # underscore-keyed record (perform_NER.py:128 vs utils.py:112-116), so
-    # mechanism-of-action and protein-binding silently drop out. The engine
-    # uses the five fields the record actually stores — documented
-    # divergence (fixes the key-mismatch; protein_binding is not stored in
-    # the record, faithful to utils.py:112-116).
-    mech_fields = [*RECORD_TEXT_FIELDS]
-    mech_text = F.array_join(
-        F.transform(
-            F.filter(
-                F.array(*[F.coalesce(remove_brackets(F.col(f)), F.lit(""))
-                          for f in mech_fields]),
-                lambda c: c != F.lit(""),
-            ),
-            lambda c: F.concat(c, F.lit("\n ")),
-        ),
-        "",
-    )
     mechanistic_nodes = NER.text_to_kg2_nodes(
-        records, mech_text, ["kg2_id"], syn, model_factory,
+        records, mechanistic_text(), ["kg2_id"], syn, model_factory,
         NER.MECHANISTIC_CATEGORIES,
     )
     return {

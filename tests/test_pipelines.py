@@ -181,3 +181,17 @@ def test_reference_json_shape(ep1, spark):
     # drugs with no hits get EMPTY maps, not NULL (perform_NER.py:124-125)
     assert rows["DRUGBANK:42"]["indication_NER_aligned"] == {}
     assert rows["DRUGBANK:42"]["mechanistic_intermediate_nodes"] == {}
+
+
+def test_frozen_ner_fixture_matches_live_pipeline(spark):
+    # Drift guard for the EP1/EP2 DuckDB oracles: the frozen stub-NER
+    # detections and bioentity explosions in fixtures_ner must equal what
+    # the live operators produce over the mini XML — if a normalize/
+    # detect/extract change shifts the intermediate, this fails before the
+    # driver's oracle compare silently goes stale.
+    from drugbankner_spark import fixtures_ner as FN
+
+    live_det = sorted(tuple(r) for r in FN.live_detected(spark).collect())
+    assert live_det == sorted(FN.DETECTED_ROWS)
+    live_bio = sorted(tuple(r) for r in FN.live_bioentities(spark).collect())
+    assert live_bio == sorted(FN.BIOENTITY_ROWS)
