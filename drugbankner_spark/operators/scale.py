@@ -9,11 +9,32 @@ bucketing amortizes the shuffle to zero.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the JVM Hadoop API — the
+    scheme-aware way to do table maintenance. ``shutil``/``os``/``glob``
+    (round 2) only work on the driver's local disk; the same calls
+    through ``FileSystem`` run identically on file://, hdfs:// and
+    s3a:// — the environments the 100 TB story actually targets."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _tree_bytes(fs, path, suffix: str = ".parquet") -> int:
+    """Recursive size of ``suffix`` files under ``path`` — pure namespace
+    metadata (one listing), no data scan."""
+    total = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(suffix):
+            total += st.getLen()
+    return total
 
 
 def fact_salt_expr(salt_buckets: int):
@@ -63,11 +84,12 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # a stale managed-table location survives metastore resets (fresh
     # session + persistent warehouse dir) — clear it so overwrite works
-    loc = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-        table_name.lower(),
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, loc = _hadoop_fs(
+        spark, warehouse.rstrip("/") + "/" + table_name.lower()
     )
-    shutil.rmtree(loc, ignore_errors=True)
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort_col:
         w = w.sortBy(sort_col)
@@ -156,20 +178,24 @@ def compact_small_files(
     written. Streaming sinks and incremental appends accrete small files;
     periodic compaction restores scan efficiency (fewer opens, full
     vectorized-reader batches). Sizing derives from the CURRENT on-disk
-    bytes — a pure metadata sum, no data scan."""
-    import glob
+    bytes — a pure metadata sum, no data scan.
 
-    on_disk = sum(
-        os.path.getsize(p)
-        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    )
+    All filesystem steps (size listing, swap) go through the Hadoop
+    FileSystem API, so this runs unchanged against HDFS/S3A, not just
+    the driver's local disk. The swap is delete-then-rename: atomic on
+    HDFS; on object stores rename is copy-based, so schedule compaction
+    in a maintenance window (same caveat as any non-transactional
+    layout — a table format with commit semantics is the upgrade path)."""
+    fs, src = _hadoop_fs(spark, path)
+    on_disk = _tree_bytes(fs, src)
     n_files = max(1, round(on_disk / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact.tmp"
+    tmp_str = path.rstrip("/") + ".compact.tmp"
+    _, tmp = _hadoop_fs(spark, tmp_str)
     w = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    w.parquet(tmp_str)
+    fs.delete(src, True)
+    fs.rename(tmp, src)
     return n_files
