@@ -111,6 +111,46 @@ def make_stub_model_factory(lexicon: dict[str, list[str]]) -> Callable[[], Any]:
     return factory
 
 
+def _linker_contract() -> dict:
+    """The recorded scispacy-0.5.5 ``scispacy_linker`` config contract
+    (static JSON fixture — see resources/). Lets the driver catch config
+    drift (renamed/removed parameters, unsupported linker names) at
+    build time with no scispaCy install or model download."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "scispacy_linker_config_0_5_5.json",
+    )
+    with open(path) as fd:
+        return json.load(fd)
+
+
+def validate_linker_config(config: dict) -> dict:
+    """Validate a ``scispacy_linker`` pipe config against the recorded
+    0.5.5 contract: unknown keys raise (they would be silently dropped
+    or rejected by spaCy's config system at model-load time — on an
+    executor, hours into a job), and ``linker_name`` must be one of the
+    ontologies the reference supports (P7, NER.py:36-40). Returns the
+    config unchanged."""
+    contract = _linker_contract()
+    unknown = set(config) - set(contract["valid_keys"])
+    if unknown:
+        raise ValueError(
+            f"unknown scispacy_linker config keys {sorted(unknown)}; "
+            f"scispacy {contract['scispacy_version']} accepts "
+            f"{sorted(contract['valid_keys'])}"
+        )
+    linker = config.get("linker_name")
+    if linker is not None and linker not in contract["supported_linker_names"]:
+        raise ValueError(
+            f"unsupported linker_name {linker!r}; expected one of "
+            f"{contract['supported_linker_names']}"
+        )
+    return config
+
+
 def make_scispacy_factory(
     spacy_model: str = "en_core_sci_lg",
     linkers: tuple[str, ...] = ("umls",),
@@ -120,7 +160,17 @@ def make_scispacy_factory(
 ) -> Callable[[], Any]:
     """Real-model factory (NER.py:42-51 config shape). Import-gated: the
     container has no scispaCy — raises ImportError at first use on an
-    executor, never at import time."""
+    executor, never at import time. Pipe configs are validated against
+    the recorded 0.5.5 contract HERE, on the driver, before anything
+    ships to executors."""
+    configs = {
+        linker: validate_linker_config({
+            "resolve_abbreviations": True, "linker_name": linker,
+            "threshold": threshold, "k": k,
+            "max_entities_per_mention": max_entities_per_mention,
+        })
+        for linker in linkers
+    }
 
     def factory():
         import spacy  # noqa: F401 — optional dependency
@@ -128,17 +178,10 @@ def make_scispacy_factory(
         from scispacy.linking import EntityLinker  # noqa: F401
 
         pipes = {}
-        for linker in linkers:
+        for linker, cfg in configs.items():
             nlp = spacy.load(spacy_model)
             nlp.add_pipe("abbreviation_detector")
-            nlp.add_pipe(
-                "scispacy_linker",
-                config={
-                    "resolve_abbreviations": True, "linker_name": linker,
-                    "threshold": threshold, "k": k,
-                    "max_entities_per_mention": max_entities_per_mention,
-                },
-            )
+            nlp.add_pipe("scispacy_linker", config=cfg)
             pipes[linker] = nlp
 
         def run(sentence: str) -> dict[str, set]:

@@ -71,8 +71,15 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, T.LongType):
             # integer div: float division loses µs precision on 1.7e18-ns values
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif not isinstance(ts_type, T.TimestampType):
+        elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif not isinstance(ts_type, T.TimestampType):
+            # ADVICE r02: an unexpected ts type (e.g. string) must fail
+            # loudly here, not silently become NULLs downstream.
+            raise TypeError(
+                f"events.ts loaded as {ts_type}; expected TIMESTAMP, "
+                "TIMESTAMP_NTZ, or nanos-as-long"
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
