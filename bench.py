@@ -33,6 +33,9 @@ HEADLINE = [
     "e3_text_quality",
     "e6_sessionize",
     "f7_identifier_extract",
+    # round 3: the realistic end-to-end corpus-cleaning cost (MinHash
+    # candidate pairs → component fixpoint → canonical → Gopher filters)
+    "pipeline_clean_corpus",
 ]
 
 

@@ -9,10 +9,13 @@ engine work starts at ``sqlite_snapshot.snapshot_synonymizer`` /
 ``xml_source``; this module only closes the gap from "a URL and a hash"
 to "local verified files", so a reference user can go end-to-end.
 
-stdlib-only (urllib + hashlib + zipfile): works for https:// and, for
-tests, file:// URLs. The reference's paramiko/SFTP transport is a
-credentialed variant of the same ensure-verified contract; sftp:// URLs
-therefore raise with a pointer rather than half-working.
+stdlib-only for https:// and file:// (urllib + hashlib + zipfile).
+sftp:// — the reference's primary distribution channel
+(download_script.py:66-128) — goes through paramiko behind an optional
+import; the client is injectable (``sftp_client_factory``) so the
+verify-skip-redownload contract is testable without a real SSH endpoint,
+and a missing paramiko fails with an actionable ImportError only when an
+sftp URL is actually used.
 """
 
 from __future__ import annotations
@@ -39,8 +42,53 @@ def sha256_file(path: str) -> str:
     return h.hexdigest()
 
 
+def _parse_sftp_url(url: str) -> tuple[str, int, str | None, str | None, str]:
+    """(host, port, username, password, remote_path) from an sftp:// URL.
+    Credentials ride the URL for parity with the reference's CLI args
+    (download_script.py:28-37); key-based auth comes via a custom
+    ``sftp_client_factory``."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(url)
+    if u.scheme != "sftp" or not u.hostname or not u.path:
+        raise ValueError(f"not a usable sftp URL: {url!r}")
+    return (
+        u.hostname,
+        u.port or 22,
+        unquote(u.username) if u.username else None,
+        unquote(u.password) if u.password else None,
+        u.path,
+    )
+
+
+def paramiko_sftp_client(
+    host: str, port: int, username: str | None, password: str | None
+):
+    """Default SFTP client factory (reference download_script.py:66-75).
+    paramiko is an OPTIONAL dependency: importing here means an engine
+    that never touches sftp:// never needs it installed. The returned
+    client exposes ``open(path)`` / ``close()`` — the same two calls the
+    injected test stub implements."""
+    try:
+        import paramiko
+    except ImportError as e:  # pragma: no cover — env without paramiko
+        raise ImportError(
+            "sftp:// bootstrap needs paramiko (pip install paramiko), or "
+            "pass sftp_client_factory="
+        ) from e
+
+    transport = paramiko.Transport((host, port))
+    transport.connect(username=username, password=password)
+    client = paramiko.SFTPClient.from_transport(transport)
+    # closing the SFTPClient tears down the transport too
+    return client
+
+
 def ensure_downloaded(
-    url: str, local_path: str, expected_sha256: str | None = None
+    url: str,
+    local_path: str,
+    expected_sha256: str | None = None,
+    sftp_client_factory=None,
 ) -> str:
     """Idempotent fetch with the reference's verify-skip-redownload
     contract (download_script.py:170-217):
@@ -51,14 +99,10 @@ def ensure_downloaded(
     - no expected hash → download only if missing (and return the hash
       so callers can pin it forward)
 
+    ``sftp_client_factory(host, port, username, password)`` overrides the
+    paramiko default for sftp:// URLs (tests inject a stub transport).
     Returns the local file's SHA-256 hex digest.
     """
-    if url.startswith("sftp://"):
-        raise NotImplementedError(
-            "SFTP transport needs credentials + paramiko (reference "
-            "download_script.py); expose the file over https:// or "
-            "file:// instead"
-        )
     if os.path.exists(local_path):
         got = sha256_file(local_path)
         if expected_sha256 is None:
@@ -74,8 +118,19 @@ def ensure_downloaded(
     # later run would "verify"
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(local_path)))
     try:
-        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:  # noqa: S310 — caller-supplied source URL is the point
-            shutil.copyfileobj(resp, out, _CHUNK)
+        with os.fdopen(fd, "wb") as out:
+            if url.startswith("sftp://"):
+                host, port, user, pw, remote = _parse_sftp_url(url)
+                factory = sftp_client_factory or paramiko_sftp_client
+                client = factory(host, port, user, pw)
+                try:
+                    with client.open(remote) as resp:
+                        shutil.copyfileobj(resp, out, _CHUNK)
+                finally:
+                    client.close()
+            else:
+                with urllib.request.urlopen(url) as resp:  # noqa: S310 — caller-supplied source URL is the point
+                    shutil.copyfileobj(resp, out, _CHUNK)
         got = sha256_file(tmp)
         if expected_sha256 is not None and got.lower() != expected_sha256.lower():
             raise RuntimeError(

@@ -54,9 +54,71 @@ def test_bad_remote_hash_raises_and_leaves_no_file(remote, tmp_path):
     assert not dest.exists()  # temp-then-rename: no torn file
 
 
-def test_sftp_unsupported(tmp_path):
-    with pytest.raises(NotImplementedError):
-        B.ensure_downloaded("sftp://host/x", str(tmp_path / "x"), None)
+class _StubSftpClient:
+    """In-memory SFTP client with the open/close surface paramiko's
+    SFTPClient exposes — lets the verify-skip-redownload contract run
+    over sftp:// URLs with no SSH endpoint."""
+
+    files: dict[str, bytes] = {}
+    fetches = 0
+    connects: list[tuple] = []
+
+    def __init__(self, host, port, username, password):
+        type(self).connects.append((host, port, username, password))
+
+    def open(self, path):
+        import io
+
+        type(self).fetches += 1
+        return io.BytesIO(type(self).files[path])
+
+    def close(self):
+        pass
+
+
+def test_sftp_verify_skip_redownload_contract(tmp_path):
+    # S6 (download_script.py:170-217) over the injected stub transport:
+    # fetch+verify, skip-if-match (no refetch), refetch-on-corruption,
+    # and loud failure on a hash mismatch.
+    import hashlib
+
+    payload = b"synonymizer-bytes"
+    good = hashlib.sha256(payload).hexdigest()
+    _StubSftpClient.files = {"/data/syn.sqlite": payload}
+    _StubSftpClient.fetches = 0
+    _StubSftpClient.connects = []
+    url = "sftp://rtx:pw@dbhost:2222/data/syn.sqlite"
+    dest = tmp_path / "syn.sqlite"
+
+    got = B.ensure_downloaded(url, str(dest), good,
+                              sftp_client_factory=_StubSftpClient)
+    assert got == good and dest.read_bytes() == payload
+    assert _StubSftpClient.fetches == 1
+    # URL credentials/port reached the transport factory
+    assert _StubSftpClient.connects[0] == ("dbhost", 2222, "rtx", "pw")
+
+    # cache hit: verified local file → NO second fetch
+    B.ensure_downloaded(url, str(dest), good,
+                        sftp_client_factory=_StubSftpClient)
+    assert _StubSftpClient.fetches == 1
+
+    # corruption → re-download
+    dest.write_bytes(b"torn")
+    B.ensure_downloaded(url, str(dest), good,
+                        sftp_client_factory=_StubSftpClient)
+    assert _StubSftpClient.fetches == 2 and dest.read_bytes() == payload
+
+    # remote content not matching the pin → RuntimeError, no torn file
+    dest.unlink()
+    with pytest.raises(RuntimeError, match="hash verification failed"):
+        B.ensure_downloaded(url, str(dest), "0" * 64,
+                            sftp_client_factory=_StubSftpClient)
+    assert not dest.exists()
+
+
+def test_sftp_url_parsing_rejects_garbage():
+    with pytest.raises(ValueError):
+        B._parse_sftp_url("sftp://")
 
 
 def test_fetch_zip_member(tmp_path):
