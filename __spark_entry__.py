@@ -1130,6 +1130,26 @@ def _pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return clean_corpus(docs, pairs)
 
 
+def _e3_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    # Token-window chunking with overlap: per-row arrays + one
+    # posexplode, zero shuffle (plan-tested).
+    from drugbankner_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=16, overlap=4)
+
+
+def _e1_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Benchmark decontamination: flag train docs sharing any 8-gram with
+    # the benchmark slice (docs with doc_id % 40 == 0 stand in for an
+    # eval set).
+    from drugbankner_spark.operators.corpus import decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    return decontaminate(docs, bench, n=8)
+
+
 def _e2_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     # E2 support op: per-label mean-pooled centroid (IVF coarse
     # quantizer / class prototype), long format for stable value-hashes.
@@ -1148,6 +1168,28 @@ def _e1_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     pairs = D.minhash_band_pairs_rowwise(docs, "text", "doc_id", 16)
     return near_dup_clusters(docs, pairs, "doc_id")
+
+
+def _e1_dup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    # Same clustering via the O(log n)-round large-star/small-star
+    # algorithm — labels are the component minima either way, so the
+    # e1_dup_clusters oracle applies unchanged. Proves the adversarial-
+    # graph path end to end, not just on synthetic chains.
+    from drugbankner_spark.operators import dedup as D
+    from drugbankner_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf, "documents")
+    pairs = D.minhash_band_pairs_rowwise(docs, "text", "doc_id", 16)
+    comp = connected_components_star(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+            F.col("component").isNull().alias("is_singleton"),
+        )
+    )
 
 
 def _t_asof_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -1496,6 +1538,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q21_late_sole_supplier": _q21_late_sole_supplier,
         "q22_idle_customers": _q22_idle_customers,
+        # round 3: corpus-shaping ops + star connected components
+        "e3_chunk_documents": _e3_chunk_documents,
+        "e1_decontaminate": _e1_decontaminate,
+        "e1_dup_clusters_star": _e1_dup_clusters_star,
     }
 
 
@@ -1791,6 +1837,22 @@ def _sql_hash32(e: str) -> str:
     return (f"CAST(list_sum(list_transform(generate_series(1, 8), i -> "
             f"(strpos('0123456789abcdef', substr(substr(md5({e}), 1, 8), i, 1)) - 1)"
             f" * power(16, 8 - i))) AS BIGINT)")
+
+
+def _sql_shingles_n(n: int, table: str) -> str:
+    """Distinct n-token shingles of a docs relation (DuckDB) — the SQL
+    twin of dedup.token_shingles for arbitrary n."""
+    return f"""
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
+                       AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM {table}),
+                 UNNEST(generate_series(1, greatest(len(toks) - {n - 1}, 1)))
+                     AS g(i)
+        )
+    """
 
 
 _SQL_SHINGLES = """
@@ -2909,7 +2971,37 @@ def oracle_sql() -> dict[str, str]:
               AND n_distinct / n_tokens >= 0.2
               AND has_sw
         """,
+        "e3_chunk_documents": """
+            SELECT doc_id,
+                   CAST(s / 12 AS INT) AS chunk_index,
+                   array_to_string(list_slice(toks, s + 1, s + 16), ' ')
+                       AS chunk_text,
+                   len(string_split(
+                       array_to_string(list_slice(toks, s + 1, s + 16), ' '),
+                       ' ')) AS n_chunk_tokens
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+                 UNNEST(generate_series(0, greatest(len(toks) - 1, 0), 12))
+                     AS g(s)
+        """,
+        "e1_decontaminate": f"""
+            WITH tsh AS ({_sql_shingles_n(8, "documents")}),
+            bsh AS (
+                SELECT DISTINCT shingle FROM ({_sql_shingles_n(
+                    8, "(SELECT * FROM documents WHERE doc_id % 40 = 0)")})
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n_overlapping
+                FROM tsh JOIN bsh USING (shingle) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_overlapping, 0) AS n_overlapping,
+                   coalesce(h.n_overlapping, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
     }
     # the streaming suite must equal its batch twin — one oracle, two names
     out["e6_windows_batch"] = out["e6_windows"]
+    # star CC labels are the same component minima as propagation's
+    out["e1_dup_clusters_star"] = out["e1_dup_clusters"]
     return out

@@ -427,3 +427,59 @@ def test_incremental_exact_dedup_both_paths(spark):
         for r in D.incremental_exact_dedup(batch, corpus).collect()
     )
     assert out == [(11, "fresh stuff"), (13, "also new")]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from drugbankner_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "solo"),
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["chunk_index"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    }
+    # step = 2: windows at 0,2,4,6,8 — consecutive chunks share 2 tokens
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert rows[(1, 4)] == ("t8 t9", 2)       # short tail window
+    assert rows[(2, 0)] == ("solo", 1)        # sub-window doc: one chunk
+    assert rows[(3, 0)] == ("", 1)            # empty doc: one empty chunk
+    assert len(rows) == 7
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from drugbankner_spark.operators.corpus import chunk_documents
+    from drugbankner_spark.plans import explain as X
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert X.count_shuffles(chunk_documents(docs)) == 0
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from drugbankner_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram verbatim -> contaminated
+            (1, "prefix words the quick brown fox jumps over the lazy dog"),
+            # shares tokens but never 8 in a row -> clean
+            (2, "the quick brown cat sits under the lazy dog tonight"),
+            (3, "entirely unrelated text with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["contaminated"], r["n_overlapping"])
+           for r in decontaminate(train, bench, n=8).collect()}
+    assert got[1][0] is True and got[1][1] > 0
+    assert got[2] == (False, 0)
+    assert got[3] == (False, 0)

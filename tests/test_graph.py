@@ -56,3 +56,33 @@ def test_near_dup_clusters_singletons(spark):
         3: (3, True),                      # no pair: own cluster
         4: (4, False), 5: (4, False),
     }
+
+
+def test_star_components_match_propagation(spark):
+    from drugbankner_spark.operators.graph import connected_components_star
+
+    # mixed shapes: chain, triangle, isolated edge, reversed edges
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+         (20, 21), (9, 5), (5, 7)],
+    )
+    want = {(r["id"], r["component"])
+            for r in connected_components(e).collect()}
+    got = {(r["id"], r["component"])
+           for r in connected_components_star(e).collect()}
+    assert got == want
+
+
+def test_star_components_long_chain_converges_fast(spark):
+    # the adversarial case the propagation algorithm CANNOT handle in
+    # bounded rounds: a 300-node path has diameter 299, so min-label
+    # propagation needs 299 rounds; large-star/small-star must label the
+    # whole chain with component 0 within its default O(log n) budget.
+    from drugbankner_spark.operators.graph import connected_components_star
+
+    n = 300
+    e = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    rows = connected_components_star(e, max_iterations=15).collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
