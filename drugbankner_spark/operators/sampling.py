@@ -78,3 +78,41 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    fraction: float,
+    seed: str = "",
+    kernel: str = "md5",
+) -> DataFrame:
+    """EXACT-fraction-per-stratum sample: within each stratum, rows are
+    ranked by their deterministic key hash and the top
+    ``ceil(n * fraction)`` survive. Unlike ``hash_sample`` (whose
+    per-stratum yield fluctuates binomially — fatal for small or skewed
+    strata), every stratum contributes exactly its share, so class
+    balance survives the sample. Still fully deterministic in
+    (keys, seed): reruns and repartitions produce the identical sample.
+
+    Cost: one window over (strata → hash order) — a single shuffle on
+    the strata columns; rank ties are impossible (hash of distinct keys,
+    ties broken by key string). At 100 TB this is the corpus-curation
+    form of stratified draws: strata = (lang, source), key = doc_id.
+    """
+    from pyspark.sql import Window
+
+    h = content_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(seed)), kernel
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), F.col(key_col).cast("string").asc()
+    )
+    wc = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
+        .drop("_rn", "_n")
+    )
