@@ -108,11 +108,27 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _edge_invariant(e: DataFrame) -> tuple:
+    """One-aggregation convergence fingerprint of a DISTINCT edge set:
+    (row count, order-free bit-XOR of xxhash64(a, b)). The star rounds
+    always emit distinct edges, so XOR never cancels duplicates; two
+    successive rounds with equal fingerprints are equal edge sets up to
+    a 2^-64 hash-collision probability — one hash agg (a single action)
+    instead of the two full ``exceptAll`` distinct-compare shuffles the
+    naive check costs per round."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("a", "b")).alias("x"),
+    ).first()
+    return (row["n"], row["x"])
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 40,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Two-phase large-star/small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond") — same output
@@ -125,6 +141,11 @@ def connected_components_star(
     remains the default for near-dup cliques (diameter 2-3, fewer
     shuffles per round). Deterministic: the final label is the component
     minimum, independent of partitioning.
+
+    Convergence is detected by comparing one-agg edge-set fingerprints
+    (``_edge_invariant``) across rounds — a single action per round
+    instead of two ``exceptAll`` compares. Pass ``stats={}`` to receive
+    ``stats["rounds"]``, the number of star rounds executed.
     """
     nodes = (
         edges.select(F.col(src).alias("id"))
@@ -138,14 +159,18 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_inv = _edge_invariant(e)
+    rounds = 0
     for _ in range(max_iterations):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        changed = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        )
+        rounds += 1
+        inv = _edge_invariant(e2)
         e = e2
-        if changed == 0:
+        if inv == prev_inv:
             break
+        prev_inv = inv
+    if stats is not None:
+        stats["rounds"] = rounds
     # converged: e is a star forest large→small; centers label themselves
     return (
         nodes.join(e.withColumnRenamed("a", "id"), "id", "left")

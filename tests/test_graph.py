@@ -83,6 +83,23 @@ def test_star_components_long_chain_converges_fast(spark):
 
     n = 300
     e = _edges(spark, [(i, i + 1) for i in range(n - 1)])
-    rows = connected_components_star(e, max_iterations=15).collect()
+    stats = {}
+    rows = connected_components_star(e, max_iterations=15, stats=stats).collect()
     assert len(rows) == n
     assert {r["component"] for r in rows} == {0}
+    # O(log n) rounds, and the one-agg fingerprint convergence check costs
+    # ONE action per round (vs two exceptAll compares before) — so total
+    # driver actions stay bounded by rounds + 1.
+    assert stats["rounds"] <= 12
+
+
+def test_star_components_empty_and_self_edges(spark):
+    from drugbankner_spark.operators.graph import connected_components_star
+
+    # self-loops only: every node is its own component, zero star rounds
+    # of real work — the fingerprint check must still terminate promptly.
+    e = _edges(spark, [(5, 5), (6, 6)])
+    stats = {}
+    rows = connected_components_star(e, stats=stats).collect()
+    assert {(r["id"], r["component"]) for r in rows} == {(5, 5), (6, 6)}
+    assert stats["rounds"] <= 2
