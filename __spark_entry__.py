@@ -1025,10 +1025,12 @@ def _e2_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-#: Built LSH index paths keyed by (session id, sf dir) — build once,
+#: Built LSH index paths keyed by (applicationId, sf dir) — build once,
 #: probe many (the ANN serving amortization; results are identical to
-#: inline lsh_topk, tested in tests/test_partitioning.py).
-_LSH_INDEX: dict[tuple[int, str], str] = {}
+#: inline lsh_topk, tested in tests/test_partitioning.py). applicationId,
+#: not id(spark): object addresses are reused after GC, so an id-keyed
+#: cache could serve a new session an index bound to a dead one.
+_LSH_INDEX: dict[tuple[str, str], str] = {}
 
 
 def _e2_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1041,7 +1043,7 @@ def _e2_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators import similarity as SIM
 
     emb = load_table(spark, sf, "embeddings")
-    key = (id(spark), sf)
+    key = (spark.sparkContext.applicationId, sf)
     if key not in _LSH_INDEX:
         path = tempfile.mkdtemp(prefix="lsh_index_") + "/idx"
         SIM.build_lsh_index(emb, path, num_planes=8, dim=64)
@@ -1358,15 +1360,16 @@ def _e6_windows_batch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 #: Normalized micro-batch copies of the events table, keyed by
-#: (session id, sf dir) — the readStream file source for _e6_windows.
-_STREAM_SRC: dict[tuple[int, str], str] = {}
+#: (applicationId, sf dir) — the readStream file source for the e6
+#: streaming queries (applicationId, not id(spark): see _LSH_INDEX).
+_STREAM_SRC: dict[tuple[str, str], str] = {}
 _STREAM_SEQ = __import__("itertools").count()
 
 
 def _events_stream_dir(spark: SparkSession, sf: str) -> str:
     import tempfile
 
-    key = (id(spark), sf)
+    key = (spark.sparkContext.applicationId, sf)
     if key not in _STREAM_SRC:
         d = tempfile.mkdtemp(prefix="events_stream_")
         load_table(spark, sf, "events").repartition(2).write.mode(

@@ -434,19 +434,60 @@ def label_centroids(
 # partition pruning demonstrated in tests/test_partitioning.py.
 # --------------------------------------------------------------------------
 
-#: Memoized analyzed index reads keyed by (session id, path). Analyzing a
-#: partitioned layout lists every partition directory on the driver
-#: (~0.5-1 s for a 256-bucket index) — pure overhead to repeat per probe.
-#: The cached DataFrame is lazy; literal partition predicates applied on
-#: top of it still prune at planning time.
-_INDEX_READS: dict[tuple[int, str], DataFrame] = {}
+#: Memoized analyzed index reads keyed by (applicationId, path).
+#: Analyzing a partitioned layout lists every partition directory on the
+#: driver (~0.5-1 s for a 256-bucket index) — pure overhead to repeat per
+#: probe. The cached DataFrame is lazy; literal partition predicates
+#: applied on top of it still prune at planning time. Keyed by
+#: ``sparkContext.applicationId`` (stable + unique per session), NOT
+#: ``id(spark)`` — CPython reuses object addresses after GC, so an
+#: id-keyed cache can hand a new session a DataFrame bound to a dead one.
+_INDEX_READS: dict[tuple[str, str], DataFrame] = {}
+
+#: Serving-contract cap on probe query rows: probes collect the query
+#: side to the driver (bucket list + broadcast). Past this, use the batch
+#: operators ``lsh_topk`` / ``ivf_topk`` instead.
+PROBE_QUERY_CAP = 10_000
+
+
+def _session_key(spark) -> str:
+    return spark.sparkContext.applicationId
 
 
 def _read_index(spark, path: str) -> DataFrame:
-    key = (id(spark), path)
+    key = (_session_key(spark), path)
     if key not in _INDEX_READS:
         _INDEX_READS[key] = spark.read.parquet(path)
     return _INDEX_READS[key]
+
+
+def invalidate_index_cache(spark, path: str) -> None:
+    """Drop the memoized read for ``path`` and refresh Spark's own file
+    listing. Called by every build/append so a rebuilt index at the same
+    path is never served from deleted files (parquet reads resolve the
+    file listing eagerly — without this, post-rebuild probes hit
+    FileNotFoundException or silently stale results)."""
+    _INDEX_READS.pop((_session_key(spark), path), None)
+    try:
+        spark.catalog.refreshByPath(path)
+    except Exception:
+        pass  # path not yet known to the catalog — nothing to refresh
+
+
+def _collect_probe_queries(q: DataFrame, caller: str) -> list:
+    """Materialize the (small, by serving contract) query side with a cap:
+    ``limit(cap+1)`` so an oversized probe costs one extra row, not an
+    unbounded driver collect, and fails with the batch path named."""
+    rows = q.limit(PROBE_QUERY_CAP + 1).collect()
+    if len(rows) > PROBE_QUERY_CAP:
+        raise ValueError(
+            f"{caller}: probe query side exceeds PROBE_QUERY_CAP="
+            f"{PROBE_QUERY_CAP} rows. Index probes collect the query side "
+            "to the driver (bucket list + broadcast join side); for batch "
+            "query sets use the distributed operators lsh_topk / ivf_topk "
+            "instead."
+        )
+    return rows
 
 
 def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -494,6 +535,40 @@ def build_lsh_index(
         .option("maxRecordsPerFile", 4_000_000)
         .partitionBy("bucket").parquet(path)
     )
+    invalidate_index_cache(corpus.sparkSession, path)
+
+
+def append_to_lsh_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> None:
+    """Incremental index maintenance: bucket-assign ONLY the new vectors
+    (same deterministic hyperplanes as ``build_lsh_index``, so the layout
+    stays probe-compatible) and append them into the existing
+    bucket-partitioned directory. Append mode adds files solely under the
+    buckets the new vectors hash to — existing partitions are untouched,
+    so maintaining a 100 TB index costs O(new data), never a rebuild.
+    A post-append probe equals a probe of a fresh full build (parity
+    tested in tests/test_partitioning.py)."""
+    planes = [hyperplane(dim, j) for j in range(num_planes)]
+    (
+        new_vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.concat(F.lit("b"), lsh_bucket(F.col(vec_col), planes)).alias(
+                "bucket"
+            ),
+        )
+        .repartition("bucket")  # one file per touched bucket per append
+        .write.mode("append")
+        .option("maxRecordsPerFile", 4_000_000)
+        .partitionBy("bucket").parquet(path)
+    )
+    invalidate_index_cache(new_vectors.sparkSession, path)
 
 
 def probe_lsh_index(
@@ -521,7 +596,7 @@ def probe_lsh_index(
     # one materialization of the (small, by serving contract) query side:
     # the collected rows provide BOTH the pruning bucket list and the
     # broadcast join side — no second scan of the query source
-    qrows = q.collect()
+    qrows = _collect_probe_queries(q, "probe_lsh_index")
     want = sorted({r["bucket"] for r in qrows})
     q_local = spark.createDataFrame(qrows, q.schema)
     idx = _read_index(spark, path).filter(F.col("bucket").isin(want))
@@ -566,6 +641,39 @@ def build_ivf_index(
         .option("maxRecordsPerFile", 4_000_000)
         .partitionBy("cell").parquet(path)
     )
+    invalidate_index_cache(corpus.sparkSession, path)
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    dim: int = 64,
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new vectors to cells
+    with the same deterministic centroids as ``build_ivf_index`` and
+    append under the existing cell-partitioned layout — O(new data),
+    touching only the cells the new vectors land in. Post-append probes
+    equal a fresh full build (parity tested). Note: like every IVF, a
+    drifting data distribution eventually wants re-learned centroids —
+    that is the full ``build_ivf_index`` rebuild path, by design."""
+    cents = [hyperplane(dim, 1000 + j) for j in range(n_centroids)]
+    (
+        new_vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_max(_cell_scores(F.col(vec_col), cents))["cell"].alias(
+                "cell"
+            ),
+        )
+        .repartition("cell")
+        .write.mode("append")
+        .option("maxRecordsPerFile", 4_000_000)
+        .partitionBy("cell").parquet(path)
+    )
+    invalidate_index_cache(new_vectors.sparkSession, path)
 
 
 def probe_ivf_index(
@@ -596,7 +704,7 @@ def probe_ivf_index(
             )
         ).alias("cell"),
     )
-    qrows = q.collect()
+    qrows = _collect_probe_queries(q, "probe_ivf_index")
     want = sorted({r["cell"] for r in qrows})
     q_local = spark.createDataFrame(qrows, q.schema)
     idx = _read_index(spark, path).filter(F.col("cell").isin(want))
