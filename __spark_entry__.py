@@ -1109,6 +1109,18 @@ def _e5_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact-fraction-per-stratum draw: within each lang, the top
+    # ceil(n*0.2) docs by deterministic key hash survive — class balance
+    # holds exactly, unlike binomial hash_sample yields (ADVICE r03).
+    from drugbankner_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    return stratified_sample(docs, ["lang"], "doc_id", 0.2).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def _e3_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     # E3: Gopher-style rule filter — one scan, zero shuffles, flags +
     # keep emitted together so drop reasons are auditable.
@@ -1521,6 +1533,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "e5_hash_sample": _e5_hash_sample,
         "e5_hash_split": _e5_hash_split,
+        "e5_stratified_sample": _e5_stratified_sample,
         "e3_tfidf": _e3_tfidf,
         "e1_incremental_dedup": _e1_incremental_dedup,
         "e3_repetition": _e3_repetition,
@@ -2915,6 +2928,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type
             FROM events
             WHERE {_sql_hash32("CAST(event_id AS VARCHAR)")} % 10000 < 1000
+        """,
+        "e5_stratified_sample": f"""
+            WITH h AS (
+                SELECT doc_id, lang, n_chars,
+                       {_sql_hash32("CAST(doc_id AS VARCHAR)")} AS hv
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY hv ASC, CAST(doc_id AS VARCHAR) ASC
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM h
+            )
+            SELECT doc_id, lang, n_chars FROM r WHERE rn <= ceil(n * 0.2)
         """,
         "e5_hash_split": f"""
             WITH b AS (

@@ -80,8 +80,31 @@ def paramiko_sftp_client(
     transport = paramiko.Transport((host, port))
     transport.connect(username=username, password=password)
     client = paramiko.SFTPClient.from_transport(transport)
-    # closing the SFTPClient tears down the transport too
-    return client
+    # SFTPClient.close() only closes the SFTP channel — the Transport
+    # thread and SSH socket stay alive, leaking one connection per
+    # download in a long-lived driver. Wrap close() so the cleanup path
+    # in ensure_downloaded tears down BOTH.
+    return _TransportClosingClient(client, transport)
+
+
+class _TransportClosingClient:
+    """Thin SFTP-client wrapper whose ``close()`` also closes the
+    underlying paramiko Transport (channel close alone leaks the SSH
+    socket + reader thread). Exposes the same two-call surface the
+    injected test stubs implement: ``open(path)`` / ``close()``."""
+
+    def __init__(self, client, transport):
+        self._client = client
+        self._transport = transport
+
+    def open(self, path):
+        return self._client.open(path)
+
+    def close(self):
+        try:
+            self._client.close()
+        finally:
+            self._transport.close()
 
 
 def ensure_downloaded(

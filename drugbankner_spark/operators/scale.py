@@ -182,20 +182,41 @@ def compact_small_files(
 
     All filesystem steps (size listing, swap) go through the Hadoop
     FileSystem API, so this runs unchanged against HDFS/S3A, not just
-    the driver's local disk. The swap is delete-then-rename: atomic on
-    HDFS; on object stores rename is copy-based, so schedule compaction
-    in a maintenance window (same caveat as any non-transactional
-    layout — a table format with commit semantics is the upgrade path)."""
+    the driver's local disk. The swap is rename-to-backup → rename-tmp-in
+    → delete-backup, with every Hadoop boolean return CHECKED (they
+    signal failure by returning False, not raising): the dataset is never
+    deleted before its replacement is in place, and a failed step raises
+    IOError instead of silently returning a success count. Renames are
+    atomic on HDFS; on object stores rename is copy-based, so schedule
+    compaction in a maintenance window (same caveat as any
+    non-transactional layout — a table format with commit semantics is
+    the upgrade path)."""
     fs, src = _hadoop_fs(spark, path)
     on_disk = _tree_bytes(fs, src)
     n_files = max(1, round(on_disk / target_file_bytes))
     df = spark.read.parquet(path)
     tmp_str = path.rstrip("/") + ".compact.tmp"
+    bak_str = path.rstrip("/") + ".compact.bak"
     _, tmp = _hadoop_fs(spark, tmp_str)
+    _, bak = _hadoop_fs(spark, bak_str)
+    if fs.exists(bak):
+        raise IOError(
+            f"compact_small_files: stale backup {bak_str} exists — a "
+            "previous compaction died mid-swap; inspect/restore it first"
+        )
     w = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp_str)
-    fs.delete(src, True)
-    fs.rename(tmp, src)
+    if not fs.rename(src, bak):
+        raise IOError(f"compact_small_files: rename {path} -> {bak_str} failed")
+    if not fs.rename(tmp, src):
+        # put the original back before raising — no data-loss window
+        fs.rename(bak, src)
+        raise IOError(f"compact_small_files: rename {tmp_str} -> {path} failed")
+    if not fs.delete(bak, True):
+        raise IOError(
+            f"compact_small_files: compaction succeeded but deleting the "
+            f"backup {bak_str} failed — remove it before the next run"
+        )
     return n_files

@@ -121,6 +121,34 @@ def test_sftp_url_parsing_rejects_garbage():
         B._parse_sftp_url("sftp://")
 
 
+def test_transport_closing_client_closes_both():
+    # ADVICE r03: SFTPClient.close() alone leaves the paramiko Transport
+    # thread + SSH socket alive. The wrapper must close BOTH — and close
+    # the transport even when the channel close raises.
+    closed = []
+
+    class _C:
+        def close(self):
+            closed.append("client")
+
+    class _T:
+        def close(self):
+            closed.append("transport")
+
+    B._TransportClosingClient(_C(), _T()).close()
+    assert closed == ["client", "transport"]
+
+    class _Boom:
+        def close(self):
+            closed.append("boom")
+            raise RuntimeError("channel already dead")
+
+    closed.clear()
+    with pytest.raises(RuntimeError):
+        B._TransportClosingClient(_Boom(), _T()).close()
+    assert closed == ["boom", "transport"]
+
+
 def test_fetch_zip_member(tmp_path):
     bundle = tmp_path / "remote.zip"
     with zipfile.ZipFile(bundle, "w") as zf:

@@ -353,6 +353,35 @@ def test_hash_split_disjoint_complete_and_stable(spark):
         hash_split(docs, "doc_id", {"train": 0.5, "test": 0.1})
 
 
+def test_stratified_sample_exact_fraction_and_determinism(spark):
+    # ADVICE r03: the exact-fraction-per-stratum and determinism claims
+    # were untested. Per stratum: EXACTLY ceil(n * fraction) survivors;
+    # identical sample under repartition; a different seed moves it.
+    import math
+
+    from drugbankner_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF, "documents")
+    frac = 0.2
+    per_stratum = {r["lang"]: r["n"] for r in
+                   docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = stratified_sample(docs, ["lang"], "doc_id", frac)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {
+        lang: math.ceil(n * frac) for lang, n in per_stratum.items()
+    }
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs.repartition(13), ["lang"], "doc_id", frac)
+         .select("doc_id").collect()}
+    assert a == b                                  # repartition-invariant
+    c = {r["doc_id"] for r in
+         stratified_sample(docs, ["lang"], "doc_id", frac, seed="s2")
+         .select("doc_id").collect()}
+    assert c != a and len(c) == len(a)             # seed moves, size holds
+
+
 def test_redact_pii_planted_fixtures(spark):
     from drugbankner_spark.operators import textanalysis as TA
 
