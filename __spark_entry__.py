@@ -1327,6 +1327,17 @@ def _e4_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
     return MM.media_metadata(MM.documents_as_media(docs))
 
 
+def _e4_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL stdlib PNG codec under the driver: pack each doc's UTF-8
+    # bytes into a grayscale PNG, decode it back, digest the recovered
+    # bytes. The oracle digests the ORIGINAL bytes without touching PNG
+    # — a hash match proves the encode→decode round-trip is lossless.
+    from drugbankner_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents")
+    return MM.png_roundtrip_digest(MM.documents_as_media(docs))
+
+
 # ---------------------------------------------------------------------------
 # E6: windowed event aggregations (batch kernels; the streaming wrappers
 # run the identical plans — tests/test_streaming.py asserts equality).
@@ -1533,7 +1544,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "e5_hash_sample": _e5_hash_sample,
         "e5_hash_split": _e5_hash_split,
-        "e5_stratified_sample": _e5_stratified_sample,
         "e3_tfidf": _e3_tfidf,
         "e1_incremental_dedup": _e1_incremental_dedup,
         "e3_repetition": _e3_repetition,
@@ -1558,6 +1568,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_chunk_documents": _e3_chunk_documents,
         "e1_decontaminate": _e1_decontaminate,
         "e1_dup_clusters_star": _e1_dup_clusters_star,
+        # round 4: real stdlib PNG codec + exact stratified draws
+        "e4_png_decode": _e4_png_decode,
+        "e5_stratified_sample": _e5_stratified_sample,
     }
 
 
@@ -2569,6 +2582,15 @@ def oracle_sql() -> dict[str, str]:
                    'application/octet-stream' AS mime_type,
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS payload_sha256
+            FROM documents
+        """,
+        "e4_png_decode": """
+            SELECT doc_id AS media_id,
+                   32 AS width,
+                   CAST(greatest(ceil(octet_length(encode(text)) / 32.0), 1)
+                        AS INTEGER) AS height,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS decoded_sha256
             FROM documents
         """,
         "e6_windows": """

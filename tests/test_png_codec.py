@@ -1,0 +1,184 @@
+"""Tests for the pure-stdlib PNG codec (functions/png_codec.py) and its
+wiring as the REAL decode/resize path of operators/multimodal.py.
+
+The decoder is verified against HAND-COMPUTED filter reconstructions
+(RFC 2083 §6), not just round-trips through our own encoder — the
+filter math (Sub/Up/Average/Paeth) is checked independently."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from drugbankner_spark.functions import png_codec as png
+
+
+def _build_png(width, height, color_type, raw_scanlines, plte=None,
+               bit_depth=8, interlace=0):
+    """Hand-assemble a PNG from an explicit filtered scanline stream."""
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
+    out = png.PNG_SIGNATURE + png._chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += png._chunk(b"PLTE", plte)
+    out += png._chunk(b"IDAT", zlib.compress(bytes(raw_scanlines)))
+    return out + png._chunk(b"IEND", b"")
+
+
+def test_decode_all_filter_types_hand_computed_gray():
+    # 3x4 grayscale exercising filters Sub, Up, Average, Paeth with
+    # expected pixels computed by hand from the spec's reconstruction
+    # functions — independent of our encoder.
+    raw = bytes(
+        [1, 10, 5, 5]      # Sub:     10, 15, 20
+        + [2, 1, 1, 1]     # Up:      11, 16, 21
+        + [3, 2, 2, 2]     # Average:  7, 13, 19
+        + [4, 3, 3, 3]     # Paeth:   10, 16, 22
+    )
+    img = png.decode_png(_build_png(3, 4, 0, raw))
+    assert (img["width"], img["height"], img["channels"]) == (3, 4, 1)
+    assert list(img["pixels"]) == [
+        10, 15, 20,
+        11, 16, 21,
+        7, 13, 19,
+        10, 16, 22,
+    ]
+
+
+def test_decode_rgb_sub_and_up_filters():
+    # 2x2 RGB: Sub works at bpp=3 stride (left neighbor is 3 bytes back)
+    raw = bytes(
+        [1, 100, 110, 120, 10, 10, 10]   # Sub
+        + [2, 5, 5, 5, 6, 6, 6]          # Up
+    )
+    img = png.decode_png(_build_png(2, 2, 2, raw))
+    assert img["channels"] == 3
+    assert list(img["pixels"]) == [
+        100, 110, 120, 110, 120, 130,
+        105, 115, 125, 116, 126, 136,
+    ]
+
+
+def test_decode_palette_expands_to_rgb():
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    raw = bytes([0, 0, 1])  # filter 0, indices [0, 1]
+    img = png.decode_png(_build_png(2, 1, 3, raw, plte=plte))
+    assert img["channels"] == 3
+    assert list(img["pixels"]) == [255, 0, 0, 0, 255, 0]
+
+
+def test_decode_rejects_corruption_and_unsupported():
+    raw = bytes([0, 7, 7])
+    good = _build_png(2, 1, 0, raw)
+    # flip one IDAT byte → CRC must catch it
+    idat_at = good.find(b"IDAT") + 4
+    bad = bytearray(good)
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"GIF89a not a png")
+    with pytest.raises(ValueError, match="bit depth"):
+        png.decode_png(_build_png(2, 1, 0, raw, bit_depth=16))
+    with pytest.raises(ValueError, match="interlace"):
+        png.decode_png(_build_png(2, 1, 0, raw, interlace=1))
+    with pytest.raises(ValueError, match="palette index"):
+        png.decode_png(
+            _build_png(2, 1, 3, raw, plte=bytes([1, 2, 3]))  # idx 7 > 0
+        )
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_encode_decode_roundtrip(channels):
+    w, h = 5, 3
+    pixels = bytes(
+        (i * 37 + c * 11) % 256
+        for i in range(w * h) for c in range(channels)
+    )
+    data = png.encode_png(pixels, w, h, channels)
+    img = png.decode_png(data)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
+    assert img["pixels"] == pixels
+
+
+def test_resize_nearest_up_and_down():
+    # 2x2 gray → 4x4: each source pixel becomes a 2x2 block
+    up = png.resize_nearest(bytes([1, 2, 3, 4]), 2, 2, 1, 4, 4)
+    assert list(up) == [
+        1, 1, 2, 2,
+        1, 1, 2, 2,
+        3, 3, 4, 4,
+        3, 3, 4, 4,
+    ]
+    # 4x4 → 2x2 picks rows/cols 0 and 2
+    src = bytes(range(16))
+    down = png.resize_nearest(src, 4, 4, 1, 2, 2)
+    assert list(down) == [0, 2, 8, 10]
+
+
+def test_resize_png_full_path():
+    pixels = bytes(range(16))
+    out = png.resize_png(png.encode_png(pixels, 4, 4, 1), 2, 2)
+    img = png.decode_png(out)
+    assert (img["width"], img["height"]) == (2, 2)
+    assert list(img["pixels"]) == [0, 2, 8, 10]
+
+
+def test_png_stats():
+    s = png.png_stats(png.encode_png(bytes([0, 10, 20, 30]), 2, 2, 1))
+    assert s == {
+        "width": 2, "height": 2, "channels": 1,
+        "mean": 15.0, "min": 0, "max": 30,
+    }
+
+
+# --- Spark wiring: the REAL (non-fake) E4 paths over PNG payloads -------
+
+
+def _png_media_df(spark):
+    rows = [
+        (1, png.encode_png(bytes([0, 10, 20, 30]), 2, 2, 1), "image/png"),
+        (2, png.encode_png(bytes(range(48)), 4, 4, 3), "image/png"),
+    ]
+    return spark.createDataFrame(
+        [(i, bytearray(p), m, len(p)) for i, p, m in rows],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+
+
+def test_decode_media_real_path_png(spark):
+    from drugbankner_spark.operators.multimodal import decode_media
+
+    out = {r["media_id"]: r["feature"]
+           for r in decode_media(_png_media_df(spark)).collect()}
+    assert out[1] == [2.0, 2.0, 1.0, 15.0, 0.0, 30.0]
+    assert out[2][:3] == [4.0, 4.0, 3.0]
+    assert out[2][4] == 0.0 and out[2][5] == 47.0
+
+
+def test_resize_images_real_path_png(spark):
+    from drugbankner_spark.operators.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in
+           resize_images(_png_media_df(spark), width=2, height=2).collect()}
+    img = png.decode_png(bytes(out[2]["payload"]))
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    # nearest-neighbor of the 4x4 RGB ramp picks pixels (0,0),(0,2),(2,0),(2,2)
+    assert list(img["pixels"]) == (
+        list(range(0, 3)) + list(range(6, 9))
+        + list(range(24, 27)) + list(range(30, 33))
+    )
+
+
+def test_decode_media_non_png_still_raises(spark):
+    from drugbankner_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff jpeg-ish"), "image/jpeg", 12)],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|only PNG"):
+        decode_media(df).collect()
