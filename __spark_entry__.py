@@ -1428,15 +1428,35 @@ def _e6_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _e6_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    from drugbankner_spark.streaming.windows import session_windows
+    # DRIVER-FACING form runs through Structured Streaming like
+    # _e6_windows (VERDICT r03 next #4): readStream over the events
+    # files → watermark → the SAME session_window kernel → memory sink
+    # via trigger(availableNow). Complete mode: each epoch re-emits the
+    # full session table, so the final result equals the batch twin
+    # (session_windows over the static table — stream==batch is also
+    # pinned in tests/test_streaming.py) and the oracle is unchanged.
+    from drugbankner_spark.streaming import streams as S
 
-    return session_windows(load_table(spark, sf, "events"))
+    d = _events_stream_dir(spark, sf)
+    n = next(_STREAM_SEQ)
+    return S.run_to_memory(
+        S.session_stream(S.read_event_stream(spark, d)),
+        f"e6_stream_sess_{n}", output_mode="complete",
+    )
 
 
 def _e6_props_json(spark: SparkSession, sf: str) -> DataFrame:
-    from drugbankner_spark.streaming.windows import parse_props
+    # Stateless transformation under readStream: append mode, no agg —
+    # each micro-batch emits its parsed rows; the union over batches
+    # equals the batch answer (same oracle).
+    from drugbankner_spark.streaming import streams as S
 
-    return parse_props(load_table(spark, sf, "events"))
+    d = _events_stream_dir(spark, sf)
+    n = next(_STREAM_SEQ)
+    return S.run_to_memory(
+        S.parse_props_stream(S.read_event_stream(spark, d)),
+        f"e6_stream_props_{n}", output_mode="append",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

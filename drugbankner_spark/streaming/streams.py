@@ -57,6 +57,15 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     return session_windows(events, gap)
 
 
+def parse_props_stream(events: DataFrame) -> DataFrame:
+    """Stateless streaming face of ``windows.parse_props`` — runs in
+    append mode (no aggregation state at all): each micro-batch emits
+    its parsed rows and the union over batches equals the batch answer."""
+    from drugbankner_spark.streaming.windows import parse_props
+
+    return parse_props(events)
+
+
 def dedup_stream(events: DataFrame) -> DataFrame:
     """Stateful streaming dedup with bounded state: duplicates arriving
     within the watermark horizon are dropped; state for older keys is
