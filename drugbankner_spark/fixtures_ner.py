@@ -33,6 +33,22 @@ EP1_LEXICON: dict[str, list[str]] = {
     "ecotrin": [],
 }
 
+#: Second stub config (VERDICT r03 next #8): the reference runs FIVE NER
+#: configs per sentence and folds the hits (perform_NER.py:79-99, U1);
+#: the driver EP1 query unions this config with EP1_LEXICON so the
+#: multi-config merge is exercised at hash grade. The overlap is
+#: deliberate: "hepatic metabolism with token" is a LONGER surface for
+#: MESH:300 than config 1's "hepatic metabolism", so the cross-config
+#: longest-name upgrade (A2) VISIBLY changes the EP1 output row;
+#: "inhibits cyclooxygenase" hits a curie the synonymizer doesn't know
+#: (GO:0815 is absent from the fixture), exercising the aligned-to-
+#: nothing drop path; "reduces fever" is detected-but-unlinked.
+EP1_LEXICON_ALT: dict[str, list[str]] = {
+    "inhibits cyclooxygenase": ["GO:0815"],
+    "hepatic metabolism with token": ["MESH:300"],
+    "reduces fever": [],
+}
+
 MINI_XML = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests", "fixtures", "mini_drugbank.xml",
@@ -52,6 +68,20 @@ DETECTED_ROWS: list[tuple] = [
     ("CHEBI:100", "\n Treats headache", "treats headache", "UMLS:600"),
     ("CHEBI:100", " Also reduces fever in adults and children over twelve",
      "fever", None),
+    ("CHEBI:100", "A classic drug  with history", None, None),
+]
+
+#: Frozen output of the SECOND stub config (EP1_LEXICON_ALT) over the
+#: same sentences — the multi-config union's other branch. Regenerate
+#: with ``python -m drugbankner_spark.fixtures_ner``.
+DETECTED_ROWS_ALT: list[tuple] = [
+    ("CHEBI:100", "\n Hepatic metabolism with token inside",
+     "hepatic metabolism with token", "MESH:300"),
+    ("CHEBI:100", "\n Inhibits cyclooxygenase irreversibly acetylating "
+     "serine-530 residues thereof", "inhibits cyclooxygenase", "GO:0815"),
+    ("CHEBI:100", "\n Treats headache", None, None),
+    ("CHEBI:100", " Also reduces fever in adults and children over twelve",
+     "reduces fever", None),
     ("CHEBI:100", "A classic drug  with history", None, None),
 ]
 
@@ -110,9 +140,12 @@ def _mini_records(spark: SparkSession):
     return records, syn
 
 
-def live_detected(spark: SparkSession) -> DataFrame:
+def live_detected(
+    spark: SparkSession, lexicon: dict[str, list[str]] | None = None
+) -> DataFrame:
     """Re-run sentence prep + stub detection over the mini XML through the
-    real operators (the exact path run_ep1's mechanistic branch takes)."""
+    real operators (the exact path run_ep1's mechanistic branch takes).
+    ``lexicon`` selects the stub config (default: EP1_LEXICON)."""
     from drugbankner_spark import pipelines as P
     from drugbankner_spark.operators import ner as NER
 
@@ -120,7 +153,7 @@ def live_detected(spark: SparkSession) -> DataFrame:
     sentences = NER.prepare_sentences(records, P.mechanistic_text(), ["kg2_id"])
     return NER.detect_entities(
         sentences, "sentence", ["kg2_id"],
-        NER.make_stub_model_factory(EP1_LEXICON),
+        NER.make_stub_model_factory(lexicon or EP1_LEXICON),
     ).select(*DETECTED_COLS)
 
 
@@ -171,7 +204,10 @@ def _values_sql(rows: list[tuple], cols: list[str]) -> str:
 
 
 def detected_values_sql() -> str:
-    return _values_sql(DETECTED_ROWS, DETECTED_COLS)
+    """Union of BOTH configs' frozen detections — the EP1/EP2 oracles
+    start from the same multi-config detected set the pipeline unions
+    (U1), so the hash checks the cross-config merge too."""
+    return _values_sql(DETECTED_ROWS + DETECTED_ROWS_ALT, DETECTED_COLS)
 
 
 def bioentities_values_sql() -> str:
@@ -186,9 +222,16 @@ def _regen() -> None:  # pragma: no cover — fixture maintenance tool
     det = sorted(
         tuple(r) for r in live_detected(spark).collect()
     )
+    det_alt = sorted(
+        tuple(r) for r in live_detected(spark, EP1_LEXICON_ALT).collect()
+    )
     bio = sorted(tuple(r) for r in live_bioentities(spark).collect())
     print("DETECTED_ROWS: list[tuple] = [")
     for r in det:
+        print(f"    {r!r},")
+    print("]")
+    print("DETECTED_ROWS_ALT: list[tuple] = [")
+    for r in det_alt:
         print(f"    {r!r},")
     print("]")
     print("BIOENTITY_ROWS: list[tuple] = [")

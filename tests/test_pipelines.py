@@ -193,6 +193,11 @@ def test_frozen_ner_fixture_matches_live_pipeline(spark):
 
     live_det = sorted(tuple(r) for r in FN.live_detected(spark).collect())
     assert live_det == sorted(FN.DETECTED_ROWS)
+    live_alt = sorted(
+        tuple(r)
+        for r in FN.live_detected(spark, FN.EP1_LEXICON_ALT).collect()
+    )
+    assert live_alt == sorted(FN.DETECTED_ROWS_ALT)
     live_bio = sorted(tuple(r) for r in FN.live_bioentities(spark).collect())
     assert live_bio == sorted(FN.BIOENTITY_ROWS)
 
