@@ -843,6 +843,76 @@ def _f10_prefix_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Driver-window suites (round 4). The driver records correctness for at
+# most 50 registry entries, so trivially-stable demonstrations are
+# consolidated into tagged-union suites — each branch reuses the ORIGINAL
+# query function (still individually registered in all_queries and
+# hash-checked per-entry by tests/test_oracle_parity.py), and the suite's
+# single driver hash covers every branch. Values are stringified into a
+# common (op, k, v) schema; numeric formatting-sensitive columns
+# (doubles) are excluded from v rather than risking engine-specific
+# rendering.
+# ---------------------------------------------------------------------------
+
+def _u_set_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # A5 distinct + U2 intersect + U3 anti + A8 explode-distinct +
+    # O1 top-k + J9 semi — the set/ordering family in one driver row.
+    null_s = F.lit(None).cast("string")
+    branches = [
+        _a5_distinct(spark, sf).select(
+            F.lit("a5").alias("op"),
+            F.col("o_orderstatus").alias("k"),
+            F.col("o_orderpriority").alias("v"),
+        ),
+        _u2_intersect(spark, sf).select(
+            F.lit("u2").alias("op"),
+            F.col("c_custkey").cast("string").alias("k"),
+            null_s.alias("v"),
+        ),
+        _u3_anti_join(spark, sf).select(
+            F.lit("u3").alias("op"),
+            F.col("c_custkey").cast("string").alias("k"),
+            F.col("c_name").alias("v"),
+        ),
+        _a8_explode_distinct(spark, sf).select(
+            F.lit("a8").alias("op"),
+            F.col("member_id").alias("k"),
+            null_s.alias("v"),
+        ),
+        _o1_topk(spark, sf).select(
+            F.lit("o1").alias("op"),
+            F.col("s_suppkey").cast("string").alias("k"),
+            F.col("s_name").alias("v"),
+        ),
+        _j9_semi_join(spark, sf).select(
+            F.lit("j9").alias("op"),
+            F.col("c_custkey").cast("string").alias("k"),
+            F.col("c_name").alias("v"),
+        ),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _f_curie_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # F4 prefix-uppercase + F10 prefix-extract in one driver row.
+    null_s = F.lit(None).cast("string")
+    return _f4_curie_prefix_upper(spark, sf).select(
+        F.lit("f4").alias("op"),
+        F.col("p_partkey").cast("string").alias("k"),
+        F.col("id_simplified").alias("v"),
+    ).unionByName(
+        _f10_prefix_extract(spark, sf).select(
+            F.lit("f10").alias("op"),
+            F.col("prefix").alias("k"),
+            null_s.alias("v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Synonymizer queries (EP3): run the engine's Synonymizer over the mini
 # fixture; oracles embed the same rows as VALUES so semantics are
 # hash-checked (joins, mode vote, biolink prefixing, None-for-miss).
@@ -1061,6 +1131,39 @@ def _e2_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         _LSH_INDEX[key] = path
     return SIM.probe_lsh_index(
         spark, _LSH_INDEX[key], emb.filter(F.col("vec_id") < 5), k=5,
+        num_planes=8, dim=64,
+    )
+
+
+#: Incrementally-maintained LSH index paths (build half, append half),
+#: keyed like _LSH_INDEX.
+_LSH_APPEND_INDEX: dict[tuple[str, str], str] = {}
+
+
+def _e2_lsh_append_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental index maintenance under the driver (VERDICT r03 next
+    # #6): build the bucket-partitioned index from HALF the corpus, then
+    # append_to_lsh_index the other half — append touches only the new
+    # vectors' bucket partitions, never rebuilding. A probe of the
+    # maintained index must equal a probe of a fresh full build, so the
+    # oracle is e2_lsh_topk's, unchanged.
+    import tempfile
+
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _LSH_APPEND_INDEX:
+        path = tempfile.mkdtemp(prefix="lsh_append_") + "/idx"
+        SIM.build_lsh_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, num_planes=8, dim=64
+        )
+        SIM.append_to_lsh_index(
+            emb.filter(F.col("vec_id") % 2 == 1), path, num_planes=8, dim=64
+        )
+        _LSH_APPEND_INDEX[key] = path
+    return SIM.probe_lsh_index(
+        spark, _LSH_APPEND_INDEX[key], emb.filter(F.col("vec_id") < 5), k=5,
         num_planes=8, dim=64,
     )
 
@@ -1474,15 +1577,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver registry — capped at 50 entries so EVERY query lands in
     the driver's observed 50-entry CORRECTNESS window (round 1 registered
     62 and the 12 after position 50 got no correctness row — VERDICT r01
-    "What's missing" #1). Ordered: previously-unverified queries FIRST,
-    then the new dedup-survivor entry, then the round-1-green remainder.
-    Near-duplicate demonstrations are consolidated (w1/w2/w3 →
-    w_window_suite, f1/f2/f3+o2 → f_name_normalize, e6 tumbling+sliding →
-    e6_windows, syn curie+name → syn_canonical, e2 pandas folded into
-    cosine's oracle); the originals remain runnable via ``all_queries``
-    and stay oracle-checked in tests/test_oracle_parity.py."""
+    "What's missing" #1). Round 4 ordering: queries never driver-verified
+    (the round-3 additions ADVICE r03 flagged + this round's new ops)
+    FIRST, then the green remainder. To stay at 50, eight trivially-
+    stable demonstrations are consolidated into two tagged-union suites
+    (a5/u2/u3/a8/o1/j9 → u_set_suite, f4/f10 → f_curie_suite) following
+    the established pattern (w1/w2/w3 → w_window_suite, f1/f2/f3+o2 →
+    f_name_normalize, e6 tumbling+sliding → e6_windows, syn curie+name →
+    syn_canonical); every original remains individually runnable via
+    ``all_queries`` and hash-checked in tests/test_oracle_parity.py.
+    e6_windows_batch stays pytest-only: its oracle SQL is byte-identical
+    to the driver-green e6_windows."""
     return {
-        # -- driver-unverified in round 1: first in the window ----------
+        # -- never driver-verified: first in the window ------------------
+        "e3_chunk_documents": _e3_chunk_documents,
+        "e1_decontaminate": _e1_decontaminate,
+        "e1_dup_clusters_star": _e1_dup_clusters_star,
+        "e4_png_decode": _e4_png_decode,
+        "e5_stratified_sample": _e5_stratified_sample,
+        "e2_lsh_append_topk": _e2_lsh_append_topk,
+        "u_set_suite": _u_set_suite,
+        "f_curie_suite": _f_curie_suite,
+        # -- driver-green ------------------------------------------------
         "e2_cosine_topk": _e2_cosine_topk,
         "e2_lsh_topk": _e2_lsh_topk,
         "e2_ivf_topk": _e2_ivf_topk,
@@ -1493,9 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_windows": _e6_windows,
         "e6_sessionize": _e6_sessionize,
         "e6_props_json": _e6_props_json,
-        # -- new this round ---------------------------------------------
         "e1_dedup_survivor": _e1_dedup_survivor,
-        # -- round-1 green ----------------------------------------------
         "e1_exact_dedup": _e1_exact_dedup,
         "e1_minhash_near_dup": _e1_minhash_near_dup,
         "e1_simhash": _e1_simhash,
@@ -1504,10 +1618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_bpe_tokens": _e3_bpe_tokens,
         "w_window_suite": _w_window_suite,
         "f_name_normalize": _f_name_normalize,
-        "f4_curie_prefix_upper": _f4_curie_prefix_upper,
         "f5_sentence_pipeline": _f5_sentence_pipeline,
         "f7_identifier_extract": _f7_identifier_extract,
-        "f10_prefix_extract": _f10_prefix_extract,
         "syn_canonical": _syn_canonical,
         "syn_equivalent_nodes": _syn_equivalent_nodes,
         "syn_category_histogram": _syn_category_histogram,
@@ -1515,17 +1627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_mode_vote": _j2_mode_vote,
         "j4_coalesce_fallback": _j4_coalesce_fallback,
         "j5_prefix_expansion": _j5_prefix_expansion,
-        "j9_semi_join": _j9_semi_join,
         "u1_union_merge": _u1_union_merge,
-        "u2_intersect": _u2_intersect,
-        "u3_anti_join": _u3_anti_join,
         "u4_union_prefer_first": _u4_union_prefer_first,
         "a2_longest_value": _a2_longest_value,
         "a4_category_histogram": _a4_category_histogram,
-        "a5_distinct": _a5_distinct,
         "a6_first_writer_wins": _a6_first_writer_wins,
-        "a8_explode_distinct": _a8_explode_distinct,
-        "o1_topk": _o1_topk,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_regional_revenue": _q5_regional_revenue,
@@ -1599,9 +1705,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_chunk_documents": _e3_chunk_documents,
         "e1_decontaminate": _e1_decontaminate,
         "e1_dup_clusters_star": _e1_dup_clusters_star,
-        # round 4: real stdlib PNG codec + exact stratified draws
-        "e4_png_decode": _e4_png_decode,
-        "e5_stratified_sample": _e5_stratified_sample,
+        # round 4: the suite-consolidated originals stay individually
+        # runnable + per-entry hash-checked here (driver window shows
+        # them via u_set_suite / f_curie_suite)
+        "a5_distinct": _a5_distinct,
+        "u2_intersect": _u2_intersect,
+        "u3_anti_join": _u3_anti_join,
+        "a8_explode_distinct": _a8_explode_distinct,
+        "o1_topk": _o1_topk,
+        "j9_semi_join": _j9_semi_join,
+        "f4_curie_prefix_upper": _f4_curie_prefix_upper,
+        "f10_prefix_extract": _f10_prefix_extract,
     }
 
 
@@ -3090,4 +3204,36 @@ def oracle_sql() -> dict[str, str]:
     out["e6_windows_batch"] = out["e6_windows"]
     # star CC labels are the same component minima as propagation's
     out["e1_dup_clusters_star"] = out["e1_dup_clusters"]
+    # a probe of the incrementally-maintained index must equal a probe of
+    # a fresh full build — one oracle, two names
+    out["e2_lsh_append_topk"] = out["e2_lsh_topk"]
+    # driver-window suites: tagged unions of the consolidated originals'
+    # oracles, stringified into the common (op, k, v) schema
+    out["u_set_suite"] = f"""
+        SELECT 'a5' AS op, o_orderstatus AS k, o_orderpriority AS v
+        FROM ({out["a5_distinct"]})
+        UNION ALL
+        SELECT 'u2', CAST(c_custkey AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM ({out["u2_intersect"]})
+        UNION ALL
+        SELECT 'u3', CAST(c_custkey AS VARCHAR), c_name
+        FROM ({out["u3_anti_join"]})
+        UNION ALL
+        SELECT 'a8', member_id, CAST(NULL AS VARCHAR)
+        FROM ({out["a8_explode_distinct"]})
+        UNION ALL
+        SELECT 'o1', CAST(s_suppkey AS VARCHAR), s_name
+        FROM ({out["o1_topk"]})
+        UNION ALL
+        SELECT 'j9', CAST(c_custkey AS VARCHAR), c_name
+        FROM ({out["j9_semi_join"]})
+    """
+    out["f_curie_suite"] = f"""
+        SELECT 'f4' AS op, CAST(p_partkey AS VARCHAR) AS k,
+               id_simplified AS v
+        FROM ({out["f4_curie_prefix_upper"]})
+        UNION ALL
+        SELECT 'f10', prefix, CAST(NULL AS VARCHAR)
+        FROM ({out["f10_prefix_extract"]})
+    """
     return out
