@@ -1541,6 +1541,16 @@ def _e6_windows(spark: SparkSession, sf: str) -> DataFrame:
     return _e6_shape_suite(t, s)
 
 
+def _e6_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
+    # Batch twin of _e6_sessionize (pytest-oracled; bench times THIS
+    # under the e6_sessionize name for round-over-round comparability —
+    # r1-r3 benches measured the kernel, and the streaming face's fixed
+    # micro-batch setup cost is timed separately as e6_sessionize_stream).
+    from drugbankner_spark.streaming.windows import session_windows
+
+    return session_windows(load_table(spark, sf, "events"))
+
+
 def _e6_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     # DRIVER-FACING form runs through Structured Streaming like
     # _e6_windows (VERDICT r03 next #4): readStream over the events
@@ -1672,6 +1682,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_tumbling": _e6_tumbling,
         "e6_sliding": _e6_sliding,
         "e6_windows_batch": _e6_windows_batch,
+        "e6_sessionize_batch": _e6_sessionize_batch,
         # round 2: temporal joins, dedup clustering, E5 widening
         "t_asof_join": _t_asof_join,
         "t_range_join": _t_range_join,
@@ -3207,6 +3218,8 @@ def oracle_sql() -> dict[str, str]:
     # a probe of the incrementally-maintained index must equal a probe of
     # a fresh full build — one oracle, two names
     out["e2_lsh_append_topk"] = out["e2_lsh_topk"]
+    # the streaming sessionize face must equal its batch twin
+    out["e6_sessionize_batch"] = out["e6_sessionize"]
     # driver-window suites: tagged unions of the consolidated originals'
     # oracles, stringified into the common (op, k, v) schema
     out["u_set_suite"] = f"""
