@@ -25,11 +25,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _label_invariant(labels: DataFrame) -> tuple:
+    """One-aggregation fingerprint of an (id, component) label table:
+    (count, order-free XOR of xxhash64(id, component)). One row per id,
+    so XOR never cancels duplicates; equality across rounds ⇒ unchanged
+    labels up to a 2^-64 collision."""
+    row = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("id", "component")).alias("x"),
+    ).first()
+    return (row["n"], row["x"])
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the MIN
     vertex id reachable from it. Output: (id, component), one row per
@@ -37,9 +50,14 @@ def connected_components(
     a graph property, independent of partitioning and iteration order.
 
     Each iteration is one join + one min-agg (two shuffles) and one
-    convergence check (a count action on changed labels). Lineage is cut
-    per round with ``localCheckpoint`` so iteration N doesn't replan
-    rounds 1..N-1.
+    convergence check — a single hash-agg action comparing the label
+    table's (count, order-free xor of xxhash64(id, component))
+    fingerprint with the previous round's (labels only ever decrease, so
+    an unchanged fingerprint means a fixed point up to a 2^-64 collision;
+    cheaper than the join-with-old-labels changed-count it replaces).
+    Lineage is cut per round with ``localCheckpoint`` so iteration N
+    doesn't replan rounds 1..N-1. Pass ``stats={}`` to receive
+    ``stats["rounds"]``.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -53,6 +71,8 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_inv = _label_invariant(labels)
+    rounds = 0
     for _ in range(max_iterations):
         via_neighbor = sym.join(
             labels.select(F.col("id").alias("b"), "component"), "b"
@@ -63,15 +83,14 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "_old"), "id")
-            .filter(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
+        rounds += 1
+        inv = _label_invariant(new_labels)
         labels = new_labels
-        if changed == 0:
+        if inv == prev_inv:
             break
+        prev_inv = inv
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 
