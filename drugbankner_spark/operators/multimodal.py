@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata.
 The Spark-side plumbing — schema, binaryFile source, Arrow batch shape,
-partition sizing — is real and tested. The decode real path is REAL for
-PNG via the pure-stdlib codec (functions/png_codec.py: zlib + struct,
-CRC-checked chunks, all five scanline filters); other codecs (JPEG,
-audio, video) need libraries absent from this container and keep the
-honest ``NotImplementedError`` + deterministic-fake pair.
+partition sizing — is real and tested. The decode real paths are REAL
+for PNG (functions/png_codec.py: zlib + struct, CRC-checked chunks, all
+five scanline filters) and WAV audio (functions/wav_codec.py: RIFF/PCM
+via struct); frame sampling is real for WAV (time-sliced standalone
+segments). Codecs that genuinely need external libraries (JPEG,
+MP3/AAC, video containers) keep the honest ``NotImplementedError`` +
+deterministic-fake pair.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition of
@@ -61,9 +63,11 @@ def media_metadata(media: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode / feature-extract over Arrow batches (mapInPandas).
 
-    REAL path: PNG payloads decode via the stdlib codec — feature =
-    [width, height, channels, mean, min, max] over the decoded samples.
-    Non-PNG payloads need codecs absent from this container and raise
+    REAL paths: PNG payloads decode via the stdlib image codec —
+    feature = [width, height, channels, mean, min, max] over decoded
+    samples; WAV payloads decode via the stdlib RIFF/PCM codec —
+    feature = [channels, sample_rate, bits, n_frames, rms, peak].
+    Other formats need codecs absent from this container and raise
     ``NotImplementedError``; ``fake=True`` swaps in a deterministic
     stand-in (byte histogram head) with the REAL batch shape and schema
     so the plumbing is testable for any mime type."""
@@ -74,6 +78,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from drugbankner_spark.functions import png_codec as png
+        from drugbankner_spark.functions import wav_codec as wav
 
         for pdf in batches:
             rows = []
@@ -89,10 +94,17 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                         float(s["channels"]), float(s["mean"]),
                         float(s["min"]), float(s["max"]),
                     ]))
+                elif wav.is_wav(data):
+                    a = wav.decode_wav(data)
+                    rows.append((int(mid), [
+                        float(a["channels"]), float(a["sample_rate"]),
+                        float(a["bits"]), float(a["n_frames"]),
+                        float(a["rms"]), float(a["peak"]),
+                    ]))
                 else:
                     raise NotImplementedError(
-                        "media decode: only PNG is decodable with the "
-                        "stdlib codec; other formats need image/audio "
+                        "media decode: PNG and WAV are decodable with the "
+                        "stdlib codecs; other formats need image/audio "
                         "libraries not present in this environment "
                         "(pass fake=True for the test path)"
                     )
@@ -192,11 +204,16 @@ def png_roundtrip_digest(media: DataFrame, width: int = 32) -> DataFrame:
 def sample_frames(
     media: DataFrame, n_frames: int = 4, fake: bool = False
 ) -> DataFrame:
-    """1→N video frame sampling over Arrow batches (the row fan-out shape:
-    one input payload → ``n_frames`` output rows with frame index +
-    timestamp). Real path = ffmpeg (absent → NotImplementedError);
-    ``fake=True`` slices the payload into n equal chunks as stand-in
-    frames — deterministic, so downstream dedup/similarity over frames is
+    """1→N frame sampling over Arrow batches (the row fan-out shape:
+    one input payload → up to ``n_frames`` output rows with frame index
+    + timestamp).
+
+    REAL path: WAV payloads are time-sliced into equal-duration
+    standalone WAV segments with true millisecond timestamps (the audio
+    analogue of video frame extraction — stdlib RIFF/PCM codec). Video
+    containers genuinely need ffmpeg and raise ``NotImplementedError``;
+    ``fake=True`` slices any payload into n equal byte chunks —
+    deterministic, so downstream dedup/similarity over frames is
     testable end to end."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -206,19 +223,29 @@ def sample_frames(
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import wav_codec as wav
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires ffmpeg; pass fake=True for "
-                    "the test path"
-                )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 src = bytes(payload) or b"\x00"
-                step = max(len(src) // n_frames, 1)
-                for i in range(n_frames):
-                    rows.append(
-                        (int(mid), i, i * 1000, src[i * step:(i + 1) * step])
+                if fake:
+                    step = max(len(src) // n_frames, 1)
+                    for i in range(n_frames):
+                        rows.append(
+                            (int(mid), i, i * 1000,
+                             src[i * step:(i + 1) * step])
+                        )
+                elif wav.is_wav(src):
+                    for i, (ts_ms, seg) in enumerate(
+                        wav.segment_wav(src, n_frames)
+                    ):
+                        rows.append((int(mid), i, ts_ms, seg))
+                else:
+                    raise NotImplementedError(
+                        "frame sampling: WAV audio segments via the "
+                        "stdlib codec; video requires ffmpeg (pass "
+                        "fake=True for the test path)"
                     )
             yield pd.DataFrame(
                 rows,
