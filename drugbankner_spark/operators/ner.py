@@ -111,6 +111,73 @@ def make_stub_model_factory(lexicon: dict[str, list[str]]) -> Callable[[], Any]:
     return factory
 
 
+def make_abbrev_resolving_factory(
+    base_factory: Callable[[], Any],
+) -> Callable[[], Any]:
+    """X2 (NER.py:42-51 ``resolve_abbreviations=True``) as a REAL
+    executable path: wrap any NER model so abbreviations defined in the
+    sentence ("long form (SF)", Schwartz–Hearst) resolve through their
+    long form — an abbreviated mention inherits the kb links its
+    definition's entities carry, exactly the scispaCy
+    AbbreviationDetector + linker behavior, with the detection algorithm
+    implemented in-engine (functions/abbrev.py) instead of requiring the
+    scispaCy install."""
+    def factory() -> Any:
+        base = base_factory()
+
+        def run(sentence: str) -> dict[str, set]:
+            from drugbankner_spark.functions.abbrev import (
+                extract_abbreviation_pairs,
+            )
+
+            detected = {k: set(v) for k, v in base(sentence).items()}
+            for sf, lf in extract_abbreviation_pairs(sentence):
+                kbs: set = set()
+                for _surface, links in base(lf).items():
+                    kbs.update(links)
+                if kbs:
+                    detected.setdefault(sf, set()).update(kbs)
+            return detected
+
+        return run
+
+    return factory
+
+
+def abbreviation_pairs(
+    df: DataFrame, text_col: str, id_cols: list[str]
+) -> DataFrame:
+    """Per-document Schwartz–Hearst extraction over Arrow batches: one
+    output row per (ids, abbreviation, long_form) definition found.
+    Embarrassingly parallel, shuffles nothing — the corpus-level
+    abbreviation inventory a glossary/normalization stage needs."""
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = T.StructType(
+        [*id_fields,
+         T.StructField("abbreviation", T.StringType()),
+         T.StructField("long_form", T.StringType())]
+    )
+    cols = [*id_cols, text_col]
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions.abbrev import (
+            extract_abbreviation_pairs,
+        )
+
+        for pdf in batches:
+            rows = []
+            for tup in pdf[cols].itertuples(index=False):
+                *ids, text = tup
+                if not isinstance(text, str):
+                    continue
+                for sf, lf in extract_abbreviation_pairs(text):
+                    rows.append((*ids, sf, lf))
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.mapInPandas(run, out_schema)
+
+
 def _linker_contract() -> dict:
     """The recorded scispacy-0.5.5 ``scispacy_linker`` config contract
     (static JSON fixture — see resources/). Lets the driver catch config
