@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from drugbankner_spark.functions import identifiers as I
 from drugbankner_spark.functions import normalize as N
@@ -1441,6 +1442,48 @@ def _e4_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
     return MM.media_metadata(MM.documents_as_media(docs))
 
 
+def _e4_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL stdlib WAV codec under the driver: each embedding's floats
+    # become 16-bit PCM samples, encoded to a real WAV and decoded back;
+    # the oracle replicates the (floor-based, engine-portable)
+    # quantization arithmetic on the raw arrays without touching WAV —
+    # a hash match proves the RIFF/PCM encode→decode round-trip.
+    import pandas as _pd
+
+    from drugbankner_spark.functions import wav_codec as wav
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak_q", T.LongType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                samples = [float(v) for v in vec]
+                a = wav.decode_wav(wav.encode_wav(samples, 16_000, 1))
+                # peak × 32768 is the EXACT max |quantized sample| (an
+                # integer both engines agree on bit-for-bit; a rounded
+                # float peak would tie-break differently across engines
+                # since samples are k/32768 — finite decimals)
+                rows.append((
+                    int(vid), a["n_frames"], a["sample_rate"],
+                    round(a["rms"], 6), int(round(a["peak"] * 32768)),
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["vec_id", "n_frames", "sample_rate", "rms",
+                         "peak_q"],
+            )
+
+    return emb.mapInPandas(run, out_schema)
+
+
 def _e4_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL stdlib PNG codec under the driver: pack each doc's UTF-8
     # bytes into a grayscale PNG, decode it back, digest the recovered
@@ -1727,6 +1770,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_semi_join": _j9_semi_join,
         "f4_curie_prefix_upper": _f4_curie_prefix_upper,
         "f10_prefix_extract": _f10_prefix_extract,
+        # round 4: WAV round-trip twin of e4_png_decode (pytest-oracled;
+        # the driver window carries the PNG form)
+        "e4_wav_decode": _e4_wav_decode,
     }
 
 
@@ -2739,6 +2785,26 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS payload_sha256
             FROM documents
+        """,
+        "e4_wav_decode": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(
+                           embedding,
+                           v -> least(floor(greatest(-1.0, least(1.0,
+                                    CAST(v AS DOUBLE))) * 32767 + 0.5),
+                                32767.0) / 32768.0
+                       ) AS norm
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   len(norm) AS n_frames,
+                   16000 AS sample_rate,
+                   round(sqrt(list_sum(list_transform(norm, x -> x * x))
+                              / len(norm)), 6) AS rms,
+                   CAST(list_max(list_transform(norm, x -> abs(x))) * 32768
+                        AS BIGINT) AS peak_q
+            FROM q
         """,
         "e4_png_decode": """
             SELECT doc_id AS media_id,
