@@ -4,12 +4,15 @@ The container has no PIL/ffmpeg, but PNG needs neither: the format is
 DEFLATE-compressed scanlines behind five per-row byte filters (RFC 2083).
 This module implements a correct, dependency-free subset:
 
-- decode: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-  4 (gray+alpha), 6 (RGBA); non-interlaced; CRC-checked chunks.
+- decode: color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  6 (RGBA) at bit depth 8; gray and palette additionally at 1/2/4 bits
+  (losslessly unpacked — gray scaled to 0..255, palette expanded);
+  palette transparency (tRNS) expands to RGBA; non-interlaced;
+  CRC-checked chunks.
 - encode: 8-bit gray / RGB / RGBA, filter type 0 rows.
 - resize: nearest-neighbor resampling over the decoded pixel buffer.
 
-Anything outside that subset (16-bit, 1/2/4-bit, Adam7 interlace) raises
+Anything outside that subset (16-bit samples, Adam7 interlace) raises
 ``ValueError`` with the limit named — honest errors, not wrong pixels.
 
 Executor-side usage: called from Arrow-batched ``mapInPandas`` in
@@ -64,10 +67,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+def _unfilter(
+    raw: bytes, width: int, height: int, bpp: int, row_bytes: int | None = None
+) -> bytearray:
     """Reverse the per-scanline filters. ``raw`` is the inflated IDAT
-    stream: height rows of (1 filter byte + width*bpp sample bytes)."""
-    rb = width * bpp
+    stream: height rows of (1 filter byte + row_bytes sample bytes).
+    ``bpp`` is the FILTER stride in whole bytes (1 for sub-byte depths,
+    per the spec); ``row_bytes`` defaults to width*bpp (8-bit case)."""
+    rb = width * bpp if row_bytes is None else row_bytes
     expected = height * (rb + 1)
     if len(raw) != expected:
         raise ValueError(
@@ -123,6 +130,7 @@ def decode_png(data: bytes) -> dict:
     width = height = None
     bit_depth = color_type = interlace = None
     plte: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     for ctype, payload in _chunks(data):
         if ctype == b"IHDR":
@@ -133,6 +141,8 @@ def decode_png(data: bytes) -> dict:
                 raise ValueError("PNG: nonstandard compression/filter method")
         elif ctype == b"PLTE":
             plte = payload
+        elif ctype == b"tRNS":
+            trns = payload
         elif ctype == b"IDAT":
             idat.extend(payload)
         elif ctype == b"IEND":
@@ -141,26 +151,51 @@ def decode_png(data: bytes) -> dict:
         raise ValueError("PNG: missing IHDR")
     if interlace != 0:
         raise ValueError("PNG: Adam7 interlace not supported")
-    if bit_depth != 8:
-        raise ValueError(f"PNG: bit depth {bit_depth} not supported (8 only)")
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: color type {color_type} not supported")
+    if bit_depth != 8 and not (
+        bit_depth in (1, 2, 4) and color_type in (0, 3)
+    ):
+        raise ValueError(
+            f"PNG: bit depth {bit_depth} with color type {color_type} not "
+            "supported (8-bit for all types; 1/2/4-bit gray and palette)"
+        )
     if width == 0 or height == 0:
         raise ValueError("PNG: zero-sized image")
-    bpp = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    pixels = _unfilter(raw, width, height, bpp)
-    channels = bpp
-    if color_type == 3:  # palette → RGB
+    if bit_depth == 8:
+        bpp = _CHANNELS[color_type]
+        pixels = _unfilter(raw, width, height, bpp)
+    else:
+        # sub-byte depths: filters run on PACKED row bytes with a
+        # one-byte stride (spec §6.2), then unpack to one byte/pixel
+        row_bytes = (width * bit_depth + 7) // 8
+        packed = _unfilter(raw, width, height, 1, row_bytes)
+        pixels = bytearray(width * height)
+        mask = (1 << bit_depth) - 1
+        scale = 255 // mask if color_type == 0 else 1  # gray → 0..255
+        for y in range(height):
+            base = y * row_bytes
+            for x in range(width):
+                bit_off = x * bit_depth
+                b = packed[base + (bit_off >> 3)]
+                val = (b >> (8 - bit_depth - (bit_off & 7))) & mask
+                pixels[y * width + x] = val * scale
+    channels = _CHANNELS[color_type]
+    if color_type == 3:  # palette → RGB (RGBA when tRNS present)
         if plte is None or len(plte) % 3:
             raise ValueError("PNG: palette image without valid PLTE")
         n_ent = len(plte) // 3
-        rgb = bytearray(width * height * 3)
+        out_ch = 4 if trns is not None else 3
+        expanded = bytearray(width * height * out_ch)
         for i, idx in enumerate(pixels):
             if idx >= n_ent:
                 raise ValueError(f"PNG: palette index {idx} out of range")
-            rgb[3 * i:3 * i + 3] = plte[3 * idx:3 * idx + 3]
-        pixels, channels = rgb, 3
+            o = out_ch * i
+            expanded[o:o + 3] = plte[3 * idx:3 * idx + 3]
+            if out_ch == 4:
+                expanded[o + 3] = trns[idx] if idx < len(trns) else 255
+        pixels, channels = expanded, out_ch
     return {
         "width": width,
         "height": height,

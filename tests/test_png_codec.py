@@ -16,7 +16,7 @@ from drugbankner_spark.functions import png_codec as png
 
 
 def _build_png(width, height, color_type, raw_scanlines, plte=None,
-               bit_depth=8, interlace=0):
+               bit_depth=8, interlace=0, trns=None):
     """Hand-assemble a PNG from an explicit filtered scanline stream."""
     ihdr = struct.pack(
         ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
@@ -24,6 +24,8 @@ def _build_png(width, height, color_type, raw_scanlines, plte=None,
     out = png.PNG_SIGNATURE + png._chunk(b"IHDR", ihdr)
     if plte is not None:
         out += png._chunk(b"PLTE", plte)
+    if trns is not None:
+        out += png._chunk(b"tRNS", trns)
     out += png._chunk(b"IDAT", zlib.compress(bytes(raw_scanlines)))
     return out + png._chunk(b"IEND", b"")
 
@@ -68,6 +70,39 @@ def test_decode_palette_expands_to_rgb():
     img = png.decode_png(_build_png(2, 1, 3, raw, plte=plte))
     assert img["channels"] == 3
     assert list(img["pixels"]) == [255, 0, 0, 0, 255, 0]
+
+
+def test_decode_sub_byte_gray_depths():
+    # 2-bit gray, 5 px: values 0,1,2,3,0 pack to 00 01 10 11 | 00......
+    img = png.decode_png(
+        _build_png(5, 1, 0, bytes([0, 0b00011011, 0b00000000]), bit_depth=2)
+    )
+    assert img["channels"] == 1
+    assert list(img["pixels"]) == [0, 85, 170, 255, 0]  # scaled ×85
+    # 4-bit gray, 2 px: 0xF, 0x0 → 255, 0 (scaled ×17)
+    img = png.decode_png(_build_png(2, 1, 0, bytes([0, 0xF0]), bit_depth=4))
+    assert list(img["pixels"]) == [255, 0]
+    # two rows exercise the packed-row filter stride (Up filter on row 2)
+    img = png.decode_png(
+        _build_png(2, 2, 0, bytes([0, 0xF0, 2, 0x0F]), bit_depth=4)
+    )
+    assert list(img["pixels"]) == [255, 0, 255, 255]  # 0xF0 + 0x0F = 0xFF
+
+
+def test_decode_1bit_palette_with_trns_alpha():
+    plte = bytes([10, 20, 30, 200, 210, 220])
+    # 3 px indices [1,0,1] → bits 101 padded → 0b10100000
+    data = _build_png(
+        3, 1, 3, bytes([0, 0b10100000]), plte=plte, bit_depth=1,
+        trns=bytes([128]),  # palette idx 0 alpha=128; idx 1 defaults 255
+    )
+    img = png.decode_png(data)
+    assert img["channels"] == 4
+    assert list(img["pixels"]) == [
+        200, 210, 220, 255,
+        10, 20, 30, 128,
+        200, 210, 220, 255,
+    ]
 
 
 def test_decode_rejects_corruption_and_unsupported():
