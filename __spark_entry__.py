@@ -669,6 +669,56 @@ def _q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q17 shape — revenue from orders of less than 20% of a
+    # part's average quantity. The correlated per-part scalar subquery
+    # becomes one aggregation over lineitem (per-part threshold) joined
+    # back; the filtered part dim is broadcast. Quantities are integral
+    # doubles, so the threshold compare is engine-exact.
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def _q20_pattern_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q20 shape — nested IN-subqueries re-expressed as
+    # broadcast-semi-join → aggregate-threshold → join: suppliers who
+    # shipped >300 units of name-pattern parts in 1996, with their
+    # nation. (The reference Q20 also consults partsupp availability;
+    # the harness has no partsupp table, so the threshold is absolute —
+    # the plan shape, nested-subquery elimination, is the point.)
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "semi")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    return (
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "qty")
+    )
+
+
 def _q21_late_sole_supplier(spark: SparkSession, sf: str) -> DataFrame:
     # E5: TPC-H Q21 shape — suppliers who were the SOLE late shipper on
     # a multi-supplier order. The reference formulation is
@@ -1755,6 +1805,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q21_late_sole_supplier": _q21_late_sole_supplier,
         "q22_idle_customers": _q22_idle_customers,
+        # round 4: the last two expressible TPC-H shapes (Q2 needs a
+        # partsupp table the harness doesn't generate)
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q20_pattern_shippers": _q20_pattern_shippers,
         # round 3: corpus-shaping ops + star connected components
         "e3_chunk_documents": _e3_chunk_documents,
         "e1_decontaminate": _e1_decontaminate,
@@ -3095,6 +3149,33 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = part.p_partkey
+              )
+        """,
+        "q20_pattern_shippers": """
+            WITH shipped AS (
+                SELECT l_suppkey, round(sum(l_quantity), 2) AS qty
+                FROM lineitem
+                WHERE l_partkey IN (
+                        SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%widget%')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, n_name, qty
+            FROM supplier
+            JOIN shipped ON l_suppkey = s_suppkey
+            JOIN nation  ON n_nationkey = s_nationkey
+            WHERE qty > 300
         """,
         "q21_late_sole_supplier": """
             WITH pair AS (
