@@ -181,3 +181,24 @@ def test_tfidf_two_shuffles_and_broadcast_idf(spark):
     # doc×term agg + term agg; the idf dim comes back via broadcast.
     assert X.count_broadcast_joins(df) >= 1, X.plan_string(df, "simple")
     assert X.count_shuffles(df) <= 3, X.plan_string(df, "simple")
+
+
+def test_png_roundtrip_is_scanspeed_no_shuffle(spark):
+    # e4_png_decode: scan → Arrow-batched codec — zero shuffles, and the
+    # scan reads only (doc_id, text); at 100 TB the decode is
+    # embarrassingly parallel
+    df = QUERIES["e4_png_decode"](spark, SF)
+    assert X.count_shuffles(df) == 0
+    schema = " ".join(X.read_schemas(df))
+    assert "lang" not in schema and "source" not in schema
+
+
+def test_stratified_sample_prunes_and_stays_jvm(spark):
+    # one strata-keyed window pass: no Python eval, only the three
+    # needed columns reach the parquet scan
+    df = QUERIES["e5_stratified_sample"](spark, SF)
+    plan = X.plan_string(df)
+    assert "BatchEvalPython" not in plan
+    schema = " ".join(X.read_schemas(df))
+    assert "text" not in schema and "source" not in schema
+    assert X.count_shuffles(df) <= 2  # strata repartition (+AQE read)
