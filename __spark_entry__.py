@@ -1286,6 +1286,25 @@ def _e5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # Mergeable HLL distinct-user counts per event type + the global
+    # rollup computed by UNIONING the stored sketches (never rescanning
+    # events) — the incremental 100 TB pattern. Approximate by design →
+    # rows-only driver check; the ±5% envelope and grouping-invariance
+    # are pinned in tests/test_ext_operators.py.
+    from drugbankner_spark.operators.sketches import (
+        hll_group_sketches,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, sf, "events")
+    per_type = hll_group_sketches(ev, ["event_type"], "user_id")
+    total = hll_rollup(per_type).select(
+        F.lit("__all__").alias("event_type"), "approx_distinct"
+    )
+    return hll_rollup(per_type, ["event_type"]).unionByName(total)
+
+
 def _e3_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     # E3: Gopher-style rule filter — one scan, zero shuffles, flags +
     # keep emitted together so drop reasons are auditable.
@@ -1827,6 +1846,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: WAV round-trip twin of e4_png_decode (pytest-oracled;
         # the driver window carries the PNG form)
         "e4_wav_decode": _e4_wav_decode,
+        # round 4: mergeable-sketch distinct counts — estimates by
+        # design, so tolerance-tested in pytest instead of hash-oracled
+        # (rows-only here; see tests/test_ext_operators.py)
+        "e5_sketch_distinct": _e5_sketch_distinct,
     }
 
 

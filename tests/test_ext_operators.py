@@ -512,3 +512,64 @@ def test_decontaminate_flags_shared_ngrams(spark):
     assert got[1][0] is True and got[1][1] > 0
     assert got[2] == (False, 0)
     assert got[3] == (False, 0)
+
+
+def test_hll_sketches_merge_to_global_distinct(spark):
+    # the incremental pattern: per-day sketches union to the global
+    # distinct count WITHOUT rescanning events; estimates within HLL's
+    # lgK=12 error envelope (±~1.6%, assert 5% for slack)
+    from drugbankner_spark.operators.sketches import (
+        hll_group_sketches,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    exact = ev.select("user_id").distinct().count()
+    daily = hll_group_sketches(ev, ["day"], "user_id")
+    est = hll_rollup(daily).collect()[0]["approx_distinct"]
+    assert abs(est - exact) / exact < 0.05
+    # rollup is associative: unioning day-sketches grouped by week first
+    # gives the same global state
+    weekly = hll_rollup(
+        daily.withColumn("week", F.weekofyear("day")), ["week"]
+    )
+    # re-sketch the weekly ESTIMATES is wrong; instead union all daily
+    # sketches directly at a coarser grouping and compare global answers
+    est2 = hll_rollup(
+        hll_group_sketches(ev, ["day", "event_type"], "user_id")
+    ).collect()[0]["approx_distinct"]
+    assert est2 == est  # register-wise max is grouping-invariant
+    assert weekly.count() > 0
+
+
+def test_kll_quantiles_close_to_exact(spark):
+    from drugbankner_spark.operators.sketches import kll_quantile_profile
+
+    ev = load_table(spark, SF, "events")
+    exact = ev.selectExpr(
+        "percentile(value, array(0.1, 0.5, 0.9)) AS p"
+    ).collect()[0]["p"]
+    row = kll_quantile_profile(ev, "value", [0.1, 0.5, 0.9]).collect()[0]
+    spread = exact[2] - exact[0]
+    for got, want in zip([row["q_10"], row["q_50"], row["q_90"]], exact):
+        assert abs(got - want) <= 0.05 * spread + 1e-9
+    # grouped form: one row per event_type
+    per_type = kll_quantile_profile(
+        ev, "value", [0.5], group_cols=["event_type"]
+    )
+    assert per_type.count() == ev.select("event_type").distinct().count()
+
+
+def test_theta_distinct_close_to_exact(spark):
+    from drugbankner_spark.operators.sketches import theta_distinct
+
+    ev = load_table(spark, SF, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    got = {r["event_type"]: r["approx_distinct"] for r in
+           theta_distinct(ev, ["event_type"], "user_id").collect()}
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n < 0.05
