@@ -7,13 +7,15 @@ This module implements a correct, dependency-free subset:
 - decode: color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
   6 (RGBA) at bit depth 8; gray and palette additionally at 1/2/4 bits
   (losslessly unpacked — gray scaled to 0..255, palette expanded);
-  palette transparency (tRNS) expands to RGBA; non-interlaced;
-  CRC-checked chunks.
+  16-bit samples for the non-palette types (returned as a ``samples16``
+  int sequence — lossless); palette transparency (tRNS) expands to
+  RGBA; non-interlaced; CRC-checked chunks.
 - encode: 8-bit gray / RGB / RGBA, filter type 0 rows.
-- resize: nearest-neighbor resampling over the decoded pixel buffer.
+- resize: nearest-neighbor resampling over the decoded pixel buffer
+  (8-bit buffers; re-encode 16-bit data at 8 bits first).
 
-Anything outside that subset (16-bit samples, Adam7 interlace) raises
-``ValueError`` with the limit named — honest errors, not wrong pixels.
+The one remaining unsupported corner — Adam7 interlace — raises
+``ValueError`` with the limit named; honest errors, not wrong pixels.
 
 Executor-side usage: called from Arrow-batched ``mapInPandas`` in
 operators/multimodal.py, so the per-image Python cost is amortized over
@@ -154,15 +156,34 @@ def decode_png(data: bytes) -> dict:
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: color type {color_type} not supported")
     if bit_depth != 8 and not (
-        bit_depth in (1, 2, 4) and color_type in (0, 3)
+        (bit_depth in (1, 2, 4) and color_type in (0, 3))
+        or (bit_depth == 16 and color_type != 3)
     ):
         raise ValueError(
             f"PNG: bit depth {bit_depth} with color type {color_type} not "
-            "supported (8-bit for all types; 1/2/4-bit gray and palette)"
+            "supported (8-bit all types; 1/2/4-bit gray+palette; 16-bit "
+            "non-palette)"
         )
     if width == 0 or height == 0:
         raise ValueError("PNG: zero-sized image")
     raw = zlib.decompress(bytes(idat))
+    if bit_depth == 16:
+        # filters run on bytes with a channels*2 stride (spec §6.2);
+        # samples come back as big-endian u16 — returned losslessly as
+        # ints, alongside an 8-bit high-byte view in ``pixels`` for the
+        # byte-buffer consumers (stats use samples16)
+        ch = _CHANNELS[color_type]
+        unf = _unfilter(raw, width, height, ch * 2)
+        n = width * height * ch
+        samples16 = struct.unpack(f">{n}H", bytes(unf))
+        return {
+            "width": width,
+            "height": height,
+            "channels": ch,
+            "bit_depth": 16,
+            "pixels": bytes(unf[::2]),  # high bytes (8-bit view)
+            "samples16": samples16,
+        }
     if bit_depth == 8:
         bpp = _CHANNELS[color_type]
         pixels = _unfilter(raw, width, height, bpp)
@@ -200,6 +221,7 @@ def decode_png(data: bytes) -> dict:
         "width": width,
         "height": height,
         "channels": channels,
+        "bit_depth": 8,  # sub-byte gray/palette are expanded to 8-bit
         "pixels": bytes(pixels),
     }
 
@@ -267,6 +289,11 @@ def resize_png(data: bytes, new_width: int, new_height: int) -> bytes:
     """Decode → nearest-neighbor resize → re-encode. The full real-path
     image resize used by operators/multimodal.resize_images for PNGs."""
     img = decode_png(data)
+    if img.get("bit_depth") == 16:
+        raise ValueError(
+            "resize_png: 16-bit images decode losslessly (samples16) but "
+            "re-encoding is 8-bit only — convert explicitly first"
+        )
     out = resize_nearest(
         img["pixels"], img["width"], img["height"], img["channels"],
         new_width, new_height,
@@ -276,9 +303,10 @@ def resize_png(data: bytes, new_width: int, new_height: int) -> bytes:
 
 def png_stats(data: bytes) -> dict:
     """Decoded-pixel summary: dims, channels, mean/min/max sample value.
-    The feature-extraction real path for decode_media on PNG inputs."""
+    The feature-extraction real path for decode_media on PNG inputs.
+    16-bit images report stats over the LOSSLESS 16-bit samples."""
     img = decode_png(data)
-    px = img["pixels"]
+    px = img.get("samples16") or img["pixels"]
     return {
         "width": img["width"],
         "height": img["height"],

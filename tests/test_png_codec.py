@@ -117,12 +117,37 @@ def test_decode_rejects_corruption_and_unsupported():
     with pytest.raises(ValueError, match="signature"):
         png.decode_png(b"GIF89a not a png")
     with pytest.raises(ValueError, match="bit depth"):
-        png.decode_png(_build_png(2, 1, 0, raw, bit_depth=16))
+        # 16-bit PALETTE is invalid per spec and unsupported here
+        png.decode_png(
+            _build_png(2, 1, 3, raw, plte=bytes(6), bit_depth=16)
+        )
     with pytest.raises(ValueError, match="interlace"):
         png.decode_png(_build_png(2, 1, 0, raw, interlace=1))
     with pytest.raises(ValueError, match="palette index"):
         png.decode_png(
             _build_png(2, 1, 3, raw, plte=bytes([1, 2, 3]))  # idx 7 > 0
+        )
+
+
+def test_decode_16bit_gray_lossless_samples():
+    # filter 0 row: samples 0x0102, 0x0304
+    img = png.decode_png(
+        _build_png(2, 1, 0, bytes([0, 1, 2, 3, 4]), bit_depth=16)
+    )
+    assert img["bit_depth"] == 16
+    assert list(img["samples16"]) == [0x0102, 0x0304]
+    assert list(img["pixels"]) == [1, 3]  # 8-bit high-byte view
+    # Sub filter at the 2-byte stride: second sample adds byte-wise
+    img = png.decode_png(
+        _build_png(2, 1, 0, bytes([1, 1, 2, 3, 4]), bit_depth=16)
+    )
+    assert list(img["samples16"]) == [0x0102, 0x0406]
+    s = png.png_stats(_build_png(2, 1, 0, bytes([0, 1, 2, 3, 4]),
+                                 bit_depth=16))
+    assert s["min"] == 0x0102 and s["max"] == 0x0304
+    with pytest.raises(ValueError, match="8-bit only"):
+        png.resize_png(
+            _build_png(2, 1, 0, bytes([0, 1, 2, 3, 4]), bit_depth=16), 1, 1
         )
 
 
