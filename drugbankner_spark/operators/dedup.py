@@ -227,7 +227,14 @@ def minhash_band_pairs_rowwise(
     ``kernel="xxhash64"`` swaps the shingle hash for the cheap production
     kernel (candidate sets differ only as any two hash families differ —
     same expected recall; planted-pair test pins identical recall on the
-    fixture)."""
+    fixture).
+
+    The (id, band, band_key) table is PERSISTED (memory+disk, evictable,
+    recomputable on executor loss) before the self-join: Catalyst plans
+    the two join sides as independent subtrees (no ReusedExchange across
+    the alias rename), so without it the corpus is scanned and
+    shingle-hashed TWICE — at 100 TB that doubles the dominant cost to
+    save materializing ~tens of bytes per document."""
     if parallelism:
         df = df.repartition(parallelism)
     arr = minhash_signature_array(df, text_col, id_col, num_hashes, n, kernel)
@@ -245,7 +252,7 @@ def minhash_band_pairs_rowwise(
                 for b in range(bands)
             ])
         ).alias("band", "band_key"),
-    )
+    ).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
