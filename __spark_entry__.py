@@ -731,10 +731,13 @@ def _q21_late_sole_supplier(spark: SparkSession, sf: str) -> DataFrame:
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")
+    # persisted: per_pair feeds both the per-order rollup and the final
+    # join — without it the lineitem⋈orders subtree runs twice
     per_pair = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
+        .persist()
     )
     per_order = per_pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")

@@ -329,7 +329,13 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over distinct shingle sets (the ground truth for the
     approximate paths): self-join on shingle → |A∩B| / (|A|+|B|-|A∩B|).
     Quadratic blow-up on hot shingles — at scale run it on LSH candidates
-    (minhash_band_pairs), not the full corpus."""
+    (minhash_band_pairs), not the full corpus.
+
+    The shingle table is persisted: it feeds BOTH self-join sides and
+    the per-doc size agg, and Catalyst plans the three as independent
+    subtrees — without persist the shingle explode (+ its source scan)
+    runs three times."""
+    shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")

@@ -200,10 +200,13 @@ def embedding_near_dup_pairs(
     recall near 1 (θ ≤ 18° ⇒ P(same 8-bit bucket) ≈ (1-θ/π)^8 ≈ 0.66 per
     band — stack bands for production recall)."""
     planes = [hyperplane(dim, j) for j in range(num_planes)]
+    # persist the bucketed table: both self-join sides read it, and
+    # Catalyst won't reuse the subtree across the alias rename — without
+    # this the corpus is scanned and hyperplane-hashed twice
     b = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_v"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )
+    ).persist()
     left = b.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket"
     )
