@@ -282,6 +282,7 @@ def minhash_band_pairs(
                 "-",
             ).alias("band_key")
         )
+        .persist()  # both self-join sides — see minhash_band_pairs_rowwise
     )
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"

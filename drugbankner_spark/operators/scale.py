@@ -120,7 +120,9 @@ def key_skew_profile(
     the result is top_n rows. Run it on a hash_sample() at 100 TB — key
     SHARE is scale-invariant under uniform sampling.
     """
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    # persisted: counts feeds both the 1-row total and the profile —
+    # without it the source aggregation runs twice
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows")).persist()
     total = counts.agg(F.sum("n_rows").alias("total_rows"))
     return (
         counts.crossJoin(F.broadcast(total))
