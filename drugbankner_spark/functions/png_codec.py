@@ -14,7 +14,9 @@ This module implements a correct, dependency-free subset:
 - resize: nearest-neighbor resampling over the decoded pixel buffer
   (8-bit buffers; re-encode 16-bit data at 8 bits first).
 
-The one remaining unsupported corner — Adam7 interlace — raises
+Adam7-interlaced images decode for the 8-bit color types (each of the
+seven passes is unfiltered independently and scattered into place);
+interlace combined with non-8-bit depths — vanishingly rare — raises
 ``ValueError`` with the limit named; honest errors, not wrong pixels.
 
 Executor-side usage: called from Arrow-batched ``mapInPandas`` in
@@ -57,6 +59,41 @@ def _chunks(data: bytes):
         if ctype == b"IEND":
             return
     raise ValueError("PNG: missing IEND")
+
+
+#: Adam7 pass layout: (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, bpp: int
+) -> bytearray:
+    """Decode the concatenated per-pass filtered scanlines of an Adam7
+    image (8-bit samples): each non-empty pass unfilters as its own
+    sub-image, then scatters into the final buffer at the pass grid."""
+    out = bytearray(width * height * bpp)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        n = ph * (1 + pw * bpp)
+        sub = _unfilter(raw[pos:pos + n], pw, ph, bpp)
+        pos += n
+        for py in range(ph):
+            for px in range(pw):
+                src = (py * pw + px) * bpp
+                dst = ((y0 + py * dy) * width + (x0 + px * dx)) * bpp
+                out[dst:dst + bpp] = sub[src:src + bpp]
+    if pos != len(raw):
+        raise ValueError(
+            f"PNG: Adam7 stream is {len(raw)} bytes, consumed {pos}"
+        )
+    return out
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -151,8 +188,12 @@ def decode_png(data: bytes) -> dict:
             break
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if interlace != 0:
-        raise ValueError("PNG: Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
+    if interlace == 1 and bit_depth != 8:
+        raise ValueError(
+            "PNG: Adam7 interlace supported for 8-bit depths only"
+        )
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: color type {color_type} not supported")
     if bit_depth != 8 and not (
@@ -186,7 +227,10 @@ def decode_png(data: bytes) -> dict:
         }
     if bit_depth == 8:
         bpp = _CHANNELS[color_type]
-        pixels = _unfilter(raw, width, height, bpp)
+        if interlace == 1:
+            pixels = _deinterlace_adam7(raw, width, height, bpp)
+        else:
+            pixels = _unfilter(raw, width, height, bpp)
     else:
         # sub-byte depths: filters run on PACKED row bytes with a
         # one-byte stride (spec §6.2), then unpack to one byte/pixel

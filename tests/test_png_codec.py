@@ -122,11 +122,47 @@ def test_decode_rejects_corruption_and_unsupported():
             _build_png(2, 1, 3, raw, plte=bytes(6), bit_depth=16)
         )
     with pytest.raises(ValueError, match="interlace"):
-        png.decode_png(_build_png(2, 1, 0, raw, interlace=1))
+        # Adam7 is supported at 8-bit only; sub-byte interlace raises
+        png.decode_png(_build_png(2, 1, 0, raw, bit_depth=4, interlace=1))
+    with pytest.raises(ValueError, match="interlace"):
+        png.decode_png(_build_png(2, 1, 0, raw, interlace=9))
     with pytest.raises(ValueError, match="palette index"):
         png.decode_png(
             _build_png(2, 1, 3, raw, plte=bytes([1, 2, 3]))  # idx 7 > 0
         )
+
+
+def _adam7_interleave(pixels, width, height, bpp):
+    """Test-side FORWARD interlacer (independent of the decoder's
+    inverse): emit the concatenated filter-0 scanlines of each pass."""
+    out = bytearray()
+    for x0, y0, dx, dy in png._ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            out.append(0)  # filter type 0
+            for px in range(pw):
+                src = ((y0 + py * dy) * width + (x0 + px * dx)) * bpp
+                out.extend(pixels[src:src + bpp])
+    return bytes(out)
+
+
+@pytest.mark.parametrize("w,h,ch,ctype", [
+    (8, 8, 1, 0), (3, 2, 1, 0), (5, 7, 3, 2), (9, 4, 4, 6),
+])
+def test_adam7_interlaced_decode(w, h, ch, ctype):
+    # forward-interleave a known image in the test, decode with the
+    # codec's inverse — must reproduce the original for exact multiples
+    # of 8, partial passes, and multi-channel types
+    pixels = bytes((i * 31 + 7) % 256 for i in range(w * h * ch))
+    data = _build_png(
+        w, h, ctype, _adam7_interleave(pixels, w, h, ch), interlace=1
+    )
+    img = png.decode_png(data)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+    assert img["pixels"] == pixels
 
 
 def test_decode_16bit_gray_lossless_samples():
