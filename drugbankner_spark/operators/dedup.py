@@ -212,6 +212,30 @@ def minhash_signatures_rowwise(
     )
 
 
+def _banded_keys(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int, n: int, bands: int, rows_per_band: int, kernel: str,
+) -> DataFrame:
+    """(id, band, band_key) from per-row signatures — the LSH key table
+    every banding consumer (inline pairs, stored band table) shares."""
+    arr = minhash_signature_array(df, text_col, id_col, num_hashes, n, kernel)
+    return arr.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    "-",
+                )
+                for b in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+
+
 def minhash_band_pairs_rowwise(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 16, n: int = 3,
@@ -237,21 +261,8 @@ def minhash_band_pairs_rowwise(
     save materializing ~tens of bytes per document."""
     if parallelism:
         df = df.repartition(parallelism)
-    arr = minhash_signature_array(df, text_col, id_col, num_hashes, n, kernel)
-    banded = arr.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                    "-",
-                )
-                for b in range(bands)
-            ])
-        ).alias("band", "band_key"),
+    banded = _banded_keys(
+        df, text_col, id_col, num_hashes, n, bands, rows_per_band, kernel
     ).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
@@ -296,6 +307,86 @@ def minhash_band_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def build_minhash_band_table(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, n: int = 3, bands: int = 4, rows_per_band: int = 4,
+    kernel: str = "md5",
+) -> None:
+    """Materialize the corpus' LSH band-key table (id, band, band_key) —
+    the stored state that makes near-dup detection INCREMENTAL. Corpora
+    are never re-hashed at 100 TB: each text is shingle-hashed once, at
+    ingest, and every later batch probes/extends this table (~tens of
+    bytes per document) instead of rescanning bodies. The near-dup twin
+    of ``incremental_exact_dedup``'s digest index and
+    ``append_to_lsh_index``'s layout."""
+    (
+        _banded_keys(df, text_col, id_col, num_hashes, n, bands,
+                     rows_per_band, kernel)
+        .repartition("band")
+        .write.mode("overwrite").partitionBy("band").parquet(path)
+    )
+
+
+def append_to_minhash_band_table(
+    new_docs: DataFrame, path: str, text_col: str = "text",
+    id_col: str = "doc_id", num_hashes: int = 16, n: int = 3,
+    bands: int = 4, rows_per_band: int = 4, kernel: str = "md5",
+) -> None:
+    """Add a batch's band keys to the stored table — O(batch), appends
+    files only under the batch's band partitions."""
+    (
+        _banded_keys(new_docs, text_col, id_col, num_hashes, n, bands,
+                     rows_per_band, kernel)
+        .repartition("band")
+        .write.mode("append").partitionBy("band").parquet(path)
+    )
+
+
+def incremental_near_dup_pairs(
+    spark, new_docs: DataFrame, path: str, text_col: str = "text",
+    id_col: str = "doc_id", num_hashes: int = 16, n: int = 3,
+    bands: int = 4, rows_per_band: int = 4, kernel: str = "md5",
+) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING a new batch: batch × stored
+    corpus plus batch-internal, without re-hashing anything already in
+    the band table. Probe BEFORE appending the batch (then call
+    ``append_to_minhash_band_table``). Output: (id_a, id_b), id_a <
+    id_b, distinct — together with the pairs found when earlier batches
+    were ingested, this equals a full-corpus ``minhash_band_pairs_
+    rowwise`` run (parity-tested).
+
+    Scale: the join shuffles band KEYS (id + ~40-byte key), never
+    documents; the 100 TB of text is only ever hashed once, at its own
+    ingest. The stored-side key shuffle per ingest is the remaining
+    cost — a bucketed-table layout on band_key removes it for serving
+    deployments."""
+    new_banded = _banded_keys(
+        new_docs, text_col, id_col, num_hashes, n, bands, rows_per_band,
+        kernel,
+    ).persist()
+    stored = spark.read.parquet(path)
+    vs_stored = (
+        new_banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+        .join(
+            stored.select(F.col(id_col).alias("id_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    a = new_banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = new_banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    in_batch = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return vs_stored.unionByName(in_batch).distinct()
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -573,3 +573,32 @@ def test_theta_distinct_close_to_exact(spark):
            theta_distinct(ev, ["event_type"], "user_id").collect()}
     for k, n in exact.items():
         assert abs(got[k] - n) / n < 0.05
+
+
+def test_incremental_band_table_equals_full_run(spark, tmp_path):
+    # ingest docs in two batches through the stored band table; the
+    # union of (batch-1-internal pairs, batch-2 incremental pairs) must
+    # equal a full-corpus banding — and batch 2 never re-hashes batch 1
+    docs = load_table(spark, SF, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "bands")
+
+    full = {(r["id_a"], r["id_b"]) for r in
+            D.minhash_band_pairs_rowwise(docs, "text", "doc_id", 16).collect()}
+
+    p1 = {(r["id_a"], r["id_b"]) for r in
+          D.minhash_band_pairs_rowwise(b1, "text", "doc_id", 16).collect()}
+    D.build_minhash_band_table(b1, path)
+    p2 = {(r["id_a"], r["id_b"]) for r in
+          D.incremental_near_dup_pairs(spark, b2, path).collect()}
+    D.append_to_minhash_band_table(b2, path)
+
+    assert p1 | p2 == full and len(full) > 0
+    # a third, empty-overlap probe against the now-complete table finds
+    # every stored pair for a re-presented doc (idempotent re-ingest)
+    re_probe = {(r["id_a"], r["id_b"]) for r in
+                D.incremental_near_dup_pairs(
+                    spark, docs.filter(F.col("doc_id") < 3), path
+                ).collect()}
+    assert {p for p in full if p[0] < 3 or p[1] < 3} <= re_probe
