@@ -88,6 +88,141 @@ def chunk_documents(
     ).withColumn("n_chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
 
 
+def ingest_clean_batch(
+    spark,
+    new_docs: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **filter_kwargs,
+) -> DataFrame:
+    """Continuous-ingest corpus cleaning: admit one arriving batch
+    against persistent state, touching only O(batch) text. This is the
+    composition of the engine's three incremental primitives —
+    ``incremental_exact_dedup`` (digest index), ``incremental_near_dup_
+    pairs`` (stored MinHash band table), ``gopher_quality_filter`` — the
+    form a 100 TB pipeline actually runs: the corpus is never rebuilt,
+    each document's text is scanned and hashed exactly once, at its own
+    ingest.
+
+    State layout under ``state_dir``: ``corpus/`` (admitted documents)
+    and ``bands/`` (their LSH band keys). Per batch:
+
+    1. exact dedup vs stored digests + in-batch min-id survivor;
+    2. near-dup probe of the band table — a fresh doc pairing with ANY
+       stored doc is rejected (FIRST-WRITER-WINS: arrival order decides
+       the canonical, the streaming-ingest counterpart of
+       ``clean_corpus``'s global min-id rule — documented divergence);
+       in-batch pairs keep the min id (pair graphs within one batch are
+       cliques under the band threshold, so min-per-pair = min-per-
+       component in practice; re-probing later batches catches the
+       rest);
+    3. Gopher quality rules on survivors;
+    4. admitted docs + their band keys are APPENDED to the state.
+
+    Returns the admitted batch rows. First call bootstraps the state."""
+    import os
+
+    from drugbankner_spark.operators import dedup as D
+
+    corpus_path = os.path.join(state_dir, "corpus")
+    bands_path = os.path.join(state_dir, "bands")
+    try:
+        stored = spark.read.parquet(corpus_path)
+        bootstrapped = True
+    except Exception:
+        stored = None
+        bootstrapped = False
+
+    if bootstrapped:
+        fresh = D.incremental_exact_dedup(
+            new_docs, stored, text_col, id_col
+        ).persist()
+        pairs = D.incremental_near_dup_pairs(
+            spark, fresh, bands_path, text_col, id_col
+        )
+        # every pair involves ≥1 batch doc; classify sides by batch
+        # membership with two equi left-joins (an OR-join would plan as
+        # a nested loop), then: both-in-batch → min id wins; one side
+        # stored → the batch side loses (first-writer-wins)
+        bids = fresh.select(F.col(id_col).alias("_bid")).distinct()
+        flagged = (
+            pairs.join(
+                bids.select(F.col("_bid").alias("id_a"),
+                            F.lit(True).alias("_a_in")), "id_a", "left")
+            .join(
+                bids.select(F.col("_bid").alias("id_b"),
+                            F.lit(True).alias("_b_in")), "id_b", "left")
+        )
+        losers = flagged.select(
+            F.when(F.col("_a_in") & F.col("_b_in"),
+                   F.greatest("id_a", "id_b"))
+            .when(F.col("_a_in"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        )
+        fresh = fresh.join(losers.distinct(), id_col, "left_anti")
+    else:
+        pairs = D.minhash_band_pairs_rowwise(new_docs, text_col, id_col, 16)
+        losers = pairs.select(F.greatest("id_a", "id_b").alias(id_col))
+        fresh = D.exact_dedup(
+            new_docs.withColumn(
+                "_sha", F.sha2(F.col(text_col), 256)
+            ), ["_sha"], order_cols=[id_col],
+        ).drop("_sha").join(losers.distinct(), id_col, "left_anti")
+
+    from drugbankner_spark.operators.textanalysis import gopher_quality_filter
+
+    quality = gopher_quality_filter(
+        fresh, text_col=text_col, id_col=id_col, **filter_kwargs
+    )
+    # localCheckpoint (eager), not persist: admitted's LINEAGE reads the
+    # same state paths the next lines append to. A merely-persisted plan
+    # re-evaluated after the append (cache eviction, or the returned
+    # DataFrame) would see its own output as already-stored and reject
+    # its rows — the checkpoint severs the lineage at the pre-append
+    # snapshot.
+    admitted = fresh.join(
+        quality.filter(F.col("keep")).select(id_col), id_col, "semi"
+    ).localCheckpoint(eager=True)
+
+    admitted.write.mode("append").parquet(corpus_path)
+    if bootstrapped:
+        D.append_to_minhash_band_table(admitted, bands_path, text_col, id_col)
+    else:
+        D.build_minhash_band_table(admitted, bands_path, text_col, id_col)
+    # the session's FileStatusCache still holds the PRE-append listing
+    # for both state paths (the reads above populated it) — refresh, or
+    # this ingest's rows are invisible to the next batch and to the
+    # returned re-read
+    spark.catalog.refreshByPath(corpus_path)
+    spark.catalog.refreshByPath(bands_path)
+    return spark.read.parquet(corpus_path).join(
+        admitted.select(id_col), id_col, "semi"
+    )
+
+
+def stream_ingest_corpus(
+    docs_stream: DataFrame, state_dir: str, **kwargs
+) -> None:
+    """Structured-Streaming face of ``ingest_clean_batch``: drive a
+    document stream through a ``foreachBatch`` sink where every
+    micro-batch is admitted against the same persistent state. Spark
+    re-runs a failed epoch with the same epoch_id; the exact-dedup
+    digest check makes replayed batches idempotent (re-presented docs
+    are rejected as duplicates), giving effectively-exactly-once
+    admission."""
+    from drugbankner_spark.streaming.streams import run_foreach_batch
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_clean_batch(
+            batch_df.sparkSession, batch_df, state_dir, **kwargs
+        )
+
+    run_foreach_batch(docs_stream, admit, output_mode="append",
+                      max_files_per_trigger=1)
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

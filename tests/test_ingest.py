@@ -1,0 +1,90 @@
+"""Continuous corpus ingest (operators/corpus.py::ingest_clean_batch +
+stream_ingest_corpus): admit arriving batches against persistent state —
+exact dups, near-dups (cross-batch AND in-batch), and low-quality docs
+rejected, each document's text hashed exactly once, at its own ingest."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from drugbankner_spark.operators.corpus import (
+    ingest_clean_batch,
+    stream_ingest_corpus,
+)
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps by the river bank and then runs away to the distant "
+        "green hills again while the birds are singing in the trees")
+GOOD2 = ("a completely different story begins here where the old ship "
+         "sails across the wide ocean and the crew is watching the "
+         "stars to find their way home through the long cold night")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ingest_clean_batch_two_batches(spark, tmp_path):
+    state = str(tmp_path / "state")
+    b1 = _df(spark, [
+        (1, GOOD),                       # admitted
+        (2, GOOD),                       # exact in-batch dup → rejected
+        (3, GOOD2),                      # admitted
+        (4, "tiny doc"),                 # fails quality → rejected
+    ])
+    a1 = {r["doc_id"] for r in
+          ingest_clean_batch(spark, b1, state, min_tokens=10).collect()}
+    assert a1 == {1, 3}
+
+    b2 = _df(spark, [
+        (5, GOOD),                       # exact CROSS-batch dup → rejected
+        (6, GOOD + " extra tail"),       # near-dup of stored 1 → rejected
+        (7, GOOD2.replace("ship", "boat")),  # near-dup of stored 3 → rejected
+        (8, "the third tale speaks of a quiet village in the mountains "
+            "where the people are baking bread and the children play "
+            "near the old stone well every single morning of the year"),
+        (9, "the third tale speaks of a quiet village in the mountains "
+            "where the people are baking bread and the children play "
+            "near the old stone well every single morning of the week"),
+    ])                                   # 8/9 near-dups: min id 8 wins
+    a2 = {r["doc_id"] for r in
+          ingest_clean_batch(spark, b2, state, min_tokens=10).collect()}
+    assert a2 == {8}
+
+    final = spark.read.parquet(os.path.join(state, "corpus"))
+    assert {r["doc_id"] for r in final.select("doc_id").collect()} == {1, 3, 8}
+    # re-presenting an admitted doc is a no-op (idempotent replay)
+    a3 = ingest_clean_batch(
+        spark, _df(spark, [(10, GOOD)]), state, min_tokens=10
+    ).count()
+    assert a3 == 0
+
+
+def test_stream_ingest_corpus_micro_batches(spark, tmp_path):
+    # two parquet files → two micro-batches (maxFilesPerTrigger=1)
+    # through foreachBatch. Micro-batch ORDER is not contractual, so
+    # assert order-invariant properties: one admitted doc per duplicate
+    # equivalence class, low quality rejected.
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    _df(spark, [(1, GOOD), (2, GOOD2), (3, "tiny doc")]) \
+        .repartition(1).write.parquet(src)
+    _df(spark, [(11, GOOD + " extra tail"), (12, GOOD2), (13, GOOD2)]) \
+        .repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string")
+        .parquet(src)
+    )
+    stream_ingest_corpus(stream, state, min_tokens=10)
+
+    final = spark.read.parquet(os.path.join(state, "corpus")).collect()
+    ids = {r["doc_id"] for r in final}
+    # classes: {1, 11} (near), {2, 12, 13} (exact/near), {3 low-quality}
+    assert len(ids) == 2
+    assert len(ids & {1, 11}) == 1
+    assert len(ids & {2, 12, 13}) == 1
+    assert 3 not in ids
