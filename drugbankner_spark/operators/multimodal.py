@@ -158,6 +158,118 @@ def resize_images(
     return media.mapInPandas(run, out_schema)
 
 
+def image_hashes(media: DataFrame) -> DataFrame:
+    """Perceptual image hashes for multimodal dedup: 64-bit aHash
+    (average hash — each 8×8 cell vs the global mean) and dHash
+    (horizontal gradient over a 9×8 grid), computed from REAL decoded
+    PNG pixels (stdlib codec → integer luminance → nearest-neighbor
+    downscale). Robust to re-encoding and mild resizing — the standard
+    first-pass signal for near-duplicate image detection. Output:
+    (media_id, ahash, dhash) as signed 64-bit longs.
+
+    Non-PNG payloads raise (codec availability, as decode_media);
+    hashing is Arrow-batched and shuffles nothing."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import png_codec as png
+
+        def gray(img):
+            px, ch = img["pixels"], img["channels"]
+            if ch == 1:
+                return px
+            if ch == 2:  # gray+alpha
+                return px[::2]
+            # integer BT.601 luminance — deterministic, no floats
+            return bytes(
+                (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
+                for i in range(0, len(px), ch)
+            )
+
+        def to_i64(bits):
+            v = 0
+            for b in bits:
+                v = (v << 1) | b
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not png.is_png(data):
+                    raise NotImplementedError(
+                        "image_hashes: PNG only (stdlib codec); other "
+                        "formats need image libraries absent here"
+                    )
+                img = png.decode_png(data)
+                g = gray(img)
+                w, h = img["width"], img["height"]
+                g9 = png.resize_nearest(g, w, h, 1, 9, 8)
+                cells = [g9[r * 9 + c] for r in range(8) for c in range(8)]
+                mean = sum(cells) // 64
+                ahash = to_i64([1 if v > mean else 0 for v in cells])
+                dhash = to_i64([
+                    1 if g9[r * 9 + c] > g9[r * 9 + c + 1] else 0
+                    for r in range(8) for c in range(8)
+                ])
+                rows.append((int(mid), ahash, dhash))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash", "dhash"])
+
+    return media.mapInPandas(run, out_schema)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes: split each
+    64-bit hash into 4 × 16-bit bands — by pigeonhole, two hashes within
+    hamming distance 3 share at least one band exactly — equi-join on
+    (band, value), then verify with the true popcount. JVM-only after
+    hash extraction; one band shuffle, never all-pairs (the SimHash/
+    MinHash banding argument applied to images)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "max_hamming must be in [0, 3] for 4-band pigeonhole recall"
+        )
+    h = F.col(hash_col)
+    banded = hashes.select(
+        F.col("media_id"),
+        h.alias("_h"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(h, 16 * b).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("band", "band_val"),
+    ).persist()  # both self-join sides — see minhash_band_pairs_rowwise
+    a = banded.select(
+        F.col("media_id").alias("id_a"), F.col("_h").alias("_ha"),
+        "band", "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"), F.col("_h").alias("_hb"),
+        "band", "band_val",
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def png_roundtrip_digest(media: DataFrame, width: int = 32) -> DataFrame:
     """Oracle-checkable REAL-codec demonstration: pack each payload's
     bytes into a ``width``-wide 8-bit grayscale image, encode it as a

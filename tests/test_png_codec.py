@@ -278,3 +278,68 @@ def test_decode_media_non_png_still_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|only PNG"):
         decode_media(df).collect()
+
+
+# --- Perceptual hashing over real decoded pixels ------------------------
+
+
+def _gradient_png(w, h, shift=0, noise_at=None):
+    """Deterministic grayscale gradient image; optional single-cell
+    perturbation (noise_at=(x, y)) for near-dup fixtures."""
+    px = bytearray(((x * 255) // (w - 1) + shift) % 256
+                   for y in range(h) for x in range(w))
+    if noise_at:
+        x, y = noise_at
+        px[y * w + x] = (px[y * w + x] + 8) % 256
+    return png.encode_png(bytes(px), w, h, 1)
+
+
+def test_image_hashes_near_and_far(spark):
+    from drugbankner_spark.operators.multimodal import (
+        image_hashes,
+        image_near_dup_pairs,
+    )
+
+    a = _gradient_png(32, 32)
+    b = _gradient_png(32, 32, noise_at=(5, 5))       # near-dup of a
+    c = _gradient_png(16, 16)                        # same image, smaller
+    # inverted gradient: structurally different
+    d = png.encode_png(
+        bytes(255 - ((x * 255) // 31) for _ in range(32) for x in range(32)),
+        32, 32, 1,
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(a), "image/png", len(a)),
+         (2, bytearray(b), "image/png", len(b)),
+         (3, bytearray(c), "image/png", len(c)),
+         (4, bytearray(d), "image/png", len(d))],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    hashes = image_hashes(media)
+    rows = {r["media_id"]: (r["ahash"], r["dhash"]) for r in hashes.collect()}
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")  # noqa: E731
+    # single-cell noise: tiny hamming; resize: dHash gradient survives;
+    # inversion: far from everything
+    assert ham(rows[1][1], rows[2][1]) <= 3
+    assert ham(rows[1][1], rows[3][1]) <= 3
+    assert ham(rows[1][1], rows[4][1]) > 16
+
+    pairs = {(r["id_a"], r["id_b"])
+             for r in image_near_dup_pairs(hashes).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_image_near_dup_pairs_rejects_bad_threshold(spark):
+    from drugbankner_spark.operators.multimodal import (
+        image_hashes,
+        image_near_dup_pairs,
+    )
+
+    a = _gradient_png(8, 8)
+    media = spark.createDataFrame(
+        [(1, bytearray(a), "image/png", len(a))],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dup_pairs(image_hashes(media), max_hamming=9)
