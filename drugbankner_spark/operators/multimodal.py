@@ -270,6 +270,89 @@ def image_near_dup_pairs(
     )
 
 
+def audio_features(media: DataFrame, n_fft: int = 512) -> DataFrame:
+    """Real spectral feature extraction for WAV payloads: decode via the
+    stdlib RIFF/PCM codec, then numpy FFT over the (channel-averaged)
+    samples — dominant frequency, spectral centroid, rms, duration. The
+    audio analogue of decode_media's PNG stats, and the feature column a
+    downstream audio near-dup / quality stage consumes. Arrow-batched;
+    numpy is vectorized per payload; shuffles nothing. Non-WAV payloads
+    raise (codec availability, as everywhere in E4)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as np
+
+        from drugbankner_spark.functions import wav_codec as wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not wav.is_wav(data):
+                    raise NotImplementedError(
+                        "audio_features: WAV only (stdlib codec); "
+                        "compressed audio needs codec libraries absent "
+                        "here"
+                    )
+                meta = wav.decode_wav(data)
+                # re-extract samples as a numpy array (decode_wav
+                # returns stats; here we need the waveform)
+                fmt = body = None
+                for cid, pl in wav._chunks(data):
+                    if cid == b"fmt ":
+                        fmt = _struct.unpack("<HHIIHH", pl[:16])
+                    elif cid == b"data":
+                        body = pl
+                ch, rate = fmt[1], fmt[2]
+                if fmt[0] == 1 and fmt[5] == 16:
+                    x = np.frombuffer(
+                        body[:len(body) // 2 * 2], dtype="<i2"
+                    ).astype(np.float64) / 32768.0
+                elif fmt[0] == 3 and fmt[5] == 32:
+                    x = np.frombuffer(
+                        body[:len(body) // 4 * 4], dtype="<f4"
+                    ).astype(np.float64)
+                elif fmt[0] == 1 and fmt[5] == 8:
+                    x = (np.frombuffer(body, dtype=np.uint8)
+                         .astype(np.float64) - 128.0) / 128.0
+                else:
+                    x = None
+                if x is None or x.size == 0:
+                    raise NotImplementedError(
+                        "audio_features: unsupported PCM layout"
+                    )
+                if ch > 1:
+                    x = x[:x.size // ch * ch].reshape(-1, ch).mean(axis=1)
+                seg = x[:n_fft] if x.size >= n_fft else x
+                spec = np.abs(np.fft.rfft(seg, n=n_fft))
+                freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+                spec[0] = 0.0  # ignore DC for dominance/centroid
+                power = spec.sum()
+                dom = float(freqs[int(spec.argmax())])
+                cen = float((freqs * spec).sum() / power) if power > 0 else 0.0
+                rows.append((
+                    int(mid), rate, round(meta["duration_sec"], 6),
+                    round(meta["rms"], 6), round(dom, 3), round(cen, 3),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "duration_sec", "rms",
+                         "dominant_hz", "spectral_centroid_hz"],
+            )
+
+    return media.mapInPandas(run, out_schema)
+
+
 def png_roundtrip_digest(media: DataFrame, width: int = 32) -> DataFrame:
     """Oracle-checkable REAL-codec demonstration: pack each payload's
     bytes into a ``width``-wide 8-bit grayscale image, encode it as a

@@ -129,3 +129,43 @@ def test_sample_frames_video_still_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_frames(df).collect()
+
+
+def test_audio_features_detects_tone_frequency(spark):
+    # a pure 1 kHz tone at 16 kHz: dominant bin and spectral centroid
+    # must land on ~1000 Hz (fft bin width = 16000/512 = 31.25 Hz)
+    from drugbankner_spark.operators.multimodal import audio_features
+
+    sr, f0 = 16_000, 1000.0
+    tone = wav.encode_wav(
+        [0.8 * math.sin(2 * math.pi * f0 * i / sr) for i in range(2048)],
+        sr, 1,
+    )
+    low = wav.encode_wav(
+        [0.5 * math.sin(2 * math.pi * 250.0 * i / sr) for i in range(2048)],
+        sr, 1,
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(tone), "audio/wav", len(tone)),
+         (2, bytearray(low), "audio/wav", len(low))],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    out = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert abs(out[1]["dominant_hz"] - f0) < 32
+    assert abs(out[2]["dominant_hz"] - 250.0) < 32
+    assert abs(out[1]["spectral_centroid_hz"] - f0) < 100
+    assert out[1]["sample_rate"] == sr
+    assert abs(out[1]["duration_sec"] - 2048 / sr) < 1e-9
+    assert 0.5 < out[1]["rms"] < 0.6  # sine rms = amp/sqrt(2) ≈ 0.566
+
+
+def test_audio_features_non_wav_raises(spark):
+    from drugbankner_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04 mp3-ish bytes"), "audio/mpeg", 16)],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|WAV only"):
+        audio_features(df).collect()
