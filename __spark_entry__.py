@@ -1556,6 +1556,73 @@ def _e4_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     return emb.mapInPandas(run, out_schema)
 
 
+def _e4_image_hashes(spark: SparkSession, sf: str) -> DataFrame:
+    # Perceptual-hash pipeline on real PNGs synthesized from doc bytes:
+    # encode → aHash/dHash from decoded pixels. Hash bit patterns are
+    # not SQL-expressible → rows-only check; goldens live in
+    # tests/test_png_codec.py.
+    from drugbankner_spark.functions import png_codec as png
+    from drugbankner_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents").limit(200)
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+
+    def encode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                w = 32
+                h = max(1, -(-len(data) // w))
+                padded = data + b"\x00" * (w * h - len(data))
+                p = png.encode_png(padded, w, h, 1)
+                rows.append((int(did), p, "image/png", len(p)))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "payload", "mime_type", "n_bytes"]
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(encode, out_schema)
+    return MM.image_hashes(media)
+
+
+def _e4_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    # numpy-FFT spectral features over WAVs synthesized from embedding
+    # floats — rows-only (FFT magnitudes aren't SQL-expressible);
+    # frequency-detection goldens live in tests/test_wav_codec.py.
+    from drugbankner_spark.functions import wav_codec as wav
+    from drugbankner_spark.operators import multimodal as MM
+
+    emb = load_table(spark, sf, "embeddings").limit(200)
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+
+    def encode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                p = wav.encode_wav([float(v) for v in vec], 16_000, 1)
+                rows.append((int(vid), p, "audio/wav", len(p)))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "payload", "mime_type", "n_bytes"]
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(encode, out_schema)
+    return MM.audio_features(media)
+
+
 def _e4_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL stdlib PNG codec under the driver: pack each doc's UTF-8
     # bytes into a grayscale PNG, decode it back, digest the recovered
@@ -1853,6 +1920,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
         "e5_sketch_distinct": _e5_sketch_distinct,
+        # round 4: multimodal ANALYSIS over real codecs — hash/FFT
+        # outputs aren't SQL-expressible → rows-only; goldens in
+        # tests/test_png_codec.py + tests/test_wav_codec.py
+        "e4_image_hashes": _e4_image_hashes,
+        "e4_audio_features": _e4_audio_features,
     }
 
 
