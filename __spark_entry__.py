@@ -1289,6 +1289,14 @@ def _e5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e3_hashed_tf(spark: SparkSession, sf: str) -> DataFrame:
+    # Feature-hashed text vectors (long/sparse oracle-stable view):
+    # the model-free bridge from E3 text to the E2 similarity stack.
+    from drugbankner_spark.operators.textanalysis import hashed_tf_entries
+
+    return hashed_tf_entries(load_table(spark, sf, "documents"))
+
+
 def _e5_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
     # Mergeable HLL distinct-user counts per event type + the global
     # rollup computed by UNIONING the stored sketches (never rescanning
@@ -1920,6 +1928,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
         "e5_sketch_distinct": _e5_sketch_distinct,
+        # round 4: feature-hashing text vectors (hash-oracled)
+        "e3_hashed_tf": _e3_hashed_tf,
         # round 4: multimodal ANALYSIS over real codecs — hash/FFT
         # outputs aren't SQL-expressible → rows-only; goldens in
         # tests/test_png_codec.py + tests/test_wav_codec.py
@@ -3346,6 +3356,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, len_ok AND mean_token_len_ok AND digit_ratio_ok
                       AND repetition_ok AND stopword_ok AS keep
             FROM flags
+        """,
+        "e3_hashed_tf": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, {_sql_hash32("tok")} % 64 AS bucket,
+                       count(*) AS n
+                FROM toks WHERE tok <> '' GROUP BY doc_id, bucket
+            ),
+            l2 AS (
+                SELECT doc_id, sqrt(sum(n * n)) AS l2 FROM tf
+                GROUP BY doc_id
+            )
+            SELECT tf.doc_id, bucket AS pos, round(n / l2, 6) AS value
+            FROM tf JOIN l2 USING (doc_id)
         """,
         "e5_hash_sample": f"""
             SELECT event_id, user_id, event_type

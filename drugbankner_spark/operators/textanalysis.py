@@ -307,3 +307,70 @@ def tfidf_scores(
         "df",
         F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
     )
+
+
+def hashed_tf_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    kernel: str = "md5",
+) -> DataFrame:
+    """Model-free text embeddings by feature hashing ("hashing trick"):
+    token → stable 32-bit hash → bucket in [0, dim); the L2-normalized
+    bucket-count vector is a fixed-width representation every E2
+    similarity operator (cosine_topk, embedding_near_dup_pairs, the
+    LSH/IVF indexes) consumes directly — text near-dup retrieval with
+    ZERO model dependencies. Output: (id, vector: array<double>[dim]).
+
+    Plan: explode → ONE (id, bucket) hash agg with map-side combine →
+    ONE per-id agg packing the sparse entries; the dense vector is a
+    per-row transform over a map — dim never fans rows out. The same
+    md5-derived hash as the dedup family (``kernel="xxhash64"`` for the
+    cheap production kernel; md5 keeps DuckDB oracles exact)."""
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = (
+        toks.select(
+            F.col(id_col),
+            F.pmod(content_hash32(F.col("tok"), kernel), F.lit(dim)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    packed = tf.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "n"))
+        ).alias("_m"),
+        F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("_l2"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0)) / F.col("_l2"),
+    )
+    return packed.select(F.col(id_col), dense.alias("vector"))
+
+
+def hashed_tf_entries(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    kernel: str = "md5",
+) -> DataFrame:
+    """Sparse LONG-format view of ``hashed_tf_vectors`` — (id, pos,
+    value) for the NONZERO buckets only, values rounded to 6 — the
+    oracle-stable shape (array columns don't value-hash identically
+    across engines; scalar rows do)."""
+    vec = hashed_tf_vectors(df, text_col, id_col, dim, kernel)
+    return (
+        vec.select(F.col(id_col), F.posexplode("vector").alias("pos", "v"))
+        .filter(F.col("v") > 0)
+        .select(F.col(id_col), "pos", F.round("v", 6).alias("value"))
+    )

@@ -602,3 +602,31 @@ def test_incremental_band_table_equals_full_run(spark, tmp_path):
                     spark, docs.filter(F.col("doc_id") < 3), path
                 ).collect()}
     assert {p for p in full if p[0] < 3 or p[1] < 3} <= re_probe
+
+
+def test_hashed_tf_vectors_power_similarity_stack(spark):
+    # the model-free bridge: text → hashed tf vector → E2 near-dup.
+    # A near-dup text pair must score high cosine; unrelated text low —
+    # and embedding_near_dup_pairs over the vectors finds exactly the
+    # planted pair.
+    from drugbankner_spark.operators.textanalysis import hashed_tf_vectors
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("theta", "thetaX", 1)
+    other = "one two three four five six seven eight nine ten " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    vecs = hashed_tf_vectors(docs, dim=64).withColumnRenamed(
+        "doc_id", "vec_id").withColumnRenamed("vector", "embedding")
+    rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    assert abs(dot(rows[1], rows[1]) - 1.0) < 1e-9      # L2-normalized
+    assert dot(rows[1], rows[2]) > 0.95                  # near-dup
+    assert dot(rows[1], rows[3]) < 0.5                   # unrelated
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             SIM.embedding_near_dup_pairs(
+                 vecs, threshold=0.9, num_planes=4
+             ).collect()}
+    assert pairs == {(1, 2)}
