@@ -125,12 +125,14 @@ def ingest_clean_batch(
 
     from drugbankner_spark.operators import dedup as D
 
+    from pyspark.errors import AnalysisException
+
     corpus_path = os.path.join(state_dir, "corpus")
     bands_path = os.path.join(state_dir, "bands")
     try:
         stored = spark.read.parquet(corpus_path)
         bootstrapped = True
-    except Exception:
+    except AnalysisException:  # PATH_NOT_FOUND → first batch bootstraps
         stored = None
         bootstrapped = False
 

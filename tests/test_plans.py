@@ -202,3 +202,29 @@ def test_stratified_sample_prunes_and_stays_jvm(spark):
     schema = " ".join(X.read_schemas(df))
     assert "text" not in schema and "source" not in schema
     assert X.count_shuffles(df) <= 2  # strata repartition (+AQE read)
+
+
+def test_hashed_tf_two_aggs_no_python(spark):
+    # explode → (id, bucket) agg → per-id pack: two shuffles, all JVM
+    from drugbankner_spark.operators.textanalysis import hashed_tf_vectors
+    from drugbankner_spark.tables import load_table
+
+    df = hashed_tf_vectors(load_table(spark, SF, "documents"))
+    plan = X.plan_string(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert X.count_shuffles(df) <= 2
+
+
+def test_image_near_dup_band_join_not_cartesian(spark):
+    # the hamming pairing must plan as a banded equi join (plus the
+    # distinct), never a cross product over images
+    from drugbankner_spark.operators.multimodal import image_near_dup_pairs
+
+    hashes = spark.createDataFrame(
+        [(1, 7, 7), (2, 7, 6), (3, -123456789, 42)],
+        "media_id long, ahash long, dhash long",
+    )
+    df = image_near_dup_pairs(hashes)
+    assert not X.has_cartesian(df)
+    plan = X.plan_string(df)
+    assert "BatchEvalPython" not in plan
