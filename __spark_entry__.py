@@ -1289,6 +1289,16 @@ def _e5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e3_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    # Sequence-packing assignment via bucketed parallel prefix sum; the
+    # oracle computes the SAME stream positions with one global window.
+    from drugbankner_spark.operators.corpus import pack_sequence_assignments
+
+    return pack_sequence_assignments(
+        load_table(spark, sf, "documents"), seq_len=512
+    )
+
+
 def _e3_hashed_tf(spark: SparkSession, sf: str) -> DataFrame:
     # Feature-hashed text vectors (long/sparse oracle-stable view):
     # the model-free bridge from E3 text to the E2 similarity stack.
@@ -1930,6 +1940,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_sketch_distinct": _e5_sketch_distinct,
         # round 4: feature-hashing text vectors (hash-oracled)
         "e3_hashed_tf": _e3_hashed_tf,
+        # round 4: sequence packing assignment (hash-oracled)
+        "e3_pack_sequences": _e3_pack_sequences,
         # round 4: multimodal ANALYSIS over real codecs — hash/FFT
         # outputs aren't SQL-expressible → rows-only; goldens in
         # tests/test_png_codec.py + tests/test_wav_codec.py
@@ -3356,6 +3368,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, len_ok AND mean_token_len_ok AND digit_ratio_ok
                       AND repetition_ok AND stopword_ok AS keep
             FROM flags
+        """,
+        "e3_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS start
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(start / 512.0) AS BIGINT) AS seq_first,
+                   CAST(floor((start + n_tokens - 1) / 512.0) AS BIGINT)
+                       AS seq_last,
+                   start % 512 AS offset_in_first
+            FROM c
         """,
         "e3_hashed_tf": f"""
             WITH toks AS (

@@ -88,6 +88,81 @@ def chunk_documents(
     ).withColumn("n_chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
 
 
+def pack_sequence_assignments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in ``id_col``
+    order and split the token stream into fixed ``seq_len`` windows —
+    the final shaping step before training. Output, one row per doc:
+    (id, n_tokens, seq_first, seq_last, offset_in_first) — which
+    training sequence(s) the doc lands in and where it starts. Docs
+    spanning a boundary report seq_first < seq_last.
+
+    Scale: the naive form is one GLOBAL running sum — an unpartitioned
+    window that funnels 100 TB through a single task. Here it is the
+    classic parallel prefix sum: range-bucket by id (min/max from one
+    agg), per-bucket token totals (tiny) roll into base offsets on the
+    driver, and the intra-bucket running sum is a window PARTITIONED by
+    bucket — every stage parallel, results identical to the global scan
+    (oracle-checked against DuckDB's single window)."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    lo, hi = d.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return d.select(
+            id_col, "n_tokens",
+            F.lit(None).cast("long").alias("seq_first"),
+            F.lit(None).cast("long").alias("seq_last"),
+            F.lit(None).cast("long").alias("offset_in_first"),
+        )
+    bucket = F.least(
+        F.width_bucket(F.col(id_col), F.lit(lo), F.lit(hi + 1),
+                       F.lit(n_buckets)),
+        F.lit(n_buckets),
+    ).alias("_bucket")
+    db = d.select(id_col, "n_tokens", bucket)
+    per_bucket = {
+        r["_bucket"]: r["_t"]
+        for r in db.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_t")).collect()
+    }
+    base, acc = [], 0
+    for b in range(1, n_buckets + 1):
+        base.append((b, acc))
+        acc += per_bucket.get(b, 0)
+    offsets = docs.sparkSession.createDataFrame(
+        base, "_bucket int, _base long"
+    )
+    w = (
+        Window.partitionBy("_bucket").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        db.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "_start",
+            F.col("_base") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+    )
+    return assigned.select(
+        F.col(id_col),
+        "n_tokens",
+        F.floor(F.col("_start") / seq_len).alias("seq_first"),
+        F.floor((F.col("_start") + F.col("n_tokens") - 1) / seq_len).alias(
+            "seq_last"
+        ),
+        F.pmod(F.col("_start"), F.lit(seq_len)).alias("offset_in_first"),
+    )
+
+
 def ingest_clean_batch(
     spark,
     new_docs: DataFrame,

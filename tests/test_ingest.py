@@ -88,3 +88,26 @@ def test_stream_ingest_corpus_micro_batches(spark, tmp_path):
     assert len(ids & {1, 11}) == 1
     assert len(ids & {2, 12, 13}) == 1
     assert 3 not in ids
+
+
+def test_pack_sequence_assignments_gapless_and_bucket_invariant(spark):
+    from drugbankner_spark.operators.corpus import pack_sequence_assignments
+    from drugbankner_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = pack_sequence_assignments(docs, seq_len=512).collect()
+    rows = sorted((r["doc_id"], r) for r in out)
+    # the packed stream is gapless: each doc starts where the previous
+    # ended (start = seq_first*512 + offset_in_first)
+    pos = 0
+    for _, r in rows:
+        assert r["seq_first"] * 512 + r["offset_in_first"] == pos
+        assert r["seq_last"] == (pos + r["n_tokens"] - 1) // 512
+        pos += r["n_tokens"]
+    # bucketing is an implementation detail: different bucket counts
+    # give identical assignments
+    alt = {(r["doc_id"], r["seq_first"], r["offset_in_first"])
+           for r in pack_sequence_assignments(
+               docs, seq_len=512, n_buckets=7).collect()}
+    assert alt == {(r["doc_id"], r["seq_first"], r["offset_in_first"])
+                   for _, r in rows}
