@@ -1289,6 +1289,34 @@ def _e5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    # SCD2 versioning of each user's event_type "state" from the events
+    # changelog: no-op repeats collapse, versions carry validity
+    # intervals. Windows partitioned by user — scales with users.
+    from drugbankner_spark.operators.temporal import scd2_from_changes
+
+    return scd2_from_changes(
+        load_table(spark, sf, "events"),
+        "user_id", "ts", ["event_type"], tiebreak_cols=["event_id"],
+    )
+
+
+def _e5_constraint_report(spark: SparkSession, sf: str) -> DataFrame:
+    # declarative data-quality gate over orders: unique key, null-free
+    # fk, value domain, referential integrity vs customer.
+    from drugbankner_spark.operators.checks import constraint_report
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    return constraint_report(
+        orders,
+        not_null=["o_custkey", "o_orderdate"],
+        unique=[["o_orderkey"]],
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        references=[("o_custkey", cust, "c_custkey")],
+    )
+
+
 def _e3_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     # Sequence-packing assignment via bucketed parallel prefix sum; the
     # oracle computes the SAME stream positions with one global window.
@@ -1942,6 +1970,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_hashed_tf": _e3_hashed_tf,
         # round 4: sequence packing assignment (hash-oracled)
         "e3_pack_sequences": _e3_pack_sequences,
+        # round 4: SCD2 dimension versioning + declarative DQ gate
+        "e5_scd2_user_state": _e5_scd2_user_state,
+        "e5_constraint_report": _e5_constraint_report,
         # round 4: multimodal ANALYSIS over real codecs — hash/FFT
         # outputs aren't SQL-expressible → rows-only; goldens in
         # tests/test_png_codec.py + tests/test_wav_codec.py
@@ -3368,6 +3399,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, len_ok AND mean_token_len_ok AND digit_ratio_ok
                       AND repetition_ok AND stopword_ok AS keep
             FROM flags
+        """,
+        "e5_scd2_user_state": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ),
+            changed AS (
+                SELECT * FROM ordered
+                WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) IS NULL AS is_current
+            FROM changed
+        """,
+        "e5_constraint_report": """
+            SELECT 'not_null' AS check, 'o_custkey' AS target,
+                   count(*) FILTER (o_custkey IS NULL) AS n_violations,
+                   count(*) FILTER (o_custkey IS NULL) = 0 AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'not_null', 'o_orderdate',
+                   count(*) FILTER (o_orderdate IS NULL),
+                   count(*) FILTER (o_orderdate IS NULL) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'unique', 'o_orderkey',
+                   count(*) - count(DISTINCT o_orderkey),
+                   count(*) = count(DISTINCT o_orderkey)
+            FROM orders
+            UNION ALL
+            SELECT 'accepted_values', 'o_orderstatus',
+                   count(*) FILTER (o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P')),
+                   count(*) FILTER (o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'references', 'o_custkey', count(*), count(*) = 0
+            FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL)
         """,
         "e3_pack_sequences": """
             WITH t AS (

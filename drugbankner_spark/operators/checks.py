@@ -1,0 +1,71 @@
+"""Data-quality constraint checking (E5 engine extension): declarative
+expectations over a table — null-free columns, unique keys, accepted
+value domains, referential integrity — reported as ONE long-format
+result (check, target, n_violations, passed), so a pipeline gate is a
+single ``.filter(~passed).count() == 0``.
+
+Every check is a plain aggregation (conditional counts, one distinct agg
+per unique-key set, one broadcast/shuffle anti-join per foreign key) —
+no collects, no UDFs; the report over a 100 TB table costs one scan plus
+one small agg per declared check. All checks are SQL-expressible, so the
+report itself is DuckDB-oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def constraint_report(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    references: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """One row per declared constraint: (check, target, n_violations,
+    passed). ``references`` entries are (fk_col, dim_df, dim_col) —
+    violations are rows whose non-null fk has no match (SQL
+    NOT-IN-with-NULL semantics deliberately avoided)."""
+    reports = []
+    for c in not_null or []:
+        reports.append(df.agg(
+            F.lit("not_null").alias("check"),
+            F.lit(c).alias("target"),
+            F.count_if(F.col(c).isNull()).alias("n_violations"),
+        ))
+    for cols in unique or []:
+        key = F.struct(*[F.col(c) for c in cols])
+        reports.append(df.agg(
+            F.lit("unique").alias("check"),
+            F.lit(",".join(cols)).alias("target"),
+            (F.count(F.lit(1)) - F.countDistinct(key)).alias("n_violations"),
+        ))
+    for c, allowed in (accepted_values or {}).items():
+        reports.append(df.agg(
+            F.lit("accepted_values").alias("check"),
+            F.lit(c).alias("target"),
+            F.count_if(
+                F.col(c).isNotNull() & ~F.col(c).isin(*allowed)
+            ).alias("n_violations"),
+        ))
+    for fk, dim, dim_col in references or []:
+        missing = (
+            df.select(F.col(fk)).filter(F.col(fk).isNotNull())
+            .join(
+                dim.select(F.col(dim_col).alias(fk)).distinct(),
+                fk, "left_anti",
+            )
+            .agg(
+                F.lit("references").alias("check"),
+                F.lit(fk).alias("target"),
+                F.count(F.lit(1)).alias("n_violations"),
+            )
+        )
+        reports.append(missing)
+    if not reports:
+        raise ValueError("constraint_report: no checks declared")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.withColumn("passed", F.col("n_violations") == 0)

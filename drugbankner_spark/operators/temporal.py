@@ -157,3 +157,42 @@ def range_join_binned(
         & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("_bin")
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a changelog: one VERSION row
+    per (key, distinct attribute state), with ``valid_from`` /
+    ``valid_to`` interval columns and ``is_current`` — the standard
+    warehouse shape for as-of dimension joins (pair with ``asof_join``
+    to enrich facts with the version in force at event time).
+
+    ``collapse_unchanged`` drops changelog rows whose attributes equal
+    the key's previous state (no-op updates never open a version).
+    Deterministic: ordering is (ts, *tiebreak_cols); two windows, both
+    partitioned by key — per-key history scales with key cardinality,
+    exactly like session windows."""
+    order = [F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    d = changes.select(key_col, ts_col, *(tiebreak_cols or []), *attr_cols)
+    if collapse_unchanged:
+        d = (
+            d.withColumn("_prev", F.lag(state).over(w))
+            .filter(F.col("_prev").isNull() | (F.col("_prev") != state))
+            .drop("_prev")
+        )
+    return (
+        d.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .select(
+            key_col, *attr_cols, "valid_from", "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

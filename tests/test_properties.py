@@ -154,3 +154,47 @@ def test_asof_matches_pandas_merge_asof(left_rows, right_rows):
     else:
         assert all(v == (None, None) for v in got.values())
     assert len(got) == len(left_rows)
+
+
+# --- codec round-trip properties (no Spark needed: pure kernels) --------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ch, data):
+    from drugbankner_spark.functions import png_codec as png
+
+    pixels = bytes(
+        data.draw(st.lists(
+            st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+        ))
+    )
+    img = png.decode_png(png.encode_png(pixels, w, h, ch))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+    assert img["pixels"] == pixels
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    rate=st.sampled_from([8_000, 16_000, 44_100]),
+    data=st.data(),
+)
+def test_wav_roundtrip_property(n, rate, data):
+    import math
+
+    from drugbankner_spark.functions import wav_codec as wav
+
+    samples = data.draw(st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+        min_size=n, max_size=n,
+    ))
+    out = wav.decode_wav(wav.encode_wav(samples, rate, 1))
+    assert out["n_frames"] == n and out["sample_rate"] == rate
+    want_rms = math.sqrt(sum(s * s for s in samples) / n)
+    assert abs(out["rms"] - want_rms) <= 1.0 / 32768 + 1e-9

@@ -120,3 +120,31 @@ def test_range_join_no_duplicate_pairs(spark):
         bin_seconds=60,
     )
     assert out.count() == 1
+
+
+def test_scd2_versions_collapse_and_intervals(spark):
+    from drugbankner_spark.operators.temporal import scd2_from_changes
+
+    changes = spark.createDataFrame(
+        [(1, 10, 100, "A"), (1, 20, 101, "A"),   # no-op repeat collapses
+         (1, 30, 102, "B"), (1, 40, 103, "A"),   # back to A = NEW version
+         (2, 15, 104, "X")],
+        "k long, ts long, seq long, state string",
+    )
+    rows = sorted(
+        map(tuple, scd2_from_changes(
+            changes, "k", "ts", ["state"], tiebreak_cols=["seq"]
+        ).collect())
+    )
+    assert rows == [
+        (1, "A", 10, 30, False),
+        (1, "A", 40, None, True),
+        (1, "B", 30, 40, False),
+        (2, "X", 15, None, True),
+    ]
+    # collapse_unchanged=False keeps the no-op row as its own version
+    full = scd2_from_changes(
+        changes, "k", "ts", ["state"], tiebreak_cols=["seq"],
+        collapse_unchanged=False,
+    )
+    assert full.count() == 5
