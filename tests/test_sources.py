@@ -106,3 +106,35 @@ def test_sqlite_snapshot(spark, tmpdir):
     row = clusters.collect()[0]
     assert row["member_ids"] == ["a:1", "b:2"]       # decoded list
     assert row["intra_cluster_edge_ids"] == []       # 'nan' sentinel → []
+
+
+def test_jsonl_source_roundtrip(spark, tmpdir):
+    # S-family widening: JSONL (one object per line — the interchange
+    # format LLM corpora actually ship in) writes via df.write.json and
+    # reads back with an explicit schema; values survive exactly.
+    docs = load_table(spark, SF, "documents")
+    path = os.path.join(tmpdir, "docs_jsonl")
+    docs.write.json(path)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    back = spark.read.schema(schema).json(path)
+    assert sorted(map(tuple, back.select(*docs.columns).collect())) == \
+        sorted(map(tuple, docs.collect()))
+
+
+def test_orc_source_roundtrip(spark, tmpdir):
+    # S-family widening: ORC — the other columnar format a Spark-native
+    # engine must read/write; schema and values round-trip exactly.
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(tmpdir, "events_orc")
+    ev.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == ev.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
