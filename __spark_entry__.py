@@ -1289,6 +1289,21 @@ def _e5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _j_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
+    # Blocked edit-distance join: deterministic typo probes (append one
+    # char) resolved back to part names within 2 edits — the
+    # typo-tolerant lookup the exact-simplified J-family can't serve.
+    from drugbankner_spark.operators.relational import fuzzy_join
+
+    part = load_table(spark, sf, "part")
+    names = part.select("p_name").distinct()
+    probes = part.select(
+        F.concat(F.col("p_name"), F.lit("x")).alias("probe")
+    ).distinct()
+    return fuzzy_join(probes, names, "probe", "p_name",
+                      max_distance=2, block_prefix=1)
+
+
 def _e5_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     # SCD2 versioning of each user's event_type "state" from the events
     # changelog: no-op repeats collapse, versions carry validity
@@ -1973,6 +1988,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: SCD2 dimension versioning + declarative DQ gate
         "e5_scd2_user_state": _e5_scd2_user_state,
         "e5_constraint_report": _e5_constraint_report,
+        # round 4: blocked edit-distance join
+        "j_fuzzy_name_match": _j_fuzzy_name_match,
         # round 4: multimodal ANALYSIS over real codecs — hash/FFT
         # outputs aren't SQL-expressible → rows-only; goldens in
         # tests/test_png_codec.py + tests/test_wav_codec.py
@@ -3399,6 +3416,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, len_ok AND mean_token_len_ok AND digit_ratio_ok
                       AND repetition_ok AND stopword_ok AS keep
             FROM flags
+        """,
+        "j_fuzzy_name_match": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            probes AS (SELECT DISTINCT p_name || 'x' AS probe FROM part),
+            pl AS (
+                SELECT probe,
+                       substr(probe, 1, 1) || '|' ||
+                       CAST(CAST(floor(length(probe) / 3) AS BIGINT)
+                            AS VARCHAR) AS blk
+                FROM probes
+            ),
+            nr AS (
+                SELECT DISTINCT p_name,
+                       substr(p_name, 1, 1) || '|' || CAST(b AS VARCHAR)
+                           AS blk
+                FROM names,
+                     unnest([
+                        CAST(floor(length(p_name) / 3) AS BIGINT) - 1,
+                        CAST(floor(length(p_name) / 3) AS BIGINT),
+                        CAST(floor(length(p_name) / 3) AS BIGINT) + 1
+                     ]) AS t(b)
+            )
+            SELECT probe, p_name AS matched_p_name,
+                   levenshtein(probe, p_name) AS distance
+            FROM pl JOIN nr USING (blk)
+            WHERE levenshtein(probe, p_name) <= 2
         """,
         "e5_scd2_user_state": """
             WITH ordered AS (

@@ -284,3 +284,63 @@ def union_merge(branches: list[DataFrame], dedup_cols: list[str] | None = None) 
     if dedup_cols:
         out = out.dropDuplicates(dedup_cols)
     return out
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block_prefix: int = 1,
+) -> DataFrame:
+    """Blocked edit-distance join (entity-resolution workhorse; engine
+    extension to the J-family — typo-tolerant name lookups the
+    reference's exact-simplified matching can't serve). Output: left
+    columns + ``matched_<right_col>`` + ``distance`` for every pair
+    within ``max_distance`` edits.
+
+    Never a cross join: candidates must share the first
+    ``block_prefix`` chars AND a length bucket of width
+    ``max_distance+1`` (the right side explodes into its three adjacent
+    buckets, so any pair with |len diff| ≤ max_distance co-blocks) —
+    both equi-join keys, then the exact ``levenshtein`` filter. The
+    standard blocking trade-off applies and is explicit: an edit inside
+    the prefix escapes the block (recall, not correctness).
+    """
+    width = max_distance + 1
+    lb = F.floor(F.length(F.col(left_col)) / width)
+    l_ = left.withColumn(
+        "_blk",
+        F.concat_ws(
+            "|", F.substring(F.col(left_col), 1, block_prefix), lb.cast("string")
+        ),
+    )
+    rb = F.floor(F.length(F.col(right_col)) / width)
+    r_ = (
+        right.select(
+            F.col(right_col).alias(f"matched_{right_col}"),
+            F.explode(
+                F.array(rb - 1, rb, rb + 1)
+            ).alias("_rbkt"),
+        )
+        .withColumn(
+            "_blk",
+            F.concat_ws(
+                "|",
+                F.substring(F.col(f"matched_{right_col}"), 1, block_prefix),
+                F.col("_rbkt").cast("string"),
+            ),
+        )
+        .drop("_rbkt")
+        .distinct()
+    )
+    return (
+        l_.join(r_, "_blk")
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col(left_col), F.col(f"matched_{right_col}")),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .drop("_blk")
+    )

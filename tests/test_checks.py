@@ -35,3 +35,26 @@ def test_constraint_report_planted_violations(spark):
     assert all(r["passed"] for r in clean.collect())
     with pytest.raises(ValueError, match="no checks"):
         constraint_report(df)
+
+
+def test_fuzzy_join_planted_typos(spark):
+    from drugbankner_spark.operators.relational import fuzzy_join
+    from drugbankner_spark.plans import explain as X
+
+    names = spark.createDataFrame(
+        [("aspirin",), ("warfarin",), ("heparin",)], "name string"
+    )
+    probes = spark.createDataFrame(
+        [("aspirinn",),   # 1 insert → matches aspirin
+         ("warfarim",),   # 1 substitution at end → warfarin
+         ("hepximn",),    # 3+ edits → no match
+         ("zzzzz",)],     # nothing close
+        "probe string",
+    )
+    out = {(r["probe"], r["matched_name"], r["distance"])
+           for r in fuzzy_join(probes, names, "probe", "name").collect()}
+    assert ("aspirinn", "aspirin", 1) in out
+    assert ("warfarim", "warfarin", 1) in out
+    assert not any(p in ("hepximn", "zzzzz") for p, _, _ in out)
+    # blocked, never a cross product
+    assert not X.has_cartesian(fuzzy_join(probes, names, "probe", "name"))
