@@ -194,6 +194,46 @@ class Synonymizer:
         )
         return df.withColumn("_nkey", key).join(hits, "_nkey", "left").drop("_nkey")
 
+    def fuzzy_canonical_from_names(
+        self, df: DataFrame, name_col: str, max_distance: int = 2
+    ) -> DataFrame:
+        """Engine extension (no reference counterpart): typo-tolerant
+        name lookup — simplified query names within ``max_distance``
+        edits of a known ``name_simplified`` resolve to that name's
+        modal cluster. Built on the blocked edit-distance join
+        (relational.fuzzy_join: prefix + length-bucket blocks, never a
+        cross product); exact matches rank first (distance ascending,
+        then cluster id — deterministic). One row per (query, matched
+        name) hit: misses simply produce no row, unlike the exact
+        lookups' NULL rows, because "no name within k edits" has no
+        canonical NULL-row shape."""
+        from drugbankner_spark.operators.relational import fuzzy_join
+
+        probes = df.withColumn("_nkey", simplify_name(F.col(name_col)))
+        dim = self._dim(
+            self._name_hits().select(
+                F.col("name_simplified"),
+                F.col("cluster_id").alias("preferred_curie"),
+                F.col("_cluster_name").alias("preferred_name"),
+                add_biolink_prefix(F.col("_cluster_category")).alias(
+                    "preferred_category"
+                ),
+            )
+        )
+        return (
+            fuzzy_join(
+                probes, dim.select("name_simplified"),
+                "_nkey", "name_simplified", max_distance,
+            )
+            .join(
+                dim.withColumnRenamed(
+                    "name_simplified", "matched_name_simplified"
+                ),
+                "matched_name_simplified",
+            )
+            .drop("_nkey")
+        )
+
     def canonical_lookup(self, df: DataFrame, entity_col: str) -> DataFrame:
         """Curie-first, name-fallback (J4; CLI path
         node_synonymizer.py:468-472): coalesce the two probes, plus a

@@ -143,3 +143,21 @@ def test_known_prefix_list_memoized(spark):
     hits = {r["preferred_curie"]
             for r in syn.canonical_from_suffix(df, "entity").collect()}
     assert hits == {"CHEBI:42"}  # DRUGBANK:42 not probed → cache was used
+
+
+def test_fuzzy_canonical_from_names_typos(spark, syn):
+    # typo'd names within 2 edits resolve to the modal cluster; exact
+    # names come back at distance 0; garbage produces NO row (documented
+    # divergence from the exact lookups' NULL rows)
+    df = _inputs(spark, ["asprin", "Aspirin", "xyzzyqq"])
+    rows = syn.fuzzy_canonical_from_names(df, "entity").collect()
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r["entity"], []).append(r)
+    best = {e: min(v, key=lambda r: (r["distance"], r["preferred_curie"]))
+            for e, v in by_entity.items()}
+    assert best["asprin"]["preferred_curie"] == "CHEBI:100"
+    assert best["asprin"]["distance"] == 1
+    assert best["Aspirin"]["preferred_curie"] == "CHEBI:100"
+    assert best["Aspirin"]["distance"] == 0
+    assert "xyzzyqq" not in by_entity
