@@ -8,8 +8,20 @@ Each module maps to a SURVEY.md §2 section:
 - ``drugbank``     DrugBank record extraction (EP1 front half).
 - ``ner``          the NER stage (X1 UDF + J7/A2/A3/U1 merges).
 - ``identifiers``  EP2 identifier alignment (F7 + J8 + A6).
-- ``dedup``        E1 exact/near dedup (hash, MinHash-LSH, SimHash, Jaccard).
-- ``similarity``   E2 embedding similarity search (cosine top-k, LSH).
-- ``textanalysis`` E3 language-ID, quality scoring, token stats, fingerprints.
-- ``multimodal``   E4 binary-column plumbing (decode stubbed).
+- ``dedup``        E1 exact/near dedup (hash, MinHash-LSH incl. the stored
+                   incremental band table, SimHash, Jaccard).
+- ``similarity``   E2 embedding similarity search (cosine top-k, LSH/IVF
+                   indexes with incremental append, serving probes).
+- ``textanalysis`` E3 language-ID, quality scoring, token stats,
+                   fingerprints, TF-IDF, PII, feature-hashed vectors.
+- ``multimodal``   E4 binary columns: REAL stdlib PNG/WAV codecs,
+                   perceptual image hashes, FFT audio features.
+- ``temporal``     as-of / range joins + SCD2 dimension versioning.
+- ``graph``        connected components (propagation + large/small-star).
+- ``sampling``     deterministic hash sample / split / stratified draw.
+- ``corpus``       cleaning, chunking, decontamination, sequence packing,
+                   continuous ingest (batch + streaming).
+- ``sketches``     mergeable HLL / KLL / theta sketch aggregations.
+- ``checks``       declarative data-quality constraint reports.
+- ``scale``        salting, bucketing, skew profiling, compaction.
 """
