@@ -1222,6 +1222,21 @@ def _e2_lsh_append_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e2_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Product quantization with deterministic codebooks: encode the
+    # corpus to m=8 codes, score queries via ADC lookup tables — float
+    # vectors never touched at probe time. The oracle replicates encode
+    # + ADC arithmetic exactly in SQL (codebooks are shared literals).
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    books = SIM.pq_codebooks(dim=64, m=8, ksub=16)
+    codes = SIM.pq_encode(emb, books)
+    return SIM.pq_adc_topk(
+        codes, emb.filter(F.col("vec_id") < 5), books, k=5
+    )
+
+
 def _e2_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators import similarity as SIM
 
@@ -1990,6 +2005,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_constraint_report": _e5_constraint_report,
         # round 4: blocked edit-distance join
         "j_fuzzy_name_match": _j_fuzzy_name_match,
+        # round 4: product-quantization ADC (hash-oracled)
+        "e2_pq_adc_topk": _e2_pq_adc_topk,
         # round 4: multimodal ANALYSIS over real codecs — hash/FFT
         # outputs aren't SQL-expressible → rows-only; goldens in
         # tests/test_png_codec.py + tests/test_wav_codec.py
@@ -2280,6 +2297,77 @@ def _ep2_aligned_oracle() -> str:
                    ) AS rn
             FROM merged
         ) WHERE rn = 1
+    """
+
+
+def _pq_adc_oracle() -> str:
+    """PQ encode + ADC replicated in SQL from the SAME deterministic
+    codebooks (literal lists; repr round-trips doubles exactly). Ties:
+    list_position picks the FIRST minimum = smallest centroid index,
+    matching Spark's (dist, idx) struct-min."""
+    from drugbankner_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(dim=64, m=8, ksub=16)
+    cb = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(v) for v in cent) + "]" for cent in book
+        ) + "]" for book in books
+    ) + "]"
+    sq = ("round(list_sum(list_transform(generate_series(1, 8), i -> "
+          "({v}[(j - 1) * 8 + i] - books[j][c][i])"
+          " * ({v}[(j - 1) * 8 + i] - books[j][c][i]))), 9)")
+    sq_raw = ("list_sum(list_transform(generate_series(1, 8), i -> "
+              "({v}[(j - 1) * 8 + i] - books[j][c][i])"
+              " * ({v}[(j - 1) * 8 + i] - books[j][c][i])))")
+    # CAST(embedding AS DOUBLE[]): the stored column is FLOAT[] and
+    # DuckDB otherwise keeps part of the chain in float32, drifting a
+    # full float32-ULP from Spark's float64 arithmetic
+    return f"""
+        WITH cb AS (SELECT {cb} AS books),
+        ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        enc AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, 8), j ->
+                       list_position(
+                           list_transform(generate_series(1, 16),
+                                          c -> {sq.format(v='emb')}),
+                           list_min(
+                               list_transform(generate_series(1, 16),
+                                              c -> {sq.format(v='emb')})
+                           )
+                       ) - 1
+                   ) AS codes
+            FROM ev, cb
+        ),
+        luts AS (
+            SELECT vec_id AS query_id,
+                   list_transform(generate_series(1, 8), j ->
+                       list_transform(generate_series(1, 16),
+                                      c -> CAST(round(
+                                          {sq_raw.format(v='emb')} * 1e6
+                                      ) AS BIGINT))
+                   ) AS lut
+            FROM ev, cb
+            WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_sum(list_transform(
+                       generate_series(1, 8),
+                       j -> q.lut[j][e.codes[j] + 1]
+                   )) / 1e6, 6) AS adc_dist
+            FROM enc e, luts q
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist ASC, neighbor_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= 5
     """
 
 
@@ -2984,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
         "e2_cosine_topk": _e2_cosine_topk_oracle(),
         "e2_lsh_topk": _e2_lsh_topk_oracle(),
         "e2_ivf_topk": _e2_ivf_topk_oracle(),
+        "e2_pq_adc_topk": _pq_adc_oracle(),
         "e2_pandas_topk": _e2_cosine_topk_oracle(),
         "e3_text_quality": """
             SELECT doc_id,

@@ -726,3 +726,168 @@ def probe_ivf_index(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _rerank_topk(scored, k)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression ANN family. A 64-dim
+# float64 vector (512 B) becomes m=8 one-byte codes: each of m subspaces
+# is quantized against its own ksub-centroid codebook, and queries score
+# candidates with an ADC lookup table (one table per query, ksub*m
+# entries) — no float vectors are ever read at probe time. At 100 TB
+# this is the difference between scanning vectors and scanning CODES
+# (64x smaller); combine with the IVF cell layout for the classic
+# IVF-PQ. Deterministic codebooks (hyperplane LCG) keep the whole
+# encode+ADC path engine-portable (DuckDB-oracle-checked); learned
+# codebooks (sampled Lloyd) are the production fit path.
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    dim: int = 64, m: int = 8, ksub: int = 16, seed: int = 5000
+) -> list[list[list[float]]]:
+    """m codebooks of ksub centroids over dim/m-wide subspaces, from the
+    same integer-LCG generator as the LSH hyperplanes — bit-identical in
+    any engine."""
+    if dim % m:
+        raise ValueError("pq: dim must divide evenly into m subspaces")
+    dsub = dim // m
+    return [
+        [hyperplane(dsub, seed + j * ksub + c) for c in range(ksub)]
+        for j in range(m)
+    ]
+
+
+def _sq_l2(vec: Column, cent: list[float], offset: int) -> Column:
+    """Squared L2 between vec[offset : offset+len(cent)] and a literal
+    centroid — unrolled, fixed evaluation order; (x-c)*(x-c) rather than
+    pow so both engines do the identical multiply."""
+    terms = [
+        (F.element_at(vec, offset + i + 1) - F.lit(c))
+        * (F.element_at(vec, offset + i + 1) - F.lit(c))
+        for i, c in enumerate(cent)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes: array<int>[m]) — per subspace, the argmin-distance
+    centroid index (ties → smallest index, deterministic)."""
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        scored = F.array(*[
+            F.struct(
+                F.round(_sq_l2(F.col(vec_col), cent, j * dsub), 9).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cent in enumerate(book)
+        ])
+        code_cols.append(F.array_min(scored)["c"])
+    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation: per query, a LUT of (subspace,
+    centroid) partial squared distances; each candidate's score is m LUT
+    lookups summed — float vectors are never touched at probe time.
+    Output: (query_id, neighbor_id, adc_dist, rank), rank 1 = nearest,
+    ties pinned to smallest neighbor id."""
+    from pyspark.sql import Window
+
+    dsub = len(codebooks[0][0])
+    # LUT entries are micro-unit INTEGERS (round(dist * 1e6)): the m-way
+    # ADC sum is then exact integer arithmetic — order-free, so any
+    # engine (or Spark's own fold vs pairwise summation) produces the
+    # bit-identical score. Precision 1e-6 per partial, ±m*0.5e-6 total —
+    # far inside PQ's own quantization error.
+    lut = F.array(*[
+        F.array(*[
+            F.round(_sq_l2(F.col(vec_col), cent, j * dsub) * 1e6)
+            .cast("long")
+            for cent in book
+        ])
+        for j, book in enumerate(codebooks)
+    ])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), lut.alias("_lut")
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"), F.col("_lut"),
+                        lambda c, lu: F.element_at(lu, c + 1),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ) / F.lit(1e6),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sample_rows: int = 100_000,
+    iterations: int = 10,
+) -> list[list[list[float]]]:
+    """Learned codebooks: per-subspace Lloyd's k-means on a driver-side
+    SAMPLE (the fit never iterates the corpus — same contract as the
+    sampled IVF fit). Deterministic: init from the pq_codebooks LCG
+    grid, fixed iteration count, numpy argmin ties → lowest index."""
+    import numpy as np
+
+    frac = None
+    n = corpus.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    rows = (
+        corpus.sample(fraction=frac, seed=7).select(vec_col).collect()
+        if frac < 1.0 else corpus.select(vec_col).collect()
+    )
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dsub = dim // m
+    out = []
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        cents = np.array(pq_codebooks(dim, m, ksub)[j])
+        for _ in range(iterations):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        out.append([[float(v) for v in c] for c in cents])
+    return out

