@@ -869,7 +869,6 @@ def pq_train_codebooks(
     grid, fixed iteration count, numpy argmin ties → lowest index."""
     import numpy as np
 
-    frac = None
     n = corpus.count()
     frac = min(1.0, sample_rows / max(n, 1))
     rows = (
