@@ -890,3 +890,119 @@ def pq_train_codebooks(
                     cents[c] = sub[mask].mean(axis=0)
         out.append([[float(v) for v in c] for c in cents])
     return out
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    dim: int = 64,
+) -> None:
+    """IVF-PQ: the billion-scale serving layout — coarse IVF cells for
+    partition pruning × PQ codes for probe-time compression. The stored
+    index holds (id, codes[m], cell) ONLY: no float vectors, so a probe
+    reads n_probe/n_centroids of an already-64×-smaller table. Same
+    deterministic cell centroids as build_ivf_index, same codebooks as
+    pq_encode — every piece individually oracle-checked."""
+    cents = [hyperplane(dim, 1000 + j) for j in range(n_centroids)]
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        scored = F.array(*[
+            F.struct(
+                F.round(_sq_l2(F.col(vec_col), cent, j * dsub), 9).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cent in enumerate(book)
+        ])
+        code_cols.append(F.array_min(scored)["c"])
+    (
+        corpus.select(
+            F.col(id_col),
+            F.array(*code_cols).alias("codes"),
+            F.array_max(_cell_scores(F.col(vec_col), cents))["cell"].alias(
+                "cell"
+            ),
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 4_000_000)
+        .partitionBy("cell").parquet(path)
+    )
+    invalidate_index_cache(corpus.sparkSession, path)
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Probe an IVF-PQ index: each query's n_probe best cells land in
+    PartitionFilters (only those directories are read), candidates are
+    scored by integer ADC over their stored codes — float vectors never
+    touched. Output: (query_id, neighbor_id, adc_dist, rank)."""
+    from pyspark.sql import Window
+
+    cents = [hyperplane(dim, 1000 + j) for j in range(n_centroids)]
+    dsub = len(codebooks[0][0])
+    lut = F.array(*[
+        F.array(*[
+            F.round(_sq_l2(F.col(vec_col), cent, j * dsub) * 1e6)
+            .cast("long")
+            for cent in book
+        ])
+        for j, book in enumerate(codebooks)
+    ])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), lut.alias("_lut"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
+                    1, n_probe,
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    qrows = _collect_probe_queries(q, "probe_ivfpq_index")
+    want = sorted({r["cell"] for r in qrows})
+    q_local = spark.createDataFrame(qrows, q.schema)
+    idx = _read_index(spark, path).filter(F.col("cell").isin(want))
+    scored = (
+        idx.select(F.col(id_col).alias("neighbor_id"), "codes", "cell")
+        .join(F.broadcast(q_local), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"), F.col("_lut"),
+                        lambda c, lu: F.element_at(lu, c + 1),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ) / F.lit(1e6),
+                6,
+            ).alias("adc_dist"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -261,3 +261,38 @@ def test_rebuild_at_same_path_invalidates_probe_cache(spark):
         shutil.rmtree(full, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivfpq_probe_full_cells_matches_pq_adc(spark):
+    # with n_probe = n_centroids (no pruning) the IVF-PQ probe must
+    # reproduce pq_adc_topk exactly — the compression layer adds no
+    # approximation beyond PQ itself
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, EMB_SF, "embeddings")
+    books = SIM.pq_codebooks(dim=64, m=8, ksub=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    d = tempfile.mkdtemp(prefix="ivfpq_")
+    idx = os.path.join(d, "idx")
+    try:
+        SIM.build_ivfpq_index(emb, idx, books, n_centroids=8)
+        want = sorted(map(tuple, SIM.pq_adc_topk(
+            SIM.pq_encode(emb, books), queries, books, k=5).collect()))
+        got = sorted(map(tuple, SIM.probe_ivfpq_index(
+            spark, idx, queries, books, k=5, n_centroids=8, n_probe=8
+        ).collect()))
+        assert got == want and len(got) > 0
+
+        # pruned probe: cell predicate lands in PartitionFilters and the
+        # stored schema carries CODES only — no float vectors on disk
+        pruned = SIM.probe_ivfpq_index(
+            spark, idx, queries, books, k=5, n_centroids=8, n_probe=2
+        )
+        plan = X.plan_string(pruned, "formatted")
+        seg = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert "cell" in seg, seg
+        stored = spark.read.parquet(idx)
+        assert set(stored.columns) == {"vec_id", "codes", "cell"}
+        assert pruned.count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
