@@ -198,3 +198,46 @@ def test_wav_roundtrip_property(n, rate, data):
     assert out["n_frames"] == n and out["sample_rate"] == rate
     want_rms = math.sqrt(sum(s * s for s in samples) / n)
     assert abs(out["rms"] - want_rms) <= 1.0 / 32768 + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet=string.ascii_lowercase, min_size=3, max_size=10),
+        min_size=1, max_size=8, unique=True,
+    ),
+    probes=st.lists(
+        st.text(alphabet=string.ascii_lowercase, min_size=3, max_size=10),
+        min_size=1, max_size=8, unique=True,
+    ),
+)
+def test_fuzzy_join_property_vs_bruteforce(names, probes):
+    # blocked fuzzy join == brute-force levenshtein filter RESTRICTED to
+    # the block (same first char + |len diff| co-bucketed) — the
+    # blocking contract, validated on random strings
+    from drugbankner_spark.operators.relational import fuzzy_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def blocked(p, n):
+        if p[0] != n[0]:
+            return False
+        return abs(len(p) // 3 - len(n) // 3) <= 1
+
+    want = {(p, n, lev(p, n)) for p in probes for n in names
+            if blocked(p, n) and lev(p, n) <= 2}
+    spark = _spark()
+    got = {tuple(r) for r in fuzzy_join(
+        spark.createDataFrame([(p,) for p in probes], ["probe"]),
+        spark.createDataFrame([(n,) for n in names], ["name"]),
+        "probe", "name",
+    ).collect()}
+    assert got == want
