@@ -732,12 +732,14 @@ def _q21_late_sole_supplier(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")
     # persisted: per_pair feeds both the per-order rollup and the final
-    # join — without it the lineitem⋈orders subtree runs twice
-    per_pair = (
+    # join — without it the lineitem⋈orders subtree runs twice; the
+    # registry gives long-lived sessions a release path (ADVICE r04)
+    from drugbankner_spark.caching import shared_persist
+
+    per_pair = shared_persist(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
-        .persist()
     )
     per_order = per_pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
@@ -1640,7 +1642,9 @@ def _e4_image_hashes(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.functions import png_codec as png
     from drugbankner_spark.operators import multimodal as MM
 
-    docs = load_table(spark, sf, "documents").limit(200)
+    # deterministic subset — limit() without sort is partitioning-
+    # dependent (ADVICE r04), a key predicate is not
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
@@ -1675,7 +1679,8 @@ def _e4_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.functions import wav_codec as wav
     from drugbankner_spark.operators import multimodal as MM
 
-    emb = load_table(spark, sf, "embeddings").limit(200)
+    # deterministic subset (ADVICE r04 — see _e4_image_hashes)
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
@@ -3541,8 +3546,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ),
             changed AS (
+                -- IS DISTINCT FROM matches the engine's NULL-SAFE
+                -- struct collapse (ADVICE r04): a transition to/from a
+                -- NULL attribute value opens a version on both engines.
                 SELECT * FROM ordered
-                WHERE prev IS NULL OR prev <> event_type
+                WHERE prev IS DISTINCT FROM event_type
             )
             SELECT user_id, event_type,
                    ts AS valid_from,
@@ -3565,9 +3573,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (o_orderdate IS NULL) = 0
             FROM orders
             UNION ALL
+            -- NULL keys are excluded from the unique check on BOTH
+            -- engines (ADVICE r04): count only non-null keys, and
+            -- count(DISTINCT ...) skips NULLs by definition.
             SELECT 'unique', 'o_orderkey',
-                   count(*) - count(DISTINCT o_orderkey),
-                   count(*) = count(DISTINCT o_orderkey)
+                   count(o_orderkey) - count(DISTINCT o_orderkey),
+                   count(o_orderkey) = count(DISTINCT o_orderkey)
             FROM orders
             UNION ALL
             SELECT 'accepted_values', 'o_orderstatus',

@@ -1,0 +1,45 @@
+"""Shared-subtree cache registry (ADVICE r04).
+
+Several operators persist a subtree that feeds BOTH sides of a
+self-join (band keys, shingles, bucketed vectors) — without the persist
+Catalyst plans the sides as independent subtrees and the corpus is
+scanned/hashed twice. Those operators return LAZY DataFrames, so they
+cannot unpersist before the caller's action; a long-lived driver
+session would otherwise accumulate cached partitions with no release
+path.
+
+``shared_persist`` is a drop-in for ``.persist()`` that records the
+handle here; ``release_shared_caches()`` unpersists everything recorded
+— call it after the consuming action (bench.py does between queries).
+One-shot pipelines can ignore it: caches die with the session, and the
+storage level is evictable (memory+disk, recomputable on loss).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_SHARED: list[DataFrame] = []
+
+
+def shared_persist(df: DataFrame) -> DataFrame:
+    """Persist (default evictable memory+disk level) and register the
+    handle for later release via :func:`release_shared_caches`."""
+    out = df.persist()
+    _SHARED.append(out)
+    return out
+
+
+def release_shared_caches() -> int:
+    """Unpersist every registered shared subtree; returns how many were
+    released. Safe to call at any time — caches are recomputable, so a
+    release mid-consumption only costs recompute, never correctness."""
+    n = 0
+    while _SHARED:
+        df = _SHARED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

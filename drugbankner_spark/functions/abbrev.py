@@ -63,12 +63,13 @@ def _best_long_form(sf: str, lf: str) -> str | None:
     return out or None
 
 
-def extract_abbreviation_pairs(text: str) -> list[tuple[str, str]]:
-    """All (short_form, long_form) definition pairs in ``text``, in
-    order of appearance. Handles the dominant "long form (SF)" pattern;
-    a long form must contain MORE characters than the short form and at
-    most the Schwartz-Hearst word budget."""
-    out: list[tuple[str, str]] = []
+def extract_abbreviation_defs(text: str) -> list[tuple[str, str, int]]:
+    """All (short_form, long_form, definition_end) triples in ``text``,
+    in order of appearance; ``definition_end`` is the index just past the
+    closing ')' of the definition site. Handles the dominant
+    "long form (SF)" pattern; a long form must contain MORE characters
+    than the short form and at most the Schwartz-Hearst word budget."""
+    out: list[tuple[str, str, int]] = []
     pos = 0
     n = len(text)
     while True:
@@ -93,42 +94,60 @@ def extract_abbreviation_pairs(text: str) -> list[tuple[str, str]]:
             continue
         lf = _best_long_form(sf, candidate)
         if lf is not None and len(lf) > len(sf) and lf.lower() != sf.lower():
-            out.append((sf, lf))
+            out.append((sf, lf, close_p + 1))
     return out
+
+
+def extract_abbreviation_pairs(text: str) -> list[tuple[str, str]]:
+    """All (short_form, long_form) definition pairs in ``text``, in
+    order of appearance (see :func:`extract_abbreviation_defs`)."""
+    return [(sf, lf) for sf, lf, _ in extract_abbreviation_defs(text)]
 
 
 def expand_abbreviations(text: str, pairs: list[tuple[str, str]] | None = None) -> str:
-    """Replace each defined short form (longest first, whole-token-ish
-    occurrences after its definition point) with its long form — the
-    text-level counterpart of resolve_abbreviations=True. Definition
-    sites themselves keep the original "long form (SF)" text readable by
-    replacing only occurrences OUTSIDE parentheses."""
+    """Replace each defined short form (whole-token occurrences AFTER its
+    definition point, longest match wins at a position) with its long
+    form — the text-level counterpart of resolve_abbreviations=True.
+
+    Single left-to-right pass over the ORIGINAL text, so a short form
+    that happens to appear inside another pair's substituted long form
+    is never re-expanded. Definition sites keep the original
+    "long form (SF)" text readable by skipping occurrences wrapped in
+    parentheses. When ``pairs`` is supplied externally (no offsets
+    known), every whole-token occurrence is eligible."""
+    import re
+
     if pairs is None:
-        pairs = extract_abbreviation_pairs(text)
-    if not pairs:
+        defs = extract_abbreviation_defs(text)
+    else:
+        defs = [(sf, lf, 0) for sf, lf in pairs]
+    if not defs:
         return text
-    out = text
-    for sf, lf in sorted(pairs, key=lambda p: -len(p[0])):
-        # replace standalone "(SF)" mentions later in the text is a
-        # no-op (definition site); bare SF tokens become the long form
-        parts = []
-        i = 0
-        while i < len(out):
-            j = out.find(sf, i)
-            if j < 0:
-                parts.append(out[i:])
-                break
-            before_ok = j == 0 or not out[j - 1].isalnum()
-            after = j + len(sf)
-            after_ok = after >= len(out) or not out[after].isalnum()
-            in_parens = j > 0 and out[j - 1] == "(" and (
-                after < len(out) and out[after] == ")"
-            )
-            if before_ok and after_ok and not in_parens:
-                parts.append(out[i:j])
-                parts.append(lf)
-            else:
-                parts.append(out[i:after])
+    # first definition wins per short form (first-writer-wins, matching
+    # scispaCy's per-doc abbreviation table); longest-first alternation
+    # so the regex prefers the longest short form at a position.
+    table: dict[str, tuple[str, int]] = {}
+    for sf, lf, end in defs:
+        table.setdefault(sf, (lf, end))
+    alternation = "|".join(
+        re.escape(sf) for sf in sorted(table, key=len, reverse=True)
+    )
+    pattern = re.compile(alternation)
+    parts: list[str] = []
+    i = 0
+    for m in pattern.finditer(text):
+        j, after = m.span()
+        if j < i:
+            continue
+        lf, def_end = table[m.group(0)]
+        before_ok = j == 0 or not text[j - 1].isalnum()
+        after_ok = after >= len(text) or not text[after].isalnum()
+        in_parens = j > 0 and text[j - 1] == "(" and (
+            after < len(text) and text[after] == ")"
+        )
+        if j >= def_end and before_ok and after_ok and not in_parens:
+            parts.append(text[i:j])
+            parts.append(lf)
             i = after
-        out = "".join(parts)
-    return out
+    parts.append(text[i:])
+    return "".join(parts)

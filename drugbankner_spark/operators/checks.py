@@ -35,11 +35,19 @@ def constraint_report(
             F.count_if(F.col(c).isNull()).alias("n_violations"),
         ))
     for cols in unique or []:
-        key = F.struct(*[F.col(c) for c in cols])
+        # NULL-containing keys are EXCLUDED from the unique check (pair
+        # with not_null to forbid them) — ADVICE r04: a bare
+        # countDistinct(struct(...)) counts NULL keys as distinct values
+        # while SQL count(DISTINCT ...) skips them, so restrict both the
+        # row count and the distinct count to fully-non-null keys.
+        nonnull = F.lit(True)
+        for c in cols:
+            nonnull = nonnull & F.col(c).isNotNull()
+        key = F.when(nonnull, F.struct(*[F.col(c) for c in cols]))
         reports.append(df.agg(
             F.lit("unique").alias("check"),
             F.lit(",".join(cols)).alias("target"),
-            (F.count(F.lit(1)) - F.countDistinct(key)).alias("n_violations"),
+            (F.count_if(nonnull) - F.countDistinct(key)).alias("n_violations"),
         ))
     for c, allowed in (accepted_values or {}).items():
         reports.append(df.agg(

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from drugbankner_spark.caching import shared_persist
+
 from drugbankner_spark.operators.graph import near_dup_clusters
 from drugbankner_spark.operators.textanalysis import gopher_quality_filter
 
@@ -212,9 +214,9 @@ def ingest_clean_batch(
         bootstrapped = False
 
     if bootstrapped:
-        fresh = D.incremental_exact_dedup(
+        fresh = shared_persist(D.incremental_exact_dedup(
             new_docs, stored, text_col, id_col
-        ).persist()
+        ))
         pairs = D.incremental_near_dup_pairs(
             spark, fresh, bands_path, text_col, id_col
         )

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from drugbankner_spark.caching import shared_persist
+
 #: Modulus for MinHash permutations: smallest prime > 2^32.
 MINHASH_PRIME = 4294967311
 
@@ -261,9 +263,9 @@ def minhash_band_pairs_rowwise(
     save materializing ~tens of bytes per document."""
     if parallelism:
         df = df.repartition(parallelism)
-    banded = _banded_keys(
+    banded = shared_persist(_banded_keys(
         df, text_col, id_col, num_hashes, n, bands, rows_per_band, kernel
-    ).persist()
+    ))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -293,8 +295,8 @@ def minhash_band_pairs(
                 "-",
             ).alias("band_key")
         )
-        .persist()  # both self-join sides — see minhash_band_pairs_rowwise
     )
+    banded = shared_persist(banded)  # both self-join sides
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )
@@ -362,10 +364,10 @@ def incremental_near_dup_pairs(
     ingest. The stored-side key shuffle per ingest is the remaining
     cost — a bucketed-table layout on band_key removes it for serving
     deployments."""
-    new_banded = _banded_keys(
+    new_banded = shared_persist(_banded_keys(
         new_docs, text_col, id_col, num_hashes, n, bands, rows_per_band,
         kernel,
-    ).persist()
+    ))
     stored = spark.read.parquet(path)
     vs_stored = (
         new_banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
@@ -427,7 +429,7 @@ def ngram_jaccard_pairs(
     the per-doc size agg, and Catalyst plans the three as independent
     subtrees — without persist the shingle explode (+ its source scan)
     runs three times."""
-    shingles = shingles.persist()
+    shingles = shared_persist(shingles)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")

@@ -24,6 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from drugbankner_spark.caching import shared_persist
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType([
@@ -247,7 +249,8 @@ def image_near_dup_pairs(
                 for b in range(4)
             ])
         ).alias("band", "band_val"),
-    ).persist()  # both self-join sides — see minhash_band_pairs_rowwise
+    )
+    banded = shared_persist(banded)  # both self-join sides
     a = banded.select(
         F.col("media_id").alias("id_a"), F.col("_h").alias("_ha"),
         "band", "band_val",

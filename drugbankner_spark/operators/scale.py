@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drugbankner_spark.caching import shared_persist
+
 
 def _hadoop_fs(spark: SparkSession, path_str: str):
     """(FileSystem, Path) for ``path_str`` via the JVM Hadoop API — the
@@ -122,7 +124,9 @@ def key_skew_profile(
     """
     # persisted: counts feeds both the 1-row total and the profile —
     # without it the source aggregation runs twice
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows")).persist()
+    counts = shared_persist(
+        df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    )
     total = counts.agg(F.sum("n_rows").alias("total_rows"))
     return (
         counts.crossJoin(F.broadcast(total))

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from drugbankner_spark.caching import shared_persist
 from pyspark.sql import types as T
 
 
@@ -206,7 +208,8 @@ def embedding_near_dup_pairs(
     b = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_v"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
-    ).persist()
+    )
+    b = shared_persist(b)
     left = b.select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket"
     )

@@ -174,7 +174,11 @@ def scd2_from_changes(
     to enrich facts with the version in force at event time).
 
     ``collapse_unchanged`` drops changelog rows whose attributes equal
-    the key's previous state (no-op updates never open a version).
+    the key's previous state (no-op updates never open a version). The
+    comparison is NULL-SAFE per attribute (``IS DISTINCT FROM``
+    semantics): NULL equals NULL, and a transition to/from a NULL
+    attribute value DOES open a version — oracle SQL must therefore use
+    ``IS DISTINCT FROM``, not ``<>`` (ADVICE r04).
     Deterministic: ordering is (ts, *tiebreak_cols); two windows, both
     partitioned by key — per-key history scales with key cardinality,
     exactly like session windows."""
@@ -183,9 +187,11 @@ def scd2_from_changes(
     state = F.struct(*[F.col(c) for c in attr_cols])
     d = changes.select(key_col, ts_col, *(tiebreak_cols or []), *attr_cols)
     if collapse_unchanged:
+        # eqNullSafe on structs: false when _prev is NULL (first row —
+        # kept), field-wise null-safe otherwise.
         d = (
             d.withColumn("_prev", F.lag(state).over(w))
-            .filter(F.col("_prev").isNull() | (F.col("_prev") != state))
+            .filter(~F.col("_prev").eqNullSafe(state))
             .drop("_prev")
         )
     return (

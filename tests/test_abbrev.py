@@ -131,3 +131,38 @@ def test_detect_entities_with_abbrev_config_end_to_end(spark):
     assert (1, "heparin-induced thrombocytopenia", "MESH:D1") in got
     # sentence 2 has no in-sentence definition: nothing detected
     assert (2, None, None) in got
+
+
+def test_expand_only_after_definition_point():
+    # ADVICE r04: an SF occurrence BEFORE its definition site must stay
+    # untouched — the table only applies from the definition onward.
+    from drugbankner_spark.functions.abbrev import expand_abbreviations
+
+    text = "HIT was suspected. Heparin-induced thrombocytopenia (HIT) confirmed; HIT persisted."
+    out = expand_abbreviations(text)
+    assert out.startswith("HIT was suspected")  # pre-definition untouched
+    assert out.endswith("Heparin-induced thrombocytopenia persisted.")
+    # definition site itself stays readable
+    assert "(HIT)" in out
+
+
+def test_expand_no_cascading_substitution():
+    # ADVICE r04: a short form appearing inside another pair's
+    # substituted long form must not be re-expanded (single pass over
+    # the ORIGINAL text).
+    from drugbankner_spark.functions.abbrev import expand_abbreviations
+
+    # "GO" appears inside "GO term"; expanding AB -> "the GO term" must
+    # not then expand that embedded GO.
+    pairs = [("AB", "the GO term"), ("GO", "Gene Ontology")]
+    out = expand_abbreviations("AB and GO here", pairs)
+    assert out == "the GO term and Gene Ontology here"
+
+
+def test_expand_external_pairs_keep_all_occurrences():
+    # with caller-supplied pairs there are no offsets: every whole-token
+    # occurrence is eligible (documented behavior).
+    from drugbankner_spark.functions.abbrev import expand_abbreviations
+
+    assert expand_abbreviations("GO before GO", [("GO", "Gene Ontology")]) == \
+        "Gene Ontology before Gene Ontology"

@@ -37,6 +37,26 @@ def test_constraint_report_planted_violations(spark):
         constraint_report(df)
 
 
+def test_unique_check_ignores_null_keys(spark):
+    # ADVICE r04: NULL-containing keys are excluded from the unique
+    # check on both engines (SQL count(DISTINCT ...) skips NULLs); two
+    # NULL keys are NOT a duplicate, and a real duplicate is still one.
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c"), (1, "d"), (2, "e")],
+        "k long, x string",
+    )
+    out = {(r["check"], r["target"]): (r["n_violations"], r["passed"])
+           for r in constraint_report(df, unique=[["k"]]).collect()}
+    assert out[("unique", "k")] == (1, False)  # only the real dup (k=1)
+    # composite key: NULL in EITHER column excludes the row
+    df2 = spark.createDataFrame(
+        [(1, None), (1, None), (1, "a"), (1, "a")], "k long, x string"
+    )
+    out2 = {(r["check"],): r["n_violations"]
+            for r in constraint_report(df2, unique=[["k", "x"]]).collect()}
+    assert out2[("unique",)] == 1  # the (1,'a') pair; NULL rows ignored
+
+
 def test_fuzzy_join_planted_typos(spark):
     from drugbankner_spark.operators.relational import fuzzy_join
     from drugbankner_spark.plans import explain as X
@@ -58,3 +78,20 @@ def test_fuzzy_join_planted_typos(spark):
     assert not any(p in ("hepximn", "zzzzz") for p, _, _ in out)
     # blocked, never a cross product
     assert not X.has_cartesian(fuzzy_join(probes, names, "probe", "name"))
+
+
+def test_shared_persist_registry_releases(spark):
+    # ADVICE r04: every shared-subtree persist is registered and
+    # releasable — a long-lived session can drop accumulated caches.
+    from drugbankner_spark.caching import release_shared_caches
+    from drugbankner_spark.operators.dedup import minhash_band_pairs_rowwise
+
+    release_shared_caches()  # start clean
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "zz yy xx ww vv uu")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_band_pairs_rowwise(docs, "text", "doc_id")
+    assert pairs.count() >= 1  # action populates the cache
+    assert release_shared_caches() >= 1
+    assert release_shared_caches() == 0  # registry drained

@@ -148,3 +148,28 @@ def test_scd2_versions_collapse_and_intervals(spark):
         collapse_unchanged=False,
     )
     assert full.count() == 5
+
+
+def test_scd2_null_attribute_transitions_are_null_safe(spark):
+    # ADVICE r04: the collapse is IS DISTINCT FROM per attribute — a
+    # transition to/from NULL opens a version, NULL→NULL collapses.
+    from drugbankner_spark.operators.temporal import scd2_from_changes
+
+    changes = spark.createDataFrame(
+        [(1, 10, 100, "A"),
+         (1, 20, 101, None),   # A → NULL: NEW version
+         (1, 30, 102, None),   # NULL → NULL: collapses
+         (1, 40, 103, "A")],   # NULL → A: NEW version
+        "k long, ts long, seq long, state string",
+    )
+    rows = sorted(
+        map(tuple, scd2_from_changes(
+            changes, "k", "ts", ["state"], tiebreak_cols=["seq"]
+        ).collect()),
+        key=lambda r: r[2],
+    )
+    assert rows == [
+        (1, "A", 10, 20, False),
+        (1, None, 20, 40, False),
+        (1, "A", 40, None, True),
+    ]
