@@ -22,6 +22,45 @@ import os
 from pyspark.sql import SparkSession
 
 
+def gpu_task_resources(
+    gpus_per_task: float = 1.0,
+    gpus_per_executor: int = 1,
+    discovery_script: str | None = None,
+) -> dict[str, str]:
+    """Spark conf for GPU-scheduled NER execution (X1's accelerator
+    path — the reference calls ``spacy.require_gpu()`` unconditionally,
+    perform_NER.py:16; on Spark the equivalent is per-executor GPU
+    scheduling so each mapInPandas model process owns a device).
+
+    Pass the result as ``extra_conf`` to :func:`get_spark` (or merge
+    into a spark-submit conf). Semantics at scale:
+
+    - ``spark.executor.resource.gpu.amount`` — GPUs each executor
+      requests from the cluster manager.
+    - ``spark.task.resource.gpu.amount`` — GPU share one task claims.
+      For a spaCy/transformer model, 1.0 (one task per GPU) is correct:
+      fractional shares oversubscribe device memory. Combined with the
+      lazy per-process model cache (operators/ner.py), one executor =
+      one resident model = one GPU.
+    - a discovery script is REQUIRED by Spark on YARN/K8s/standalone to
+      map physical GPUs (`getGpusResources.sh` in the Spark distro);
+      inside the model factory, the assigned address is available via
+      ``TaskContext.get().resources()["gpu"].addresses`` — export it as
+      ``CUDA_VISIBLE_DEVICES`` before ``spacy.require_gpu()``.
+
+    Cluster-only: harmless to ship on local[*] builds but local mode
+    does not schedule custom resources, so tests assert conf emission,
+    not placement."""
+    conf = {
+        "spark.executor.resource.gpu.amount": str(gpus_per_executor),
+        "spark.task.resource.gpu.amount": str(gpus_per_task),
+    }
+    if discovery_script:
+        conf["spark.executor.resource.gpu.discoveryScript"] = discovery_script
+        conf["spark.driver.resource.gpu.discoveryScript"] = discovery_script
+    return conf
+
+
 def get_spark(
     app_name: str = "drugbankner-spark",
     shuffle_partitions: int | None = None,

@@ -47,3 +47,25 @@ def test_miss_returns_nonzero(dims_dir, capsys):
 def test_bad_kg_version_rejected(dims_dir):
     with pytest.raises(SystemExit):
         cli.main(["x", "--dims", dims_dir, "--kg-version", "not.a.version!"])
+
+
+def test_gpu_task_resources_conf_keys():
+    # X1 GPU surface (reference perform_NER.py:16 spacy.require_gpu()):
+    # the helper emits exactly the Spark resource-scheduling confs; the
+    # builder accepts them via extra_conf.
+    from drugbankner_spark.session import gpu_task_resources
+
+    conf = gpu_task_resources()
+    assert conf["spark.task.resource.gpu.amount"] == "1.0"
+    assert conf["spark.executor.resource.gpu.amount"] == "1"
+    assert "spark.executor.resource.gpu.discoveryScript" not in conf
+
+    conf = gpu_task_resources(
+        gpus_per_task=0.5, gpus_per_executor=2,
+        discovery_script="/opt/spark/getGpusResources.sh",
+    )
+    assert conf["spark.task.resource.gpu.amount"] == "0.5"
+    assert conf["spark.executor.resource.gpu.amount"] == "2"
+    assert conf["spark.executor.resource.gpu.discoveryScript"].endswith(
+        "getGpusResources.sh"
+    )
