@@ -945,6 +945,17 @@ def _u_set_suite(spark: SparkSession, sf: str) -> DataFrame:
             F.col("c_custkey").cast("string").alias("k"),
             F.col("c_name").alias("v"),
         ),
+        # round 5: U1 union-merge + U4 merge-prefer-first join the family
+        _u1_union_merge(spark, sf).select(
+            F.lit("u1").alias("op"),
+            F.col("c_custkey").cast("string").alias("k"),
+            null_s.alias("v"),
+        ),
+        _u4_union_prefer_first(spark, sf).select(
+            F.lit("u4").alias("op"),
+            F.col("c_custkey").cast("string").alias("k"),
+            F.col("reason").alias("v"),
+        ),
     ]
     out = branches[0]
     for b in branches[1:]:
@@ -966,6 +977,149 @@ def _f_curie_suite(spark: SparkSession, sf: str) -> DataFrame:
             null_s.alias("v"),
         )
     )
+
+
+# Round-5 suites: same tagged-union mechanism, extended with a DOUBLE
+# ``v_num`` column so numeric branches (counts, similarities) stay
+# hash-checked as numbers — doubles are rounded identically on both
+# engines, exactly like the standalone oracles they came from.
+
+def _okv(op: str, k, v=None, v_num=None):
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    return [
+        F.lit(op).alias("op"),
+        k.cast("string").alias("k"),
+        (v if v is not None else null_s).cast("string").alias("v"),
+        (v_num if v_num is not None else null_d).cast("double").alias("v_num"),
+    ]
+
+
+def _union_all(branches: list[DataFrame]) -> DataFrame:
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _syn_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # The EP3 synonymizer family in one driver row: J1/J2 canonical
+    # lookups, J3 equivalent nodes, A4 per-cluster category histogram,
+    # and the full normalizer-node projection.
+    return _union_all([
+        _syn_canonical(spark, sf).select(*_okv(
+            "canonical",
+            F.concat_ws("§", "via", "entity"),
+            F.concat_ws("§", "preferred_curie", "preferred_name",
+                        "preferred_category"),
+        )),
+        _syn_equivalent_nodes(spark, sf).select(*_okv(
+            "equiv", F.col("entity"), F.col("equivalent_id"),
+        )),
+        _syn_category_histogram(spark, sf).select(*_okv(
+            "cathist", F.concat_ws("§", "cluster_id", "category"),
+            v_num=F.col("cnt"),
+        )),
+        _syn_normalizer_nodes(spark, sf).select(*_okv(
+            "norm", F.concat_ws("§", "cluster_id", "equivalent_id"),
+            F.concat_ws(
+                "§", "entity", "label", "category", "major_branch",
+                "name_sri", F.col("in_sri").cast("string"), "category_sri",
+                "name_kg2pre", F.col("in_kg2pre").cast("string"),
+                "category_kg2pre", "cluster_preferred_name",
+            ),
+        )),
+    ])
+
+
+def _j_join_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # J2 mode vote + J4 coalesce fallback + J5 prefix expansion.
+    return _union_all([
+        _j2_mode_vote(spark, sf).select(*_okv(
+            "j2", F.col("o_custkey"), F.col("modal_value"),
+            F.col("modal_count"),
+        )),
+        _j4_coalesce_fallback(spark, sf).select(*_okv(
+            "j4", F.concat_ws("§", F.col("o_orderkey").cast("string"),
+                              F.col("o_custkey").cast("string")),
+            F.col("resolved_name"),
+        )),
+        _j5_prefix_expansion(spark, sf).select(*_okv(
+            "j5", F.concat_ws("§", "suffix", "candidate"),
+            v_num=F.col("n_nationkey"),
+        )),
+    ])
+
+
+def _a_agg_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # A2 longest-argmax + A4 histogram + A6 first-writer-wins.
+    return _union_all([
+        _a2_longest_value(spark, sf).select(*_okv(
+            "a2", F.col("lang"), F.col("longest_value"),
+            F.col("longest_len"),
+        )),
+        _a4_category_histogram(spark, sf).select(*_okv(
+            "a4", F.concat_ws("§", F.col("c_nationkey").cast("string"),
+                              "c_mktsegment"),
+            v_num=F.col("cnt"),
+        )),
+        _a6_first_writer_wins(spark, sf).select(*_okv(
+            "a6", F.col("user_id"),
+            F.concat_ws("§", F.col("event_id").cast("string"),
+                        "event_type"),
+        )),
+    ])
+
+
+def _e1_near_dup_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # SimHash + n-gram Jaccard + embedding-cosine near-dup in one row.
+    return _union_all([
+        _e1_simhash(spark, sf).select(*_okv(
+            "simhash", F.col("doc_id"), F.col("simhash").cast("string"),
+        )),
+        _e1_ngram_jaccard(spark, sf).select(*_okv(
+            "ngram", F.concat_ws("§", F.col("id_a").cast("string"),
+                                 F.col("id_b").cast("string")),
+            F.col("n_common").cast("string"), F.col("jaccard"),
+        )),
+        _e1_embedding_near_dup(spark, sf).select(*_okv(
+            "embed", F.concat_ws("§", F.col("id_a").cast("string"),
+                                 F.col("id_b").cast("string")),
+            v_num=F.col("cos_sim"),
+        )),
+    ])
+
+
+def _e3_docmeta_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Language-ID + rolling-hash fingerprint per document.
+    return _union_all([
+        _e3_lang_id(spark, sf).select(*_okv(
+            "lang", F.col("doc_id"), F.col("predicted_lang"),
+            F.col("n_stopword_hits"),
+        )),
+        _e3_fingerprint(spark, sf).select(*_okv(
+            "fp", F.col("doc_id"), F.col("min_fingerprint").cast("string"),
+            F.col("n_chunks"),
+        )),
+    ])
+
+
+def _e4_media_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # PNG round-trip decode + media metadata extraction in one row.
+    return _union_all([
+        _e4_png_decode(spark, sf).select(*_okv(
+            "png", F.col("media_id"),
+            F.concat_ws("§", F.col("width").cast("string"),
+                        F.col("height").cast("string"),
+                        F.col("n_bytes").cast("string"),
+                        "decoded_sha256"),
+        )),
+        _e4_media_metadata(spark, sf).select(*_okv(
+            "meta", F.col("media_id"),
+            F.concat_ws("§", "mime_type",
+                        F.col("n_bytes").cast("string"), "payload_sha256"),
+        )),
+    ])
 
 
 # ---------------------------------------------------------------------------
@@ -1194,6 +1348,7 @@ def _e2_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 #: Incrementally-maintained LSH index paths (build half, append half),
 #: keyed like _LSH_INDEX.
 _LSH_APPEND_INDEX: dict[tuple[str, str], str] = {}
+_IVFPQ_APPEND_INDEX: dict[tuple[str, str], str] = {}
 
 
 def _e2_lsh_append_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1221,6 +1376,36 @@ def _e2_lsh_append_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.probe_lsh_index(
         spark, _LSH_APPEND_INDEX[key], emb.filter(F.col("vec_id") < 5), k=5,
         num_planes=8, dim=64,
+    )
+
+
+def _e2_ivfpq_append_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental IVF-PQ maintenance under the driver (VERDICT r04 next
+    # #4, completing the LSH/IVF append family): build the
+    # cell-partitioned codes-only index from HALF the corpus, append the
+    # other half, probe with n_probe = n_centroids. With all cells
+    # probed the IVF layer prunes nothing, so the result must equal
+    # pq_adc_topk over the full corpus — the oracle is
+    # e2_pq_adc_topk's, unchanged (append==fresh-build==flat-ADC).
+    import tempfile
+
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    books = SIM.pq_codebooks(dim=64, m=8, ksub=16)
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _IVFPQ_APPEND_INDEX:
+        path = tempfile.mkdtemp(prefix="ivfpq_append_") + "/idx"
+        SIM.build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, books, n_centroids=8
+        )
+        SIM.append_to_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 1), path, books, n_centroids=8
+        )
+        _IVFPQ_APPEND_INDEX[key] = path
+    return SIM.probe_ivfpq_index(
+        spark, _IVFPQ_APPEND_INDEX[key], emb.filter(F.col("vec_id") < 5),
+        books, k=5, n_centroids=8, n_probe=8,
     )
 
 
@@ -1832,6 +2017,26 @@ def _e6_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e6_sessionize_closed(spark: SparkSession, sf: str) -> DataFrame:
+    # The PRODUCTION sessionization face (VERDICT r04 next #3): append
+    # mode + watermark — each micro-batch emits only sessions closed
+    # below the watermark and evicts their state (bounded state, unlike
+    # the complete-mode parity demonstration _e6_sessionize). Over the
+    # finite driver input this equals the batch session table restricted
+    # to session_end <= max(ts) - 10 minutes — exactly what the oracle
+    # computes, so the closed-subset contract is hash-checked.
+    from drugbankner_spark.streaming import streams as S
+
+    d = _events_stream_dir(spark, sf)
+    n = next(_STREAM_SEQ)
+    return S.run_to_memory(
+        S.closed_sessions_stream(
+            S.read_event_stream(spark, d, watermark="10 minutes")
+        ),
+        f"e6_stream_closed_{n}", output_mode="append",
+    )
+
+
 def _e6_props_json(spark: SparkSession, sf: str) -> DataFrame:
     # Stateless transformation under readStream: append mode, no agg —
     # each micro-batch emits its parsed rows; the union over batches
@@ -1850,61 +2055,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver registry — capped at 50 entries so EVERY query lands in
     the driver's observed 50-entry CORRECTNESS window (round 1 registered
     62 and the 12 after position 50 got no correctness row — VERDICT r01
-    "What's missing" #1). Round 4 ordering: queries never driver-verified
-    (the round-3 additions ADVICE r03 flagged + this round's new ops)
-    FIRST, then the green remainder. To stay at 50, eight trivially-
-    stable demonstrations are consolidated into two tagged-union suites
-    (a5/u2/u3/a8/o1/j9 → u_set_suite, f4/f10 → f_curie_suite) following
-    the established pattern (w1/w2/w3 → w_window_suite, f1/f2/f3+o2 →
-    f_name_normalize, e6 tumbling+sliding → e6_windows, syn curie+name →
-    syn_canonical); every original remains individually runnable via
-    ``all_queries`` and hash-checked in tests/test_oracle_parity.py.
-    e6_windows_batch stays pytest-only: its oracle SQL is byte-identical
-    to the driver-green e6_windows."""
+    "What's missing" #1). Round 5 rotation (VERDICT r04 next #1): the 13
+    queries never driver-verified go FIRST — the 11 pytest-only round-4
+    oracles (e2_pq_adc_topk, j_fuzzy_name_match, e5_scd2_user_state,
+    e5_constraint_report, e3_hashed_tf, e3_pack_sequences, e4_wav_decode,
+    q17, q20, t_asof_join, t_range_join) plus this round's two new ops
+    (e6_sessionize_closed, e2_ivfpq_append_topk). To make room, 19
+    long-green demonstrations consolidate into six new tagged-union
+    suites (syn_suite, j_join_suite, a_agg_suite, e1_near_dup_suite,
+    e3_docmeta_suite, e4_media_suite) and u_set_suite absorbs u1/u4 —
+    the established round-4 mechanism; every original remains
+    individually runnable via ``all_queries`` and hash-checked in
+    tests/test_oracle_parity.py. e6_windows_batch stays pytest-only: its
+    oracle SQL is byte-identical to the driver-green e6_windows."""
     return {
         # -- never driver-verified: first in the window ------------------
+        "e2_pq_adc_topk": _e2_pq_adc_topk,
+        "e2_ivfpq_append_topk": _e2_ivfpq_append_topk,
+        "e6_sessionize_closed": _e6_sessionize_closed,
+        "j_fuzzy_name_match": _j_fuzzy_name_match,
+        "e5_scd2_user_state": _e5_scd2_user_state,
+        "e5_constraint_report": _e5_constraint_report,
+        "e3_hashed_tf": _e3_hashed_tf,
+        "e3_pack_sequences": _e3_pack_sequences,
+        "e4_wav_decode": _e4_wav_decode,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q20_pattern_shippers": _q20_pattern_shippers,
+        "t_asof_join": _t_asof_join,
+        "t_range_join": _t_range_join,
+        # -- new/changed suite hashes (branches all driver-green r04) ----
+        "syn_suite": _syn_suite,
+        "j_join_suite": _j_join_suite,
+        "a_agg_suite": _a_agg_suite,
+        "e1_near_dup_suite": _e1_near_dup_suite,
+        "e3_docmeta_suite": _e3_docmeta_suite,
+        "e4_media_suite": _e4_media_suite,
+        "u_set_suite": _u_set_suite,
+        # -- driver-green ------------------------------------------------
+        "f_curie_suite": _f_curie_suite,
         "e3_chunk_documents": _e3_chunk_documents,
         "e1_decontaminate": _e1_decontaminate,
         "e1_dup_clusters_star": _e1_dup_clusters_star,
-        "e4_png_decode": _e4_png_decode,
         "e5_stratified_sample": _e5_stratified_sample,
         "e2_lsh_append_topk": _e2_lsh_append_topk,
-        "u_set_suite": _u_set_suite,
-        "f_curie_suite": _f_curie_suite,
-        # -- driver-green ------------------------------------------------
         "e2_cosine_topk": _e2_cosine_topk,
         "e2_lsh_topk": _e2_lsh_topk,
         "e2_ivf_topk": _e2_ivf_topk,
         "e3_text_quality": _e3_text_quality,
-        "e3_lang_id": _e3_lang_id,
-        "e3_fingerprint": _e3_fingerprint,
-        "e4_media_metadata": _e4_media_metadata,
         "e6_windows": _e6_windows,
         "e6_sessionize": _e6_sessionize,
         "e6_props_json": _e6_props_json,
         "e1_dedup_survivor": _e1_dedup_survivor,
         "e1_exact_dedup": _e1_exact_dedup,
         "e1_minhash_near_dup": _e1_minhash_near_dup,
-        "e1_simhash": _e1_simhash,
-        "e1_ngram_jaccard": _e1_ngram_jaccard,
-        "e1_embedding_near_dup": _e1_embedding_near_dup,
         "e3_bpe_tokens": _e3_bpe_tokens,
         "w_window_suite": _w_window_suite,
         "f_name_normalize": _f_name_normalize,
         "f5_sentence_pipeline": _f5_sentence_pipeline,
         "f7_identifier_extract": _f7_identifier_extract,
-        "syn_canonical": _syn_canonical,
-        "syn_equivalent_nodes": _syn_equivalent_nodes,
-        "syn_category_histogram": _syn_category_histogram,
-        "syn_normalizer_nodes": _syn_normalizer_nodes,
-        "j2_mode_vote": _j2_mode_vote,
-        "j4_coalesce_fallback": _j4_coalesce_fallback,
-        "j5_prefix_expansion": _j5_prefix_expansion,
-        "u1_union_merge": _u1_union_merge,
-        "u4_union_prefer_first": _u4_union_prefer_first,
-        "a2_longest_value": _a2_longest_value,
-        "a4_category_histogram": _a4_category_histogram,
-        "a6_first_writer_wins": _a6_first_writer_wins,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_regional_revenue": _q5_regional_revenue,
@@ -1975,14 +2183,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q21_late_sole_supplier": _q21_late_sole_supplier,
         "q22_idle_customers": _q22_idle_customers,
-        # round 4: the last two expressible TPC-H shapes (Q2 needs a
-        # partsupp table the harness doesn't generate)
-        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
-        "q20_pattern_shippers": _q20_pattern_shippers,
-        # round 3: corpus-shaping ops + star connected components
-        "e3_chunk_documents": _e3_chunk_documents,
-        "e1_decontaminate": _e1_decontaminate,
-        "e1_dup_clusters_star": _e1_dup_clusters_star,
         # round 4: the suite-consolidated originals stay individually
         # runnable + per-entry hash-checked here (driver window shows
         # them via u_set_suite / f_curie_suite)
@@ -1994,29 +2194,38 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_semi_join": _j9_semi_join,
         "f4_curie_prefix_upper": _f4_curie_prefix_upper,
         "f10_prefix_extract": _f10_prefix_extract,
-        # round 4: WAV round-trip twin of e4_png_decode (pytest-oracled;
-        # the driver window carries the PNG form)
-        "e4_wav_decode": _e4_wav_decode,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
         "e5_sketch_distinct": _e5_sketch_distinct,
-        # round 4: feature-hashing text vectors (hash-oracled)
-        "e3_hashed_tf": _e3_hashed_tf,
-        # round 4: sequence packing assignment (hash-oracled)
-        "e3_pack_sequences": _e3_pack_sequences,
-        # round 4: SCD2 dimension versioning + declarative DQ gate
-        "e5_scd2_user_state": _e5_scd2_user_state,
-        "e5_constraint_report": _e5_constraint_report,
-        # round 4: blocked edit-distance join
-        "j_fuzzy_name_match": _j_fuzzy_name_match,
-        # round 4: product-quantization ADC (hash-oracled)
-        "e2_pq_adc_topk": _e2_pq_adc_topk,
         # round 4: multimodal ANALYSIS over real codecs — hash/FFT
         # outputs aren't SQL-expressible → rows-only; goldens in
         # tests/test_png_codec.py + tests/test_wav_codec.py
         "e4_image_hashes": _e4_image_hashes,
         "e4_audio_features": _e4_audio_features,
+        # round 5: the originals consolidated into the six new suites
+        # (driver window shows them via syn_suite / j_join_suite /
+        # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
+        # e4_media_suite / the extended u_set_suite)
+        "syn_canonical": _syn_canonical,
+        "syn_equivalent_nodes": _syn_equivalent_nodes,
+        "syn_category_histogram": _syn_category_histogram,
+        "syn_normalizer_nodes": _syn_normalizer_nodes,
+        "j2_mode_vote": _j2_mode_vote,
+        "j4_coalesce_fallback": _j4_coalesce_fallback,
+        "j5_prefix_expansion": _j5_prefix_expansion,
+        "a2_longest_value": _a2_longest_value,
+        "a4_category_histogram": _a4_category_histogram,
+        "a6_first_writer_wins": _a6_first_writer_wins,
+        "e1_simhash": _e1_simhash,
+        "e1_ngram_jaccard": _e1_ngram_jaccard,
+        "e1_embedding_near_dup": _e1_embedding_near_dup,
+        "e3_lang_id": _e3_lang_id,
+        "e3_fingerprint": _e3_fingerprint,
+        "e4_png_decode": _e4_png_decode,
+        "e4_media_metadata": _e4_media_metadata,
+        "u1_union_merge": _u1_union_merge,
+        "u4_union_prefer_first": _u4_union_prefer_first,
     }
 
 
@@ -3779,4 +3988,116 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'f10', prefix, CAST(NULL AS VARCHAR)
         FROM ({out["f10_prefix_extract"]})
     """
+    # round 5: u_set_suite absorbs U1 + U4
+    out["u_set_suite"] += f"""
+        UNION ALL
+        SELECT 'u1', CAST(c_custkey AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM ({out["u1_union_merge"]})
+        UNION ALL
+        SELECT 'u4', CAST(c_custkey AS VARCHAR), reason
+        FROM ({out["u4_union_prefer_first"]})
+    """
+    # round-5 suites: (op, k, v, v_num DOUBLE) tagged unions of the
+    # consolidated originals' oracles — numeric branches ride v_num so
+    # counts/similarities stay checked as numbers, not strings
+    out["syn_suite"] = f"""
+        SELECT 'canonical' AS op, concat_ws('§', via, entity) AS k,
+               concat_ws('§', preferred_curie, preferred_name,
+                         preferred_category) AS v,
+               CAST(NULL AS DOUBLE) AS v_num
+        FROM ({out["syn_canonical"]})
+        UNION ALL
+        SELECT 'equiv', entity, equivalent_id, CAST(NULL AS DOUBLE)
+        FROM ({out["syn_equivalent_nodes"]})
+        UNION ALL
+        SELECT 'cathist', concat_ws('§', cluster_id, category),
+               CAST(NULL AS VARCHAR), CAST(cnt AS DOUBLE)
+        FROM ({out["syn_category_histogram"]})
+        UNION ALL
+        SELECT 'norm', concat_ws('§', cluster_id, equivalent_id),
+               concat_ws('§', entity, label, category, major_branch,
+                         name_sri, CAST(in_sri AS VARCHAR), category_sri,
+                         name_kg2pre, CAST(in_kg2pre AS VARCHAR),
+                         category_kg2pre, cluster_preferred_name),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["syn_normalizer_nodes"]})
+    """
+    out["j_join_suite"] = f"""
+        SELECT 'j2' AS op, CAST(o_custkey AS VARCHAR) AS k,
+               modal_value AS v, CAST(modal_count AS DOUBLE) AS v_num
+        FROM ({out["j2_mode_vote"]})
+        UNION ALL
+        SELECT 'j4', concat_ws('§', CAST(o_orderkey AS VARCHAR),
+                               CAST(o_custkey AS VARCHAR)),
+               resolved_name, CAST(NULL AS DOUBLE)
+        FROM ({out["j4_coalesce_fallback"]})
+        UNION ALL
+        SELECT 'j5', concat_ws('§', suffix, candidate),
+               CAST(NULL AS VARCHAR), CAST(n_nationkey AS DOUBLE)
+        FROM ({out["j5_prefix_expansion"]})
+    """
+    out["a_agg_suite"] = f"""
+        SELECT 'a2' AS op, lang AS k, longest_value AS v,
+               CAST(longest_len AS DOUBLE) AS v_num
+        FROM ({out["a2_longest_value"]})
+        UNION ALL
+        SELECT 'a4', concat_ws('§', CAST(c_nationkey AS VARCHAR),
+                               c_mktsegment),
+               CAST(NULL AS VARCHAR), CAST(cnt AS DOUBLE)
+        FROM ({out["a4_category_histogram"]})
+        UNION ALL
+        SELECT 'a6', CAST(user_id AS VARCHAR),
+               concat_ws('§', CAST(event_id AS VARCHAR), event_type),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["a6_first_writer_wins"]})
+    """
+    out["e1_near_dup_suite"] = f"""
+        SELECT 'simhash' AS op, CAST(doc_id AS VARCHAR) AS k,
+               CAST(simhash AS VARCHAR) AS v, CAST(NULL AS DOUBLE) AS v_num
+        FROM ({out["e1_simhash"]})
+        UNION ALL
+        SELECT 'ngram', concat_ws('§', CAST(id_a AS VARCHAR),
+                                  CAST(id_b AS VARCHAR)),
+               CAST(n_common AS VARCHAR), CAST(jaccard AS DOUBLE)
+        FROM ({out["e1_ngram_jaccard"]})
+        UNION ALL
+        SELECT 'embed', concat_ws('§', CAST(id_a AS VARCHAR),
+                                  CAST(id_b AS VARCHAR)),
+               CAST(NULL AS VARCHAR), CAST(cos_sim AS DOUBLE)
+        FROM ({out["e1_embedding_near_dup"]})
+    """
+    out["e3_docmeta_suite"] = f"""
+        SELECT 'lang' AS op, CAST(doc_id AS VARCHAR) AS k,
+               predicted_lang AS v, CAST(n_stopword_hits AS DOUBLE) AS v_num
+        FROM ({out["e3_lang_id"]})
+        UNION ALL
+        SELECT 'fp', CAST(doc_id AS VARCHAR),
+               CAST(min_fingerprint AS VARCHAR), CAST(n_chunks AS DOUBLE)
+        FROM ({out["e3_fingerprint"]})
+    """
+    out["e4_media_suite"] = f"""
+        SELECT 'png' AS op, CAST(media_id AS VARCHAR) AS k,
+               concat_ws('§', CAST(width AS VARCHAR),
+                         CAST(height AS VARCHAR),
+                         CAST(n_bytes AS VARCHAR), decoded_sha256) AS v,
+               CAST(NULL AS DOUBLE) AS v_num
+        FROM ({out["e4_png_decode"]})
+        UNION ALL
+        SELECT 'meta', CAST(media_id AS VARCHAR),
+               concat_ws('§', mime_type, CAST(n_bytes AS VARCHAR),
+                         payload_sha256),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e4_media_metadata"]})
+    """
+    # the closed-sessions production face: the batch session table
+    # restricted to sessions closed below the final watermark
+    # W = max(ts) - 10 minutes (the append-mode emission contract)
+    out["e6_sessionize_closed"] = f"""
+        SELECT * FROM ({out["e6_sessionize"]})
+        WHERE session_end <= (SELECT max(ts) FROM events)
+                             - INTERVAL '10 minutes'
+    """
+    # full-cell IVF-PQ probe of the appended index == flat ADC over the
+    # whole corpus — one oracle, two names (see _e2_ivfpq_append_topk)
+    out["e2_ivfpq_append_topk"] = out["e2_pq_adc_topk"]
     return out

@@ -17,11 +17,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-#: Queries whose BENCH_r03 numbers drifted with ambient load (VERDICT r03
-#: next #2): min-of-5 instead of min-of-3 — more chances to land between
-#: noise spikes on the shared VM.
+#: Queries whose BENCH numbers drifted with ambient load (VERDICT r03
+#: next #2, r04 next #2 — e2_lsh_topk drifted upward two rounds running;
+#: q1/q5/e3_text_quality showed sub-second load-noise drifts in r04):
+#: min-of-5 instead of min-of-3 — more chances to land between noise
+#: spikes on the shared VM.
 NOISY = {"e1_minhash_near_dup", "e1_minhash_near_dup_xxh",
-         "f7_identifier_extract"}
+         "f7_identifier_extract", "e2_lsh_topk", "q1_pricing_summary",
+         "q5_regional_revenue", "e3_text_quality"}
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -93,6 +96,8 @@ def main() -> None:
     # 3 otherwise): the environment (shared VM, JIT re-compilation
     # stalls) shows order-of-magnitude noise spikes; the minimum is the
     # honest estimate of the query's cost.
+    from drugbankner_spark.caching import release_shared_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q(name)
@@ -107,9 +112,13 @@ def main() -> None:
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # drop this query's shared-subtree caches before the next one
+        # (ADVICE r04) — repeat runs of the SAME query keep them, as
+        # every prior round's bench did, so timings stay comparable
+        release_shared_caches()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -118,7 +127,184 @@ def main() -> None:
         "loadavg_1m": round(load_before[0], 2),
         "loadavg_after_1m": round(os.getloadavg()[0], 2),
         "calibration_sec": calib,
-    }))
+    }
+    # skew demonstration + sf1 scaling rehearsal (VERDICT r04 next #6/#7);
+    # separate sections so the headline total stays round-comparable
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") == "1":
+        result["skew"] = _skew_section(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "1" and sf == 0.1:
+        result["sf1"] = _sf1_section(spark, sf_dir, qs, timings)
+    print(json.dumps(result))
+
+
+def _skew_section(spark, sf_dir: str) -> dict:
+    """Zipfian-name join demonstration (SURVEY hard-part #4 — J2's
+    name-frequency skew; VERDICT r04 next #6): one hot name ('protein')
+    covers HALF the 600k-row fact; the dim carries 5001 names.
+    Broadcast is disabled to model the at-scale case where the dim
+    can't broadcast, then three strategies run the same join+agg:
+    plain sort-merge (AQE skew off), AQE skew-join (thresholds lowered
+    so the rule fires at bench scale), and scale.salted_join. The
+    decision logic that picks between them is
+    scale.recommended_join_strategy (tested in tests/test_scale.py);
+    its verdicts on this exact profile are recorded alongside."""
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.scale import (
+        key_skew_profile,
+        recommended_join_strategy,
+        salted_join,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("protein"))
+        .otherwise(F.concat(F.lit("name-"),
+                            (F.col("l_orderkey") % 5000).cast("string")))
+        .alias("name"),
+        "l_quantity",
+    )
+    dim = spark.range(5000).select(
+        F.concat(F.lit("name-"), F.col("id").cast("string")).alias("name"),
+        F.col("id").alias("cluster_id"),
+    ).unionByName(spark.createDataFrame(
+        [("protein", 999_999)], "name string, cluster_id long"
+    ))
+
+    def run(df) -> float:
+        t0 = time.perf_counter()
+        df.groupBy("cluster_id").agg(
+            F.count(F.lit(1)), F.sum("l_quantity")
+        ).collect()
+        return time.perf_counter() - t0
+
+    conf = spark.conf
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {k: conf.get(k, None) for k in keys}
+    out: dict = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["plain_smj_sec"] = round(
+            min(run(fact.join(dim, "name")) for _ in range(2)), 3)
+        out["salted_sec"] = round(
+            min(run(salted_join(fact, dim, "name", salt_buckets=8))
+                for _ in range(2)), 3)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1m")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        out["aqe_skew_sec"] = round(
+            min(run(fact.join(dim, "name")) for _ in range(2)), 3)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    prof = key_skew_profile(fact, "name", top_n=5)
+    top = prof.collect()[0]
+    out["hot_key"] = top["k"]
+    out["hot_key_share"] = float(top["share"])
+    out["decision_big_dim"] = recommended_join_strategy(
+        prof, dim_rows=50_000_000)
+    out["decision_small_dim"] = recommended_join_strategy(prof, dim_rows=5_001)
+    return out
+
+
+#: sf1 rehearsal set: the 5 heaviest operators (VERDICT r04 next #7).
+SF1_QUERIES = [
+    "pipeline_clean_corpus",
+    "e1_minhash_near_dup",
+    "e2_lsh_topk",
+    "f7_identifier_extract",
+    "e6_sessionize",
+]
+
+
+def _ensure_sf1(spark, sf01_dir: str) -> str:
+    """Materialize a 10× corpus from sf0.1 under /tmp (the harness ships
+    no sf1): documents/embeddings/events replicated ×10 with shifted ids.
+    Document tokens are replica-prefixed so cross-replica shingles can
+    NEVER collide — each replica behaves as an independent corpus with
+    the original's duplicate structure, keeping the true output ~10×
+    (clone-identical replicas would make near-dup PAIRS grow ~100× by
+    construction and fake a superlinear slope)."""
+    from pyspark.sql import functions as F
+
+    out = "/tmp/spark_graft_sf1"
+    marker = os.path.join(out, "_ALL_TABLES_OK")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf01_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf01_dir, "embeddings.parquet"))
+    ev = spark.read.parquet(os.path.join(sf01_dir, "events.parquet"))
+
+    def replicas(df, build):
+        parts = [build(df, i) for i in range(10)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    replicas(docs, lambda d, i: d.select(
+        (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+        F.concat(F.lit(f"r{i}x"),
+                 F.regexp_replace("text", " ", f" r{i}x")).alias("text"),
+        "lang", "source",
+    ).withColumn("n_chars", F.length("text"))).write.mode(
+        "overwrite").parquet(os.path.join(out, "documents.parquet"))
+    replicas(emb, lambda d, i: d.select(
+        (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+        "embedding", "label",
+    )).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet"))
+    replicas(ev, lambda d, i: d.select(
+        (F.col("event_id") + i * 1_000_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + i * 1_000_000).alias("user_id"),
+        "event_type", "value", "props",
+    )).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    with open(marker, "w") as fd:
+        fd.write("ok")
+    return out
+
+
+def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
+    """Time the 5 heaviest operators at 10× sf0.1 and record each slope
+    (sec_sf1 / sec_sf0.1) — the one-datapoint scaling rehearsal. ~10-12×
+    is linear-with-overhead; anything well beyond needs a named fix."""
+    from drugbankner_spark.caching import release_shared_caches
+
+    sf1_dir = _ensure_sf1(spark, sf01_dir)
+    queries: dict = {}
+    for name in SF1_QUERIES:
+        fn = qs.get(ALIAS.get(name, name))
+        if fn is None:
+            continue
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf1_dir).toPandas())
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        release_shared_caches()
+        entry = {"sec": round(best, 3), "rows": n}
+        base = sf01_timings.get(name)
+        if base:
+            entry["slope_vs_sf0_1"] = round(best / base, 1)
+        queries[name] = entry
+        print(f"# sf1 {name}: {entry}", file=sys.stderr)
+    return {"dir": sf1_dir, "data_scale_vs_sf0_1": 10, "queries": queries}
 
 
 def _calibration(spark, sf_dir: str) -> float:

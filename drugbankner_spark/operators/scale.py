@@ -141,6 +141,34 @@ def key_skew_profile(
     )
 
 
+def recommended_join_strategy(
+    profile: DataFrame,
+    dim_rows: int,
+    broadcast_threshold_rows: int = 1_000_000,
+) -> str:
+    """Turn a :func:`key_skew_profile` into a join-strategy decision —
+    the logic the skew bench (bench.py ``skew`` section) demonstrates
+    end-to-end on the Zipfian-names J2 workload (SURVEY hard-part #4):
+
+    - ``'broadcast'`` when the dim side fits the broadcast budget: no
+      shuffle at all, skew irrelevant (hot keys hit every executor's
+      local hash table).
+    - ``'salted'`` when the dim can't broadcast AND the profile flags a
+      hot key: salting costs ×buckets dim replication but splits the hot
+      key's reducer — AQE's skew rule only splits a skewed partition
+      AFTER the shuffle materializes it, and can't help at all when the
+      hot key is a single unsplittable group for a following agg.
+    - ``'plain'`` otherwise: let AQE coalesce/handle residual imbalance.
+
+    Cost: the profile is top_n rows — this is a driver-side decision on
+    already-aggregated data, not a scan."""
+    if dim_rows <= broadcast_threshold_rows:
+        return "broadcast"
+    if any(r["is_hot"] for r in profile.collect()):
+        return "salted"
+    return "plain"
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -128,3 +128,25 @@ def test_compact_small_files_via_hadoop_fs_uri(spark, tmp_path):
     back = spark.read.parquet(uri)
     assert back.count() == 500
     assert {r["v"] for r in back.collect()} == {2 * i for i in range(500)}
+
+
+def test_recommended_join_strategy_decision_logic(spark):
+    # SURVEY hard-part #4 / VERDICT r04 next #6: the profile→strategy
+    # decision picks correctly on the Zipfian hot key.
+    hot = spark.range(900).select(F.lit("protein").alias("k"))
+    cold = spark.range(100).select(
+        F.concat(F.lit("rare_"), F.col("id")).cast("string").alias("k")
+    )
+    skewed_prof = SC.key_skew_profile(hot.unionByName(cold), "k", top_n=5)
+    uniform_prof = SC.key_skew_profile(
+        spark.range(1000).select(F.col("id").cast("string").alias("k")), "k"
+    )
+    # small dim always broadcasts, skew or not
+    assert SC.recommended_join_strategy(skewed_prof, dim_rows=10_000) == \
+        "broadcast"
+    # big dim + hot key → salt the fact side
+    assert SC.recommended_join_strategy(
+        skewed_prof, dim_rows=50_000_000) == "salted"
+    # big dim, no hot key → plain shuffle join (AQE handles residue)
+    assert SC.recommended_join_strategy(
+        uniform_prof, dim_rows=50_000_000) == "plain"
