@@ -212,7 +212,7 @@ def _skew_section(spark, sf_dir: str) -> dict:
                 conf.set(k, v)
     prof = key_skew_profile(fact, "name", top_n=5)
     top = prof.collect()[0]
-    out["hot_key"] = top["k"]
+    out["hot_key"] = top["name"]
     out["hot_key_share"] = float(top["share"])
     out["decision_big_dim"] = recommended_join_strategy(
         prof, dim_rows=50_000_000)

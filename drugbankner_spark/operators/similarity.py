@@ -34,6 +34,38 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# SQL-string expression builders (round 5). Building literal-heavy
+# expressions through the Column API costs one Py4J round trip per
+# F.lit/F.array/lambda — an 8-plane × 64-dim bucket expression is ~600
+# driver⇄JVM calls (~0.6 s measured), and the PQ lookup tables are 10×
+# that. A SQL string is assembled in pure Python and parsed JVM-side in
+# ONE call; `repr(float)` round-trips exactly through Java's
+# Double.parseDouble, so the arithmetic (and every stored bucket/cell/
+# code) is bit-identical to the Column path (parity-tested). This is
+# driver-side PLAN latency — at 1000 executors it is pure serial
+# overhead on every probe, so it matters beyond the bench.
+# ---------------------------------------------------------------------------
+
+def _fd(v: float) -> str:
+    """Exact SQL DOUBLE literal."""
+    return repr(float(v)) + "D"
+
+
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ",".join(_fd(v) for v in vals) + ")"
+
+
+def _dot_sql(vec_name: str, vals: list[float]) -> str:
+    """SQL twin of ``dot(col, literal array)`` — identical CASTs,
+    identical fold order."""
+    return (
+        f"aggregate(zip_with(`{vec_name}`, {_arr_sql(vals)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -83,8 +115,19 @@ def hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign pattern of the vector against each plane → bucket key string."""
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each plane → bucket key string.
+
+    Pass the column NAME (str) on hot paths: the whole expression is
+    then built as one SQL string (one Py4J call instead of ~600 — see
+    the SQL-builder note above). The Column form remains for composed
+    expressions; both produce bit-identical buckets (parity-tested)."""
+    if isinstance(vec, str):
+        parts = ",".join(
+            f"CASE WHEN {_dot_sql(vec, p)} >= 0D THEN '1' ELSE '0' END"
+            for p in planes
+        )
+        return F.expr(f"concat({parts})")
     bits = [
         F.when(
             dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")
@@ -111,11 +154,11 @@ def lsh_topk(
     planes = [hyperplane(dim, j) for j in range(num_planes)]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
@@ -161,7 +204,7 @@ def lsh_topk_banded(
         return df.select(
             F.col(idc).alias(out_id), F.col(vecc).alias(f"_{out_id}_v"),
             F.posexplode(
-                F.array(*[lsh_bucket(F.col(vecc), ps) for ps in band_planes])
+                F.array(*[lsh_bucket(vecc, ps) for ps in band_planes])
             ).alias("_band", "_bucket"),
         )
 
@@ -207,7 +250,7 @@ def embedding_near_dup_pairs(
     # this the corpus is scanned and hyperplane-hashed twice
     b = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_v"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
     )
     b = shared_persist(b)
     left = b.select(
@@ -292,10 +335,17 @@ def ivf_topk_kmeans(
     return _ivf_with_centroids(corpus, queries, cents, id_col, vec_col, k, n_probe)
 
 
-def _cell_scores(vec: Column, cents: list[list[float]]) -> Column:
+def _cell_scores(vec: Column | str, cents: list[list[float]]) -> Column:
     """Per-centroid dot scores as an array of (sim, cell) structs — the
     IVF coarse quantizer, shared by the inline plan and the index
-    build/probe paths so assignments always agree."""
+    build/probe paths so assignments always agree. Name (str) input
+    takes the one-call SQL-string path; both forms bit-identical."""
+    if isinstance(vec, str):
+        items = ",".join(
+            f"named_struct('sim', {_dot_sql(vec, c)}, 'cell', {j})"
+            for j, c in enumerate(cents)
+        )
+        return F.expr(f"array({items})")
     return F.array(*[
         F.struct(
             dot(vec, F.array(*[F.lit(x) for x in c])).alias("sim"),
@@ -321,14 +371,14 @@ def _ivf_with_centroids(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        F.array_max(_cell_scores(F.col(vec_col), cents))["cell"].alias("_cell"),
+        F.array_max(_cell_scores(vec_col, cents))["cell"].alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
         F.explode(
             F.transform(
                 F.slice(
-                    F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
+                    F.reverse(F.array_sort(_cell_scores(vec_col, cents))),
                     1, n_probe,
                 ),
                 lambda s: s["cell"],
@@ -527,7 +577,7 @@ def build_lsh_index(
         corpus.select(
             F.col(id_col),
             F.col(vec_col),
-            F.concat(F.lit("b"), lsh_bucket(F.col(vec_col), planes)).alias(
+            F.concat(F.lit("b"), lsh_bucket(vec_col, planes)).alias(
                 "bucket"
             ),
         )
@@ -565,7 +615,7 @@ def append_to_lsh_index(
         new_vectors.select(
             F.col(id_col),
             F.col(vec_col),
-            F.concat(F.lit("b"), lsh_bucket(F.col(vec_col), planes)).alias(
+            F.concat(F.lit("b"), lsh_bucket(vec_col, planes)).alias(
                 "bucket"
             ),
         )
@@ -595,7 +645,7 @@ def probe_lsh_index(
     planes = [hyperplane(dim, j) for j in range(num_planes)]
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        F.concat(F.lit("b"), lsh_bucket(F.col(vec_col), planes)).alias(
+        F.concat(F.lit("b"), lsh_bucket(vec_col, planes)).alias(
             "bucket"
         ),
     )
@@ -639,7 +689,7 @@ def build_ivf_index(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        F.array_max(_cell_scores(F.col(vec_col), cents))["cell"].alias("cell"),
+        F.array_max(_cell_scores(vec_col, cents))["cell"].alias("cell"),
     )
     (
         c.repartition("cell")  # one file per cell, not tasks × cells
@@ -670,7 +720,7 @@ def append_to_ivf_index(
         new_vectors.select(
             F.col(id_col),
             F.col(vec_col),
-            F.array_max(_cell_scores(F.col(vec_col), cents))["cell"].alias(
+            F.array_max(_cell_scores(vec_col, cents))["cell"].alias(
                 "cell"
             ),
         )
@@ -703,7 +753,7 @@ def probe_ivf_index(
         F.explode(
             F.transform(
                 F.slice(
-                    F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
+                    F.reverse(F.array_sort(_cell_scores(vec_col, cents))),
                     1, n_probe,
                 ),
                 lambda s: s["cell"],
@@ -760,10 +810,18 @@ def pq_codebooks(
     ]
 
 
-def _sq_l2(vec: Column, cent: list[float], offset: int) -> Column:
+def _sq_l2(vec: Column | str, cent: list[float], offset: int) -> Column:
     """Squared L2 between vec[offset : offset+len(cent)] and a literal
     centroid — unrolled, fixed evaluation order; (x-c)*(x-c) rather than
-    pow so both engines do the identical multiply."""
+    pow so both engines do the identical multiply. Name (str) input
+    takes the one-call SQL-string path; both forms bit-identical."""
+    if isinstance(vec, str):
+        terms = " + ".join(
+            f"(element_at(`{vec}`, {offset + i + 1}) - {_fd(c)})"
+            f" * (element_at(`{vec}`, {offset + i + 1}) - {_fd(c)})"
+            for i, c in enumerate(cent)
+        )
+        return F.expr(f"({terms})")
     terms = [
         (F.element_at(vec, offset + i + 1) - F.lit(c))
         * (F.element_at(vec, offset + i + 1) - F.lit(c))
@@ -788,7 +846,7 @@ def pq_encode(
     for j, book in enumerate(codebooks):
         scored = F.array(*[
             F.struct(
-                F.round(_sq_l2(F.col(vec_col), cent, j * dsub), 9).alias("d"),
+                F.round(_sq_l2(vec_col, cent, j * dsub), 9).alias("d"),
                 F.lit(c).alias("c"),
             )
             for c, cent in enumerate(book)
@@ -820,7 +878,7 @@ def pq_adc_topk(
     # far inside PQ's own quantization error.
     lut = F.array(*[
         F.array(*[
-            F.round(_sq_l2(F.col(vec_col), cent, j * dsub) * 1e6)
+            F.round(_sq_l2(vec_col, cent, j * dsub) * 1e6)
             .cast("long")
             for cent in book
         ])
@@ -911,7 +969,7 @@ def _ivfpq_encoded(
     for j, book in enumerate(codebooks):
         scored = F.array(*[
             F.struct(
-                F.round(_sq_l2(F.col(vec_col), cent, j * dsub), 9).alias("d"),
+                F.round(_sq_l2(vec_col, cent, j * dsub), 9).alias("d"),
                 F.lit(c).alias("c"),
             )
             for c, cent in enumerate(book)
@@ -920,7 +978,7 @@ def _ivfpq_encoded(
     return vectors.select(
         F.col(id_col),
         F.array(*code_cols).alias("codes"),
-        F.array_max(_cell_scores(F.col(vec_col), cents))["cell"].alias(
+        F.array_max(_cell_scores(vec_col, cents))["cell"].alias(
             "cell"
         ),
     )
@@ -1007,7 +1065,7 @@ def probe_ivfpq_index(
     dsub = len(codebooks[0][0])
     lut = F.array(*[
         F.array(*[
-            F.round(_sq_l2(F.col(vec_col), cent, j * dsub) * 1e6)
+            F.round(_sq_l2(vec_col, cent, j * dsub) * 1e6)
             .cast("long")
             for cent in book
         ])
@@ -1018,7 +1076,7 @@ def probe_ivfpq_index(
         F.explode(
             F.transform(
                 F.slice(
-                    F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
+                    F.reverse(F.array_sort(_cell_scores(vec_col, cents))),
                     1, n_probe,
                 ),
                 lambda s: s["cell"],

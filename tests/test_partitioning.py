@@ -359,3 +359,29 @@ def test_ivfpq_append_parity_and_partition_locality(spark):
         assert "cell" in seg, seg
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sql_string_builders_bit_identical_to_column_forms(spark):
+    # Round-5 driver-latency fix: lsh_bucket/_cell_scores/_sq_l2 build
+    # literal-heavy expressions as ONE SQL string when given a column
+    # NAME. The arithmetic must be BIT-identical to the Column forms —
+    # stored indexes from either path must interoperate.
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, EMB_SF, "embeddings").limit(50)
+    planes = [SIM.hyperplane(64, j) for j in range(8)]
+    cents = [SIM.hyperplane(64, 1000 + j) for j in range(8)]
+    books = SIM.pq_codebooks(dim=64, m=8, ksub=16)
+    rows = emb.select(
+        SIM.lsh_bucket("embedding", planes).alias("b_sql"),
+        SIM.lsh_bucket(F.col("embedding"), planes).alias("b_col"),
+        SIM._cell_scores("embedding", cents).alias("c_sql"),
+        SIM._cell_scores(F.col("embedding"), cents).alias("c_col"),
+        SIM._sq_l2("embedding", books[0][0], 0).alias("d_sql"),
+        SIM._sq_l2(F.col("embedding"), books[0][0], 0).alias("d_col"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["b_sql"] == r["b_col"]
+        assert r["c_sql"] == r["c_col"]          # exact struct equality
+        assert r["d_sql"] == r["d_col"]          # exact double equality
