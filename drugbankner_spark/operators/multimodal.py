@@ -2,13 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata.
 The Spark-side plumbing — schema, binaryFile source, Arrow batch shape,
-partition sizing — is real and tested. The decode real paths are REAL
-for PNG (functions/png_codec.py: zlib + struct, CRC-checked chunks, all
-five scanline filters) and WAV audio (functions/wav_codec.py: RIFF/PCM
-via struct); frame sampling is real for WAV (time-sliced standalone
-segments). Codecs that genuinely need external libraries (JPEG,
-MP3/AAC, video containers) keep the honest ``NotImplementedError`` +
-deterministic-fake pair.
+partition sizing — is real and tested. The decode paths are REAL for
+PNG (functions/png_codec.py: zlib + struct, CRC-checked chunks, all
+five scanline filters), baseline JPEG (functions/jpeg_codec.py: DCT +
+Annex-K Huffman entropy coding, round 5), and WAV audio
+(functions/wav_codec.py: RIFF/PCM via struct); frame sampling is real
+for WAV (time-sliced standalone segments). Codecs that genuinely need
+external libraries (MP3/AAC, video containers) keep the honest
+``NotImplementedError`` + deterministic-fake pair.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition of
@@ -65,9 +66,9 @@ def media_metadata(media: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode / feature-extract over Arrow batches (mapInPandas).
 
-    REAL paths: PNG payloads decode via the stdlib image codec —
-    feature = [width, height, channels, mean, min, max] over decoded
-    samples; WAV payloads decode via the stdlib RIFF/PCM codec —
+    REAL paths: PNG and baseline JPEG payloads decode via the in-repo
+    codecs — feature = [width, height, channels, mean, min, max] over
+    decoded samples; WAV payloads decode via the stdlib RIFF/PCM codec —
     feature = [channels, sample_rate, bits, n_frames, rms, peak].
     Other formats need codecs absent from this container and raise
     ``NotImplementedError``; ``fake=True`` swaps in a deterministic
@@ -79,6 +80,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import png_codec as png
         from drugbankner_spark.functions import wav_codec as wav
 
@@ -89,6 +91,13 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                 if fake:
                     head = data[:8]
                     rows.append((int(mid), [float(b) for b in head]))
+                elif jpeg.is_jpeg(data):
+                    s = jpeg.jpeg_stats(data)
+                    rows.append((int(mid), [
+                        float(s["width"]), float(s["height"]),
+                        float(s["channels"]), float(s["mean"]),
+                        float(s["min"]), float(s["max"]),
+                    ]))
                 elif png.is_png(data):
                     s = png.png_stats(data)
                     rows.append((int(mid), [
@@ -105,10 +114,10 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     ]))
                 else:
                     raise NotImplementedError(
-                        "media decode: PNG and WAV are decodable with the "
-                        "stdlib codecs; other formats need image/audio "
-                        "libraries not present in this environment "
-                        "(pass fake=True for the test path)"
+                        "media decode: PNG, baseline JPEG and WAV decode "
+                        "with the in-repo codecs; other formats (MP3/AAC, "
+                        "video) need libraries not present in this "
+                        "environment (pass fake=True for the test path)"
                     )
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 
@@ -120,9 +129,10 @@ def resize_images(
 ) -> DataFrame:
     """1→1 image resize over Arrow batches.
 
-    REAL path: PNG payloads go decode → nearest-neighbor → re-encode via
-    the stdlib codec, emitting a real PNG of the target size. Non-PNG
-    formats raise ``NotImplementedError`` (no codec libraries here);
+    REAL paths: PNG and baseline-JPEG payloads go decode →
+    nearest-neighbor → re-encode via the in-repo codecs, emitting a real
+    image of the target size in the source format. Other formats raise
+    ``NotImplementedError`` (no codec libraries here);
     ``fake=True`` emits a deterministic ``width*height``-byte payload
     (truncate/cycle the source bytes) with the REAL output schema —
     (media_id, payload, width, height) — so partitioning, batch shape,
@@ -136,6 +146,7 @@ def resize_images(
     n = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import png_codec as png
 
         for pdf in batches:
@@ -146,10 +157,19 @@ def resize_images(
                     out = (src * (n // len(src) + 1))[:n]
                 elif png.is_png(src):
                     out = png.resize_png(src, width, height)
+                elif jpeg.is_jpeg(src):
+                    d = jpeg.decode_jpeg(src)
+                    out = jpeg.encode_jpeg(
+                        png.resize_nearest(
+                            d["samples"], d["width"], d["height"],
+                            d["channels"], width, height,
+                        ),
+                        width, height, d["channels"],
+                    )
                 else:
                     raise NotImplementedError(
-                        "image resize: only PNG is decodable with the "
-                        "stdlib codec; other formats need PIL (pass "
+                        "image resize: PNG and baseline JPEG decode with "
+                        "the in-repo codecs; other formats need PIL (pass "
                         "fake=True for the test path)"
                     )
                 rows.append((int(mid), out, width, height))
@@ -169,7 +189,7 @@ def image_hashes(media: DataFrame) -> DataFrame:
     first-pass signal for near-duplicate image detection. Output:
     (media_id, ahash, dhash) as signed 64-bit longs.
 
-    Non-PNG payloads raise (codec availability, as decode_media);
+    Non-PNG/JPEG payloads raise (codec availability, as decode_media);
     hashing is Arrow-batched and shuffles nothing."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -178,6 +198,7 @@ def image_hashes(media: DataFrame) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import png_codec as png
 
         def gray(img):
@@ -202,12 +223,19 @@ def image_hashes(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                if not png.is_png(data):
+                if png.is_png(data):
+                    img = png.decode_png(data)
+                elif jpeg.is_jpeg(data):
+                    d = jpeg.decode_jpeg(data)
+                    img = {"pixels": d["samples"],
+                           "channels": d["channels"],
+                           "width": d["width"], "height": d["height"]}
+                else:
                     raise NotImplementedError(
-                        "image_hashes: PNG only (stdlib codec); other "
-                        "formats need image libraries absent here"
+                        "image_hashes: PNG and baseline JPEG decode with "
+                        "the in-repo codecs; other formats need image "
+                        "libraries absent here"
                     )
-                img = png.decode_png(data)
                 g = gray(img)
                 w, h = img["width"], img["height"]
                 g9 = png.resize_nearest(g, w, h, 1, 9, 8)
