@@ -269,15 +269,24 @@ def test_resize_images_real_path_png(spark):
     )
 
 
-def test_decode_media_non_png_still_raises(spark):
+def test_decode_media_unsupported_format_still_raises(spark):
+    # JPEG became a REAL path in round 5 — an honestly-unsupported
+    # format (MP3-ish) must still raise, and a corrupt JPEG errors
+    # rather than silently passing
     from drugbankner_spark.operators.multimodal import decode_media
 
     df = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04\x00 mp3-ish"), "audio/mpeg", 11)],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|MP3"):
+        decode_media(df).collect()
+    truncated = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xff jpeg-ish"), "image/jpeg", 12)],
         "media_id long, payload binary, mime_type string, n_bytes long",
     )
-    with pytest.raises(Exception, match="NotImplementedError|only PNG"):
-        decode_media(df).collect()
+    with pytest.raises(Exception, match="jpeg"):
+        decode_media(truncated).collect()
 
 
 # --- Perceptual hashing over real decoded pixels ------------------------
