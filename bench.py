@@ -232,16 +232,23 @@ SF1_QUERIES = [
 
 def _ensure_sf1(spark, sf01_dir: str) -> str:
     """Materialize a 10× corpus from sf0.1 under /tmp (the harness ships
-    no sf1): documents/embeddings/events replicated ×10 with shifted ids.
-    Document tokens are replica-prefixed so cross-replica shingles can
-    NEVER collide — each replica behaves as an independent corpus with
-    the original's duplicate structure, keeping the true output ~10×
+    no sf1): documents/embeddings/events replicated ×10 with shifted
+    ids. Each replica's NON-stopword tokens are rewritten to
+    replica_letter + token[:-1] — token lengths, stopword tokens, and
+    the digit ratio are preserved (so Gopher quality filters behave
+    identically to the original corpus; the first prefix scheme silently
+    failed every doc and made pipeline_clean_corpus emit 0 rows), while
+    every shingle containing a non-stopword token becomes
+    replica-unique — each replica is an independent corpus with the
+    original's duplicate structure, keeping true outputs ~10×
     (clone-identical replicas would make near-dup PAIRS grow ~100× by
     construction and fake a superlinear slope)."""
     from pyspark.sql import functions as F
 
+    from drugbankner_spark.operators.textanalysis import STOPWORDS
+
     out = "/tmp/spark_graft_sf1"
-    marker = os.path.join(out, "_ALL_TABLES_OK")
+    marker = os.path.join(out, "_ALL_TABLES_OK_V2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -256,10 +263,21 @@ def _ensure_sf1(spark, sf01_dir: str) -> str:
             u = u.unionByName(p)
         return u
 
+    sw_list = sorted({w for lang in STOPWORDS.values() for w in lang})
+    sw_sql = ",".join(f"'{w}'" for w in sw_list)
+
+    def perturb(i: int):
+        letter = chr(ord("a") + i)
+        return F.expr(
+            "array_join(transform(split(text, ' '), t -> "
+            f"CASE WHEN lower(t) IN ({sw_sql}) THEN t "
+            f"ELSE concat('{letter}', substring(t, 1, "
+            "greatest(length(t) - 1, 0))) END), ' ')"
+        )
+
     replicas(docs, lambda d, i: d.select(
         (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-        F.concat(F.lit(f"r{i}x"),
-                 F.regexp_replace("text", " ", f" r{i}x")).alias("text"),
+        perturb(i).alias("text"),
         "lang", "source",
     ).withColumn("n_chars", F.length("text"))).write.mode(
         "overwrite").parquet(os.path.join(out, "documents.parquet"))
