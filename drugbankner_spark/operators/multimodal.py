@@ -434,13 +434,17 @@ def sample_frames(
     one input payload → up to ``n_frames`` output rows with frame index
     + timestamp).
 
-    REAL path: WAV payloads are time-sliced into equal-duration
-    standalone WAV segments with true millisecond timestamps (the audio
-    analogue of video frame extraction — stdlib RIFF/PCM codec). Video
-    containers genuinely need ffmpeg and raise ``NotImplementedError``;
-    ``fake=True`` slices any payload into n equal byte chunks —
-    deterministic, so downstream dedup/similarity over frames is
-    testable end to end."""
+    REAL paths: WAV payloads are time-sliced into equal-duration
+    standalone WAV segments with true millisecond timestamps (stdlib
+    RIFF/PCM codec); MJPEG-AVI VIDEO payloads (round 5,
+    functions/avi_codec.py) yield ≤n evenly-spaced frames, each a
+    standalone baseline JPEG with its true container timestamp —
+    decodable downstream by decode_media/image_hashes, so video frames
+    flow straight into the image dedup family. Compressed video codecs
+    (H.264 etc.) genuinely need ffmpeg and raise
+    ``NotImplementedError``; ``fake=True`` slices any payload into n
+    equal byte chunks — deterministic, so downstream dedup/similarity
+    over frames is testable end to end."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -449,6 +453,7 @@ def sample_frames(
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import avi_codec as avi
         from drugbankner_spark.functions import wav_codec as wav
 
         for pdf in batches:
@@ -467,11 +472,17 @@ def sample_frames(
                         wav.segment_wav(src, n_frames)
                     ):
                         rows.append((int(mid), i, ts_ms, seg))
+                elif avi.is_avi(src):
+                    for fi, ts_ms, frame in avi.sample_avi_frames(
+                        src, n_frames
+                    ):
+                        rows.append((int(mid), fi, ts_ms, frame))
                 else:
                     raise NotImplementedError(
-                        "frame sampling: WAV audio segments via the "
-                        "stdlib codec; video requires ffmpeg (pass "
-                        "fake=True for the test path)"
+                        "frame sampling: WAV audio segments + MJPEG-AVI "
+                        "video frames via the in-repo codecs; compressed "
+                        "video requires ffmpeg (pass fake=True for the "
+                        "test path)"
                     )
             yield pd.DataFrame(
                 rows,
