@@ -3821,7 +3821,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start / 512.0) AS BIGINT) AS seq_first,
                    CAST(floor((start + n_tokens - 1) / 512.0) AS BIGINT)
                        AS seq_last,
-                   start % 512 AS offset_in_first
+                   -- BIGINT, not DuckDB's HUGEINT-sum→double (the
+                   -- driver hashes typed values; Spark side is long)
+                   CAST(start % 512 AS BIGINT) AS offset_in_first
             FROM c
         """,
         "e3_hashed_tf": f"""
