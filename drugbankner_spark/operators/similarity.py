@@ -833,6 +833,59 @@ def _sq_l2(vec: Column | str, cent: list[float], offset: int) -> Column:
     return out
 
 
+def _books_sql(codebooks: list[list[list[float]]]) -> str:
+    """The full codebook set as one nested SQL array literal."""
+    return "array(" + ",".join(
+        "array(" + ",".join(_arr_sql(cent) for cent in book) + ")"
+        for book in codebooks
+    ) + ")"
+
+
+def _pq_dist_sql(vec_name: str, codebooks: list[list[list[float]]]) -> str:
+    """Squared L2 of subspace j of the vector vs centroid c of book j,
+    as a lambda-body over loop vars ``j``/``c`` — data-driven over the
+    literal codebook array instead of 2048 unrolled ops (the unrolled
+    plan cost ~6 s to construct+compile per call). Fold order matches
+    the unrolled left-associated sum exactly (0.0 + t0 == t0 in IEEE,
+    squares are never -0.0), so codes/LUTs are bit-identical
+    (parity-tested)."""
+    dsub = len(codebooks[0][0])
+    return (
+        f"aggregate(zip_with(slice(`{vec_name}`, j * {dsub} + 1, {dsub}), "
+        f"element_at(element_at({_books_sql(codebooks)}, j + 1), c + 1), "
+        "(x, cc) -> (x - cc) * (x - cc)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _pq_codes_expr(
+    vec_name: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """array<int>[m] of argmin-distance centroid indices (ties →
+    smallest index via struct min on (rounded distance, index))."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"array_min(transform(sequence(0, {ksub - 1}), c -> "
+        f"named_struct('d', round({_pq_dist_sql(vec_name, codebooks)}, 9), "
+        f"'c', c))).c)"
+    )
+
+
+def _pq_lut_expr(
+    vec_name: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """array<array<bigint>>[m][ksub] ADC lookup table in micro-unit
+    integers (round(dist * 1e6)) — the exact-integer scoring contract
+    pq_adc_topk documents."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {ksub - 1}), c -> "
+        f"CAST(round({_pq_dist_sql(vec_name, codebooks)} * 1000000.0D, 0) "
+        f"AS BIGINT)))"
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -841,18 +894,9 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes: array<int>[m]) — per subspace, the argmin-distance
     centroid index (ties → smallest index, deterministic)."""
-    dsub = len(codebooks[0][0])
-    code_cols = []
-    for j, book in enumerate(codebooks):
-        scored = F.array(*[
-            F.struct(
-                F.round(_sq_l2(vec_col, cent, j * dsub), 9).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c, cent in enumerate(book)
-        ])
-        code_cols.append(F.array_min(scored)["c"])
-    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    return df.select(
+        F.col(id_col), _pq_codes_expr(vec_col, codebooks).alias("codes")
+    )
 
 
 def pq_adc_topk(
@@ -870,22 +914,14 @@ def pq_adc_topk(
     ties pinned to smallest neighbor id."""
     from pyspark.sql import Window
 
-    dsub = len(codebooks[0][0])
     # LUT entries are micro-unit INTEGERS (round(dist * 1e6)): the m-way
     # ADC sum is then exact integer arithmetic — order-free, so any
     # engine (or Spark's own fold vs pairwise summation) produces the
     # bit-identical score. Precision 1e-6 per partial, ±m*0.5e-6 total —
     # far inside PQ's own quantization error.
-    lut = F.array(*[
-        F.array(*[
-            F.round(_sq_l2(vec_col, cent, j * dsub) * 1e6)
-            .cast("long")
-            for cent in book
-        ])
-        for j, book in enumerate(codebooks)
-    ])
     q = queries.select(
-        F.col(id_col).alias("query_id"), lut.alias("_lut")
+        F.col(id_col).alias("query_id"),
+        _pq_lut_expr(vec_col, codebooks).alias("_lut"),
     )
     scored = (
         codes.select(F.col(id_col).alias("neighbor_id"), "codes")
@@ -964,20 +1000,9 @@ def _ivfpq_encoded(
     """(id, codes[m], cell) for each vector — the stored IVF-PQ row.
     Shared by build and append so the two paths can never drift."""
     cents = [hyperplane(dim, 1000 + j) for j in range(n_centroids)]
-    dsub = len(codebooks[0][0])
-    code_cols = []
-    for j, book in enumerate(codebooks):
-        scored = F.array(*[
-            F.struct(
-                F.round(_sq_l2(vec_col, cent, j * dsub), 9).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c, cent in enumerate(book)
-        ])
-        code_cols.append(F.array_min(scored)["c"])
     return vectors.select(
         F.col(id_col),
-        F.array(*code_cols).alias("codes"),
+        _pq_codes_expr(vec_col, codebooks).alias("codes"),
         F.array_max(_cell_scores(vec_col, cents))["cell"].alias(
             "cell"
         ),
@@ -1062,17 +1087,9 @@ def probe_ivfpq_index(
     from pyspark.sql import Window
 
     cents = [hyperplane(dim, 1000 + j) for j in range(n_centroids)]
-    dsub = len(codebooks[0][0])
-    lut = F.array(*[
-        F.array(*[
-            F.round(_sq_l2(vec_col, cent, j * dsub) * 1e6)
-            .cast("long")
-            for cent in book
-        ])
-        for j, book in enumerate(codebooks)
-    ])
     q = queries.select(
-        F.col(id_col).alias("query_id"), lut.alias("_lut"),
+        F.col(id_col).alias("query_id"),
+        _pq_lut_expr(vec_col, codebooks).alias("_lut"),
         F.explode(
             F.transform(
                 F.slice(
