@@ -241,3 +241,65 @@ def test_fuzzy_join_property_vs_bruteforce(names, probes):
         "probe", "name",
     ).collect()}
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 3]),
+    quality=st.sampled_from([50, 85, 95]),
+    data=st.data(),
+)
+def test_jpeg_roundtrip_property(w, h, ch, quality, data):
+    # JPEG is lossy: round-trips assert shape + determinism + a loose
+    # error bound (worst case is uniform random noise, which DCT
+    # compresses worst)
+    import numpy as np
+
+    from drugbankner_spark.functions import jpeg_codec as J
+
+    pixels = bytes(
+        data.draw(st.lists(
+            st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+        ))
+    )
+    enc = J.encode_jpeg(pixels, w, h, ch, quality=quality)
+    assert enc == J.encode_jpeg(pixels, w, h, ch, quality=quality)
+    out = J.decode_jpeg(enc)
+    assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+    assert len(out["samples"]) == w * h * ch
+    a = np.frombuffer(out["samples"], np.uint8).astype(float)
+    b = np.frombuffer(pixels, np.uint8).astype(float)
+    mse = ((a - b) ** 2).mean()
+    psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+    assert psnr > 12.0, psnr  # even q=50 RGB noise stays far above this
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_frames=st.integers(1, 12),
+    fps=st.sampled_from([10, 24, 30]),
+    n_sample=st.integers(1, 15),
+)
+def test_avi_container_roundtrip_property(n_frames, fps, n_sample):
+    from drugbankner_spark.functions import avi_codec as A
+    from drugbankner_spark.functions import jpeg_codec as J
+
+    frames = [
+        J.encode_jpeg(bytes(((x + 7 * i) % 256) for x in range(64)), 8, 8, 1)
+        for i in range(n_frames)
+    ]
+    data = A.encode_avi(frames, 8, 8, fps=fps)
+    out = A.decode_avi_frames(data)
+    # container round-trip is LOSSLESS: payloads byte-identical, indices
+    # sequential, timestamps from the header clock
+    assert [p for _, _, p in out] == frames
+    assert [i for i, _, _ in out] == list(range(n_frames))
+    assert all(
+        t == (i * (1_000_000 // fps)) // 1000 for i, t, _ in out
+    )
+    picked = A.sample_avi_frames(data, n_sample)
+    assert len(picked) == min(n_sample, n_frames)
+    idxs = [i for i, _, _ in picked]
+    assert idxs == sorted(set(idxs))  # strictly increasing, no dups
