@@ -1,0 +1,95 @@
+"""Trainable quality classifier (operators/mlquality.py): planted
+separation, threshold filtering, and model persistence round-trip."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from drugbankner_spark.operators.mlquality import (
+    filter_by_quality,
+    score_quality,
+    train_quality_classifier,
+)
+
+_CLEAN = [
+    "the quick brown fox jumps over the lazy dog in the sunny field",
+    "a study of the effects of aspirin on patients with heart disease",
+    "the committee approved the annual budget after a long discussion",
+    "researchers found that the new treatment improved survival rates",
+    "the museum opened a new exhibition of renaissance paintings today",
+    "students completed the course with a final project and an exam",
+    "the recipe calls for two cups of flour and a pinch of salt",
+    "engineers designed the bridge to withstand strong winter storms",
+]
+_GARBAGE = [
+    "zxq9 vvvv kkkk 0x3f2a zzzz qqqq 9981 jjjj wwww pppp xxxx",
+    "click here buy now cheap cheap cheap $$$ free free win win",
+    "asdf asdf asdf asdf asdf asdf asdf asdf asdf asdf asdf",
+    "0101010101 1010101010 0101010101 1010101010 0101010101",
+    "lorem9 ipsum9 dolor9 sit9 amet9 consectetur9 adipiscing9",
+    "xxxxxxxxxx yyyyyyyyyy zzzzzzzzzz wwwwwwwwww vvvvvvvvvv",
+    "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk",
+    "111 222 333 444 555 666 777 888 999 000 111 222 333 444",
+]
+
+
+def _seed_set(spark):
+    rows = [(t, 1.0) for t in _CLEAN] + [(t, 0.0) for t in _GARBAGE]
+    return spark.createDataFrame(rows, "text string, label double")
+
+
+def test_planted_separation_and_threshold_filter(spark):
+    model = train_quality_classifier(_seed_set(spark))
+    docs = spark.createDataFrame(
+        [(1, "the doctor reviewed the patient chart before the surgery"),
+         (2, "zz9 qq8 xx7 vv6 ww5 buy buy buy $$$ click click"),
+         (3, "the garden was full of flowers in the early spring"),
+         (4, "kkkk jjjj zzzz 0x00 0x01 asdf asdf 9999 8888")],
+        "doc_id long, text string",
+    )
+    probs = {r["doc_id"]: r["quality_prob"]
+             for r in score_quality(docs, model).collect()}
+    # held-out clean docs score above held-out garbage — separation
+    assert min(probs[1], probs[3]) > max(probs[2], probs[4])
+    kept = {r["doc_id"]
+            for r in filter_by_quality(docs, model, threshold=0.5).collect()}
+    assert kept == {1, 3}
+    # survivors keep their original columns
+    out = filter_by_quality(docs, model, threshold=0.5)
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_model_save_load_roundtrip(spark):
+    from pyspark.ml import PipelineModel
+
+    model = train_quality_classifier(_seed_set(spark))
+    docs = spark.createDataFrame(
+        [(1, "the meeting was scheduled for early monday morning"),
+         (2, "qqq www 999 $$$ zzz buy buy")],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, score_quality(docs, model).collect()))
+    d = tempfile.mkdtemp(prefix="mlq_")
+    try:
+        model.write().overwrite().save(d + "/m")
+        back = PipelineModel.load(d + "/m")
+        got = sorted(map(tuple, score_quality(docs, back).collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scoring_plan_is_scan_only(spark):
+    # the 100 TB contract: scoring is projections over one scan — no
+    # exchange in the plan
+    from drugbankner_spark.plans import explain as X
+
+    model = train_quality_classifier(_seed_set(spark))
+    docs = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    plan = X.plan_string(score_quality(docs, model), "formatted")
+    assert "Exchange" not in plan
