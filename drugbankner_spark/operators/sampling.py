@@ -80,6 +80,77 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "",
+    kernel: str = "md5",
+) -> DataFrame:
+    """Train/valid/test split that can NEVER leak near-duplicates
+    across splits: split by duplicate-CLUSTER, not by document.
+    ``hash_split`` on doc_id is leak-proof against reruns but blind to
+    near-dups — two 95%-similar documents hash independently and land
+    in train AND test, the classic benchmark-contamination bug.
+
+    Composition: near-dup ``pairs`` (minhash_band_pairs output) →
+    connected components (graph.near_dup_clusters, O(log n) rounds) →
+    ``hash_split`` on the CLUSTER id. A whole clique of near-dups
+    therefore moves as one unit into a single split; singleton docs are
+    their own cluster. Output: docs + ``split`` label.
+
+    Scale: the CC runs on the PAIR graph (edges ≪ corpus), the final
+    assignment is one left join + projection; same determinism contract
+    as hash_split (stable across reruns/partitionings/ingests)."""
+    from drugbankner_spark.operators.graph import near_dup_clusters
+
+    clusters = near_dup_clusters(docs, pairs, id_col)
+    labeled = docs.join(
+        clusters.select(id_col, F.col("cluster_id").alias("_unit")),
+        id_col,
+    )
+    return hash_split(labeled, "_unit", weights, seed, kernel).drop("_unit")
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    target_rows: dict[str, int],
+    seed: str = "",
+    kernel: str = "md5",
+) -> DataFrame:
+    """Domain-mixture draw: exactly ``target_rows[s]`` rows from each
+    stratum value ``s`` (e.g. {"web": 5_000_000, "code": 3_000_000}) —
+    the curated-corpus mixing step (a Pile/Dolma-style recipe executes
+    as one of these per epoch). Deterministic hash-rank order within
+    each stratum, so reruns draw the identical subset and raising a
+    target later EXTENDS the previous draw (the first n rows of the
+    hash order never change — incremental-friendly). Strata absent from
+    ``target_rows`` are dropped; a target larger than the stratum keeps
+    the whole stratum. One window shuffle on the stratum column, same
+    cost shape as stratified_sample."""
+    from pyspark.sql import Window
+
+    mapping = F.create_map(*[
+        x for k, v in target_rows.items() for x in (F.lit(k), F.lit(v))
+    ])
+    h = content_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(seed)), kernel
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        df.withColumn("_target", mapping[F.col(stratum_col)])
+        .filter(F.col("_target").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_target"))
+        .drop("_rn", "_target")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -665,3 +665,54 @@ def test_pq_train_codebooks_deterministic(spark):
     a = SIM.pq_train_codebooks(emb, m=4, ksub=8, iterations=3)
     b = SIM.pq_train_codebooks(emb, m=4, ksub=8, iterations=3)
     assert a == b
+
+
+def test_cluster_safe_split_never_separates_near_dups(spark):
+    # round 5: the contamination-proof split — planted near-dup pairs
+    # must land in the SAME split; plain hash_split on doc_id would
+    # scatter them (the classic benchmark-leakage bug).
+    from drugbankner_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # three planted cliques: {0,1,2}, {10,11}, {20,21,22,23}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    out = cluster_safe_split(
+        docs, pairs, {"train": 0.6, "valid": 0.2, "test": 0.2}
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 40  # every doc labeled exactly once
+    for clique in [{0, 1, 2}, {10, 11}, {20, 21, 22, 23}]:
+        assert len({rows[d] for d in clique}) == 1, clique
+    # deterministic across re-evaluation
+    again = {r["doc_id"]: r["split"] for r in cluster_safe_split(
+        docs, pairs, {"train": 0.6, "valid": 0.2, "test": 0.2}).collect()}
+    assert again == rows
+
+
+def test_mixture_sample_exact_targets_and_extension(spark):
+    from drugbankner_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 60 else "code") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(docs, "source", "doc_id",
+                         {"web": 10, "code": 25})
+    counts = {r["source"]: r["cnt"] for r in
+              out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"web": 10, "code": 25}
+    # raising a target EXTENDS the previous draw (prefix property)
+    small = {r["doc_id"] for r in mixture_sample(
+        docs, "source", "doc_id", {"web": 10, "code": 25}).collect()}
+    big = {r["doc_id"] for r in mixture_sample(
+        docs, "source", "doc_id", {"web": 20, "code": 25}).collect()}
+    assert small <= big and len(big) == 45
+    # over-target keeps the whole stratum; absent strata are dropped
+    all_web = mixture_sample(docs, "source", "doc_id", {"web": 999})
+    assert all_web.count() == 60
+    assert {r["source"] for r in all_web.collect()} == {"web"}
