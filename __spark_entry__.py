@@ -1491,6 +1491,20 @@ def _e5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Domain-mixture draw (round 5): exactly N docs per language in
+    # deterministic hash-rank order — the corpus-mixing step of a
+    # Pile/Dolma-style recipe. Targets over-ask 'zh' on purpose: a
+    # target above the stratum size keeps the whole stratum.
+    from drugbankner_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf, "documents")
+    return mixture_sample(
+        docs, "lang", "doc_id",
+        {"en": 40, "de": 25, "zh": 100_000},
+    ).select("doc_id", "lang", "n_chars")
+
+
 def _j_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     # Blocked edit-distance join: deterministic typo probes (append one
     # char) resolved back to part names within 2 edits — the
@@ -2194,6 +2208,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_semi_join": _j9_semi_join,
         "f4_curie_prefix_upper": _f4_curie_prefix_upper,
         "f10_prefix_extract": _f10_prefix_extract,
+        # round 5: exact-target domain mixture draw (hash-oracled)
+        "e5_mixture_sample": _e5_mixture_sample,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -3847,6 +3863,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type
             FROM events
             WHERE {_sql_hash32("CAST(event_id AS VARCHAR)")} % 10000 < 1000
+        """,
+        "e5_mixture_sample": f"""
+            WITH t(lang, target) AS (
+                VALUES ('en', 40), ('de', 25), ('zh', 100000)
+            ),
+            h AS (
+                SELECT doc_id, d.lang, n_chars, target,
+                       {_sql_hash32("CAST(doc_id AS VARCHAR)")} AS hv
+                FROM documents d JOIN t ON d.lang = t.lang
+            ),
+            r AS (
+                SELECT doc_id, lang, n_chars, target,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY hv ASC, CAST(doc_id AS VARCHAR) ASC
+                       ) AS rn
+                FROM h
+            )
+            SELECT doc_id, lang, n_chars FROM r WHERE rn <= target
         """,
         "e5_stratified_sample": f"""
             WITH h AS (

@@ -93,3 +93,32 @@ def test_scoring_plan_is_scan_only(spark):
     )
     plan = X.plan_string(score_quality(docs, model), "formatted")
     assert "Exchange" not in plan
+
+
+def test_streaming_scoring_equals_batch(spark):
+    # batch-stream unification extends to ML scoring: model.transform
+    # is a stateless projection, so readStream → score → sink equals
+    # the batch answer over the same input.
+    import shutil
+    import tempfile
+
+    from drugbankner_spark.streaming.streams import run_to_memory
+
+    model = train_quality_classifier(_seed_set(spark))
+    docs = spark.createDataFrame(
+        [(1, "the annual report was published early this year"),
+         (2, "zzz 999 qqq buy buy $$$ click"),
+         (3, "a calm morning walk along the river bank")],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp(prefix="mlq_stream_")
+    try:
+        docs.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        got = sorted(map(tuple, run_to_memory(
+            score_quality(stream, model), "mlq_scored", "append"
+        ).collect()))
+        want = sorted(map(tuple, score_quality(docs, model).collect()))
+        assert got == want and len(got) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
