@@ -716,3 +716,38 @@ def test_mixture_sample_exact_targets_and_extension(spark):
     all_web = mixture_sample(docs, "source", "doc_id", {"web": 999})
     assert all_web.count() == 60
     assert {r["source"] for r in all_web.collect()} == {"web"}
+
+
+def test_text_retrieval_index_end_to_end(spark, tmp_path):
+    # round 5: the RAG-shape composition — chunk → hash-vectorize →
+    # LSH index on disk → text-query probe → hydrated chunks. A query
+    # equal to an indexed chunk must come back at rank 1, cos_sim 1.0.
+    from drugbankner_spark.operators.retrieval import (
+        build_text_index,
+        retrieve,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 40),
+         (2, "epsilon zeta eta theta " * 40),
+         (3, "completely different words here entirely " * 30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path, chunk_tokens=32, overlap=8)
+
+    # probe with doc 2's exact opening chunk text
+    probe_text = " ".join(("epsilon zeta eta theta " * 40).split()[:32])
+    queries = spark.createDataFrame(
+        [(100, probe_text)], "query_id long, query_text string"
+    )
+    out = retrieve(spark, path, queries, k=3).collect()
+    assert out, "no hits"
+    best = min(out, key=lambda r: r["rank"])
+    assert best["doc_id"] == 2
+    assert best["cos_sim"] == 1.0
+    assert best["chunk_text"] == probe_text
+    # every hit hydrates real chunk text and decomposes the chunk id
+    for r in out:
+        assert r["chunk_text"]
+        assert r["doc_id"] in (1, 2, 3) and r["chunk_index"] >= 0
