@@ -129,11 +129,19 @@ def main() -> None:
         "calibration_sec": calib,
     }
     # skew demonstration + sf1 scaling rehearsal (VERDICT r04 next #6/#7);
-    # separate sections so the headline total stays round-comparable
+    # separate sections so the headline total stays round-comparable.
+    # Failure-proofed: a broken section records its error instead of
+    # costing the whole JSON line.
     if os.environ.get("SPARK_GRAFT_SKEW", "1") == "1":
-        result["skew"] = _skew_section(spark, sf_dir)
+        try:
+            result["skew"] = _skew_section(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover
+            result["skew"] = {"error": f"{type(exc).__name__}: {exc}"}
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "1" and sf == 0.1:
-        result["sf1"] = _sf1_section(spark, sf_dir, qs, timings)
+        try:
+            result["sf1"] = _sf1_section(spark, sf_dir, qs, timings)
+        except Exception as exc:  # pragma: no cover
+            result["sf1"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(result))
 
 
