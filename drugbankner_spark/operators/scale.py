@@ -201,6 +201,57 @@ def write_partitioned(
     )
 
 
+def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of up to 4 numeric columns: each
+    column is rank-agnostically squashed into ``bits`` bits (caller
+    pre-scales — pass e.g. ``F.percent_rank()*65535`` cast to int for
+    non-uniform data), then the bit at position i of column j lands at
+    output position ``i * n_cols + j``. Rows sorted by this key cluster
+    NEARBY (c1, c2, ...) values into the same Parquet row groups, so
+    min/max row-group statistics prune scans for predicates on ANY
+    prefix-free subset of the columns — the standard lakehouse trick
+    for multi-column data skipping (a single-column sort only helps
+    that one column)."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_key: 1-4 columns")
+    n = len(cols)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(
+                F.lit(1)
+            )
+            out = out.bitwiseOR(
+                F.shiftleft(bit.cast("long"), i * n + j)
+            )
+    return out
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write Parquet clustered by the Z-order of ``cols``:
+    repartitionByRange on the Morton key (range partitioning keeps the
+    global order across tasks — a plain repartition would shuffle
+    arbitrarily and defeat the clustering) then sortWithinPartitions,
+    so row-group min/max stats are tight on EVERY interleaved column.
+    One extra shuffle at write time buys every future multi-column
+    range scan its pruning."""
+    keyed = df.withColumn("_z", zorder_key(cols, bits))
+    (
+        keyed.repartitionByRange("_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

@@ -150,3 +150,53 @@ def test_recommended_join_strategy_decision_logic(spark):
     # big dim, no hot key → plain shuffle join (AQE handles residue)
     assert SC.recommended_join_strategy(
         uniform_prof, dim_rows=50_000_000) == "plain"
+
+
+def test_zorder_key_matches_python_morton(spark):
+    # bit-exact vs an independent Python Morton interleave
+    def morton(vals, bits, n):
+        out = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                out |= ((v >> i) & 1) << (i * n + j)
+        return out
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    rows = df.select("x", "y", SC.zorder_key(["x", "y"], bits=4).alias("z")
+                     ).collect()
+    for r in rows:
+        assert r["z"] == morton([r["x"], r["y"]], 4, 2), (r["x"], r["y"])
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    # after a z-ordered write, each file's min-max span on EITHER
+    # column is far narrower than the global span — the property that
+    # makes row-group stats prune multi-column predicates
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 64
+    df = spark.createDataFrame(
+        [(x, y, x * n + y) for x in range(n) for y in range(n)],
+        "x long, y long, v long",
+    ).repartition(16)  # scrambled input
+    out = str(tmp_path / "z")
+    SC.zorder_write(df, out, ["x", "y"], bits=6,
+                    max_records_per_file=256)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 4
+    spans_x, spans_y = [], []
+    for f in files:
+        t = pq.read_table(f)
+        xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    # average per-file span well under the global span on BOTH dims
+    # (a single-column sort would leave the other dim's span ~global)
+    assert sum(spans_x) / len(spans_x) < n * 0.6
+    assert sum(spans_y) / len(spans_y) < n * 0.6
+    # no data loss
+    assert spark.read.parquet(out).count() == n * n
