@@ -1491,6 +1491,21 @@ def _e5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e3_charlm(spark: SparkSession, sf: str) -> DataFrame:
+    # Character-trigram LM self-perplexity (round 5, the CCNet quality
+    # signal): train counts on the documents corpus, score the SAME
+    # corpus — (doc_id, n_grams, mean char logprob). Model dim is
+    # bounded by charset^3, broadcast at scoring.
+    from drugbankner_spark.operators.textanalysis import (
+        char_lm_logprob,
+        train_char_lm,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    model = train_char_lm(docs)
+    return char_lm_logprob(docs, model)
+
+
 def _e5_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     # Domain-mixture draw (round 5): exactly N docs per language in
     # deterministic hash-rank order — the corpus-mixing step of a
@@ -2210,6 +2225,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_prefix_extract": _f10_prefix_extract,
         # round 5: exact-target domain mixture draw (hash-oracled)
         "e5_mixture_sample": _e5_mixture_sample,
+        # round 5: char-trigram LM perplexity quality signal (hash-oracled)
+        "e3_charlm": _e3_charlm,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -3863,6 +3880,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type
             FROM events
             WHERE {_sql_hash32("CAST(event_id AS VARCHAR)")} % 10000 < 1000
+        """,
+        "e3_charlm": """
+            WITH lowered AS (
+                SELECT doc_id, lower(text) AS t FROM documents
+            ),
+            occ3 AS (
+                SELECT doc_id, substr(t, i, 3) AS gram
+                FROM lowered, UNNEST(generate_series(
+                    1, greatest(length(t) - 2, 0))) AS g(i)
+                WHERE length(substr(t, i, 3)) = 3
+            ),
+            occ2 AS (
+                SELECT substr(t, i, 2) AS gram
+                FROM lowered, UNNEST(generate_series(
+                    1, greatest(length(t) - 1, 0))) AS g(i)
+                WHERE length(substr(t, i, 2)) = 2
+            ),
+            grams AS (
+                SELECT gram, count(*) AS n_gram FROM occ3 GROUP BY gram
+            ),
+            ctx AS (
+                SELECT gram AS context, count(*) AS n_context
+                FROM occ2 GROUP BY gram
+            ),
+            model AS (
+                SELECT g.gram, g.n_gram, c.n_context
+                FROM grams g JOIN ctx c ON c.context = substr(g.gram, 1, 2)
+            ),
+            scored AS (
+                SELECT o.doc_id,
+                       ln((coalesce(m.n_gram, 0) + 0.1)
+                          / (coalesce(m.n_context, 0) + 6.4)) AS lp
+                FROM occ3 o LEFT JOIN model m ON o.gram = m.gram
+            )
+            SELECT doc_id, count(*) AS n_grams,
+                   round(avg(lp), 6) AS mean_logprob
+            FROM scored GROUP BY doc_id
         """,
         "e5_mixture_sample": f"""
             WITH t(lang, target) AS (

@@ -374,3 +374,84 @@ def hashed_tf_entries(
         .filter(F.col("v") > 0)
         .select(F.col(id_col), "pos", F.round("v", 6).alias("value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram language model (round 5) — the CCNet-style perplexity
+# quality signal, trainable and scorable entirely as DataFrame plans.
+# ---------------------------------------------------------------------------
+
+def _char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int):
+    """One row per character n-gram occurrence: (id, gram)."""
+    t = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(
+                    F.length(t) - (n - 1), F.lit(0))),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        ).alias("gram"),
+    ).filter(F.length("gram") == n)
+
+
+def train_char_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 3,
+) -> DataFrame:
+    """Count table for an order-``n`` character LM: one row per distinct
+    n-gram with its corpus count plus the (n-1)-gram context count —
+    everything ``char_lm_logprob`` needs for P(c | context) in a single
+    broadcast-able dim. Two map-side-combinable aggs over one corpus
+    scan each; the table size is bounded by the charset^order, not the
+    corpus (lowercased text → typically ≪ 1M rows even at 100 TB).
+    Output: (gram, n_gram, n_context)."""
+    grams = _char_ngrams(corpus, text_col, id_col, order).groupBy(
+        "gram"
+    ).agg(F.count(F.lit(1)).alias("n_gram"))
+    ctx = _char_ngrams(corpus, text_col, id_col, order - 1).groupBy(
+        F.col("gram").alias("context")
+    ).agg(F.count(F.lit(1)).alias("n_context"))
+    return (
+        grams.withColumn("context", F.substring("gram", 1, order - 1))
+        .join(ctx, "context")
+        .select("gram", "n_gram", "n_context")
+    )
+
+
+def char_lm_logprob(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 3,
+    k_smooth: float = 0.1,
+    charset_size: int = 64,
+) -> DataFrame:
+    """Per-document mean character log-probability under the trained
+    model — the CCNet/KenLM quality signal (low = gibberish relative to
+    the training corpus; high = in-domain). Add-k smoothed:
+    P(c|ctx) = (n_gram + k) / (n_context + k·|charset|), unseen grams
+    fall back to the same formula with n=0. Scoring is ONE broadcast
+    join from occurrences to the bounded model dim plus a per-doc agg —
+    the corpus shuffles only (id, gram) pairs, never text.
+    Output: (id, n_grams, mean_logprob)."""
+    occ = _char_ngrams(docs, text_col, id_col, order)
+    denom_k = F.lit(k_smooth * charset_size)
+    scored = (
+        occ.join(F.broadcast(model), "gram", "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("n_gram"), F.lit(0)) + F.lit(k_smooth))
+                / (F.coalesce(F.col("n_context"), F.lit(0)) + denom_k)
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )

@@ -751,3 +751,33 @@ def test_text_retrieval_index_end_to_end(spark, tmp_path):
     for r in out:
         assert r["chunk_text"]
         assert r["doc_id"] in (1, 2, 3) and r["chunk_index"] >= 0
+
+
+def test_char_lm_separates_gibberish(spark):
+    # round 5: the CCNet-style perplexity signal — in-domain text must
+    # score a much higher mean char logprob than gibberish under a
+    # model trained on clean English.
+    from drugbankner_spark.operators.textanalysis import (
+        char_lm_logprob,
+        train_char_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog and runs home")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = train_char_lm(corpus)
+    docs = spark.createDataFrame(
+        [(1, "the lazy dog runs over the fox"),
+         (2, "zzxqv kkjw qqptx vvbnm wwrty")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["mean_logprob"]
+           for r in char_lm_logprob(docs, model).collect()}
+    assert out[1] > out[2] + 1.0  # clear separation in log space
+    # scoring never shuffles text: only (id, gram) pairs reach the agg
+    from drugbankner_spark.plans import explain as X
+
+    plan = X.plan_string(char_lm_logprob(docs, model), "formatted")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
