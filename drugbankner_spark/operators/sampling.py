@@ -113,6 +113,110 @@ def cluster_safe_split(
     return hash_split(labeled, "_unit", weights, seed, kernel).drop("_unit")
 
 
+#: Scalable top-k-by-hash core: quantile GRID resolution and the
+#: percentile_approx accuracy. Rank error ≤ n/_Q_ACCURACY per stratum;
+#: grid step = 1/_Q_GRID; the boundary band spans ±_Q_PAD grid steps,
+#: which must exceed grid-rounding (1 step) + sketch error (0.1 step).
+_Q_GRID = 1_000
+_Q_PAD = 2
+_Q_ACCURACY = 10_000
+
+
+def _topk_by_hash(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    k_of,
+    seed: str,
+    kernel: str,
+) -> DataFrame:
+    """The k smallest rows per stratum by deterministic (hash, key)
+    order, where ``k_of`` is an expression over the per-stratum count
+    ``_n`` giving that stratum's k — WITHOUT sorting whole strata.
+
+    A windowed row_number per stratum routes the ENTIRE stratum through
+    one reducer — a single-task sort of the biggest domain at 100 TB
+    (the round-4 shape of stratified_sample). This core instead:
+
+    1. ONE agg per stratum: row count + a literal grid of approx hash
+       quantiles (percentile_approx — a mergeable, map-side-combinable
+       sketch; its percentage argument must be foldable, hence a fixed
+       grid rather than per-stratum k/n positions);
+    2. picks bracketing cuts lo = grid[floor(k/n·G) - pad],
+       hi = grid[ceil(k/n·G) + pad] per stratum (broadcast join);
+    3. bulk-selects ``hash < lo`` — provably ≤ k rows, no sort;
+    4. window-sorts ONLY the band [lo, hi] (~2·pad/G of the stratum ≈
+       0.4%) and tops up to exactly k.
+
+    Margin argument: count(h < lo) ≤ n·(floor-position/G + ε) < k and
+    count(h ≤ hi) ≥ n·(ceil-position/G − ε) ≥ k for ε = 1/_Q_ACCURACY
+    ≪ pad/G, so the k-th (hash, key) always falls inside the band. The
+    selected SET therefore equals the full-sort formulation exactly —
+    same determinism, same oracles (parity-tested against the windowed
+    reference) — while the only sort touches the band. Tiny strata
+    degrade gracefully: the band just covers more of them."""
+    from pyspark.sql import Window
+
+    h = content_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(seed)), kernel
+    )
+    d = df.withColumn("_h", h)
+    grid = F.array(*[F.lit(i / _Q_GRID) for i in range(_Q_GRID + 1)])
+    bounds = (
+        d.groupBy(*strata_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.percentile_approx("_h", grid, F.lit(_Q_ACCURACY)).alias("_qs"),
+        )
+        .withColumn("_k", F.least(k_of, F.col("_n")))
+        .withColumn(
+            "_lo_cut",
+            F.element_at(
+                "_qs",
+                F.greatest(
+                    F.floor(F.col("_k") / F.col("_n") * _Q_GRID).cast("int")
+                    - F.lit(_Q_PAD),
+                    F.lit(0),
+                ) + 1,
+            ),
+        )
+        .withColumn(
+            "_hi_cut",
+            F.element_at(
+                "_qs",
+                F.least(
+                    F.ceil(F.col("_k") / F.col("_n") * _Q_GRID).cast("int")
+                    + F.lit(_Q_PAD),
+                    F.lit(_Q_GRID),
+                ) + 1,
+            ),
+        )
+        .drop("_qs")
+    )
+    full = d.join(F.broadcast(bounds), strata_cols)
+    bulk = full.filter(F.col("_h") < F.col("_lo_cut"))
+    n_bulk = bulk.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("_n_bulk")
+    )
+    boundary = full.filter(
+        (F.col("_h") >= F.col("_lo_cut")) & (F.col("_h") <= F.col("_hi_cut"))
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("_h").asc(), F.col(key_col).cast("string").asc()
+    )
+    topped = (
+        boundary.join(F.broadcast(n_bulk), strata_cols, "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.coalesce(F.col("_n_bulk"), F.lit(0)) + F.col("_rn")
+            <= F.col("_k")
+        )
+        .drop("_rn", "_n_bulk")
+    )
+    return bulk.unionByName(topped).drop("_h", "_n", "_k", "_lo_cut",
+                                         "_hi_cut")
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,
@@ -129,25 +233,17 @@ def mixture_sample(
     target later EXTENDS the previous draw (the first n rows of the
     hash order never change — incremental-friendly). Strata absent from
     ``target_rows`` are dropped; a target larger than the stratum keeps
-    the whole stratum. One window shuffle on the stratum column, same
-    cost shape as stratified_sample."""
-    from pyspark.sql import Window
-
+    the whole stratum. Runs on the sort-free top-k core
+    (:func:`_topk_by_hash`), so a dominant domain never funnels through
+    one reducer."""
     mapping = F.create_map(*[
         x for k, v in target_rows.items() for x in (F.lit(k), F.lit(v))
     ])
-    h = content_hash32(
-        F.concat(F.col(key_col).cast("string"), F.lit(seed)), kernel
-    )
-    w = Window.partitionBy(stratum_col).orderBy(
-        h.asc(), F.col(key_col).cast("string").asc()
-    )
-    return (
-        df.withColumn("_target", mapping[F.col(stratum_col)])
-        .filter(F.col("_target").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_target"))
-        .drop("_rn", "_target")
+    scoped = df.filter(mapping[F.col(stratum_col)].isNotNull())
+    # k_of is evaluated over the per-stratum bounds frame (strata + _n)
+    return _topk_by_hash(
+        scoped, [stratum_col], key_col,
+        mapping[F.col(stratum_col)].cast("long"), seed, kernel,
     )
 
 
@@ -167,11 +263,34 @@ def stratified_sample(
     balance survives the sample. Still fully deterministic in
     (keys, seed): reruns and repartitions produce the identical sample.
 
-    Cost: one window over (strata → hash order) — a single shuffle on
-    the strata columns; rank ties are impossible (hash of distinct keys,
-    ties broken by key string). At 100 TB this is the corpus-curation
-    form of stratified draws: strata = (lang, source), key = doc_id.
+    Cost (round 5): runs on the sort-free :func:`_topk_by_hash` core —
+    per-stratum count + quantile-grid agg, bulk filter below the cut,
+    window sort over only the ~0.4% boundary band. The round-4 form was
+    one row_number window per stratum, which funnels the ENTIRE largest
+    stratum through a single reducer at 100 TB; the selected set is
+    identical (parity-tested against the windowed reference), so the
+    driver oracle is unchanged. Rank ties are impossible (hash order,
+    ties broken by key string). Strata = (lang, source), key = doc_id
+    is the corpus-curation form.
     """
+    return _topk_by_hash(
+        df, strata_cols, key_col,
+        F.ceil(F.col("_n") * fraction).cast("long"), seed, kernel,
+    )
+
+
+def _topk_by_hash_windowed(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    k_of,
+    seed: str = "",
+    kernel: str = "md5",
+) -> DataFrame:
+    """Reference formulation of :func:`_topk_by_hash` — one row_number
+    window per stratum. Kept (test-only) as the parity oracle for the
+    sort-free core; NOT for production: the window funnels each whole
+    stratum through a single reducer."""
     from pyspark.sql import Window
 
     h = content_hash32(
@@ -182,8 +301,9 @@ def stratified_sample(
     )
     wc = Window.partitionBy(*strata_cols)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
-        .drop("_rn", "_n")
+        df.withColumn("_n", F.count(F.lit(1)).over(wc))
+        .withColumn("_k", F.least(k_of, F.col("_n")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_k"))
+        .drop("_rn", "_n", "_k")
     )

@@ -781,3 +781,41 @@ def test_char_lm_separates_gibberish(spark):
 
     plan = X.plan_string(char_lm_logprob(docs, model), "formatted")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_topk_by_hash_core_equals_windowed_reference(spark):
+    # round 5: the sort-free top-k core (quantile-grid cuts + boundary
+    # band) must select EXACTLY the windowed reference's rows for any
+    # fraction/target — including whole-stratum and tiny-strata edges.
+    from drugbankner_spark.operators.sampling import (
+        _topk_by_hash,
+        _topk_by_hash_windowed,
+    )
+    from drugbankner_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for k_expr in [F.lit(3).cast("long"),
+                   F.ceil(F.col("_n") * 0.37).cast("long"),
+                   F.lit(10_000).cast("long")]:  # over-ask keeps all
+        new = sorted(r["doc_id"] for r in _topk_by_hash(
+            docs, ["lang"], "doc_id", k_expr, "", "md5").collect())
+        ref = sorted(r["doc_id"] for r in _topk_by_hash_windowed(
+            docs, ["lang"], "doc_id", k_expr, "", "md5").collect())
+        assert new == ref and len(new) > 0
+
+
+def test_topk_by_hash_sorts_only_the_boundary_band(spark):
+    # the scale contract: no window over whole strata — the plan's only
+    # row_number window consumes a FILTERED band, never the raw scan.
+    from drugbankner_spark.operators.sampling import stratified_sample
+    from drugbankner_spark.plans import explain as X
+    from drugbankner_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = X.plan_string(
+        stratified_sample(docs, ["lang"], "doc_id", 0.2), "formatted"
+    )
+    # the window exists (boundary top-up) but its input subtree carries
+    # the band predicate on the hash cuts
+    assert "row_number" in plan
+    assert "_lo_cut" in plan and "_hi_cut" in plan
