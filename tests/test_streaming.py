@@ -253,3 +253,41 @@ def test_stream_interval_join_equals_batch(spark, event_dir):
     cols = ["event_id", "r_ts", "r_value"]
     assert stream.count() > 0
     assert _sorted_rows(stream, cols) == _sorted_rows(batch, cols)
+
+
+def test_rocksdb_state_store_runs_stateful_query(spark):
+    # the large-state conf surface is a flag flip: the same session-
+    # window aggregation runs green under RocksDB state store (per-query
+    # conf so the shared test session is untouched).
+    from drugbankner_spark.session import rocksdb_state_conf
+
+    conf = rocksdb_state_conf()
+    assert conf[
+        "spark.sql.streaming.stateStore.providerClass"
+    ].endswith("RocksDBStateStoreProvider")
+    assert conf[
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] == "512"
+
+    d = tempfile.mkdtemp(prefix="rocksdb_events_")
+    try:
+        ev = load_table(spark, SF, "events")
+        ev.repartition(2).write.mode("overwrite").parquet(d)
+        saved = {k: spark.conf.get(k, None) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            got = S.run_to_memory(
+                S.tumbling_stream(S.read_event_stream(spark, d)),
+                "t_rocksdb", output_mode="complete",
+            )
+            batch = tumbling_counts(ev)
+            cols = ["window_start", "event_type", "n_events", "sum_value"]
+            assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
