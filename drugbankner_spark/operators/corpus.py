@@ -171,6 +171,8 @@ def ingest_clean_batch(
     state_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    quality_model=None,
+    quality_threshold: float = 0.5,
     **filter_kwargs,
 ) -> DataFrame:
     """Continuous-ingest corpus cleaning: admit one arriving batch
@@ -194,7 +196,9 @@ def ingest_clean_batch(
        cliques under the band threshold, so min-per-pair = min-per-
        component in practice; re-probing later batches catches the
        rest);
-    3. Gopher quality rules on survivors;
+    3. Gopher quality rules on survivors — plus, when a fitted
+       ``quality_model`` is supplied, the learned mlquality gate
+       (P(high quality) ≥ ``quality_threshold``);
     4. admitted docs + their band keys are APPENDED to the state.
 
     Returns the admitted batch rows. First call bootstraps the state."""
@@ -255,15 +259,25 @@ def ingest_clean_batch(
     quality = gopher_quality_filter(
         fresh, text_col=text_col, id_col=id_col, **filter_kwargs
     )
+    fresh = fresh.join(
+        quality.filter(F.col("keep")).select(id_col), id_col, "semi"
+    )
+    # optional LEARNED gate after the rule gate (round 5): a fitted
+    # mlquality PipelineModel scores the rule-survivors; both gates are
+    # scan-shaped, so the composed admission is still one pass
+    if quality_model is not None:
+        from drugbankner_spark.operators.mlquality import filter_by_quality
+
+        fresh = filter_by_quality(
+            fresh, quality_model, quality_threshold, text_col, id_col
+        )
     # localCheckpoint (eager), not persist: admitted's LINEAGE reads the
     # same state paths the next lines append to. A merely-persisted plan
     # re-evaluated after the append (cache eviction, or the returned
     # DataFrame) would see its own output as already-stored and reject
     # its rows — the checkpoint severs the lineage at the pre-append
     # snapshot.
-    admitted = fresh.join(
-        quality.filter(F.col("keep")).select(id_col), id_col, "semi"
-    ).localCheckpoint(eager=True)
+    admitted = fresh.localCheckpoint(eager=True)
 
     admitted.write.mode("append").parquet(corpus_path)
     if bootstrapped:

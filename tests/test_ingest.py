@@ -111,3 +111,35 @@ def test_pack_sequence_assignments_gapless_and_bucket_invariant(spark):
                docs, seq_len=512, n_buckets=7).collect()}
     assert alt == {(r["doc_id"], r["seq_first"], r["offset_in_first"])
                    for _, r in rows}
+
+
+def test_ingest_with_learned_quality_gate(spark, tmp_path):
+    # round 5: the mlquality model composes into continuous ingest as a
+    # second gate after the Gopher rules — gibberish that passes the
+    # rule thresholds is still rejected by the classifier.
+    from drugbankner_spark.operators.corpus import ingest_clean_batch
+    from drugbankner_spark.operators.mlquality import (
+        train_quality_classifier,
+    )
+
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "walks home across the quiet field before the evening")
+    junk = ("zxq vvk kkq foo bar baz the and onk plw qrt mne uyt rew "
+            "dsa zxc bnm poi lkj hgf the of wer tyu iop asd fgh jkl")
+    seed = spark.createDataFrame(
+        [(clean + f" extra{i}", 1.0) for i in range(6)]
+        + [(junk + f" extra{i}", 0.0) for i in range(6)],
+        "text string, label double",
+    )
+    model = train_quality_classifier(seed)
+    batch = spark.createDataFrame(
+        [(1, clean + " first arrival"),
+         (2, junk + " also long enough to pass the rule gate")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state_mlq")
+    admitted = ingest_clean_batch(
+        spark, batch, state, quality_model=model, quality_threshold=0.5
+    )
+    ids = {r["doc_id"] for r in admitted.collect()}
+    assert ids == {1}  # junk passed rules but failed the learned gate
