@@ -1491,6 +1491,16 @@ def _e5_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e1_intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Intra-document repeated 8-gram removal (round 5, Lee et al.) —
+    # later occurrences of any repeated token 8-gram melt out of each
+    # document; corpus-level structure untouched.
+    from drugbankner_spark.operators.corpus import dedup_repeated_ngrams
+
+    docs = load_table(spark, sf, "documents")
+    return dedup_repeated_ngrams(docs, n=8)
+
+
 def _e3_charlm(spark: SparkSession, sf: str) -> DataFrame:
     # Character-trigram LM self-perplexity (round 5, the CCNet quality
     # signal): train counts on the documents corpus, score the SAME
@@ -2227,6 +2237,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_mixture_sample": _e5_mixture_sample,
         # round 5: char-trigram LM perplexity quality signal (hash-oracled)
         "e3_charlm": _e3_charlm,
+        # round 5: intra-document repeated-ngram removal (hash-oracled)
+        "e1_intradoc_dedup": _e1_intradoc_dedup,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -3880,6 +3892,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type
             FROM events
             WHERE {_sql_hash32("CAST(event_id AS VARCHAR)")} % 10000 < 1000
+        """,
+        "e1_intradoc_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(list_slice(tk, i, i + 7), ' ')
+                           AS gram
+                FROM toks, UNNEST(generate_series(
+                    1, greatest(len(tk) - 7, 0))) AS g(i)
+            ),
+            dups AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (
+                               PARTITION BY doc_id, gram ORDER BY pos
+                           ) AS occ
+                    FROM grams
+                ) WHERE occ > 1
+            ),
+            toks_pos AS (
+                SELECT t.doc_id, p, tk[p] AS tok
+                FROM toks t, UNNEST(generate_series(1, len(tk))) AS u(p)
+            ),
+            kept AS (
+                SELECT tp.doc_id, tp.p, tp.tok
+                FROM toks_pos tp
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM dups d
+                    WHERE d.doc_id = tp.doc_id
+                      AND tp.p >= d.pos AND tp.p < d.pos + 8
+                )
+            ),
+            dropped AS (
+                SELECT doc_id, count(*) AS n_all
+                FROM toks_pos GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   string_agg(k.tok, ' ' ORDER BY k.p) AS text,
+                   CAST(count(*) AS INT) AS n_tokens_kept,
+                   CAST(any_value(d.n_all) - count(*) AS INT)
+                       AS n_tokens_dropped
+            FROM kept k JOIN dropped d ON k.doc_id = d.doc_id
+            GROUP BY k.doc_id
         """,
         "e3_charlm": """
             WITH lowered AS (

@@ -356,3 +356,77 @@ def decontaminate(
             (F.coalesce("n_overlapping", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def dedup_repeated_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Intra-document repeated-substring removal (round 5 — the
+    within-doc counterpart of the corpus-level dedup family, after Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"):
+    when a token ``n``-gram reoccurs inside the SAME document, every
+    token of each LATER occurrence's span is dropped (first occurrence
+    kept; spans may overlap — a token survives only if no duplicate
+    span covers it). Boilerplate chains, copy-pasted paragraphs, and
+    templated repetition melt out of each document without touching
+    cross-document structure.
+
+    Plan shape: posexplode the per-position n-gram list → one window
+    per (doc, gram) marking repeat occurrences → per-doc span list
+    (tiny array) joined back → per-token ``exists`` test + rebuild via
+    filter/array_join. The window partitions by (doc, gram) — bounded
+    by single-document size, never a corpus-wide key, so there is no
+    skewed-reducer hazard at 100 TB. Output: (id, text, n_tokens_kept,
+    n_tokens_dropped), fully SQL-expressible (hash-oracled)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - (n - 1), F.lit(0)),
+                ),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ).alias("_pos", "_gram"),
+    )
+    w = Window.partitionBy(id_col, "_gram").orderBy("_pos")
+    dup_spans = (
+        grams.withColumn("_occ", F.row_number().over(w))
+        .filter(F.col("_occ") > 1)
+        .groupBy(id_col)
+        # posexplode indexes the gram ARRAY 0-based; token positions
+        # are 1-based → span start = index + 1
+        .agg(F.sort_array(
+            F.collect_list(F.col("_pos") + 1)
+        ).alias("_spans"))
+    )
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(
+            t.alias("t"), (i + 1).alias("p")
+        )),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s["p"] >= sp) & (s["p"] < sp + n),
+        ),
+    )
+    return (
+        docs.join(dup_spans, id_col, "left")
+        .withColumn("_spans", F.coalesce(
+            F.col("_spans"), F.array().cast("array<int>")
+        ))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), " "
+            ).alias(text_col),
+            F.size(kept).alias("n_tokens_kept"),
+            (F.size(toks) - F.size(kept)).alias("n_tokens_dropped"),
+        )
+    )

@@ -819,3 +819,23 @@ def test_topk_by_hash_sorts_only_the_boundary_band(spark):
     # the band predicate on the hash cuts
     assert "row_number" in plan
     assert "_lo_cut" in plan and "_hi_cut" in plan
+
+
+def test_intradoc_dedup_planted_repeats(spark):
+    # round 5: within-doc repeated 8-grams — later spans drop, first
+    # stays, overlap handled (a token survives only if NO duplicate
+    # span covers it); unique docs pass through byte-identical.
+    from drugbankner_spark.operators.corpus import dedup_repeated_ngrams
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h X a b c d e f g h Y"),
+        (2, "unique words only in this document right here now"),
+        (3, "p q r s t u v w p q r s t u v w p q r s t u v w"),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: (r["text"], r["n_tokens_kept"],
+                          r["n_tokens_dropped"])
+            for r in dedup_repeated_ngrams(docs, n=8).collect()}
+    assert rows[1] == ("a b c d e f g h X Y", 10, 8)
+    assert rows[2] == ("unique words only in this document right here now",
+                       9, 0)
+    assert rows[3] == ("p q r s t u v w", 8, 16)  # 3 copies → 1
