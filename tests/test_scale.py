@@ -200,3 +200,47 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     assert sum(spans_y) / len(spans_y) < n * 0.6
     # no data loss
     assert spark.read.parquet(out).count() == n * n
+
+
+def test_upsert_partitions_touches_only_changed(spark, tmp_path):
+    # dynamic partition overwrite: re-running one partition's batch
+    # replaces exactly that partition; all other files byte-untouched.
+    import glob
+
+    base = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("day")
+    )
+    path = str(tmp_path / "t_upsert")
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+    before = {p: sorted(glob.glob(p + "/*.parquet"))
+              for p in glob.glob(path + "/day=*")}
+    redo = spark.range(7).select(
+        (F.col("id") + 50_000).alias("id"), F.lit(3).alias("day")
+    )
+    SC.upsert_partitions(redo, path, ["day"])
+    after = {p: sorted(glob.glob(p + "/*.parquet"))
+             for p in glob.glob(path + "/day=*")}
+    changed = [p for p in before if before[p] != after.get(p)]
+    assert [p.rsplit("=", 1)[-1] for p in changed] == ["3"]
+    got = spark.read.parquet(path)
+    assert got.filter("day = 3").count() == 7      # replaced, not appended
+    assert got.filter("day != 3").count() == 900   # untouched
+
+
+def test_bloom_filter_write_adds_filters_and_reads_back(spark, tmp_path):
+    # pyarrow here doesn't expose bloom offsets, so assert behaviorally:
+    # the bloom-enabled file is strictly larger on identical data (the
+    # filter bytes), and point lookups read back correctly.
+    import glob
+    import os as _os
+
+    df = spark.range(100_000).select("id")
+    plain, bloomed = str(tmp_path / "nb"), str(tmp_path / "wb")
+    df.coalesce(1).write.mode("overwrite").parquet(plain)
+    SC.write_with_bloom_filters(
+        df.coalesce(1), bloomed, {"id": 100_000}
+    )
+    sz = lambda d: sum(_os.path.getsize(f)
+                       for f in glob.glob(d + "/*.parquet"))
+    assert sz(bloomed) > sz(plain) + 50_000  # filter bytes present
+    assert spark.read.parquet(bloomed).filter("id = 43210").count() == 1
