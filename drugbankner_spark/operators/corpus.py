@@ -387,11 +387,13 @@ def dedup_repeated_ngrams(
     grams = docs.select(
         F.col(id_col),
         F.posexplode(
+            # sequence(1, 0) is DESCENDING in Spark (slice at index 0
+            # then throws) — docs shorter than n grams get an empty list
             F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(toks) - (n - 1), F.lit(0)),
-                ),
+                F.when(
+                    F.size(toks) >= n,
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.array_join(F.slice(toks, i, n), " "),
             )
         ).alias("_pos", "_gram"),

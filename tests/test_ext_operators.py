@@ -839,3 +839,22 @@ def test_intradoc_dedup_planted_repeats(spark):
     assert rows[2] == ("unique words only in this document right here now",
                        9, 0)
     assert rows[3] == ("p q r s t u v w", 8, 16)  # 3 copies → 1
+
+
+def test_intradoc_dedup_short_docs_pass_through(spark):
+    # docs shorter than the n-gram window must pass through unchanged
+    # (Spark's sequence(1, 0) is DESCENDING — the guarded empty range
+    # keeps slice() from being called at index 0 and crashing)
+    from drugbankner_spark.operators.corpus import dedup_repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "just seven tokens in this short doc"),
+         (2, "one"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["text"], r["n_tokens_dropped"])
+            for r in dedup_repeated_ngrams(docs, n=8).collect()}
+    assert rows[1] == ("just seven tokens in this short doc", 0)
+    assert rows[2] == ("one", 0)
+    assert rows[3] == ("", 0)
