@@ -145,3 +145,63 @@ def apply_bpe(
         )
         .withColumn("n_tokens", F.size("tokens"))
     )
+
+
+def apply_bpe_pandas(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-scale twin of :func:`apply_bpe`: the merge table ships
+    to executors once (closure broadcast) and each Arrow batch encodes
+    with a rank-dict greedy loop — plan depth constant regardless of
+    vocabulary size, so this is the form for real (30k+ merge)
+    tokenizers. Tokenizations are identical to the JVM-fold path
+    (parity-tested)."""
+    from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = T.StructType([
+        docs.schema[id_col],
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("n_tokens", T.IntegerType()),
+    ])
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        # repeatedly apply the best-ranked applicable merge — equivalent
+        # to replaying merges in training order (each merge's pairs can
+        # only be created by lower-ranked merges)
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (syms[i], syms[i + 1]), r
+            if best is None:
+                break
+            a, b = best
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for w in (text or "").split() for t in
+                        encode_word(w)]
+                rows.append((did, toks, len(toks)))
+            yield pd.DataFrame(rows, columns=[id_col, "tokens", "n_tokens"])
+
+    return docs.select(id_col, text_col).mapInPandas(run, out_schema)

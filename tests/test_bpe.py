@@ -92,3 +92,19 @@ def test_greedy_merge_non_overlapping(spark):
     out = apply_bpe(docs, [("a", "a")]).collect()[0]
     assert list(out["tokens"]) == ["aa", "aa", "aa", "a"]
     assert out["n_tokens"] == 4
+
+
+def test_pandas_encoder_matches_jvm_folds(spark):
+    # the constant-depth Arrow encoder must tokenize identically to the
+    # JVM merge-fold replay for the same learned table
+    from drugbankner_spark.operators.bpe import apply_bpe_pandas
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=10)
+    jvm = {r["doc_id"]: list(r["tokens"])
+           for r in apply_bpe(docs, merges).collect()}
+    arrow = {r["doc_id"]: list(r["tokens"])
+             for r in apply_bpe_pandas(docs, merges).collect()}
+    assert jvm == arrow
