@@ -48,6 +48,9 @@ HEADLINE = [
     # round 4: the Structured-Streaming face of sessionize (readStream →
     # availableNow → memory sink), timed as its own entry
     "e6_sessionize_stream",
+    # round 5: the new heavy text operators (each a full corpus pass)
+    "e1_intradoc_dedup",
+    "e3_charlm",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch
