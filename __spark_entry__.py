@@ -1506,14 +1506,19 @@ def _e3_charlm(spark: SparkSession, sf: str) -> DataFrame:
     # signal): train counts on the documents corpus, score the SAME
     # corpus — (doc_id, n_grams, mean char logprob). Model dim is
     # bounded by charset^3, broadcast at scoring.
+    from drugbankner_spark.caching import shared_persist
     from drugbankner_spark.operators.textanalysis import (
+        _char_ngrams,
         char_lm_logprob,
         train_char_lm,
     )
 
     docs = load_table(spark, sf, "documents")
-    model = train_char_lm(docs)
-    return char_lm_logprob(docs, model)
+    # self-perplexity: the trigram occurrences feed BOTH training's gram
+    # counts and scoring — one persisted explode instead of two scans
+    occ3 = shared_persist(_char_ngrams(docs, "text", "doc_id", 3))
+    model = train_char_lm(docs, grams=occ3)
+    return char_lm_logprob(docs, model, occ=occ3)
 
 
 def _e5_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
