@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from drugbankner_spark.operators.corpus import chunk_documents
 from drugbankner_spark.operators.similarity import (
+    append_to_lsh_index,
     build_lsh_index,
     probe_lsh_index,
 )
@@ -67,6 +68,41 @@ def build_text_index(
         chunks, "chunk_text", "chunk_id", dim
     ).withColumnRenamed("vector", "embedding")
     build_lsh_index(
+        vecs, path, id_col="chunk_id", vec_col="embedding",
+        num_planes=num_planes, dim=dim,
+    )
+
+
+def append_to_text_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    dim: int = 64,
+    num_planes: int = 8,
+) -> None:
+    """Incremental index maintenance for newly ingested documents: chunk
+    + vectorize ONLY the new batch, append chunk texts to the side table
+    and vectors under the bucket-partitioned layout
+    (``append_to_lsh_index`` — files land solely in the new chunks'
+    buckets). A post-append ``retrieve`` equals a fresh full build
+    (parity-tested), so the 100 TB index is maintained at O(new docs),
+    never rebuilt."""
+    chunks = chunk_documents(
+        new_docs, id_col, text_col, chunk_tokens, overlap
+    ).select(
+        (F.col(id_col) * CHUNK_STRIDE + F.col("chunk_index")).alias(
+            "chunk_id"
+        ),
+        "chunk_text",
+    )
+    chunks.write.mode("append").parquet(path + "_chunks")
+    vecs = hashed_tf_vectors(
+        chunks, "chunk_text", "chunk_id", dim
+    ).withColumnRenamed("vector", "embedding")
+    append_to_lsh_index(
         vecs, path, id_col="chunk_id", vec_col="embedding",
         num_planes=num_planes, dim=dim,
     )

@@ -858,3 +858,32 @@ def test_intradoc_dedup_short_docs_pass_through(spark):
     assert rows[1] == ("just seven tokens in this short doc", 0)
     assert rows[2] == ("one", 0)
     assert rows[3] == ("", 0)
+
+
+def test_text_index_append_equals_fresh_build(spark, tmp_path):
+    # incremental retrieval maintenance: build on half the docs, append
+    # the rest — retrieval results equal a fresh full build.
+    from drugbankner_spark.operators.retrieval import (
+        append_to_text_index,
+        build_text_index,
+        retrieve,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"topic{i % 4} " + " ".join(
+            f"w{i}_{j}" for j in range(40))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    queries = spark.createDataFrame(
+        [(1, "topic1 " + " ".join(f"w1_{j}" for j in range(32)))],
+        "query_id long, query_text string",
+    )
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(half_a, inc, chunk_tokens=32, overlap=8)
+    append_to_text_index(half_b, inc, chunk_tokens=32, overlap=8)
+    build_text_index(docs, full, chunk_tokens=32, overlap=8)
+    got = sorted(map(tuple, retrieve(spark, inc, queries, k=3).collect()))
+    want = sorted(map(tuple, retrieve(spark, full, queries, k=3).collect()))
+    assert got == want and len(got) > 0
