@@ -1501,6 +1501,21 @@ def _e1_intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_repeated_ngrams(docs, n=8)
 
 
+def _e5_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Contamination-proof train/valid/test split (round 5): near-dup
+    # CLUSTERS (same CC as e1_dup_clusters) are the split unit, so a
+    # clique of near-dups can never straddle train and test. The oracle
+    # recomputes the CC fixpoint + the md5 hash-split on cluster ids.
+    from drugbankner_spark.operators import dedup as D
+    from drugbankner_spark.operators.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf, "documents")
+    pairs = D.minhash_band_pairs_rowwise(docs, "text", "doc_id", 16)
+    return cluster_safe_split(
+        docs, pairs, {"train": 0.8, "valid": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 def _e3_charlm(spark: SparkSession, sf: str) -> DataFrame:
     # Character-trigram LM self-perplexity (round 5, the CCNet quality
     # signal): train counts on the documents corpus, score the SAME
@@ -2244,6 +2259,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_charlm": _e3_charlm,
         # round 5: intra-document repeated-ngram removal (hash-oracled)
         "e1_intradoc_dedup": _e1_intradoc_dedup,
+        # round 5: contamination-proof cluster-unit split (hash-oracled)
+        "e5_cluster_safe_split": _e5_cluster_safe_split,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -3510,6 +3527,32 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN s
               ON p.user_id = s.user_id
              AND p.ts >= s.start_ts AND p.ts < s.end_ts
+        """,
+        "e5_cluster_safe_split": f"""
+            WITH RECURSIVE pairs AS ({_e1_minhash_near_dup_oracle()}),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(id, lab) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+            cl AS (
+                SELECT d.doc_id,
+                       coalesce(c.component, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN {_sql_hash32("CAST(cluster_id AS VARCHAR)")}
+                             % 10000 < 8000 THEN 'train'
+                        WHEN {_sql_hash32("CAST(cluster_id AS VARCHAR)")}
+                             % 10000 < 9000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM cl
         """,
         "e1_dup_clusters": f"""
             WITH RECURSIVE pairs AS ({_e1_minhash_near_dup_oracle()}),
