@@ -1131,3 +1131,41 @@ def probe_ivfpq_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the tuning metric for every ANN path here (LSH planes/bands, IVF
+    n_probe, PQ m/ksub trade recall for cost; this measures what a
+    setting actually buys). Inputs are any two top-k outputs with
+    (query_id, neighbor_id) columns; output is one row per query
+    (query_id, n_hit, recall) plus the convention that the MACRO
+    average is ``agg(avg(recall))`` over it.
+
+    One semi join + one agg on the (small, top-k-sized) result tables —
+    never touches the corpus, so it is free to run per tuning sweep."""
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(k), 6
+            ).alias("recall"),
+        )
+    )

@@ -887,3 +887,25 @@ def test_text_index_append_equals_fresh_build(spark, tmp_path):
     got = sorted(map(tuple, retrieve(spark, inc, queries, k=3).collect()))
     want = sorted(map(tuple, retrieve(spark, full, queries, k=3).collect()))
     assert got == want and len(got) > 0
+
+
+def test_ann_recall_metric(spark):
+    # recall@k of LSH vs exact cosine on the fixture corpus — the ANN
+    # tuning metric; full-probe LSH over few planes must score well, a
+    # deliberately-empty approx result scores 0.
+    from drugbankner_spark.operators import similarity as SIM
+    from drugbankner_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    approx = SIM.lsh_topk(emb, queries, k=5, num_planes=4)
+    rec = SIM.ann_recall(approx, exact, k=5)
+    rows = {r["query_id"]: r["recall"] for r in rec.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    macro = rec.agg(F.avg("recall")).collect()[0][0]
+    assert macro > 0.2  # 4 planes over 20 vecs: buckets are coarse
+    # empty approx → recall 0 everywhere
+    zero = SIM.ann_recall(approx.filter("query_id < 0"), exact, k=5)
+    assert all(r["recall"] == 0.0 for r in zero.collect())
