@@ -44,3 +44,19 @@ def test_query_vs_oracle(spark, sf_dir, con, name):
 
 def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_driver_window_is_exactly_50():
+    # The driver records correctness for only the FIRST 50 registry
+    # entries (round-1 lesson: 12 of 62 got no row). Rotation must
+    # CONSOLIDATE to make room, never silently exceed the window.
+    assert len(QUERIES_DRIVER := entrymod.queries()) == 50, \
+        sorted(QUERIES_DRIVER)
+
+
+def test_rotation_candidates_stay_oracle_ready():
+    # Every pytest-only entry intended for next-round rotation keeps a
+    # DuckDB oracle so the driver can hash-check it the day it rotates.
+    for name in ["e3_charlm", "e5_mixture_sample", "e1_intradoc_dedup",
+                 "e5_cluster_safe_split"]:
+        assert name in QUERIES and name in ORACLES, name
