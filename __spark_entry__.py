@@ -1501,6 +1501,31 @@ def _e1_intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_repeated_ngrams(docs, n=8)
 
 
+_PIVOT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def _e5_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    # Relational completeness: PIVOT (wide-format reshaping) — order
+    # counts per status × priority. Explicit value list (no extra
+    # distinct scan); absent combinations coalesce to 0 to match SQL
+    # conditional-count semantics.
+    orders = load_table(spark, sf, "orders")
+    p = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .count()
+    )
+    return p.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(f"pri_{i + 1}")
+            for i, v in enumerate(_PIVOT_PRIORITIES)
+        ],
+    )
+
+
 def _e5_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     # Contamination-proof train/valid/test split (round 5): near-dup
     # CLUSTERS (same CC as e1_dup_clusters) are the split unit, so a
@@ -2261,6 +2286,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_intradoc_dedup": _e1_intradoc_dedup,
         # round 5: contamination-proof cluster-unit split (hash-oracled)
         "e5_cluster_safe_split": _e5_cluster_safe_split,
+        # round 5: PIVOT reshaping (hash-oracled)
+        "e5_pivot": _e5_pivot,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -3527,6 +3554,18 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN s
               ON p.user_id = s.user_id
              AND p.ts >= s.start_ts AND p.ts < s.end_ts
+        """,
+        "e5_pivot": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT')
+                       AS pri_1,
+                   count(*) FILTER (o_orderpriority = '2-HIGH') AS pri_2,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM')
+                       AS pri_3,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+                       AS pri_4,
+                   count(*) FILTER (o_orderpriority = '5-LOW') AS pri_5
+            FROM orders GROUP BY o_orderstatus
         """,
         "e5_cluster_safe_split": f"""
             WITH RECURSIVE pairs AS ({_e1_minhash_near_dup_oracle()}),

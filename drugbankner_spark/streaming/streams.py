@@ -205,3 +205,16 @@ def run_to_memory(
     )
     q.awaitTermination()
     return query_df.sparkSession.table(name)
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join (round 5): enrich each in-flight event with a
+    BATCH dimension — the everywhere-pattern (events × user profile,
+    clicks × catalog). The static side is broadcast; Spark re-plans it
+    per micro-batch, so a dim refreshed underneath (e.g. an SCD2 table
+    rewritten by the batch pipeline) is picked up on the next trigger
+    without restarting the query. Stateless — no watermark interplay,
+    unlike the stream-stream range join above."""
+    return events.join(F.broadcast(dim), key, how)

@@ -291,3 +291,25 @@ def test_rocksdb_state_store_runs_stateful_query(spark):
                     spark.conf.set(k, v)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_enrich_stream_static_join_equals_batch(spark, event_dir):
+    # stream-static enrichment must equal the same batch join
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in range(200)],
+        "user_id long, tier string",
+    )
+    got = S.run_to_memory(
+        S.enrich_stream(
+            S.read_event_stream(spark, event_dir), dim, "user_id"
+        ).select("event_id", "user_id", "tier"),
+        "t_enrich", output_mode="append",
+    )
+    ev = load_table(spark, SF, "events")
+    want = ev.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "tier"
+    )
+    cols = ["event_id", "user_id", "tier"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
