@@ -1526,6 +1526,18 @@ def _e5_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    # The reshaping inverse: UNPIVOT the pivoted wide table back to
+    # long (o_orderstatus, priority, n_orders) via the native unpivot
+    # API — round-trips the e5_pivot result.
+    wide = _e5_pivot(spark, sf)
+    return wide.unpivot(
+        ["o_orderstatus"],
+        [f"pri_{i + 1}" for i in range(len(_PIVOT_PRIORITIES))],
+        "priority", "n_orders",
+    )
+
+
 def _e5_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     # Contamination-proof train/valid/test split (round 5): near-dup
     # CLUSTERS (same CC as e1_dup_clusters) are the split unit, so a
@@ -2286,8 +2298,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_intradoc_dedup": _e1_intradoc_dedup,
         # round 5: contamination-proof cluster-unit split (hash-oracled)
         "e5_cluster_safe_split": _e5_cluster_safe_split,
-        # round 5: PIVOT reshaping (hash-oracled)
+        # round 5: PIVOT reshaping + its UNPIVOT inverse (hash-oracled)
         "e5_pivot": _e5_pivot,
+        "e5_unpivot": _e5_unpivot,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -3566,6 +3579,28 @@ def oracle_sql() -> dict[str, str]:
                        AS pri_4,
                    count(*) FILTER (o_orderpriority = '5-LOW') AS pri_5
             FROM orders GROUP BY o_orderstatus
+        """,
+        "e5_unpivot": """
+            WITH wide AS (
+                SELECT o_orderstatus,
+                       count(*) FILTER (o_orderpriority = '1-URGENT')
+                           AS pri_1,
+                       count(*) FILTER (o_orderpriority = '2-HIGH')
+                           AS pri_2,
+                       count(*) FILTER (o_orderpriority = '3-MEDIUM')
+                           AS pri_3,
+                       count(*) FILTER (
+                           o_orderpriority = '4-NOT SPECIFIED') AS pri_4,
+                       count(*) FILTER (o_orderpriority = '5-LOW')
+                           AS pri_5
+                FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, 'pri_1' AS priority, pri_1 AS n_orders
+            FROM wide
+            UNION ALL SELECT o_orderstatus, 'pri_2', pri_2 FROM wide
+            UNION ALL SELECT o_orderstatus, 'pri_3', pri_3 FROM wide
+            UNION ALL SELECT o_orderstatus, 'pri_4', pri_4 FROM wide
+            UNION ALL SELECT o_orderstatus, 'pri_5', pri_5 FROM wide
         """,
         "e5_cluster_safe_split": f"""
             WITH RECURSIVE pairs AS ({_e1_minhash_near_dup_oracle()}),
