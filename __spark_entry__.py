@@ -1538,6 +1538,56 @@ def _e5_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-6 rotation prep: the 14 TPC-H-shape queries that have only
+    # ever been pytest-oracled, consolidated into ONE tagged-union row
+    # (the established suite mechanism) so a single future driver slot
+    # hash-verifies the whole sweep. Branches reuse the ORIGINAL query
+    # functions; every original stays individually runnable +
+    # per-entry hash-checked in tests/test_oracle_parity.py.
+    cw = F.concat_ws
+    branches = [
+        _q4_order_priority(spark, sf).select(*_okv(
+            "q4", F.col("o_orderpriority"), v_num=F.col("order_count"))),
+        _q6_forecast_revenue(spark, sf).select(*_okv(
+            "q6", F.lit("revenue"), v_num=F.col("revenue"))),
+        _q7_volume_shipping(spark, sf).select(*_okv(
+            "q7", cw("§", "supp_nation", "cust_nation",
+                     F.col("l_year").cast("string")),
+            v_num=F.col("revenue"))),
+        _q8_market_share(spark, sf).select(*_okv(
+            "q8", F.col("o_year"), v_num=F.col("mkt_share"))),
+        _q9_product_profit(spark, sf).select(*_okv(
+            "q9", cw("§", "nation", F.col("o_year").cast("string")),
+            v_num=F.col("sum_profit"))),
+        _q11_important_parts(spark, sf).select(*_okv(
+            "q11", F.col("l_partkey"), v_num=F.col("part_value"))),
+        _q12_late_priority(spark, sf).select(*_okv(
+            "q12", F.col("l_returnflag"),
+            F.col("high_line_count").cast("string"),
+            F.col("low_line_count"))),
+        _q13_order_count_distribution(spark, sf).select(*_okv(
+            "q13", F.col("c_count"), v_num=F.col("custdist"))),
+        _q14_promo_revenue(spark, sf).select(*_okv(
+            "q14", F.lit("promo"), v_num=F.col("promo_revenue"))),
+        _q15_top_supplier(spark, sf).select(*_okv(
+            "q15", F.col("s_suppkey"), F.col("s_name"),
+            F.col("total_revenue"))),
+        _q16_supplier_counts(spark, sf).select(*_okv(
+            "q16", cw("§", "p_brand", "p_type",
+                      F.col("p_size").cast("string")),
+            v_num=F.col("supplier_cnt"))),
+        _q19_disjunctive_revenue(spark, sf).select(*_okv(
+            "q19", F.lit("revenue"), v_num=F.col("revenue"))),
+        _q21_late_sole_supplier(spark, sf).select(*_okv(
+            "q21", F.col("s_name"), v_num=F.col("numwait"))),
+        _q22_idle_customers(spark, sf).select(*_okv(
+            "q22", F.col("c_mktsegment"),
+            F.col("numcust").cast("string"), F.col("totacctbal"))),
+    ]
+    return _union_all(branches)
+
+
 def _e5_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     # Contamination-proof train/valid/test split (round 5): near-dup
     # CLUSTERS (same CC as e1_dup_clusters) are the split unit, so a
@@ -2301,6 +2351,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: PIVOT reshaping + its UNPIVOT inverse (hash-oracled)
         "e5_pivot": _e5_pivot,
         "e5_unpivot": _e5_unpivot,
+        # round-6 rotation prep: the whole pytest-only TPC-H sweep as
+        # one tagged-union row (hash-oracled at both SFs)
+        "q_tpch_suite": _q_tpch_suite,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -4371,4 +4424,63 @@ def oracle_sql() -> dict[str, str]:
     # full-cell IVF-PQ probe of the appended index == flat ADC over the
     # whole corpus — one oracle, two names (see _e2_ivfpq_append_topk)
     out["e2_ivfpq_append_topk"] = out["e2_pq_adc_topk"]
+    # round-6 rotation prep: tagged union of the 14 pytest-only TPC-H
+    # oracles in the (op, k, v, v_num) suite schema
+    _NS = "CAST(NULL AS VARCHAR)"
+    _ND = "CAST(NULL AS DOUBLE)"
+    out["q_tpch_suite"] = f"""
+        SELECT 'q4' AS op, o_orderpriority AS k, {_NS} AS v,
+               CAST(order_count AS DOUBLE) AS v_num
+        FROM ({out["q4_order_priority"]})
+        UNION ALL
+        SELECT 'q6', 'revenue', {_NS}, CAST(revenue AS DOUBLE)
+        FROM ({out["q6_forecast_revenue"]})
+        UNION ALL
+        SELECT 'q7', concat_ws('§', supp_nation, cust_nation,
+                               CAST(l_year AS VARCHAR)),
+               {_NS}, CAST(revenue AS DOUBLE)
+        FROM ({out["q7_volume_shipping"]})
+        UNION ALL
+        SELECT 'q8', CAST(o_year AS VARCHAR), {_NS},
+               CAST(mkt_share AS DOUBLE)
+        FROM ({out["q8_market_share"]})
+        UNION ALL
+        SELECT 'q9', concat_ws('§', nation, CAST(o_year AS VARCHAR)),
+               {_NS}, CAST(sum_profit AS DOUBLE)
+        FROM ({out["q9_product_profit"]})
+        UNION ALL
+        SELECT 'q11', CAST(l_partkey AS VARCHAR), {_NS},
+               CAST(part_value AS DOUBLE)
+        FROM ({out["q11_important_parts"]})
+        UNION ALL
+        SELECT 'q12', l_returnflag, CAST(high_line_count AS VARCHAR),
+               CAST(low_line_count AS DOUBLE)
+        FROM ({out["q12_late_priority"]})
+        UNION ALL
+        SELECT 'q13', CAST(c_count AS VARCHAR), {_NS},
+               CAST(custdist AS DOUBLE)
+        FROM ({out["q13_order_count_distribution"]})
+        UNION ALL
+        SELECT 'q14', 'promo', {_NS}, CAST(promo_revenue AS DOUBLE)
+        FROM ({out["q14_promo_revenue"]})
+        UNION ALL
+        SELECT 'q15', CAST(s_suppkey AS VARCHAR), s_name,
+               CAST(total_revenue AS DOUBLE)
+        FROM ({out["q15_top_supplier"]})
+        UNION ALL
+        SELECT 'q16', concat_ws('§', p_brand, p_type,
+                                CAST(p_size AS VARCHAR)),
+               {_NS}, CAST(supplier_cnt AS DOUBLE)
+        FROM ({out["q16_supplier_counts"]})
+        UNION ALL
+        SELECT 'q19', 'revenue', {_NS}, CAST(revenue AS DOUBLE)
+        FROM ({out["q19_disjunctive_revenue"]})
+        UNION ALL
+        SELECT 'q21', s_name, {_NS}, CAST(numwait AS DOUBLE)
+        FROM ({out["q21_late_sole_supplier"]})
+        UNION ALL
+        SELECT 'q22', c_mktsegment, CAST(numcust AS VARCHAR),
+               CAST(totacctbal AS DOUBLE)
+        FROM ({out["q22_idle_customers"]})
+    """
     return out
