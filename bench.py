@@ -231,13 +231,16 @@ def _skew_section(spark, sf_dir: str) -> dict:
     return out
 
 
-#: sf1 rehearsal set: the 5 heaviest operators (VERDICT r04 next #7).
+#: sf1 rehearsal set: the 5 heaviest operators (VERDICT r04 next #7)
+#: plus the round-5 heavy text ops.
 SF1_QUERIES = [
     "pipeline_clean_corpus",
     "e1_minhash_near_dup",
     "e2_lsh_topk",
     "f7_identifier_extract",
     "e6_sessionize",
+    "e1_intradoc_dedup",
+    "e3_charlm",
 ]
 
 
