@@ -432,3 +432,50 @@ def dedup_repeated_ngrams(
             (F.size(toks) - F.size(kept)).alias("n_tokens_dropped"),
         )
     )
+
+
+def materialize_packed_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The last mile after :func:`pack_sequence_assignments`: emit the
+    ACTUAL training sequences — (seq_id, tokens[≤seq_len], n_tokens),
+    the concatenated-in-id-order token stream cut into fixed windows
+    (final window may be short; padding is the trainer's concern).
+
+    Derivation: each doc's global start offset comes from the
+    assignment's (seq_first, offset_in_first) — the parallel-prefix-sum
+    machinery, no global window — then tokens explode with their global
+    position, group by ``seq_id = pos div seq_len`` and sort within the
+    (bounded, ≤seq_len-row) group. Shuffles (id, token, pos) pairs
+    once; every group is exactly one training sequence, so there is no
+    skew by construction. Flattening the output in seq order
+    reproduces the exact concatenated token stream (tested)."""
+    assign = pack_sequence_assignments(
+        docs, id_col, text_col, seq_len, n_buckets
+    ).select(
+        id_col,
+        (F.col("seq_first") * seq_len + F.col("offset_in_first")).alias(
+            "_start"
+        ),
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "_tok"),
+    )
+    placed = toks.join(assign, id_col).select(
+        (F.col("_start") + F.col("_i")).alias("_pos"), "_tok"
+    )
+    return (
+        placed.groupBy(F.floor(F.col("_pos") / seq_len).alias("seq_id"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )

@@ -909,3 +909,29 @@ def test_ann_recall_metric(spark):
     # empty approx → recall 0 everywhere
     zero = SIM.ann_recall(approx.filter("query_id < 0"), exact, k=5)
     assert all(r["recall"] == 0.0 for r in zero.collect())
+
+
+def test_materialize_packed_sequences_reconstructs_stream(spark):
+    # flattening the packed sequences in seq order must reproduce the
+    # exact concatenated token stream of docs in id order; every
+    # sequence except the last is exactly seq_len tokens.
+    from drugbankner_spark.operators.corpus import (
+        materialize_packed_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(5 + i))) for i in range(9)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["seq_id"], list(r["tokens"]), r["n_tokens"])
+        for r in materialize_packed_sequences(docs, seq_len=16).collect()
+    )
+    want_stream = [t for i in range(9)
+                   for t in [f"t{i}_{j}" for j in range(5 + i)]]
+    got_stream = [t for _, toks, _ in out for t in toks]
+    assert got_stream == want_stream
+    assert [s for s, _, _ in out] == list(range(len(out)))  # dense ids
+    for _, toks, n in out[:-1]:
+        assert len(toks) == 16 and n == 16
+    assert 0 < out[-1][2] <= 16
