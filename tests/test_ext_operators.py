@@ -935,3 +935,34 @@ def test_materialize_packed_sequences_reconstructs_stream(spark):
     for _, toks, n in out[:-1]:
         assert len(toks) == 16 and n == 16
     assert 0 < out[-1][2] <= 16
+
+
+def test_full_training_pipeline_composition(spark):
+    # the complete last-mile story in one flow: boilerplate melt →
+    # learned BPE tokenization → fixed-length training sequences, with
+    # token-count conservation at every boundary.
+    from drugbankner_spark.operators.bpe import apply_bpe_pandas, train_bpe
+    from drugbankner_spark.operators.corpus import (
+        dedup_repeated_ngrams,
+        materialize_packed_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the low lower lowest " * 8),      # internal repetition
+         (2, "new newer newest words appear here once only today"),
+         (3, "wide wider widest " * 6)],
+        "doc_id long, text string",
+    )
+    cleaned = dedup_repeated_ngrams(docs, n=8)
+    assert cleaned.agg(F.sum("n_tokens_dropped")).collect()[0][0] > 0
+    merges = train_bpe(cleaned, n_merges=8)
+    toks = apply_bpe_pandas(cleaned, merges)
+    as_text = toks.select(
+        "doc_id", F.array_join("tokens", " ").alias("text")
+    )
+    packed = materialize_packed_sequences(as_text, seq_len=32)
+    total_doc_tokens = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    total_seq_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_doc_tokens == total_seq_tokens  # conservation
+    full = [r for r in packed.collect() if r["n_tokens"] == 32]
+    assert full, "at least one full training sequence"
