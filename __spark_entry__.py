@@ -1588,6 +1588,23 @@ def _q_tpch_suite(spark: SparkSession, sf: str) -> DataFrame:
     return _union_all(branches)
 
 
+def _e3_packed_sequences_rows(spark: SparkSession, sf: str) -> DataFrame:
+    # The materialized training sequences themselves (round 5 last
+    # mile): (seq_id, joined text, n_tokens) — the oracle recomputes
+    # the concatenated-stream windows with one global SQL window.
+    from drugbankner_spark.operators.corpus import (
+        materialize_packed_sequences,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    out = materialize_packed_sequences(docs, seq_len=512)
+    return out.select(
+        "seq_id",
+        F.array_join("tokens", " ").alias("seq_text"),
+        "n_tokens",
+    )
+
+
 def _e5_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     # Contamination-proof train/valid/test split (round 5): near-dup
     # CLUSTERS (same CC as e1_dup_clusters) are the split unit, so a
@@ -2348,6 +2365,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_intradoc_dedup": _e1_intradoc_dedup,
         # round 5: contamination-proof cluster-unit split (hash-oracled)
         "e5_cluster_safe_split": _e5_cluster_safe_split,
+        # round 5: materialized packed training sequences (hash-oracled)
+        "e3_packed_sequences_rows": _e3_packed_sequences_rows,
         # round 5: PIVOT reshaping + its UNPIVOT inverse (hash-oracled)
         "e5_pivot": _e5_pivot,
         "e5_unpivot": _e5_unpivot,
@@ -3620,6 +3639,23 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN s
               ON p.user_id = s.user_id
              AND p.ts >= s.start_ts AND p.ts < s.end_ts
+        """,
+        "e3_packed_sequences_rows": """
+            WITH toks AS (
+                SELECT doc_id, i AS idx, tk[i] AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+                     UNNEST(generate_series(1, len(tk))) AS g(i)
+            ),
+            pos AS (
+                SELECT tok,
+                       row_number() OVER (ORDER BY doc_id, idx) - 1 AS p
+                FROM toks
+            )
+            SELECT CAST(floor(p / 512) AS BIGINT) AS seq_id,
+                   string_agg(tok, ' ' ORDER BY p) AS seq_text,
+                   CAST(count(*) AS INT) AS n_tokens
+            FROM pos GROUP BY 1
         """,
         "e5_pivot": """
             SELECT o_orderstatus,
