@@ -2214,6 +2214,50 @@ def _e6_props_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e1_crossdoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-document substring removal (round 5, Lee et al.): every
+    # 8-gram appearing in >1 documents is cut from all but the
+    # minimum-id keeper document. The md5 gram-key kernel makes the
+    # DuckDB oracle (which joins on the raw gram string) bit-identical.
+    from drugbankner_spark.operators.corpus import crossdoc_span_dedup
+
+    docs = load_table(spark, sf, "documents")
+    return crossdoc_span_dedup(docs, n=8, kernel="md5")
+
+
+def _e1_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Join-free Bloom-bitmap decontamination (round 5): same benchmark
+    # slice as e1_decontaminate, but membership comes from a broadcast
+    # 128 KiB bitmap probed in-scan instead of a shingle join. The
+    # oracle recomputes the md5-derived bit positions, so flags match
+    # EXACTLY — false positives included.
+    from drugbankner_spark.operators.corpus import bloom_decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    return bloom_decontaminate(docs, bench, n=8, m_bits=1 << 20, k=3)
+
+
+def _e5_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Count-min sketch point queries (round 5): token frequencies over
+    # the corpus compressed into 4x1024 counter cells, then estimated
+    # for the deterministic probe set (tokens starting with 'a'). The
+    # md5 cell hashing is replicated in DuckDB, so the ESTIMATES —
+    # collisions and all — hash-match. Tolerance vs exact counts is
+    # covered in tests/test_ext_operators.py.
+    from drugbankner_spark.operators.sketches import cm_build, cm_estimate
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    sketch = cm_build(toks, "tok", width=1024, depth=4)
+    items = toks.filter(F.col("tok").startswith("a")).distinct()
+    return cm_estimate(sketch, items, "tok", width=1024, depth=4).select(
+        "tok", F.col("cm_count").cast("long").alias("cm_count")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver registry — capped at 50 entries so EVERY query lands in
     the driver's observed 50-entry CORRECTNESS window (round 1 registered
@@ -2373,6 +2417,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 rotation prep: the whole pytest-only TPC-H sweep as
         # one tagged-union row (hash-oracled at both SFs)
         "q_tpch_suite": _q_tpch_suite,
+        # round 5 late: cross-document substring dedup (hash-oracled)
+        "e1_crossdoc_dedup": _e1_crossdoc_dedup,
+        # round 5 late: join-free Bloom decontamination (hash-oracled,
+        # false positives replicated)
+        "e1_bloom_decontaminate": _e1_bloom_decontaminate,
+        # round 5 late: count-min sketch point queries (hash-oracled —
+        # the one sketch family whose cells ARE cross-engine exact)
+        "e5_countmin_topk": _e5_countmin_topk,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -4308,6 +4360,126 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_overlapping, 0) AS n_overlapping,
                    coalesce(h.n_overlapping, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # round 5 late: cross-document substring dedup — grams in >1
+        # docs cut from every non-keeper; joins on the raw gram string
+        # (Spark joins md5(gram), an injective rename of the same key).
+        "e1_crossdoc_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(list_slice(tk, i, i + 7), ' ')
+                           AS gram
+                FROM toks, UNNEST(generate_series(
+                    1, greatest(len(tk) - 7, 0))) AS g(i)
+            ),
+            stats AS (
+                SELECT gram, min(doc_id) AS keeper
+                FROM grams GROUP BY gram
+                HAVING count(DISTINCT doc_id) > 1
+            ),
+            dups AS (
+                SELECT g.doc_id, g.pos
+                FROM grams g JOIN stats s USING (gram)
+                WHERE g.doc_id <> s.keeper
+            ),
+            toks_pos AS (
+                SELECT t.doc_id, p, tk[p] AS tok
+                FROM toks t, UNNEST(generate_series(1, len(tk))) AS u(p)
+            ),
+            kept AS (
+                SELECT tp.doc_id, tp.p, tp.tok
+                FROM toks_pos tp
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM dups d
+                    WHERE d.doc_id = tp.doc_id
+                      AND tp.p >= d.pos AND tp.p < d.pos + 8
+                )
+            ),
+            alln AS (
+                SELECT doc_id, count(*) AS n_all
+                FROM toks_pos GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')
+                       AS text,
+                   CAST(count(k.tok) AS INT) AS n_tokens_kept,
+                   CAST(any_value(a.n_all) - count(k.tok) AS INT)
+                       AS n_tokens_dropped
+            FROM alln a LEFT JOIN kept k ON k.doc_id = a.doc_id
+            GROUP BY a.doc_id
+        """,
+        # round 5 late: Bloom-bitmap decontamination — a train shingle
+        # is flagged iff ALL 3 md5-derived bit positions are lit by the
+        # benchmark set; reproduces Spark's bitmap probe exactly,
+        # false positives included.
+        "e1_bloom_decontaminate": f"""
+            WITH tsh AS ({_sql_shingles_n(8, "documents")}),
+            bsh AS (
+                SELECT DISTINCT shingle FROM ({_sql_shingles_n(
+                    8, "(SELECT * FROM documents WHERE doc_id % 40 = 0)")})
+            ),
+            bits AS (
+                SELECT DISTINCT
+                    ({_sql_hash32(
+                        "shingle || chr(31) || CAST(j AS VARCHAR)")}
+                     % 1048576) AS pos
+                FROM bsh, UNNEST(generate_series(0, 2)) AS g(j)
+            ),
+            flagged AS (
+                SELECT doc_id FROM tsh
+                WHERE ({_sql_hash32("shingle || chr(31) || '0'")}
+                       % 1048576) IN (SELECT pos FROM bits)
+                  AND ({_sql_hash32("shingle || chr(31) || '1'")}
+                       % 1048576) IN (SELECT pos FROM bits)
+                  AND ({_sql_hash32("shingle || chr(31) || '2'")}
+                       % 1048576) IN (SELECT pos FROM bits)
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n_overlapping
+                FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_overlapping, 0) AS n_overlapping,
+                   coalesce(h.n_overlapping, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # round 5 late: count-min point queries — the 4x1024 counter
+        # cells and the per-item MIN are plain deterministic sums, so
+        # the ESTIMATES (collisions and all) hash-match across engines.
+        "e5_countmin_topk": f"""
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            cells AS (
+                SELECT j AS row,
+                       ({_sql_hash32(
+                           "tok || chr(31) || CAST(j AS VARCHAR)")}
+                        % 1024) AS pos,
+                       count(*) AS cnt
+                FROM toks, UNNEST(generate_series(0, 3)) AS g(j)
+                GROUP BY 1, 2
+            ),
+            items AS (
+                SELECT DISTINCT tok FROM toks WHERE tok LIKE 'a%'
+            ),
+            coords AS (
+                SELECT tok, j AS row,
+                       ({_sql_hash32(
+                           "tok || chr(31) || CAST(j AS VARCHAR)")}
+                        % 1024) AS pos
+                FROM items, UNNEST(generate_series(0, 3)) AS g(j)
+            ),
+            est AS (
+                SELECT c.tok, min(coalesce(s.cnt, 0)) AS cm_count
+                FROM coords c LEFT JOIN cells s USING (row, pos)
+                GROUP BY c.tok
+            )
+            SELECT tok, cm_count FROM est
         """,
     }
     # the streaming suite must equal its batch twin — one oracle, two names

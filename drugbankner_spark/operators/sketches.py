@@ -85,3 +85,91 @@ def theta_distinct(
             F.theta_sketch_agg(F.col(value_col))
         ).alias("approx_distinct")
     )
+
+
+def cm_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch build: compress an arbitrarily large frequency
+    table into ``depth x width`` counter cells (rows: (row, pos, cnt);
+    with the defaults, 8192 cells regardless of input size). Each value
+    increments one cell per hash row: ``pos = h_row(value) % width``
+    with the md5-derived 32-bit kernel (``dedup.content_hash32`` salted
+    by the row index) — deterministic across engines, so estimates are
+    bit-reproducible in DuckDB SQL (unlike HLL/KLL, CM's cells are
+    plain sums; this is the one sketch family that CAN be hash-oracled).
+
+    Guarantees: estimate >= true count always (only over-counts from
+    collisions); P[estimate > true + eps*N] <= (1/2)^depth with
+    eps = e/width. Mergeable: cell-wise add (:func:`cm_merge`) — build
+    per ingest batch, merge into the running sketch, never rescan.
+
+    Plan shape: one projection exploding each value into ``depth``
+    (row, pos) cells, one groupBy agg over at most depth*width groups —
+    partial (map-side) aggregation collapses almost everything before
+    the shuffle."""
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = df.select(
+        F.posexplode(F.array(*[
+            F.pmod(
+                content_hash32(F.concat(
+                    F.col(value_col).cast("string"),
+                    F.lit("\x1f"), F.lit(str(r)),
+                )),
+                F.lit(width),
+            ).cast("int")
+            for r in range(depth)
+        ])).alias("row", "pos"),
+        w.alias("_w"),
+    )
+    return cells.groupBy("row", "pos").agg(F.sum("_w").alias("cnt"))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise union of count-min sketches built with the same
+    (width, depth): union + one bounded groupBy (<= depth*width rows)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query a count-min sketch for each item: recompute the
+    ``depth`` cell coordinates, join the (broadcast — <= depth*width
+    rows) sketch, take the per-item MIN over rows. Items absent from
+    the sketched data may still return small positive counts
+    (collisions) — the standard CM over-estimate; never an
+    under-estimate. Output: (value_col, cm_count)."""
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    coords = items.select(
+        F.col(value_col),
+        F.posexplode(F.array(*[
+            F.pmod(
+                content_hash32(F.concat(
+                    F.col(value_col).cast("string"),
+                    F.lit("\x1f"), F.lit(str(r)),
+                )),
+                F.lit(width),
+            ).cast("int")
+            for r in range(depth)
+        ])).alias("row", "pos"),
+    )
+    return (
+        coords.join(F.broadcast(sketch), ["row", "pos"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_count"))
+    )

@@ -966,3 +966,100 @@ def test_full_training_pipeline_composition(spark):
     assert total_doc_tokens == total_seq_tokens  # conservation
     full = [r for r in packed.collect() if r["n_tokens"] == 32]
     assert full, "at least one full training sequence"
+
+
+def test_crossdoc_dedup_cuts_only_nonkeeper_docs(spark):
+    # Doc 1 and doc 2 share an identical 10-token paragraph; doc 3 is
+    # unrelated. The keeper (min id = 1) keeps its copy verbatim; doc 2
+    # loses every token of the duplicated span; doc 3 is untouched.
+    from drugbankner_spark.operators.corpus import crossdoc_span_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    d1 = shared + " and doc one continues with totally original words"
+    d2 = "doc two opens differently before " + shared
+    d3 = "completely unrelated content about spark catalyst plans here"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in
+           crossdoc_span_dedup(docs, n=8, kernel="md5").collect()}
+    assert out[1]["text"] == d1 and out[1]["n_tokens_dropped"] == 0
+    assert out[3]["text"] == d3 and out[3]["n_tokens_dropped"] == 0
+    assert "quick brown fox" not in out[2]["text"]
+    assert out[2]["text"].startswith("doc two opens")
+    assert out[2]["n_tokens_dropped"] == 10
+
+
+def test_crossdoc_dedup_kernel_parity(spark):
+    # The xxhash64 production kernel must produce the same output as
+    # the md5 oracle kernel — both are injective renamings of the gram.
+    from drugbankner_spark.operators.corpus import crossdoc_span_dedup
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    md5 = crossdoc_span_dedup(docs, n=8, kernel="md5").toPandas()
+    xxh = crossdoc_span_dedup(docs, n=8, kernel="xxhash64").toPandas()
+    a = md5.sort_values("doc_id").reset_index(drop=True)
+    b = xxh.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    # Bloom membership can only over-approximate: every doc the exact
+    # join-based decontaminate flags MUST be flagged by the bitmap too.
+    from drugbankner_spark.operators.corpus import (
+        bloom_decontaminate, decontaminate,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    exact = {r["doc_id"] for r in
+             decontaminate(docs, bench, n=8).collect() if r["contaminated"]}
+    bloom = {r["doc_id"] for r in
+             bloom_decontaminate(docs, bench, n=8).collect()
+             if r["contaminated"]}
+    assert exact <= bloom
+    # and with 2^20 bits vs a tiny benchmark, false positives should be
+    # essentially absent at this scale
+    assert len(bloom - exact) <= len(exact) // 10 + 2
+
+
+def test_countmin_never_underestimates_and_bounds_error(spark):
+    from drugbankner_spark.operators.sketches import cm_build, cm_estimate
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    n_total = toks.count()
+    true = {r["tok"]: r["n"] for r in
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    width, depth = 2048, 4
+    sketch = cm_build(toks, "tok", width=width, depth=depth)
+    items = toks.distinct()
+    est = {r["tok"]: r["cm_count"] for r in
+           cm_estimate(sketch, items, "tok", width=width,
+                       depth=depth).collect()}
+    eps = 2.718281828 / width
+    overs = 0
+    for tok, t in true.items():
+        assert est[tok] >= t, tok  # CM never under-counts
+        if est[tok] > t + eps * n_total:
+            overs += 1
+    # P[over eps*N] <= 2^-depth per item; allow generous slack
+    assert overs <= max(4, len(true) // 8)
+
+
+def test_countmin_merge_equals_single_build(spark):
+    # Mergeability: sketch(A) ++ sketch(B) == sketch(A union B), cell
+    # by cell — the property that makes per-batch builds composable.
+    from drugbankner_spark.operators.sketches import cm_build, cm_merge
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    a = toks.filter(F.col("doc_id") % 2 == 0)
+    b = toks.filter(F.col("doc_id") % 2 == 1)
+    merged = cm_merge(
+        cm_build(a, "tok", width=512, depth=3),
+        cm_build(b, "tok", width=512, depth=3),
+    ).toPandas().sort_values(["row", "pos"]).reset_index(drop=True)
+    single = cm_build(toks, "tok", width=512, depth=3).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True)
+    assert merged.equals(single)
