@@ -2238,6 +2238,28 @@ def _e1_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return bloom_decontaminate(docs, bench, n=8, m_bits=1 << 20, k=3)
 
 
+def _e1_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup-shape pruning (round 5 late): sign-LSH cosine pairs →
+    # connected components → min-id survivor. Same permissive
+    # (threshold, planes) as e1_embedding_near_dup — the synthetic
+    # embeddings have no true near-dups (max cosine ≈0.51), so the
+    # cluster structure, not the production threshold, is what the
+    # oracle hash-checks; planted-dup recall lives in pytest.
+    from drugbankner_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, num_planes=4)
+
+
+def _e3_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    # zlib redundancy signal (round 5 late) — rows-only: zlib isn't
+    # SQL-expressible in DuckDB; determinism + separation goldens live
+    # in tests/test_ext_operators.py.
+    from drugbankner_spark.operators.textanalysis import compression_ratio
+
+    return compression_ratio(load_table(spark, sf, "documents"))
+
+
 def _e5_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
     # Count-min sketch point queries (round 5): token frequencies over
     # the corpus compressed into 4x1024 counter cells, then estimated
@@ -2425,6 +2447,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: count-min sketch point queries (hash-oracled —
         # the one sketch family whose cells ARE cross-engine exact)
         "e5_countmin_topk": _e5_countmin_topk,
+        # round 5 late: zlib redundancy quality signal (rows-only —
+        # zlib has no DuckDB twin; goldens in test_ext_operators.py)
+        "e3_compression_ratio": _e3_compression_ratio,
+        # round 5 late: SemDeDup-shape semantic dedup (hash-oracled via
+        # recursive-SQL connected components over the cosine pairs)
+        "e1_semantic_dedup": _e1_semantic_dedup,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -4482,6 +4510,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, cm_count FROM est
         """,
     }
+    # SemDeDup composition: recursive-SQL connected components over the
+    # SAME cosine-pair oracle, plus sizes and the min-id survivor flag
+    out["e1_semantic_dedup"] = f"""
+        WITH RECURSIVE pairs AS ({out["e1_embedding_near_dup"]}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(id, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        clusters AS (
+            SELECT e.vec_id,
+                   coalesce(c.component, e.vec_id) AS cluster_id
+            FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM clusters GROUP BY cluster_id
+        )
+        SELECT c.vec_id, c.cluster_id,
+               CAST(s.cluster_size AS BIGINT) AS cluster_size,
+               c.vec_id = c.cluster_id AS is_survivor
+        FROM clusters c JOIN sizes s USING (cluster_id)
+    """
     # the streaming suite must equal its batch twin — one oracle, two names
     out["e6_windows_batch"] = out["e6_windows"]
     # star CC labels are the same component minima as propagation's

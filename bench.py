@@ -51,6 +51,9 @@ HEADLINE = [
     # round 5: the new heavy text operators (each a full corpus pass)
     "e1_intradoc_dedup",
     "e3_charlm",
+    # round 5 late: cross-document substring dedup (gram-stats shuffle
+    # + co-partitioned occurrence join — the heaviest dedup shape)
+    "e1_crossdoc_dedup",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch

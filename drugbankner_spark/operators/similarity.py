@@ -1169,3 +1169,39 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023): prune
+    documents whose EMBEDDINGS are near-identical even when their text
+    is not — the dedup axis MinHash cannot see. Composition of the
+    engine's own parts: sign-LSH bucketed cosine pairs
+    (:func:`embedding_near_dup_pairs` — equi join, never a cross
+    product) → connected components (graph.py, O(log n) rounds) →
+    min-id survivor per semantic cluster.
+
+    Output, one row per input vector: (id, cluster_id, cluster_size,
+    is_survivor); downstream keeps ``is_survivor`` rows. Deterministic
+    and partition-independent (min-id rule, fixed hyperplanes), so the
+    whole composition — including the component fixpoint — hash-matches
+    a recursive-SQL oracle."""
+    from drugbankner_spark.operators.graph import near_dup_clusters
+
+    pairs = embedding_near_dup_pairs(
+        corpus, id_col, vec_col, threshold, num_planes, dim
+    )
+    clusters = near_dup_clusters(corpus, pairs, id_col)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        id_col, "cluster_id", "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_survivor"),
+    )

@@ -173,3 +173,46 @@ def cm_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_count"))
     )
+
+
+def stream_cm_token_stats(
+    docs_stream: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    width: int = 2048,
+    depth: int = 4,
+) -> None:
+    """Streaming face of the count-min family: maintain corpus token
+    frequencies under continuous ingest. Each micro-batch builds its own
+    (bounded, <= depth*width cells) sketch and lands it in a Hive
+    partition keyed by EPOCH via dynamic partition overwrite — a
+    replayed epoch rewrites exactly its own partition, so failure
+    recovery is idempotent-by-construction (the foreachBatch contract).
+    No global state is read on the hot path; the merged answer is
+    assembled on demand by :func:`read_cm_sketch` (cell-wise sum — CM
+    merge is associative), so ingest cost stays O(batch) forever."""
+    from drugbankner_spark.operators.scale import upsert_partitions
+    from drugbankner_spark.streaming.streams import run_foreach_batch
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+        sk = cm_build(toks, "tok", width=width, depth=depth).withColumn(
+            "_epoch", F.lit(int(epoch_id))
+        )
+        upsert_partitions(sk, state_dir, ["_epoch"])
+
+    run_foreach_batch(docs_stream, admit, output_mode="append",
+                      max_files_per_trigger=1)
+
+
+def read_cm_sketch(spark, state_dir: str) -> DataFrame:
+    """Merge-on-read of a :func:`stream_cm_token_stats` state dir: one
+    bounded groupBy over (epochs x cells) rows — equals the sketch a
+    single batch build over the full corpus would produce (tested)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -470,3 +470,48 @@ def char_lm_logprob(
         F.count(F.lit(1)).alias("n_grams"),
         F.round(F.avg("_lp"), 6).alias("mean_logprob"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    redundancy signal (highly-compressible text is boilerplate,
+    templated spam, or repetition; near-incompressible text is often
+    binary junk or gibberish). Used alongside the Gopher rules and the
+    char-LM perplexity as a third independent quality axis.
+
+    Output: (id, n_bytes, n_compressed, compression_ratio) with
+    ratio = compressed/raw (lower = more redundant). Runs as ONE
+    Arrow-batched mapInPandas pass — zlib is C-speed and the kernel
+    never shuffles; per-batch cost is linear in batch bytes, so the
+    operator scans at ingest speed at any corpus size. Deterministic
+    for a fixed zlib level, so thresholds are stable across runs."""
+    import zlib
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_bytes int, n_compressed int, "
+        "compression_ratio double"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            nb = raw.str.len().astype("int32")
+            nc = raw.map(lambda b: len(zlib.compress(b, level))) \
+                .astype("int32")
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": nb,
+                "n_compressed": nc,
+                "compression_ratio": (
+                    nc / nb.where(nb > 0, 1)
+                ).round(6),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)

@@ -1063,3 +1063,50 @@ def test_countmin_merge_equals_single_build(spark):
     single = cm_build(toks, "tok", width=512, depth=3).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True)
     assert merged.equals(single)
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    # Redundant text must compress far better than high-entropy text;
+    # ratios are deterministic for a fixed zlib level.
+    from drugbankner_spark.operators.textanalysis import compression_ratio
+
+    import random
+    rng = random.Random(7)
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(8))
+        for _ in range(60)
+    )
+    docs = spark.createDataFrame(
+        [(1, "copy paste boiler " * 80), (2, noisy)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert out[1]["compression_ratio"] < 0.1
+    assert out[2]["compression_ratio"] > 0.5
+    assert out[1]["n_bytes"] == len("copy paste boiler " * 80)
+    again = {r["doc_id"]: r["compression_ratio"]
+             for r in compression_ratio(docs).collect()}
+    assert again[1] == out[1]["compression_ratio"]
+
+
+def test_semantic_dedup_prunes_planted_embedding_dups(spark):
+    # Two vectors nearly parallel (semantic dups) + one orthogonal:
+    # the dup pair must share a cluster with the min id surviving; the
+    # orthogonal vector stays its own singleton cluster.
+    from drugbankner_spark.operators.similarity import semantic_dedup
+
+    base = [1.0] * 8 + [0.0] * 56
+    near = [1.0] * 7 + [0.9, 0.1] + [0.0] * 55
+    ortho = [0.0] * 56 + [1.0] * 8
+    emb = spark.createDataFrame(
+        [(10, base), (20, near), (30, ortho)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.9, num_planes=4).collect()}
+    assert out[10]["cluster_id"] == 10 and out[10]["is_survivor"]
+    assert out[20]["cluster_id"] == 10 and not out[20]["is_survivor"]
+    assert out[20]["cluster_size"] == 2
+    assert out[30]["cluster_id"] == 30 and out[30]["is_survivor"]
+    assert out[30]["cluster_size"] == 1

@@ -143,3 +143,45 @@ def test_ingest_with_learned_quality_gate(spark, tmp_path):
     )
     ids = {r["doc_id"] for r in admitted.collect()}
     assert ids == {1}  # junk passed rules but failed the learned gate
+
+
+def test_stream_cm_sketch_equals_batch_build(spark, tmp_path):
+    # Streaming sketch maintenance: two micro-batches, each landing its
+    # own epoch partition; the merge-on-read sketch must equal a single
+    # batch build over the full corpus, cell for cell.
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.sketches import (
+        cm_build, read_cm_sketch, stream_cm_token_stats,
+    )
+
+    src = str(tmp_path / "cm_src")
+    state = str(tmp_path / "cm_state")
+    docs = [(i, f"tok{i % 7} tok{i % 3} shared common words {i}")
+            for i in range(40)]
+    _df(spark, docs[:20]).repartition(1).write.parquet(src)
+    _df(spark, docs[20:]).repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string")
+        .parquet(src)
+    )
+    stream_cm_token_stats(stream, state, width=256, depth=3)
+
+    merged = read_cm_sketch(spark, state).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True)
+    toks = _df(spark, docs).select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    single = cm_build(toks, "tok", width=256, depth=3).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True)
+    assert merged.equals(single)
+    # replay idempotency: re-landing an epoch's sketch rewrites only its
+    # own partition — the merged answer is unchanged
+    from drugbankner_spark.operators.scale import upsert_partitions
+    epoch0 = spark.read.parquet(state).filter(F.col("_epoch") == 0)
+    upsert_partitions(epoch0, state, ["_epoch"])
+    spark.catalog.refreshByPath(state)
+    again = read_cm_sketch(spark, state).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True)
+    assert again.equals(single)

@@ -60,5 +60,6 @@ def test_rotation_candidates_stay_oracle_ready():
     for name in ["e3_charlm", "e5_mixture_sample", "e1_intradoc_dedup",
                  "e5_cluster_safe_split", "q_tpch_suite", "e5_pivot",
                  "e5_unpivot", "e1_crossdoc_dedup",
-                 "e1_bloom_decontaminate", "e5_countmin_topk"]:
+                 "e1_bloom_decontaminate", "e5_countmin_topk",
+                 "e1_semantic_dedup"]:
         assert name in QUERIES and name in ORACLES, name

@@ -233,3 +233,29 @@ def test_image_near_dup_band_join_not_cartesian(spark):
     assert not X.has_cartesian(df)
     plan = X.plan_string(df)
     assert "BatchEvalPython" not in plan
+
+
+def test_crossdoc_dedup_no_cartesian_bounded_shuffles(spark):
+    # round-5 late: gram-stats agg + co-partitioned occurrence join +
+    # per-doc span agg + rebuild join — bounded shuffle count, never a
+    # cartesian, and text reaches the scan only once (the melt subtree
+    # is shared-persisted).
+    df = QUERIES["e1_crossdoc_dedup"](spark, SF)
+    assert not X.has_cartesian(df), X.plan_string(df, "simple")
+    assert X.count_shuffles(df) <= 6, X.plan_string(df, "simple")
+    schema = " ".join(X.read_schemas(df))
+    assert "lang" not in schema and "source" not in schema
+
+
+def test_bloom_decontaminate_probe_path_is_join_free(spark):
+    # round-5 late: the train-side probe is scan → shingle explode →
+    # Arrow bitmap probe → per-doc agg. The ONLY joins in the whole
+    # plan are the final id-only result join; the benchmark dim never
+    # appears as a join side (it was collapsed into the bitmap).
+    df = QUERIES["e1_bloom_decontaminate"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert not X.has_cartesian(df), plan
+    # one result join (left) — allow broadcast or SMJ depending on AQE
+    assert plan.count("Join") <= 2, plan
+    # shuffles: shingle distinct, hit agg, (maybe) result join
+    assert X.count_shuffles(df) <= 4, plan
