@@ -2238,6 +2238,18 @@ def _e1_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return bloom_decontaminate(docs, bench, n=8, m_bits=1 << 20, k=3)
 
 
+def _e3_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic global training-order shuffle (round 5 late):
+    # hash-range sharding + per-shard position — the (shard, pos)
+    # composite replays one fixed permutation with no global sort.
+    from drugbankner_spark.operators.sampling import training_shuffle_shards
+
+    docs = load_table(spark, sf, "documents")
+    return training_shuffle_shards(
+        docs, "doc_id", n_shards=8, seed="epoch0"
+    ).select("doc_id", "shard", "pos_in_shard")
+
+
 def _e1_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # SemDeDup-shape pruning (round 5 late): sign-LSH cosine pairs →
     # connected components → min-id survivor. Same permissive
@@ -2453,6 +2465,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: SemDeDup-shape semantic dedup (hash-oracled via
         # recursive-SQL connected components over the cosine pairs)
         "e1_semantic_dedup": _e1_semantic_dedup,
+        # round 5 late: deterministic global training-order shuffle
+        # (hash-oracled — md5 hash order replicated in SQL)
+        "e3_shuffle_shards": _e3_shuffle_shards,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -4508,6 +4523,24 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c.tok
             )
             SELECT tok, cm_count FROM est
+        """,
+        # round 5 late: global training-order shuffle — hash-range
+        # shard + per-shard row_number replicate Spark's sort-free
+        # permutation exactly (md5 kernel, ties broken by key)
+        "e3_shuffle_shards": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       ({_sql_hash32(
+                           "CAST(doc_id AS VARCHAR) || 'epoch0'")}) AS h
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(floor(h * 8 / 4294967296) AS INT) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY CAST(floor(h * 8 / 4294967296) AS INT)
+                       ORDER BY h, doc_id
+                   ) - 1 AS INT) AS pos_in_shard
+            FROM h
         """,
     }
     # SemDeDup composition: recursive-SQL connected components over the

@@ -307,3 +307,42 @@ def _topk_by_hash_windowed(
         .filter(F.col("_rn") <= F.col("_k"))
         .drop("_rn", "_n", "_k")
     )
+
+
+def training_shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+    kernel: str = "md5",
+) -> DataFrame:
+    """Deterministic GLOBAL training-order shuffle — the last step of a
+    pretraining pipeline: every row gets (shard, pos_in_shard) such
+    that reading shard 0 in position order, then shard 1, ... replays
+    one fixed pseudo-random permutation of the corpus. Changing
+    ``seed`` yields an independent permutation (new training order per
+    epoch without materializing anything twice).
+
+    Scale shape: the naive form is ORDER BY hash — one global sort
+    funneling the corpus through a final merge. Here the hash SPACE is
+    range-partitioned instead: shard = h * n_shards / 2^32 (hash
+    uniformity makes shards even), and pos_in_shard is a row_number
+    window PARTITIONED by shard — every stage parallel, no global
+    funnel. The composed order (shard, pos) is exactly the global
+    hash order, so the permutation is identical to the single-sort
+    form; ties on the 32-bit hash break by key, keeping the order
+    total and partition-independent. md5 kernel is DuckDB-replicable
+    (hash-oracled); xxhash64 is the cheap production kernel."""
+    from pyspark.sql import Window
+
+    h = content_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(seed)), kernel
+    )
+    shard = F.floor(h * n_shards / F.lit(4294967296)).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w) - 1)
+        .drop("_h")
+    )

@@ -1110,3 +1110,31 @@ def test_semantic_dedup_prunes_planted_embedding_dups(spark):
     assert out[20]["cluster_size"] == 2
     assert out[30]["cluster_id"] == 30 and out[30]["is_survivor"]
     assert out[30]["cluster_size"] == 1
+
+
+def test_training_shuffle_replays_global_hash_order(spark):
+    # The (shard, pos_in_shard) composite order must equal the single
+    # global ORDER BY (hash, key) permutation — sharding is an
+    # implementation detail, not a semantic change — and a different
+    # seed must produce a different permutation.
+    from drugbankner_spark.operators.dedup import content_hash32
+    from drugbankner_spark.operators.sampling import training_shuffle_shards
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    out = training_shuffle_shards(docs, "doc_id", n_shards=8, seed="s1")
+    composed = [r["doc_id"] for r in
+                out.orderBy("shard", "pos_in_shard").collect()]
+    h = content_hash32(F.concat(F.col("doc_id").cast("string"), F.lit("s1")))
+    global_order = [r["doc_id"] for r in
+                    docs.withColumn("_h", h).orderBy("_h", "doc_id").collect()]
+    assert composed == global_order
+    other = [r["doc_id"] for r in
+             training_shuffle_shards(docs, "doc_id", 8, seed="s2")
+             .orderBy("shard", "pos_in_shard").collect()]
+    assert other != composed and sorted(other) == sorted(composed)
+    # positions are gapless per shard
+    import collections
+    per = collections.defaultdict(list)
+    for r in out.collect():
+        per[r["shard"]].append(r["pos_in_shard"])
+    assert all(sorted(v) == list(range(len(v))) for v in per.values())
