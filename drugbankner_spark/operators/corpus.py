@@ -667,3 +667,41 @@ def bloom_decontaminate(
             (F.coalesce("n_overlapping", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def length_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Power-of-two length bucketing — the dynamic-batching prequel to
+    sequence packing: group documents whose token counts share a
+    magnitude (bucket b holds counts in [2^b, 2^(b+1))), so a batch
+    builder pads within a bucket instead of padding every sequence to
+    the corpus max. Returns one row per document: (id, n_tokens,
+    bucket, bucket_lo, bucket_hi).
+
+    The bucket is computed as ``length(binary(n)) - 1`` — the integer
+    floor(log2(n)) with NO floating-point log (log2(8) landing at
+    2.999... would mis-bucket exact powers of two differently per
+    engine; the base-2 digit count is exact everywhere, and DuckDB's
+    ``bin()`` replicates it for the oracle). Empty documents (0
+    tokens) get bucket -1 with a [0, 0] range. Pure per-row
+    projection: zero shuffle at any scale."""
+    from drugbankner_spark.operators.textanalysis import token_count
+
+    n = token_count(F.col(text_col))
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.length(F.conv(n.cast("string"), 10, 2)) - 1
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        bucket.alias("bucket"),
+        F.when(bucket < 0, F.lit(0)).otherwise(
+            F.pow(F.lit(2), bucket).cast("long")
+        ).alias("bucket_lo"),
+        F.when(bucket < 0, F.lit(0)).otherwise(
+            F.pow(F.lit(2), bucket + 1).cast("long") - 1
+        ).alias("bucket_hi"),
+    )

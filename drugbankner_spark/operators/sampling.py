@@ -346,3 +346,83 @@ def training_shuffle_shards(
         .withColumn("pos_in_shard", F.row_number().over(w) - 1)
         .drop("_h")
     )
+
+
+def temperature_weights(
+    domain_rows: dict[str, int], alpha: float = 0.7
+) -> dict[str, float]:
+    """Epoch weights from raw domain sizes via temperature flattening:
+    sampling probability p_d ∝ (n_d / N)^alpha (alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform — the multilingual-LM
+    rebalancing rule). Returned as PER-ROW replication weights
+    normalized so the mixed corpus has the same total row count as the
+    input: w_d = p_d * N / n_d. Feed straight into
+    :func:`weighted_upsample`. Pure driver-side arithmetic over the
+    domain histogram (a dict, never a DataFrame)."""
+    if not domain_rows:
+        return {}
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    total = sum(domain_rows.values())
+    raw = {d: (n / total) ** alpha for d, n in domain_rows.items() if n > 0}
+    z = sum(raw.values())
+    return {d: (raw[d] / z) * total / domain_rows[d] for d in raw}
+
+
+def weighted_upsample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "",
+    kernel: str = "md5",
+) -> DataFrame:
+    """Fractional-epoch domain replication — the mixture-EXECUTION step
+    of a LLaMA/Dolma-style recipe: a domain with weight 2.3 contributes
+    every row twice plus a deterministic 30% of rows (by key hash) a
+    third time; weight 0.5 keeps a deterministic half; weight 0 drops
+    the domain. Output rows carry ``copy`` (0-based replica index), so
+    downstream shuffling (:func:`training_shuffle_shards` keyed on
+    key ⊕ copy) spreads replicas across the training order instead of
+    emitting them adjacent.
+
+    Determinism: the fractional tail is hash-mod selection on
+    ``key_col`` (same contract as :func:`hash_sample`) — reruns,
+    repartitions, and engine swaps replicate bit-for-bit, and nudging a
+    weight from 2.3 to 2.4 only ADDS third copies (the kept set is a
+    hash-prefix, monotone in the threshold). Domains absent from
+    ``weights`` pass through at weight 1.
+
+    Scale shape: one CASE projection + ``explode(sequence(...))`` — no
+    join (weights are plan-time literals), no shuffle, output size
+    exactly sum(n_d * w_d). The thresholds are integer bucket counts of
+    ``N_BUCKETS``, so Spark and the DuckDB oracle agree exactly."""
+    full_of: dict[str, int] = {}
+    thr_of: dict[str, int] = {}
+    for d, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {d!r} must be >= 0, got {w}")
+        full_of[d] = int(w)
+        thr_of[d] = int(round((w - int(w)) * N_BUCKETS))
+    bucket = hash_bucket(F.col(key_col), seed, kernel)
+
+    def _case(mapping: dict[str, int], default: int) -> Column:
+        expr = None
+        for d, v in mapping.items():
+            cond = F.col(domain_col) == d
+            expr = (F.when(cond, v) if expr is None
+                    else expr.when(cond, v))
+        return F.lit(default) if expr is None else expr.otherwise(default)
+
+    n_copies = (
+        _case(full_of, 1)
+        + F.when(bucket < _case(thr_of, 0), 1).otherwise(0)
+    )
+    return (
+        df.withColumn("_nc", n_copies)
+        .filter(F.col("_nc") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+        )
+        .drop("_nc")
+    )

@@ -515,3 +515,41 @@ def compression_ratio(
             })
 
     return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def ngram_topk(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent token n-grams per group — the corpus
+    boilerplate probe: the head of this list IS the shared template
+    text (cookie banners, license headers) that near-dup thresholds
+    miss because the surrounding document differs. Feed the result to
+    a substring-removal pass (corpus.crossdoc_span_dedup targets the
+    same phenomenon at span granularity).
+
+    Exact counts via one map-side-combinable groupBy over exploded
+    n-grams, then a per-group window top-k over COUNTS (group
+    cardinality × distinct grams — far smaller than the corpus; ties
+    pinned by gram text for determinism). At 100 TB the agg is the
+    only corpus-sized shuffle, and it shuffles (group, gram, partial
+    count), never documents."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col(group_col),
+        F.explode(_word_ngrams(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    counts = grams.groupBy(group_col, "gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

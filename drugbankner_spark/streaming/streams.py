@@ -159,6 +159,37 @@ def stream_interval_join(
     ).drop("r_user")
 
 
+def stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER face of :func:`stream_interval_join` — the production
+    enrich-in-flight shape when unmatched events must still flow (a
+    purchase with no recent click emits with NULL ``r_ts``/``r_value``
+    instead of vanishing). Same join condition and state bound; the
+    extra contract is EMISSION TIMING: an unmatched left row is held
+    until the watermark proves no matching right row can still arrive
+    (wm > l.ts + allowed lateness), then emitted null-padded exactly
+    once. Both sides must carry watermarks — Spark rejects outer
+    stream-stream joins without them, because unmatched-row emission is
+    watermark-driven. Batch DataFrames run the identical plan
+    eagerly (the stream==batch-on-closed test pins both faces)."""
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    return left.join(
+        r,
+        F.expr(
+            f"user_id = r_user AND r_ts >= ts - INTERVAL {lookback}"
+            " AND r_ts <= ts"
+        ),
+        "left_outer",
+    ).drop("r_user")
+
+
 def run_foreach_batch(
     query_df: DataFrame,
     batch_fn,

@@ -1138,3 +1138,139 @@ def test_training_shuffle_replays_global_hash_order(spark):
     for r in out.collect():
         per[r["shard"]].append(r["pos_in_shard"])
     assert all(sorted(v) == list(range(len(v))) for v in per.values())
+
+
+def test_temperature_weights_math_and_row_conservation(spark):
+    # alpha=1 is the identity mixture (every weight 1 — natural
+    # proportions); alpha=0 is uniform-over-domains; and at any alpha
+    # the expected mixed-corpus size equals the input size.
+    from drugbankner_spark.operators.sampling import temperature_weights
+
+    sizes = {"web": 8000, "code": 1500, "books": 500}
+    total = sum(sizes.values())
+    w1 = temperature_weights(sizes, alpha=1.0)
+    assert all(abs(w - 1.0) < 1e-12 for w in w1.values())
+    w0 = temperature_weights(sizes, alpha=0.0)
+    # uniform p_d = 1/3 -> each domain contributes total/3 rows
+    for d, n in sizes.items():
+        assert abs(n * w0[d] - total / 3) < 1e-6
+    w7 = temperature_weights(sizes, alpha=0.7)
+    assert abs(sum(sizes[d] * w7[d] for d in sizes) - total) < 1e-6
+    # flattening: the small domain gains, the big one loses
+    assert w7["books"] > 1.0 > w7["web"]
+
+
+def test_weighted_upsample_copies_and_monotone_threshold(spark):
+    from drugbankner_spark.operators.sampling import weighted_upsample
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    out = weighted_upsample(
+        docs, "lang", "doc_id", {"en": 2.3, "de": 0.5, "zh": 0.0}
+    )
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r["copy"])
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    n_en = sum(1 for d, l in langs.items() if l == "en")
+    en_counts = [len(per.get(d, [])) for d, l in langs.items() if l == "en"]
+    # every en doc 2 or 3 copies; ~30% get the third (hash-binomial)
+    assert set(en_counts) <= {2, 3}
+    frac3 = sum(1 for c in en_counts if c == 3) / n_en
+    assert 0.1 < frac3 < 0.5, frac3
+    # de: 0 or 1; zh dropped entirely; unlisted (es/fr) exactly 1
+    assert all(len(per.get(d, [])) <= 1
+               for d, l in langs.items() if l == "de")
+    assert all(d not in per for d, l in langs.items() if l == "zh")
+    assert all(len(per.get(d, [])) == 1
+               for d, l in langs.items() if l in ("es", "fr"))
+    # copy indices are gapless from 0
+    assert all(sorted(v) == list(range(len(v))) for v in per.values())
+    # monotonicity: raising en 2.3 -> 2.4 only ADDS third copies
+    out2 = weighted_upsample(
+        docs, "lang", "doc_id", {"en": 2.4, "de": 0.5, "zh": 0.0}
+    )
+    k1 = {(r["doc_id"], r["copy"]) for r in rows}
+    k2 = {(r["doc_id"], r["copy"]) for r in out2.collect()}
+    assert k1 <= k2
+    # determinism across repartition
+    k3 = {(r["doc_id"], r["copy"]) for r in weighted_upsample(
+        docs.repartition(13), "lang", "doc_id",
+        {"en": 2.3, "de": 0.5, "zh": 0.0}).collect()}
+    assert k1 == k3
+
+
+def test_length_buckets_pow2_edges(spark):
+    from drugbankner_spark.operators.corpus import length_buckets
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["t"] * 8)), (2, " ".join(["t"] * 7)),
+         (3, "t"), (4, " ".join(["t"] * 1023))],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["bucket"],
+                         r["bucket_lo"], r["bucket_hi"])
+           for r in length_buckets(docs).collect()}
+    assert got[1] == (8, 3, 8, 15)      # exact power: own bucket floor
+    assert got[2] == (7, 2, 4, 7)
+    assert got[3] == (1, 0, 1, 1)
+    assert got[4] == (1023, 9, 512, 1023)
+    # bounds invariant: lo <= n <= hi everywhere on real data
+    real = length_buckets(load_table(spark, SF, "documents"))
+    bad = real.filter(
+        (F.col("n_tokens") < F.col("bucket_lo"))
+        | (F.col("n_tokens") > F.col("bucket_hi"))
+    ).count()
+    assert bad == 0
+
+
+def test_int8_quantize_roundtrip_and_recall(spark):
+    # |x - dequant(x)| <= scale/2 per element (half-up rounding bound),
+    # and int8 cosine top-k keeps high recall vs the float exact answer.
+    from drugbankner_spark.operators.similarity import (
+        ann_recall, cosine_topk, dequantize_int8, quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = quantize_embeddings_int8(emb)
+    deq = dequantize_int8(q)
+    joined = emb.select("vec_id", F.col("embedding").alias("orig")).join(
+        deq.select("vec_id", "embedding", "scale"), "vec_id"
+    )
+    worst = joined.select(
+        F.array_max(F.zip_with(
+            "orig", "embedding",
+            lambda a, b: F.abs(a.cast("double") - b) / F.col("scale"),
+        )).alias("err")
+    ).agg(F.max("err")).first()[0]
+    assert worst <= 0.5 + 1e-9, worst
+    # codes stay in int8 range
+    assert q.filter(
+        F.exists("codes", lambda c: (c > 127) | (c < -127))
+    ).count() == 0
+    probe = emb.limit(20)
+    exact = cosine_topk(emb, probe, k=5)
+    approx = cosine_topk(
+        deq.select("vec_id", "embedding"),
+        dequantize_int8(quantize_embeddings_int8(probe))
+        .select("vec_id", "embedding"),
+        k=5,
+    )
+    rec = ann_recall(approx, exact, k=5).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.9, rec
+
+
+def test_ngram_topk_surfaces_planted_boilerplate(spark):
+    from drugbankner_spark.operators.textanalysis import ngram_topk
+
+    banner = "accept all cookies"
+    rows = [(i, "en", f"doc {i} body text varies here {banner}")
+            for i in range(30)]
+    rows += [(100 + i, "en", f"unique words only row{i} nothing shared x{i}")
+             for i in range(5)]
+    rows += [(200, "de", "kurz")]  # < 3 tokens: contributes no gram
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = ngram_topk(docs, "lang", "text", n=3, k=3).collect()
+    en = [r for r in out if r["lang"] == "en"]
+    assert en[0]["gram"] == banner and en[0]["n_occurrences"] == 30
+    assert all(r["lang"] != "de" for r in out)

@@ -61,5 +61,7 @@ def test_rotation_candidates_stay_oracle_ready():
                  "e5_cluster_safe_split", "q_tpch_suite", "e5_pivot",
                  "e5_unpivot", "e1_crossdoc_dedup",
                  "e1_bloom_decontaminate", "e5_countmin_topk",
-                 "e1_semantic_dedup", "e3_shuffle_shards"]:
+                 "e1_semantic_dedup", "e3_shuffle_shards",
+                 "e5_weighted_upsample", "e3_length_buckets",
+                 "e2_int8_quantize", "e3_ngram_topk"]:
         assert name in QUERIES and name in ORACLES, name

@@ -255,6 +255,72 @@ def test_stream_interval_join_equals_batch(spark, event_dir):
     assert _sorted_rows(stream, cols) == _sorted_rows(batch, cols)
 
 
+def test_stream_interval_join_outer_emits_unmatched(spark):
+    # LEFT OUTER stream-stream join contract: a left row with no match
+    # is emitted null-padded ONCE the watermark proves no matching right
+    # row can still arrive — not dropped (the inner join's behavior),
+    # not duplicated. Sequenced micro-batches (mtime order):
+    #   1. purchase@00:01 user 1 + click@00:00:30 user 1 (matched pair),
+    #      purchase@00:02 user 2 with no click (unmatched)
+    #   2. click@01:00 user 9 → wm advances to 00:55 at batch end
+    #   3. click@01:05 user 9 → batch runs under wm 00:55 > 00:02:
+    #      user 2's row flushes from state null-padded
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="outer_join_")
+    try:
+        t0 = "2024-01-01 "
+        _write_event_file(os.path.join(d, "b1.parquet"), [
+            (1, t0 + "00:00:30", 1, "click", 7.0, "{}"),
+            (2, t0 + "00:01:00", 1, "purchase", 10.0, "{}"),
+            (3, t0 + "00:02:00", 2, "purchase", 20.0, "{}"),
+        ], mtime=1_700_000_000)
+        _write_event_file(os.path.join(d, "b2.parquet"), [
+            (4, t0 + "01:00:00", 9, "click", 1.0, "{}"),
+        ], mtime=1_700_000_100)
+        _write_event_file(os.path.join(d, "b3.parquet"), [
+            (5, t0 + "01:05:00", 9, "click", 1.0, "{}"),
+        ], mtime=1_700_000_200)
+
+        def sides(df):
+            left = df.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts", "value"
+            )
+            right = df.filter(F.col("event_type") == "click")
+            return left, right
+
+        stream = (
+            spark.readStream.schema(S.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "5 minutes")
+        )
+        s_left, s_right = sides(stream)
+        out = S.run_to_memory(
+            S.stream_interval_join_outer(s_left, s_right), "t_ivjoin_outer",
+            output_mode="append",
+        )
+        got = {
+            r["event_id"]: (r["r_ts"], r["r_value"]) for r in out.collect()
+        }
+        # matched pair carries the click; unmatched flushed null-padded
+        assert got[2] == (
+            __import__("datetime").datetime(2024, 1, 1, 0, 0, 30), 7.0
+        ), got
+        assert got[3] == (None, None), got
+        # and the streaming answer equals the batch plan on closed rows
+        ev = spark.read.parquet(d)
+        b_left, b_right = sides(ev)
+        batch = S.stream_interval_join_outer(b_left, b_right)
+        closed = {
+            r["event_id"]: (r["r_ts"], r["r_value"])
+            for r in batch.collect() if r["event_id"] in got
+        }
+        assert got == closed, (got, closed)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_rocksdb_state_store_runs_stateful_query(spark):
     # the large-state conf surface is a flag flip: the same session-
     # window aggregation runs green under RocksDB state store (per-query
