@@ -321,12 +321,30 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
     from drugbankner_spark.caching import release_shared_caches
 
     sf1_dir = _ensure_sf1(spark, sf01_dir)
+    # fixed-cost reference at sf1 (documents scan + hash agg): divides
+    # out end-of-bench environment drift the same way calibration_sec
+    # does for the headline section
+    from pyspark.sql import functions as F
+
+    docs1 = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    calib = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        docs1.agg(F.count(F.lit(1)), F.avg(F.length("text"))).collect()
+        el = time.perf_counter() - t0
+        calib = el if calib is None else min(calib, el)
     queries: dict = {}
     for name in SF1_QUERIES:
         fn = qs.get(ALIAS.get(name, name))
         if fn is None:
             continue
-        best, n = None, 0
+        # one untimed warmup (codegen/JIT + shared-subtree persist
+        # population), then min-of-2 — the same steady-state protocol
+        # the headline section uses; BENCH_r05's first cut timed the
+        # cold run and read a fake 15.8x slope on pipeline_clean_corpus
+        # (warm re-measure: ~4x)
+        n = len(fn(spark, sf1_dir).toPandas())
+        best = None
         for _ in range(2):
             t0 = time.perf_counter()
             n = len(fn(spark, sf1_dir).toPandas())
@@ -339,7 +357,8 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
             entry["slope_vs_sf0_1"] = round(best / base, 1)
         queries[name] = entry
         print(f"# sf1 {name}: {entry}", file=sys.stderr)
-    return {"dir": sf1_dir, "data_scale_vs_sf0_1": 10, "queries": queries}
+    return {"dir": sf1_dir, "data_scale_vs_sf0_1": 10,
+            "calibration_sec": round(calib, 3), "queries": queries}
 
 
 def _calibration(spark, sf_dir: str) -> float:
