@@ -1940,6 +1940,72 @@ def _e4_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
     return MM.media_metadata(MM.documents_as_media(docs))
 
 
+def _e4_container_probe(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL MP3 + MP4 container layers under an exact oracle (round 5
+    # late): per doc, synthesize an MPEG-audio stream (1+doc_id%20
+    # Layer-III frames; every third doc alternates 128/160 kbps → VBR)
+    # and a single-track MP4 (duration/dims derived from doc_id), then
+    # parse both back with the in-repo framing/box walkers
+    # (functions/mp3_codec.py, functions/mp4_codec.py). The oracle
+    # replicates the derivation arithmetic in SQL without touching
+    # bytes — a hash match proves encode→walk round-trips both
+    # containers bit-exactly (duration_ms = round(n·1152/44.1k·1000)
+    # is never a .5 case: 108n ≡ 441 (mod 882) has no solution).
+    import pandas as _pd
+
+    from drugbankner_spark.functions import mp3_codec as mp3
+    from drugbankner_spark.functions import mp4_codec as mp4
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mp3_frames", T.LongType()),
+        T.StructField("mp3_duration_ms", T.LongType()),
+        T.StructField("mp3_vbr", T.BooleanType()),
+        T.StructField("mp3_tag_bytes", T.LongType()),
+        T.StructField("mp4_duration_ms", T.LongType()),
+        T.StructField("mp4_width", T.LongType()),
+        T.StructField("mp4_height", T.LongType()),
+        T.StructField("mp4_samples", T.LongType()),
+        T.StructField("mp4_codec", T.StringType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1 + did % 20
+                rates = (
+                    [128 if i % 2 == 0 else 160 for i in range(n)]
+                    if did % 3 == 0 else [128] * n
+                )
+                audio = mp3.encode_mp3(
+                    bitrate_kbps=rates, n_frames=n,
+                    id3v2_payload=bytes(did % 64), id3v1=(did % 2 == 0),
+                )
+                ainfo = mp3.mp3_info(audio)
+                video = mp4.encode_mp4(
+                    duration_ms=100 * (1 + did % 50),
+                    width=16 * (1 + did % 8), height=16 * (1 + did % 5),
+                    n_samples=1 + did % 30,
+                    mvhd_v1=(did % 5 == 0),
+                )
+                vinfo = mp4.mp4_info(video)
+                (track,) = vinfo["tracks"]
+                rows.append((
+                    did, ainfo["n_frames"], ainfo["duration_ms"],
+                    ainfo["vbr"], ainfo["id3v2_bytes"],
+                    vinfo["duration_ms"], track["width"],
+                    track["height"], track["n_samples"], track["codec"],
+                ))
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields],
+            )
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return docs.mapInPandas(run, out_schema)
+
+
 def _e4_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL stdlib WAV codec under the driver: each embedding's floats
     # become 16-bit PCM samples, encoded to a real WAV and decoded back;
@@ -2536,6 +2602,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_int8_quantize": _e2_int8_quantize,
         # round 5 late: per-language boilerplate trigram top-k (hash-oracled)
         "e3_ngram_topk": _e3_ngram_topk,
+        # round 5 late: MP3 framing + MP4 box-tree round-trip probe
+        # (hash-oracled — derivation arithmetic replicated in SQL)
+        "e4_container_probe": _e4_container_probe,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -4712,6 +4781,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts
             )
             WHERE rank <= 10
+        """,
+        # e4_container_probe: the Spark side synthesizes MP3/MP4
+        # payloads per doc and re-parses them with the in-repo framing /
+        # box walkers; the oracle replicates the derivation arithmetic
+        # only — a hash match therefore proves both containers
+        # round-trip bit-exactly. mp3 duration = round(n·1152/44100·1e3)
+        # = round(n·11520/441) ms, never a .5 case (108n ≡ 441 mod 882
+        # has no solution), so DuckDB half-away == Python half-even.
+        "e4_container_probe": """
+            SELECT doc_id,
+                   CAST(1 + doc_id % 20 AS BIGINT) AS mp3_frames,
+                   CAST(round((1 + doc_id % 20) * 11520.0 / 441, 0)
+                        AS BIGINT) AS mp3_duration_ms,
+                   (doc_id % 3 = 0 AND doc_id % 20 <> 0) AS mp3_vbr,
+                   CAST(10 + doc_id % 64 AS BIGINT) AS mp3_tag_bytes,
+                   CAST(100 * (1 + doc_id % 50) AS BIGINT)
+                       AS mp4_duration_ms,
+                   CAST(16 * (1 + doc_id % 8) AS BIGINT) AS mp4_width,
+                   CAST(16 * (1 + doc_id % 5) AS BIGINT) AS mp4_height,
+                   CAST(1 + doc_id % 30 AS BIGINT) AS mp4_samples,
+                   'avc1' AS mp4_codec
+            FROM documents
         """,
     }
     # SemDeDup composition: recursive-SQL connected components over the

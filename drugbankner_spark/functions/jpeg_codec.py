@@ -305,6 +305,33 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) > 3 and data[:2] == b"\xff\xd8" and data[2] == 0xFF
 
 
+def jpeg_dims(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the SOF segment alone — a marker
+    walk that never touches entropy-coded data, for metadata probes that
+    must not pay full-decode cost. (0, 0, 0) when no SOF is found."""
+    off = 2
+    while off + 4 <= len(data):
+        if data[off] != 0xFF:
+            return (0, 0, 0)
+        marker = data[off + 1]
+        if marker == 0xFF:  # fill byte
+            off += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # parameterless
+            off += 2
+            continue
+        if off + 4 > len(data):
+            return (0, 0, 0)
+        seg_len = struct.unpack_from(">H", data, off + 2)[0]
+        if marker in (0xC0, 0xC1, 0xC2) and off + 10 <= len(data):
+            height, width = struct.unpack_from(">HH", data, off + 5)
+            return (width, height, data[off + 9])
+        if marker == 0xDA:  # entropy data follows; SOF must precede it
+            return (0, 0, 0)
+        off += 2 + seg_len
+    return (0, 0, 0)
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 de-stuffing; stops at any
     marker (restart handling is the caller's job)."""

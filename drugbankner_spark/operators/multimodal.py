@@ -7,9 +7,13 @@ PNG (functions/png_codec.py: zlib + struct, CRC-checked chunks, all
 five scanline filters), baseline JPEG (functions/jpeg_codec.py: DCT +
 Annex-K Huffman entropy coding, round 5), and WAV audio
 (functions/wav_codec.py: RIFF/PCM via struct); frame sampling is real
-for WAV (time-sliced standalone segments). Codecs that genuinely need
-external libraries (MP3/AAC, video containers) keep the honest
-``NotImplementedError`` + deterministic-fake pair.
+for WAV (time-sliced standalone segments). For compressed audio/video the
+CONTAINER layers are real too — MPEG-audio framing
+(functions/mp3_codec.py: exact VBR-correct duration, ID3 handling) and
+ISO-BMFF box trees (functions/mp4_codec.py: mvhd/trak/stsd) parse with
+stdlib struct via ``container_metadata`` — while SAMPLE decode for
+those formats genuinely needs external codec libraries and keeps the
+honest ``NotImplementedError`` + deterministic-fake pair.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition of
@@ -61,6 +65,133 @@ def media_metadata(media: DataFrame) -> DataFrame:
         "media_id", "mime_type", "n_bytes",
         F.sha2(F.col("payload"), 256).alias("payload_sha256"),
     )
+
+
+def container_metadata(media: DataFrame) -> DataFrame:
+    """Format-sniffing CONTAINER metadata over Arrow batches — the probe
+    a curation pipeline filters on before paying any decode cost.
+
+    Parses header/framing layers only (all in-repo, pure stdlib):
+    PNG IHDR; JPEG SOF marker walk (functions/jpeg_codec.jpeg_dims —
+    never touches entropy data); WAV RIFF/fmt; MJPEG-AVI headers;
+    MPEG-audio frame walk (functions/mp3_codec — exact VBR-correct
+    duration, ID3 detection, no sample decode); ISO-BMFF box tree
+    (functions/mp4_codec — mvhd/trak/stsd, no sample decode). Unknown
+    payloads classify as format='unknown' rather than raising: a
+    metadata probe bins unknowns, it doesn't die on them. Zero shuffle —
+    a pure 1→1 mapInPandas scan."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_tracks", T.LongType()),
+        T.StructField("bitrate_kbps", T.LongType()),
+        T.StructField("vbr", T.BooleanType()),
+        T.StructField("codec", T.StringType()),
+    ])
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from drugbankner_spark.functions import avi_codec as avi
+        from drugbankner_spark.functions import jpeg_codec as jpeg
+        from drugbankner_spark.functions import mp3_codec as mp3
+        from drugbankner_spark.functions import mp4_codec as mp4
+        from drugbankner_spark.functions import png_codec as png
+        from drugbankner_spark.functions import wav_codec as wav
+        from drugbankner_spark.functions.png_codec import _CHANNELS
+
+        def row(mid, **kw):
+            base = {
+                "media_id": int(mid), "format": "unknown", "width": 0,
+                "height": 0, "channels": 0, "sample_rate": 0,
+                "duration_ms": 0, "n_frames": 0, "n_tracks": 0,
+                "bitrate_kbps": 0, "vbr": False, "codec": "",
+            }
+            base.update(kw)
+            return base
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if png.is_png(data) and len(data) >= 26:
+                    w, h = _struct.unpack_from(">II", data, 16)
+                    rows.append(row(
+                        mid, format="png", width=w, height=h,
+                        channels=_CHANNELS.get(data[25], 0), codec="png",
+                    ))
+                elif jpeg.is_jpeg(data):
+                    w, h, ch = jpeg.jpeg_dims(data)
+                    rows.append(row(
+                        mid, format="jpeg", width=w, height=h,
+                        channels=ch, codec="jpeg",
+                    ))
+                elif wav.is_wav(data):
+                    a = wav.decode_wav(data)
+                    dur = (
+                        a["n_frames"] * 1000 // a["sample_rate"]
+                        if a["sample_rate"] else 0
+                    )
+                    rows.append(row(
+                        mid, format="wav", channels=a["channels"],
+                        sample_rate=a["sample_rate"],
+                        duration_ms=dur, n_frames=a["n_frames"],
+                        n_tracks=1, codec=f"pcm{a['bits']}",
+                    ))
+                elif avi.is_avi(data):
+                    info = avi.avi_info(data)
+                    fps = info["fps"] or 0
+                    rows.append(row(
+                        mid, format="avi", width=info["width"],
+                        height=info["height"], n_frames=info["n_frames"],
+                        duration_ms=int(info["n_frames"] * 1000 / fps)
+                        if fps else 0,
+                        n_tracks=1, codec="mjpg",
+                    ))
+                elif mp3.is_mp3(data):
+                    info = mp3.mp3_info(data)
+                    rows.append(row(
+                        mid, format="mp3",
+                        channels=info.get("channels", 0),
+                        sample_rate=info.get("sample_rate", 0),
+                        duration_ms=info["duration_ms"],
+                        n_frames=info["n_frames"], n_tracks=1,
+                        bitrate_kbps=info.get("bitrate_kbps", 0),
+                        vbr=bool(info.get("vbr", False)),
+                        codec=f"{info.get('version', '')}-L"
+                        f"{info.get('layer', '')}" if info["valid"] else "",
+                    ))
+                elif mp4.is_mp4(data):
+                    info = mp4.mp4_info(data)
+                    vids = [
+                        t for t in info["tracks"] if t["handler"] == "vide"
+                    ]
+                    lead = vids[0] if vids else (
+                        info["tracks"][0] if info["tracks"] else None
+                    )
+                    rows.append(row(
+                        mid, format="mp4",
+                        width=lead["width"] if lead else 0,
+                        height=lead["height"] if lead else 0,
+                        duration_ms=info["duration_ms"],
+                        n_frames=lead["n_samples"] if lead else 0,
+                        n_tracks=len(info["tracks"]),
+                        codec=(lead["codec"] or "") if lead else "",
+                    ))
+                else:
+                    rows.append(row(mid))
+            yield pd.DataFrame(
+                [[r[c] for c in cols] for r in rows], columns=cols,
+            )
+
+    return media.mapInPandas(run, out_schema)
 
 
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
@@ -440,8 +571,11 @@ def sample_frames(
     functions/avi_codec.py) yield ≤n evenly-spaced frames, each a
     standalone baseline JPEG with its true container timestamp —
     decodable downstream by decode_media/image_hashes, so video frames
-    flow straight into the image dedup family. Compressed video codecs
-    (H.264 etc.) genuinely need ffmpeg and raise
+    flow straight into the image dedup family; MP3 payloads (round 5
+    late, functions/mp3_codec.py) split on FRAME boundaries into ≤n
+    structurally valid standalone MPEG streams with exact frame-walk
+    timestamps. Compressed video codecs (H.264 etc.) genuinely need
+    ffmpeg and raise
     ``NotImplementedError``; ``fake=True`` slices any payload into n
     equal byte chunks — deterministic, so downstream dedup/similarity
     over frames is testable end to end."""
@@ -454,6 +588,7 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from drugbankner_spark.functions import avi_codec as avi
+        from drugbankner_spark.functions import mp3_codec as mp3
         from drugbankner_spark.functions import wav_codec as wav
 
         for pdf in batches:
@@ -477,6 +612,11 @@ def sample_frames(
                         src, n_frames
                     ):
                         rows.append((int(mid), fi, ts_ms, frame))
+                elif mp3.is_mp3(src):
+                    for i, (ts_ms, seg) in enumerate(
+                        mp3.segment_mp3(src, n_frames)
+                    ):
+                        rows.append((int(mid), i, ts_ms, seg))
                 else:
                     raise NotImplementedError(
                         "frame sampling: WAV audio segments + MJPEG-AVI "

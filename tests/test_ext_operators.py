@@ -271,6 +271,67 @@ def test_multimodal_frame_fanout(spark):
         MM.sample_frames(media, fake=False).collect()
 
 
+def test_sample_frames_mp3_segments(spark):
+    from drugbankner_spark.functions import mp3_codec as mp3
+
+    payload = mp3.encode_mp3(n_frames=12, id3v1=True)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "audio/mpeg", len(payload))],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    segs = MM.sample_frames(media, n_frames=3, fake=False).collect()
+    assert len(segs) == 3
+    # each emitted segment re-parses as a standalone MPEG stream and the
+    # full frame count is conserved across segments
+    per_seg = [mp3.mp3_info(bytes(r["frame_payload"])) for r in segs]
+    assert all(s["valid"] for s in per_seg)
+    assert sum(s["n_frames"] for s in per_seg) == 12
+
+
+def test_container_metadata_all_formats(spark):
+    # one payload per real container format + one unknown blob; the
+    # probe must classify each and extract header-grade fields without
+    # any decode errors (unknowns bin as 'unknown', never raise)
+    from drugbankner_spark.functions import avi_codec as avi
+    from drugbankner_spark.functions import jpeg_codec as jpeg
+    from drugbankner_spark.functions import mp3_codec as mp3
+    from drugbankner_spark.functions import mp4_codec as mp4
+    from drugbankner_spark.functions import png_codec as png
+    from drugbankner_spark.functions import wav_codec as wav
+
+    jpg = jpeg.encode_jpeg(bytes(16 * 8 * 3), 16, 8, 3)
+    payloads = [
+        (1, png.encode_png(bytes(12 * 5 * 3), 12, 5, 3)),
+        (2, jpg),
+        (3, wav.encode_wav([0.0] * 8000, sample_rate=16000)),
+        (4, avi.encode_avi([jpg, jpg, jpg], 16, 8, fps=10)),
+        (5, mp3.encode_mp3(n_frames=10, id3v1=True)),
+        (6, mp4.encode_mp4(duration_ms=2000, width=640, height=360)),
+        (7, b"\x00\x01\x02not-a-container" * 10),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(p), "application/octet-stream", len(p))
+         for i, p in payloads],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    rows = {r["media_id"]: r for r in MM.container_metadata(media).collect()}
+    assert rows[1]["format"] == "png"
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (12, 5, 3)
+    assert rows[2]["format"] == "jpeg"
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == (16, 8, 3)
+    assert rows[3]["format"] == "wav"
+    assert rows[3]["sample_rate"] == 16000 and rows[3]["duration_ms"] == 500
+    assert rows[4]["format"] == "avi"
+    assert rows[4]["n_frames"] == 3 and rows[4]["duration_ms"] == 300
+    assert rows[5]["format"] == "mp3"
+    assert rows[5]["duration_ms"] == round(10 * 1152 / 44100 * 1000)
+    assert rows[5]["bitrate_kbps"] == 128 and not rows[5]["vbr"]
+    assert rows[6]["format"] == "mp4"
+    assert rows[6]["duration_ms"] == 2000 and rows[6]["codec"] == "avc1"
+    assert (rows[6]["width"], rows[6]["height"]) == (640, 360)
+    assert rows[7]["format"] == "unknown" and rows[7]["duration_ms"] == 0
+
+
 def test_gopher_filter_flags(spark):
     from drugbankner_spark.operators.textanalysis import gopher_quality_filter
 

@@ -63,5 +63,6 @@ def test_rotation_candidates_stay_oracle_ready():
                  "e1_bloom_decontaminate", "e5_countmin_topk",
                  "e1_semantic_dedup", "e3_shuffle_shards",
                  "e5_weighted_upsample", "e3_length_buckets",
-                 "e2_int8_quantize", "e3_ngram_topk"]:
+                 "e2_int8_quantize", "e3_ngram_topk",
+                 "e4_container_probe"]:
         assert name in QUERIES and name in ORACLES, name
