@@ -2418,6 +2418,16 @@ def _e3_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    # Dataset "data card" report (round 5 late): one ROLLUP(source,
+    # lang) aggregation → per-slice + per-source + corpus-wide doc
+    # counts, exact-dup rate (sha256 distincts) and exact token-length
+    # percentiles. Single shuffle on the grouping sets.
+    from drugbankner_spark.operators.corpus import corpus_datacard
+
+    return corpus_datacard(load_table(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver registry — capped at 50 entries so EVERY query lands in
     the driver's observed 50-entry CORRECTNESS window (round 1 registered
@@ -2605,6 +2615,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: MP3 framing + MP4 box-tree round-trip probe
         # (hash-oracled — derivation arithmetic replicated in SQL)
         "e4_container_probe": _e4_container_probe,
+        # round 5 late: ROLLUP data-card corpus report (hash-oracled)
+        "e5_datacard": _e5_datacard,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -4803,6 +4815,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 30 AS BIGINT) AS mp4_samples,
                    'avc1' AS mp4_codec
             FROM documents
+        """,
+        # e5_datacard: ROLLUP grouping sets + exact interpolated
+        # percentiles (quantile_cont == Spark percentile) + sha256
+        # distincts — the whole report is one grouped aggregation.
+        "e5_datacard": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   count(DISTINCT sha256(text)) AS n_distinct_texts,
+                   count(*) - count(DISTINCT sha256(text)) AS n_exact_dups,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS total_tokens,
+                   min(len(string_split(text, ' '))) AS min_tokens,
+                   round(quantile_cont(len(string_split(text, ' ')), 0.5),
+                         4) AS p50_tokens,
+                   round(quantile_cont(len(string_split(text, ' ')), 0.95),
+                         4) AS p95_tokens,
+                   max(len(string_split(text, ' '))) AS max_tokens
+            FROM documents
+            GROUP BY ROLLUP (source, lang)
         """,
     }
     # SemDeDup composition: recursive-SQL connected components over the

@@ -669,6 +669,46 @@ def bloom_decontaminate(
     )
 
 
+def corpus_datacard(
+    docs: DataFrame,
+    group_cols: tuple[str, str] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """One-query dataset report over ``ROLLUP(source, lang)`` — the
+    summary table a dataset release publishes as its "data card": doc
+    counts, exact-duplicate rate (sha256 digest distincts), token
+    totals, and exact length percentiles, per source×lang slice plus
+    per-source and corpus-wide rollup rows.
+
+    One aggregation → one shuffle on the grouping sets; the digest
+    distinct adds the standard two-phase expand and the exact median
+    collects each group's token counts once. At 100 TB scope the same
+    shape holds (group count is bounded by the source×lang product, not
+    corpus size); swap ``percentile`` for ``approx_percentile`` and
+    count-distinct for HLL (operators/sketches.py) when exactness is
+    worth trading for a fully map-side-combinable plan.
+    """
+    from drugbankner_spark.operators.textanalysis import token_count
+
+    a, b = group_cols
+    n_tokens = token_count(F.col(text_col))
+    digest = F.sha2(F.col(text_col), 256)
+    return (
+        docs.select(a, b, n_tokens.alias("_nt"), digest.alias("_dg"))
+        .rollup(a, b)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_dg").alias("n_distinct_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("_dg")).alias("n_exact_dups"),
+            F.sum("_nt").alias("total_tokens"),
+            F.min("_nt").alias("min_tokens"),
+            F.round(F.expr("percentile(_nt, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(_nt, 0.95)"), 4).alias("p95_tokens"),
+            F.max("_nt").alias("max_tokens"),
+        )
+    )
+
+
 def length_buckets(
     docs: DataFrame,
     text_col: str = "text",
