@@ -2418,6 +2418,35 @@ def _e3_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e3_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Okapi BM25 lexical retrieval (round 5 late): corpus explodes
+    # once, filters to the query's literal term list at the scan, two
+    # map-side aggs + 1-row N/avgdl build side; deterministic top-k on
+    # (rounded score desc, doc_id).
+    from drugbankner_spark.operators.textanalysis import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_topk(docs, ["spark", "window", "hash"], k=25)
+
+
+def _e3_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet head/middle/tail split (round 5 late): char-LM
+    # self-perplexity → exact tercile cuts (1-row broadcast build
+    # side) → threshold bucketing. No global sort, no ntile window.
+    from drugbankner_spark.caching import shared_persist
+    from drugbankner_spark.operators.textanalysis import (
+        _char_ngrams,
+        char_lm_logprob,
+        ppl_buckets,
+        train_char_lm,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    occ3 = shared_persist(_char_ngrams(docs, "text", "doc_id", 3))
+    model = train_char_lm(docs, grams=occ3)
+    return ppl_buckets(char_lm_logprob(docs, model, occ=occ3))
+
+
 def _e5_datacard(spark: SparkSession, sf: str) -> DataFrame:
     # Dataset "data card" report (round 5 late): one ROLLUP(source,
     # lang) aggregation → per-slice + per-source + corpus-wide doc
@@ -2617,6 +2646,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e4_container_probe": _e4_container_probe,
         # round 5 late: ROLLUP data-card corpus report (hash-oracled)
         "e5_datacard": _e5_datacard,
+        # round 5 late: Okapi BM25 lexical top-k (hash-oracled)
+        "e3_bm25_topk": _e3_bm25_topk,
+        # round 5 late: CCNet head/middle/tail perplexity terciles
+        # (hash-oracled — quantile_cont cuts + threshold bucketing)
+        "e3_ppl_buckets": _e3_ppl_buckets,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -4431,6 +4465,57 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
         """,
+        # e3_ppl_buckets: the SAME charlm pipeline as a CTE, then exact
+        # tercile cuts (quantile_cont == Spark percentile) + threshold
+        # CASE bucketing — replicating the no-sort scale shape.
+        "e3_ppl_buckets": """
+            WITH lowered AS (
+                SELECT doc_id, lower(text) AS t FROM documents
+            ),
+            occ3 AS (
+                SELECT doc_id, substr(t, i, 3) AS gram
+                FROM lowered, UNNEST(generate_series(
+                    1, greatest(length(t) - 2, 0))) AS g(i)
+                WHERE length(substr(t, i, 3)) = 3
+            ),
+            occ2 AS (
+                SELECT substr(t, i, 2) AS gram
+                FROM lowered, UNNEST(generate_series(
+                    1, greatest(length(t) - 1, 0))) AS g(i)
+                WHERE length(substr(t, i, 2)) = 2
+            ),
+            grams AS (
+                SELECT gram, count(*) AS n_gram FROM occ3 GROUP BY gram
+            ),
+            ctx AS (
+                SELECT gram AS context, count(*) AS n_context
+                FROM occ2 GROUP BY gram
+            ),
+            model AS (
+                SELECT g.gram, g.n_gram, c.n_context
+                FROM grams g JOIN ctx c ON c.context = substr(g.gram, 1, 2)
+            ),
+            scored AS (
+                SELECT o.doc_id,
+                       ln((coalesce(m.n_gram, 0) + 0.1)
+                          / (coalesce(m.n_context, 0) + 6.4)) AS lp
+                FROM occ3 o LEFT JOIN model m ON o.gram = m.gram
+            ),
+            final AS (
+                SELECT doc_id, round(avg(lp), 6) AS mean_logprob
+                FROM scored GROUP BY doc_id
+            ),
+            cuts AS (
+                SELECT quantile_cont(mean_logprob, 2.0 / 3.0) AS head_cut,
+                       quantile_cont(mean_logprob, 1.0 / 3.0) AS mid_cut
+                FROM final
+            )
+            SELECT doc_id, mean_logprob,
+                   CASE WHEN mean_logprob >= head_cut THEN 'head'
+                        WHEN mean_logprob >= mid_cut THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM final CROSS JOIN cuts
+        """,
         "e5_mixture_sample": f"""
             WITH t(lang, target) AS (
                 VALUES ('en', 40), ('de', 25), ('zh', 100000)
@@ -4834,6 +4919,46 @@ def oracle_sql() -> dict[str, str]:
                    max(len(string_split(text, ' '))) AS max_tokens
             FROM documents
             GROUP BY ROLLUP (source, lang)
+        """,
+        # e3_bm25_topk: the full Okapi formula replicated term-by-term;
+        # deterministic top-k on (rounded score desc, doc_id)
+        "e3_bm25_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS dl,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, dl, term, count(*) AS tf
+                FROM tok
+                WHERE term IN ('spark', 'window', 'hash')
+                GROUP BY doc_id, dl, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            stats AS (
+                SELECT count(*) AS n_docs,
+                       avg(len(string_split(text, ' '))) AS avgdl
+                FROM documents
+            ),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                              / (dfreq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+                           AS s
+                FROM tf
+                JOIN dfreq USING (term)
+                CROSS JOIN stats
+            )
+            SELECT doc_id,
+                   round(sum(s), 6) AS bm25,
+                   count(*) AS n_query_terms_hit
+            FROM per
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 25
         """,
     }
     # SemDeDup composition: recursive-SQL connected components over the

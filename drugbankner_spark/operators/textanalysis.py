@@ -309,6 +309,100 @@ def tfidf_scores(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval — the classic lexical ranking beside
+    the hashed-TF cosine path in operators/retrieval.py. Per document:
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with
+    the standard ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Plan shape: the corpus explodes ONCE, is filtered to the query's
+    terms immediately (a broadcast isin over a literal list — the scan
+    emits only matching occurrences, never the vocabulary), then two
+    map-side-combinable aggs build tf and df; N and avgdl are 1-row
+    build sides (crossJoin(broadcast) = map-side literal). Document
+    length comes from the same scan. Top-k is a TakeOrderedAndProject
+    on (rounded score desc, id) — deterministic across partitionings.
+    """
+    terms = [t for t in query_terms if t]
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    tok = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    hits = tok.filter(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+    )  # 1-row build side
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    per_term = tf.join(F.broadcast(idf), "term").select(
+        id_col,
+        (
+            F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        ).alias("_s"),
+    )
+    scored = per_term.groupBy(id_col).agg(
+        F.round(F.sum("_s"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_query_terms_hit"),
+    )
+    return scored.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    score_col: str = "mean_logprob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head/middle/tail terciles over a perplexity-shaped
+    quality score (higher logprob = more in-domain = head). The split
+    CCNet publishes: train on head, mine the middle, drop the tail.
+
+    Scale shape: the cut points are ONE exact-percentile aggregation
+    collapsed to a 1-row build side (crossJoin(broadcast) = map-side
+    literal), then bucketing is a pure projection — no global sort, no
+    ntile window funneling the corpus through one task. Threshold
+    semantics (>= cut) rather than equal-count ntile, so ties land in
+    the same bucket deterministically on every partitioning."""
+    cuts = scored.agg(
+        F.expr(f"percentile({score_col}, 2.0D / 3.0D)").alias("head_cut"),
+        F.expr(f"percentile({score_col}, 1.0D / 3.0D)").alias("mid_cut"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        score_col,
+        F.when(F.col(score_col) >= F.col("head_cut"), F.lit("head"))
+        .when(F.col(score_col) >= F.col("mid_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def hashed_tf_vectors(
     df: DataFrame,
     text_col: str = "text",

@@ -271,6 +271,58 @@ def test_multimodal_frame_fanout(spark):
         MM.sample_frames(media, fake=False).collect()
 
 
+def test_ppl_buckets_split_and_gibberish_tail(spark):
+    from drugbankner_spark.operators.textanalysis import (
+        char_lm_logprob,
+        ppl_buckets,
+        train_char_lm,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(60)
+    gib = spark.createDataFrame(
+        [(99901, "qxzj wvqk zzxq jjqx vvzz " * 6)], ["doc_id", "text"]
+    )
+    corpus = docs.select("doc_id", "text").unionByName(gib)
+    model = train_char_lm(corpus)
+    out = ppl_buckets(char_lm_logprob(corpus, model)).collect()
+    buckets = {r["doc_id"]: r["bucket"] for r in out}
+    assert buckets[99901] == "tail"  # gibberish scores out-of-domain
+    shares = {b: sum(1 for v in buckets.values() if v == b)
+              for b in ("head", "middle", "tail")}
+    # threshold terciles: each bucket holds roughly a third (ties drift)
+    assert all(61 // 5 <= n <= 61 * 3 // 5 for n in shares.values()), shares
+
+
+def test_bm25_ranks_planted_relevance(spark):
+    from drugbankner_spark.operators.textanalysis import bm25_topk
+
+    filler = "lorem ipsum dolor sit amet " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, "needle needle needle " + filler),   # 3 hits
+            (2, "needle " + filler),                 # 1 hit
+            (3, "needle common common " + filler),   # 1 hit + common term
+            (4, filler),                             # no hits
+            (5, "common " + filler),                 # only the common term
+            (6, "common " + filler),
+            (7, "common " + filler),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["needle", "common"], k=5).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids                     # no query term → no row
+    # two-term match beats one term repeated: k1 saturates tf, so doc 3
+    # (rare + common) outranks doc 1's tf=3 on the rare term alone
+    assert ids[:2] == [3, 1]
+    # rare 'needle' idf > common 'common' idf: doc 2 beats doc 5
+    assert ids.index(2) < ids.index(5)
+    hits = {r["doc_id"]: r["n_query_terms_hit"] for r in out}
+    assert hits[3] == 2 and hits[1] == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, [])
+
+
 def test_sample_frames_mp3_segments(spark):
     from drugbankner_spark.functions import mp3_codec as mp3
 
