@@ -2447,6 +2447,31 @@ def _e3_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return ppl_buckets(char_lm_logprob(docs, model, occ=occ3))
 
 
+def _e3_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    # Unicode NFC + control scrub (round 5 late). The harness corpus is
+    # ASCII, so the op would be vacuous on raw text — instead each doc
+    # gets a deterministic DECOMPOSED prefix (base letter + combining
+    # accent picked by doc_id) and an embedded control char; the oracle
+    # builds the identical string with chr() and runs DuckDB's ICU
+    # nfc_normalize. A hash match is a real cross-engine Unicode
+    # normalization parity check (Python unicodedata vs ICU).
+    from drugbankner_spark.operators.textanalysis import normalize_unicode
+
+    docs = load_table(spark, sf, "documents")
+    prefix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("e\u0301"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("a\u0300"))
+        .otherwise(F.lit("o\u0302"))
+    )
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            prefix, F.lit("\x07 "), F.substring(F.col("text"), 1, 40)
+        ).alias("text"),
+    )
+    return normalize_unicode(synth)
+
+
 def _e5_datacard(spark: SparkSession, sf: str) -> DataFrame:
     # Dataset "data card" report (round 5 late): one ROLLUP(source,
     # lang) aggregation → per-slice + per-source + corpus-wide doc
@@ -2651,6 +2676,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: CCNet head/middle/tail perplexity terciles
         # (hash-oracled — quantile_cont cuts + threshold bucketing)
         "e3_ppl_buckets": _e3_ppl_buckets,
+        # round 5 late: Unicode NFC + control scrub (hash-oracled —
+        # Python unicodedata vs DuckDB ICU on synthesized decomposed text)
+        "e3_unicode_normalize": _e3_unicode_normalize,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -4515,6 +4543,28 @@ def oracle_sql() -> dict[str, str]:
                         WHEN mean_logprob >= mid_cut THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM final CROSS JOIN cuts
+        """,
+        # e3_unicode_normalize: identical decomposed input built with
+        # chr(); DuckDB's ICU nfc_normalize must agree byte-for-byte
+        # with Python's unicodedata on the Spark side.
+        "e3_unicode_normalize": """
+            WITH synth AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769)
+                             WHEN doc_id % 3 = 1 THEN 'a' || chr(768)
+                             ELSE 'o' || chr(770) END)
+                       || chr(7) || ' ' || substr(text, 1, 40) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(regexp_replace(t,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+                       AS text_norm,
+                   length(t) AS n_chars_before,
+                   length(nfc_normalize(regexp_replace(t,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')))
+                       AS n_chars_after
+            FROM synth
         """,
         "e5_mixture_sample": f"""
             WITH t(lang, target) AS (

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from drugbankner_spark.operators.dedup import content_hash32
 
@@ -401,6 +402,59 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+CONTROL_CHARS_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+    strip_controls: bool = True,
+) -> DataFrame:
+    """Unicode normalization + control-character scrub — the first
+    transform of any web-scale text pipeline (mixed crawls carry the
+    same grapheme in composed and decomposed forms, which silently
+    breaks exact dedup, shingling and tokenizer training upstream of
+    everything else in the E1/E3 families).
+
+    Control stripping stays JVM-side (one ``regexp_replace``); the
+    normalization itself has no Spark built-in, so it runs as an
+    Arrow-batched pandas UDF over ``unicodedata.normalize`` —
+    vectorized transfer, per-batch Python, never per-row JVM↔Python.
+    Output: (id, text_norm, n_chars_before, n_chars_after) — the
+    length delta doubles as a cheap mojibake/denormalization signal.
+    """
+    import pandas  # noqa: F401 — anchors the UDF type hints below
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_unicode: unknown form {form!r}")
+
+    def _norm_kernel(s: "pandas.Series") -> "pandas.Series":
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t)
+            if t is not None else None
+        )
+
+    _norm_kernel.__annotations__ = {
+        "s": pandas.Series, "return": pandas.Series,
+    }
+    _norm = pandas_udf(T.StringType())(_norm_kernel)
+
+    cleaned = (
+        F.regexp_replace(F.col(text_col), CONTROL_CHARS_RE, "")
+        if strip_controls else F.col(text_col)
+    )
+    return df.select(
+        F.col(id_col),
+        _norm(cleaned).alias("text_norm"),
+        F.length(F.col(text_col)).alias("n_chars_before"),
+    ).withColumn("n_chars_after", F.length("text_norm"))
 
 
 def hashed_tf_vectors(

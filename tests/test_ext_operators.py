@@ -271,6 +271,32 @@ def test_multimodal_frame_fanout(spark):
         MM.sample_frames(media, fake=False).collect()
 
 
+def test_normalize_unicode_goldens(spark):
+    from drugbankner_spark.operators.textanalysis import normalize_unicode
+
+    rows = [
+        (1, "éclair"),          # decomposed é → composes to 6 chars
+        (2, "café"),             # already NFC → unchanged
+        (3, "a\x07b\x00c ok"),        # control chars scrubbed
+        (4, None),                     # NULL passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_unicode(df).collect()}
+    assert out[1]["text_norm"] == "éclair"
+    assert (out[1]["n_chars_before"], out[1]["n_chars_after"]) == (7, 6)
+    assert out[2]["text_norm"] == "café"
+    assert out[3]["text_norm"] == "abc ok"
+    assert out[4]["text_norm"] is None
+    # NFKC folds compatibility forms (ﬁ ligature → fi)
+    nfkc = normalize_unicode(
+        spark.createDataFrame([(1, "\ufb01n")], "doc_id long, text string"),
+        form="NFKC",
+    ).collect()[0]
+    assert nfkc["text_norm"] == "fin"
+    with pytest.raises(ValueError, match="unknown form"):
+        normalize_unicode(df, form="NFX")
+
+
 def test_ppl_buckets_split_and_gibberish_tail(spark):
     from drugbankner_spark.operators.textanalysis import (
         char_lm_logprob,
