@@ -259,3 +259,41 @@ def test_bloom_decontaminate_probe_path_is_join_free(spark):
     assert plan.count("Join") <= 2, plan
     # shuffles: shingle distinct, hit agg, (maybe) result join
     assert X.count_shuffles(df) <= 4, plan
+
+
+def test_bm25_broadcasts_stats_and_takeordered_topk(spark):
+    df = QUERIES["e3_bm25_topk"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    # 1-row N/avgdl build side + idf dim both broadcast; top-k compiles
+    # to TakeOrderedAndProject, never a global Sort
+    assert X.count_broadcast_joins(df) >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not X.has_cartesian(df)
+    # tf/df aggs + the 1-row stats agg are the only shuffle producers
+    assert X.count_shuffles(df) <= 4, plan
+
+
+def test_ppl_buckets_no_global_sort_or_ntile(spark):
+    df = QUERIES["e3_ppl_buckets"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    # threshold bucketing: the tercile cuts collapse to a broadcast
+    # 1-row build side; no Window/ntile and no global Sort of the corpus
+    assert "Window" not in plan, plan
+    assert "Sort [" not in plan.replace("SortAggregate", ""), plan
+    assert X.count_broadcast_joins(df) >= 1, plan
+
+
+def test_unicode_normalize_single_scan_no_shuffle(spark):
+    df = QUERIES["e3_unicode_normalize"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert X.count_shuffles(df) == 0, plan  # pure projection pipeline
+    assert "ArrowEvalPython" in plan, plan  # vectorized, not row-at-a-time
+
+
+def test_datacard_is_one_expand_aggregate(spark):
+    df = QUERIES["e5_datacard"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert "Expand" in plan, plan  # ROLLUP grouping sets
+    assert not X.has_cartesian(df)
+    # grouping-set agg + countDistinct expand: bounded shuffle budget
+    assert X.count_shuffles(df) <= 3, plan
