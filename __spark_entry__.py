@@ -2447,6 +2447,28 @@ def _e3_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return ppl_buckets(char_lm_logprob(docs, model, occ=occ3))
 
 
+def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    # Unigram-LM (SentencePiece-style) tokenizer: train on the corpus,
+    # tokenize the corpus. Rows-only by nature — EM probabilities are
+    # iterative floats with no SQL twin; the algorithm is parity-tested
+    # against an independent reference in tests/test_unigram.py.
+    from drugbankner_spark.operators.unigram import (
+        apply_unigram,
+        train_unigram,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    model = train_unigram(
+        docs, vocab_size=120, max_piece_len=6, seed_size=300,
+    )
+    toks = apply_unigram(docs, model)
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
+    )
+
+
 def _e3_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     # Unicode NFC + control scrub (round 5 late). The harness corpus is
     # ASCII, so the op would be vacuous on raw text — instead each doc
@@ -2679,6 +2701,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: Unicode NFC + control scrub (hash-oracled —
         # Python unicodedata vs DuckDB ICU on synthesized decomposed text)
         "e3_unicode_normalize": _e3_unicode_normalize,
+        # round 5 late: unigram-LM tokenizer train+apply (rows-only —
+        # iterative EM floats have no SQL twin; independent-reference
+        # parity in tests/test_unigram.py)
+        "e3_unigram_tokens": _e3_unigram_tokens,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)

@@ -20,7 +20,10 @@ Each module maps to a SURVEY.md §2 section:
 - ``graph``        connected components (propagation + large/small-star).
 - ``sampling``     deterministic hash sample / split / stratified draw.
 - ``corpus``       cleaning, chunking, decontamination, sequence packing,
-                   continuous ingest (batch + streaming).
+                   continuous ingest (batch + streaming), data-card report.
+- ``bpe``          distributed BPE tokenizer training + application.
+- ``unigram``      unigram-LM (SentencePiece-style) tokenizer: EM
+                   training over the distinct-word vocab + Viterbi apply.
 - ``sketches``     mergeable HLL / KLL / theta sketch aggregations.
 - ``checks``       declarative data-quality constraint reports.
 - ``scale``        salting, bucketing, skew profiling, compaction.

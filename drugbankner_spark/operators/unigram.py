@@ -1,0 +1,275 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training over a corpus
+(E3, round 5 late) — the second of the two dominant subword families,
+beside the BPE trainer in operators/bpe.py.
+
+Kudo (2018)'s unigram model scores a segmentation as the product of
+independent piece probabilities; training is EM over the segmentation
+lattice, followed by pruning down to the target vocabulary. Expressed
+Spark-first:
+
+- The same reduction that makes BPE feasible applies: collapse the
+  corpus to DISTINCT WORDS with counts (one agg, corpus-size
+  independent afterwards). Every EM pass touches only the word-vocab
+  DataFrame.
+- Seed vocabulary: all substrings (≤ ``max_piece_len``) of the distinct
+  words, weighted by word frequency — one explode + one
+  map-side-combinable agg → top-``seed_size`` pieces (count desc, piece
+  asc tie-break), single characters always included so every word stays
+  segmentable.
+- E-step: per-word forward-backward over the lattice, an Arrow-batched
+  ``mapInPandas`` kernel over the distinct-word table with the CURRENT
+  piece log-probs shipped in the closure (the piece table is bounded by
+  ``seed_size``, never corpus-sized — the same bounded-model contract
+  as the PQ/k-means sampled fits). Expected counts aggregate with one
+  map-side-combinable sum; the M-step renormalizes on the driver over
+  ≤ seed_size rows.
+- Pruning: geometric — keep the top ``prune_keep`` fraction by
+  probability (single chars exempt) per round until ``vocab_size``.
+  This is the standard simplification of Kudo's loss-based prune
+  (SentencePiece's own trainer prunes by likelihood-loss; probability
+  rank is the accepted approximation when sub-percent segmentation
+  differences don't matter). Documented, not hidden.
+- ``apply_unigram``: Viterbi segmentation (deterministic tie-breaks:
+  higher score, then longer piece) over any corpus via mapInPandas,
+  memoized per distinct word within each Arrow batch.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from drugbankner_spark.operators.bpe import _word_vocab
+
+_NEG_INF = float("-inf")
+
+
+def _logsumexp(xs: list[float]) -> float:
+    m = max(xs)
+    if m == _NEG_INF:
+        return _NEG_INF
+    return m + math.log(sum(math.exp(x - m) for x in xs))
+
+
+def seed_vocab(
+    words: DataFrame, max_piece_len: int = 8, seed_size: int = 1000
+) -> DataFrame:
+    """(piece, count) seed table: every substring of every distinct
+    word up to ``max_piece_len`` chars, weighted by word frequency;
+    top-``seed_size`` by (count desc, piece asc) UNION all single
+    characters (which must survive every prune so segmentation never
+    fails). One explode + one agg; substrings per word are bounded by
+    |word|·max_piece_len."""
+    subs = words.select(
+        "n",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(
+                    sequence(1, length(word)),
+                    i -> transform(
+                        sequence(1, least({int(max_piece_len)},
+                                          length(word) - i + 1)),
+                        l -> substring(word, i, l)
+                    )
+                ))
+                """
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("n").alias("count"))
+    # unpartitioned window over the (bounded) piece-count table, not
+    # the corpus — the same post-agg shape as q15's top-supplier max
+    ranked = counts.withColumn(
+        "_rk",
+        F.row_number().over(Window.orderBy(F.desc("count"), F.asc("piece"))),
+    )
+    top = ranked.filter(
+        (F.col("_rk") <= seed_size) | (F.length("piece") == 1)
+    )
+    return top.select("piece", "count")
+
+
+def _expected_counts_kernel(probs: dict, max_piece_len: int):
+    """Returns a mapInPandas kernel computing per-piece expected counts
+    (forward-backward over each word's segmentation lattice, scaled by
+    word frequency)."""
+    import pandas as pd
+
+    def run(batches):
+        logp = {p: math.log(v) for p, v in probs.items() if v > 0}
+        for pdf in batches:
+            acc: dict[str, float] = {}
+            for word, n in zip(pdf["word"], pdf["n"]):
+                L = len(word)
+                n = float(n)
+                alpha = [_NEG_INF] * (L + 1)
+                alpha[0] = 0.0
+                for i in range(1, L + 1):
+                    terms = []
+                    for j in range(max(0, i - max_piece_len), i):
+                        lp = logp.get(word[j:i])
+                        if lp is not None and alpha[j] != _NEG_INF:
+                            terms.append(alpha[j] + lp)
+                    if terms:
+                        alpha[i] = _logsumexp(terms)
+                z = alpha[L]
+                if z == _NEG_INF:
+                    continue  # unreachable (cannot happen: chars kept)
+                beta = [_NEG_INF] * (L + 1)
+                beta[L] = 0.0
+                for j in range(L - 1, -1, -1):
+                    terms = []
+                    for i in range(j + 1, min(L, j + max_piece_len) + 1):
+                        lp = logp.get(word[j:i])
+                        if lp is not None and beta[i] != _NEG_INF:
+                            terms.append(lp + beta[i])
+                    if terms:
+                        beta[j] = _logsumexp(terms)
+                for j in range(L):
+                    for i in range(j + 1, min(L, j + max_piece_len) + 1):
+                        lp = logp.get(word[j:i])
+                        if lp is None:
+                            continue
+                        if alpha[j] == _NEG_INF or beta[i] == _NEG_INF:
+                            continue
+                        w = math.exp(alpha[j] + lp + beta[i] - z)
+                        if w > 0.0:
+                            piece = word[j:i]
+                            acc[piece] = acc.get(piece, 0.0) + w * n
+            yield pd.DataFrame(
+                {"piece": list(acc), "ec": list(acc.values())}
+            )
+
+    return run
+
+
+_EC_SCHEMA = T.StructType([
+    T.StructField("piece", T.StringType()),
+    T.StructField("ec", T.DoubleType()),
+])
+
+
+def train_unigram(
+    corpus: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    max_piece_len: int = 8,
+    seed_size: int = 1000,
+    em_iters_per_round: int = 2,
+    prune_keep: float = 0.75,
+) -> dict[str, float]:
+    """Learn a unigram-LM piece vocabulary with probabilities — the
+    whole trained tokenizer state, as a {piece: prob} dict (bounded by
+    ``seed_size``; the driver-side model is the documented contract, as
+    with the PQ codebooks). Deterministic given the corpus."""
+    words = _word_vocab(corpus, text_col).select("word", "n")
+    words = words.localCheckpoint(eager=True)
+    seed = seed_vocab(words, max_piece_len, seed_size).collect()
+    total = sum(r["count"] for r in seed)
+    probs = {r["piece"]: r["count"] / total for r in seed}
+    single_chars = {r["piece"] for r in seed if len(r["piece"]) == 1}
+
+    while True:
+        for _ in range(em_iters_per_round):
+            ec_rows = (
+                words.mapInPandas(
+                    _expected_counts_kernel(probs, max_piece_len),
+                    _EC_SCHEMA,
+                )
+                .groupBy("piece")
+                .agg(F.sum("ec").alias("ec"))
+                .collect()
+            )
+            z = sum(r["ec"] for r in ec_rows)
+            probs = {r["piece"]: r["ec"] / z for r in ec_rows}
+            # pieces the E-step never used drop out naturally; single
+            # chars must never — restore them at epsilon mass if lost
+            for c in single_chars:
+                probs.setdefault(c, 1e-12)
+        n_prunable = sum(1 for p in probs if len(p) > 1)
+        target_prunable = vocab_size - len(single_chars)
+        if n_prunable <= max(target_prunable, 0):
+            break
+        keep = max(int(n_prunable * prune_keep), max(target_prunable, 0))
+        multi = sorted(
+            ((p, v) for p, v in probs.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:keep]
+        probs = {
+            **{p: v for p, v in probs.items() if len(p) == 1},
+            **dict(multi),
+        }
+    z = sum(probs.values())
+    return {p: v / z for p, v in sorted(probs.items())}
+
+
+def viterbi_segment(
+    word: str, probs: dict[str, float], max_piece_len: int = 8
+) -> list[str]:
+    """Best segmentation under the unigram model. Deterministic ties:
+    higher score, then LONGER last piece (smaller split point)."""
+    logp = {p: math.log(v) for p, v in probs.items() if v > 0}
+    L = len(word)
+    best = [(-math.inf, -1)] * (L + 1)
+    best[0] = (0.0, -1)
+    for i in range(1, L + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None or best[j][0] == -math.inf:
+                continue
+            score = best[j][0] + lp
+            # strictly-better OR equal-score-with-smaller-j wins; since
+            # j ascends we only replace on strict improvement
+            if score > best[i][0]:
+                best[i] = (score, j)
+    if best[L][1] == -1 and L > 0:
+        return list(word)  # unsegmentable chars: per-char fallback
+    out: list[str] = []
+    i = L
+    while i > 0:
+        j = best[i][1]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def apply_unigram(
+    df: DataFrame,
+    probs: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Tokenize a corpus with a trained unigram model: (id, tokens).
+    Arrow-batched mapInPandas; Viterbi runs once per DISTINCT word per
+    batch (memoized), so repeated words cost a dict hit."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+    ])
+
+    def run(batches):
+        memo: dict[str, list[str]] = {}
+
+        def seg(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = viterbi_segment(w, probs, max_piece_len)
+            return got
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for w in (text or "").split():
+                    toks.extend(seg(w))
+                rows.append((int(did), toks))
+            yield pd.DataFrame(rows, columns=[id_col, "tokens"])
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

@@ -1,0 +1,154 @@
+"""Unigram-LM tokenizer training (operators/unigram.py) — checked
+against an independent single-process reference implementation of the
+same EM, plus semantic/determinism properties."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from drugbankner_spark.operators import unigram as U  # noqa: E402
+
+
+# ------------------------------------------------- independent reference
+
+def _ref_seed(word_counts, max_len, seed_size):
+    counts = {}
+    for w, n in word_counts.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                p = w[i:i + l]
+                counts[p] = counts.get(p, 0) + n
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_size]
+    keep = dict(top)
+    for p, c in counts.items():
+        if len(p) == 1:
+            keep[p] = c
+    return keep
+
+
+def _ref_em_step(word_counts, probs, max_len):
+    logp = {p: math.log(v) for p, v in probs.items() if v > 0}
+    ec = {}
+    for w, n in word_counts.items():
+        L = len(w)
+        alpha = [-math.inf] * (L + 1)
+        alpha[0] = 0.0
+        for i in range(1, L + 1):
+            terms = [
+                alpha[j] + logp[w[j:i]]
+                for j in range(max(0, i - max_len), i)
+                if w[j:i] in logp and alpha[j] != -math.inf
+            ]
+            if terms:
+                m = max(terms)
+                alpha[i] = m + math.log(sum(math.exp(t - m) for t in terms))
+        beta = [-math.inf] * (L + 1)
+        beta[L] = 0.0
+        for j in range(L - 1, -1, -1):
+            terms = [
+                logp[w[j:i]] + beta[i]
+                for i in range(j + 1, min(L, j + max_len) + 1)
+                if w[j:i] in logp and beta[i] != -math.inf
+            ]
+            if terms:
+                m = max(terms)
+                beta[j] = m + math.log(sum(math.exp(t - m) for t in terms))
+        z = alpha[L]
+        for j in range(L):
+            for i in range(j + 1, min(L, j + max_len) + 1):
+                if w[j:i] in logp and alpha[j] != -math.inf \
+                        and beta[i] != -math.inf:
+                    ec[w[j:i]] = ec.get(w[j:i], 0.0) + n * math.exp(
+                        alpha[j] + logp[w[j:i]] + beta[i] - z
+                    )
+    z = sum(ec.values())
+    return {p: v / z for p, v in ec.items()}
+
+
+CORPUS = [
+    (1, "play playing played player plays"),
+    (2, "work working worked worker works"),
+    (3, "playing working play work"),
+    (4, "the the the the"),
+]
+WORD_COUNTS = {}
+for _, line in CORPUS:
+    for w in line.split():
+        WORD_COUNTS[w] = WORD_COUNTS.get(w, 0) + 1
+
+
+def test_em_matches_independent_reference(spark):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = U.train_unigram(
+        corpus, vocab_size=10_000, max_piece_len=6, seed_size=40,
+        em_iters_per_round=2,
+    )
+    seed = _ref_seed(WORD_COUNTS, 6, 40)
+    total = sum(seed.values())
+    probs = {p: c / total for p, c in seed.items()}
+    chars = {p for p in seed if len(p) == 1}
+    for _ in range(2):
+        probs = _ref_em_step(WORD_COUNTS, probs, 6)
+        for c in chars:
+            probs.setdefault(c, 1e-12)
+    z = sum(probs.values())
+    want = {p: v / z for p, v in probs.items()}
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], rel=1e-9, abs=1e-12), p
+
+
+def test_learns_planted_morpheme(spark):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    model = U.train_unigram(
+        corpus, vocab_size=30, max_piece_len=6, seed_size=60,
+    )
+    multi = sorted(
+        ((p, v) for p, v in model.items() if len(p) > 1),
+        key=lambda kv: -kv[1],
+    )
+    top_pieces = [p for p, _ in multi[:8]]
+    assert any("play" in p for p in top_pieces), top_pieces
+    assert any("work" in p for p in top_pieces), top_pieces
+
+
+def test_viterbi_and_apply_conserve_text(spark):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    model = U.train_unigram(corpus, vocab_size=30, max_piece_len=6,
+                            seed_size=60)
+    toks = {r["doc_id"]: r["tokens"]
+            for r in U.apply_unigram(corpus, model).collect()}
+    for did, line in CORPUS:
+        assert "".join(toks[did]) == line.replace(" ", "")
+    # unseen word still segments (single-char fallback floor)
+    unseen = spark.createDataFrame([(9, "zzqx")], ["doc_id", "text"])
+    [row] = U.apply_unigram(unseen, model).collect()
+    assert "".join(row["tokens"]) == "zzqx"
+
+
+def test_vocab_size_and_single_chars_survive(spark):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    model = U.train_unigram(corpus, vocab_size=25, max_piece_len=6,
+                            seed_size=80)
+    chars = {c for w in WORD_COUNTS for c in w}
+    assert chars <= set(model)  # every char still present
+    n_multi = sum(1 for p in model if len(p) > 1)
+    assert n_multi <= max(25 - len(chars), 0) or n_multi <= 25
+    assert abs(sum(model.values()) - 1.0) < 1e-9
+
+
+def test_training_is_partitioning_invariant(spark):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    a = U.train_unigram(corpus.repartition(7), vocab_size=30,
+                        max_piece_len=6, seed_size=60)
+    b = U.train_unigram(corpus.coalesce(1), vocab_size=30,
+                        max_piece_len=6, seed_size=60)
+    assert set(a) == set(b)
+    for p in a:
+        assert a[p] == pytest.approx(b[p], rel=1e-9, abs=1e-12)
