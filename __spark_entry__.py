@@ -2469,6 +2469,35 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e3_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    # URL canonicalization (round 5 late): pure-codegen normalizer
+    # (operators/web.py) over URLs synthesized deterministically from
+    # doc_id — upper scheme/host, default port, trailing slash,
+    # tracking params and fragment all exercised; the oracle rebuilds
+    # the same strings and replicates every normalization step in SQL.
+    from drugbankner_spark.operators.web import canonicalize_url, url_host
+
+    docs = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Dir"), (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("&fbclid=xyz"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    synth = docs.select("doc_id", url.alias("url"))
+    return synth.select(
+        "doc_id",
+        "url",
+        canonicalize_url("url").alias("canonical"),
+        url_host("url").alias("host"),
+    )
+
+
 def _e3_unicode_normalize(spark: SparkSession, sf: str) -> DataFrame:
     # Unicode NFC + control scrub (round 5 late). The harness corpus is
     # ASCII, so the op would be vacuous on raw text — instead each doc
@@ -2705,6 +2734,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative EM floats have no SQL twin; independent-reference
         # parity in tests/test_unigram.py)
         "e3_unigram_tokens": _e3_unigram_tokens,
+        # round 5 late: codegen URL canonicalizer (hash-oracled —
+        # every normalization step replicated in SQL)
+        "e3_url_canonicalize": _e3_url_canonicalize,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -4591,6 +4623,84 @@ def oracle_sql() -> dict[str, str]:
                        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')))
                        AS n_chars_after
             FROM synth
+        """,
+        # e3_url_canonicalize: same synthesized URLs; every step of the
+        # canonicalizer (fragment, query split, scheme/host lowering,
+        # default ports, path slash, tracking-param filter) in SQL.
+        "e3_url_canonicalize": """
+            WITH synth AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.Site' || (doc_id % 7) || '.COM'
+                       || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+                       || '/Dir' || (doc_id % 5)
+                       || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+                       || '?utm_source=feed&id=' || (doc_id % 100)
+                       || '&fbclid=xyz'
+                       || (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)
+                           AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id, url,
+                       split_part(split_part(url, '#', 1), '?', 1) AS base,
+                       CASE WHEN contains(split_part(url, '#', 1), '?')
+                            THEN split_part(split_part(url, '#', 1), '?', 2)
+                            ELSE '' END AS query
+                FROM synth
+            ),
+            hp AS (
+                SELECT doc_id, url, query,
+                       lower(split_part(base, '://', 1)) AS scheme,
+                       substr(base,
+                              length(split_part(base, '://', 1)) + 4)
+                           AS after
+                FROM parts
+            ),
+            hostpath AS (
+                SELECT doc_id, url, query, scheme,
+                       lower(split_part(after, '/', 1)) AS hostport,
+                       substr(after,
+                              length(split_part(after, '/', 1)) + 1)
+                           AS rawpath
+                FROM hp
+            ),
+            norm AS (
+                SELECT doc_id, url, query, scheme, hostport,
+                       CASE WHEN scheme = 'http'
+                                 AND hostport LIKE '%:80'
+                            THEN substr(hostport, 1,
+                                        length(hostport) - 3)
+                            WHEN scheme = 'https'
+                                 AND hostport LIKE '%:443'
+                            THEN substr(hostport, 1,
+                                        length(hostport) - 4)
+                            ELSE hostport END AS chost,
+                       CASE WHEN rawpath = '' THEN '/'
+                            ELSE rawpath END AS p1
+                FROM hostpath
+            ),
+            fin AS (
+                SELECT doc_id, url, scheme, chost, hostport,
+                       CASE WHEN length(p1) > 1 AND p1 LIKE '%/'
+                            THEN substr(p1, 1, length(p1) - 1)
+                            ELSE p1 END AS path,
+                       array_to_string(list_filter(
+                           string_split(query, '&'),
+                           x -> x <> ''
+                                AND NOT starts_with(x, 'utm_')
+                                AND NOT starts_with(x, 'fbclid=')
+                                AND NOT starts_with(x, 'gclid=')
+                                AND NOT starts_with(x, 'msclkid=')
+                                AND NOT starts_with(x, 'mc_eid=')
+                       ), '&') AS kept
+                FROM norm
+            )
+            SELECT doc_id, url,
+                   scheme || '://' || chost || path
+                   || (CASE WHEN kept = '' THEN ''
+                            ELSE '?' || kept END) AS canonical,
+                   split_part(hostport, ':', 1) AS host
+            FROM fin
         """,
         "e5_mixture_sample": f"""
             WITH t(lang, target) AS (

@@ -24,6 +24,8 @@ Each module maps to a SURVEY.md §2 section:
 - ``bpe``          distributed BPE tokenizer training + application.
 - ``unigram``      unigram-LM (SentencePiece-style) tokenizer: EM
                    training over the distinct-word vocab + Viterbi apply.
+- ``web``          web-crawl curation: HTML→text, link extraction, URL
+                   canonicalization (codegen), WARC→documents ingest.
 - ``sketches``     mergeable HLL / KLL / theta sketch aggregations.
 - ``checks``       declarative data-quality constraint reports.
 - ``scale``        salting, bucketing, skew profiling, compaction.

@@ -1,0 +1,187 @@
+"""Web-crawl curation operators (E3/web family, round 5 late): HTML →
+text extraction, link extraction, and URL canonicalization — the steps
+between a WARC archive (sources/warc_source.py) and the ``documents``
+shape every E1/E3 operator consumes.
+
+Scale notes: HTML extraction and link extraction are 1→1 / 1→N
+Arrow-batched kernels over the record rows — zero shuffle, pure scan
+parallelism. URL canonicalization is a PURE COLUMN EXPRESSION (no
+Python), so it runs inside whole-stage codegen and is usable as a join
+key normalizer at any scale (URL-level dedup shuffles canonical keys,
+never pages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Query parameters that never change page content (tracking only).
+TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def html_to_text_df(
+    records: DataFrame,
+    body_col: str = "body",
+    content_type_col: str = "content_type",
+) -> DataFrame:
+    """Decode + boilerplate-strip HTML record bodies into (all input
+    columns minus body) + (title, text, n_links). Arrow-batched 1→1."""
+    import pandas as pd
+
+    from drugbankner_spark.functions import html_text as H
+
+    keep = [c for c in records.columns if c != body_col]
+    out_schema = T.StructType(
+        [records.schema[c] for c in keep]
+        + [
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_links", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            texts, titles, nlinks = [], [], []
+            for body, ctype in zip(pdf[body_col], pdf[content_type_col]):
+                html = H.decode_html(bytes(body), ctype)
+                texts.append(H.html_to_text(html))
+                titles.append(H.html_title(html))
+                nlinks.append(len(H.html_links(html)))
+            out = pdf[keep].copy()
+            out["title"] = titles
+            out["text"] = texts
+            out["n_links"] = nlinks
+            yield out
+
+    return records.mapInPandas(run, out_schema)
+
+
+def extract_links_df(
+    records: DataFrame,
+    body_col: str = "body",
+    content_type_col: str = "content_type",
+    uri_col: str = "target_uri",
+) -> DataFrame:
+    """1→N link fan-out: (page_uri, href, anchor_text) per <a href> —
+    the edge list for URL-graph curation (domain counts, link-based
+    quality signals)."""
+    import pandas as pd
+
+    from drugbankner_spark.functions import html_text as H
+
+    out_schema = T.StructType([
+        T.StructField("page_uri", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("anchor_text", T.StringType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for uri, body, ctype in zip(
+                pdf[uri_col], pdf[body_col], pdf[content_type_col]
+            ):
+                html = H.decode_html(bytes(body), ctype)
+                for href, anchor in H.html_links(html):
+                    rows.append((uri, href, anchor))
+            yield pd.DataFrame(
+                rows, columns=["page_uri", "href", "anchor_text"]
+            )
+
+    return records.mapInPandas(run, out_schema)
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL as a pure column expression (codegen-friendly, no
+    UDF): lowercase scheme+host, default :80/:443 ports stripped,
+    fragment dropped, tracking query params removed (empty query drops
+    its '?'), empty path → '/', non-root trailing slash trimmed. The
+    join-key normalizer for URL-level dedup and blocklist joins."""
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.substring_index(u, "#", 1)
+    base = F.substring_index(no_frag, "?", 1)
+    query = F.when(
+        no_frag.contains("?"), F.substring_index(no_frag, "?", -1)
+    ).otherwise(F.lit(""))
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    after = F.substring(base, F.length(scheme) + 4, F.lit(1 << 30))
+    hostport = F.lower(F.substring_index(after, "/", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    path = F.substring(
+        after, F.length(hostport) + 1, F.lit(1 << 30)
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid=")
+        & ~p.startswith("msclkid=")
+        & ~p.startswith("mc_eid="),
+    )
+    kept = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host (port stripped) — the blocklist/grouping key."""
+    u = F.col(url) if isinstance(url, str) else url
+    base = F.substring_index(F.substring_index(u, "#", 1), "?", 1)
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    after = F.substring(base, F.length(scheme) + 4, F.lit(1 << 30))
+    return F.substring_index(
+        F.lower(F.substring_index(after, "/", 1)), ":", 1
+    )
+
+
+def filter_blocked_hosts(
+    pages: DataFrame, blocklist: DataFrame, url_col: str = "target_uri"
+) -> DataFrame:
+    """Drop pages whose canonical host is on the blocklist — a
+    broadcast LEFT ANTI join on the host key (the blocklist dim is
+    tiny; the crawl side never shuffles)."""
+    keyed = pages.withColumn("_host", url_host(url_col))
+    return keyed.join(
+        F.broadcast(blocklist.select(F.col("host").alias("_host"))),
+        "_host",
+        "left_anti",
+    ).drop("_host")
+
+
+def web_ingest(archives: DataFrame) -> DataFrame:
+    """WARC archives → documents-shaped rows: successful (HTTP 200)
+    HTML responses, boilerplate-stripped, keyed by canonical URL —
+    ready for the E1 dedup / E3 quality families. Zero shuffle: scan →
+    record fan-out → per-row extraction → projection."""
+    from drugbankner_spark.sources.warc_source import warc_records
+
+    recs = warc_records(archives).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.col("content_type")).contains("text/html")
+    )
+    return html_to_text_df(recs).select(
+        canonicalize_url("target_uri").alias("url"),
+        url_host("target_uri").alias("host"),
+        "title",
+        "text",
+        "n_links",
+        F.col("warc_date").alias("fetched_at"),
+    )

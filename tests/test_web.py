@@ -1,0 +1,178 @@
+"""Web ingestion: WARC source, HTML extraction, URL canonicalization
+(sources/warc_source.py, functions/html_text.py, operators/web.py)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from drugbankner_spark.functions import html_text as H  # noqa: E402
+from drugbankner_spark.operators import web as W  # noqa: E402
+from drugbankner_spark.sources import warc_source as WS  # noqa: E402
+
+PAGE = b"""<html><head><title>My  Page</title>
+<style>body { color: red }</style>
+<script>var x = "SCRIPT NOISE";</script></head>
+<body><h1>Heading</h1>
+<p>First paragraph with <b>bold</b> text.</p>
+<div>Second   block</div>
+<a href="https://example.com/next">next page</a>
+<noscript>no js</noscript>
+</body></html>"""
+
+
+# ------------------------------------------------------------- html_text
+
+def test_html_to_text_strips_boilerplate():
+    text = H.html_to_text(PAGE.decode())
+    assert "SCRIPT NOISE" not in text and "color: red" not in text
+    assert "no js" not in text
+    lines = text.split("\n")
+    assert "Heading" in lines
+    assert "First paragraph with bold text." in lines
+    assert "Second block" in lines  # whitespace collapsed
+
+
+def test_html_title_and_links():
+    assert H.html_title(PAGE.decode()) == "My Page"
+    assert H.html_links(PAGE.decode()) == [
+        ("https://example.com/next", "next page")
+    ]
+
+
+def test_html_entities_unescape():
+    assert H.html_to_text("<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+
+
+def test_charset_sniffing():
+    assert H.sniff_charset(b"", "text/html; charset=ISO-8859-1") == \
+        "iso-8859-1"
+    assert H.sniff_charset(
+        b'<html><meta charset="windows-1252"></html>', None
+    ) == "windows-1252"
+    assert H.sniff_charset(b"<html></html>", None) == "utf-8"
+    # latin-1 body decodes via the HTTP header charset
+    body = "caf\xe9".encode("latin-1")
+    assert H.decode_html(body, "text/html; charset=latin-1") == "café"
+
+
+# ------------------------------------------------------------------ WARC
+
+def _fixture_archive(gz: bool = False) -> bytes:
+    recs = [
+        WS.encode_warc_record("warcinfo", payload=b"software: test\r\n"),
+        WS.encode_warc_record(
+            "response", "https://example.com/a",
+            WS.encode_http_response(PAGE),
+        ),
+        WS.encode_warc_record(
+            "response", "https://example.com/miss",
+            WS.encode_http_response(b"gone", status=404,
+                                    content_type="text/plain"),
+        ),
+        WS.encode_warc_record(
+            "request", "https://example.com/a", b"GET /a HTTP/1.1\r\n",
+        ),
+    ]
+    return WS.encode_warc(recs, gzip_members=gz)
+
+
+def test_parse_warc_roundtrip():
+    recs = WS.parse_warc(_fixture_archive())
+    assert [r["headers"]["warc-type"] for r in recs] == [
+        "warcinfo", "response", "response", "request"
+    ]
+    status, headers, body = WS.split_http_response(recs[1]["payload"])
+    assert status == 200 and body == PAGE
+    assert headers["content-type"].startswith("text/html")
+
+
+def test_parse_warc_gzip_members_and_truncation():
+    gz = _fixture_archive(gz=True)
+    assert [r["headers"]["warc-type"] for r in WS.parse_warc(gz)] == [
+        "warcinfo", "response", "response", "request"
+    ]
+    cut = WS.parse_warc(_fixture_archive()[:-60])  # truncated tail
+    assert len(cut) == 3  # last record dropped, earlier ones intact
+
+
+def test_warc_records_fanout(spark):
+    archives = spark.createDataFrame(
+        [("mem://a.warc", bytearray(_fixture_archive()))],
+        "path string, content binary",
+    )
+    rows = WS.warc_records(archives).collect()
+    assert len(rows) == 4
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert {r["http_status"] for r in resp} == {200, 404}
+    assert resp[0]["target_uri"] == "https://example.com/a"
+    assert bytes(resp[0]["body"]) == PAGE
+
+
+# ---------------------------------------------------------- URL handling
+
+def test_canonicalize_url_cases(spark):
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=7#frag",
+         "https://www.example.com/Path?id=7"),
+        ("http://host:80/", "http://host/"),
+        ("http://host:8080/a/", "http://host:8080/a"),
+        ("https://h.com", "https://h.com/"),
+        ("https://h.com/p?fbclid=z&gclid=q", "https://h.com/p"),
+        ("https://h.com/p?a=1&b=2", "https://h.com/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in
+           df.select(W.canonicalize_url("url")).collect()]
+    assert got == [want for _, want in cases]
+    hosts = [r[0] for r in df.select(W.url_host("url")).collect()]
+    assert hosts == ["www.example.com", "host", "host", "h.com",
+                     "h.com", "h.com"]
+
+
+def test_blocklist_filter(spark):
+    pages = spark.createDataFrame(
+        [("https://spam.example/x",), ("https://good.org/y",)],
+        ["target_uri"],
+    )
+    blocked = spark.createDataFrame([("spam.example",)], ["host"])
+    out = W.filter_blocked_hosts(pages, blocked).collect()
+    assert [r["target_uri"] for r in out] == ["https://good.org/y"]
+
+
+# ------------------------------------------------------------ end-to-end
+
+def test_web_ingest_end_to_end(spark):
+    archives = spark.createDataFrame(
+        [("mem://a.warc.gz", bytearray(_fixture_archive(gz=True)))],
+        "path string, content binary",
+    )
+    docs = W.web_ingest(archives).collect()
+    # only the 200 text/html response survives
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["url"] == "https://example.com/a"
+    assert d["host"] == "example.com"
+    assert d["title"] == "My Page"
+    assert "First paragraph with bold text." in d["text"]
+    assert "SCRIPT NOISE" not in d["text"]
+    assert d["n_links"] == 1
+
+
+def test_extract_links_edge_list(spark):
+    archives = spark.createDataFrame(
+        [("mem://a.warc", bytearray(_fixture_archive()))],
+        "path string, content binary",
+    )
+    recs = WS.warc_records(archives).filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    links = W.extract_links_df(recs).collect()
+    assert [(r["page_uri"], r["href"], r["anchor_text"])
+            for r in links] == [
+        ("https://example.com/a", "https://example.com/next", "next page")
+    ]
