@@ -54,6 +54,9 @@ HEADLINE = [
     # round 5 late: cross-document substring dedup (gram-stats shuffle
     # + co-partitioned occurrence join — the heaviest dedup shape)
     "e1_crossdoc_dedup",
+    # round 5 late: lexical retrieval + tokenizer-training costs
+    "e3_bm25_topk",
+    "e3_unigram_tokens",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch

@@ -250,7 +250,7 @@ def apply_unigram(
     import pandas as pd
 
     out_schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
+        df.schema[id_col],  # id keeps its input type (long ids, URLs…)
         T.StructField("tokens", T.ArrayType(T.StringType())),
     ])
 
@@ -269,7 +269,7 @@ def apply_unigram(
                 toks: list[str] = []
                 for w in (text or "").split():
                     toks.extend(seg(w))
-                rows.append((int(did), toks))
+                rows.append((did, toks))
             yield pd.DataFrame(rows, columns=[id_col, "tokens"])
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)

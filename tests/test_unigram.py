@@ -130,6 +130,13 @@ def test_viterbi_and_apply_conserve_text(spark):
     unseen = spark.createDataFrame([(9, "zzqx")], ["doc_id", "text"])
     [row] = U.apply_unigram(unseen, model).collect()
     assert "".join(row["tokens"]) == "zzqx"
+    # non-numeric id columns pass through with their own type
+    urls = spark.createDataFrame(
+        [("https://a/x", "playing works")], ["url", "text"]
+    )
+    [urow] = U.apply_unigram(urls, model, id_col="url").collect()
+    assert urow["url"] == "https://a/x"
+    assert "".join(urow["tokens"]) == "playingworks"
 
 
 def test_vocab_size_and_single_chars_survive(spark):
