@@ -221,3 +221,80 @@ def near_dup_clusters(
             F.col("component").isNull().alias("is_singleton"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over an edge list — the domain-authority signal for
+    web-corpus curation (rank hosts by the link graph from
+    operators/web.extract_links_df, then weight or gate admission by
+    host rank; the classic CommonCrawl-refinement move).
+
+    Power iteration as DataFrame ops: per round one (edges ⋈ ranks)
+    shuffle join + one map-side-combinable sum by destination. Dangling
+    mass (nodes without outlinks) redistributes uniformly via a 1-row
+    aggregate broadcast — no collect of the rank vector itself, so the
+    node table can be web-scale. ``localCheckpoint`` truncates lineage
+    every few rounds (the connected-components discipline).
+    Output: (node, rank); ranks sum to 1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # static per-iteration inputs: node ⋈ out-degree, checkpointed once
+    base = (
+        nodes.join(
+            out_deg.withColumnRenamed("src", "node"), "node", "left"
+        )
+        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select("node", F.lit(1.0 / n_total).alias("rank"))
+    for i in range(n_iters):
+        with_deg = ranks.join(base, "node")
+        dangling = with_deg.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
+        )  # 1-row build side
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("out_deg") > 0)
+                .withColumnRenamed("node", "src"),
+                "src",
+            )
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            base.select("node")
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_total)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("mass") / F.lit(float(n_total))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
