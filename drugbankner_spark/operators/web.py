@@ -165,6 +165,68 @@ def filter_blocked_hosts(
     ).drop("_host")
 
 
+def filter_robots_disallowed(
+    pages: DataFrame,
+    robots: DataFrame,
+    url_col: str = "target_uri",
+    agent: str = "*",
+) -> DataFrame:
+    """Drop pages a site's robots.txt disallows for ``agent`` — the
+    compliance gate of a crawl pipeline. ``robots`` is a (host,
+    robots_txt) dim; it broadcasts onto the crawl side (robots files
+    are per-host, ≪ pages), and the stdlib ``urllib.robotparser``
+    evaluates inside an Arrow-batched kernel with one parsed
+    RobotFileParser per distinct host per batch (memoized). Pages on
+    hosts without a robots row pass (the crawl-standard default)."""
+    import pandas as pd
+
+    keyed = pages.withColumn("_host", url_host(url_col))
+    joined = keyed.join(
+        F.broadcast(
+            robots.select(
+                F.col("host").alias("_host"),
+                F.col("robots_txt").alias("_robots"),
+            )
+        ),
+        "_host",
+        "left",
+    )
+    out_schema = T.StructType(
+        [joined.schema[c] for c in joined.columns]
+        + [T.StructField("_allowed", T.BooleanType())]
+    )
+
+    def run(batches):
+        from urllib.robotparser import RobotFileParser
+
+        parsers: dict[str, RobotFileParser] = {}
+
+        def parser_for(txt: str) -> RobotFileParser:
+            p = parsers.get(txt)
+            if p is None:
+                p = RobotFileParser()
+                p.parse(txt.splitlines())
+                parsers[txt] = p
+            return p
+
+        for pdf in batches:
+            allowed = []
+            for url, txt in zip(pdf[url_col], pdf["_robots"]):
+                if txt is None or not isinstance(txt, str):
+                    allowed.append(True)
+                else:
+                    allowed.append(parser_for(txt).can_fetch(agent, url))
+            out = pdf.copy()
+            out["_allowed"] = allowed
+            yield out
+
+    return (
+        joined.mapInPandas(run, out_schema)
+        .filter(F.col("_allowed"))
+        .drop("_host", "_robots", "_allowed")
+    )
+
+
 def web_ingest(archives: DataFrame) -> DataFrame:
     """WARC archives → documents-shaped rows: successful (HTTP 200)
     HTML responses, boilerplate-stripped, keyed by canonical URL —

@@ -134,6 +134,33 @@ def test_canonicalize_url_cases(spark):
                      "h.com", "h.com"]
 
 
+def test_robots_disallow_filter(spark):
+    robots_txt = (
+        "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n"
+        "\nUser-agent: specialbot\nDisallow: /\n"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://s.com/public/page",),
+            ("https://s.com/private/secret",),
+            ("https://s.com/tmp",),
+            ("https://other.org/anything",),   # no robots row → allowed
+        ],
+        ["target_uri"],
+    )
+    robots = spark.createDataFrame(
+        [("s.com", robots_txt)], ["host", "robots_txt"]
+    )
+    kept = {r["target_uri"]
+            for r in W.filter_robots_disallowed(pages, robots).collect()}
+    assert kept == {"https://s.com/public/page",
+                    "https://other.org/anything"}
+    # a stricter per-agent section applies when that agent crawls
+    special = {r["target_uri"] for r in W.filter_robots_disallowed(
+        pages, robots, agent="specialbot").collect()}
+    assert special == {"https://other.org/anything"}
+
+
 def test_blocklist_filter(spark):
     pages = spark.createDataFrame(
         [("https://spam.example/x",), ("https://good.org/y",)],
