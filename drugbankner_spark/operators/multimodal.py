@@ -5,9 +5,12 @@ The Spark-side plumbing — schema, binaryFile source, Arrow batch shape,
 partition sizing — is real and tested. The decode paths are REAL for
 PNG (functions/png_codec.py: zlib + struct, CRC-checked chunks, all
 five scanline filters), baseline JPEG (functions/jpeg_codec.py: DCT +
-Annex-K Huffman entropy coding, round 5), and WAV audio
-(functions/wav_codec.py: RIFF/PCM via struct); frame sampling is real
-for WAV (time-sliced standalone segments). For compressed audio/video the
+Annex-K Huffman entropy coding, round 5), GIF including animations
+(functions/gif_codec.py: full LZW + interlace, round 5 late), and WAV
+audio (functions/wav_codec.py: RIFF/PCM via struct); frame sampling is
+real for WAV (time-sliced standalone segments), MJPEG-AVI, MP3
+(frame-boundary splits) and animated GIF (standalone re-encoded
+frames). For compressed audio/video the
 CONTAINER layers are real too — MPEG-audio framing
 (functions/mp3_codec.py: exact VBR-correct duration, ID3 handling) and
 ISO-BMFF box trees (functions/mp4_codec.py: mvhd/trak/stsd) parse with
@@ -100,6 +103,7 @@ def container_metadata(media: DataFrame) -> DataFrame:
         import struct as _struct
 
         from drugbankner_spark.functions import avi_codec as avi
+        from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import mp3_codec as mp3
         from drugbankner_spark.functions import mp4_codec as mp4
@@ -132,6 +136,17 @@ def container_metadata(media: DataFrame) -> DataFrame:
                     rows.append(row(
                         mid, format="jpeg", width=w, height=h,
                         channels=ch, codec="jpeg",
+                    ))
+                elif gif.is_gif(data):
+                    g = gif.decode_gif(data)
+                    rows.append(row(
+                        mid, format="gif", width=g["width"],
+                        height=g["height"], channels=3,
+                        n_frames=g["n_frames"],
+                        duration_ms=sum(
+                            f["delay_ms"] for f in g["frames"]
+                        ),
+                        n_tracks=1, codec="gif-lzw",
                     ))
                 elif wav.is_wav(data):
                     a = wav.decode_wav(data)
@@ -211,6 +226,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import png_codec as png
         from drugbankner_spark.functions import wav_codec as wav
@@ -243,12 +259,21 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                         float(a["bits"]), float(a["n_frames"]),
                         float(a["rms"]), float(a["peak"]),
                     ]))
+                elif gif.is_gif(data):
+                    f = gif.decode_gif(data)["frames"][0]
+                    rgb = gif.gif_frame_rgb(f)
+                    rows.append((int(mid), [
+                        float(f["width"]), float(f["height"]), 3.0,
+                        float(sum(rgb)) / len(rgb),
+                        float(min(rgb)), float(max(rgb)),
+                    ]))
                 else:
                     raise NotImplementedError(
-                        "media decode: PNG, baseline JPEG and WAV decode "
-                        "with the in-repo codecs; other formats (MP3/AAC, "
-                        "video) need libraries not present in this "
-                        "environment (pass fake=True for the test path)"
+                        "media decode: PNG, baseline JPEG, GIF and WAV "
+                        "decode with the in-repo codecs; other formats "
+                        "(MP3/AAC, video) need libraries not present in "
+                        "this environment (pass fake=True for the test "
+                        "path)"
                     )
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 
@@ -329,6 +354,7 @@ def image_hashes(media: DataFrame) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import png_codec as png
 
@@ -361,11 +387,15 @@ def image_hashes(media: DataFrame) -> DataFrame:
                     img = {"pixels": d["samples"],
                            "channels": d["channels"],
                            "width": d["width"], "height": d["height"]}
+                elif gif.is_gif(data):
+                    f = gif.decode_gif(data)["frames"][0]
+                    img = {"pixels": gif.gif_frame_rgb(f), "channels": 3,
+                           "width": f["width"], "height": f["height"]}
                 else:
                     raise NotImplementedError(
-                        "image_hashes: PNG and baseline JPEG decode with "
-                        "the in-repo codecs; other formats need image "
-                        "libraries absent here"
+                        "image_hashes: PNG, baseline JPEG and GIF decode "
+                        "with the in-repo codecs; other formats need "
+                        "image libraries absent here"
                     )
                 g = gray(img)
                 w, h = img["width"], img["height"]
@@ -588,6 +618,7 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from drugbankner_spark.functions import avi_codec as avi
+        from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import mp3_codec as mp3
         from drugbankner_spark.functions import wav_codec as wav
 
@@ -617,6 +648,11 @@ def sample_frames(
                         mp3.segment_mp3(src, n_frames)
                     ):
                         rows.append((int(mid), i, ts_ms, seg))
+                elif gif.is_gif(src):
+                    for fi, ts_ms, frame in gif.sample_gif_frames(
+                        src, n_frames
+                    ):
+                        rows.append((int(mid), fi, ts_ms, frame))
                 else:
                     raise NotImplementedError(
                         "frame sampling: WAV audio segments + MJPEG-AVI "

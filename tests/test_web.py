@@ -161,6 +161,24 @@ def test_robots_disallow_filter(spark):
     assert special == {"https://other.org/anything"}
 
 
+def test_canonicalize_url_idempotent(spark):
+    # canonical output is a fixed point: running the normalizer on its
+    # own output changes nothing (the property that makes it safe as a
+    # join key at any pipeline stage)
+    urls = [
+        "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=7#frag",
+        "http://host:80/", "http://host:8080/a/", "https://h.com",
+        "https://h.com/p?fbclid=z&a=1&gclid=q", "https://h.com/a/b/c/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(W.canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        "c1", W.canonicalize_url("c1").alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], r
+
+
 def test_blocklist_filter(spark):
     pages = spark.createDataFrame(
         [("https://spam.example/x",), ("https://good.org/y",)],
