@@ -2469,6 +2469,18 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e4_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL stdlib GIF codec under the driver (round 5 late): each doc's
+    # UTF-8 bytes become palette indices, encode through the LZW
+    # writer, decode back, digest the recovered bytes; the oracle
+    # digests the ORIGINAL bytes without touching GIF — a hash match
+    # proves the LZW + container round-trip is lossless on real data.
+    from drugbankner_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents")
+    return MM.gif_roundtrip_digest(MM.documents_as_media(docs))
+
+
 def _e3_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     # URL canonicalization (round 5 late): pure-codegen normalizer
     # (operators/web.py) over URLs synthesized deterministically from
@@ -2737,6 +2749,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: codegen URL canonicalizer (hash-oracled —
         # every normalization step replicated in SQL)
         "e3_url_canonicalize": _e3_url_canonicalize,
+        # round 5 late: REAL GIF LZW round-trip (hash-oracled — the
+        # format-blind digest oracle, as e4_png_decode)
+        "e4_gif_decode": _e4_gif_decode,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -3875,6 +3890,17 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "e4_png_decode": """
+            SELECT doc_id AS media_id,
+                   32 AS width,
+                   CAST(greatest(ceil(octet_length(encode(text)) / 32.0), 1)
+                        AS INTEGER) AS height,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS decoded_sha256
+            FROM documents
+        """,
+        # e4_gif_decode: the SAME format-blind digest oracle — it never
+        # touches GIF; a hash match proves the LZW round-trip.
+        "e4_gif_decode": """
             SELECT doc_id AS media_id,
                    32 AS width,
                    CAST(greatest(ceil(octet_length(encode(text)) / 32.0), 1)

@@ -588,6 +588,49 @@ def png_roundtrip_digest(media: DataFrame, width: int = 32) -> DataFrame:
     return media.mapInPandas(run, out_schema)
 
 
+def gif_roundtrip_digest(media: DataFrame, width: int = 32) -> DataFrame:
+    """The GIF twin of ``png_roundtrip_digest``: payload bytes become
+    palette indices over a 256-entry grayscale table, encode through
+    the REAL LZW writer, decode back, digest the recovered bytes. The
+    format-blind oracle digests the ORIGINAL bytes — a hash match
+    proves the full GIF (LZW + container) round-trip is lossless."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("decoded_sha256", T.StringType()),
+    ])
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from drugbankner_spark.functions import gif_codec as gif
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                h = max(1, -(-len(data) // width))
+                padded = list(data) + [0] * (width * h - len(data))
+                g = gif.decode_gif(
+                    gif.encode_gif([padded], width, h, palette)
+                )
+                recovered = bytes(g["frames"][0]["indices"][:len(data)])
+                rows.append((
+                    int(mid), width, h, len(data),
+                    hashlib.sha256(recovered).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_bytes",
+                         "decoded_sha256"],
+            )
+
+    return media.mapInPandas(run, out_schema)
+
+
 def sample_frames(
     media: DataFrame, n_frames: int = 4, fake: bool = False
 ) -> DataFrame:
