@@ -279,6 +279,31 @@ def stratified_sample(
     )
 
 
+def cluster_balanced_sample(
+    assigned: DataFrame,
+    per_cluster: int,
+    cluster_col: str = "cluster",
+    key_col: str = "vec_id",
+    seed: str = "",
+    kernel: str = "md5",
+) -> DataFrame:
+    """Exactly ``min(per_cluster, |cluster|)`` rows from EVERY cluster
+    in deterministic hash-rank order — the cluster-balanced draw that
+    pairs with ``similarity.cluster_embeddings`` (over-represented
+    regions of embedding space stop dominating the corpus; the
+    SemDeDup/DSIR-flavored diversity move). Unlike ``mixture_sample``
+    the cluster ids are data-dependent, so the quota applies uniformly
+    instead of via an explicit target dict. Runs on the sort-free
+    :func:`_topk_by_hash` core — no whole-cluster reducer."""
+    if per_cluster <= 0:
+        raise ValueError("cluster_balanced_sample: per_cluster must be > 0")
+    return _topk_by_hash(
+        assigned, [cluster_col], key_col,
+        F.least(F.col("_n"), F.lit(int(per_cluster))).cast("long"),
+        seed, kernel,
+    )
+
+
 def _topk_by_hash_windowed(
     df: DataFrame,
     strata_cols: list[str],

@@ -335,6 +335,48 @@ def ivf_topk_kmeans(
     return _ivf_with_centroids(corpus, queries, cents, id_col, vec_col, k, n_probe)
 
 
+def cluster_embeddings(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    train_fraction: float | None = None,
+    max_train_vectors: int = 1_000_000,
+) -> DataFrame:
+    """First-class corpus clustering for curation — the assignment step
+    SemDeDup-style semantic curation and cluster-balanced sampling
+    build on: sampled k-means fit (same bounded-trainer contract as
+    ``ivf_topk_kmeans`` — the fit never iterates the corpus), then ONE
+    codegen scan assigns every vector to its nearest centroid via the
+    IVF coarse-quantizer expression (no Python in the assignment path).
+    Output: (id, cluster, sim) where sim is the dot score against the
+    winning centroid."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if train_fraction is None:
+        n = corpus.count()
+        train_fraction = min(1.0, max_train_vectors / max(n, 1))
+    train = corpus if train_fraction >= 1.0 else corpus.sample(
+        train_fraction, seed=seed
+    )
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features")
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="features"
+    ).fit(feats)
+    cents = [c.tolist() for c in model.clusterCenters()]
+    best = F.array_max(_cell_scores(vec_col, cents))
+    return corpus.select(
+        F.col(id_col),
+        best.getField("cell").alias("cluster"),
+        best.getField("sim").alias("sim"),
+    )
+
+
 def _cell_scores(vec: Column | str, cents: list[list[float]]) -> Column:
     """Per-centroid dot scores as an array of (sim, cell) structs — the
     IVF coarse quantizer, shared by the inline plan and the index

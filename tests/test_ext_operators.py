@@ -271,6 +271,46 @@ def test_multimodal_frame_fanout(spark):
         MM.sample_frames(media, fake=False).collect()
 
 
+def test_cluster_embeddings_and_balanced_sample(spark):
+    import random
+
+    from drugbankner_spark.operators.sampling import cluster_balanced_sample
+    from drugbankner_spark.operators.similarity import cluster_embeddings
+
+    rng = random.Random(3)
+    blobs = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    sizes = {0: 40, 1: 25, 2: 6}  # deliberately imbalanced
+    vid = 0
+    for b, n in sizes.items():
+        for _ in range(n):
+            vec = [c + rng.uniform(-0.5, 0.5) for c in blobs[b]]
+            rows.append((vid, b, vec))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, true_blob int, embedding array<double>"
+    )
+    assigned = cluster_embeddings(
+        df, n_clusters=3, train_fraction=1.0
+    ).join(df.select("vec_id", "true_blob"), "vec_id")
+    # each learned cluster maps 1:1 onto one planted blob
+    purity = assigned.groupBy("true_blob").agg(
+        F.count_distinct("cluster").alias("k")
+    ).collect()
+    assert all(r["k"] == 1 for r in purity)
+    assert assigned.select("cluster").distinct().count() == 3
+
+    bal = cluster_balanced_sample(assigned, per_cluster=10)
+    counts = {r["cluster"]: r["n"] for r in
+              bal.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    # quota caps the big clusters at 10; the 6-member cluster keeps all 6
+    assert sorted(counts.values()) == [6, 10, 10]
+    # deterministic across partitionings
+    again = cluster_balanced_sample(assigned.repartition(9), per_cluster=10)
+    assert {r["vec_id"] for r in bal.collect()} == \
+           {r["vec_id"] for r in again.collect()}
+
+
 def test_normalize_unicode_goldens(spark):
     from drugbankner_spark.operators.textanalysis import normalize_unicode
 
