@@ -2469,6 +2469,21 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e3_wordlm(spark: SparkSession, sf: str) -> DataFrame:
+    # Word-bigram stupid-backoff LM (round 5 late): train on the 'en'
+    # slice, score EVERY doc — non-en docs hit unseen bigrams, so the
+    # backoff path (ln(0.4·n2/N), unseen-word floor) is exercised and
+    # hash-checked cross-engine, not just the known-bigram branch.
+    from drugbankner_spark.operators.textanalysis import (
+        train_word_lm,
+        word_lm_logprob,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    model = train_word_lm(docs.filter(F.col("lang") == "en"))
+    return word_lm_logprob(docs, model)
+
+
 def _e4_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL stdlib GIF codec under the driver (round 5 late): each doc's
     # UTF-8 bytes become palette indices, encode through the LZW
@@ -2752,6 +2767,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: REAL GIF LZW round-trip (hash-oracled — the
         # format-blind digest oracle, as e4_png_decode)
         "e4_gif_decode": _e4_gif_decode,
+        # round 5 late: word-bigram stupid-backoff LM, en-trained so
+        # the backoff branch hash-checks too (hash-oracled)
+        "e3_wordlm": _e3_wordlm,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -3897,6 +3915,58 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS decoded_sha256
             FROM documents
+        """,
+        # e3_wordlm: train on 'en' in SQL too; known bigrams take
+        # ln(n12/n1), unseen take ln(0.4·n2/N) with the 0.5 floor for
+        # unseen words — both branches replicated exactly.
+        "e3_wordlm": """
+            WITH en AS (
+                SELECT string_split(text, ' ') AS ts
+                FROM documents WHERE lang = 'en'
+            ),
+            uni AS (
+                SELECT w, count(*) AS n1
+                FROM (SELECT unnest(ts) AS w FROM en)
+                WHERE w <> '' GROUP BY w
+            ),
+            tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS total FROM uni),
+            pairs AS (
+                SELECT ts[i] AS w1, ts[i + 1] AS w2
+                FROM en, UNNEST(generate_series(
+                    1, greatest(len(ts) - 1, 0))) AS g(i)
+                WHERE ts[i] <> '' AND ts[i + 1] <> ''
+            ),
+            big AS (
+                SELECT w1, w2, count(*) AS n12
+                FROM pairs GROUP BY w1, w2
+            ),
+            lp12 AS (
+                SELECT b.w1, b.w2, ln(b.n12 * 1.0 / u.n1) AS lp
+                FROM big b JOIN uni u ON u.w = b.w1
+            ),
+            occ AS (
+                SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                      FROM documents),
+                     UNNEST(generate_series(
+                         1, greatest(len(ts) - 1, 0))) AS g(i)
+                WHERE ts[i] <> '' AND ts[i + 1] <> ''
+            ),
+            scored AS (
+                SELECT o.doc_id,
+                       coalesce(
+                           l.lp,
+                           ln(0.4 * coalesce(u2.n1 * 1.0, 0.5)
+                              / tot.total)
+                       ) AS lp
+                FROM occ o
+                LEFT JOIN lp12 l ON l.w1 = o.w1 AND l.w2 = o.w2
+                LEFT JOIN uni u2 ON u2.w = o.w2
+                CROSS JOIN tot
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS mean_logprob
+            FROM scored GROUP BY doc_id
         """,
         # e4_gif_decode: the SAME format-blind digest oracle — it never
         # touches GIF; a hash match proves the LZW round-trip.

@@ -457,6 +457,104 @@ def normalize_unicode(
     ).withColumn("n_chars_after", F.length("text_norm"))
 
 
+def train_word_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> dict:
+    """Token-bigram counts with unigram backoff totals — the word-level
+    sibling of ``train_char_lm``. Returns {'bigrams': DF(w1, w2, n12),
+    'unigrams': DF(w, n1), 'total': DF(total)} — three
+    map-side-combinable aggs over one tokenized scan each. Unlike the
+    char model (bounded by charset³) the word tables grow with
+    vocabulary: ``min_count`` prunes the tail so the broadcast model
+    stays bounded at web scale (document the cutoff in the run config).
+    """
+    toks = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    total = uni.agg(F.sum("n1").cast("double").alias("total"))
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split({text_col},"
+                f" ' ')) - 1, 0)), i -> struct("
+                f"split({text_col}, ' ')[i - 1] AS w1,"
+                f" split({text_col}, ' ')[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    if min_count > 1:
+        uni = uni.filter(F.col("n1") >= min_count)
+        big = big.filter(F.col("n12") >= min_count)
+    return {"bigrams": big, "unigrams": uni, "total": total}
+
+
+def word_lm_logprob(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under STUPID BACKOFF
+    (Brants et al. 2007 — the web-scale LM scoring rule: no discount
+    estimation, just ``ln(n12/n1)`` when the bigram is known, else
+    ``ln(0.4 · n2/N)``; unseen words floor at ``ln(0.4 · 0.5/N)``).
+    Scoring = one bigram explode + two BROADCAST joins onto the bounded
+    model dims + a per-doc agg — the corpus shuffles (id, bigram)
+    pairs, never text. Output: (id, n_bigrams, mean_logprob)."""
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split({text_col},"
+                f" ' ')) - 1, 0)), i -> struct("
+                f"split({text_col}, ' ')[i - 1] AS w1,"
+                f" split({text_col}, ' ')[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2").filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    big = model["bigrams"]
+    # known-bigram scores fold n1 in via the unigram dim on w1
+    uni1 = model["unigrams"].select(
+        F.col("w").alias("w1"), F.col("n1").alias("_n1")
+    )
+    lp_known = big.join(uni1, "w1").select(
+        "w1", "w2",
+        F.log(F.col("n12") / F.col("_n1")).alias("_lp12"),
+    )
+    uni2 = model["unigrams"].select(
+        F.col("w").alias("w2"), F.col("n1").alias("_n2")
+    )
+    scored = (
+        occ.join(F.broadcast(lp_known), ["w1", "w2"], "left")
+        .join(F.broadcast(uni2), "w2", "left")
+        .crossJoin(F.broadcast(model["total"]))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("_lp12"),
+                F.log(
+                    F.lit(backoff)
+                    * F.coalesce(F.col("_n2").cast("double"), F.lit(0.5))
+                    / F.col("total")
+                ),
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )
+
+
 def hashed_tf_vectors(
     df: DataFrame,
     text_col: str = "text",

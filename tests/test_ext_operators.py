@@ -271,6 +271,34 @@ def test_multimodal_frame_fanout(spark):
         MM.sample_frames(media, fake=False).collect()
 
 
+def test_word_lm_backoff_ordering(spark):
+    from drugbankner_spark.operators.textanalysis import (
+        train_word_lm,
+        word_lm_logprob,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran on the mat")],
+        ["doc_id", "text"],
+    )
+    model = train_word_lm(train)
+    probes = spark.createDataFrame(
+        [
+            (10, "the cat sat"),     # all bigrams seen
+            (11, "cat the sat"),     # seen words, unseen bigrams
+            (12, "zz qq ww"),        # unseen words: 0.5/N floor
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["mean_logprob"]
+           for r in word_lm_logprob(probes, model).collect()}
+    assert out[10] > out[11] > out[12]
+    # deterministic bigram count: n_tokens - 1
+    n = {r["doc_id"]: r["n_bigrams"]
+         for r in word_lm_logprob(probes, model).collect()}
+    assert n == {10: 2, 11: 2, 12: 2}
+
+
 def test_cluster_embeddings_and_balanced_sample(spark):
     import random
 

@@ -66,5 +66,5 @@ def test_rotation_candidates_stay_oracle_ready():
                  "e2_int8_quantize", "e3_ngram_topk",
                  "e4_container_probe", "e5_datacard", "e3_bm25_topk",
                  "e3_ppl_buckets", "e3_unicode_normalize",
-                 "e3_url_canonicalize", "e4_gif_decode"]:
+                 "e3_url_canonicalize", "e4_gif_decode", "e3_wordlm"]:
         assert name in QUERIES and name in ORACLES, name
