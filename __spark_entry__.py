@@ -2576,7 +2576,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the established round-4 mechanism; every original remains
     individually runnable via ``all_queries`` and hash-checked in
     tests/test_oracle_parity.py. e6_windows_batch stays pytest-only: its
-    oracle SQL is byte-identical to the driver-green e6_windows."""
+    oracle SQL is byte-identical to the driver-green e6_windows.
+
+    Round-6 rotation pool (hash-oracled in all_queries, listed in
+    tests/test_oracle_parity.py::test_rotation_candidates_stay_oracle_
+    ready): q_tpch_suite, e3_charlm, e5_mixture_sample,
+    e1_intradoc_dedup, e5_cluster_safe_split, e5_pivot, e5_unpivot,
+    e1_crossdoc_dedup, e1_bloom_decontaminate, e5_countmin_topk,
+    e1_semantic_dedup, e3_shuffle_shards, e5_weighted_upsample,
+    e3_length_buckets, e2_int8_quantize, e3_ngram_topk,
+    e4_container_probe, e5_datacard, e3_bm25_topk, e3_ppl_buckets,
+    e3_unicode_normalize, e3_url_canonicalize, e4_gif_decode,
+    e3_wordlm — 24 ready; free slots next round by consolidating the
+    long-green q17/q20/t_asof/t_range rows into q_tpch_suite-style
+    unions."""
     return {
         # -- never driver-verified: first in the window ------------------
         "e2_pq_adc_topk": _e2_pq_adc_topk,
