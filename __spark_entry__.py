@@ -1122,6 +1122,104 @@ def _e4_media_suite(spark: SparkSession, sf: str) -> DataFrame:
     ])
 
 
+def _e2_ann_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-6-prep consolidation (round 5 late): the three long-green
+    # ANN top-k rows share one schema — exact cosine, banded LSH, IVF.
+    def melt(df: DataFrame, op: str) -> DataFrame:
+        return df.select(*_okv(
+            op, F.concat_ws("§", F.col("query_id").cast("string"),
+                            F.col("neighbor_id").cast("string")),
+            F.col("rank").cast("string"), F.col("cos_sim"),
+        ))
+
+    return _union_all([
+        melt(_e2_cosine_topk(spark, sf), "cosine"),
+        melt(_e2_lsh_topk(spark, sf), "lsh"),
+        melt(_e2_ivf_topk(spark, sf), "ivf"),
+    ])
+
+
+def _e1_dedup_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Five long-green E1 rows in one: exact digests, survivor set,
+    # minhash pairs, decontamination flags, star-CC clusters.
+    return _union_all([
+        _e1_exact_dedup(spark, sf).select(*_okv(
+            "exact", F.col("content_sha"),
+            F.col("canonical_id").cast("string"), F.col("n_copies"),
+        )),
+        _e1_dedup_survivor(spark, sf).select(*_okv(
+            "survivor", F.col("doc_id"),
+            F.concat_ws("§", "lang", "source"), F.col("n_chars"),
+        )),
+        _e1_minhash_near_dup(spark, sf).select(*_okv(
+            "minhash", F.concat_ws("§", F.col("id_a").cast("string"),
+                                   F.col("id_b").cast("string")),
+        )),
+        _e1_decontaminate(spark, sf).select(*_okv(
+            "decon", F.col("doc_id"),
+            F.col("contaminated").cast("string"),
+            F.col("n_overlapping"),
+        )),
+        _e1_dup_clusters_star(spark, sf).select(*_okv(
+            "cluster", F.col("doc_id"),
+            F.concat_ws("§", F.col("cluster_id").cast("string"),
+                        F.col("is_singleton").cast("string")),
+        )),
+    ])
+
+
+def _e3_qual_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Quality stats (per-measure melt so every float stays a DOUBLE in
+    # v_num), BPE token stats, and document chunking in one row.
+    q = _e3_text_quality(spark, sf)
+    q_melt = q.select(
+        F.col("doc_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"), F.col(m).cast("double").alias("x"))
+            for m in ["n_chars", "n_tokens", "mean_token_len",
+                      "digit_ratio", "upper_ratio",
+                      "distinct_token_ratio"]
+        ])).alias("e"),
+    ).select(*_okv(
+        "quality", F.concat_ws("§", F.col("doc_id").cast("string"),
+                               F.col("e.m")),
+        v_num=F.col("e.x"),
+    ))
+    b = _e3_bpe_tokens(spark, sf)
+    b_melt = b.select(
+        F.col("doc_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"), F.col(m).cast("double").alias("x"))
+            for m in ["ws_tokens", "bpe_tokens", "pieces_per_word"]
+        ])).alias("e"),
+    ).select(*_okv(
+        "bpe", F.concat_ws("§", F.col("doc_id").cast("string"),
+                           F.col("e.m")),
+        v_num=F.col("e.x"),
+    ))
+    chunks = _e3_chunk_documents(spark, sf).select(*_okv(
+        "chunk", F.concat_ws("§", F.col("doc_id").cast("string"),
+                             F.col("chunk_index").cast("string")),
+        F.col("chunk_text"), F.col("n_chunk_tokens"),
+    ))
+    return _union_all([q_melt, b_melt, chunks])
+
+
+def _f_text_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Name-normalization chain (F1+F2+F3+O2) + sentence pipeline (F5)
+    # in one row.
+    return _union_all([
+        _f_name_normalize(spark, sf).select(*_okv(
+            "name", F.col("doc_id"),
+            F.concat_ws("§", "cleaned", "stripped", "name_simplified"),
+            F.col("pos"),
+        )),
+        _f5_sentence_pipeline(spark, sf).select(*_okv(
+            "sent", F.col("doc_id"), F.col("sentence"),
+        )),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Synonymizer queries (EP3): run the engine's Synonymizer over the mini
 # fixture; oracles embed the same rows as VALUES so semantics are
@@ -2578,18 +2676,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_oracle_parity.py. e6_windows_batch stays pytest-only: its
     oracle SQL is byte-identical to the driver-green e6_windows.
 
-    Round-6 rotation pool (hash-oracled in all_queries, listed in
+    Round-5 LATE rotation (this session): nine new hash-oracled ops
+    (e3_bm25_topk, e3_ppl_buckets, e3_unicode_normalize,
+    e3_url_canonicalize, e3_wordlm, e5_datacard, e4_container_probe,
+    e4_gif_decode, rows-only e3_unigram_tokens) entered the window by
+    consolidating 13 long-green singles into four more tagged-union
+    suites (e2_ann_suite = cosine+lsh+ivf; e1_dedup_suite =
+    exact+survivor+minhash+decontaminate+clusters; e3_qual_suite =
+    quality+bpe+chunking; f_text_suite = name-normalize+sentences) —
+    every original stays individually runnable and hash-checked via
+    all_queries.
+
+    Round-6 rotation pool still pytest-only (hash-oracled, listed in
     tests/test_oracle_parity.py::test_rotation_candidates_stay_oracle_
     ready): q_tpch_suite, e3_charlm, e5_mixture_sample,
     e1_intradoc_dedup, e5_cluster_safe_split, e5_pivot, e5_unpivot,
     e1_crossdoc_dedup, e1_bloom_decontaminate, e5_countmin_topk,
     e1_semantic_dedup, e3_shuffle_shards, e5_weighted_upsample,
-    e3_length_buckets, e2_int8_quantize, e3_ngram_topk,
-    e4_container_probe, e5_datacard, e3_bm25_topk, e3_ppl_buckets,
-    e3_unicode_normalize, e3_url_canonicalize, e4_gif_decode,
-    e3_wordlm — 24 ready; free slots next round by consolidating the
-    long-green q17/q20/t_asof/t_range rows into q_tpch_suite-style
-    unions."""
+    e3_length_buckets, e2_int8_quantize, e3_ngram_topk — 16 ready."""
     return {
         # -- never driver-verified: first in the window ------------------
         "e2_pq_adc_topk": _e2_pq_adc_topk,
@@ -2613,27 +2717,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_docmeta_suite": _e3_docmeta_suite,
         "e4_media_suite": _e4_media_suite,
         "u_set_suite": _u_set_suite,
+        # -- round-5-late rotation: never driver-verified, hash-oracled --
+        "e3_bm25_topk": _e3_bm25_topk,
+        "e3_ppl_buckets": _e3_ppl_buckets,
+        "e3_unicode_normalize": _e3_unicode_normalize,
+        "e3_url_canonicalize": _e3_url_canonicalize,
+        "e3_wordlm": _e3_wordlm,
+        "e5_datacard": _e5_datacard,
+        "e4_container_probe": _e4_container_probe,
+        "e4_gif_decode": _e4_gif_decode,
+        "e3_unigram_tokens": _e3_unigram_tokens,  # rows-only by nature
+        # -- round-5-late consolidation suites (branches all long-green) -
+        "e2_ann_suite": _e2_ann_suite,
+        "e1_dedup_suite": _e1_dedup_suite,
+        "e3_qual_suite": _e3_qual_suite,
+        "f_text_suite": _f_text_suite,
         # -- driver-green ------------------------------------------------
         "f_curie_suite": _f_curie_suite,
-        "e3_chunk_documents": _e3_chunk_documents,
-        "e1_decontaminate": _e1_decontaminate,
-        "e1_dup_clusters_star": _e1_dup_clusters_star,
         "e5_stratified_sample": _e5_stratified_sample,
         "e2_lsh_append_topk": _e2_lsh_append_topk,
-        "e2_cosine_topk": _e2_cosine_topk,
-        "e2_lsh_topk": _e2_lsh_topk,
-        "e2_ivf_topk": _e2_ivf_topk,
-        "e3_text_quality": _e3_text_quality,
         "e6_windows": _e6_windows,
         "e6_sessionize": _e6_sessionize,
         "e6_props_json": _e6_props_json,
-        "e1_dedup_survivor": _e1_dedup_survivor,
-        "e1_exact_dedup": _e1_exact_dedup,
-        "e1_minhash_near_dup": _e1_minhash_near_dup,
-        "e3_bpe_tokens": _e3_bpe_tokens,
         "w_window_suite": _w_window_suite,
-        "f_name_normalize": _f_name_normalize,
-        "f5_sentence_pipeline": _f5_sentence_pipeline,
         "f7_identifier_extract": _f7_identifier_extract,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2757,32 +2863,23 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_int8_quantize": _e2_int8_quantize,
         # round 5 late: per-language boilerplate trigram top-k (hash-oracled)
         "e3_ngram_topk": _e3_ngram_topk,
-        # round 5 late: MP3 framing + MP4 box-tree round-trip probe
-        # (hash-oracled — derivation arithmetic replicated in SQL)
-        "e4_container_probe": _e4_container_probe,
-        # round 5 late: ROLLUP data-card corpus report (hash-oracled)
-        "e5_datacard": _e5_datacard,
-        # round 5 late: Okapi BM25 lexical top-k (hash-oracled)
-        "e3_bm25_topk": _e3_bm25_topk,
-        # round 5 late: CCNet head/middle/tail perplexity terciles
-        # (hash-oracled — quantile_cont cuts + threshold bucketing)
-        "e3_ppl_buckets": _e3_ppl_buckets,
-        # round 5 late: Unicode NFC + control scrub (hash-oracled —
-        # Python unicodedata vs DuckDB ICU on synthesized decomposed text)
-        "e3_unicode_normalize": _e3_unicode_normalize,
-        # round 5 late: unigram-LM tokenizer train+apply (rows-only —
-        # iterative EM floats have no SQL twin; independent-reference
-        # parity in tests/test_unigram.py)
-        "e3_unigram_tokens": _e3_unigram_tokens,
-        # round 5 late: codegen URL canonicalizer (hash-oracled —
-        # every normalization step replicated in SQL)
-        "e3_url_canonicalize": _e3_url_canonicalize,
-        # round 5 late: REAL GIF LZW round-trip (hash-oracled — the
-        # format-blind digest oracle, as e4_png_decode)
-        "e4_gif_decode": _e4_gif_decode,
-        # round 5 late: word-bigram stupid-backoff LM, en-trained so
-        # the backoff branch hash-checks too (hash-oracled)
-        "e3_wordlm": _e3_wordlm,
+        # round 5 late: the originals consolidated into the four
+        # late-rotation suites (e2_ann_suite / e1_dedup_suite /
+        # e3_qual_suite / f_text_suite) — individually runnable and
+        # hash-checked here, exactly like the earlier consolidations
+        "e2_cosine_topk": _e2_cosine_topk,
+        "e2_lsh_topk": _e2_lsh_topk,
+        "e2_ivf_topk": _e2_ivf_topk,
+        "e1_exact_dedup": _e1_exact_dedup,
+        "e1_dedup_survivor": _e1_dedup_survivor,
+        "e1_minhash_near_dup": _e1_minhash_near_dup,
+        "e1_decontaminate": _e1_decontaminate,
+        "e1_dup_clusters_star": _e1_dup_clusters_star,
+        "e3_text_quality": _e3_text_quality,
+        "e3_bpe_tokens": _e3_bpe_tokens,
+        "e3_chunk_documents": _e3_chunk_documents,
+        "f_name_normalize": _f_name_normalize,
+        "f5_sentence_pipeline": _f5_sentence_pipeline,
         # round 4: mergeable-sketch distinct counts — estimates by
         # design, so tolerance-tested in pytest instead of hash-oracled
         # (rows-only here; see tests/test_ext_operators.py)
@@ -5423,6 +5520,89 @@ def oracle_sql() -> dict[str, str]:
                          payload_sha256),
                CAST(NULL AS DOUBLE)
         FROM ({out["e4_media_metadata"]})
+    """
+    # round-5 LATE rotation suites: tagged unions of the consolidated
+    # originals' oracles (same (op, k, v, v_num DOUBLE) shape)
+    out["e2_ann_suite"] = f"""
+        SELECT 'cosine' AS op,
+               concat_ws('§', CAST(query_id AS VARCHAR),
+                         CAST(neighbor_id AS VARCHAR)) AS k,
+               CAST(rank AS VARCHAR) AS v, CAST(cos_sim AS DOUBLE) AS v_num
+        FROM ({out["e2_cosine_topk"]})
+        UNION ALL
+        SELECT 'lsh', concat_ws('§', CAST(query_id AS VARCHAR),
+                                CAST(neighbor_id AS VARCHAR)),
+               CAST(rank AS VARCHAR), CAST(cos_sim AS DOUBLE)
+        FROM ({out["e2_lsh_topk"]})
+        UNION ALL
+        SELECT 'ivf', concat_ws('§', CAST(query_id AS VARCHAR),
+                                CAST(neighbor_id AS VARCHAR)),
+               CAST(rank AS VARCHAR), CAST(cos_sim AS DOUBLE)
+        FROM ({out["e2_ivf_topk"]})
+    """
+    out["e1_dedup_suite"] = f"""
+        SELECT 'exact' AS op, content_sha AS k,
+               CAST(canonical_id AS VARCHAR) AS v,
+               CAST(n_copies AS DOUBLE) AS v_num
+        FROM ({out["e1_exact_dedup"]})
+        UNION ALL
+        SELECT 'survivor', CAST(doc_id AS VARCHAR),
+               concat_ws('§', lang, source), CAST(n_chars AS DOUBLE)
+        FROM ({out["e1_dedup_survivor"]})
+        UNION ALL
+        SELECT 'minhash', concat_ws('§', CAST(id_a AS VARCHAR),
+                                    CAST(id_b AS VARCHAR)),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM ({out["e1_minhash_near_dup"]})
+        UNION ALL
+        SELECT 'decon', CAST(doc_id AS VARCHAR),
+               CAST(contaminated AS VARCHAR),
+               CAST(n_overlapping AS DOUBLE)
+        FROM ({out["e1_decontaminate"]})
+        UNION ALL
+        SELECT 'cluster', CAST(doc_id AS VARCHAR),
+               concat_ws('§', CAST(cluster_id AS VARCHAR),
+                         CAST(is_singleton AS VARCHAR)),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e1_dup_clusters_star"]})
+    """
+    out["e3_qual_suite"] = f"""
+        WITH q AS ({out["e3_text_quality"]}),
+             b AS ({out["e3_bpe_tokens"]})
+        SELECT 'quality' AS op,
+               concat_ws('§', CAST(doc_id AS VARCHAR), m.name) AS k,
+               CAST(NULL AS VARCHAR) AS v, m.x AS v_num
+        FROM q, LATERAL (VALUES
+            ('n_chars', CAST(n_chars AS DOUBLE)),
+            ('n_tokens', CAST(n_tokens AS DOUBLE)),
+            ('mean_token_len', CAST(mean_token_len AS DOUBLE)),
+            ('digit_ratio', CAST(digit_ratio AS DOUBLE)),
+            ('upper_ratio', CAST(upper_ratio AS DOUBLE)),
+            ('distinct_token_ratio', CAST(distinct_token_ratio AS DOUBLE))
+        ) AS m(name, x)
+        UNION ALL
+        SELECT 'bpe', concat_ws('§', CAST(doc_id AS VARCHAR), m.name),
+               CAST(NULL AS VARCHAR), m.x
+        FROM b, LATERAL (VALUES
+            ('ws_tokens', CAST(ws_tokens AS DOUBLE)),
+            ('bpe_tokens', CAST(bpe_tokens AS DOUBLE)),
+            ('pieces_per_word', CAST(pieces_per_word AS DOUBLE))
+        ) AS m(name, x)
+        UNION ALL
+        SELECT 'chunk', concat_ws('§', CAST(doc_id AS VARCHAR),
+                                  CAST(chunk_index AS VARCHAR)),
+               chunk_text, CAST(n_chunk_tokens AS DOUBLE)
+        FROM ({out["e3_chunk_documents"]})
+    """
+    out["f_text_suite"] = f"""
+        SELECT 'name' AS op, CAST(doc_id AS VARCHAR) AS k,
+               concat_ws('§', cleaned, stripped, name_simplified) AS v,
+               CAST(pos AS DOUBLE) AS v_num
+        FROM ({out["f_name_normalize"]})
+        UNION ALL
+        SELECT 'sent', CAST(doc_id AS VARCHAR), sentence,
+               CAST(NULL AS DOUBLE)
+        FROM ({out["f5_sentence_pipeline"]})
     """
     # the closed-sessions production face: the batch session table
     # restricted to sessions closed below the final watermark
