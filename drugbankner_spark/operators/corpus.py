@@ -440,11 +440,16 @@ def materialize_packed_sequences(
     text_col: str = "text",
     seq_len: int = 2048,
     n_buckets: int = 64,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """The last mile after :func:`pack_sequence_assignments`: emit the
     ACTUAL training sequences — (seq_id, tokens[≤seq_len], n_tokens),
     the concatenated-in-id-order token stream cut into fixed windows
     (final window may be short; padding is the trainer's concern).
+    ``with_boundaries=True`` adds ``doc_starts``: the local offsets
+    where each document begins inside the sequence — exactly what a
+    trainer needs to build the block-diagonal attention mask that stops
+    packed neighbors attending across document boundaries.
 
     Derivation: each doc's global start offset comes from the
     assignment's (seq_first, offset_in_first) — the parallel-prefix-sum
@@ -467,18 +472,37 @@ def materialize_packed_sequences(
         F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "_tok"),
     )
     placed = toks.join(assign, id_col).select(
-        (F.col("_start") + F.col("_i")).alias("_pos"), "_tok"
+        (F.col("_start") + F.col("_i")).alias("_pos"),
+        "_tok",
+        (F.col("_i") == 0).alias("_doc_start"),
     )
-    return (
+    grouped = (
         placed.groupBy(F.floor(F.col("_pos") / seq_len).alias("seq_id"))
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
                 lambda s: s["_tok"],
-            ).alias("tokens")
+            ).alias("tokens"),
+            # local offsets where a NEW document begins inside this
+            # sequence — the block-diagonal attention-mask boundaries a
+            # trainer needs so packed neighbors don't attend across
+            # documents; a doc CONTINUING from the previous sequence
+            # contributes no boundary (its tokens attend to nothing
+            # earlier in this sequence anyway)
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_doc_start"),
+                        F.col("_pos") % seq_len,
+                    )
+                )
+            ).alias("doc_starts"),
         )
         .withColumn("n_tokens", F.size("tokens"))
     )
+    if not with_boundaries:
+        return grouped.select("seq_id", "tokens", "n_tokens")
+    return grouped.select("seq_id", "tokens", "doc_starts", "n_tokens")
 
 
 def crossdoc_span_dedup(

@@ -1144,6 +1144,47 @@ def test_materialize_packed_sequences_reconstructs_stream(spark):
     assert 0 < out[-1][2] <= 16
 
 
+def test_packed_sequence_doc_boundaries(spark):
+    from drugbankner_spark.operators.corpus import (
+        materialize_packed_sequences,
+    )
+
+    # doc lengths 5..13 over seq_len=16: boundaries must mark exactly
+    # where each doc starts locally, and docs continuing from the
+    # previous sequence contribute no boundary
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(5 + i))) for i in range(9)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["seq_id"]: r
+        for r in materialize_packed_sequences(
+            docs, seq_len=16, with_boundaries=True
+        ).collect()
+    }
+    # default path keeps its schema (the e3_packed_sequences_rows
+    # oracle depends on it)
+    plain = materialize_packed_sequences(docs, seq_len=16)
+    assert plain.columns == ["seq_id", "tokens", "n_tokens"]
+    # reconstruct expected boundaries from the known global layout
+    lengths = [5 + i for i in range(9)]
+    starts, acc = [], 0
+    for n in lengths:
+        starts.append(acc)
+        acc += n
+    expected: dict[int, list[int]] = {}
+    for s in starts:
+        expected.setdefault(s // 16, []).append(s % 16)
+    for seq_id, r in out.items():
+        assert list(r["doc_starts"]) == expected.get(seq_id, []), seq_id
+        # every boundary is a real token index inside this sequence
+        assert all(0 <= b < len(r["tokens"]) for b in r["doc_starts"])
+    # each doc's first token appears exactly at its flagged position
+    for i, s in enumerate(starts):
+        r = out[s // 16]
+        assert r["tokens"][s % 16] == f"t{i}_0"
+
+
 def test_full_training_pipeline_composition(spark):
     # the complete last-mile story in one flow: boilerplate melt →
     # learned BPE tokenization → fixed-length training sequences, with
