@@ -208,6 +208,41 @@ def test_web_ingest_end_to_end(spark):
     assert d["n_links"] == 1
 
 
+def test_web_to_corpus_composition(spark, tmp_path):
+    # the full crawl-to-corpus story: WARC archives → web_ingest →
+    # url-keyed docs → continuous-ingest admission (exact dedup +
+    # near-dup band probe + quality rules). Two pages carry identical
+    # body text — only the first admitted survives.
+    from drugbankner_spark.operators.corpus import ingest_clean_batch
+
+    prose = " ".join(
+        f"the stage{i} shuffles and stage{i}b broadcasts" for i in range(12)
+    )
+    body = (
+        "<html><head><title>T</title></head><body><p>"
+        + prose + "</p></body></html>"
+    ).encode()
+    def page(uri, payload):
+        return WS.encode_warc_record(
+            "response", uri, WS.encode_http_response(payload)
+        )
+    archive = WS.encode_warc([
+        page("https://a.com/one", body),
+        page("https://b.org/copy", body),               # exact dup
+        page("https://c.net/short", b"<html><p>tiny</p></html>"),  # low quality
+    ])
+    archives = spark.createDataFrame(
+        [("mem://c.warc", bytearray(archive))], "path string, content binary"
+    )
+    docs = W.web_ingest(archives).select(
+        F.xxhash64("url").alias("doc_id"), F.col("text"),
+    )
+    admitted = ingest_clean_batch(
+        spark, docs, str(tmp_path / "state"), min_tokens=20,
+    )
+    assert admitted.count() == 1  # dup collapsed, tiny page rejected
+
+
 def test_extract_links_edge_list(spark):
     archives = spark.createDataFrame(
         [("mem://a.warc", bytearray(_fixture_archive()))],
