@@ -77,6 +77,44 @@ def test_sniff_rejects_non_bmff():
     assert not mp4.is_mp4(junk)  # unknown brand
 
 
+def test_fuzz_random_unknown_boxes_never_crash():
+    import random
+
+    rng = random.Random(5)
+    base = mp4.encode_mp4()
+    for _ in range(50):
+        # splice random well-formed unknown boxes at random box joints
+        # and random byte corruption in the tail — the parser must
+        # never raise, and with the moov intact must keep its metadata
+        data = base
+        for _ in range(rng.randrange(3)):
+            body = bytes(rng.randrange(256) for _ in range(rng.randrange(40)))
+            fourcc = bytes(rng.choice(b"abcdwxyz") for _ in range(4))
+            box = struct.pack(">I", 8 + len(body)) + fourcc + body
+            data = data + box  # after moov: metadata must survive
+        info = mp4.mp4_info(data)
+        assert info["valid"] and info["duration_ms"] == 2000
+        # random truncations parse without raising
+        cut = rng.randrange(len(data))
+        mp4.mp4_info(data[:cut])
+
+
+def test_jpeg_dims_fuzz_sizes():
+    import random
+
+    from drugbankner_spark.functions.jpeg_codec import (
+        encode_jpeg,
+        jpeg_dims,
+    )
+
+    rng = random.Random(9)
+    for _ in range(10):
+        w, h = rng.randrange(1, 70), rng.randrange(1, 40)
+        ch = rng.choice([1, 3])
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        assert jpeg_dims(encode_jpeg(px, w, h, ch)) == (w, h, ch)
+
+
 def test_zero_size_box_means_to_end():
     body = b"payload-to-end-of-file"
     box = struct.pack(">I", 0) + b"free" + body

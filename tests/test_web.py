@@ -161,6 +161,40 @@ def test_robots_disallow_filter(spark):
     assert special == {"https://other.org/anything"}
 
 
+def test_canonicalize_url_fuzz_idempotent(spark):
+    # 300 structured-random URLs in ONE DataFrame pass: canonicalize is
+    # a fixed point and host extraction agrees with a python reference
+    import random
+
+    rng = random.Random(11)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Example.COM", "sub.Host.org", "x.net:8080", "y.io:443",
+             "z.dev:80"]
+    paths = ["", "/", "/A/b", "/A/b/", "/p%20q"]
+    queries = ["", "?a=1", "?utm_source=t&a=1", "?fbclid=x",
+               "?a=1&utm_medium=m&b=2"]
+    frags = ["", "#f", "#sec-2"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(
+        "url",
+        W.canonicalize_url("url").alias("c1"),
+        W.canonicalize_url(W.canonicalize_url("url")).alias("c2"),
+        W.url_host("url").alias("h"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r
+        host = r["url"].split("://", 1)[1]
+        host = host.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
+        assert r["h"] == host.split(":", 1)[0].lower(), r
+        assert "utm_" not in r["c1"] and "fbclid" not in r["c1"]
+        assert "#" not in r["c1"]
+
+
 def test_canonicalize_url_idempotent(spark):
     # canonical output is a fixed point: running the normalizer on its
     # own output changes nothing (the property that makes it safe as a
