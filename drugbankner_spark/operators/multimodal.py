@@ -103,6 +103,7 @@ def container_metadata(media: DataFrame) -> DataFrame:
         import struct as _struct
 
         from drugbankner_spark.functions import avi_codec as avi
+        from drugbankner_spark.functions import bmp_codec as bmp
         from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import mp3_codec as mp3
@@ -147,6 +148,16 @@ def container_metadata(media: DataFrame) -> DataFrame:
                             f["delay_ms"] for f in g["frames"]
                         ),
                         n_tracks=1, codec="gif-lzw",
+                    ))
+                elif bmp.is_bmp(data):
+                    import struct as _s
+
+                    w, hh = _s.unpack_from("<ii", data, 18)
+                    bpp = _s.unpack_from("<H", data, 28)[0]
+                    rows.append(row(
+                        mid, format="bmp", width=w, height=abs(hh),
+                        channels=3 if bpp == 24 else 1,
+                        codec=f"bi_rgb{bpp}",
                     ))
                 elif wav.is_wav(data):
                     a = wav.decode_wav(data)
@@ -226,6 +237,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import bmp_codec as bmp
         from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import png_codec as png
@@ -266,6 +278,15 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                         float(f["width"]), float(f["height"]), 3.0,
                         float(sum(rgb)) / len(rgb),
                         float(min(rgb)), float(max(rgb)),
+                    ]))
+                elif bmp.is_bmp(data):
+                    d = bmp.decode_bmp(data)
+                    px = d["pixels"]
+                    rows.append((int(mid), [
+                        float(d["width"]), float(d["height"]),
+                        float(d["channels"]),
+                        float(sum(px)) / len(px),
+                        float(min(px)), float(max(px)),
                     ]))
                 else:
                     raise NotImplementedError(
@@ -354,6 +375,7 @@ def image_hashes(media: DataFrame) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drugbankner_spark.functions import bmp_codec as bmp
         from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import png_codec as png
@@ -391,11 +413,13 @@ def image_hashes(media: DataFrame) -> DataFrame:
                     f = gif.decode_gif(data)["frames"][0]
                     img = {"pixels": gif.gif_frame_rgb(f), "channels": 3,
                            "width": f["width"], "height": f["height"]}
+                elif bmp.is_bmp(data):
+                    img = bmp.decode_bmp(data)
                 else:
                     raise NotImplementedError(
-                        "image_hashes: PNG, baseline JPEG and GIF decode "
-                        "with the in-repo codecs; other formats need "
-                        "image libraries absent here"
+                        "image_hashes: PNG, baseline JPEG, GIF and BMP "
+                        "decode with the in-repo codecs; other formats "
+                        "need image libraries absent here"
                     )
                 g = gray(img)
                 w, h = img["width"], img["height"]
