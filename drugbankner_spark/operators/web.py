@@ -165,6 +165,79 @@ def filter_blocked_hosts(
     ).drop("_host")
 
 
+def parse_sitemap(xml_text: str) -> list[dict]:
+    """Entries of a sitemap.xml (``<urlset>``) or sitemap index
+    (``<sitemapindex>``): [{loc, lastmod, priority, is_index}] — the
+    crawl-frontier seed list. Stdlib ElementTree, namespace-agnostic
+    (matches on local tag names), malformed input → []."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return []
+    is_index = local(root.tag) == "sitemapindex"
+    if local(root.tag) not in ("urlset", "sitemapindex"):
+        return []
+    out = []
+    for node in root:
+        if local(node.tag) not in ("url", "sitemap"):
+            continue
+        entry = {"loc": None, "lastmod": None, "priority": None,
+                 "is_index": is_index}
+        for child in node:
+            name = local(child.tag)
+            if name in ("loc", "lastmod"):
+                entry[name] = (child.text or "").strip() or None
+            elif name == "priority":
+                try:
+                    entry["priority"] = float((child.text or "").strip())
+                except ValueError:
+                    pass
+        if entry["loc"]:
+            out.append(entry)
+    return out
+
+
+def sitemap_frontier(sitemaps: DataFrame) -> DataFrame:
+    """1→N frontier fan-out over (host, sitemap_xml) rows: one output
+    row per sitemap entry with its CANONICAL url — dedupe the frontier
+    by joining/grouping on ``url`` before fetching. Index entries
+    (``is_index=True``) point at child sitemaps to fetch next."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("is_index", T.BooleanType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for host, xml_text in zip(pdf["host"], pdf["sitemap_xml"]):
+                for e in parse_sitemap(xml_text or ""):
+                    rows.append((
+                        host, e["loc"], e["lastmod"], e["priority"],
+                        e["is_index"],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "loc", "lastmod", "priority", "is_index"],
+            )
+
+    return (
+        sitemaps.select("host", "sitemap_xml")
+        .mapInPandas(run, out_schema)
+        .withColumn("url", canonicalize_url("loc"))
+    )
+
+
 def filter_robots_disallowed(
     pages: DataFrame,
     robots: DataFrame,

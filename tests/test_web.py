@@ -134,6 +134,46 @@ def test_canonicalize_url_cases(spark):
                      "h.com", "h.com"]
 
 
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>HTTPS://S.com/a/?utm_source=x</loc>
+       <lastmod>2024-02-01</lastmod><priority>0.8</priority></url>
+  <url><loc>https://s.com/b</loc></url>
+  <url><priority>0.1</priority></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://s.com/sitemap-1.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_and_index():
+    entries = W.parse_sitemap(SITEMAP)
+    assert [e["loc"] for e in entries] == [
+        "HTTPS://S.com/a/?utm_source=x", "https://s.com/b"
+    ]  # loc-less entry dropped
+    assert entries[0]["lastmod"] == "2024-02-01"
+    assert entries[0]["priority"] == 0.8
+    assert not entries[0]["is_index"]
+    idx = W.parse_sitemap(SITEMAP_INDEX)
+    assert idx == [{"loc": "https://s.com/sitemap-1.xml",
+                    "lastmod": None, "priority": None, "is_index": True}]
+    assert W.parse_sitemap("not xml <<<") == []
+    assert W.parse_sitemap("<html></html>") == []
+
+
+def test_sitemap_frontier_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [("s.com", SITEMAP), ("s.com", SITEMAP_INDEX)],
+        ["host", "sitemap_xml"],
+    )
+    rows = W.sitemap_frontier(df).collect()
+    urls = {r["url"] for r in rows if not r["is_index"]}
+    assert urls == {"https://s.com/a", "https://s.com/b"}  # canonical
+    assert any(r["is_index"] for r in rows)
+
+
 def test_robots_disallow_filter(spark):
     robots_txt = (
         "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n"
