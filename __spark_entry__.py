@@ -2567,6 +2567,21 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e3_dict_tag(spark: SparkSession, sf: str) -> DataFrame:
+    # Aho-Corasick dictionary tagging (round 5 late): every occurrence
+    # (overlaps included — 'ark' fires inside 'spark') of a literal
+    # term set, with exact character offsets; the oracle replicates via
+    # brute-force substr scanning over generate_series.
+    from drugbankner_spark.operators.textanalysis import (
+        tag_dictionary_terms,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return tag_dictionary_terms(
+        docs, ["spark", "ark", "window"]
+    ).select("doc_id", "term", "start")
+
+
 def _e3_wordlm(spark: SparkSession, sf: str) -> DataFrame:
     # Word-bigram stupid-backoff LM (round 5 late): train on the 'en'
     # slice, score EVERY doc — non-en docs hit unseen bigrams, so the
@@ -2863,6 +2878,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_int8_quantize": _e2_int8_quantize,
         # round 5 late: per-language boilerplate trigram top-k (hash-oracled)
         "e3_ngram_topk": _e3_ngram_topk,
+        # round 5 late: Aho-Corasick dictionary tagging (hash-oracled —
+        # brute-force substr oracle; round-6 rotation candidate)
+        "e3_dict_tag": _e3_dict_tag,
         # round 5 late: the originals consolidated into the four
         # late-rotation suites (e2_ann_suite / e1_dedup_suite /
         # e3_qual_suite / f_text_suite) — individually runnable and
@@ -4025,6 +4043,16 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS decoded_sha256
             FROM documents
+        """,
+        # e3_dict_tag: brute-force position scan — every i where
+        # substr(text, i, len(term)) equals the term, overlaps included.
+        "e3_dict_tag": """
+            WITH t(term) AS (VALUES ('spark'), ('ark'), ('window'))
+            SELECT d.doc_id, t.term, CAST(i - 1 AS BIGINT) AS start
+            FROM documents d, t,
+                 UNNEST(generate_series(
+                     1, length(d.text) - length(t.term) + 1)) AS g(i)
+            WHERE substr(d.text, i, length(t.term)) = t.term
         """,
         # e3_wordlm: train on 'en' in SQL too; known bigrams take
         # ln(n12/n1), unseen take ln(0.4·n2/N) with the 0.5 floor for

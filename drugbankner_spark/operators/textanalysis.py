@@ -555,6 +555,85 @@ def word_lm_logprob(
     )
 
 
+def _aho_corasick(terms: list[str]):
+    """Build an Aho-Corasick automaton: goto/fail/output tables over
+    the term set. Pure dicts — picklable into an Arrow kernel closure."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[str]] = [[]]
+    for term in terms:
+        s = 0
+        for ch in term:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(term)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    queue = deque()
+    for s in goto[0].values():
+        queue.append(s)
+    while queue:
+        r = queue.popleft()
+        for ch, s in goto[r].items():
+            queue.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def tag_dictionary_terms(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary tagging (FlashText/Aho-Corasick): EVERY occurrence of
+    every dictionary term as (id, term, start) with 0-based character
+    offsets, overlaps included — the scale answer to "find these 50k
+    phrases in 100 TB of text". One automaton pass per document
+    (O(text + matches), independent of dictionary size) inside an
+    Arrow-batched kernel; the automaton builds once per executor
+    process from the broadcast term list. This is dictionary NER — the
+    deterministic sibling of the model-NER UDTF in operators/ner.py
+    (reference NER.py matches against a fixed vocabulary too, via the
+    scispaCy linker)."""
+    cleaned = [t for t in terms if t]
+    if not cleaned:
+        raise ValueError("tag_dictionary_terms: terms must be non-empty")
+
+    out_schema = T.StructType([
+        docs.schema[id_col],
+        T.StructField("term", T.StringType()),
+        T.StructField("start", T.LongType()),
+    ])
+
+    def run(batches):
+        import pandas as pd
+
+        goto, fail, out = _aho_corasick(cleaned)
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                s = 0
+                for i, ch in enumerate(text or ""):
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    for term in out[s]:
+                        rows.append((did, term, i - len(term) + 1))
+            yield pd.DataFrame(rows, columns=[id_col, "term", "start"])
+
+    return docs.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def hashed_tf_vectors(
     df: DataFrame,
     text_col: str = "text",

@@ -271,6 +271,64 @@ def test_multimodal_frame_fanout(spark):
         MM.sample_frames(media, fake=False).collect()
 
 
+def test_aho_corasick_fuzz_vs_brute_force():
+    import random
+
+    from drugbankner_spark.operators.textanalysis import _aho_corasick
+
+    def match(text, terms):
+        goto, fail, out = _aho_corasick(terms)
+        s, res = 0, []
+        for i, ch in enumerate(text):
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            for t in out[s]:
+                res.append((t, i - len(t) + 1))
+        return sorted(res)
+
+    def brute(text, terms):
+        return sorted(
+            (t, i)
+            for t in terms
+            for i in range(len(text) - len(t) + 1)
+            if text[i:i + len(t)] == t
+        )
+
+    rng = random.Random(2)
+    for _ in range(300):
+        text = "".join(rng.choice("abc") for _ in range(rng.randrange(60)))
+        terms = list({
+            "".join(rng.choice("abc") for _ in range(rng.randrange(1, 5)))
+            for _ in range(rng.randrange(1, 6))
+        })
+        assert match(text, terms) == brute(text, terms), (text, terms)
+
+
+def test_dictionary_tagging_overlaps_and_offsets(spark):
+    import pytest as _pytest
+
+    from drugbankner_spark.operators.textanalysis import (
+        tag_dictionary_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "sparkspark ark"), (2, "no hits here"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc_id"], r["term"], r["start"])
+        for r in tag_dictionary_terms(docs, ["spark", "ark"]).collect()
+    )
+    # 'ark' fires INSIDE both 'spark's (suffix via fail links) and standalone
+    assert rows == [
+        (1, "ark", 2), (1, "ark", 7), (1, "ark", 11),
+        (1, "spark", 0), (1, "spark", 5),
+    ]
+    with _pytest.raises(ValueError, match="non-empty"):
+        tag_dictionary_terms(docs, [])
+
+
 def test_word_lm_backoff_ordering(spark):
     from drugbankner_spark.operators.textanalysis import (
         train_word_lm,
