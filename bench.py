@@ -247,6 +247,9 @@ SF1_QUERIES = [
     "e6_sessionize",
     "e1_intradoc_dedup",
     "e3_charlm",
+    # round 5 late: tokenizer training + word-LM scoring at 10×
+    "e3_unigram_tokens",
+    "e3_wordlm",
 ]
 
 

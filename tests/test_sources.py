@@ -138,3 +138,18 @@ def test_orc_source_roundtrip(spark, tmpdir):
     back = spark.read.orc(path)
     assert back.schema == ev.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_orc_source_roundtrip(spark, tmpdir):
+    # S-family: ORC is the second columnar format Spark ships natively;
+    # a checkpoint written as ORC must read back bit-identical.
+    import os
+
+    orders = load_table(spark, SF, "orders").limit(200)
+    orc_dir = os.path.join(tmpdir, "orders_orc")
+    orders.write.orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    assert back.schema == orders.schema
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
