@@ -80,8 +80,9 @@ def container_metadata(media: DataFrame) -> DataFrame:
     MPEG-audio frame walk (functions/mp3_codec — exact VBR-correct
     duration, ID3 detection, no sample decode); ISO-BMFF box tree
     (functions/mp4_codec — mvhd/trak/stsd, no sample decode). Unknown
-    payloads classify as format='unknown' rather than raising: a
-    metadata probe bins unknowns, it doesn't die on them. Zero shuffle —
+    payloads classify as format='unknown' and corrupt files behind a
+    valid magic as format='corrupt' rather than raising: a metadata
+    probe bins problem files, it doesn't die on them. Zero shuffle —
     a pure 1→1 mapInPandas scan."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -122,97 +123,101 @@ def container_metadata(media: DataFrame) -> DataFrame:
             base.update(kw)
             return base
 
+        def classify(mid, data):
+            if png.is_png(data) and len(data) >= 26:
+                w, h = _struct.unpack_from(">II", data, 16)
+                return row(
+                    mid, format="png", width=w, height=h,
+                    channels=_CHANNELS.get(data[25], 0), codec="png",
+                )
+            if jpeg.is_jpeg(data):
+                w, h, ch = jpeg.jpeg_dims(data)
+                return row(
+                    mid, format="jpeg", width=w, height=h,
+                    channels=ch, codec="jpeg",
+                )
+            if gif.is_gif(data):
+                g = gif.decode_gif(data)
+                return row(
+                    mid, format="gif", width=g["width"],
+                    height=g["height"], channels=3,
+                    n_frames=g["n_frames"],
+                    duration_ms=sum(f["delay_ms"] for f in g["frames"]),
+                    n_tracks=1, codec="gif-lzw",
+                )
+            if bmp.is_bmp(data):
+                w, hh = _struct.unpack_from("<ii", data, 18)
+                bpp = _struct.unpack_from("<H", data, 28)[0]
+                return row(
+                    mid, format="bmp", width=w, height=abs(hh),
+                    channels=3 if bpp == 24 else 1,
+                    codec=f"bi_rgb{bpp}",
+                )
+            if wav.is_wav(data):
+                a = wav.decode_wav(data)
+                dur = (
+                    a["n_frames"] * 1000 // a["sample_rate"]
+                    if a["sample_rate"] else 0
+                )
+                return row(
+                    mid, format="wav", channels=a["channels"],
+                    sample_rate=a["sample_rate"],
+                    duration_ms=dur, n_frames=a["n_frames"],
+                    n_tracks=1, codec=f"pcm{a['bits']}",
+                )
+            if avi.is_avi(data):
+                info = avi.avi_info(data)
+                fps = info["fps"] or 0
+                return row(
+                    mid, format="avi", width=info["width"],
+                    height=info["height"], n_frames=info["n_frames"],
+                    duration_ms=int(info["n_frames"] * 1000 / fps)
+                    if fps else 0,
+                    n_tracks=1, codec="mjpg",
+                )
+            if mp3.is_mp3(data):
+                info = mp3.mp3_info(data)
+                return row(
+                    mid, format="mp3",
+                    channels=info.get("channels", 0),
+                    sample_rate=info.get("sample_rate", 0),
+                    duration_ms=info["duration_ms"],
+                    n_frames=info["n_frames"], n_tracks=1,
+                    bitrate_kbps=info.get("bitrate_kbps", 0),
+                    vbr=bool(info.get("vbr", False)),
+                    codec=f"{info.get('version', '')}-L"
+                    f"{info.get('layer', '')}" if info["valid"] else "",
+                )
+            if mp4.is_mp4(data):
+                info = mp4.mp4_info(data)
+                vids = [
+                    t for t in info["tracks"] if t["handler"] == "vide"
+                ]
+                lead = vids[0] if vids else (
+                    info["tracks"][0] if info["tracks"] else None
+                )
+                return row(
+                    mid, format="mp4",
+                    width=lead["width"] if lead else 0,
+                    height=lead["height"] if lead else 0,
+                    duration_ms=info["duration_ms"],
+                    n_frames=lead["n_samples"] if lead else 0,
+                    n_tracks=len(info["tracks"]),
+                    codec=(lead["codec"] or "") if lead else "",
+                )
+            return row(mid)
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                if png.is_png(data) and len(data) >= 26:
-                    w, h = _struct.unpack_from(">II", data, 16)
-                    rows.append(row(
-                        mid, format="png", width=w, height=h,
-                        channels=_CHANNELS.get(data[25], 0), codec="png",
-                    ))
-                elif jpeg.is_jpeg(data):
-                    w, h, ch = jpeg.jpeg_dims(data)
-                    rows.append(row(
-                        mid, format="jpeg", width=w, height=h,
-                        channels=ch, codec="jpeg",
-                    ))
-                elif gif.is_gif(data):
-                    g = gif.decode_gif(data)
-                    rows.append(row(
-                        mid, format="gif", width=g["width"],
-                        height=g["height"], channels=3,
-                        n_frames=g["n_frames"],
-                        duration_ms=sum(
-                            f["delay_ms"] for f in g["frames"]
-                        ),
-                        n_tracks=1, codec="gif-lzw",
-                    ))
-                elif bmp.is_bmp(data):
-                    import struct as _s
-
-                    w, hh = _s.unpack_from("<ii", data, 18)
-                    bpp = _s.unpack_from("<H", data, 28)[0]
-                    rows.append(row(
-                        mid, format="bmp", width=w, height=abs(hh),
-                        channels=3 if bpp == 24 else 1,
-                        codec=f"bi_rgb{bpp}",
-                    ))
-                elif wav.is_wav(data):
-                    a = wav.decode_wav(data)
-                    dur = (
-                        a["n_frames"] * 1000 // a["sample_rate"]
-                        if a["sample_rate"] else 0
-                    )
-                    rows.append(row(
-                        mid, format="wav", channels=a["channels"],
-                        sample_rate=a["sample_rate"],
-                        duration_ms=dur, n_frames=a["n_frames"],
-                        n_tracks=1, codec=f"pcm{a['bits']}",
-                    ))
-                elif avi.is_avi(data):
-                    info = avi.avi_info(data)
-                    fps = info["fps"] or 0
-                    rows.append(row(
-                        mid, format="avi", width=info["width"],
-                        height=info["height"], n_frames=info["n_frames"],
-                        duration_ms=int(info["n_frames"] * 1000 / fps)
-                        if fps else 0,
-                        n_tracks=1, codec="mjpg",
-                    ))
-                elif mp3.is_mp3(data):
-                    info = mp3.mp3_info(data)
-                    rows.append(row(
-                        mid, format="mp3",
-                        channels=info.get("channels", 0),
-                        sample_rate=info.get("sample_rate", 0),
-                        duration_ms=info["duration_ms"],
-                        n_frames=info["n_frames"], n_tracks=1,
-                        bitrate_kbps=info.get("bitrate_kbps", 0),
-                        vbr=bool(info.get("vbr", False)),
-                        codec=f"{info.get('version', '')}-L"
-                        f"{info.get('layer', '')}" if info["valid"] else "",
-                    ))
-                elif mp4.is_mp4(data):
-                    info = mp4.mp4_info(data)
-                    vids = [
-                        t for t in info["tracks"] if t["handler"] == "vide"
-                    ]
-                    lead = vids[0] if vids else (
-                        info["tracks"][0] if info["tracks"] else None
-                    )
-                    rows.append(row(
-                        mid, format="mp4",
-                        width=lead["width"] if lead else 0,
-                        height=lead["height"] if lead else 0,
-                        duration_ms=info["duration_ms"],
-                        n_frames=lead["n_samples"] if lead else 0,
-                        n_tracks=len(info["tracks"]),
-                        codec=(lead["codec"] or "") if lead else "",
-                    ))
-                else:
-                    rows.append(row(mid))
+                try:
+                    rows.append(classify(mid, data))
+                except Exception:
+                    # a corrupt file behind a valid magic must BIN, not
+                    # kill the probe — crawls are full of truncated and
+                    # damaged media
+                    rows.append(row(mid, format="corrupt"))
             yield pd.DataFrame(
                 [[r[c] for c in cols] for r in rows], columns=cols,
             )

@@ -536,6 +536,24 @@ def test_container_metadata_all_formats(spark):
     assert rows[7]["format"] == "unknown" and rows[7]["duration_ms"] == 0
 
 
+def test_container_metadata_bins_corrupt_files(spark):
+    from drugbankner_spark.functions import gif_codec as gif
+
+    # valid GIF magic, garbage body: the probe must bin it as
+    # 'corrupt', not die (the crawl reality)
+    corrupt_gif = b"GIF89a" + bytes(30)
+    ok = gif.encode_gif([[0, 1, 2, 3]], 4, 1,
+                        bytes([0, 0, 0, 255, 255, 255, 9, 9, 9, 1, 2, 3]))
+    media = spark.createDataFrame(
+        [(1, bytearray(corrupt_gif), "image/gif", len(corrupt_gif)),
+         (2, bytearray(ok), "image/gif", len(ok))],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    rows = {r["media_id"]: r["format"]
+            for r in MM.container_metadata(media).collect()}
+    assert rows == {1: "corrupt", 2: "gif"}
+
+
 def test_gopher_filter_flags(spark):
     from drugbankner_spark.operators.textanalysis import gopher_quality_filter
 
