@@ -54,9 +54,10 @@ HEADLINE = [
     # round 5 late: cross-document substring dedup (gram-stats shuffle
     # + co-partitioned occurrence join — the heaviest dedup shape)
     "e1_crossdoc_dedup",
-    # round 5 late: lexical retrieval + tokenizer-training costs
+    # round 5 late: lexical retrieval + tokenizer-training + word-LM costs
     "e3_bm25_topk",
     "e3_unigram_tokens",
+    "e3_wordlm",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch
