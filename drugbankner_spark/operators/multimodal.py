@@ -228,11 +228,12 @@ def container_metadata(media: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode / feature-extract over Arrow batches (mapInPandas).
 
-    REAL paths: PNG and baseline JPEG payloads decode via the in-repo
-    codecs — feature = [width, height, channels, mean, min, max] over
-    decoded samples; WAV payloads decode via the stdlib RIFF/PCM codec —
-    feature = [channels, sample_rate, bits, n_frames, rms, peak].
-    Other formats need codecs absent from this container and raise
+    REAL paths: PNG, baseline JPEG, GIF (first frame) and BMP payloads
+    decode via the in-repo codecs — feature = [width, height, channels,
+    mean, min, max] over decoded samples; WAV payloads decode via the
+    stdlib RIFF/PCM codec — feature = [channels, sample_rate, bits,
+    n_frames, rms, peak]. Other formats need codecs absent from this
+    container and raise
     ``NotImplementedError``; ``fake=True`` swaps in a deterministic
     stand-in (byte histogram head) with the REAL batch shape and schema
     so the plumbing is testable for any mime type."""

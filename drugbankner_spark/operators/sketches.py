@@ -207,6 +207,79 @@ def stream_cm_token_stats(
                       max_files_per_trigger=1)
 
 
+def stream_corpus_stats(
+    docs_stream: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    group_cols: tuple[str, str] = ("source", "lang"),
+) -> None:
+    """Streaming data-card maintenance: per micro-batch, land the
+    MERGEABLE partial aggregates of :func:`corpus.corpus_datacard`'s
+    counting columns — (group, n_docs, total_tokens, min/max tokens,
+    KLL token-length sketch for quantiles, HLL digest sketch for
+    distinct texts) — in an epoch-keyed Hive partition (dynamic
+    partition overwrite → replayed epochs idempotent). Exact
+    percentiles and exact distincts don't merge, so the streaming face
+    carries their mergeable sketch forms — the documented exact↔sketch
+    trade the batch datacard's docstring names. Merge-on-read via
+    :func:`read_corpus_stats`; ingest cost stays O(batch) forever."""
+    from drugbankner_spark.operators.scale import upsert_partitions
+    from drugbankner_spark.operators.textanalysis import token_count
+    from drugbankner_spark.streaming.streams import run_foreach_batch
+
+    a, b = group_cols
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        part = (
+            batch_df.select(
+                a, b,
+                token_count(F.col(text_col)).alias("_nt"),
+                F.sha2(F.col(text_col), 256).alias("_dg"),
+            )
+            .groupBy(a, b)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_nt").alias("total_tokens"),
+                F.min("_nt").alias("min_tokens"),
+                F.max("_nt").alias("max_tokens"),
+                F.expr("kll_sketch_agg_bigint(_nt)").alias("kll_tokens"),
+                F.hll_sketch_agg("_dg").alias("hll_texts"),
+            )
+            .withColumn("_epoch", F.lit(int(epoch_id)))
+        )
+        upsert_partitions(part, state_dir, ["_epoch"])
+
+    run_foreach_batch(docs_stream, admit, output_mode="append",
+                      max_files_per_trigger=1)
+
+
+def read_corpus_stats(
+    spark, state_dir: str, group_cols: tuple[str, str] = ("source", "lang")
+) -> DataFrame:
+    """Merge-on-read of a :func:`stream_corpus_stats` state dir: counts
+    sum, min/max fold, KLL/HLL sketches union — one bounded groupBy
+    over (epochs × groups) rows. Output: (group, n_docs, total_tokens,
+    min/max, p50_tokens approx, n_distinct_texts_approx)."""
+    a, b = group_cols
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy(a, b)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.min("min_tokens").alias("min_tokens"),
+            F.max("max_tokens").alias("max_tokens"),
+            F.expr(
+                "kll_sketch_get_quantile_bigint("
+                "kll_merge_agg_bigint(kll_tokens), 0.5D)"
+            ).alias("p50_tokens_approx"),
+            F.round(
+                F.hll_sketch_estimate(F.hll_union_agg("hll_texts"))
+            ).cast("long").alias("n_distinct_texts_approx"),
+        )
+    )
+
+
 def read_cm_sketch(spark, state_dir: str) -> DataFrame:
     """Merge-on-read of a :func:`stream_cm_token_stats` state dir: one
     bounded groupBy over (epochs x cells) rows — equals the sketch a

@@ -185,3 +185,55 @@ def test_stream_cm_sketch_equals_batch_build(spark, tmp_path):
     again = read_cm_sketch(spark, state).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True)
     assert again.equals(single)
+
+
+def test_stream_corpus_stats_equals_batch(spark, tmp_path):
+    # Streaming data-card maintenance: two micro-batches land epoch
+    # partitions of mergeable partials; merge-on-read counts/sums/minmax
+    # must EQUAL the batch datacard's, and the sketch columns
+    # (approx p50, approx distinct) must be near their exact twins.
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.corpus import corpus_datacard
+    from drugbankner_spark.operators.sketches import (
+        read_corpus_stats, stream_corpus_stats,
+    )
+
+    src = str(tmp_path / "ds_src")
+    state = str(tmp_path / "ds_state")
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(5 + i % 9)),
+         "en" if i % 2 else "de", f"src{i % 3}", 0)
+        for i in range(60)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows[:30], schema).repartition(1).write.parquet(src)
+    spark.createDataFrame(rows[30:], schema).repartition(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_corpus_stats(stream, state)
+
+    merged = {
+        (r["source"], r["lang"]): r
+        for r in read_corpus_stats(spark, state).collect()
+    }
+    batch = {
+        (r["source"], r["lang"]): r
+        for r in corpus_datacard(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+        if r["source"] is not None and r["lang"] is not None
+    }
+    assert set(merged) == set(batch)
+    for key, b in batch.items():
+        m = merged[key]
+        assert m["n_docs"] == b["n_docs"], key
+        assert m["total_tokens"] == b["total_tokens"], key
+        assert m["min_tokens"] == b["min_tokens"], key
+        assert m["max_tokens"] == b["max_tokens"], key
+        # all texts are distinct here: the HLL estimate must be close
+        assert abs(m["n_distinct_texts_approx"] - b["n_distinct_texts"]) \
+            <= max(1, 0.05 * b["n_distinct_texts"]), key
+        # KLL p50 lands within the token-length range near the median
+        assert b["min_tokens"] <= m["p50_tokens_approx"] <= b["max_tokens"]
