@@ -355,3 +355,102 @@ def compact_small_files(
             f"backup {bak_str} failed — remove it before the next run"
         )
     return n_files
+
+
+def snapshot_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Content manifest of a dataset directory: one row per data file —
+    (rel_path, n_bytes, mtime_ms, content_sha256) — the reproducibility
+    pin a training run records so "which exact bytes did we train on"
+    has an answer. Listing walks the Hadoop FileSystem API (identical
+    on file://, HDFS, S3A); hashing reads each file ONCE via the
+    binaryFile source, distributed across executors — the driver never
+    touches file contents. Pair with :func:`manifest_diff` to audit
+    what changed between two snapshots."""
+    base = path.rstrip("/") + "/"
+    listed = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.parquet"
+    ).option("recursiveFileLookup", "true").load(path)
+    # listed paths carry a scheme (file:/...); drop it, then cut the
+    # base prefix BY LENGTH — no regex, so special chars in paths are
+    # inert and the cut is exact
+    no_scheme = F.regexp_replace(F.col("path"), r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    return listed.select(
+        F.substring(no_scheme, len(base) + 1, F.lit(1 << 30))
+        .alias("rel_path"),
+        F.col("length").alias("n_bytes"),
+        (F.col("modificationTime").cast("double") * 1000).cast("long")
+        .alias("mtime_ms"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+def manifest_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Changes between two :func:`snapshot_manifest` outputs as one
+    long-format report: (rel_path, change) with change ∈ {'added',
+    'removed', 'modified'} — byte-identical files (same path AND
+    content hash) drop out. Two small full-outer-joined manifests;
+    never touches data files."""
+    o = old.select("rel_path", F.col("content_sha256").alias("_old"))
+    n = new.select("rel_path", F.col("content_sha256").alias("_new"))
+    joined = o.join(n, "rel_path", "full_outer")
+    return joined.select(
+        "rel_path",
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old") != F.col("_new"), F.lit("modified"))
+        .alias("change"),
+    ).filter(F.col("change").isNotNull())
+
+
+def describe_parquet_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Physical-layout audit: per (file, row-group) — row counts, byte
+    sizes, and per-column min/max presence — the observability half of
+    the storage levers (zorder_write / write_with_bloom_filters /
+    compact_small_files): BEFORE re-clustering 100 TB, measure whether
+    row-group statistics are actually tight enough to skip. Metadata
+    footers only (pyarrow), fanned out one file per task via the
+    binaryFile LISTING (content is never read)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.parquet"
+    ).option("recursiveFileLookup", "true").load(path).select("path")
+
+    out_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("row_group", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("total_byte_size", T.LongType()),
+        T.StructField("n_columns", T.LongType()),
+        T.StructField("n_cols_with_minmax", T.LongType()),
+    ])
+
+    def run(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                local = p[len("file:"):] if p.startswith("file:") else p
+                meta = pq.ParquetFile(local).metadata
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    with_stats = sum(
+                        1 for c in range(g.num_columns)
+                        if g.column(c).statistics is not None
+                        and g.column(c).statistics.has_min_max
+                    )
+                    rows.append((
+                        p, rg, g.num_rows, g.total_byte_size,
+                        g.num_columns, with_stats,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "row_group", "n_rows",
+                         "total_byte_size", "n_columns",
+                         "n_cols_with_minmax"],
+            )
+
+    return files.mapInPandas(run, out_schema)

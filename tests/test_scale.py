@@ -244,3 +244,46 @@ def test_bloom_filter_write_adds_filters_and_reads_back(spark, tmp_path):
                        for f in glob.glob(d + "/*.parquet"))
     assert sz(bloomed) > sz(plain) + 50_000  # filter bytes present
     assert spark.read.parquet(bloomed).filter("id = 43210").count() == 1
+
+
+def test_snapshot_manifest_and_diff(spark, tmp_path):
+    from drugbankner_spark.operators.scale import (
+        manifest_diff, snapshot_manifest,
+    )
+
+    d = str(tmp_path / "ds")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    df.repartition(2).write.parquet(d)
+    m1 = snapshot_manifest(spark, d)
+    rows = m1.collect()
+    assert len(rows) == 2
+    assert all(r["rel_path"].endswith(".parquet")
+               and "/" not in r["rel_path"].strip("/")
+               and not r["rel_path"].startswith("file:")
+               for r in rows)
+    assert all(len(r["content_sha256"]) == 64 and r["n_bytes"] > 0
+               for r in rows)
+    # identical snapshot → empty diff
+    assert manifest_diff(m1, snapshot_manifest(spark, d)).count() == 0
+    # append a file → 'added'; the original files are untouched
+    m1_frozen = spark.createDataFrame(m1.collect(), m1.schema)
+    spark.range(5).withColumn("v", F.lit(0).cast("long")) \
+        .coalesce(1).write.mode("append").parquet(d)
+    spark.catalog.refreshByPath(d)
+    diff = manifest_diff(m1_frozen, snapshot_manifest(spark, d)).collect()
+    assert [r["change"] for r in diff] == ["added"]
+
+
+def test_describe_parquet_layout_stats(spark, tmp_path):
+    from drugbankner_spark.operators.scale import describe_parquet_layout
+
+    d = str(tmp_path / "layout")
+    spark.range(10_000).withColumn("v", F.col("id") % 97) \
+        .repartition(3).write.parquet(d)
+    audit = describe_parquet_layout(spark, d).collect()
+    assert len(audit) >= 3  # ≥1 row group per file
+    assert sum(r["n_rows"] for r in audit) == 10_000
+    for r in audit:
+        assert r["n_columns"] == 2
+        assert r["n_cols_with_minmax"] == 2  # plain longs carry min/max
+        assert r["total_byte_size"] > 0
