@@ -205,3 +205,28 @@ def apply_bpe_pandas(
             yield pd.DataFrame(rows, columns=[id_col, "tokens", "n_tokens"])
 
     return docs.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge table as JSON via the Hadoop FileSystem
+    API (file://, HDFS, S3A alike) — the artifact a trainer ships."""
+    import json
+
+    from drugbankner_spark.operators.scale import write_text_file
+
+    write_text_file(
+        spark, path,
+        json.dumps({"format": "bpe-merges-v1",
+                    "merges": [list(m) for m in merges]}),
+    )
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    import json
+
+    from drugbankner_spark.operators.scale import read_text_file
+
+    doc = json.loads(read_text_file(spark, path))
+    if doc.get("format") != "bpe-merges-v1":
+        raise ValueError(f"load_bpe: unrecognized format {doc.get('format')!r}")
+    return [tuple(m) for m in doc["merges"]]

@@ -454,3 +454,28 @@ def describe_parquet_layout(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(run, out_schema)
+
+
+def write_text_file(spark: SparkSession, path: str, text: str) -> None:
+    """Small-artifact text write through the Hadoop FileSystem API —
+    identical on file://, HDFS and S3A (model/tokenizer state, configs;
+    NOT data — data goes through DataFrame writers)."""
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text_file(spark: SparkSession, path: str) -> str:
+    fs, p = _hadoop_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        # py4j passes Java byte[] buffers BY COPY, so incremental
+        # stream.read(buf) can't fill a Python bytearray — slurp on the
+        # JVM side and let py4j convert the returned byte[]
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()

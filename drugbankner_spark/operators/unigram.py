@@ -273,3 +273,29 @@ def apply_unigram(
             yield pd.DataFrame(rows, columns=[id_col, "tokens"])
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def save_unigram(spark, probs: dict[str, float], path: str) -> None:
+    """Persist a trained unigram model as JSON via the Hadoop
+    FileSystem API — probabilities round-trip exactly (repr floats)."""
+    import json
+
+    from drugbankner_spark.operators.scale import write_text_file
+
+    write_text_file(
+        spark, path,
+        json.dumps({"format": "unigram-lm-v1", "pieces": probs}),
+    )
+
+
+def load_unigram(spark, path: str) -> dict[str, float]:
+    import json
+
+    from drugbankner_spark.operators.scale import read_text_file
+
+    doc = json.loads(read_text_file(spark, path))
+    if doc.get("format") != "unigram-lm-v1":
+        raise ValueError(
+            f"load_unigram: unrecognized format {doc.get('format')!r}"
+        )
+    return {str(k): float(v) for k, v in doc["pieces"].items()}

@@ -159,3 +159,33 @@ def test_training_is_partitioning_invariant(spark):
     assert set(a) == set(b)
     for p in a:
         assert a[p] == pytest.approx(b[p], rel=1e-9, abs=1e-12)
+
+
+def test_tokenizer_save_load_roundtrips(spark, tmp_path):
+    from drugbankner_spark.operators.bpe import (
+        load_bpe, save_bpe, train_bpe,
+    )
+    from drugbankner_spark.operators.unigram import (
+        load_unigram, save_unigram,
+    )
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    model = U.train_unigram(corpus, vocab_size=30, max_piece_len=6,
+                            seed_size=60)
+    upath = str(tmp_path / "unigram.json")
+    save_unigram(spark, model, upath)
+    back = load_unigram(spark, upath)
+    assert back == model  # exact float round-trip through JSON repr
+    # segmentations under the loaded model are identical
+    toks_a = U.apply_unigram(corpus, model).collect()
+    toks_b = U.apply_unigram(corpus, back).collect()
+    assert sorted(map(tuple, toks_a)) == sorted(map(tuple, toks_b))
+
+    merges = train_bpe(corpus, n_merges=8)
+    bpath = str(tmp_path / "bpe.json")
+    save_bpe(spark, merges, bpath)
+    assert load_bpe(spark, bpath) == merges
+    with _pytest.raises(ValueError, match="unrecognized format"):
+        save_unigram(spark, model, bpath + "2")
+        load_bpe(spark, bpath + "2")
