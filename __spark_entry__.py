@@ -2567,6 +2567,24 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_eval_scores(spark: SparkSession, sf: str) -> DataFrame:
+    # Evaluation metrics (round 5 late): prediction/reference pairs are
+    # synthesized as OVERLAPPING token windows of each doc (tokens
+    # [0,12) vs [2,14)) so EM/F1/ROUGE take nontrivial values; the
+    # oracle replicates normalization, multiset overlap, and the n-gram
+    # recall with DuckDB list functions.
+    from drugbankner_spark.operators.evals import eval_scores
+
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 12), " ").alias("prediction"),
+        F.array_join(F.slice(toks, 3, 12), " ").alias("reference"),
+    )
+    return eval_scores(pairs)
+
+
 def _e3_dict_tag(spark: SparkSession, sf: str) -> DataFrame:
     # Aho-Corasick dictionary tagging (round 5 late): every occurrence
     # (overlaps included — 'ark' fires inside 'spark') of a literal
@@ -2881,6 +2899,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: Aho-Corasick dictionary tagging (hash-oracled —
         # brute-force substr oracle; round-6 rotation candidate)
         "e3_dict_tag": _e3_dict_tag,
+        # round 5 late: EM/token-F1/ROUGE-n eval metrics (hash-oracled;
+        # round-6 rotation candidate)
+        "e5_eval_scores": _e5_eval_scores,
         # round 5 late: the originals consolidated into the four
         # late-rotation suites (e2_ann_suite / e1_dedup_suite /
         # e3_qual_suite / f_text_suite) — individually runnable and
@@ -4043,6 +4064,69 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS decoded_sha256
             FROM documents
+        """,
+        # e5_eval_scores: same synthesized windows; normalization,
+        # multiset token overlap and bigram recall in DuckDB list
+        # functions. Empty-side conventions replicated exactly.
+        "e5_eval_scores": """
+            WITH pairs AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(
+                           string_split(text, ' '), 1, 12), ' ')
+                           AS prediction,
+                       array_to_string(list_slice(
+                           string_split(text, ' '), 3, 14), ' ')
+                           AS reference
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, prediction, reference,
+                       list_filter(string_split(trim(regexp_replace(
+                           lower(prediction), '\\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS p,
+                       list_filter(string_split(trim(regexp_replace(
+                           lower(reference), '\\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS r
+                FROM pairs
+            ),
+            o AS (
+                SELECT *,
+                       CAST(coalesce(list_sum(list_transform(
+                           list_distinct(p),
+                           tkn -> least(
+                               len(list_filter(p, x -> x = tkn)),
+                               len(list_filter(r, x -> x = tkn))))), 0)
+                           AS DOUBLE) AS overlap,
+                       CASE WHEN len(p) < 2 THEN []
+                            ELSE list_transform(
+                                generate_series(1, len(p) - 1),
+                                i -> p[i] || ' ' || p[i + 1]) END AS pg,
+                       CASE WHEN len(r) < 2 THEN []
+                            ELSE list_transform(
+                                generate_series(1, len(r) - 1),
+                                i -> r[i] || ' ' || r[i + 1]) END AS rg
+                FROM t
+            )
+            SELECT doc_id, prediction, reference,
+                   trim(regexp_replace(lower(prediction), '\\s+', ' ',
+                                       'g'))
+                   = trim(regexp_replace(lower(reference), '\\s+', ' ',
+                                         'g')) AS exact_match,
+                   round(CASE
+                       WHEN len(p) = 0 AND len(r) = 0 THEN 1.0
+                       WHEN len(p) = 0 OR len(r) = 0 OR overlap = 0
+                           THEN 0.0
+                       ELSE 2 * (overlap / len(p)) * (overlap / len(r))
+                            / ((overlap / len(p)) + (overlap / len(r)))
+                       END, 6) AS token_f1,
+                   round(CASE WHEN len(rg) = 0 THEN 0.0
+                       ELSE CAST(coalesce(list_sum(list_transform(
+                           list_distinct(pg),
+                           g -> least(
+                               len(list_filter(pg, x -> x = g)),
+                               len(list_filter(rg, x -> x = g))))), 0)
+                           AS DOUBLE) / len(rg) END, 6) AS rouge_2
+            FROM o
         """,
         # e3_dict_tag: brute-force position scan — every i where
         # substr(text, i, len(term)) equals the term, overlaps included.

@@ -1,0 +1,87 @@
+"""Evaluation-metric operators (E5-adjacent, round 5 late): the scoring
+half of a training pipeline — given (prediction, reference) pairs,
+compute the standard extractive-QA / summarization metrics at corpus
+scale. Everything is pure column expressions (higher-order array
+functions — whole-stage codegen, zero Python, zero shuffle per row), so
+scoring a 100 TB eval dump is a single scan.
+
+Metrics follow the SQuAD/ROUGE conventions:
+- ``exact_match``: normalized string equality (lowercase, collapsed
+  whitespace).
+- ``token_f1``: multiset token overlap — precision = overlap/|pred|,
+  recall = overlap/|ref|, F1 = 2PR/(P+R); 0 when either side is empty
+  unless both are (then 1, the SQuAD empty-answer convention).
+- ``rouge_n``: n-gram recall — |overlapping n-grams| / |ref n-grams|
+  (multiset semantics, matching rouge_score's default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _toks(col: Column) -> Column:
+    t = F.split(_norm(col), " ")
+    return F.filter(t, lambda x: x != "")
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Token n-grams as joined strings; [] when fewer than n tokens."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+
+
+def _multiset_overlap(a: Column, b: Column) -> Column:
+    """Σ over distinct elements of min(count_a, count_b) — the multiset
+    intersection size, as a pure higher-order expression."""
+    return F.aggregate(
+        F.array_distinct(a),
+        F.lit(0),
+        lambda acc, t: acc + F.least(
+            F.size(F.filter(a, lambda x: x == t)),
+            F.size(F.filter(b, lambda x: x == t)),
+        ),
+    )
+
+
+def eval_scores(
+    pairs: DataFrame,
+    pred_col: str = "prediction",
+    ref_col: str = "reference",
+    rouge_n: int = 2,
+) -> DataFrame:
+    """Per-row scores: (all input columns) + exact_match, token_f1,
+    rouge_n (recall). Round aggregate means separately —
+    ``pairs.agg(avg(...))`` — so per-example scores stay joinable back
+    to their items for error analysis."""
+    p = _toks(F.col(pred_col))
+    r = _toks(F.col(ref_col))
+    overlap = _multiset_overlap(p, r)
+    both_empty = (F.size(p) == 0) & (F.size(r) == 0)
+    prec = overlap / F.size(p)
+    rec = overlap / F.size(r)
+    f1 = F.when(both_empty, F.lit(1.0)).when(
+        (F.size(p) == 0) | (F.size(r) == 0) | (overlap == 0), F.lit(0.0)
+    ).otherwise(2 * prec * rec / (prec + rec))
+    pg = _ngrams(p, rouge_n)
+    rg = _ngrams(r, rouge_n)
+    rouge = F.when(F.size(rg) == 0, F.lit(0.0)).otherwise(
+        _multiset_overlap(pg, rg) / F.size(rg)
+    )
+    return pairs.select(
+        "*",
+        (_norm(F.col(pred_col)) == _norm(F.col(ref_col)))
+        .alias("exact_match"),
+        F.round(f1, 6).alias("token_f1"),
+        F.round(rouge, 6).alias(f"rouge_{rouge_n}"),
+    )

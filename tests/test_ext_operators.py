@@ -1598,3 +1598,30 @@ def test_ngram_topk_surfaces_planted_boilerplate(spark):
     en = [r for r in out if r["lang"] == "en"]
     assert en[0]["gram"] == banner and en[0]["n_occurrences"] == 30
     assert all(r["lang"] != "de" for r in out)
+
+
+def test_eval_scores_goldens(spark):
+    from drugbankner_spark.operators.evals import eval_scores
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "The  Cat sat", "the cat sat"),    # EM after normalize
+            (2, "the cat sat", "the dog sat"),     # 2/3 overlap
+            (3, "a a b", "a c"),                   # multiset: min counts
+            (4, "", ""),                           # both empty → F1=1
+            (5, "x", ""),                          # one empty → F1=0
+            (6, "p q r s", "q r s t"),             # bigram recall 2/3
+        ],
+        ["doc_id", "prediction", "reference"],
+    )
+    out = {r["doc_id"]: r for r in eval_scores(pairs).collect()}
+    assert out[1]["exact_match"] and out[1]["token_f1"] == 1.0
+    assert not out[2]["exact_match"]
+    assert out[2]["token_f1"] == round(2 * (2 / 3) * (2 / 3) / (4 / 3), 6)
+    # multiset: overlap('a a b','a c') = min(2,1) = 1 → P=1/3, R=1/2
+    assert out[3]["token_f1"] == round(2 * (1 / 3) * (1 / 2) / (5 / 6), 6)
+    assert out[4]["token_f1"] == 1.0 and out[4]["exact_match"]
+    assert out[5]["token_f1"] == 0.0
+    # ref bigrams {qr, rs, st}; pred has {pq, qr, rs} → recall 2/3
+    assert out[6]["rouge_2"] == round(2 / 3, 6)
+    assert out[2]["rouge_2"] == 0.0  # no shared bigrams
