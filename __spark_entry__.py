@@ -2567,6 +2567,28 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_chat_render(spark: SparkSession, sf: str) -> DataFrame:
+    # SFT chat-template rendering (round 5 late): events become
+    # deterministic dialogue turns (role by event_id parity, content
+    # from event_type + integer-quantized value), grouped per user and
+    # rendered in (ts, event_id) total order. The oracle rebuilds the
+    # template with string_agg(... ORDER BY ts, event_id).
+    from drugbankner_spark.operators.sft import render_chat
+
+    ev = load_table(spark, sf, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conversation_id"),
+        "ts", "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.concat(
+            F.col("event_type"), F.lit(":"),
+            F.floor(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("content"),
+    )
+    return render_chat(turns)
+
+
 def _e5_eval_scores(spark: SparkSession, sf: str) -> DataFrame:
     # Evaluation metrics (round 5 late): prediction/reference pairs are
     # synthesized as OVERLAPPING token windows of each doc (tokens
@@ -2902,6 +2924,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: EM/token-F1/ROUGE-n eval metrics (hash-oracled;
         # round-6 rotation candidate)
         "e5_eval_scores": _e5_eval_scores,
+        # round 5 late: SFT chat-template rendering (hash-oracled;
+        # round-6 rotation candidate)
+        "e5_chat_render": _e5_chat_render,
         # round 5 late: the originals consolidated into the four
         # late-rotation suites (e2_ann_suite / e1_dedup_suite /
         # e3_qual_suite / f_text_suite) — individually runnable and
@@ -4064,6 +4089,27 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS decoded_sha256
             FROM documents
+        """,
+        # e5_chat_render: per-turn template parts re-joined with
+        # string_agg in the SAME (ts, event_id) total order.
+        "e5_chat_render": """
+            WITH turns AS (
+                SELECT user_id AS conversation_id, ts, event_id,
+                       CASE WHEN event_id % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       event_type || ':'
+                       || CAST(floor(value * 100) AS BIGINT) AS content
+                FROM events
+            )
+            SELECT conversation_id,
+                   CAST(count(*) AS INTEGER) AS n_turns,
+                   string_agg(
+                       '<|' || role || '|>' || chr(10) || content
+                       || '<|end|>' || chr(10),
+                       '' ORDER BY ts, event_id
+                   ) AS rendered
+            FROM turns
+            GROUP BY conversation_id
         """,
         # e5_eval_scores: same synthesized windows; normalization,
         # multiset token overlap and bigram recall in DuckDB list

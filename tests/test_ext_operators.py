@@ -1625,3 +1625,31 @@ def test_eval_scores_goldens(spark):
     # ref bigrams {qr, rs, st}; pred has {pq, qr, rs} → recall 2/3
     assert out[6]["rouge_2"] == round(2 / 3, 6)
     assert out[2]["rouge_2"] == 0.0  # no shared bigrams
+
+
+def test_render_chat_spans_and_order(spark):
+    from drugbankner_spark.operators.sft import render_chat
+
+    turns = spark.createDataFrame(
+        [(1, 1, 0, "user", "hello"), (1, 2, 1, "assistant", "hi there"),
+         (1, 3, 2, "user", "bye"), (1, 4, 3, "assistant", "later"),
+         (2, 1, 0, "system", "be nice"), (2, 2, 1, "user", "q")],
+        "conversation_id long, ts long, event_id long, "
+        "role string, content string",
+    )
+    out = {r["conversation_id"]: r
+           for r in render_chat(turns, with_spans=True).collect()}
+    r1 = out[1]
+    assert r1["rendered"] == (
+        "<|user|>\nhello<|end|>\n<|assistant|>\nhi there<|end|>\n"
+        "<|user|>\nbye<|end|>\n<|assistant|>\nlater<|end|>\n"
+    )
+    # spans slice out EXACTLY the assistant contents (loss-mask input)
+    assert [r1["rendered"][s["start"]:s["end"]]
+            for s in r1["assistant_spans"]] == ["hi there", "later"]
+    assert out[2]["rendered"].startswith("<|system|>\nbe nice<|end|>\n")
+    assert out[2]["assistant_spans"] == []
+    # ordering is total (ts, event_id) → partition-invariant
+    again = {r["conversation_id"]: r["rendered"]
+             for r in render_chat(turns.repartition(7)).collect()}
+    assert again == {k: v["rendered"] for k, v in out.items()}
