@@ -85,3 +85,62 @@ def eval_scores(
         F.round(f1, 6).alias("token_f1"),
         F.round(rouge, 6).alias(f"rouge_{rouge_n}"),
     )
+
+
+def rouge_l_scores(
+    pairs: DataFrame,
+    pred_col: str = "prediction",
+    ref_col: str = "reference",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ROUGE-L: longest-common-subsequence F-measure over tokens —
+    order-sensitive where ROUGE-n is bag-like. The O(|p|·|r|) LCS
+    dynamic program has no bounded SQL form, so it runs as an
+    Arrow-batched kernel (rolling 1-row DP array — O(min) memory per
+    pair). Output: (id, lcs_len, rouge_l_p, rouge_l_r, rouge_l_f)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        pairs.schema[id_col],
+        T.StructField("lcs_len", T.LongType()),
+        T.StructField("rouge_l_p", T.DoubleType()),
+        T.StructField("rouge_l_r", T.DoubleType()),
+        T.StructField("rouge_l_f", T.DoubleType()),
+    ])
+
+    def lcs(a: list, b: list) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, y in enumerate(b, 1):
+                cur.append(
+                    prev[j - 1] + 1 if x == y
+                    else max(prev[j], cur[j - 1])
+                )
+            prev = cur
+        return prev[-1]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, p, r in zip(pdf[id_col], pdf[pred_col], pdf[ref_col]):
+                pt = (p or "").lower().split()
+                rt = (r or "").lower().split()
+                n = lcs(pt, rt)
+                prec = n / len(pt) if pt else 0.0
+                rec = n / len(rt) if rt else 0.0
+                f = (2 * prec * rec / (prec + rec)) if n else 0.0
+                rows.append((did, n, round(prec, 6), round(rec, 6),
+                             round(f, 6)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "lcs_len", "rouge_l_p",
+                               "rouge_l_r", "rouge_l_f"],
+            )
+
+    return pairs.select(id_col, pred_col, ref_col).mapInPandas(
+        run, out_schema
+    )

@@ -1653,3 +1653,26 @@ def test_render_chat_spans_and_order(spark):
     again = {r["conversation_id"]: r["rendered"]
              for r in render_chat(turns.repartition(7)).collect()}
     assert again == {k: v["rendered"] for k, v in out.items()}
+
+
+def test_rouge_l_goldens(spark):
+    from drugbankner_spark.operators.evals import rouge_l_scores
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat sat on the mat"),
+            (2, "the cat the mat", "the cat sat on the mat"),  # LCS=4
+            (3, "mat the on sat", "the cat sat on the mat"),   # order hurts
+            (4, "", "anything"),
+        ],
+        ["doc_id", "prediction", "reference"],
+    )
+    out = {r["doc_id"]: r for r in rouge_l_scores(pairs).collect()}
+    assert out[1]["lcs_len"] == 6 and out[1]["rouge_l_f"] == 1.0
+    assert out[2]["lcs_len"] == 4
+    assert out[2]["rouge_l_p"] == 1.0 and out[2]["rouge_l_r"] == round(4 / 6, 6)
+    # 'mat the on sat' vs ref: LCS is 'the on' or 'sat ... '? subsequence
+    # must preserve order in BOTH: best is ['the','on'] or ['sat','the']
+    # → 2; the bag metrics would have scored 4/4 tokens present
+    assert out[3]["lcs_len"] == 2
+    assert out[4]["lcs_len"] == 0 and out[4]["rouge_l_f"] == 0.0
