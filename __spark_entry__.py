@@ -2748,7 +2748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     e1_intradoc_dedup, e5_cluster_safe_split, e5_pivot, e5_unpivot,
     e1_crossdoc_dedup, e1_bloom_decontaminate, e5_countmin_topk,
     e1_semantic_dedup, e3_shuffle_shards, e5_weighted_upsample,
-    e3_length_buckets, e2_int8_quantize, e3_ngram_topk — 16 ready."""
+    e3_length_buckets, e2_int8_quantize, e3_ngram_topk, e3_dict_tag,
+    e5_eval_scores, e5_chat_render — 19 ready."""
     return {
         # -- never driver-verified: first in the window ------------------
         "e2_pq_adc_topk": _e2_pq_adc_topk,
