@@ -25,7 +25,12 @@ Each module maps to a SURVEY.md §2 section:
 - ``unigram``      unigram-LM (SentencePiece-style) tokenizer: EM
                    training over the distinct-word vocab + Viterbi apply.
 - ``web``          web-crawl curation: HTML→text, link extraction, URL
-                   canonicalization (codegen), WARC→documents ingest.
+                   canonicalization (codegen), robots/sitemap handling,
+                   WARC→documents ingest.
+- ``evals``        evaluation metrics: exact match, multiset token F1,
+                   ROUGE-n (codegen) and ROUGE-L (LCS kernel).
+- ``sft``          instruction-tuning prep: chat-template rendering
+                   with assistant-span loss-mask offsets.
 - ``sketches``     mergeable HLL / KLL / theta sketch aggregations.
 - ``checks``       declarative data-quality constraint reports.
 - ``scale``        salting, bucketing, skew profiling, compaction.
