@@ -1,0 +1,85 @@
+"""TAR-shard / WebDataset source (sources/tar_source.py) — member
+fan-out, sample regrouping, and composition into the multimodal
+operators."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from drugbankner_spark.functions import png_codec as png  # noqa: E402
+from drugbankner_spark.sources import tar_source as TS  # noqa: E402
+
+
+def _shard(gz: bool = False) -> bytes:
+    img1 = png.encode_png(bytes(range(0, 48)), 4, 4, 3)
+    img2 = png.encode_png(bytes(range(100, 148)), 4, 4, 3)
+    return TS.encode_tar([
+        ("000/0001.png", img1),
+        ("000/0001.txt", b"a red square"),
+        ("000/0001.meta.json", b'{"source": "cam"}'),
+        ("000/0002.png", img2),
+        ("000/0002.txt", b"a blue square"),
+    ], gzip=gz)
+
+
+def test_split_key_first_dot():
+    assert TS._split_key("a/b/0001.seg.json") == ("a/b/0001", "seg.json")
+    assert TS._split_key("0001.png") == ("0001", "png")
+    assert TS._split_key("noext") == ("noext", "")
+
+
+def test_member_fanout_and_gzip(spark):
+    for gz in (False, True):
+        archives = spark.createDataFrame(
+            [("mem://s0.tar", bytearray(_shard(gz)))],
+            "path string, content binary",
+        )
+        rows = TS.tar_members(archives).collect()
+        assert [r["member"] for r in rows] == [
+            "000/0001.png", "000/0001.txt", "000/0001.meta.json",
+            "000/0002.png", "000/0002.txt",
+        ]
+        assert all(r["n_bytes"] == len(bytes(r["payload"])) for r in rows)
+
+
+def test_webdataset_sample_regrouping(spark):
+    archives = spark.createDataFrame(
+        [("mem://s0.tar", bytearray(_shard()))],
+        "path string, content binary",
+    )
+    samples = {r["key"]: r for r in
+               TS.webdataset_samples(archives).collect()}
+    assert set(samples) == {"000/0001", "000/0002"}
+    s1 = samples["000/0001"]
+    assert set(s1["parts"].keys()) == {"png", "txt", "meta.json"}
+    assert bytes(s1["parts"]["txt"]) == b"a red square"
+    assert s1["n_parts"] == 3
+    assert samples["000/0002"]["n_parts"] == 2
+
+
+def test_webdataset_into_multimodal(spark):
+    from drugbankner_spark.operators import multimodal as MM
+
+    archives = spark.createDataFrame(
+        [("mem://s0.tar", bytearray(_shard()))],
+        "path string, content binary",
+    )
+    samples = TS.webdataset_samples(archives)
+    media = samples.select(
+        F.xxhash64("key").alias("media_id"),
+        TS.sample_part(samples, "png", "payload"),
+        F.lit("image/png").alias("mime_type"),
+        F.length(TS.sample_part(samples, "png")).cast("long")
+        .alias("n_bytes"),
+    )
+    metas = MM.container_metadata(media).collect()
+    assert len(metas) == 2
+    assert all(m["format"] == "png"
+               and (m["width"], m["height"]) == (4, 4) for m in metas)
+    hashes = MM.image_hashes(media).collect()
+    assert len(hashes) == 2  # shard images flow into the dedup family
