@@ -2567,6 +2567,19 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_needle_inject(spark: SparkSession, sf: str) -> DataFrame:
+    # Needle-in-a-haystack eval construction (round 5 late): per-doc
+    # needle inserted at 50% token depth; the oracle rebuilds the
+    # spliced text with list_slice/concat.
+    from drugbankner_spark.operators.evals import inject_needles
+
+    docs = load_table(spark, sf, "documents")
+    needle = F.concat(
+        F.lit("NEEDLE-"), (F.col("doc_id") % 7).cast("string")
+    )
+    return inject_needles(docs, needle, depth_frac=0.5)
+
+
 def _e5_chat_render(spark: SparkSession, sf: str) -> DataFrame:
     # SFT chat-template rendering (round 5 late): events become
     # deterministic dialogue turns (role by event_id parity, content
@@ -2928,6 +2941,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: SFT chat-template rendering (hash-oracled;
         # round-6 rotation candidate)
         "e5_chat_render": _e5_chat_render,
+        # round 5 late: NIAH needle injection at controlled depth
+        # (hash-oracled; round-6 rotation candidate)
+        "e5_needle_inject": _e5_needle_inject,
         # round 5 late: the originals consolidated into the four
         # late-rotation suites (e2_ann_suite / e1_dedup_suite /
         # e3_qual_suite / f_text_suite) — individually runnable and
@@ -4090,6 +4106,25 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS decoded_sha256
             FROM documents
+        """,
+        # e5_needle_inject: splice replicated with list_slice/concat.
+        "e5_needle_inject": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS ts,
+                       CAST(floor(len(string_split(text, ' ')) * 0.5)
+                            AS INTEGER) AS pos
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_concat(list_concat(
+                           list_slice(ts, 1, pos),
+                           ['NEEDLE-' || (doc_id % 7)]),
+                           list_slice(ts, pos + 1, len(ts))), ' ')
+                       AS text,
+                   CAST(pos AS BIGINT) AS needle_pos,
+                   CAST(len(ts) + 1 AS BIGINT) AS n_tokens
+            FROM t
         """,
         # e5_chat_render: per-turn template parts re-joined with
         # string_agg in the SAME (ts, event_id) total order.

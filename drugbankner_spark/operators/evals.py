@@ -87,6 +87,38 @@ def eval_scores(
     )
 
 
+def inject_needles(
+    docs: DataFrame,
+    needle: Column | str,
+    depth_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Needle-in-a-haystack eval construction: insert ``needle`` (a
+    column expression, so per-doc needles work) at a controlled token
+    DEPTH of each document — the standard long-context retrieval probe
+    (place a known fact at 10%/50%/90% depth, ask the model for it,
+    measure recall by depth). Pure array expressions, zero shuffle.
+    Output: (id, text, needle_pos, n_tokens) where needle_pos is the
+    0-based token index of the inserted needle."""
+    if not 0.0 <= depth_frac <= 1.0:
+        raise ValueError("inject_needles: depth_frac must be in [0, 1]")
+    ndl = F.lit(needle) if isinstance(needle, str) else needle
+    toks = F.split(F.col(text_col), " ")
+    pos = F.floor(F.size(toks) * depth_frac).cast("int")
+    injected = F.concat(
+        F.slice(toks, 1, pos),
+        F.array(ndl),
+        F.slice(toks, pos + 1, F.size(toks) - pos),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(injected, " ").alias(text_col),
+        pos.cast("long").alias("needle_pos"),
+        (F.size(toks) + 1).cast("long").alias("n_tokens"),
+    )
+
+
 def rouge_l_scores(
     pairs: DataFrame,
     pred_col: str = "prediction",

@@ -1676,3 +1676,24 @@ def test_rouge_l_goldens(spark):
     # → 2; the bag metrics would have scored 4/4 tokens present
     assert out[3]["lcs_len"] == 2
     assert out[4]["lcs_len"] == 0 and out[4]["rouge_l_f"] == 0.0
+
+
+def test_inject_needles_depths(spark):
+    import pytest as _pytest
+
+    from drugbankner_spark.operators.evals import inject_needles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x")], ["doc_id", "text"]
+    )
+    for frac, want1 in [(0.0, "N a b c d"), (0.5, "a b N c d"),
+                        (1.0, "a b c d N")]:
+        out = {r["doc_id"]: r
+               for r in inject_needles(docs, "N", frac).collect()}
+        assert out[1]["text"] == want1, frac
+        assert out[1]["n_tokens"] == 5
+        toks = out[1]["text"].split()
+        assert toks[out[1]["needle_pos"]] == "N"  # pos points at needle
+        assert out[2]["text"].split().count("N") == 1
+    with _pytest.raises(ValueError, match="depth_frac"):
+        inject_needles(docs, "N", 1.5)
