@@ -20,6 +20,37 @@ ROLE_OPEN = {"user": "<|user|>\n", "assistant": "<|assistant|>\n",
 TURN_CLOSE = "<|end|>\n"
 
 
+def render_preference_pairs(
+    pairs: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> DataFrame:
+    """DPO/RLHF preference-data prep: each (prompt, chosen, rejected)
+    row becomes two fully rendered single-turn conversations sharing
+    the prompt prefix — the exact input a preference trainer consumes.
+    Emits the shared-prefix length so the trainer can skip re-encoding
+    the prompt. Pure string expressions, zero shuffle."""
+    def render(resp_col: str) -> F.Column:
+        return F.concat(
+            F.lit(ROLE_OPEN["user"]), F.col(prompt_col),
+            F.lit(TURN_CLOSE), F.lit(ROLE_OPEN["assistant"]),
+            F.col(resp_col), F.lit(TURN_CLOSE),
+        )
+
+    prefix_len = (
+        F.length(F.lit(ROLE_OPEN["user"])) + F.length(F.col(prompt_col))
+        + F.length(F.lit(TURN_CLOSE))
+        + F.length(F.lit(ROLE_OPEN["assistant"]))
+    )
+    return pairs.select(
+        "*",
+        render(chosen_col).alias("rendered_chosen"),
+        render(rejected_col).alias("rendered_rejected"),
+        prefix_len.cast("long").alias("shared_prefix_len"),
+    )
+
+
 def render_chat(
     turns: DataFrame,
     conv_col: str = "conversation_id",

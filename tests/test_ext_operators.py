@@ -1697,3 +1697,25 @@ def test_inject_needles_depths(spark):
         assert out[2]["text"].split().count("N") == 1
     with _pytest.raises(ValueError, match="depth_frac"):
         inject_needles(docs, "N", 1.5)
+
+
+def test_render_preference_pairs(spark):
+    from drugbankner_spark.operators.sft import render_preference_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, "what is 2+2?", "4", "5")],
+        ["pair_id", "prompt", "chosen", "rejected"],
+    )
+    [r] = render_preference_pairs(pairs).collect()
+    assert r["rendered_chosen"] == (
+        "<|user|>\nwhat is 2+2?<|end|>\n<|assistant|>\n4<|end|>\n"
+    )
+    assert r["rendered_rejected"] == (
+        "<|user|>\nwhat is 2+2?<|end|>\n<|assistant|>\n5<|end|>\n"
+    )
+    # both renderings share the prefix exactly up to shared_prefix_len,
+    # and the response starts right after it
+    n = r["shared_prefix_len"]
+    assert r["rendered_chosen"][:n] == r["rendered_rejected"][:n]
+    assert r["rendered_chosen"][n] == "4"
+    assert r["rendered_rejected"][n] == "5"
