@@ -83,3 +83,38 @@ def test_webdataset_into_multimodal(spark):
                and (m["width"], m["height"]) == (4, 4) for m in metas)
     hashes = MM.image_hashes(media).collect()
     assert len(hashes) == 2  # shard images flow into the dedup family
+
+
+def test_cross_shard_image_dedup(spark):
+    # two shards, each carrying a copy of the SAME image under
+    # different keys plus one distinct image — the full multimodal
+    # dedup story: shards → samples → hashes → banded near-dup pairs
+    from drugbankner_spark.operators import multimodal as MM
+
+    shared = png.encode_png(
+        bytes((x * 7 + y * 13) % 256 for y in range(16) for x in range(16)),
+        16, 16, 1,
+    )
+    other = png.encode_png(
+        bytes((255 - x * 11) % 256 for y in range(16) for x in range(16)),
+        16, 16, 1,
+    )
+    s0 = TS.encode_tar([("a.png", shared), ("b.png", other)])
+    s1 = TS.encode_tar([("c.png", shared)])
+    archives = spark.createDataFrame(
+        [("mem://s0.tar", bytearray(s0)), ("mem://s1.tar", bytearray(s1))],
+        "path string, content binary",
+    )
+    samples = TS.webdataset_samples(archives)
+    media = samples.select(
+        F.xxhash64("archive", "key").alias("media_id"),
+        TS.sample_part(samples, "png", "payload"),
+    )
+    hashes = MM.image_hashes(media)
+    pairs = MM.image_near_dup_pairs(hashes).collect()
+    # exactly the cross-shard duplicate pair surfaces
+    assert len(pairs) == 1
+    ids = {r["media_id"]: r["key"] for r in samples.select(
+        F.xxhash64("archive", "key").alias("media_id"), "key").collect()}
+    [p] = pairs
+    assert {ids[p["id_a"]], ids[p["id_b"]]} == {"a", "c"}
