@@ -136,6 +136,55 @@ def sample_part(df: DataFrame, ext: str, alias: str | None = None):
     return F.col("parts").getItem(ext).alias(alias or ext)
 
 
+def export_webdataset_shards(
+    samples: DataFrame,
+    n_shards: int = 16,
+    key_col: str = "key",
+    parts_col: str = "parts",
+) -> DataFrame:
+    """The WRITE direction: sample rows → tar-shard BYTES, one row per
+    shard — (shard_id, n_samples, n_bytes, tar_payload). Shard
+    assignment is a deterministic key hash (stable across
+    partitionings and reruns); members are emitted in sorted
+    (key, extension) order, so shard bytes are bit-reproducible.
+    Sink the payload column wherever the deployment wants the shards —
+    a parquet of blobs, or a foreachPartition copy to object storage.
+    Plan: one shuffle on shard_id; each shard builds locally in an
+    Arrow kernel."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType([
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("tar_payload", T.BinaryType()),
+    ])
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        members: list[tuple[str, bytes]] = []
+        keys = set()
+        for key, parts in sorted(
+            zip(pdf[key_col], pdf[parts_col]), key=lambda kv: kv[0]
+        ):
+            keys.add(key)
+            for ext in sorted(parts):
+                name = f"{key}.{ext}" if ext else key
+                members.append((name, bytes(parts[ext])))
+        payload = encode_tar(members)
+        sid = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            [(sid, len(keys), len(payload), payload)],
+            columns=["shard_id", "n_samples", "n_bytes", "tar_payload"],
+        )
+
+    keyed = samples.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    )
+    return keyed.groupBy("_shard").applyInPandas(build, out_schema)
+
+
 # ---------------------------------------------------------------- fixtures
 
 def encode_tar(members: list[tuple[str, bytes]], gzip: bool = False) -> bytes:
