@@ -153,3 +153,27 @@ def test_orc_source_roundtrip(spark, tmpdir):
     a = sorted(map(tuple, orders.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_jsonl_documents_roundtrip(spark, tmpdir):
+    # S-family: JSON-Lines is the lingua franca of LLM corpora; a
+    # documents dump written as .jsonl reads back value-identical
+    # under an explicit schema (schema-on-read, no inference drift).
+    import os
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, SF, "documents")
+    path = os.path.join(tmpdir, "docs_jsonl")
+    docs.write.json(path)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    back = spark.read.schema(schema).json(path).select(*docs.columns)
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
