@@ -23,6 +23,9 @@ _BLOCK = {
     "h3", "h4", "h5", "h6", "section", "article", "header", "footer",
     "blockquote", "pre", "hr", "nav", "aside", "form",
 }
+#: Inline-boundary tags: adjacent cells must not fuse ("<td>a</td>
+#: <td>b</td>" → "a b", not "ab"), but they stay on one line.
+_CELL = {"td", "th"}
 
 
 class _TextExtractor(HTMLParser):
@@ -44,6 +47,8 @@ class _TextExtractor(HTMLParser):
             self._in_title = True
         if tag in _BLOCK:
             self.parts.append("\n")
+        elif tag in _CELL:
+            self.parts.append(" ")
         if tag == "a":
             href = dict(attrs).get("href")
             if href:

@@ -108,7 +108,9 @@ def canonicalize_url(url: Column | str) -> Column:
     ).otherwise(F.lit(""))
     scheme = F.lower(F.substring_index(base, "://", 1))
     after = F.substring(base, F.length(scheme) + 4, F.lit(1 << 30))
-    hostport = F.lower(F.substring_index(after, "/", 1))
+    seg = F.substring_index(after, "/", 1)  # authority incl. userinfo
+    # userinfo (user:pass@) never participates in the canonical form
+    hostport = F.lower(F.substring_index(seg, "@", -1))
     host = F.when(
         (scheme == "http") & hostport.endswith(":80"),
         F.substring(hostport, 1, F.length(hostport) - 3),
@@ -116,8 +118,9 @@ def canonicalize_url(url: Column | str) -> Column:
         (scheme == "https") & hostport.endswith(":443"),
         F.substring(hostport, 1, F.length(hostport) - 4),
     ).otherwise(hostport)
+    # the path offset counts the ORIGINAL authority segment
     path = F.substring(
-        after, F.length(hostport) + 1, F.lit(1 << 30)
+        after, F.length(seg) + 1, F.lit(1 << 30)
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
     path = F.when(
@@ -141,14 +144,15 @@ def canonicalize_url(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host (port stripped) — the blocklist/grouping key."""
+    """Lowercased host (userinfo and port stripped) — the
+    blocklist/grouping key."""
     u = F.col(url) if isinstance(url, str) else url
     base = F.substring_index(F.substring_index(u, "#", 1), "?", 1)
     scheme = F.lower(F.substring_index(base, "://", 1))
     after = F.substring(base, F.length(scheme) + 4, F.lit(1 << 30))
-    return F.substring_index(
-        F.lower(F.substring_index(after, "/", 1)), ":", 1
-    )
+    seg = F.substring_index(F.lower(F.substring_index(after, "/", 1)),
+                            "@", -1)
+    return F.substring_index(seg, ":", 1)
 
 
 def filter_blocked_hosts(

@@ -48,6 +48,14 @@ def test_html_entities_unescape():
     assert H.html_to_text("<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
 
 
+def test_html_table_cells_keep_separation():
+    html = ("<table><tr><td>alpha</td><td>beta</td></tr>"
+            "<tr><th>g</th><th>d</th></tr></table>")
+    lines = H.html_to_text(html).split("\n")
+    assert "alpha beta" in lines  # cells don't fuse into 'alphabeta'
+    assert "g d" in lines
+
+
 def test_charset_sniffing():
     assert H.sniff_charset(b"", "text/html; charset=ISO-8859-1") == \
         "iso-8859-1"
@@ -124,6 +132,7 @@ def test_canonicalize_url_cases(spark):
         ("https://h.com", "https://h.com/"),
         ("https://h.com/p?fbclid=z&gclid=q", "https://h.com/p"),
         ("https://h.com/p?a=1&b=2", "https://h.com/p?a=1&b=2"),
+        ("https://User:Pw@H.com:443/x", "https://h.com/x"),  # userinfo
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r[0] for r in
@@ -131,7 +140,7 @@ def test_canonicalize_url_cases(spark):
     assert got == [want for _, want in cases]
     hosts = [r[0] for r in df.select(W.url_host("url")).collect()]
     assert hosts == ["www.example.com", "host", "host", "h.com",
-                     "h.com", "h.com"]
+                     "h.com", "h.com", "h.com"]
 
 
 SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
