@@ -183,6 +183,7 @@ def mp3_info(data: bytes) -> dict:
         }
     n_frames = 0
     duration = 0.0
+    audio_bytes = 0
     bitrates = set()
     while off + 4 <= end:
         h = parse_frame_header(data, off)
@@ -192,6 +193,7 @@ def mp3_info(data: bytes) -> dict:
             break  # truncated tail frame
         n_frames += 1
         duration += h["samples"] / h["sample_rate"]
+        audio_bytes += h["frame_bytes"]
         bitrates.add(h["bitrate_kbps"])
         off += h["frame_bytes"]
     return {
@@ -201,6 +203,11 @@ def mp3_info(data: bytes) -> dict:
         "sample_rate": first["sample_rate"],
         "channels": first["channels"],
         "bitrate_kbps": first["bitrate_kbps"],
+        # frame-walk average — the number a VBR stream actually plays
+        # at; equals the header bitrate (± padding) for CBR streams
+        "avg_bitrate_kbps": (
+            round(audio_bytes * 8 / duration / 1000, 3) if duration else 0.0
+        ),
         "vbr": len(bitrates) > 1,
         "n_frames": n_frames,
         "duration_ms": int(round(duration * 1000)),

@@ -56,6 +56,17 @@ def test_vbr_stream_sums_per_frame():
     assert info["vbr"] and info["n_frames"] == 4
     # all frames are MPEG1 L3 at 44100 → same samples regardless of rate
     assert info["duration_ms"] == round(4 * 1152 / 44100 * 1000)
+    # frame-walk average sits strictly between the rate extremes and
+    # near the arithmetic mean (equal-duration frames)
+    assert 128 < info["avg_bitrate_kbps"] < 320
+    assert abs(info["avg_bitrate_kbps"] - 200) < 5
+
+
+def test_cbr_avg_matches_header_bitrate():
+    info = mp3.mp3_info(mp3.encode_mp3(n_frames=20))
+    # integer frame sizes floor the per-frame byte count, so the walk
+    # average sits just under the nominal 128 kbps
+    assert abs(info["avg_bitrate_kbps"] - 128) < 1
 
 
 def test_id3v2_skipped_and_sized():
