@@ -2567,6 +2567,68 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e4_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL BMP codec under an oracle (round 5 late): same format-blind
+    # digest contract as e4_png_decode / e4_gif_decode.
+    from drugbankner_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents")
+    return MM.bmp_roundtrip_digest(MM.documents_as_media(docs))
+
+
+def _s_warc_probe(spark: SparkSession, sf: str) -> DataFrame:
+    # WARC source round-trip (round 5 late): each doc's text becomes
+    # the HTTP body of a response record in a synthesized archive
+    # (gzip-member for every third doc), parsed back with the stdlib
+    # WARC walker; the oracle reproduces status/lengths/URI from the
+    # text alone — a hash match proves header framing, Content-Length
+    # reads, HTTP splitting and gzip members all round-trip.
+    import pandas as _pd
+
+    from drugbankner_spark.sources import warc_source as WS
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("http_status", T.LongType()),
+        T.StructField("body_len", T.LongType()),
+        T.StructField("body_sha256", T.StringType()),
+    ])
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = (text or "").encode()
+                rec = WS.encode_warc_record(
+                    "response", f"https://corpus.example/doc/{did}",
+                    WS.encode_http_response(
+                        body, content_type="text/plain",
+                        status=200 if did % 5 else 404,
+                    ),
+                )
+                archive = WS.encode_warc([rec], gzip_members=did % 3 == 0)
+                parsed = WS.parse_warc(archive)
+                (r,) = parsed
+                status, _hdrs, got = WS.split_http_response(r["payload"])
+                rows.append((
+                    did, len(parsed), r["headers"]["warc-type"],
+                    r["headers"]["warc-target-uri"], status, len(got),
+                    hashlib.sha256(got).hexdigest(),
+                ))
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields],
+            )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return docs.mapInPandas(run, out_schema)
+
+
 def _e5_needle_inject(spark: SparkSession, sf: str) -> DataFrame:
     # Needle-in-a-haystack eval construction (round 5 late): per-doc
     # needle inserted at 50% token depth; the oracle rebuilds the
@@ -2944,6 +3006,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 late: NIAH needle injection at controlled depth
         # (hash-oracled; round-6 rotation candidate)
         "e5_needle_inject": _e5_needle_inject,
+        # round 5 late: BMP + WARC round-trip probes (hash-oracled;
+        # round-6 rotation candidates)
+        "e4_bmp_decode": _e4_bmp_decode,
+        "s_warc_probe": _s_warc_probe,
         # round 5 late: the originals consolidated into the four
         # late-rotation suites (e2_ann_suite / e1_dedup_suite /
         # e3_qual_suite / f_text_suite) — individually runnable and
@@ -4105,6 +4171,29 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS height,
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS decoded_sha256
+            FROM documents
+        """,
+        # e4_bmp_decode: the format-blind digest oracle again.
+        "e4_bmp_decode": """
+            SELECT doc_id AS media_id,
+                   32 AS width,
+                   CAST(greatest(ceil(octet_length(encode(text)) / 32.0), 1)
+                        AS INTEGER) AS height,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS decoded_sha256
+            FROM documents
+        """,
+        # s_warc_probe: the oracle never touches WARC bytes — status,
+        # lengths, URI and the body digest derive from the text alone.
+        "s_warc_probe": """
+            SELECT doc_id,
+                   CAST(1 AS BIGINT) AS n_records,
+                   'response' AS warc_type,
+                   'https://corpus.example/doc/' || doc_id AS target_uri,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END
+                        AS BIGINT) AS http_status,
+                   octet_length(encode(text)) AS body_len,
+                   sha256(text) AS body_sha256
             FROM documents
         """,
         # e5_needle_inject: splice replicated with list_slice/concat.

@@ -661,6 +661,44 @@ def gif_roundtrip_digest(media: DataFrame, width: int = 32) -> DataFrame:
     return media.mapInPandas(run, out_schema)
 
 
+def bmp_roundtrip_digest(media: DataFrame, width: int = 32) -> DataFrame:
+    """The BMP twin of ``png_roundtrip_digest``: payload bytes become
+    8-bit grayscale rows (bottom-up, 4-byte padded), encode → decode →
+    digest the recovered bytes against the format-blind oracle."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("decoded_sha256", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from drugbankner_spark.functions import bmp_codec as bmp
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                h = max(1, -(-len(data) // width))
+                padded = data + b"\x00" * (width * h - len(data))
+                d = bmp.decode_bmp(bmp.encode_bmp(padded, width, h, 1))
+                recovered = d["pixels"][:len(data)]
+                rows.append((
+                    int(mid), width, h, len(data),
+                    hashlib.sha256(recovered).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_bytes",
+                         "decoded_sha256"],
+            )
+
+    return media.mapInPandas(run, out_schema)
+
+
 def sample_frames(
     media: DataFrame, n_frames: int = 4, fake: bool = False
 ) -> DataFrame:
