@@ -2629,6 +2629,56 @@ def _s_warc_probe(spark: SparkSession, sf: str) -> DataFrame:
     return docs.mapInPandas(run, out_schema)
 
 
+def _s_tar_probe(spark: SparkSession, sf: str) -> DataFrame:
+    # WebDataset tar round-trip (round 5 late): each doc becomes a
+    # 2-member sample shard (.txt + .meta), gzip for every fourth doc,
+    # regrouped by webdataset_samples; the oracle derives everything
+    # from the text alone.
+    import pandas as _pd
+
+    from drugbankner_spark.sources import tar_source as TS
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("n_parts", T.LongType()),
+        T.StructField("txt_len", T.LongType()),
+        T.StructField("txt_sha256", T.StringType()),
+        T.StructField("meta", T.StringType()),
+    ])
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = (text or "").encode()
+                key = f"{did:08d}"
+                shard = TS.encode_tar(
+                    [(f"{key}.txt", body),
+                     (f"{key}.meta", f"doc={did}".encode())],
+                    gzip=did % 4 == 0,
+                )
+                samples = {}
+                for name, payload in TS._iter_members(shard):
+                    k, ext = TS._split_key(name)
+                    samples.setdefault(k, {})[ext] = payload
+                (k, parts), = samples.items()
+                rows.append((
+                    did, k, len(parts), len(parts["txt"]),
+                    hashlib.sha256(parts["txt"]).hexdigest(),
+                    parts["meta"].decode(),
+                ))
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields],
+            )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return docs.mapInPandas(run, out_schema)
+
+
 def _e5_needle_inject(spark: SparkSession, sf: str) -> DataFrame:
     # Needle-in-a-haystack eval construction (round 5 late): per-doc
     # needle inserted at 50% token depth; the oracle rebuilds the
@@ -3010,6 +3060,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 rotation candidates)
         "e4_bmp_decode": _e4_bmp_decode,
         "s_warc_probe": _s_warc_probe,
+        "s_tar_probe": _s_tar_probe,
         # round 5 late: the originals consolidated into the four
         # late-rotation suites (e2_ann_suite / e1_dedup_suite /
         # e3_qual_suite / f_text_suite) — individually runnable and
@@ -4194,6 +4245,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS http_status,
                    octet_length(encode(text)) AS body_len,
                    sha256(text) AS body_sha256
+            FROM documents
+        """,
+        # s_tar_probe: tar/WebDataset framing proven the same way.
+        "s_tar_probe": """
+            SELECT doc_id,
+                   lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+                   CAST(2 AS BIGINT) AS n_parts,
+                   octet_length(encode(text)) AS txt_len,
+                   sha256(text) AS txt_sha256,
+                   'doc=' || doc_id AS meta
             FROM documents
         """,
         # e5_needle_inject: splice replicated with list_slice/concat.

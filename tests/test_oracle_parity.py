@@ -65,7 +65,7 @@ def test_rotation_candidates_stay_oracle_ready():
                  "e5_weighted_upsample", "e3_length_buckets",
                  "e2_int8_quantize", "e3_ngram_topk", "e3_dict_tag",
                  "e5_eval_scores", "e5_chat_render", "e5_needle_inject",
-                 "e4_bmp_decode", "s_warc_probe",
+                 "e4_bmp_decode", "s_warc_probe", "s_tar_probe",
                  "e4_container_probe", "e5_datacard", "e3_bm25_topk",
                  "e3_ppl_buckets", "e3_unicode_normalize",
                  "e3_url_canonicalize", "e4_gif_decode", "e3_wordlm"]:
