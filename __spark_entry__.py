@@ -2874,7 +2874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     e1_crossdoc_dedup, e1_bloom_decontaminate, e5_countmin_topk,
     e1_semantic_dedup, e3_shuffle_shards, e5_weighted_upsample,
     e3_length_buckets, e2_int8_quantize, e3_ngram_topk, e3_dict_tag,
-    e5_eval_scores, e5_chat_render — 19 ready."""
+    e5_eval_scores, e5_chat_render, e5_needle_inject, e4_bmp_decode,
+    s_warc_probe, s_tar_probe — 23 ready."""
     return {
         # -- never driver-verified: first in the window ------------------
         "e2_pq_adc_topk": _e2_pq_adc_topk,
