@@ -78,3 +78,40 @@ def test_partitioning_invariant(spark):
          for r in pagerank(df.coalesce(1), n_iters=6).collect()}
     for node in a:
         assert a[node] == pytest.approx(b[node], rel=1e-12), node
+
+
+def test_crawl_links_to_host_rank_composition(spark):
+    # the full link-graph curation story: WARC → extract_links_df →
+    # host-level edges → pagerank; the thrice-linked host dominates
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators import web as W
+    from drugbankner_spark.sources import warc_source as WS
+
+    def page(uri, hrefs):
+        body = ("<html><body>" + "".join(
+            f'<a href="{h}">x</a>' for h in hrefs) + "</body></html>"
+        ).encode()
+        return WS.encode_warc_record(
+            "response", uri, WS.encode_http_response(body)
+        )
+
+    archive = WS.encode_warc([
+        page("https://a.com/1", ["https://hub.io/x"]),
+        page("https://b.org/1", ["https://hub.io/y", "https://a.com/2"]),
+        page("https://c.net/1", ["https://hub.io/z"]),
+    ])
+    archives = spark.createDataFrame(
+        [("mem://l.warc", bytearray(archive))],
+        "path string, content binary",
+    )
+    recs = WS.warc_records(archives).filter(
+        F.col("warc_type") == "response"
+    )
+    edges = W.extract_links_df(recs).select(
+        W.url_host("page_uri").alias("src"),
+        W.url_host("href").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(edges, n_iters=8).collect()}
+    assert max(ranks, key=ranks.get) == "hub.io"

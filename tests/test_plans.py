@@ -297,3 +297,25 @@ def test_datacard_is_one_expand_aggregate(spark):
     assert not X.has_cartesian(df)
     # grouping-set agg + countDistinct expand: bounded shuffle budget
     assert X.count_shuffles(df) <= 3, plan
+
+
+def test_eval_scores_single_scan_no_shuffle(spark):
+    df = QUERIES["e5_eval_scores"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert X.count_shuffles(df) == 0, plan   # pure projection pipeline
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_needle_inject_no_shuffle(spark):
+    df = QUERIES["e5_needle_inject"](spark, SF)
+    assert X.count_shuffles(df) == 0
+    assert "Python" not in X.plan_string(df, "simple")
+
+
+def test_chat_render_single_shuffle(spark):
+    df = QUERIES["e5_chat_render"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    # one hash-agg exchange on the conversation key; ordering happens
+    # inside array_sort, so no global Sort node
+    assert X.count_shuffles(df) <= 1, plan
+    assert "Python" not in plan
