@@ -64,10 +64,14 @@ def extract_links_df(
     body_col: str = "body",
     content_type_col: str = "content_type",
     uri_col: str = "target_uri",
+    resolve: bool = True,
 ) -> DataFrame:
     """1→N link fan-out: (page_uri, href, anchor_text) per <a href> —
     the edge list for URL-graph curation (domain counts, link-based
-    quality signals)."""
+    quality signals). With ``resolve=True`` (default) relative hrefs
+    resolve against the page URI via stdlib urljoin — a real crawl's
+    links are mostly relative, and an unresolved edge list would credit
+    the wrong (empty) host."""
     import pandas as pd
 
     from drugbankner_spark.functions import html_text as H
@@ -79,6 +83,8 @@ def extract_links_df(
     ])
 
     def run(batches):
+        from urllib.parse import urljoin
+
         for pdf in batches:
             rows = []
             for uri, body, ctype in zip(
@@ -86,6 +92,11 @@ def extract_links_df(
             ):
                 html = H.decode_html(bytes(body), ctype)
                 for href, anchor in H.html_links(html):
+                    if resolve:
+                        try:
+                            href = urljoin(uri or "", href)
+                        except ValueError:
+                            pass  # unparsable href: keep it raw
                     rows.append((uri, href, anchor))
             yield pd.DataFrame(
                 rows, columns=["page_uri", "href", "anchor_text"]

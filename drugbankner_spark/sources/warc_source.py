@@ -89,9 +89,35 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer framing (hex-size lines). A
+    malformed chunk stream returns what decoded so far plus nothing —
+    crawl data is never worth raising over."""
+    out = bytearray()
+    pos = 0
+    while pos < len(body):
+        line_end = body.find(b"\r\n", pos)
+        if line_end < 0:
+            break
+        size_token = body[pos:line_end].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break  # terminal chunk (trailers ignored)
+        start = line_end + 2
+        out += body[start:start + size]
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+    return bytes(out)
+
+
 def split_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     """(status, headers, body) of an HTTP response payload; (0, {},
-    payload) when no HTTP envelope is present."""
+    payload) when no HTTP envelope is present. ``Transfer-Encoding:
+    chunked`` framing is removed and ``Content-Encoding: gzip/deflate``
+    bodies are decompressed — WARC stores the wire bytes, downstream
+    text extraction wants the entity."""
     if not payload.startswith(b"HTTP/"):
         return 0, {}, payload
     head_end = payload.find(b"\r\n\r\n")
@@ -103,7 +129,25 @@ def split_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
         status = int(status_line.split()[1])
     except (IndexError, ValueError):
         status = 0
-    return status, _split_headers(head), payload[head_end + 4:]
+    headers = _split_headers(head)
+    body = payload[head_end + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip"):
+        try:
+            body = zlib.decompress(body, wbits=zlib.MAX_WBITS | 16)
+        except zlib.error:
+            pass  # keep the raw bytes rather than drop the record
+    elif enc == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    return status, headers, body
 
 
 WARC_RECORD_SCHEMA = T.StructType([

@@ -108,6 +108,37 @@ def test_parse_warc_gzip_members_and_truncation():
     assert len(cut) == 3  # last record dropped, earlier ones intact
 
 
+def test_http_chunked_and_compressed_bodies():
+    import zlib
+
+    # chunked framing removed
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    status, _, body = WS.split_http_response(chunked)
+    assert status == 200 and body == b"hello world"
+    # gzip content-encoding decompressed
+    comp = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+    gz = comp.compress(b"payload text") + comp.flush()
+    gzipped = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz
+    )
+    _, _, body = WS.split_http_response(gzipped)
+    assert body == b"payload text"
+    # deflate (zlib-wrapped) too
+    dz = zlib.compress(b"deflated body")
+    _, _, body = WS.split_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + dz
+    )
+    assert body == b"deflated body"
+    # corrupt gzip keeps the raw bytes instead of dying
+    _, _, body = WS.split_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+    )
+    assert body == b"not-gzip"
+
+
 def test_warc_records_fanout(spark):
     archives = spark.createDataFrame(
         [("mem://a.warc", bytearray(_fixture_archive()))],
@@ -339,3 +370,29 @@ def test_extract_links_edge_list(spark):
             for r in links] == [
         ("https://example.com/a", "https://example.com/next", "next page")
     ]
+
+
+def test_extract_links_resolves_relative(spark):
+    html = (b'<html><body><a href="/abs/path">a</a>'
+            b'<a href="sibling.html">b</a>'
+            b'<a href="https://other.org/x">c</a></body></html>')
+    rec = WS.encode_warc_record(
+        "response", "https://site.com/dir/page.html",
+        WS.encode_http_response(html),
+    )
+    archives = spark.createDataFrame(
+        [("mem://r.warc", bytearray(WS.encode_warc([rec])))],
+        "path string, content binary",
+    )
+    recs = WS.warc_records(archives).filter(
+        F.col("warc_type") == "response"
+    )
+    resolved = [r["href"] for r in W.extract_links_df(recs).collect()]
+    assert resolved == [
+        "https://site.com/abs/path",
+        "https://site.com/dir/sibling.html",
+        "https://other.org/x",
+    ]
+    raw = [r["href"]
+           for r in W.extract_links_df(recs, resolve=False).collect()]
+    assert raw == ["/abs/path", "sibling.html", "https://other.org/x"]
