@@ -106,6 +106,7 @@ def container_metadata(media: DataFrame) -> DataFrame:
         from drugbankner_spark.functions import avi_codec as avi
         from drugbankner_spark.functions import bmp_codec as bmp
         from drugbankner_spark.functions import gif_codec as gif
+        from drugbankner_spark.functions import pnm_codec as pnm
         from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import mp3_codec as mp3
         from drugbankner_spark.functions import mp4_codec as mp4
@@ -152,6 +153,13 @@ def container_metadata(media: DataFrame) -> DataFrame:
                     mid, format="bmp", width=w, height=abs(hh),
                     channels=3 if bpp == 24 else 1,
                     codec=f"bi_rgb{bpp}",
+                )
+            if pnm.is_pnm(data):
+                d = pnm.decode_pnm(data)
+                return row(
+                    mid, format="pnm", width=d["width"],
+                    height=d["height"], channels=d["channels"],
+                    codec=data[:2].decode("latin-1").lower(),
                 )
             if wav.is_wav(data):
                 a = wav.decode_wav(data)
@@ -247,6 +255,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
         from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import png_codec as png
+        from drugbankner_spark.functions import pnm_codec as pnm
         from drugbankner_spark.functions import wav_codec as wav
 
         for pdf in batches:
@@ -287,6 +296,15 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     ]))
                 elif bmp.is_bmp(data):
                     d = bmp.decode_bmp(data)
+                    px = d["pixels"]
+                    rows.append((int(mid), [
+                        float(d["width"]), float(d["height"]),
+                        float(d["channels"]),
+                        float(sum(px)) / len(px),
+                        float(min(px)), float(max(px)),
+                    ]))
+                elif pnm.is_pnm(data):
+                    d = pnm.decode_pnm(data)
                     px = d["pixels"]
                     rows.append((int(mid), [
                         float(d["width"]), float(d["height"]),
@@ -385,6 +403,7 @@ def image_hashes(media: DataFrame) -> DataFrame:
         from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import jpeg_codec as jpeg
         from drugbankner_spark.functions import png_codec as png
+        from drugbankner_spark.functions import pnm_codec as pnm
 
         def gray(img):
             px, ch = img["pixels"], img["channels"]
@@ -421,6 +440,8 @@ def image_hashes(media: DataFrame) -> DataFrame:
                            "width": f["width"], "height": f["height"]}
                 elif bmp.is_bmp(data):
                     img = bmp.decode_bmp(data)
+                elif pnm.is_pnm(data):
+                    img = pnm.decode_pnm(data)
                 else:
                     raise NotImplementedError(
                         "image_hashes: PNG, baseline JPEG, GIF and BMP "

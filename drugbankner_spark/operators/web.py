@@ -217,6 +217,26 @@ def parse_sitemap(xml_text: str) -> list[dict]:
     return out
 
 
+def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
+    """Sitemap discovery: ``Sitemap:`` lines of each robots.txt →
+    (host, sitemap_url) — the inputs ``sitemap_frontier`` fetches next,
+    closing the robots → sitemaps → frontier loop. Pure JVM path: one
+    split + explode + filter, no Python."""
+    lines = robots.select(
+        "host",
+        F.explode(F.split(F.col("robots_txt"), "\r?\n")).alias("_line"),
+    )
+    return (
+        lines.filter(F.lower(F.col("_line")).startswith("sitemap:"))
+        .select(
+            "host",
+            F.trim(F.expr("substring(_line, 9, 1 << 30)"))
+            .alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
 def sitemap_frontier(sitemaps: DataFrame) -> DataFrame:
     """1→N frontier fan-out over (host, sitemap_xml) rows: one output
     row per sitemap entry with its CANONICAL url — dedupe the frontier

@@ -67,3 +67,35 @@ def test_spark_paths(spark):
     assert feat["feature"][:3] == [9.0, 8.0, 1.0]
     [hashes] = MM.image_hashes(media).collect()
     assert isinstance(hashes["ahash"], int)
+
+
+def test_pnm_roundtrip_and_spark_paths(spark):
+    import random
+
+    from drugbankner_spark.functions import pnm_codec as P
+    from drugbankner_spark.operators import multimodal as MM
+
+    rng = random.Random(6)
+    for w, h, ch, asc in [(5, 3, 1, False), (5, 3, 3, False),
+                          (4, 2, 1, True), (4, 2, 3, True)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        d = P.decode_pnm(P.encode_pnm(px, w, h, ch, ascii_format=asc))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+        assert d["pixels"] == px
+    # comment lines in the header are skipped
+    commented = b"P5\n# a comment\n3 2\n255\n" + bytes(6)
+    assert P.decode_pnm(commented)["width"] == 3
+
+    px = bytes((x * 31 + y * 7) % 256 for y in range(8) for x in range(9))
+    payload = P.encode_pnm(px, 9, 8, 1)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "image/x-portable-graymap", len(payload))],
+        "media_id long, payload binary, mime_type string, n_bytes long",
+    )
+    [meta] = MM.container_metadata(media).collect()
+    assert meta["format"] == "pnm" and meta["codec"] == "p5"
+    assert (meta["width"], meta["height"], meta["channels"]) == (9, 8, 1)
+    [feat] = MM.decode_media(media).collect()
+    assert feat["feature"][:3] == [9.0, 8.0, 1.0]
+    [hashes] = MM.image_hashes(media).collect()
+    assert isinstance(hashes["ahash"], int)

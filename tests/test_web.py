@@ -203,6 +203,25 @@ def test_parse_sitemap_and_index():
     assert W.parse_sitemap("<html></html>") == []
 
 
+def test_sitemaps_from_robots(spark):
+    robots = spark.createDataFrame(
+        [("s.com",
+          "User-agent: *\nDisallow: /tmp\n"
+          "Sitemap: https://s.com/sitemap.xml\r\n"
+          "sitemap:   https://s.com/sitemap-news.xml\n"),
+         ("bare.org", "User-agent: *\nAllow: /\n")],
+        ["host", "robots_txt"],
+    )
+    got = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in W.sitemaps_from_robots(robots).collect()
+    )
+    assert got == [
+        ("s.com", "https://s.com/sitemap-news.xml"),
+        ("s.com", "https://s.com/sitemap.xml"),
+    ]
+
+
 def test_sitemap_frontier_canonicalizes(spark):
     df = spark.createDataFrame(
         [("s.com", SITEMAP), ("s.com", SITEMAP_INDEX)],
