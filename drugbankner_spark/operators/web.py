@@ -217,6 +217,20 @@ def parse_sitemap(xml_text: str) -> list[dict]:
     return out
 
 
+def decode_sitemap(payload: bytes) -> str:
+    """Sitemap payload → XML text: gunzips ``sitemap.xml.gz`` (the
+    standard compressed form) by magic sniff, then UTF-8-decodes with
+    replacement — feed the result to ``parse_sitemap``."""
+    import zlib
+
+    if payload[:2] == b"\x1f\x8b":
+        try:
+            payload = zlib.decompress(payload, wbits=zlib.MAX_WBITS | 16)
+        except zlib.error:
+            return ""
+    return payload.decode("utf-8", errors="replace")
+
+
 def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
     """Sitemap discovery: ``Sitemap:`` lines of each robots.txt →
     (host, sitemap_url) — the inputs ``sitemap_frontier`` fetches next,

@@ -1719,3 +1719,31 @@ def test_render_preference_pairs(spark):
     assert r["rendered_chosen"][:n] == r["rendered_rejected"][:n]
     assert r["rendered_chosen"][n] == "4"
     assert r["rendered_rejected"][n] == "5"
+
+
+def test_chat_render_feeds_sequence_packing(spark):
+    # events → rendered conversations → packed training sequences:
+    # token conservation across the whole SFT last mile
+    from drugbankner_spark.operators.corpus import (
+        materialize_packed_sequences,
+    )
+    from drugbankner_spark.operators.sft import render_chat
+    from drugbankner_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events").limit(400)
+    turns = ev.select(
+        F.col("user_id").alias("conversation_id"), "ts", "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.col("event_type").alias("content"),
+    )
+    convs = render_chat(turns).select(
+        F.col("conversation_id").alias("doc_id"),
+        F.col("rendered").alias("text"),
+    )
+    packed = materialize_packed_sequences(convs, seq_len=64)
+    total_in = convs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    total_out = packed.select(F.sum("n_tokens")).collect()[0][0]
+    assert total_in == total_out  # nothing lost between the stages

@@ -222,6 +222,17 @@ def test_sitemaps_from_robots(spark):
     ]
 
 
+def test_decode_sitemap_gzip():
+    import zlib
+
+    comp = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+    gz = comp.compress(SITEMAP.encode()) + comp.flush()
+    entries = W.parse_sitemap(W.decode_sitemap(gz))
+    assert len(entries) == 2
+    assert W.decode_sitemap(SITEMAP.encode()) == SITEMAP
+    assert W.decode_sitemap(b"\x1f\x8bnot-really-gzip") == ""
+
+
 def test_sitemap_frontier_canonicalizes(spark):
     df = spark.createDataFrame(
         [("s.com", SITEMAP), ("s.com", SITEMAP_INDEX)],
