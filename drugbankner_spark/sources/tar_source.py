@@ -185,6 +185,36 @@ def export_webdataset_shards(
     return keyed.groupBy("_shard").applyInPandas(build, out_schema)
 
 
+def zip_members(archives: DataFrame) -> DataFrame:
+    """The zip twin of :func:`tar_members` (same output schema) — some
+    public corpora ship zip archives rather than tar shards; stdlib
+    zipfile over the same binaryFile rows, one archive per task."""
+    import io as _io
+    import zipfile
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(_io.BytesIO(bytes(content))) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        payload = zf.read(info)
+                        rows.append(
+                            (path, info.filename, len(payload), payload)
+                        )
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "n_bytes", "payload"],
+            )
+
+    return archives.select("path", "content").mapInPandas(
+        run, TAR_MEMBER_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------- fixtures
 
 def encode_tar(members: list[tuple[str, bytes]], gzip: bool = False) -> bytes:

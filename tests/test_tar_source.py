@@ -151,3 +151,21 @@ def test_export_shards_roundtrip_and_determinism(spark):
              for r in export_webdataset_shards(
                  samples.repartition(7), n_shards=2).collect()}
     assert {r["shard_id"]: bytes(r["tar_payload"]) for r in out} == again
+
+
+def test_zip_members_fanout(spark):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("d/a.txt", b"alpha")
+        zf.writestr("d/b.bin", bytes(range(64)))
+        zf.writestr("empty_dir/", b"")
+    archives = spark.createDataFrame(
+        [("mem://a.zip", bytearray(buf.getvalue()))],
+        "path string, content binary",
+    )
+    rows = {r["member"]: bytes(r["payload"])
+            for r in TS.zip_members(archives).collect()}
+    assert rows == {"d/a.txt": b"alpha", "d/b.bin": bytes(range(64))}
