@@ -733,6 +733,44 @@ def corpus_datacard(
     )
 
 
+def datacard_markdown(datacard: DataFrame, title: str = "Dataset") -> str:
+    """Render a :func:`corpus_datacard` result as the human-readable
+    release artifact — a markdown report with the corpus-wide rollup
+    first, then per-source and per-slice tables. The input is already
+    the TINY aggregated table (bounded by source×lang), so collecting
+    it is the point, not a scale concern; pair with
+    ``scale.write_text_file`` to publish next to the data."""
+    rows = [r.asDict() for r in datacard.collect()]
+    a, b = datacard.columns[0], datacard.columns[1]
+    total = next(r for r in rows if r[a] is None and r[b] is None)
+    lines = [
+        f"# {title} — data card",
+        "",
+        f"- documents: {total['n_docs']:,}",
+        f"- distinct texts: {total['n_distinct_texts']:,}"
+        f" (exact duplicates: {total['n_exact_dups']:,})",
+        f"- total tokens: {total['total_tokens']:,}",
+        f"- tokens/doc: min {total['min_tokens']}, p50"
+        f" {total['p50_tokens']}, p95 {total['p95_tokens']},"
+        f" max {total['max_tokens']}",
+        "",
+        f"| {a} | {b} | docs | dups | tokens | p50 | p95 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    slices = sorted(
+        (r for r in rows if r[a] is not None),
+        key=lambda r: (r[a], r[b] if r[b] is not None else ""),
+    )
+    for r in slices:
+        lines.append(
+            f"| {r[a]} | {r[b] if r[b] is not None else '(all)'} "
+            f"| {r['n_docs']:,} | {r['n_exact_dups']:,} "
+            f"| {r['total_tokens']:,} | {r['p50_tokens']} "
+            f"| {r['p95_tokens']} |"
+        )
+    return "\n".join(lines) + "\n"
+
+
 def length_buckets(
     docs: DataFrame,
     text_col: str = "text",

@@ -1747,3 +1747,26 @@ def test_chat_render_feeds_sequence_packing(spark):
     ).collect()[0][0]
     total_out = packed.select(F.sum("n_tokens")).collect()[0][0]
     assert total_in == total_out  # nothing lost between the stages
+
+
+def test_datacard_markdown_render(spark, tmp_path):
+    from drugbankner_spark.operators.corpus import (
+        corpus_datacard, datacard_markdown,
+    )
+    from drugbankner_spark.operators.scale import (
+        read_text_file, write_text_file,
+    )
+    from drugbankner_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    md = datacard_markdown(corpus_datacard(docs), title="sf0.001 docs")
+    assert md.startswith("# sf0.001 docs — data card")
+    assert "- documents: 500" in md
+    # every (source, lang) slice appears as a table row
+    n_slices = docs.select("source", "lang").distinct().count()
+    assert sum(1 for ln in md.splitlines()
+               if ln.startswith("| src")) >= n_slices
+    # publishes through the FS helper and reads back intact
+    p = str(tmp_path / "DATACARD.md")
+    write_text_file(spark, p, md)
+    assert read_text_file(spark, p) == md

@@ -177,3 +177,19 @@ def test_jsonl_documents_roundtrip(spark, tmpdir):
     a = sorted(map(tuple, docs.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_jsonl_gzip_transparent_read(spark, tmpdir):
+    # .jsonl.gz reads transparently (Hadoop codec by extension) — the
+    # compressed form LLM corpora actually ship in.
+    import os
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    path = os.path.join(tmpdir, "docs_gz")
+    docs.write.option("compression", "gzip").json(path)
+    import glob
+
+    assert glob.glob(os.path.join(path, "*.json.gz"))  # really compressed
+    back = spark.read.schema(docs.schema).json(path)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, docs.collect()))
