@@ -3473,6 +3473,19 @@ def _pq_adc_oracle() -> str:
 # --- E-family oracle builders ----------------------------------------------
 
 #: md5-prefix 32-bit hash in DuckDB SQL (mirrors dedup.content_hash32).
+def _sql_tracking_param_filter() -> str:
+    """DuckDB predicate fragment dropping tracking query params —
+    rendered from web.TRACKING_PARAM_PREFIXES so the Spark filter and
+    this oracle share one source of truth (ADVICE r05)."""
+    from drugbankner_spark.operators.web import TRACKING_PARAM_PREFIXES
+
+    parts = []
+    for name in TRACKING_PARAM_PREFIXES:
+        probe = name if name.endswith("_") else name + "="
+        parts.append(f"AND NOT starts_with(x, '{probe}')")
+    return " ".join(parts)
+
+
 def _sql_hash32(e: str) -> str:
     return (f"CAST(list_sum(list_transform(generate_series(1, 8), i -> "
             f"(strpos('0123456789abcdef', substr(substr(md5({e}), 1, 8), i, 1)) - 1)"
@@ -5178,7 +5191,9 @@ def oracle_sql() -> dict[str, str]:
         # e3_url_canonicalize: same synthesized URLs; every step of the
         # canonicalizer (fragment, query split, scheme/host lowering,
         # default ports, path slash, tracking-param filter) in SQL.
-        "e3_url_canonicalize": """
+        # The tracking filter is RENDERED from web.TRACKING_PARAM_PREFIXES
+        # (single source of truth — ADVICE r05).
+        "e3_url_canonicalize": f"""
             WITH synth AS (
                 SELECT doc_id,
                        'HTTPS://WWW.Site' || (doc_id % 7) || '.COM'
@@ -5238,11 +5253,7 @@ def oracle_sql() -> dict[str, str]:
                        array_to_string(list_filter(
                            string_split(query, '&'),
                            x -> x <> ''
-                                AND NOT starts_with(x, 'utm_')
-                                AND NOT starts_with(x, 'fbclid=')
-                                AND NOT starts_with(x, 'gclid=')
-                                AND NOT starts_with(x, 'msclkid=')
-                                AND NOT starts_with(x, 'mc_eid=')
+                                {_sql_tracking_param_filter()}
                        ), '&') AS kept
                 FROM norm
             )

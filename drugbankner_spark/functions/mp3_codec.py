@@ -227,11 +227,20 @@ def segment_mp3(data: bytes, n_segments: int) -> list[tuple[int, bytes]]:
     info = mp3_info(data)
     if not info["valid"] or info["n_frames"] == 0:
         return []
-    # re-walk to collect frame offsets (mp3_info validated the stream)
+    # re-walk to collect frame offsets (mp3_info validated the stream).
+    # The resync uses mp3_info's SAME consecutiveness test (next frame
+    # parses, or this frame fills the stream) — a lone 0xFFE coincidence
+    # in junk prefix must not start the walk at a different offset than
+    # mp3_info did (ADVICE r05).
     start = id3v2_size(data)
     end = len(data) - 128 if has_id3v1(data) else len(data)
     off = start
-    while off < end and parse_frame_header(data, off) is None:
+    while off < end:
+        h = parse_frame_header(data, off)
+        if h is not None:
+            nxt = off + h["frame_bytes"]
+            if nxt >= end or parse_frame_header(data, nxt) is not None:
+                break
         off += 1
     frames: list[tuple[int, int]] = []  # (offset, frame_bytes)
     t_ms: list[float] = []

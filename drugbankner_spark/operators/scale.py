@@ -366,7 +366,15 @@ def snapshot_manifest(spark: SparkSession, path: str) -> DataFrame:
     binaryFile source, distributed across executors — the driver never
     touches file contents. Pair with :func:`manifest_diff` to audit
     what changed between two snapshots."""
-    base = path.rstrip("/") + "/"
+    import re as _re
+
+    # normalize the INPUT path with the same scheme-strip applied to the
+    # listed paths below — a scheme-qualified input ('file:/data/x')
+    # must yield the same prefix length (ADVICE r05: it mis-sliced
+    # every rel_path otherwise)
+    base = (
+        _re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/", path).rstrip("/") + "/"
+    )
     listed = spark.read.format("binaryFile").option(
         "pathGlobFilter", "*.parquet"
     ).option("recursiveFileLookup", "true").load(path)

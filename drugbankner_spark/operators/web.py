@@ -18,7 +18,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Query parameters that never change page content (tracking only).
+#: A name ending in "_" drops every param with that prefix (utm_*);
+#: any other name drops exactly that param (matched as "name=").
+#: canonicalize_url builds its filter predicate from this tuple, and
+#: the entry oracle renders the same tuple into SQL — one source of
+#: truth (ADVICE r05: the three hand-copied lists could drift).
 TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def _is_tracking_param(p: Column) -> Column:
+    """True when a 'k=v' query param is tracking-only per
+    TRACKING_PARAM_PREFIXES."""
+    cond = F.lit(False)
+    for name in TRACKING_PARAM_PREFIXES:
+        probe = name if name.endswith("_") else name + "="
+        cond = cond | p.startswith(probe)
+    return cond
 
 
 def html_to_text_df(
@@ -140,12 +155,7 @@ def canonicalize_url(url: Column | str) -> Column:
     ).otherwise(path)
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "")
-        & ~p.startswith("utm_")
-        & ~p.startswith("fbclid=")
-        & ~p.startswith("gclid=")
-        & ~p.startswith("msclkid=")
-        & ~p.startswith("mc_eid="),
+        lambda p: (p != "") & ~_is_tracking_param(p),
     )
     kept = F.array_join(params, "&")
     return F.concat(

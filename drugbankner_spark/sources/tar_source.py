@@ -198,11 +198,22 @@ def zip_members(archives: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                with zipfile.ZipFile(_io.BytesIO(bytes(content))) as zf:
+                # tolerant like the tar/WARC/MP3 walkers: a corrupt
+                # archive (or one unreadable member) is skipped, never
+                # allowed to kill the whole scan task (ADVICE r05)
+                try:
+                    zf = zipfile.ZipFile(_io.BytesIO(bytes(content)))
+                except (zipfile.BadZipFile, ValueError, OSError):
+                    continue
+                with zf:
                     for info in zf.infolist():
                         if info.is_dir():
                             continue
-                        payload = zf.read(info)
+                        try:
+                            payload = zf.read(info)
+                        except (zipfile.BadZipFile, zipfile.LargeZipFile,
+                                NotImplementedError, ValueError, OSError):
+                            continue
                         rows.append(
                             (path, info.filename, len(payload), payload)
                         )

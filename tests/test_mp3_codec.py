@@ -135,3 +135,17 @@ def test_segment_fewer_frames_than_requested():
     segs = mp3.segment_mp3(data, 8)
     assert len(segs) == 2
     assert mp3.segment_mp3(bytes(64), 4) == []
+
+
+def test_segment_resync_matches_mp3_info_on_junk_prefix():
+    # ADVICE r05: a lone 0xFFE coincidence in the junk prefix must not
+    # make segment_mp3's re-walk start earlier than mp3_info's walk —
+    # both use the same consecutive-header resync now.
+    real = mp3.encode_mp3(n_frames=10)
+    junk = bytes(10) + b"\xff\xfb\x90\x00" + bytes(46)  # fake lone sync
+    data = junk + real
+    info = mp3.mp3_info(data)
+    assert info["valid"] and info["n_frames"] == 10
+    segs = mp3.segment_mp3(data, 4)
+    assert segs[0][0] == 0  # first segment starts at the REAL stream
+    assert sum(mp3.mp3_info(s)["n_frames"] for _, s in segs) == 10

@@ -287,3 +287,19 @@ def test_describe_parquet_layout_stats(spark, tmp_path):
         assert r["n_columns"] == 2
         assert r["n_cols_with_minmax"] == 2  # plain longs carry min/max
         assert r["total_byte_size"] > 0
+
+
+def test_snapshot_manifest_scheme_qualified_path(spark, tmp_path):
+    # ADVICE r05: a scheme-qualified input path ('file:/data/x') must
+    # slice rel_path identically to the bare path form.
+    from drugbankner_spark.operators.scale import snapshot_manifest
+
+    d = str(tmp_path / "schemed")
+    spark.range(10).repartition(1).write.parquet(d)
+    bare = sorted(r["rel_path"]
+                  for r in snapshot_manifest(spark, d).collect())
+    schemed = sorted(r["rel_path"]
+                     for r in snapshot_manifest(spark, "file://" + d).collect())
+    assert bare == schemed
+    assert all(p.endswith(".parquet") and not p.startswith("/")
+               for p in bare)

@@ -169,3 +169,25 @@ def test_zip_members_fanout(spark):
     rows = {r["member"]: bytes(r["payload"])
             for r in TS.zip_members(archives).collect()}
     assert rows == {"d/a.txt": b"alpha", "d/b.bin": bytes(range(64))}
+
+
+def test_zip_members_tolerates_corrupt_archives(spark):
+    # ADVICE r05: a corrupt archive is skipped (binned), never allowed
+    # to kill the scan task — same tolerance policy as the tar/WARC
+    # walkers.
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ok.txt", b"fine")
+    good = buf.getvalue()
+    archives = spark.createDataFrame(
+        [("mem://bad.zip", bytearray(b"PK\x03\x04" + bytes(40))),
+         ("mem://junk.zip", bytearray(b"not a zip at all")),
+         ("mem://good.zip", bytearray(good))],
+        "path string, content binary",
+    )
+    rows = TS.zip_members(archives).collect()
+    assert [(r["archive"], r["member"], bytes(r["payload"]))
+            for r in rows] == [("mem://good.zip", "ok.txt", b"fine")]

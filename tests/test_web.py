@@ -426,3 +426,17 @@ def test_extract_links_resolves_relative(spark):
     raw = [r["href"]
            for r in W.extract_links_df(recs, resolve=False).collect()]
     assert raw == ["/abs/path", "sibling.html", "https://other.org/x"]
+
+
+def test_tracking_filter_derives_from_constant(spark):
+    # ADVICE r05: the filter predicate is BUILT from
+    # TRACKING_PARAM_PREFIXES — every listed name must drop, prefix
+    # names ('utm_') by prefix, exact names by 'name=' (so a distinct
+    # param that merely shares the spelling prefix survives).
+    params = []
+    for name in W.TRACKING_PARAM_PREFIXES:
+        params.append(f"{name}x=1" if name.endswith("_") else f"{name}=1")
+    url = "https://h.com/p?" + "&".join(params + ["mc_eidx=keep", "a=2"])
+    df = spark.createDataFrame([(url,)], ["url"])
+    got = df.select(W.canonicalize_url("url")).first()[0]
+    assert got == "https://h.com/p?mc_eidx=keep&a=2"
