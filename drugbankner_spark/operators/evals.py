@@ -64,8 +64,22 @@ def eval_scores(
     rouge_n (recall). Round aggregate means separately —
     ``pairs.agg(avg(...))`` — so per-example scores stay joinable back
     to their items for error analysis."""
-    p = _toks(F.col(pred_col))
-    r = _toks(F.col(ref_col))
+    # pre-project the token and n-gram arrays: _multiset_overlap's fold
+    # references its inputs inside a lambda, and lambda-captured child
+    # expressions are re-evaluated per element — with inline
+    # split/transform inputs the overlap would re-tokenize (and
+    # re-build the n-gram array) once per distinct token (round-6
+    # lambda-capture audit). Column references make each re-read O(1).
+    pre = pairs.select(
+        "*",
+        _toks(F.col(pred_col)).alias("_p"),
+        _toks(F.col(ref_col)).alias("_r"),
+    ).select(
+        "*",
+        _ngrams(F.col("_p"), rouge_n).alias("_pg"),
+        _ngrams(F.col("_r"), rouge_n).alias("_rg"),
+    )
+    p, r = F.col("_p"), F.col("_r")
     overlap = _multiset_overlap(p, r)
     both_empty = (F.size(p) == 0) & (F.size(r) == 0)
     prec = overlap / F.size(p)
@@ -73,13 +87,12 @@ def eval_scores(
     f1 = F.when(both_empty, F.lit(1.0)).when(
         (F.size(p) == 0) | (F.size(r) == 0) | (overlap == 0), F.lit(0.0)
     ).otherwise(2 * prec * rec / (prec + rec))
-    pg = _ngrams(p, rouge_n)
-    rg = _ngrams(r, rouge_n)
+    pg, rg = F.col("_pg"), F.col("_rg")
     rouge = F.when(F.size(rg) == 0, F.lit(0.0)).otherwise(
         _multiset_overlap(pg, rg) / F.size(rg)
     )
-    return pairs.select(
-        "*",
+    return pre.select(
+        *[F.col(c) for c in pairs.columns],
         (_norm(F.col(pred_col)) == _norm(F.col(ref_col)))
         .alias("exact_match"),
         F.round(f1, 6).alias("token_f1"),

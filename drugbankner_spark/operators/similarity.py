@@ -1268,14 +1268,26 @@ def quantize_embeddings_int8(
     is exact everywhere (the DuckDB oracle replicates bit-for-bit after
     an exact float32→double cast). All-zero vectors take scale 1 so
     codes are 0, not NaN. Pure projection: zero shuffle, any scale."""
+    # two-step projection: the codes lambda divides by a column
+    # REFERENCE — capturing the scale EXPRESSION would re-evaluate the
+    # array_max per vector element, O(dim²) per row (round-6
+    # lambda-capture audit)
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    scale = F.array_max(F.transform(x, lambda v: F.abs(v))) / F.lit(127.0)
-    s = F.when(scale > 0, scale).otherwise(F.lit(1.0))
-    return emb.select(
+    pre = emb.select(F.col(id_col), x.alias("_x"))
+    scale = (
+        F.array_max(F.transform(F.col("_x"), lambda v: F.abs(v)))
+        / F.lit(127.0)
+    )
+    pre = pre.select(
+        F.col(id_col), "_x",
+        F.when(scale > 0, scale).otherwise(F.lit(1.0)).alias("scale"),
+    )
+    return pre.select(
         F.col(id_col),
-        s.alias("scale"),
+        "scale",
         F.transform(
-            x, lambda v: F.floor(v / s + F.lit(0.5)).cast("int")
+            F.col("_x"),
+            lambda v: F.floor(v / F.col("scale") + F.lit(0.5)).cast("int"),
         ).alias("codes"),
     )
 

@@ -118,7 +118,13 @@ def doc_fingerprint(
     per-document minimum and the full chunk-hash count — a compact
     signature for shift-tolerant containment checks. Uses the
     cross-engine content hash (md5-derived) for oracle parity."""
-    toks = tokens(F.col(text_col))
+    # pre-projected token array — the chunk lambda slices a column
+    # reference, not an inline split (re-evaluated per element →
+    # quadratic; round-6 lambda-capture audit)
+    pre = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     chunks = F.transform(
         F.sequence(
             F.lit(1),
@@ -127,7 +133,7 @@ def doc_fingerprint(
         ),
         lambda i: F.array_join(F.slice(toks, i, chunk), " "),
     )
-    exploded = docs.select(F.col(id_col), F.explode(chunks).alias("chunk_text"))
+    exploded = pre.select(F.col(id_col), F.explode(chunks).alias("chunk_text"))
     hashed = exploded.select(
         F.col(id_col), content_hash32(F.col("chunk_text")).alias("chunk_hash")
     )
@@ -213,8 +219,17 @@ def repetition_stats(
     any corpus size; documents with fewer than 2 tokens are excluded
     (they have no bigrams).
     """
-    toks = tokens(F.col(text_col))
-    bg, tg = _word_ngrams(toks, 2), _word_ngrams(toks, 3)
+    # two-step projection: token array first, then the n-gram arrays —
+    # each later expression references plain columns, so nothing is
+    # re-evaluated per lambda element (round-6 lambda-capture audit)
+    pre = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        _word_ngrams(F.col("_toks"), 2).alias("_bg"),
+        _word_ngrams(F.col("_toks"), 3).alias("_tg"),
+    )
+    bg, tg = F.col("_bg"), F.col("_tg")
 
     def dup_frac(arr: Column) -> Column:
         return F.round(
@@ -222,7 +237,7 @@ def repetition_stats(
         )
 
     return (
-        docs.select(
+        pre.select(
             F.col(id_col),
             F.size(bg).alias("n_bigrams"),
             dup_frac(bg).alias("dup_bigram_frac"),
@@ -707,9 +722,16 @@ def hashed_tf_entries(
 # ---------------------------------------------------------------------------
 
 def _char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int):
-    """One row per character n-gram occurrence: (id, gram)."""
-    t = F.lower(F.col(text_col))
-    return df.select(
+    """One row per character n-gram occurrence: (id, gram). The
+    lowercased text is projected ONCE and the per-position substr runs
+    against the column reference — an inline lower() would be
+    re-evaluated per character position, O(len²) per document
+    (round-6 lambda-capture audit)."""
+    pre = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    )
+    t = F.col("_lt")
+    return pre.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -865,8 +887,10 @@ def ngram_topk(
     from pyspark.sql import Window
 
     grams = docs.select(
+        F.col(group_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(group_col),
-        F.explode(_word_ngrams(tokens(F.col(text_col)), n)).alias("gram"),
+        F.explode(_word_ngrams(F.col("_toks"), n)).alias("gram"),
     )
     counts = grams.groupBy(group_col, "gram").agg(
         F.count(F.lit(1)).alias("n_occurrences")

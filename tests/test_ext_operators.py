@@ -1770,3 +1770,49 @@ def test_datacard_markdown_render(spark, tmp_path):
     p = str(tmp_path / "DATACARD.md")
     write_text_file(spark, p, md)
     assert read_text_file(spark, p) == md
+
+
+def test_span_dedup_adversarial_single_token_doc(spark):
+    # VERDICT r05 watch item: one token repeated 50k times used to mean
+    # ~50k overlapping spans × 50k tokens of per-row `exists` work
+    # (~10^9 lambda evals). The gaps-and-islands interval merge folds
+    # them into ONE [2, m+1) interval — the doc must now finish in
+    # seconds with the exact Lee-et-al. answer (only the very first
+    # token survives: every later position is covered by some repeated
+    # 8-gram span).
+    import time
+
+    from drugbankner_spark.operators.corpus import dedup_repeated_ngrams
+
+    m = 50_000
+    docs = spark.createDataFrame(
+        [(1, " ".join(["x"] * m)), (2, "a short unique doc")],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    rows = {r["doc_id"]: r for r in dedup_repeated_ngrams(docs, n=8).collect()}
+    elapsed = time.monotonic() - t0
+    assert rows[1]["text"] == "x"
+    assert rows[1]["n_tokens_kept"] == 1
+    assert rows[1]["n_tokens_dropped"] == m - 1
+    assert rows[2]["n_tokens_dropped"] == 0
+    assert elapsed < 60, f"adversarial doc took {elapsed:.1f}s"
+
+
+def test_crossdoc_dedup_adversarial_repeated_token(spark):
+    # same pathological shape through the CROSS-document path: a 20k
+    # single-token doc duplicated across two docs — keeper (min id)
+    # retains everything, the later doc melts to nothing covered by a
+    # single merged interval.
+    from drugbankner_spark.operators.corpus import crossdoc_span_dedup
+
+    m = 20_000
+    body = " ".join(["y"] * m)
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, "an unrelated document entirely")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in crossdoc_span_dedup(docs, n=8).collect()}
+    assert rows[1]["n_tokens_dropped"] == 0  # keeper keeps all
+    assert rows[2]["n_tokens_kept"] == 0 and rows[2]["text"] == ""
+    assert rows[3]["n_tokens_dropped"] == 0
