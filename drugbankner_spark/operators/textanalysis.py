@@ -472,6 +472,45 @@ def normalize_unicode(
     ).withColumn("n_chars_after", F.length("text_norm"))
 
 
+#: Model dims at or below this many rows take the explicit broadcast
+#: hint in LM scoring; above it the hint is OMITTED and AQE picks the
+#: join strategy (shuffle join for a genuinely huge dim). ~2M rows of
+#: (gram, double) is tens of MB serialized — comfortably inside
+#: executor broadcast budgets; an un-pruned web-scale bigram table is
+#: not (VERDICT r05 watch item: min_count was documented as the bound
+#: but nothing enforced it).
+LM_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _maybe_broadcast(dim: DataFrame, max_rows: int) -> DataFrame:
+    """``F.broadcast(dim)`` when one cheap count-agg on the (already
+    aggregated, bounded) model dim says it fits; the bare dim otherwise
+    so AQE chooses the join. The count costs one extra job over the
+    model dim only — never the corpus."""
+    return F.broadcast(dim) if dim.count() <= max_rows else dim
+
+
+def _bigram_pairs(df: DataFrame, text_col: str, extra_cols: list[str]):
+    """(extra_cols..., w1, w2) adjacent-token pairs. The token array is
+    projected ONCE and indexed by column reference inside the lambda —
+    an inline split() would be re-evaluated per element, O(tokens²)
+    per document (round-6 lambda-capture audit)."""
+    pre = df.select(
+        *extra_cols, F.split(F.col(text_col), " ").alias("_tk")
+    )
+    return pre.select(
+        *extra_cols,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(_tk) - 1, 0)),"
+                " i -> struct(_tk[i - 1] AS w1, _tk[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select(*extra_cols, "p.w1", "p.w2").filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+
+
 def train_word_lm(
     docs: DataFrame,
     text_col: str = "text",
@@ -490,18 +529,7 @@ def train_word_lm(
     ).filter(F.col("w") != "")
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
     total = uni.agg(F.sum("n1").cast("double").alias("total"))
-    pairs = docs.select(
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split({text_col},"
-                f" ' ')) - 1, 0)), i -> struct("
-                f"split({text_col}, ' ')[i - 1] AS w1,"
-                f" split({text_col}, ' ')[i] AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2").filter(
-        (F.col("w1") != "") & (F.col("w2") != "")
-    )
+    pairs = _bigram_pairs(docs, text_col, [])
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     if min_count > 1:
         uni = uni.filter(F.col("n1") >= min_count)
@@ -515,27 +543,20 @@ def word_lm_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     backoff: float = 0.4,
+    broadcast_max_rows: int = LM_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under STUPID BACKOFF
     (Brants et al. 2007 — the web-scale LM scoring rule: no discount
     estimation, just ``ln(n12/n1)`` when the bigram is known, else
     ``ln(0.4 · n2/N)``; unseen words floor at ``ln(0.4 · 0.5/N)``).
-    Scoring = one bigram explode + two BROADCAST joins onto the bounded
-    model dims + a per-doc agg — the corpus shuffles (id, bigram)
-    pairs, never text. Output: (id, n_bigrams, mean_logprob)."""
-    occ = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split({text_col},"
-                f" ' ')) - 1, 0)), i -> struct("
-                f"split({text_col}, ' ')[i - 1] AS w1,"
-                f" split({text_col}, ' ')[i] AS w2))"
-            )
-        ).alias("p"),
-    ).select(id_col, "p.w1", "p.w2").filter(
-        (F.col("w1") != "") & (F.col("w2") != "")
-    )
+    Scoring = one bigram explode + two joins onto the model dims + a
+    per-doc agg — the corpus shuffles (id, bigram) pairs, never text.
+    The model dims take the broadcast hint only when a count-agg
+    confirms they fit under ``broadcast_max_rows`` (min_count bounds
+    them in normal use; an un-pruned web-scale bigram table falls back
+    to an AQE-chosen shuffle join instead of blowing the broadcast).
+    Output: (id, n_bigrams, mean_logprob)."""
+    occ = _bigram_pairs(docs, text_col, [id_col])
     big = model["bigrams"]
     # known-bigram scores fold n1 in via the unigram dim on w1
     uni1 = model["unigrams"].select(
@@ -549,9 +570,12 @@ def word_lm_logprob(
         F.col("w").alias("w2"), F.col("n1").alias("_n2")
     )
     scored = (
-        occ.join(F.broadcast(lp_known), ["w1", "w2"], "left")
-        .join(F.broadcast(uni2), "w2", "left")
-        .crossJoin(F.broadcast(model["total"]))
+        occ.join(
+            _maybe_broadcast(lp_known, broadcast_max_rows),
+            ["w1", "w2"], "left",
+        )
+        .join(_maybe_broadcast(uni2, broadcast_max_rows), "w2", "left")
+        .crossJoin(F.broadcast(model["total"]))  # always exactly 1 row
         .select(
             F.col(id_col),
             F.coalesce(
@@ -783,6 +807,7 @@ def char_lm_logprob(
     k_smooth: float = 0.1,
     charset_size: int = 64,
     occ: DataFrame | None = None,
+    broadcast_max_rows: int = LM_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Per-document mean character log-probability under the trained
     model — the CCNet/KenLM quality signal (low = gibberish relative to
@@ -806,8 +831,13 @@ def char_lm_logprob(
         ).alias("_lp"),
     )
     unseen_lp = F.log(F.lit(k_smooth) / denom_k)
+    # charset^order bounds the model in normal use; the size guard
+    # still checks before hinting (a pathological charset at high
+    # order falls back to an AQE-chosen join)
     scored = (
-        occ.join(F.broadcast(lp_model), "gram", "left")
+        occ.join(
+            _maybe_broadcast(lp_model, broadcast_max_rows), "gram", "left"
+        )
         .select(
             F.col(id_col),
             F.coalesce(F.col("_lp"), unseen_lp).alias("_lp"),

@@ -1816,3 +1816,32 @@ def test_crossdoc_dedup_adversarial_repeated_token(spark):
     assert rows[1]["n_tokens_dropped"] == 0  # keeper keeps all
     assert rows[2]["n_tokens_kept"] == 0 and rows[2]["text"] == ""
     assert rows[3]["n_tokens_dropped"] == 0
+
+
+def test_word_lm_broadcast_guard_shuffle_fallback(spark):
+    # VERDICT r05: an over-threshold model dim must SKIP the broadcast
+    # hint (AQE picks the join) and still produce identical scores.
+    from drugbankner_spark.operators.textanalysis import (
+        train_word_lm,
+        word_lm_logprob,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran off the mat")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "a dog barked")],
+        "doc_id long, text string",
+    )
+    model = train_word_lm(train)
+    hinted = word_lm_logprob(probes, model)
+    guarded = word_lm_logprob(probes, model, broadcast_max_rows=0)
+    # the guarded plan carries no broadcast hint on the model dims
+    # (only the 1-row total keeps its unconditional hint)
+    h_plan = hinted._jdf.queryExecution().analyzed().toString()
+    g_plan = guarded._jdf.queryExecution().analyzed().toString()
+    assert h_plan.count("ResolvedHint") == 3
+    assert g_plan.count("ResolvedHint") == 1  # just the total dim
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(hinted) == key(guarded)
