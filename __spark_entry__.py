@@ -2930,31 +2930,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every original stays individually runnable and hash-checked via
     all_queries.
 
-    Round-6 rotation pool still pytest-only (hash-oracled, listed in
-    tests/test_oracle_parity.py::test_rotation_candidates_stay_oracle_
-    ready): q_tpch_suite, e3_charlm, e5_mixture_sample,
-    e1_intradoc_dedup, e5_cluster_safe_split, e5_pivot, e5_unpivot,
-    e1_crossdoc_dedup, e1_bloom_decontaminate, e5_countmin_topk,
-    e1_semantic_dedup, e3_shuffle_shards, e5_weighted_upsample,
-    e3_length_buckets, e2_int8_quantize, e3_ngram_topk, e3_dict_tag,
-    e5_eval_scores, e5_chat_render, e5_needle_inject, e4_bmp_decode,
-    s_warc_probe, s_tar_probe — 23 ready."""
+    Round-6 rotation (VERDICT r05 next #1): the ENTIRE 23-entry pool
+    enters the window — q_tpch_suite alone converts 14 never-driver-
+    verified TPC-H queries into one row — plus this round's two new
+    hash-oracled ops (e3_unigram_apply, which supersedes the
+    rows-only e3_unigram_tokens slot with a recursive-SQL Viterbi
+    oracle, and e2_retrieval_topk). To free the 25 slots, 25 r05-green
+    singles demote to pytest-only (the established mechanism: each
+    stays individually runnable via ``all_queries`` and hash-checked in
+    tests/test_oracle_parity.py, ready to rotate back): e2_pq_adc_topk,
+    e2_ivfpq_append_topk, j_fuzzy_name_match, e5_scd2_user_state,
+    e5_constraint_report, e3_hashed_tf, e3_pack_sequences,
+    e4_wav_decode, q17, q20, t_asof_join, t_range_join, e3_bm25_topk,
+    e3_ppl_buckets, e3_unicode_normalize, e3_url_canonicalize,
+    e3_wordlm, e5_datacard, e4_container_probe, e4_gif_decode,
+    e3_unigram_tokens, e5_stratified_sample, e2_lsh_append_topk,
+    complete-mode e6_sessionize (VERDICT r05: the closed/append
+    production face keeps the streaming-session slot), and q5."""
     return {
         # -- never driver-verified: first in the window ------------------
-        "e2_pq_adc_topk": _e2_pq_adc_topk,
-        "e2_ivfpq_append_topk": _e2_ivfpq_append_topk,
-        "e6_sessionize_closed": _e6_sessionize_closed,
-        "j_fuzzy_name_match": _j_fuzzy_name_match,
-        "e5_scd2_user_state": _e5_scd2_user_state,
-        "e5_constraint_report": _e5_constraint_report,
-        "e3_hashed_tf": _e3_hashed_tf,
-        "e3_pack_sequences": _e3_pack_sequences,
-        "e4_wav_decode": _e4_wav_decode,
-        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
-        "q20_pattern_shippers": _q20_pattern_shippers,
-        "t_asof_join": _t_asof_join,
-        "t_range_join": _t_range_join,
-        # -- new/changed suite hashes (branches all driver-green r04) ----
+        "q_tpch_suite": _q_tpch_suite,
+        "e3_charlm": _e3_charlm,
+        "e5_mixture_sample": _e5_mixture_sample,
+        "e1_intradoc_dedup": _e1_intradoc_dedup,
+        "e5_cluster_safe_split": _e5_cluster_safe_split,
+        "e5_pivot": _e5_pivot,
+        "e5_unpivot": _e5_unpivot,
+        "e1_crossdoc_dedup": _e1_crossdoc_dedup,
+        "e1_bloom_decontaminate": _e1_bloom_decontaminate,
+        "e5_countmin_topk": _e5_countmin_topk,
+        "e1_semantic_dedup": _e1_semantic_dedup,
+        "e3_shuffle_shards": _e3_shuffle_shards,
+        "e5_weighted_upsample": _e5_weighted_upsample,
+        "e3_length_buckets": _e3_length_buckets,
+        "e2_int8_quantize": _e2_int8_quantize,
+        "e3_ngram_topk": _e3_ngram_topk,
+        "e3_dict_tag": _e3_dict_tag,
+        "e5_eval_scores": _e5_eval_scores,
+        "e5_chat_render": _e5_chat_render,
+        "e5_needle_inject": _e5_needle_inject,
+        "e4_bmp_decode": _e4_bmp_decode,
+        "s_warc_probe": _s_warc_probe,
+        "s_tar_probe": _s_tar_probe,
+        # -- round-6 new ops: never driver-verified, hash-oracled --------
+        "e3_unigram_apply": _e3_unigram_apply,
+        "e2_retrieval_topk": _e2_retrieval_topk,
+        # -- driver-green suites (every branch hash-checked in pytest) ---
         "syn_suite": _syn_suite,
         "j_join_suite": _j_join_suite,
         "a_agg_suite": _a_agg_suite,
@@ -2962,33 +2983,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_docmeta_suite": _e3_docmeta_suite,
         "e4_media_suite": _e4_media_suite,
         "u_set_suite": _u_set_suite,
-        # -- round-5-late rotation: never driver-verified, hash-oracled --
-        "e3_bm25_topk": _e3_bm25_topk,
-        "e3_ppl_buckets": _e3_ppl_buckets,
-        "e3_unicode_normalize": _e3_unicode_normalize,
-        "e3_url_canonicalize": _e3_url_canonicalize,
-        "e3_wordlm": _e3_wordlm,
-        "e5_datacard": _e5_datacard,
-        "e4_container_probe": _e4_container_probe,
-        "e4_gif_decode": _e4_gif_decode,
-        "e3_unigram_tokens": _e3_unigram_tokens,  # rows-only by nature
-        # -- round-5-late consolidation suites (branches all long-green) -
         "e2_ann_suite": _e2_ann_suite,
         "e1_dedup_suite": _e1_dedup_suite,
         "e3_qual_suite": _e3_qual_suite,
         "f_text_suite": _f_text_suite,
-        # -- driver-green ------------------------------------------------
         "f_curie_suite": _f_curie_suite,
-        "e5_stratified_sample": _e5_stratified_sample,
-        "e2_lsh_append_topk": _e2_lsh_append_topk,
+        # -- driver-green ------------------------------------------------
+        "e6_sessionize_closed": _e6_sessionize_closed,
         "e6_windows": _e6_windows,
-        "e6_sessionize": _e6_sessionize,
         "e6_props_json": _e6_props_json,
         "w_window_suite": _w_window_suite,
         "f7_identifier_extract": _f7_identifier_extract,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
-        "q5_regional_revenue": _q5_regional_revenue,
         "q18_large_orders": _q18_large_orders,
         "q_correlated_avg": _q_correlated_avg,
         "agg_rollup": _agg_rollup,
@@ -3005,6 +3012,32 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every oracle-backed entry (the legacy oracles stay in oracle_sql)."""
     return {
         **queries(),
+        # round-6 rotation: the 25 demoted r05-green singles — each
+        # still hash-checked per-entry in tests/test_oracle_parity.py
+        # and ready to rotate back into the driver window
+        "e2_pq_adc_topk": _e2_pq_adc_topk,
+        "e2_ivfpq_append_topk": _e2_ivfpq_append_topk,
+        "j_fuzzy_name_match": _j_fuzzy_name_match,
+        "e5_scd2_user_state": _e5_scd2_user_state,
+        "e5_constraint_report": _e5_constraint_report,
+        "e3_hashed_tf": _e3_hashed_tf,
+        "e3_pack_sequences": _e3_pack_sequences,
+        "e4_wav_decode": _e4_wav_decode,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q20_pattern_shippers": _q20_pattern_shippers,
+        "e3_bm25_topk": _e3_bm25_topk,
+        "e3_ppl_buckets": _e3_ppl_buckets,
+        "e3_unicode_normalize": _e3_unicode_normalize,
+        "e3_url_canonicalize": _e3_url_canonicalize,
+        "e3_wordlm": _e3_wordlm,
+        "e5_datacard": _e5_datacard,
+        "e4_container_probe": _e4_container_probe,
+        "e4_gif_decode": _e4_gif_decode,
+        "e3_unigram_tokens": _e3_unigram_tokens,  # rows-only by nature
+        "e5_stratified_sample": _e5_stratified_sample,
+        "e2_lsh_append_topk": _e2_lsh_append_topk,
+        "e6_sessionize": _e6_sessionize,
+        "q5_regional_revenue": _q5_regional_revenue,
         "j1_dim_lookup": _j1_dim_lookup,
         "q7_volume_shipping": _q7_volume_shipping,
         "agg_cube": _agg_cube,

@@ -55,18 +55,22 @@ def test_driver_window_is_exactly_50():
 
 
 def test_rotation_candidates_stay_oracle_ready():
-    # Every pytest-only entry intended for next-round rotation keeps a
-    # DuckDB oracle so the driver can hash-check it the day it rotates.
-    for name in ["e3_charlm", "e5_mixture_sample", "e1_intradoc_dedup",
-                 "e5_cluster_safe_split", "q_tpch_suite", "e5_pivot",
-                 "e5_unpivot", "e1_crossdoc_dedup",
-                 "e1_bloom_decontaminate", "e5_countmin_topk",
-                 "e1_semantic_dedup", "e3_shuffle_shards",
-                 "e5_weighted_upsample", "e3_length_buckets",
-                 "e2_int8_quantize", "e3_ngram_topk", "e3_dict_tag",
-                 "e5_eval_scores", "e5_chat_render", "e5_needle_inject",
-                 "e4_bmp_decode", "s_warc_probe", "s_tar_probe",
-                 "e4_container_probe", "e5_datacard", "e3_bm25_topk",
+    # Every pytest-only entry intended for future rotation keeps a
+    # DuckDB oracle so the driver can hash-check it the day it rotates
+    # back. Round 6 demoted these 24 r05-green singles to free window
+    # slots for the 25-entry promotion (the rows-only
+    # e3_unigram_tokens also demoted, superseded by the hash-oracled
+    # e3_unigram_apply).
+    for name in ["e2_pq_adc_topk", "e2_ivfpq_append_topk",
+                 "j_fuzzy_name_match", "e5_scd2_user_state",
+                 "e5_constraint_report", "e3_hashed_tf",
+                 "e3_pack_sequences", "e4_wav_decode",
+                 "q17_small_quantity_revenue", "q20_pattern_shippers",
+                 "t_asof_join", "t_range_join", "e3_bm25_topk",
                  "e3_ppl_buckets", "e3_unicode_normalize",
-                 "e3_url_canonicalize", "e4_gif_decode", "e3_wordlm"]:
+                 "e3_url_canonicalize", "e3_wordlm", "e5_datacard",
+                 "e4_container_probe", "e4_gif_decode",
+                 "e5_stratified_sample", "e2_lsh_append_topk",
+                 "e6_sessionize", "q5_regional_revenue"]:
         assert name in QUERIES and name in ORACLES, name
+        assert name not in entrymod.queries(), f"{name} rotated back?"
