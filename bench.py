@@ -26,6 +26,26 @@ NOISY = {"e1_minhash_near_dup", "e1_minhash_near_dup_xxh",
          "f7_identifier_extract", "e2_lsh_topk", "q1_pricing_summary",
          "q5_regional_revenue", "e3_text_quality"}
 
+#: FROZEN round-1 headline set (VERDICT r05 next #6): the 12 queries
+#: benched since round 1. BENCH_r{N} carries ``headline_v1_total``
+#: over exactly this set so round-over-round totals compare without
+#: recomputation, while ``headline_all_total`` (== ``value``) grows
+#: as new heavy operators join HEADLINE. Do not edit this list.
+HEADLINE_V1 = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "j2_mode_vote",
+    "a6_first_writer_wins",
+    "w1_running_sum",
+    "e1_minhash_near_dup",
+    "e2_cosine_topk",
+    "e2_lsh_topk",
+    "e3_text_quality",
+    "e6_sessionize",
+    "f7_identifier_extract",
+]
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -79,7 +99,12 @@ def main() -> None:
     from drugbankner_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="drugbankner-bench")
+    # UI on for bench only: the sf3 section reads per-stage shuffle
+    # sizes from the REST status API (the engine itself never needs it)
+    spark = get_spark(
+        app_name="drugbankner-bench",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     # all_queries: the round-1 headline list is timed unchanged even
     # though some entries left the driver registry in the round-2
     # consolidation (BENCH_r{N} stays comparable round-over-round).
@@ -132,6 +157,12 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # frozen round-1 12-query total (round-comparable forever) vs
+        # the growing full-list total — VERDICT r05 next #6
+        "headline_v1_total": round(
+            sum(timings.get(n, 0.0) for n in HEADLINE_V1), 3
+        ),
+        "headline_all_total": total,
         "queries": timings,
         "sf": sf,
         "loadavg_1m": round(load_before[0], 2),
@@ -152,6 +183,14 @@ def main() -> None:
             result["sf1"] = _sf1_section(spark, sf_dir, qs, timings)
         except Exception as exc:  # pragma: no cover
             result["sf1"] = {"error": f"{type(exc).__name__}: {exc}"}
+        # sf3 (30× sf0.1) on the heaviest text ops — slope vs sf1 plus
+        # peak per-stage shuffle write (VERDICT r05 next #7)
+        if (os.environ.get("SPARK_GRAFT_SF3", "1") == "1"
+                and "error" not in result["sf1"]):
+            try:
+                result["sf3"] = _sf3_section(spark, qs, result["sf1"])
+            except Exception as exc:  # pragma: no cover
+                result["sf3"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(result))
 
 
@@ -366,6 +405,112 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
         print(f"# sf1 {name}: {entry}", file=sys.stderr)
     return {"dir": sf1_dir, "data_scale_vs_sf0_1": 10,
             "calibration_sec": round(calib, 3), "queries": queries}
+
+
+#: sf3 set: the 3 heaviest sf1 entries (VERDICT r05 next #7) — all
+#: documents-table-only, so the sf3 corpus needs just that table.
+SF3_QUERIES = ["e3_charlm", "e3_wordlm", "e1_intradoc_dedup"]
+
+
+def _stage_shuffle_snapshot(spark) -> dict:
+    """{(stageId, attemptId): shuffle_write_bytes} from the REST status
+    API — the per-stage metric the Spark UI shows, machine-readable."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        data = json.loads(r.read())
+    return {
+        (d["stageId"], d["attemptId"]): int(d.get("shuffleWriteBytes", 0))
+        for d in data
+    }
+
+
+def _ensure_sf3(spark, sf1_dir: str) -> str:
+    """3× the sf1 documents table (30× sf0.1) under /tmp — replicas
+    re-perturbed with fresh letters so each is corpus-distinct (same
+    rationale as _ensure_sf1's scheme: clone replicas would inflate
+    intra-/cross-doc duplicate structure superlinearly by
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.textanalysis import STOPWORDS
+
+    out = "/tmp/spark_graft_sf3"
+    marker = os.path.join(out, "_DOCS_OK_V1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    sw_list = sorted({w for lang in STOPWORDS.values() for w in lang})
+    sw_sql = ",".join(f"'{w}'" for w in sw_list)
+
+    def perturb(i: int):
+        letter = chr(ord("k") + i)
+        return F.expr(
+            "array_join(transform(split(text, ' '), t -> "
+            f"CASE WHEN lower(t) IN ({sw_sql}) THEN t "
+            f"ELSE concat('{letter}', substring(t, 1, "
+            "greatest(length(t) - 1, 0))) END), ' ')"
+        )
+
+    parts = [
+        docs.select(
+            (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
+            perturb(i).alias("text"),
+            "lang", "source",
+        ).withColumn("n_chars", F.length("text"))
+        for i in range(3)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    with open(marker, "w") as fd:
+        fd.write("ok")
+    return out
+
+
+def _sf3_section(spark, qs, sf1_result: dict) -> dict:
+    """Time SF3_QUERIES at 3× sf1 (30× the bench SF): slope vs the sf1
+    measurement (linear ≈ 3.0) plus the PEAK per-stage shuffle write
+    during the timed run — the number that tells whether a 100×
+    scale-up hits a single-stage shuffle wall."""
+    from drugbankner_spark.caching import release_shared_caches
+
+    sf3_dir = _ensure_sf3(spark, sf1_result["dir"])
+    queries: dict = {}
+    for name in SF3_QUERIES:
+        fn = qs.get(ALIAS.get(name, name))
+        if fn is None:
+            continue
+        n = len(fn(spark, sf3_dir).toPandas())  # untimed warmup
+        before = _stage_shuffle_snapshot(spark)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf3_dir).toPandas())
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        after = _stage_shuffle_snapshot(spark)
+        release_shared_caches()
+        new_stages = {k: v for k, v in after.items() if k not in before}
+        entry = {
+            "sec": round(best, 3),
+            "rows": n,
+            "peak_stage_shuffle_write_bytes": max(
+                new_stages.values(), default=0
+            ),
+        }
+        base = sf1_result.get("queries", {}).get(name, {}).get("sec")
+        if base:
+            entry["slope_vs_sf1"] = round(best / base, 1)
+        queries[name] = entry
+        print(f"# sf3 {name}: {entry}", file=sys.stderr)
+    return {"dir": sf3_dir, "data_scale_vs_sf1": 3,
+            "data_scale_vs_bench_sf": 30, "queries": queries}
 
 
 def _calibration(spark, sf_dir: str) -> float:
