@@ -2601,6 +2601,50 @@ def _e3_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e6_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    # Ordered view→click→purchase funnel over the events log (round 6):
+    # each step must occur STRICTLY AFTER the previous one; output per
+    # user with progress depth + per-step first timestamps. k filtered
+    # min-aggs joined on the entity key — no per-user event arrays.
+    from drugbankner_spark.operators.temporal import funnel_analysis
+
+    ev = load_table(spark, sf, "events")
+    return funnel_analysis(ev, ["view", "click", "purchase"])
+
+
+def _e5_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    # Weekly cohort retention triangle (round 6): users grouped by
+    # first-activity week; per (cohort_week, weeks_since) the count of
+    # active members.
+    from drugbankner_spark.operators.temporal import cohort_retention
+
+    ev = load_table(spark, sf, "events")
+    return cohort_retention(ev, period="week")
+
+
+def _e5_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    # Retrieval-quality metrics (round 6): exact cosine top-5 over the
+    # embeddings, judged against a label-match qrels set (same label =
+    # relevant) — recall@5 + reciprocal rank per query. The metric
+    # layer every ANN tuning loop needs beside ann_recall.
+    from drugbankner_spark.operators import similarity as SIM
+    from drugbankner_spark.operators.evals import retrieval_metrics
+
+    emb = load_table(spark, sf, "embeddings")
+    results = SIM.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    qrels = q.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "label"
+    ).filter(F.col("doc_id") != F.col("query_id")).select(
+        "query_id", "doc_id"
+    )
+    return retrieval_metrics(results, qrels, k=5)
+
+
 def _e4_mpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL MPEG-1 Layer I/II sample decode (round 6 — VERDICT r05 next
     # #2): per doc, a deterministic tone parameterized by doc_id is
@@ -3244,6 +3288,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the synthesis filterbank has no SQL twin; SNR/PR goldens in
         # tests/test_mpeg_audio.py)
         "e4_mpeg_decode": _e4_mpeg_decode,
+        # round 6: event-analytics + retrieval-metric widening, all
+        # hash-oracled (rotation candidates for the next window)
+        "e6_funnel": _e6_funnel,
+        "e5_cohort_retention": _e5_cohort_retention,
+        "e5_retrieval_metrics": _e5_retrieval_metrics,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -5843,6 +5892,94 @@ def oracle_sql() -> dict[str, str]:
         # round 6: end-to-end retrieval — composed chunk/hashed-TF/LSH
         # oracle (builder docstring has the mechanics)
         "e2_retrieval_topk": _e2_retrieval_topk_oracle(),
+        # round 6: ordered funnel — per-step earliest-qualifying min
+        # join chain, strictly-after semantics
+        "e6_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS step1_ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS step2_ts
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS step3_ts
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+                GROUP BY e.user_id
+            ),
+            seen AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            )
+            SELECT seen.user_id,
+                   (CASE WHEN step1_ts IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN step2_ts IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN step3_ts IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_steps_completed,
+                   (CASE WHEN step1_ts IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN step2_ts IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN step3_ts IS NOT NULL THEN 1 ELSE 0 END)
+                       = 3 AS completed,
+                   step1_ts, step2_ts, step3_ts
+            FROM seen
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+        """,
+        # round 6: weekly cohort retention triangle (Monday-start weeks
+        # in both engines; floor() spelled out — DuckDB CAST rounds
+        # where Spark's truncates)
+        "e5_cohort_retention": """
+            WITH firsts AS (
+                SELECT user_id, min(date_trunc('week', ts)) AS cohort
+                FROM events GROUP BY user_id
+            ),
+            active AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+                FROM events
+            )
+            SELECT cohort AS cohort_period,
+                   CAST(floor(date_diff('day', cohort, period) / 7)
+                        AS BIGINT) AS periods_since,
+                   count(DISTINCT user_id) AS n_active
+            FROM active JOIN firsts USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # round 6: recall@5 + reciprocal rank of exact cosine top-5
+        # against label-match qrels — composed on the cosine oracle
+        "e5_retrieval_metrics": f"""
+            WITH topk AS ({_e2_cosine_topk_oracle()}),
+            qrels AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS doc_id
+                FROM embeddings q JOIN embeddings c ON q.label = c.label
+                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            hits AS (
+                SELECT t.query_id,
+                       count(*) AS n_retrieved_relevant,
+                       min(t.rank) AS first_rank
+                FROM topk t JOIN qrels r
+                  ON t.query_id = r.query_id AND t.neighbor_id = r.doc_id
+                WHERE t.rank <= 5
+                GROUP BY t.query_id
+            ),
+            totals AS (
+                SELECT query_id, count(*) AS n_relevant
+                FROM qrels GROUP BY query_id
+            )
+            SELECT t.query_id, t.n_relevant,
+                   COALESCE(h.n_retrieved_relevant, 0)
+                       AS n_retrieved_relevant,
+                   round(COALESCE(h.n_retrieved_relevant, 0)
+                         / least(t.n_relevant, 5), 6) AS recall_at_k,
+                   COALESCE(round(1.0 / h.first_rank, 6), 0.0)
+                       AS reciprocal_rank
+            FROM totals t LEFT JOIN hits h USING (query_id)
+        """,
         # round 5 late: global training-order shuffle — hash-range
         # shard + per-shard row_number replicate Spark's sort-free
         # permutation exactly (md5 kernel, ties broken by key)

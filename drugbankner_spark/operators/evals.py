@@ -189,3 +189,55 @@ def rouge_l_scores(
     return pairs.select(id_col, pred_col, ref_col).mapInPandas(
         run, out_schema
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval quality (round 6, closing the loop on the
+    e2_retrieval_topk pipeline): given ranked ``results`` and a
+    ``qrels`` relevance set (query_col, doc_col), emit per query —
+    n_relevant, n_retrieved_relevant (within rank ≤ k), recall_at_k,
+    and reciprocal_rank (1/rank of the FIRST relevant hit; 0 when none
+    retrieved). Average reciprocal_rank across queries for MRR.
+
+    Pure relational: one semi-shaped inner join results⋈qrels on
+    (query, doc) + two aggs keyed by query — nothing bigger than the
+    result set (queries × k rows) ever shuffles, so the metric costs
+    nothing next to the retrieval itself. Rounded to 6dp for
+    cross-engine hash parity."""
+    hits = (
+        results.filter(F.col(rank_col) <= k)
+        .join(qrels.select(query_col, doc_col), [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved_relevant"),
+            F.min(rank_col).alias("_first_rank"),
+        )
+    )
+    totals = qrels.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    return (
+        totals.join(hits, query_col, "left")
+        .select(
+            F.col(query_col),
+            "n_relevant",
+            F.coalesce("n_retrieved_relevant", F.lit(0)).alias(
+                "n_retrieved_relevant"
+            ),
+            F.round(
+                F.coalesce("n_retrieved_relevant", F.lit(0))
+                / F.least(F.col("n_relevant"), F.lit(k)),
+                6,
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.round(1.0 / F.col("_first_rank"), 6), F.lit(0.0)
+            ).alias("reciprocal_rank"),
+        )
+    )

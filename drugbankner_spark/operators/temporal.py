@@ -202,3 +202,115 @@ def scd2_from_changes(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def funnel_analysis(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis (round 6): per entity, how far through
+    the ``steps`` sequence did it progress, requiring each step to
+    occur STRICTLY AFTER the previous one. Output one row per entity
+    seen in ANY step: (id, n_steps_completed, completed,
+    step1_ts..stepN_ts — NULL past the progress point).
+
+    Plan shape: one filtered min-agg per step, each joined back on the
+    entity id — k steps = k co-partitioned shuffles on the SAME key
+    (AQE coalesces; no window over a corpus-wide key, no per-entity
+    event array, so a 100 TB event log funnels without collecting any
+    entity's history). The per-step agg takes the EARLIEST qualifying
+    occurrence, which is the standard (and optimal) greedy choice:
+    matching a later occurrence can only shrink the remaining
+    window."""
+    if not steps:
+        raise ValueError("funnel_analysis: steps must be non-empty")
+    base = events.select(
+        F.col(id_col), F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_tp"),
+    )
+    # step 1: earliest occurrence per entity
+    cur = (
+        base.filter(F.col("_tp") == steps[0])
+        .groupBy(id_col)
+        .agg(F.min("_ts").alias("step1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            base.filter(F.col("_tp") == step)
+            .select(F.col(id_col), F.col("_ts").alias("_nts"))
+            .join(
+                cur.select(id_col, F.col(f"step{i - 1}_ts").alias("_prev")),
+                id_col,
+            )
+            .filter(F.col("_nts") > F.col("_prev"))
+            .groupBy(id_col)
+            .agg(F.min("_nts").alias(f"step{i}_ts"))
+        )
+        cur = cur.join(nxt, id_col, "left")
+    # entities that started anywhere in the funnel but missed step 1
+    # still report (0 completed) — union the full entity set
+    seen = base.filter(
+        F.col("_tp").isin(list(steps))
+    ).select(id_col).distinct()
+    out = seen.join(cur, id_col, "left")
+    n_done = None
+    for i in range(1, len(steps) + 1):
+        flag = F.when(F.col(f"step{i}_ts").isNotNull(), 1).otherwise(0)
+        n_done = flag if n_done is None else n_done + flag
+    return out.select(
+        F.col(id_col),
+        n_done.alias("n_steps_completed"),
+        (n_done == len(steps)).alias("completed"),
+        *[F.col(f"step{i}_ts") for i in range(1, len(steps) + 1)],
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix (round 6): entities grouped by their
+    FIRST-activity period; for each (cohort_period, periods_since)
+    cell, the count of cohort members active in that later period.
+    Output: (cohort_period, periods_since, n_active) — the classic
+    retention triangle in long form.
+
+    Plan shape: one min-agg for the cohort assignment (broadcast-sized
+    per-entity dim at any realistic cardinality — but joined on the
+    entity key co-partitioned, not broadcast-hinted, since user dims
+    can be huge), one distinct over (entity, period), one count agg.
+    Every shuffle keys on the entity id or the small (cohort, offset)
+    pair."""
+    p = F.date_trunc(period, F.col(ts_col))
+    firsts = events.groupBy(id_col).agg(
+        F.min(p).alias("_cohort")
+    )
+    active = events.select(
+        F.col(id_col), p.alias("_period")
+    ).distinct()
+    diff_expr = {
+        "week": (F.datediff(F.col("_period"), F.col("_cohort")) / 7)
+        .cast("long"),
+        "day": F.datediff(F.col("_period"), F.col("_cohort")).cast("long"),
+        "month": (
+            (F.year("_period") - F.year("_cohort")) * 12
+            + (F.month("_period") - F.month("_cohort"))
+        ).cast("long"),
+    }
+    if period not in diff_expr:
+        raise ValueError(f"cohort_retention: unsupported period {period!r}")
+    return (
+        active.join(firsts, id_col)
+        .select(
+            F.col("_cohort").alias("cohort_period"),
+            diff_expr[period].alias("periods_since"),
+            F.col(id_col),
+        )
+        .groupBy("cohort_period", "periods_since")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_active"))
+    )

@@ -1845,3 +1845,31 @@ def test_word_lm_broadcast_guard_shuffle_fallback(spark):
     assert g_plan.count("ResolvedHint") == 1  # just the total dim
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(hinted) == key(guarded)
+
+
+def test_retrieval_metrics_recall_and_mrr(spark):
+    # round 6: recall@k uses min(n_relevant, k) as denominator; a query
+    # with no retrieved relevant scores rr=0; ranks beyond k ignored.
+    from drugbankner_spark.operators.evals import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99),     # 2 of 3 relevant retrieved
+         (2, 77),                       # none retrieved
+         (3, 30), (3, 31), (3, 32), (3, 33)],  # 1 of 4, k caps denom
+        "query_id long, doc_id long",
+    )
+    rows = {r["query_id"]: r
+            for r in retrieval_metrics(results, qrels, k=2).collect()}
+    assert rows[1]["n_retrieved_relevant"] == 1    # only rank<=2 counts
+    assert rows[1]["recall_at_k"] == 0.5           # 1 / min(3, 2)
+    assert rows[1]["reciprocal_rank"] == 0.5       # first hit at rank 2
+    assert rows[2]["n_retrieved_relevant"] == 0
+    assert rows[2]["recall_at_k"] == 0.0 and rows[2]["reciprocal_rank"] == 0.0
+    assert rows[3]["recall_at_k"] == 0.5           # 1 / min(4, 2)
+    assert rows[3]["reciprocal_rank"] == 1.0

@@ -173,3 +173,77 @@ def test_scd2_null_attribute_transitions_are_null_safe(spark):
         (1, None, 20, 40, False),
         (1, "A", 40, None, True),
     ]
+
+
+def test_funnel_ordering_semantics(spark):
+    # round 6: steps must occur STRICTLY after the previous step —
+    # out-of-order and same-timestamp events do not advance the funnel.
+    from drugbankner_spark.operators.temporal import funnel_analysis
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes in order
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:05:00", "click"),
+            (1, "2024-01-01 10:10:00", "purchase"),
+            # u2: purchase BEFORE click → stops at click
+            (2, "2024-01-01 09:00:00", "view"),
+            (2, "2024-01-01 09:01:00", "purchase"),
+            (2, "2024-01-01 09:02:00", "click"),
+            # u3: click exactly AT the view timestamp → not after
+            (3, "2024-01-01 08:00:00", "view"),
+            (3, "2024-01-01 08:00:00", "click"),
+            # u4: only enters mid-funnel (click without view) → 0 steps
+            (4, "2024-01-01 07:00:00", "click"),
+        ],
+        "user_id long, ts_s string, event_type string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    rows = {r["user_id"]: r for r in funnel_analysis(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert rows[1]["n_steps_completed"] == 3 and rows[1]["completed"]
+    assert rows[2]["n_steps_completed"] == 2 and not rows[2]["completed"]
+    assert rows[3]["n_steps_completed"] == 1
+    assert rows[4]["n_steps_completed"] == 0
+    # a later qualifying purchase DOES count for u2? No event after
+    # click — step3_ts stays NULL
+    assert rows[2]["step3_ts"] is None
+
+
+def test_funnel_greedy_earliest_match(spark):
+    # the earliest qualifying occurrence is taken per step: a second
+    # view after the click must not reset progress
+    from drugbankner_spark.operators.temporal import funnel_analysis
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "view"),
+         (1, "2024-01-01 11:00:00", "click"),
+         (1, "2024-01-01 12:00:00", "view"),
+         (1, "2024-01-01 13:00:00", "purchase")],
+        "user_id long, ts_s string, event_type string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    r = funnel_analysis(ev, ["view", "click", "purchase"]).collect()[0]
+    assert r["completed"]
+    assert str(r["step1_ts"]).startswith("2024-01-01 10")
+
+
+def test_cohort_retention_triangle(spark):
+    from drugbankner_spark.operators.temporal import cohort_retention
+
+    ev = spark.createDataFrame(
+        [
+            # u1 first week 0, active weeks 0 and 1
+            (1, "2024-01-01 10:00:00"), (1, "2024-01-08 10:00:00"),
+            # u2 first week 0, active week 0 only
+            (2, "2024-01-03 10:00:00"),
+            # u3 first week 1, active weeks 1 and 3
+            (3, "2024-01-10 10:00:00"), (3, "2024-01-22 10:00:00"),
+        ],
+        "user_id long, ts_s string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = {(str(r["cohort_period"])[:10], r["periods_since"]): r["n_active"]
+           for r in cohort_retention(ev).collect()}
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-08", 0)] == 1
+    assert got[("2024-01-08", 2)] == 1
+    assert len(got) == 4
