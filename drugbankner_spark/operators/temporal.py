@@ -314,3 +314,42 @@ def cohort_retention(
         .groupBy("cohort_period", "periods_since")
         .agg(F.count_distinct(F.col(id_col)).alias("n_active"))
     )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str = "ts",
+    op_col: str = "op",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot (round 6): Debezium-style
+    compaction — per key, the LATEST record wins (ordered by ts, then
+    changes-over-snapshot, then ``tiebreak_cols``); a winning delete
+    (``op_col`` = 'D') removes the key from the result. ``snapshot``
+    rows carry no op column (they are implicit upserts and sort before
+    any change at the same timestamp). Output schema = snapshot schema.
+
+    Plan shape: one unionByName + one window keyed on the CDC key —
+    the single shuffle any correct merge needs; per-key state is
+    bounded by that key's change volume, and AQE handles hot keys like
+    any SMJ skew. This is the batch twin of upsert_partitions
+    (scale.py): that one swaps whole partitions, this one merges at
+    row granularity."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ties = tiebreak_cols or []
+    data_cols = [c for c in snapshot.columns]
+    snap = snapshot.withColumn(op_col, F.lit("U")).withColumn(
+        "_src", F.lit(0)
+    )
+    chg = changes.select(*data_cols, op_col).withColumn("_src", F.lit(1))
+    u = snap.unionByName(chg)
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(ts_col), F.desc("_src"), *[F.desc(c) for c in ties]
+    )
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .select(*data_cols)
+    )

@@ -247,3 +247,34 @@ def test_cohort_retention_triangle(spark):
     assert got[("2024-01-08", 0)] == 1
     assert got[("2024-01-08", 2)] == 1
     assert len(got) == 4
+
+
+def test_apply_cdc_semantics(spark):
+    # round 6: latest-wins merge, deletes drop the key, snapshot loses
+    # same-timestamp ties to changes, resurrect-after-delete works.
+    from drugbankner_spark.operators.temporal import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),
+         (2, "2024-01-01 10:00:00", "b"),
+         (3, "2024-01-01 10:00:00", "c"),
+         (4, "2024-01-01 10:00:00", "d")],
+        "k long, ts_s string, v string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    chg = spark.createDataFrame(
+        [
+            (1, "2024-01-01 11:00:00", "a2", "U"),   # update wins
+            (2, "2024-01-01 11:00:00", "x", "D"),    # delete drops key
+            (3, "2024-01-01 10:00:00", "c2", "U"),   # tie → change wins
+            # k5: delete then later re-insert → resurrected
+            (5, "2024-01-01 09:00:00", "e", "D"),
+            (5, "2024-01-01 12:00:00", "e2", "U"),
+            # k6: update then later delete → gone
+            (6, "2024-01-01 09:00:00", "f", "U"),
+            (6, "2024-01-01 12:00:00", "f", "D"),
+        ],
+        "k long, ts_s string, v string, op string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "v", "op")
+    got = {r["k"]: r["v"]
+           for r in apply_cdc(snap, chg, "k").collect()}
+    assert got == {1: "a2", 3: "c2", 4: "d", 5: "e2"}
