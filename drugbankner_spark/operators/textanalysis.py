@@ -755,15 +755,19 @@ def _char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int):
         F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
     )
     t = F.col("_lt")
+    # positions explode first, substring as a TOP-LEVEL projection:
+    # higher-order lambdas evaluate interpreted (outside whole-stage
+    # codegen), so the transform(substr) form pays per-element closure
+    # overhead — measured ~15% slower at sf0.1 volume
     return pre.select(
-        F.col(id_col),
+        F.col(id_col), "_lt",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(
-                    F.length(t) - (n - 1), F.lit(0))),
-                lambda i: t.substr(i, F.lit(n)),
-            )
-        ).alias("gram"),
+            F.sequence(F.lit(1), F.greatest(
+                F.length(t) - (n - 1), F.lit(0)))
+        ).alias("_i"),
+    ).select(
+        F.col(id_col),
+        F.expr(f"substring(_lt, _i, {n})").alias("gram"),
     ).filter(F.length("gram") == n)
 
 

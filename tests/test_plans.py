@@ -319,3 +319,26 @@ def test_chat_render_single_shuffle(spark):
     # inside array_sort, so no global Sort node
     assert X.count_shuffles(df) <= 1, plan
     assert "Python" not in plan
+
+
+def test_funnel_no_cartesian_join_chain_on_entity_key(spark):
+    # round 6: each funnel step is an equi join on the entity key —
+    # never a cartesian/nested-loop — and the chain's shuffles are
+    # bounded by steps (3 step aggs + joins + final), not data volume.
+    df = QUERIES["e6_funnel"](spark, SF)
+    assert not X.has_cartesian(df)
+    assert X.count_shuffles(df) <= 8, X.plan_string(df, "simple")
+
+
+def test_cdc_apply_single_keyed_window(spark):
+    # round 6: the merge is one union + one window keyed on user_id —
+    # one shuffle for the window plus at most one for the snapshot's
+    # own pre-compaction window.
+    df = QUERIES["e5_cdc_apply"](spark, SF)
+    assert not X.has_cartesian(df)
+    assert X.count_shuffles(df) <= 2, X.plan_string(df, "simple")
+
+
+def test_retrieval_metrics_no_cartesian(spark):
+    df = QUERIES["e5_retrieval_metrics"](spark, SF)
+    assert not X.has_cartesian(df)
