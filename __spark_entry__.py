@@ -2645,6 +2645,18 @@ def _e5_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return retrieval_metrics(results, qrels, k=5)
 
 
+def _e1_near_dup_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # Candidate-generation quality metric (round 6): banded-MinHash
+    # pairs measured against exact n-gram Jaccard truth at 0.05 —
+    # recall/precision as one row. The dedup twin of ann_recall; both
+    # legs reuse already-driver-proven oracles.
+    from drugbankner_spark.operators.dedup import near_dup_candidate_recall
+
+    docs = load_table(spark, sf, "documents")
+    cpus = int(__import__("os").environ.get("SPARK_GRAFT_CPUS", "32"))
+    return near_dup_candidate_recall(docs, parallelism=cpus)
+
+
 def _e5_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     # CDC changelog compaction (round 6): the events log splits into a
     # compacted base snapshot (first half by event_id) and a changelog
@@ -3326,6 +3338,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_cohort_retention": _e5_cohort_retention,
         "e5_retrieval_metrics": _e5_retrieval_metrics,
         "e5_cdc_apply": _e5_cdc_apply,
+        "e1_near_dup_recall": _e1_near_dup_recall,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -5981,6 +5994,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_active
             FROM active JOIN firsts USING (user_id)
             GROUP BY 1, 2
+        """,
+        # round 6: banded-MinHash candidate recall vs exact Jaccard
+        # truth — composed from the two already-proven oracles
+        "e1_near_dup_recall": f"""
+            WITH truth AS (
+                SELECT id_a, id_b FROM ({_e1_ngram_jaccard_oracle()})
+            ),
+            cand AS ({_e1_minhash_near_dup_oracle()}),
+            hit AS (
+                SELECT count(*) AS n_hit
+                FROM truth JOIN cand USING (id_a, id_b)
+            )
+            SELECT (SELECT count(*) FROM truth) AS n_true,
+                   (SELECT count(*) FROM cand) AS n_candidates,
+                   n_hit,
+                   round(CASE WHEN (SELECT count(*) FROM truth) > 0
+                         THEN n_hit / (SELECT count(*) FROM truth)
+                         ELSE 1.0 END, 6) AS recall,
+                   round(CASE WHEN (SELECT count(*) FROM cand) > 0
+                         THEN n_hit / (SELECT count(*) FROM cand)
+                         ELSE 1.0 END, 6) AS precision
+            FROM hit
         """,
         # round 6: CDC changelog compaction — latest-wins per user
         # across snapshot (even event_ids, pre-compacted) + changelog

@@ -478,3 +478,56 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+def near_dup_candidate_recall(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.05,
+    num_hashes: int = 16,
+    n: int = 3,
+    parallelism: int | None = None,
+    kernel: str = "md5",
+) -> DataFrame:
+    """Candidate-generation quality for the banded-MinHash path (round
+    6 — the dedup twin of similarity.ann_recall): exact n-gram Jaccard
+    pairs at ``threshold`` are the ground truth; the banded pairs are
+    the candidates; output is ONE row (n_true, n_candidates, n_hit,
+    recall, precision). This is the tuning metric for
+    bands/rows-per-band/num_hashes — at 100 TB you measure it on a
+    sampled slice before committing a configuration to the full corpus.
+
+    All three inputs are existing oracled operators; the metric adds
+    two count-aggs and one pair equi-join — nothing beyond the pair
+    lists ever shuffles."""
+    truth = ngram_jaccard_pairs(
+        token_shingles(docs, text_col, id_col, n), id_col, threshold
+    ).select("id_a", "id_b")
+    cand = minhash_band_pairs_rowwise(
+        docs, text_col, id_col, num_hashes,
+        parallelism=parallelism, kernel=kernel,
+    )
+    truth = shared_persist(truth)
+    cand = shared_persist(cand)
+    hit = truth.join(cand, ["id_a", "id_b"])
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand).crossJoin(n_hit)
+        .select(
+            "n_true", "n_candidates", "n_hit",
+            F.round(
+                F.when(F.col("n_true") > 0,
+                       F.col("n_hit") / F.col("n_true")).otherwise(1.0),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(F.col("n_candidates") > 0,
+                       F.col("n_hit") / F.col("n_candidates"))
+                .otherwise(1.0),
+                6,
+            ).alias("precision"),
+        )
+    )

@@ -278,3 +278,38 @@ def test_apply_cdc_semantics(spark):
     got = {r["k"]: r["v"]
            for r in apply_cdc(snap, chg, "k").collect()}
     assert got == {1: "a2", 3: "c2", 4: "d", 5: "e2"}
+
+
+def test_apply_cdc_randomized_vs_bruteforce(spark):
+    # seeded random changelog vs a Python brute-force reference — the
+    # property: per key take the max (ts, src, tiebreak) record, drop
+    # the key when that record is a delete.
+    import random
+
+    rng = random.Random(42)
+    snap_rows, chg_rows = [], []
+    for k in range(40):
+        if rng.random() < 0.7:
+            snap_rows.append((k, rng.randint(0, 50), f"s{k}"))
+        for _ in range(rng.randint(0, 4)):
+            chg_rows.append((
+                k, rng.randint(0, 50), f"c{rng.randint(0, 999)}",
+                "D" if rng.random() < 0.3 else "U",
+            ))
+    from drugbankner_spark.operators.temporal import apply_cdc
+
+    snap = spark.createDataFrame(snap_rows, "k long, ts long, v string")
+    chg = spark.createDataFrame(
+        chg_rows, "k long, ts long, v string, op string"
+    )
+    got = {r["k"]: (r["ts"], r["v"])
+           for r in apply_cdc(snap, chg, "k", ts_col="ts",
+                              tiebreak_cols=["v"]).collect()}
+    # brute force
+    best: dict = {}
+    for k, ts, v in snap_rows:
+        best[k] = max(best.get(k, ()), (ts, 0, v, "U"))
+    for k, ts, v, op in chg_rows:
+        best[k] = max(best.get(k, ()), (ts, 1, v, op))
+    want = {k: (ts, v) for k, (ts, _, v, op) in best.items() if op != "D"}
+    assert got == want
