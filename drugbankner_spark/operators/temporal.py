@@ -323,13 +323,25 @@ def apply_cdc(
     ts_col: str = "ts",
     op_col: str = "op",
     tiebreak_cols: list[str] | None = None,
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Apply a CDC changelog to a snapshot (round 6): Debezium-style
     compaction — per key, the LATEST record wins (ordered by ts, then
     changes-over-snapshot, then ``tiebreak_cols``); a winning delete
-    (``op_col`` = 'D') removes the key from the result. ``snapshot``
-    rows carry no op column (they are implicit upserts and sort before
-    any change at the same timestamp). Output schema = snapshot schema.
+    (``op_col`` = 'D') removes the key from the result. A ``snapshot``
+    without an op column is implicit upserts (sorting before any
+    change at the same timestamp); a snapshot WITH one is prior
+    tombstone-retaining state and its ops are honored.
+
+    ``keep_tombstones=True`` returns the latest record per key
+    INCLUDING winning deletes, with the op column appended — the form
+    INCREMENTAL maintenance must persist: without tombstones, a later
+    micro-batch carrying an OLDER update for a deleted key would
+    wrongly resurrect it (the filtered state has forgotten the
+    delete's timestamp). Compact latest-with-tombstones per batch,
+    filter ``op != 'D'`` only at read time; the per-key max is
+    associative, so any batch split order converges to the one-shot
+    answer (streaming composition test).
 
     Plan shape: one unionByName + one window keyed on the CDC key —
     the single shuffle any correct merge needs; per-key state is
@@ -339,17 +351,20 @@ def apply_cdc(
     row granularity."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ties = tiebreak_cols or []
-    data_cols = [c for c in snapshot.columns]
-    snap = snapshot.withColumn(op_col, F.lit("U")).withColumn(
-        "_src", F.lit(0)
-    )
+    data_cols = [c for c in snapshot.columns if c != op_col]
+    if op_col in snapshot.columns:
+        snap = snapshot.select(*data_cols, op_col)
+    else:
+        snap = snapshot.withColumn(op_col, F.lit("U"))
+    snap = snap.withColumn("_src", F.lit(0))
     chg = changes.select(*data_cols, op_col).withColumn("_src", F.lit(1))
     u = snap.unionByName(chg)
     w = Window.partitionBy(*keys).orderBy(
         F.desc(ts_col), F.desc("_src"), *[F.desc(c) for c in ties]
     )
-    return (
-        u.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
-        .select(*data_cols)
+    latest = u.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
     )
+    if keep_tombstones:
+        return latest.select(*data_cols, op_col)
+    return latest.filter(F.col(op_col) != "D").select(*data_cols)

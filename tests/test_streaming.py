@@ -379,3 +379,86 @@ def test_enrich_stream_static_join_equals_batch(spark, event_dir):
     )
     cols = ["event_id", "user_id", "tier"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_streaming_cdc_apply_foreachbatch_equals_batch(spark, event_dir):
+    # round 6 composition: a CDC changelog arriving as a STREAM is
+    # applied per micro-batch (foreachBatch → apply_cdc against the
+    # persisted state, atomically swapped) — after the stream drains,
+    # the maintained state equals applying the whole changelog in one
+    # batch. The production continuous-merge shape.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.temporal import apply_cdc
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    op = F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+        F.lit("U")
+    )
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_")
+    state_path = state_dir + "/state"
+    empty = ev.limit(0)
+    # state persists WITH tombstones (see apply_cdc docstring: filtered
+    # state would let an older update in a later batch resurrect a
+    # deleted key); reads filter op != 'D'
+    empty.withColumn("op", F.lit("U")).limit(0).write.mode(
+        "overwrite"
+    ).parquet(state_path)
+
+    def upsert(batch_df, batch_id):
+        snap = batch_df.sparkSession.read.parquet(state_path)
+        merged = apply_cdc(
+            snap, batch_df.withColumn("op", op), "user_id",
+            tiebreak_cols=["event_id"], keep_tombstones=True,
+        ).localCheckpoint()  # cut lineage before overwriting the input
+        merged.write.mode("overwrite").parquet(state_path)
+
+    stream = S.read_event_stream(spark, event_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(
+        availableNow=True
+    ).option(
+        "checkpointLocation", state_dir + "/ckpt"
+    ).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(state_path).filter("op <> 'D'").drop("op")
+    want = apply_cdc(
+        empty, ev.withColumn("op", op), "user_id",
+        tiebreak_cols=["event_id"],
+    )
+    cols = ["user_id", "ts", "event_id"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_incremental_cdc_tombstones_block_stale_resurrection(spark):
+    # adversarial batch order: batch 1 deletes key 1 at ts 10; batch 2
+    # carries an OLDER (ts 5) update for key 1. With tombstone-retained
+    # state the key stays deleted (matching one-shot application);
+    # key 2's normal update flows through.
+    from drugbankner_spark.operators.temporal import apply_cdc
+
+    state = spark.createDataFrame(
+        [], "k long, ts long, v string, op string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10, "x", "D"), (2, 1, "a", "U")],
+        "k long, ts long, v string, op string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, 5, "stale", "U"), (2, 2, "b", "U")],
+        "k long, ts long, v string, op string",
+    )
+    s1 = apply_cdc(state, b1, "k", ts_col="ts", keep_tombstones=True)
+    s2 = apply_cdc(s1, b2, "k", ts_col="ts", keep_tombstones=True)
+    live = {r["k"]: r["v"] for r in s2.filter("op <> 'D'").collect()}
+    assert live == {2: "b"}
+    # and the tombstone itself is still present in state
+    assert {r["k"]: r["op"] for r in s2.collect()} == {1: "D", 2: "U"}
