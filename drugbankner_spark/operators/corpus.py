@@ -428,6 +428,7 @@ def dedup_repeated_ngrams(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    kernel: str = "md5",
 ) -> DataFrame:
     """Intra-document repeated-substring removal (round 5 — the
     within-doc counterpart of the corpus-level dedup family, after Lee
@@ -451,7 +452,16 @@ def dedup_repeated_ngrams(
     O(tokens × spans): a pathological doc (one token repeated 50k
     times) collapses to ONE interval instead of ~50k spans and ~10^9
     lambda evaluations. Output: (id, text, n_tokens_kept,
-    n_tokens_dropped), fully SQL-expressible (hash-oracled)."""
+    n_tokens_dropped), fully SQL-expressible (hash-oracled).
+
+    The repeat-detection window keys on a HASH of the gram, not the
+    gram text — sf3 bench showed the gram shuffle is this operator's
+    single biggest stage (~256 MB/stage at 30× bench SF), and the
+    window only needs gram IDENTITY. ``kernel="md5"`` (default) is the
+    128-bit collision-free oracle form (the DuckDB twin groups by the
+    raw gram — identical groups); ``kernel="xxhash64"`` shuffles 8-byte
+    keys for production corpora (within-doc 64-bit collision odds are
+    ~1e-11 per 10k-gram document; parity vs md5 is tested)."""
     from pyspark.sql import Window
 
     toks = F.split(F.col(text_col), " ")
@@ -459,21 +469,29 @@ def dedup_repeated_ngrams(
     # REFERENCE, not an inline split (re-evaluated per element →
     # O(tokens²); round-6 lambda-capture audit)
     tk = F.col("_toks")
+    gram_text = F.array_join(F.slice(tk, F.col("_i"), n), " ")
+    if kernel == "md5":
+        gram_key = F.md5(gram_text)
+    elif kernel == "xxhash64":
+        gram_key = F.xxhash64(gram_text)
+    else:
+        raise ValueError(f"unknown hash kernel: {kernel!r}")
     grams = docs.select(
         F.col(id_col), toks.alias("_toks")
     ).select(
-        F.col(id_col),
+        F.col(id_col), "_toks",
         F.posexplode(
             # sequence(1, 0) is DESCENDING in Spark (slice at index 0
             # then throws) — docs shorter than n grams get an empty list
-            F.transform(
-                F.when(
-                    F.size(tk) >= n,
-                    F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-                ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.array_join(F.slice(tk, i, n), " "),
-            )
-        ).alias("_pos", "_gram"),
+            F.when(
+                F.size(tk) >= n,
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_pos0", "_i"),
+    ).select(
+        F.col(id_col),
+        F.col("_pos0").alias("_pos"),
+        gram_key.alias("_gram"),
     )
     w = Window.partitionBy(id_col, "_gram").orderBy("_pos")
     # posexplode indexes the gram ARRAY 0-based; token positions are

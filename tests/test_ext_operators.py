@@ -1873,3 +1873,18 @@ def test_retrieval_metrics_recall_and_mrr(spark):
     assert rows[2]["recall_at_k"] == 0.0 and rows[2]["reciprocal_rank"] == 0.0
     assert rows[3]["recall_at_k"] == 0.5           # 1 / min(4, 2)
     assert rows[3]["reciprocal_rank"] == 1.0
+
+
+def test_intradoc_dedup_xxhash_kernel_parity(spark):
+    # round 6: the 8-byte production window key must reproduce the md5
+    # oracle kernel's output exactly on planted repeats.
+    from drugbankner_spark.operators.corpus import dedup_repeated_ngrams
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h X a b c d e f g h Y"),
+        (2, "unique words only in this document right here now"),
+        (3, "p q r s t u v w p q r s t u v w p q r s t u v w"),
+    ], "doc_id long, text string")
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(dedup_repeated_ngrams(docs, n=8, kernel="md5")) == \
+        key(dedup_repeated_ngrams(docs, n=8, kernel="xxhash64"))
