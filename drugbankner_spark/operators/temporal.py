@@ -210,12 +210,22 @@ def funnel_analysis(
     id_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    conversion_window_seconds: float | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis (round 6): per entity, how far through
     the ``steps`` sequence did it progress, requiring each step to
     occur STRICTLY AFTER the previous one. Output one row per entity
     seen in ANY step: (id, n_steps_completed, completed,
     step1_ts..stepN_ts — NULL past the progress point).
+
+    ``conversion_window_seconds`` bounds the WHOLE funnel relative to
+    the entity's step-1 entry (the Amplitude-style conversion window):
+    every later step must land within that window of step1_ts. The
+    window is deliberately anchored at ENTRY, not at the previous
+    step — with an entry-anchored deadline the greedy earliest-match
+    is provably optimal (an earlier step-k can only leave MORE of the
+    fixed window for step k+1), whereas per-step gaps would make
+    greedy matching miss convertible entities.
 
     Plan shape: one filtered min-agg per step, each joined back on the
     entity id — k steps = k co-partitioned shuffles on the SAME key
@@ -238,16 +248,27 @@ def funnel_analysis(
         .agg(F.min("_ts").alias("step1_ts"))
     )
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
+        probe = (
             base.filter(F.col("_tp") == step)
             .select(F.col(id_col), F.col("_ts").alias("_nts"))
             .join(
-                cur.select(id_col, F.col(f"step{i - 1}_ts").alias("_prev")),
+                cur.select(
+                    id_col,
+                    F.col(f"step{i - 1}_ts").alias("_prev"),
+                    F.col("step1_ts").alias("_entry"),
+                ),
                 id_col,
             )
             .filter(F.col("_nts") > F.col("_prev"))
-            .groupBy(id_col)
-            .agg(F.min("_nts").alias(f"step{i}_ts"))
+        )
+        if conversion_window_seconds is not None:
+            probe = probe.filter(
+                F.col("_nts").cast("double")
+                <= F.col("_entry").cast("double")
+                + F.lit(float(conversion_window_seconds))
+            )
+        nxt = probe.groupBy(id_col).agg(
+            F.min("_nts").alias(f"step{i}_ts")
         )
         cur = cur.join(nxt, id_col, "left")
     # entities that started anywhere in the funnel but missed step 1

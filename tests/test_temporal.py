@@ -313,3 +313,32 @@ def test_apply_cdc_randomized_vs_bruteforce(spark):
         best[k] = max(best.get(k, ()), (ts, 1, v, op))
     want = {k: (ts, v) for k, (ts, _, v, op) in best.items() if op != "D"}
     assert got == want
+
+
+def test_funnel_conversion_window(spark):
+    # entry-anchored conversion window: steps beyond step1 + W don't
+    # count, and a LATER in-window occurrence still converts
+    from drugbankner_spark.operators.temporal import funnel_analysis
+
+    ev = spark.createDataFrame(
+        [
+            # u1: click at +30s in window, purchase at +2h out of window
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:00:30", "click"),
+            (1, "2024-01-01 12:00:00", "purchase"),
+            # u2: everything inside 1 hour
+            (2, "2024-01-01 10:00:00", "view"),
+            (2, "2024-01-01 10:20:00", "click"),
+            (2, "2024-01-01 10:40:00", "purchase"),
+        ],
+        "user_id long, ts_s string, event_type string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    rows = {r["user_id"]: r for r in funnel_analysis(
+        ev, ["view", "click", "purchase"],
+        conversion_window_seconds=3600).collect()}
+    assert rows[1]["n_steps_completed"] == 2
+    assert rows[2]["n_steps_completed"] == 3 and rows[2]["completed"]
+    # without a window u1 completes too
+    rows_nw = {r["user_id"]: r for r in funnel_analysis(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert rows_nw[1]["completed"]
