@@ -249,3 +249,54 @@ def enrich_stream(
     without restarting the query. Stateless — no watermark interplay,
     unlike the stream-stream range join above."""
     return events.join(F.broadcast(dim), key, how)
+
+
+def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Streaming ordered funnel (round 6, applyInPandasWithState): per
+    entity, maintain the greedy earliest-match step timestamps across
+    micro-batches and emit the updated progress each batch — the
+    continuous face of temporal.funnel_analysis.
+
+    Semantics contract: events are processed in (ts, event_id) order
+    WITHIN each batch; across batches, progress equals the batch
+    operator whenever per-entity arrival is time-ordered (the usual
+    per-key-ordered delivery of a partitioned log). An out-of-order
+    straggler that would have matched an EARLIER step slot is ignored
+    once a later slot is filled — greedy online matching cannot
+    retroactively rewrite history without keeping the full event log
+    per entity (which is exactly what the batch operator is for).
+    State per entity = one epoch-seconds timestamp per matched step,
+    bounded by len(steps) — independent of event volume."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_steps = len(steps)
+    out_schema = (
+        "user_id bigint, n_steps_completed int, completed boolean"
+    )
+    state_schema = ", ".join(f"t{i} double" for i in range(n_steps))
+
+    def update(key, pdfs, state):
+        got = list(state.get) if state.exists else [None] * n_steps
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, tp in zip(pdf["ts"], pdf["event_type"]):
+                depth = sum(1 for t in got if t is not None)
+                if depth >= n_steps:
+                    break
+                if tp == steps[depth]:
+                    tsec = ts.timestamp()
+                    if depth == 0 or tsec > got[depth - 1]:
+                        got[depth] = tsec
+        state.update(tuple(got))
+        depth = sum(1 for t in got if t is not None)
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_steps_completed": [depth],
+            "completed": [depth == n_steps],
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

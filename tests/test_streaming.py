@@ -462,3 +462,23 @@ def test_incremental_cdc_tombstones_block_stale_resurrection(spark):
     assert live == {2: "b"}
     # and the tombstone itself is still present in state
     assert {r["k"]: r["op"] for r in s2.collect()} == {1: "D", 2: "U"}
+
+
+def test_funnel_stream_matches_batch_on_ordered_arrival(spark, event_dir):
+    # round 6: the stateful streaming funnel converges to the batch
+    # funnel's progress counts over the same (per-entity time-ordered)
+    # event set.
+    from drugbankner_spark.operators.temporal import funnel_analysis
+
+    steps = ["view", "click", "purchase"]
+    ev = load_table(spark, SF, "events")
+    batch = {r["user_id"]: r["n_steps_completed"]
+             for r in funnel_analysis(ev, steps).collect()}
+    stream = S.run_to_memory(
+        S.funnel_stream(S.read_event_stream(spark, event_dir), steps),
+        "t_funnel", output_mode="update",
+    )
+    got = {r["user_id"]: r["n_steps_completed"] for r in stream.collect()}
+    # streaming emits every user seen; batch emits users seen in a
+    # funnel step — compare on the batch's key set
+    assert all(got[k] == v for k, v in batch.items()), (got, batch)

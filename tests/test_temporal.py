@@ -342,3 +342,57 @@ def test_funnel_conversion_window(spark):
     rows_nw = {r["user_id"]: r for r in funnel_analysis(
         ev, ["view", "click", "purchase"]).collect()}
     assert rows_nw[1]["completed"]
+
+
+def test_funnel_randomized_vs_bruteforce(spark):
+    # seeded random event streams vs a Python greedy reference (the
+    # same earliest-match semantics), with and without the
+    # entry-anchored conversion window
+    import random
+
+    from drugbankner_spark.operators.temporal import funnel_analysis
+
+    rng = random.Random(99)
+    steps = ["a", "b", "c"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(0, 12)):
+            rows.append((u, rng.randint(0, 1000),
+                         rng.choice(["a", "b", "c", "x"])))
+    ev = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_type string"
+    ).selectExpr(
+        "user_id",
+        "CAST(timestamp '2024-01-01 00:00:00' + tsec * INTERVAL 1 second"
+        " AS TIMESTAMP) AS ts",
+        "event_type",
+    )
+
+    def brute(window=None):
+        per_user: dict = {}
+        for u, tsec, tp in rows:
+            per_user.setdefault(u, []).append((tsec, tp))
+        out = {}
+        for u, evs in per_user.items():
+            if not any(tp in steps for _, tp in evs):
+                continue
+            evs.sort()
+            got: list = []
+            for tsec, tp in evs:
+                if len(got) >= len(steps):
+                    break
+                if tp != steps[len(got)]:
+                    continue
+                if got and tsec <= got[-1]:
+                    continue
+                if window is not None and got and tsec > got[0] + window:
+                    continue
+                got.append(tsec)
+            out[u] = len(got)
+        return out
+
+    for window in (None, 100):
+        got = {r["user_id"]: r["n_steps_completed"]
+               for r in funnel_analysis(
+                   ev, steps, conversion_window_seconds=window).collect()}
+        assert got == brute(window), f"window={window}"
