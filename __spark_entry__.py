@@ -2645,6 +2645,16 @@ def _e5_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return retrieval_metrics(results, qrels, k=5)
 
 
+def _e1_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # SimHash banded near-dup pairs with exact Hamming verification
+    # (round 6): 4×8-bit bands → candidate equi join → bit_count
+    # filter ≤ 3. Pigeonhole makes recall exactly 1.0 at that radius.
+    from drugbankner_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return simhash_near_dup_pairs(docs)
+
+
 def _e1_near_dup_recall(spark: SparkSession, sf: str) -> DataFrame:
     # Candidate-generation quality metric (round 6): banded-MinHash
     # pairs measured against exact n-gram Jaccard truth at 0.05 —
@@ -3339,6 +3349,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_retrieval_metrics": _e5_retrieval_metrics,
         "e5_cdc_apply": _e5_cdc_apply,
         "e1_near_dup_recall": _e1_near_dup_recall,
+        "e1_simhash_pairs": _e1_simhash_pairs,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -5994,6 +6005,29 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_active
             FROM active JOIN firsts USING (user_id)
             GROUP BY 1, 2
+        """,
+        # round 6: simhash banded pairs + exact Hamming verify —
+        # composed on the simhash oracle; DuckDB xor/bit_count
+        "e1_simhash_pairs": f"""
+            WITH sigs AS ({_e1_simhash_oracle()}),
+            banded AS (
+                SELECT doc_id, b.band,
+                       (simhash >> (b.band * 8)) & 255 AS chunk
+                FROM sigs, UNNEST(generate_series(0, 3)) AS b(band)
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.chunk = y.chunk
+                WHERE x.doc_id < y.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT)
+                       AS hamming
+            FROM cand
+            JOIN sigs sa ON sa.doc_id = id_a
+            JOIN sigs sb ON sb.doc_id = id_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
         """,
         # round 6: banded-MinHash candidate recall vs exact Jaccard
         # truth — composed from the two already-proven oracles

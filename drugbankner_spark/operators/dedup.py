@@ -531,3 +531,64 @@ def near_dup_candidate_recall(
             ).alias("precision"),
         )
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs with Hamming verification
+    (round 6 — the text twin of the image hash dedup family): the
+    32-bit simhash splits into ``bands`` equal bit-chunks; documents
+    sharing ANY chunk become candidates (equi join on (band, chunk) —
+    never all-pairs), then the exact Hamming distance filters to
+    ``<= max_hamming``. Pigeonhole guarantee: with 4 bands of 8 bits,
+    every pair within Hamming distance 3 shares at least one band —
+    recall is exactly 1.0 for the advertised radius (tested). Output:
+    (id_a, id_b, hamming).
+
+    Scale shape: per doc, ``bands`` tiny band rows shuffle; the
+    verification join moves only (id, simhash) pairs for candidates.
+    """
+    if 32 % bands:
+        raise ValueError("simhash_near_dup_pairs: bands must divide 32")
+    width = 32 // bands
+    sigs = shared_persist(simhash_signatures(docs, text_col, id_col))
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+            )
+            for b in range(bands)
+        ])).alias("_bc"),
+    ).select(id_col, "_bc.band", "_bc.chunk")
+    cand = (
+        banded.alias("x").join(
+            banded.alias("y"), ["band", "chunk"]
+        )
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("_ha"))
+    sb = sigs.select(F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("_hb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("_ha").bitwiseXOR(F.expr("_hb"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )

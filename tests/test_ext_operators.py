@@ -1888,3 +1888,32 @@ def test_intradoc_dedup_xxhash_kernel_parity(spark):
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(dedup_repeated_ngrams(docs, n=8, kernel="md5")) == \
         key(dedup_repeated_ngrams(docs, n=8, kernel="xxhash64"))
+
+
+def test_simhash_pairs_pigeonhole_recall(spark):
+    # 4 bands x 8 bits over a 32-bit simhash: every pair with Hamming
+    # distance <= 3 shares a band, so banding loses NOTHING at the
+    # advertised radius — compare against the brute-force all-pairs
+    # Hamming computation.
+    from drugbankner_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(docs).collect()}
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, "text", "doc_id").collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
