@@ -3093,7 +3093,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     e3_wordlm, e5_datacard, e4_container_probe, e4_gif_decode,
     e3_unigram_tokens, e5_stratified_sample, e2_lsh_append_topk,
     complete-mode e6_sessionize (VERDICT r05: the closed/append
-    production face keeps the streaming-session slot), and q5."""
+    production face keeps the streaming-session slot), and q5.
+
+    Round-7 rotation pool (hash-oracled, pytest-green at both SFs,
+    ready for the next window): e6_funnel, e5_cohort_retention,
+    e5_retrieval_metrics, e5_cdc_apply, e1_near_dup_recall,
+    e1_simhash_pairs — plus the 24 demoted names above, and the
+    rows-only e4_mpeg_decode."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
