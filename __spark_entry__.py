@@ -1786,6 +1786,26 @@ def _e5_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _e5_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    # Temperature-weighted mixing (round 6): per-source targets ∝
+    # sqrt(n) (alpha=0.5, UniMax/T5-style low-resource upweighting) in
+    # EXACT integer arithmetic (isqrt weights, integer division), then
+    # the deterministic hash-rank draw. The oracle recomputes the
+    # targets in SQL — floor(sqrt(n)) == isqrt(n) for all n < 2^52.
+    from drugbankner_spark.operators.sampling import (
+        mixture_sample,
+        temperature_mixture_targets,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    targets = temperature_mixture_targets(
+        docs, "source", total_budget=200, alpha=0.5
+    )
+    return mixture_sample(docs, "source", "doc_id", targets).select(
+        "doc_id", "source"
+    )
+
+
 def _j_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     # Blocked edit-distance join: deterministic typo probes (append one
     # char) resolved back to part names within 2 edits — the
@@ -3356,6 +3376,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_cdc_apply": _e5_cdc_apply,
         "e1_near_dup_recall": _e1_near_dup_recall,
         "e1_simhash_pairs": _e1_simhash_pairs,
+        "e5_temperature_mix": _e5_temperature_mix,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -6011,6 +6032,40 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_active
             FROM active JOIN firsts USING (user_id)
             GROUP BY 1, 2
+        """,
+        # round 6: temperature-weighted mixing — targets recomputed in
+        # SQL via exact integer arithmetic (isqrt weights, int division)
+        # then the e5_mixture_sample draw pattern
+        "e5_temperature_mix": f"""
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents
+                GROUP BY source
+            ),
+            w AS (
+                SELECT source, n,
+                       CAST(floor(sqrt(n)) AS BIGINT) AS wt
+                FROM c
+            ),
+            t AS (
+                SELECT source, n,
+                       least(n, wt * 200 // (SELECT sum(wt) FROM w))
+                           AS target
+                FROM w
+            ),
+            h AS (
+                SELECT doc_id, d.source, target,
+                       {_sql_hash32("CAST(doc_id AS VARCHAR)")} AS hv
+                FROM documents d JOIN t ON d.source = t.source
+            ),
+            r AS (
+                SELECT doc_id, source, target,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY hv ASC, CAST(doc_id AS VARCHAR) ASC
+                       ) AS rn
+                FROM h
+            )
+            SELECT doc_id, source FROM r WHERE rn <= target
         """,
         # round 6: simhash banded pairs + exact Hamming verify —
         # composed on the simhash oracle; DuckDB xor/bit_count

@@ -451,3 +451,48 @@ def weighted_upsample(
         )
         .drop("_nc")
     )
+
+
+def temperature_mixture_targets(
+    df: DataFrame,
+    stratum_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+) -> dict[str, int]:
+    """Temperature-weighted domain targets (round 6 — the UniMax/T5
+    mixing rule): per-domain draw counts ∝ n_domain^alpha, normalized
+    to ``total_budget`` and capped at availability. alpha=1 keeps the
+    natural distribution, alpha→0 flattens toward uniform; 0.5 is the
+    common low-resource-upweighting setting. Feed the result straight
+    into :func:`mixture_sample` for the deterministic draw.
+
+    Driver-side cost: ONE collect of the per-domain count table —
+    bounded by domain cardinality (a handful of sources at any corpus
+    size), the documented driver-materialization contract.
+
+    alpha=0.5 runs in EXACT integer arithmetic (isqrt weights,
+    integer-division allocation) so a SQL oracle reproduces targets
+    bit-for-bit — floor(sqrt(n)) equals isqrt(n) for every n < 2^52,
+    where double sqrt is correctly rounded. Other alphas use float
+    pow (fine in production; record the resulting targets in the run
+    config rather than oracling them)."""
+    import math
+
+    rows = sorted(
+        (r[stratum_col], r["n"])
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if alpha == 0.5:
+        weights = [(k, math.isqrt(n)) for k, n in rows]
+        z = sum(w for _, w in weights)
+        return {
+            k: min(n, w * total_budget // z)
+            for (k, n), (_, w) in zip(rows, weights)
+        }
+    weights_f = [(k, n ** alpha) for k, n in rows]
+    z_f = sum(w for _, w in weights_f)
+    return {
+        k: min(n, int(w / z_f * total_budget))
+        for (k, n), (_, w) in zip(rows, weights_f)
+    }

@@ -1917,3 +1917,21 @@ def test_simhash_pairs_pigeonhole_recall(spark):
             if h <= 3:
                 want[(a, b)] = h
     assert got == want
+
+
+def test_temperature_mixture_targets_math(spark):
+    from drugbankner_spark.operators.sampling import (
+        temperature_mixture_targets,
+    )
+
+    rows = [("big", i) for i in range(900)] + [("small", i) for i in range(9)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    # alpha=1: natural proportions (900:9 → 100:1 of budget 101)
+    t1 = temperature_mixture_targets(df, "source", 101, alpha=1.0)
+    assert t1["big"] == 100 and t1["small"] == 1
+    # alpha=0.5: isqrt weights 30:3 → small domain upweighted ~10x
+    t5 = temperature_mixture_targets(df, "source", 110, alpha=0.5)
+    assert t5 == {"big": 30 * 110 // 33, "small": 9}  # small capped at n
+    # alpha→0 flattens: equal weights, capped at availability
+    t0 = temperature_mixture_targets(df, "source", 40, alpha=0.0)
+    assert t0 == {"big": 20, "small": 9}

@@ -482,3 +482,45 @@ def test_funnel_stream_matches_batch_on_ordered_arrival(spark, event_dir):
     # streaming emits every user seen; batch emits users seen in a
     # funnel step — compare on the batch's key set
     assert all(got[k] == v for k, v in batch.items()), (got, batch)
+
+
+def test_streaming_ann_index_maintenance_foreachbatch(spark):
+    # round 6 composition: embeddings arriving as a stream maintain the
+    # bucket-partitioned LSH index via foreachBatch append — after the
+    # stream drains, probing the maintained index equals probing a
+    # fresh full build (append touches only the new vectors' buckets).
+    import tempfile
+
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    d = tempfile.mkdtemp(prefix="ann_stream_")
+    src = d + "/src"
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    inc = d + "/inc"
+    first = emb.filter("vec_id < 0")  # empty seed build
+    SIM.build_lsh_index(first, inc, num_planes=8, dim=64)
+
+    def append(batch_df, batch_id):
+        SIM.append_to_lsh_index(batch_df, inc, num_planes=8, dim=64)
+
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(append).trigger(
+        availableNow=True
+    ).option("checkpointLocation", d + "/ckpt").start()
+    q.awaitTermination(180)
+
+    full = d + "/full"
+    SIM.build_lsh_index(emb, full, num_planes=8, dim=64)
+    probes = emb.filter("vec_id < 5")
+    cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    got = _sorted_rows(
+        SIM.probe_lsh_index(spark, inc, probes, k=5, num_planes=8, dim=64),
+        cols)
+    want = _sorted_rows(
+        SIM.probe_lsh_index(spark, full, probes, k=5, num_planes=8, dim=64),
+        cols)
+    assert got == want and len(got) > 0
+    shutil.rmtree(d, ignore_errors=True)
