@@ -1786,6 +1786,27 @@ def _e5_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact triangle counting (round 6): deterministic synthetic graph
+    # over Z_97 derived from doc ids (two edges per doc). The Spark
+    # side runs the degree-oriented compact-forward algorithm; the
+    # oracle counts canonically-ordered (a<b<c) closed triples — the
+    # same number by construction, so a hash match proves the
+    # orientation machinery exact.
+    from drugbankner_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf, "documents")
+    e1 = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+    )
+    e2 = docs.select(
+        ((F.col("doc_id") * 3 + 5) % 97).alias("src"),
+        ((F.col("doc_id") * 5 + 11) % 97).alias("dst"),
+    )
+    return triangle_count(e1.unionByName(e2))
+
+
 def _e5_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     # Temperature-weighted mixing (round 6): per-source targets ∝
     # sqrt(n) (alpha=0.5, UniMax/T5-style low-resource upweighting) in
@@ -3377,6 +3398,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_near_dup_recall": _e1_near_dup_recall,
         "e1_simhash_pairs": _e1_simhash_pairs,
         "e5_temperature_mix": _e5_temperature_mix,
+        "g_triangle_count": _g_triangle_count,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -6032,6 +6054,37 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_active
             FROM active JOIN firsts USING (user_id)
             GROUP BY 1, 2
+        """,
+        # round 6: exact triangle count — canonical a<b<c closed-triple
+        # join (equals the degree-oriented Spark algorithm's count)
+        "g_triangle_count": """
+            WITH raw AS (
+                SELECT doc_id % 97 AS s,
+                       (doc_id * doc_id + 1) % 97 AS d
+                FROM documents
+                UNION ALL
+                SELECT (doc_id * 3 + 5) % 97, (doc_id * 5 + 11) % 97
+                FROM documents
+            ),
+            e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d
+            ),
+            tri AS (
+                SELECT count(*) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT n_triangles,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*) FROM (
+                        SELECT DISTINCT v FROM (
+                            SELECT a AS v FROM e
+                            UNION ALL SELECT b FROM e
+                        )
+                    )) AS n_vertices
+            FROM tri
         """,
         # round 6: temperature-weighted mixing — targets recomputed in
         # SQL via exact integer arithmetic (isqrt weights, int division)

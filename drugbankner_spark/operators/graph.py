@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from drugbankner_spark.caching import shared_persist
+
 
 def _label_invariant(labels: DataFrame) -> tuple:
     """One-aggregation fingerprint of an (id, component) label table:
@@ -298,3 +300,64 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle counting (round 6): undirected edges → one row
+    (n_triangles, n_edges, n_vertices). The classic compact-forward /
+    degree-orientation algorithm as pure DataFrame joins:
+
+    1. canonicalize: (min, max) per edge, loops dropped, distinct;
+    2. orient every edge from the LOWER-ranked endpoint under the
+       total order (degree, vertex id) — each triangle then has
+       exactly one "apex" vertex with two out-edges, so it is counted
+       exactly once;
+    3. wedges = out-edges self-joined on the apex (u→v ⋈ u→w with
+       rank_v < rank_w), closed by a semi join against the oriented
+       edge set on (v, w).
+
+    Scale: orientation bounds every vertex's out-degree by O(√m) on
+    any graph (a vertex keeps only edges toward HIGHER-degree
+    neighbors), so the wedge join materializes O(m^1.5) rows worst
+    case — the provable bound for exact triangle enumeration — and
+    hot hub vertices never explode their wedge lists. Three shuffles:
+    degree agg, wedge join key, closing semi join."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = shared_persist(e)
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("_db"))
+    ranked = e.join(da, "a").join(db, "b")
+    fwd = F.struct(F.col("_da").alias("d"), F.col("a").alias("v"))
+    bwd = F.struct(F.col("_db").alias("d"), F.col("b").alias("v"))
+    oriented = shared_persist(ranked.select(
+        F.when(fwd < bwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd < bwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(fwd < bwd, F.col("_db")).otherwise(F.col("_da")).alias("_dw"),
+    ))
+    o1 = oriented.select("u", F.col("w").alias("v"), F.col("_dw").alias("_dv"))
+    o2 = oriented.select("u", "w", "_dw")
+    wedges = o1.join(o2, "u").filter(
+        F.struct(F.col("_dv").alias("d"), F.col("v").alias("v"))
+        < F.struct(F.col("_dw").alias("d"), F.col("w").alias("v"))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_v = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return n_tri.crossJoin(n_e).crossJoin(n_v)

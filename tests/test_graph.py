@@ -103,3 +103,45 @@ def test_star_components_empty_and_self_edges(spark):
     rows = connected_components_star(e, stats=stats).collect()
     assert {(r["id"], r["component"]) for r in rows} == {(5, 5), (6, 6)}
     assert stats["rounds"] <= 2
+
+
+def test_triangle_count_known_graphs(spark):
+    # round 6: K4 has 4 triangles; duplicate/reversed edges and loops
+    # canonicalize away; a path contributes none; K5 has 10.
+    from drugbankner_spark.operators.graph import triangle_count
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges = k4 + [(j, i) for i, j in k4] + [(10, 11), (11, 12), (5, 5)]
+    r = triangle_count(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()[0]
+    assert (r["n_triangles"], r["n_edges"], r["n_vertices"]) == (4, 8, 7)
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    r5 = triangle_count(
+        spark.createDataFrame(k5, "src long, dst long")
+    ).collect()[0]
+    assert r5["n_triangles"] == 10
+
+
+def test_triangle_count_randomized_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from drugbankner_spark.operators.graph import triangle_count
+
+    rng = random.Random(13)
+    edges = list({(rng.randint(0, 24), rng.randint(0, 24))
+                  for _ in range(120)})
+    adj = set()
+    for s, d in edges:
+        if s != d:
+            adj.add((min(s, d), max(s, d)))
+    verts = sorted({v for e in adj for v in e})
+    want = sum(
+        1 for x, y, z in itertools.combinations(verts, 3)
+        if (x, y) in adj and (x, z) in adj and (y, z) in adj
+    )
+    got = triangle_count(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()[0]
+    assert got["n_triangles"] == want and got["n_edges"] == len(adj)
