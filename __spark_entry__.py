@@ -1807,6 +1807,24 @@ def _g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(e1.unionByName(e2))
 
 
+def _g_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    # Link-prediction scores (round 6) on the same synthetic Z_97
+    # graph as g_triangle_count: non-edge pairs with ≥2 shared
+    # neighbors, exact common-neighbor count + 6dp Jaccard.
+    from drugbankner_spark.operators.graph import common_neighbor_scores
+
+    docs = load_table(spark, sf, "documents")
+    e1 = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+    )
+    e2 = docs.select(
+        ((F.col("doc_id") * 3 + 5) % 97).alias("src"),
+        ((F.col("doc_id") * 5 + 11) % 97).alias("dst"),
+    )
+    return common_neighbor_scores(e1.unionByName(e2), min_common=2)
+
+
 def _e5_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     # Temperature-weighted mixing (round 6): per-source targets ∝
     # sqrt(n) (alpha=0.5, UniMax/T5-style low-resource upweighting) in
@@ -3399,6 +3417,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_simhash_pairs": _e1_simhash_pairs,
         "e5_temperature_mix": _e5_temperature_mix,
         "g_triangle_count": _g_triangle_count,
+        "g_common_neighbors": _g_common_neighbors,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -6054,6 +6073,44 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_active
             FROM active JOIN firsts USING (user_id)
             GROUP BY 1, 2
+        """,
+        # round 6: common-neighbor link prediction on the same graph —
+        # wedge join through shared neighbors, anti join vs edges
+        "g_common_neighbors": """
+            WITH raw AS (
+                SELECT doc_id % 97 AS s,
+                       (doc_id * doc_id + 1) % 97 AS d
+                FROM documents
+                UNION ALL
+                SELECT (doc_id * 3 + 5) % 97, (doc_id * 5 + 11) % 97
+                FROM documents
+            ),
+            e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d
+            ),
+            adj AS (
+                SELECT a AS v, b AS n FROM e
+                UNION ALL SELECT b, a FROM e
+            ),
+            deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+            pairs AS (
+                SELECT x.v AS x, y.v AS y, count(*) AS n_common
+                FROM adj x JOIN adj y ON x.n = y.n AND x.v < y.v
+                GROUP BY x.v, y.v
+                HAVING count(*) >= 2
+            ),
+            non_edges AS (
+                SELECT p.* FROM pairs p
+                LEFT JOIN e ON e.a = p.x AND e.b = p.y
+                WHERE e.a IS NULL
+            )
+            SELECT ne.x AS a, ne.y AS b, n_common,
+                   round(n_common / (dx.d + dy.d - n_common), 6)
+                       AS jaccard
+            FROM non_edges ne
+            JOIN deg dx ON dx.v = ne.x
+            JOIN deg dy ON dy.v = ne.y
         """,
         # round 6: exact triangle count — canonical a<b<c closed-triple
         # join (equals the degree-oriented Spark algorithm's count)

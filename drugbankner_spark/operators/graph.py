@@ -361,3 +361,135 @@ def triangle_count(
     n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_v = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
     return n_tri.crossJoin(n_e).crossJoin(n_v)
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Link-prediction candidate scores (round 6): for every NON-edge
+    vertex pair sharing ≥ ``min_common`` neighbors — (a, b, n_common,
+    jaccard) where jaccard = |N(a)∩N(b)| / |N(a)∪N(b)|. The classic
+    common-neighbors / Jaccard predictors; exact rationals rounded to
+    6dp for cross-engine parity.
+
+    Plan: wedges through the shared neighbor (one self-join on the
+    neighbor column), minus existing edges (anti join), plus two
+    degree lookups. The wedge join is the same Σd² shape as triangle
+    counting — at scale cap hub degrees first (sample or filter) as
+    every production link-prediction pipeline does."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = shared_persist(e)
+    # adjacency in both directions: (v, neighbor)
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        e.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    adj = shared_persist(adj)
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    x = adj.select(F.col("v").alias("x"), "n")
+    y = adj.select(F.col("v").alias("y"), "n")
+    pairs = (
+        x.join(y, "n")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    non_edges = pairs.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("_dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("_dy"))
+    return (
+        non_edges.join(dx, "x").join(dy, "y")
+        .select(
+            F.col("x").alias("a"), F.col("y").alias("b"), "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_dx") + F.col("_dy") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def kcore_decomposition(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_k: int = 64,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """k-core decomposition (round 6): per vertex, the LARGEST k such
+    that the vertex survives iterated removal of all vertices with
+    degree < k — the standard graph-density/quality signal (spam rings
+    and templated link farms concentrate in high cores). Output:
+    (v, core).
+
+    Algorithm: iterative peeling per k — for each k in ascending
+    order, repeatedly delete sub-k-degree vertices until stable (each
+    round is one degree agg + one semi join), recording survivors'
+    core = k. EVERY peel round is eagerly localCheckpoint-ed: the
+    convergence count re-executes the round's plan otherwise, and an
+    uncut 8-round lineage recomputes exponentially (the
+    connected-components lesson, applied strictly here because every
+    round carries an action). Total rounds are bounded by the
+    degeneracy + peel depth (small for real sparse graphs); each
+    round shuffles edge endpoints only."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_e = e.count()
+    core = e.select(F.col("a").alias("v")).unionByName(
+        e.select(F.col("b").alias("v"))
+    ).distinct().select("v", F.lit(0).alias("core"))
+    core = core.localCheckpoint(eager=True)
+    for k in range(1, max_k + 1):
+        if n_e == 0:
+            break
+        while True:
+            deg = (
+                e.select(F.col("a").alias("v"))
+                .unionByName(e.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("v")
+            new_e = e.join(
+                keep.select(F.col("v").alias("a")), "a", "left_semi"
+            ).join(
+                keep.select(F.col("v").alias("b")), "b", "left_semi"
+            ).localCheckpoint(eager=True)
+            n_new = new_e.count()
+            e = new_e
+            if n_new == n_e:
+                break
+            n_e = n_new
+        if n_e == 0:
+            break
+        survivors = e.select(F.col("a").alias("v")).unionByName(
+            e.select(F.col("b").alias("v"))
+        ).distinct()
+        core = core.join(
+            survivors.withColumnRenamed("v", "_sv"),
+            core["v"] == F.col("_sv"),
+            "left",
+        ).select(
+            "v",
+            F.when(F.col("_sv").isNotNull(), F.lit(k))
+            .otherwise(F.col("core")).alias("core"),
+        ).localCheckpoint(eager=True)
+    return core

@@ -145,3 +145,60 @@ def test_triangle_count_randomized_vs_bruteforce(spark):
         spark.createDataFrame(edges, "src long, dst long")
     ).collect()[0]
     assert got["n_triangles"] == want and got["n_edges"] == len(adj)
+
+
+def test_common_neighbor_scores(spark):
+    # square 0-1-2-3-0: diagonals (0,2) and (1,3) are the non-edges
+    # with 2 common neighbors each; jaccard = 2/(2+2-2) = 1.0
+    from drugbankner_spark.operators.graph import common_neighbor_scores
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = {(r["a"], r["b"]): (r["n_common"], r["jaccard"])
+           for r in common_neighbor_scores(
+               spark.createDataFrame(edges, "src long, dst long")
+           ).collect()}
+    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+
+def test_kcore_decomposition_known_and_random(spark):
+    import itertools
+    import random
+
+    from drugbankner_spark.operators.graph import kcore_decomposition
+
+    # K4 with a pendant vertex: clique vertices core 3, pendant core 1
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges = k4 + [(0, 9)]
+    got = {r["v"]: r["core"] for r in kcore_decomposition(
+        spark.createDataFrame(edges, "src long, dst long")).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 1}
+
+    # randomized graph vs a Python peeling reference
+    rng = random.Random(5)
+    redges = list({(rng.randint(0, 17), rng.randint(0, 17))
+                   for _ in range(60)})
+    adj: dict = {}
+    for s, d in redges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    core_ref = {v: 0 for v in adj}
+    live = {v: set(ns) for v, ns in adj.items()}
+    k = 1
+    while live:
+        while True:
+            drop = [v for v, ns in live.items() if len(ns) < k]
+            if not drop:
+                break
+            for v in drop:
+                for n in live.get(v, ()):
+                    live[n].discard(v)
+                live.pop(v, None)
+        for v in live:
+            core_ref[v] = k
+        k += 1
+        if k > 64:
+            break
+    got_r = {r["v"]: r["core"] for r in kcore_decomposition(
+        spark.createDataFrame(redges, "src long, dst long")).collect()}
+    assert got_r == core_ref
