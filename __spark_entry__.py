@@ -2758,6 +2758,32 @@ def _e5_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    # nDCG@5 over GRADED relevance (round 6): exact cosine top-5 judged
+    # by a graded qrels dim (rel = 3 - |label distance|, floor 0) — the
+    # third retrieval metric beside recall@k/MRR.
+    from drugbankner_spark.operators import similarity as SIM
+    from drugbankner_spark.operators.evals import ndcg_at_k
+
+    emb = load_table(spark, sf, "embeddings")
+    results = SIM.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    qrels = q.crossJoin(
+        emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("label").alias("_dl"))
+    ).filter(F.col("doc_id") != F.col("query_id")).select(
+        "query_id", "doc_id",
+        F.greatest(
+            F.lit(0), F.lit(3) - F.abs(F.col("_ql") - F.col("_dl"))
+        ).alias("rel"),
+    )
+    return ndcg_at_k(results, qrels, k=5)
+
+
 def _e4_mpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL MPEG-1 Layer I/II sample decode (round 6 — VERDICT r05 next
     # #2): per doc, a deterministic tone parameterized by doc_id is
@@ -3418,6 +3444,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_temperature_mix": _e5_temperature_mix,
         "g_triangle_count": _g_triangle_count,
         "g_common_neighbors": _g_common_neighbors,
+        "e5_ndcg": _e5_ndcg,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -6073,6 +6100,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_active
             FROM active JOIN firsts USING (user_id)
             GROUP BY 1, 2
+        """,
+        # round 6: nDCG@5 over graded label-distance relevance —
+        # composed on the cosine oracle; ln-ratio log2 both engines,
+        # 6dp rounding (the accepted float-parity pattern)
+        "e5_ndcg": f"""
+            WITH topk AS ({_e2_cosine_topk_oracle()}),
+            qrels AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                       greatest(0, 3 - abs(q.label - c.label)) AS rel
+                FROM embeddings q JOIN embeddings c
+                  ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 5
+            ),
+            dcg AS (
+                SELECT t.query_id,
+                       sum(r.rel / (ln(t.rank + 1) / ln(2))) AS dcg
+                FROM topk t JOIN qrels r
+                  ON t.query_id = r.query_id AND t.neighbor_id = r.doc_id
+                WHERE t.rank <= 5
+                GROUP BY t.query_id
+            ),
+            ideal AS (
+                SELECT query_id,
+                       sum(rel / (ln(rn + 1) / ln(2))) AS idcg
+                FROM (
+                    SELECT query_id, rel, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY rel DESC, doc_id ASC
+                    ) AS rn
+                    FROM qrels WHERE rel > 0
+                ) WHERE rn <= 5
+                GROUP BY query_id
+            )
+            SELECT i.query_id,
+                   round(COALESCE(d.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
+            FROM ideal i LEFT JOIN dcg d USING (query_id)
         """,
         # round 6: common-neighbor link prediction on the same graph —
         # wedge join through shared neighbors, anti join vs edges

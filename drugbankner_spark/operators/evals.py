@@ -241,3 +241,57 @@ def retrieval_metrics(
             ).alias("reciprocal_rank"),
         )
     )
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@k over GRADED relevance (round 6, completing the retrieval
+    metric family beside recall@k/MRR): DCG = Σ rel_i / log2(rank_i+1)
+    over retrieved docs at rank ≤ k; IDCG from the qrels' top-k grades
+    sorted descending; ndcg = DCG/IDCG (0 when a query has no positive
+    grades). Linear gain (rel, not 2^rel-1) — the original
+    Järvelin-Kekäläinen form; swap the gain expression for the burst
+    variant if needed. Rounded to 6dp for cross-engine parity.
+
+    Relational shape: one (query, doc) join + per-query agg for DCG,
+    one qrels window for IDCG — costs nothing next to retrieval."""
+    from pyspark.sql import Window
+
+    log2 = lambda c: F.log(c.cast("double")) / F.log(F.lit(2.0))
+    dcg = (
+        results.filter(F.col(rank_col) <= k)
+        .join(qrels.select(query_col, doc_col, rel_col),
+              [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(F.sum(
+            F.col(rel_col) / log2(F.col(rank_col) + 1)
+        ).alias("_dcg"))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(rel_col), F.asc(doc_col)
+    )
+    ideal = (
+        qrels.filter(F.col(rel_col) > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(query_col)
+        .agg(F.sum(
+            F.col(rel_col) / log2(F.col("_rn") + 1)
+        ).alias("_idcg"))
+    )
+    return (
+        ideal.join(dcg, query_col, "left")
+        .select(
+            F.col(query_col),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6
+            ).alias("ndcg_at_k"),
+        )
+    )

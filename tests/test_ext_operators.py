@@ -1875,6 +1875,35 @@ def test_retrieval_metrics_recall_and_mrr(spark):
     assert rows[3]["reciprocal_rank"] == 1.0
 
 
+def test_ndcg_at_k_goldens(spark):
+    # round 6: graded nDCG@k — DCG = Σ rel/log2(rank+1) over retrieved,
+    # IDCG from qrels' descending grades; query with no retrieved
+    # relevant scores 0; query absent from qrels (no positives) drops.
+    import math
+
+    from drugbankner_spark.operators.evals import ndcg_at_k
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1),
+         (3, 30, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 3), (1, 99, 2),   # best doc retrieved 2nd
+         (2, 77, 3),                           # nothing relevant found
+         (3, 30, 2)],                          # perfect single hit
+        "query_id long, doc_id long, rel long",
+    )
+    rows = {r["query_id"]: r["ndcg_at_k"]
+            for r in ndcg_at_k(results, qrels, k=2).collect()}
+    dcg1 = 1 / math.log2(2) + 3 / math.log2(3)
+    idcg1 = 3 / math.log2(2) + 2 / math.log2(3)
+    assert rows[1] == round(dcg1 / idcg1, 6)
+    assert rows[2] == 0.0
+    assert rows[3] == 1.0
+
+
 def test_intradoc_dedup_xxhash_kernel_parity(spark):
     # round 6: the 8-byte production window key must reproduce the md5
     # oracle kernel's output exactly on planted repeats.
