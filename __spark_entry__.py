@@ -2784,6 +2784,19 @@ def _e5_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     return ndcg_at_k(results, qrels, k=5)
 
 
+def _e5_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    # DSIR importance weights (round 6, Xie et al. 2023): hashed
+    # unigram+bigram log-likelihood ratio of target (lang='en') vs the
+    # raw pool over 64 buckets — the published data-selection method as
+    # one broadcast join + per-doc agg.
+    from drugbankner_spark.operators.mlquality import dsir_log_weights
+
+    docs = load_table(spark, sf, "documents")
+    return dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), dim=64
+    )
+
+
 def _e4_mpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL MPEG-1 Layer I/II sample decode (round 6 — VERDICT r05 next
     # #2): per doc, a deterministic tone parameterized by doc_id is
@@ -3445,6 +3458,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangle_count": _g_triangle_count,
         "g_common_neighbors": _g_common_neighbors,
         "e5_ndcg": _e5_ndcg,
+        "e5_dsir_weights": _e5_dsir_weights,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -6136,6 +6150,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.query_id,
                    round(COALESCE(d.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
             FROM ideal i LEFT JOIN dcg d USING (query_id)
+        """,
+        # round 6: DSIR importance weights — hashed unigram+bigram
+        # log-likelihood ratio, target lang='en' vs the raw pool,
+        # Laplace α=1 over 64 buckets, 6dp (accepted float pattern)
+        "e5_dsir_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, lang, unnest(tk) AS feat FROM toks
+                UNION ALL
+                SELECT doc_id, lang, tk[i - 1] || ' ' || tk[i]
+                FROM toks, UNNEST(generate_series(2, len(tk))) AS g(i)
+                WHERE len(tk) >= 2
+            ),
+            counts AS (
+                SELECT doc_id, lang,
+                       {_sql_hash32('feat')} % 64 AS bucket,
+                       count(*) AS n
+                FROM feats GROUP BY 1, 2, 3
+            ),
+            raw_model AS (
+                SELECT bucket, sum(n) AS cnt FROM counts GROUP BY 1
+            ),
+            raw_tot AS (SELECT sum(n) AS tot FROM counts),
+            tgt_model AS (
+                SELECT bucket, sum(n) AS cnt FROM counts
+                WHERE lang = 'en' GROUP BY 1
+            ),
+            tgt_tot AS (
+                SELECT sum(n) AS tot FROM counts WHERE lang = 'en'
+            ),
+            ratio AS (
+                SELECT g.bucket,
+                       (ln(COALESCE(tm.cnt, 0) + 1.0)
+                          - ln(tt.tot + 64.0))
+                     - (ln(COALESCE(rm.cnt, 0) + 1.0)
+                          - ln(rt.tot + 64.0)) AS r
+                FROM (SELECT unnest(generate_series(0, 63)) AS bucket) g
+                LEFT JOIN tgt_model tm USING (bucket)
+                LEFT JOIN raw_model rm USING (bucket),
+                tgt_tot tt, raw_tot rt
+            )
+            SELECT c.doc_id,
+                   round(sum(c.n * r.r), 6) AS dsir_log_weight
+            FROM counts c JOIN ratio r USING (bucket)
+            GROUP BY 1
         """,
         # round 6: common-neighbor link prediction on the same graph —
         # wedge join through shared neighbors, anti join vs edges

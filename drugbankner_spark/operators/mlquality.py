@@ -107,3 +107,160 @@ def filter_by_quality(
         F.col("quality_prob") >= threshold
     ).select(id_col)
     return docs.join(keep, id_col, "semi")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (round 6). Xie et al.
+# 2023 (arXiv:2302.03169): score every raw document by the hashed-n-gram
+# log-likelihood ratio between a TARGET distribution (the data you want
+# more of, e.g. curated in-domain text) and the RAW crawl distribution,
+# then keep the top-weighted docs. The published method; the third rung
+# of the curation ladder beside the Gopher rules and the trained
+# classifier above.
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    kernel: str = "md5",
+) -> DataFrame:
+    """(id, bucket, n): counts of whitespace unigrams AND bigrams
+    hashed into ``dim`` buckets — DSIR's feature map. One explode (the
+    bigram array is built from the SAME projected token array, so the
+    split runs once per doc) + one map-side-combinable agg; nothing
+    driver-side. Same dual hash kernel as the dedup family
+    (dedup.content_hash32): md5 for cross-engine oracles, xxhash64 for
+    production."""
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    pre = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+        ).alias("_tk"),
+    )
+    tk = F.col("_tk")
+    feats = pre.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                tk,
+                F.transform(
+                    # sequence(2, 1) DESCENDS in Spark — guard the
+                    # single-token doc with an empty index array
+                    F.when(
+                        F.size(tk) >= 2, F.sequence(F.lit(2), F.size(tk))
+                    ).otherwise(F.expr("array()").cast("array<int>")),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(tk, i - 1), F.element_at(tk, i)
+                    ),
+                ),
+            )
+        ).alias("feat"),
+    )
+    return (
+        feats.select(
+            F.col(id_col),
+            F.pmod(content_hash32(F.col("feat"), kernel), F.lit(dim)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _bucket_log_probs(
+    counts: DataFrame, spark, dim: int, alpha: float
+) -> DataFrame:
+    """(bucket, logp): Laplace-smoothed log-probability of each of the
+    ``dim`` buckets under a bag-of-features model fit on ``counts``.
+    The model is a BOUNDED dim-row table (the full bucket range comes
+    from one sequence explode, so zero-count buckets get the smoothing
+    floor) — broadcast-able by construction, never a scale concern."""
+    grid = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("bucket")
+    )
+    per_bucket = counts.groupBy("bucket").agg(F.sum("n").alias("cnt"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        grid.join(per_bucket, "bucket", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                - F.log(F.col("_tot") + F.lit(alpha * dim))
+            ).alias("logp"),
+        )
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    kernel: str = "md5",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-raw-doc DSIR importance log-weight, rounded to 6dp:
+    Σ_buckets c_b · (log p_target(b) − log p_raw(b)), with c the doc's
+    hashed unigram+bigram counts and both models Laplace-smoothed
+    bag-of-features fits. Positive ⇒ the doc looks more like the target
+    corpus than the raw pool.
+
+    Scale shape: two bounded dim-row model fits (one agg over each
+    corpus's exploded features), ONE broadcast join of the dim-row
+    log-ratio dim against the raw counts, one per-doc agg. The raw
+    corpus shuffles only (id, bucket, n) — never text. 100 TB-safe:
+    the model is ``dim`` rows no matter the corpus size."""
+    spark = raw.sparkSession
+    raw_counts = hashed_ngram_counts(raw, text_col, id_col, dim, kernel)
+    tgt_counts = hashed_ngram_counts(target, text_col, id_col, dim, kernel)
+    ratio = (
+        _bucket_log_probs(tgt_counts, spark, dim, alpha)
+        .withColumnRenamed("logp", "_lt")
+        .join(
+            _bucket_log_probs(raw_counts, spark, dim, alpha)
+            .withColumnRenamed("logp", "_lr"),
+            "bucket",
+        )
+        .select("bucket", (F.col("_lt") - F.col("_lr")).alias("_ratio"))
+    )
+    return (
+        raw_counts.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("n") * F.col("_ratio")), 6).alias(
+                "dsir_log_weight"
+            )
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    kernel: str = "md5",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Top-k raw docs by DSIR weight (deterministic id tiebreak),
+    original columns preserved. orderBy+limit plans as
+    TakeOrderedAndProject — per-partition heaps, only k rows to the
+    driver-side merge, no global sort."""
+    w = dsir_log_weights(raw, target, text_col, id_col, dim, kernel, alpha)
+    keep = (
+        w.orderBy(F.desc("dsir_log_weight"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "dsir_log_weight")
+    )
+    return raw.join(F.broadcast(keep), id_col)

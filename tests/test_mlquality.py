@@ -122,3 +122,48 @@ def test_streaming_scoring_equals_batch(spark):
         assert got == want and len(got) == 3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    # round 6: docs sharing the target's vocabulary must out-weigh
+    # off-domain docs; selection keeps them with columns intact.
+    from drugbankner_spark.operators.mlquality import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "protein binding site affinity measured in the assay"),
+         (2, "protein structure and binding affinity of the ligand"),
+         (3, "buy cheap watches online best price deal now"),
+         (4, "click here for free coupons and discount codes")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "the binding affinity of the protein ligand complex"),
+         (101, "assay results show strong protein binding site")],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["dsir_log_weight"]
+         for r in dsir_log_weights(raw, target, dim=128).collect()}
+    assert min(w[1], w[2]) > max(w[3], w[4])
+
+    kept = dsir_select(raw, target, k=2, dim=128)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+    assert set(kept.columns) == {"doc_id", "text", "dsir_log_weight"}
+
+
+def test_dsir_single_token_and_kernel_parity(spark):
+    # the xxhash64 production kernel must run on degenerate docs
+    # (single-token: no bigrams) and produce one weight per non-empty doc.
+    from drugbankner_spark.operators.mlquality import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "")],
+        "doc_id long, text string",
+    )
+    for kernel in ("md5", "xxhash64"):
+        rows = dsir_log_weights(
+            raw, raw.filter("doc_id = 2"), dim=16, kernel=kernel
+        ).collect()
+        assert sorted(r["doc_id"] for r in rows) == [1, 2], kernel
