@@ -2797,6 +2797,42 @@ def _e5_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _t_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    # Fixed-step resample of events per type (6 h buckets) with
+    # explicit gaps, LOCF, and linear interpolation (round 6) — the
+    # time_bucket_gapfill/locf/interpolate family as one grid explode +
+    # left join + two window passes.
+    from drugbankner_spark.operators.timeseries import resample_gapfill
+
+    return resample_gapfill(
+        load_table(spark, sf, "events"), ["event_type"],
+        step_seconds=21600,
+    )
+
+
+def _t_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    # Finite-window EWMA (α=0.5, span=8) of the 6 h bucketed per-type
+    # average — the recursive smoother re-expressed as a bounded
+    # contribution explode + one hash agg.
+    from drugbankner_spark.operators.timeseries import ewma_grid
+
+    return ewma_grid(
+        load_table(spark, sf, "events"), ["event_type"],
+        step_seconds=21600, alpha=0.5, span=8,
+    )
+
+
+def _t_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    # Trailing z-score anomaly flags (lookback 8 buckets, |z|>3) on the
+    # same bucketed series — the monitoring face of the family.
+    from drugbankner_spark.operators.timeseries import detect_anomalies
+
+    return detect_anomalies(
+        load_table(spark, sf, "events"), ["event_type"],
+        step_seconds=21600, lookback=8, z_threshold=3.0,
+    )
+
+
 def _e4_mpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL MPEG-1 Layer I/II sample decode (round 6 — VERDICT r05 next
     # #2): per doc, a deterministic tone parameterized by doc_id is
@@ -3459,6 +3495,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_common_neighbors": _g_common_neighbors,
         "e5_ndcg": _e5_ndcg,
         "e5_dsir_weights": _e5_dsir_weights,
+        "t_resample_gapfill": _t_resample_gapfill,
+        "t_ewma": _t_ewma,
+        "t_anomaly": _t_anomaly,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -6200,6 +6239,124 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c.n * r.r), 6) AS dsir_log_weight
             FROM counts c JOIN ratio r USING (bucket)
             GROUP BY 1
+        """,
+        # round 6 time-series family: 6 h resample with gapfill (locf +
+        # linear interp), finite-window EWMA, trailing z-score anomaly.
+        # avg written as sum/count in BOTH engines; 6dp floats.
+        "t_resample_gapfill": """
+            WITH obs AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                           AS bucket_start,
+                       count(*) AS n_obs,
+                       sum(value) / count(*) AS value_avg
+                FROM events GROUP BY 1, 2
+            ),
+            span AS (
+                SELECT event_type, min(bucket_start) AS lo,
+                       max(bucket_start) AS hi
+                FROM obs GROUP BY 1
+            ),
+            grid AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, 21600))
+                           AS bucket_start
+                FROM span
+            ),
+            g AS (
+                SELECT grid.event_type, grid.bucket_start,
+                       obs.n_obs, obs.value_avg
+                FROM grid LEFT JOIN obs USING (event_type, bucket_start)
+            ),
+            f AS (
+                SELECT *,
+                    last_value(value_avg IGNORE NULLS) OVER w_f AS pv,
+                    last_value(CASE WHEN value_avg IS NOT NULL
+                               THEN bucket_start END IGNORE NULLS)
+                        OVER w_f AS pb,
+                    first_value(value_avg IGNORE NULLS) OVER w_b AS nv,
+                    first_value(CASE WHEN value_avg IS NOT NULL
+                                THEN bucket_start END IGNORE NULLS)
+                        OVER w_b AS nb
+                FROM g
+                WINDOW w_f AS (PARTITION BY event_type
+                               ORDER BY bucket_start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+                       w_b AS (PARTITION BY event_type
+                               ORDER BY bucket_start
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_type, bucket_start,
+                   COALESCE(n_obs, 0) AS n_obs,
+                   round(value_avg, 6) AS value_avg,
+                   round(pv, 6) AS locf,
+                   round(CASE
+                       WHEN value_avg IS NOT NULL THEN value_avg
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       ELSE pv + (nv - pv) * (bucket_start - pb)
+                                / (nb - pb)
+                   END, 6) AS interp
+            FROM f
+        """,
+        "t_ewma": """
+            WITH obs AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                           AS bucket_start,
+                       sum(value) / count(*) AS value_avg
+                FROM events GROUP BY 1, 2
+            ),
+            contrib AS (
+                SELECT event_type,
+                       bucket_start + i * 21600 AS bucket_start,
+                       power(0.5, i) AS w,
+                       power(0.5, i) * value_avg AS wx
+                FROM obs, UNNEST(generate_series(0, 7)) AS g(i)
+            ),
+            tot AS (
+                SELECT event_type, bucket_start,
+                       sum(wx) AS swx, sum(w) AS sw
+                FROM contrib GROUP BY 1, 2
+            ),
+            hi AS (
+                SELECT event_type, max(bucket_start) AS hi
+                FROM obs GROUP BY 1
+            )
+            SELECT t.event_type, t.bucket_start,
+                   round(swx / sw, 6) AS ewma
+            FROM tot t JOIN hi USING (event_type)
+            WHERE t.bucket_start <= hi.hi
+        """,
+        "t_anomaly": """
+            WITH obs AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                           AS bucket_start,
+                       sum(value) / count(*) AS value_avg
+                FROM events GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT event_type, bucket_start, value_avg,
+                       avg(value_avg) OVER w AS mu,
+                       stddev_samp(value_avg) OVER w AS sd,
+                       count(value_avg) OVER w AS cnt
+                FROM obs
+                WINDOW w AS (PARTITION BY event_type
+                             ORDER BY bucket_start
+                             ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, bucket_start,
+                   round(value_avg, 6) AS value_avg,
+                   round(z, 6) AS zscore,
+                   COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+            FROM (
+                SELECT *, CASE WHEN cnt >= 2 AND sd > 0
+                               THEN (value_avg - mu) / sd END AS z
+                FROM scored
+            )
         """,
         # round 6: common-neighbor link prediction on the same graph —
         # wedge join through shared neighbors, anti join vs edges

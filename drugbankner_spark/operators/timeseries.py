@@ -1,0 +1,225 @@
+"""Time-series resampling family (E5/E6 engine extension, round 6).
+
+Event analytics (temporal.funnel_analysis, cohort_retention, the E6
+streaming windows) operate on the events as they arrived; feature
+pipelines and monitoring additionally need the REGULARIZED view — a
+fixed-step grid per series with the gaps made explicit and filled
+(forward-fill / linear interpolation) plus smoothed rollups (EWMA).
+TimescaleDB calls this time_bucket_gapfill/locf/interpolate; pandas
+calls it resample/ffill/interpolate/ewm. Re-expressed Spark-first:
+
+- The grid is `explode(sequence(min_bucket, max_bucket))` PER KEY — its
+  size is bounded by the series' time span over the step, never by the
+  event count, and it never leaves the executors.
+- Fills are `last/first(..., ignorenulls=True)` over per-key ordered
+  windows — one shuffle on the series key, which the grid join already
+  paid; Catalyst collapses the three fill windows into one Window node
+  per frame direction.
+- EWMA uses the FINITE-window form (the last `span` buckets): each
+  observed bucket EMITS its weighted contributions to the ≤`span`
+  target buckets ahead of it (one bounded explode), and one hash agg
+  divides Σwx/Σw per target. That turns the classic recursive EWMA
+  into an equi-join-shaped plan — no per-row recursion, no window
+  re-scan of history, 100 TB-safe by construction.
+
+Buckets are emitted as epoch-second BIGINTs (`bucket_start`) — the
+cross-engine-stable key; callers wanting timestamps cast once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucketed(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """(keys…, bucket_start, n_obs, value_avg): one row per observed
+    per-key bucket. One map-side-combinable agg; sum/count kept exact,
+    the avg derived after the shuffle."""
+    b = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
+        * step_seconds
+    ).cast("long")
+    return (
+        events.groupBy(*key_cols, b.alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(value_col).alias("_sum"),
+        )
+        .withColumn("value_avg", F.col("_sum") / F.col("n_obs"))
+        .drop("_sum")
+    )
+
+
+def resample_gapfill(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 21600,
+) -> DataFrame:
+    """Fixed-step resample with explicit gaps and both classic fills:
+    per key, every bucket from the key's first to last observed bucket,
+    with ``n_obs``/``value_avg`` (NULL in gaps), ``locf`` (last
+    observation carried forward) and ``interp`` (linear interpolation
+    between the surrounding observed buckets; the edges fall back to
+    the nearest observed value). Values rounded to 6dp — the accepted
+    cross-engine float pattern.
+
+    Plan: one agg (bucketing), one tiny per-key span agg, one grid
+    explode bounded by span/step, one left join back, one window pass
+    per fill direction. The grid join keys on (key, bucket) — equi,
+    AQE-coalesced."""
+    obs = _bucketed(events, key_cols, ts_col, value_col, step_seconds)
+    span = obs.groupBy(*key_cols).agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_seconds))
+        ).alias("bucket_start"),
+    )
+    g = grid.join(obs, [*key_cols, "bucket_start"], "left")
+
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("value_avg", ignorenulls=True).over(fwd)
+    prev_b = F.last(
+        F.when(F.col("value_avg").isNotNull(), F.col("bucket_start")),
+        ignorenulls=True,
+    ).over(fwd)
+    next_v = F.first("value_avg", ignorenulls=True).over(bwd)
+    next_b = F.first(
+        F.when(F.col("value_avg").isNotNull(), F.col("bucket_start")),
+        ignorenulls=True,
+    ).over(bwd)
+    interp = (
+        F.when(F.col("value_avg").isNotNull(), F.col("value_avg"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("bucket_start") - prev_b)
+            / (next_b - prev_b)
+        )
+    )
+    return g.select(
+        *key_cols,
+        "bucket_start",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.round("value_avg", 6).alias("value_avg"),
+        F.round(prev_v, 6).alias("locf"),
+        F.round(interp, 6).alias("interp"),
+    )
+
+
+def ewma_grid(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 21600,
+    alpha: float = 0.5,
+    span: int = 8,
+) -> DataFrame:
+    """Finite-window EWMA of the bucketed per-key average:
+    ewma(t) = Σ_{i=0..span-1} (1-α)^i · x(t-i) / Σ (1-α)^i over the
+    OBSERVED buckets in the window (missing buckets contribute neither
+    numerator nor denominator — the pandas ``ewm(ignore_na=True)``
+    convention). Emitted for every bucket within ``span`` of an
+    observed bucket, clipped to the key's observed range — a gap longer
+    than ``span`` yields no row (nothing to smooth from).
+
+    Scale shape: each observed bucket explodes into ≤``span`` (target,
+    weight) contributions — a bounded fan-out — followed by ONE hash
+    agg on (key, target) and a range clip against the per-key span dim.
+    No recursion, no unbounded window frames."""
+    obs = _bucketed(events, key_cols, ts_col, value_col, step_seconds)
+    decay = 1.0 - alpha
+    contrib = obs.select(
+        *key_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(span - 1))).alias("_i"),
+        "bucket_start",
+        "value_avg",
+    ).select(
+        *key_cols,
+        (
+            F.col("bucket_start") + F.col("_i") * step_seconds
+        ).alias("bucket_start"),
+        F.pow(F.lit(decay), F.col("_i")).alias("_w"),
+        (
+            F.pow(F.lit(decay), F.col("_i")) * F.col("value_avg")
+        ).alias("_wx"),
+    )
+    tot = contrib.groupBy(*key_cols, "bucket_start").agg(
+        F.sum("_wx").alias("_swx"), F.sum("_w").alias("_sw")
+    )
+    keyspan = obs.groupBy(*key_cols).agg(
+        F.max("bucket_start").alias("_hi")
+    )
+    return (
+        tot.join(keyspan, key_cols)
+        .filter(F.col("bucket_start") <= F.col("_hi"))
+        .select(
+            *key_cols,
+            "bucket_start",
+            F.round(F.col("_swx") / F.col("_sw"), 6).alias("ewma"),
+        )
+    )
+
+
+def detect_anomalies(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 21600,
+    lookback: int = 8,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing z-score anomaly flags on the bucketed series: each
+    bucket's ``value_avg`` scored against the mean/stddev of the
+    preceding ``lookback`` OBSERVED buckets (the bucket itself
+    excluded, so a spike cannot mask itself). Buckets with fewer than 2
+    trailing points or zero variance score NULL. Output: (keys…,
+    bucket_start, value_avg, zscore, is_anomaly).
+
+    One bounded window frame over the per-key bucket series — the agg
+    shuffle is the same one the bucketing already paid."""
+    obs = _bucketed(events, key_cols, ts_col, value_col, step_seconds)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg("value_avg").over(w)
+    sd = F.stddev_samp("value_avg").over(w)
+    n = F.count("value_avg").over(w)
+    z = F.when(
+        (n >= 2) & (sd > 0), (F.col("value_avg") - mu) / sd
+    )
+    return obs.select(
+        *key_cols,
+        "bucket_start",
+        F.round("value_avg", 6).alias("value_avg"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(
+            F.abs(z) > z_threshold, F.lit(False)
+        ).alias("is_anomaly"),
+    )

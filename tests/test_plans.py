@@ -342,3 +342,24 @@ def test_cdc_apply_single_keyed_window(spark):
 def test_retrieval_metrics_no_cartesian(spark):
     df = QUERIES["e5_retrieval_metrics"](spark, SF)
     assert not X.has_cartesian(df)
+
+
+def test_timeseries_family_equi_join_shapes(spark):
+    # round 6: the gapfill grid joins on (key, bucket) — equi, never a
+    # nested loop; EWMA's contribution explode turns the recursive
+    # smoother into equi-join + hash agg; the anomaly scorer is one
+    # bounded window over the bucketing agg's own shuffle.
+    for name, cap in [("t_resample_gapfill", 4), ("t_ewma", 4),
+                      ("t_anomaly", 2)]:
+        df = QUERIES[name](spark, SF)
+        assert not X.has_cartesian(df), name
+        assert X.count_shuffles(df) <= cap, (name, X.plan_string(df, "simple"))
+
+
+def test_dsir_broadcasts_the_bounded_ratio_dim(spark):
+    # round 6: the dim-row log-ratio model must reach the raw counts as
+    # a broadcast — the raw corpus shuffles only (id, bucket, n).
+    df = QUERIES["e5_dsir_weights"](spark, SF)
+    assert not X.has_cartesian(df)
+    plan = X.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan

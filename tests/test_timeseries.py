@@ -1,0 +1,104 @@
+"""Time-series resample/gapfill/EWMA/anomaly goldens (round 6).
+
+Hand-computed fixtures on a tiny series; the cross-engine hash oracles
+live in __spark_entry__ (t_resample_gapfill / t_ewma / t_anomaly)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from drugbankner_spark.operators.timeseries import (
+    detect_anomalies,
+    ewma_grid,
+    resample_gapfill,
+)
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+STEP = 60  # 1-minute buckets keep the arithmetic readable
+
+
+def _series(spark, points):
+    # points: list of (minutes_offset, value) in one key 'k'
+    return spark.createDataFrame(
+        [("k", BASE + dt.timedelta(minutes=m), float(v)) for m, v in points],
+        "key string, ts timestamp, value double",
+    )
+
+
+def test_gapfill_locf_and_linear_interpolation(spark):
+    # observed at minutes 0 (v=10), 1 (v=20), 4 (v=50): gaps at 2, 3.
+    df = _series(spark, [(0, 10), (1, 20), (4, 50)])
+    rows = {
+        r["bucket_start"]: r
+        for r in resample_gapfill(df, ["key"], step_seconds=STEP).collect()
+    }
+    base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert sorted(rows) == [base_epoch + 60 * i for i in range(5)]
+    gap2, gap3 = rows[base_epoch + 120], rows[base_epoch + 180]
+    assert gap2["n_obs"] == 0 and gap2["value_avg"] is None
+    assert gap2["locf"] == 20.0 and gap3["locf"] == 20.0
+    # linear: 20 + (50-20) * (m-1)/3
+    assert gap2["interp"] == 30.0 and gap3["interp"] == 40.0
+    assert rows[base_epoch]["interp"] == 10.0  # observed passes through
+
+
+def test_gapfill_edges_fall_back_to_nearest(spark):
+    # key with a single observed bucket in the middle of nothing: the
+    # grid is one row; another key spans the full range — per-key grids
+    # are independent.
+    df = _series(spark, [(0, 1), (3, 7)]).union(
+        _series(spark, [(1, 99)]).withColumn("key", F.lit("solo"))
+    )
+    out = resample_gapfill(df, ["key"], step_seconds=STEP)
+    assert out.filter("key = 'solo'").count() == 1
+    assert out.filter("key = 'k'").count() == 4
+
+
+def test_ewma_matches_hand_rollup(spark):
+    # alpha=0.5, span=3: weights 1, .5, .25 over the trailing window.
+    df = _series(spark, [(0, 8), (1, 4), (2, 2)])
+    rows = {
+        r["bucket_start"]: r["ewma"]
+        for r in ewma_grid(
+            df, ["key"], step_seconds=STEP, alpha=0.5, span=3
+        ).collect()
+    }
+    base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert rows[base_epoch] == 8.0
+    assert rows[base_epoch + 60] == round((4 + 0.5 * 8) / 1.5, 6)
+    assert rows[base_epoch + 120] == round(
+        (2 + 0.5 * 4 + 0.25 * 8) / 1.75, 6
+    )
+
+
+def test_ewma_gap_skips_missing_buckets(spark):
+    # observed at 0 and 2 with span=2: bucket 2's window covers buckets
+    # 1-2, bucket 1 is missing -> ewma(2) = x(2) alone. Bucket 1 gets
+    # only the carried contribution of x(0).
+    df = _series(spark, [(0, 10), (2, 6)])
+    rows = {
+        r["bucket_start"]: r["ewma"]
+        for r in ewma_grid(
+            df, ["key"], step_seconds=STEP, alpha=0.5, span=2
+        ).collect()
+    }
+    base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert rows[base_epoch + 120] == 6.0
+    assert rows[base_epoch + 60] == 10.0  # only the decayed x(0) term
+
+
+def test_anomaly_flags_planted_spike(spark):
+    flat = [(m, 10 + (m % 2)) for m in range(8)]        # mean~10.5, sd~.5
+    df = _series(spark, flat + [(8, 500)])
+    out = {r["bucket_start"]: r for r in detect_anomalies(
+        df, ["key"], step_seconds=STEP, lookback=8, z_threshold=3.0
+    ).collect()}
+    base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    spike = out[base_epoch + 480]
+    assert spike["is_anomaly"] and spike["zscore"] > 3
+    assert sum(r["is_anomaly"] for r in out.values()) == 1
+    # first bucket: no trailing history -> NULL score, not flagged
+    assert out[base_epoch]["zscore"] is None
+    assert not out[base_epoch]["is_anomaly"]
