@@ -2833,6 +2833,43 @@ def _t_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    # k-anonymity / l-diversity release gate (round 6): equivalence
+    # classes over (event_type, day), sensitive = user_id, k=5 — one
+    # hash agg, at_risk flags classes a release would re-identify.
+    from drugbankner_spark.operators.privacy import k_anonymity_report
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "day_start",
+        (F.floor(F.unix_timestamp(F.col("ts")) / 86400) * 86400).cast(
+            "long"
+        ),
+    )
+    return k_anonymity_report(
+        ev, ["event_type", "day_start"], "user_id", k=5
+    )
+
+
+def _e1_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-doc boilerplate sentence removal (round 6, RefinedWeb-style
+    # duplicated-line pass). The synthetic corpus has no natural
+    # repeats, so a footer is PLANTED on every doc_id % 3 == 0 (the
+    # e5_needle_inject pattern) and must vanish from all of them while
+    # original sentences survive.
+    from drugbankner_spark.operators.corpus import (
+        strip_boilerplate_sentences,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(". All rights reserved")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return strip_boilerplate_sentences(docs, max_doc_count=2)
+
+
 def _e4_mpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL MPEG-1 Layer I/II sample decode (round 6 — VERDICT r05 next
     # #2): per doc, a deterministic tone parameterized by doc_id is
@@ -3498,6 +3535,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_resample_gapfill": _t_resample_gapfill,
         "t_ewma": _t_ewma,
         "t_anomaly": _t_anomaly,
+        "e5_k_anonymity": _e5_k_anonymity,
+        "e1_boilerplate_strip": _e1_boilerplate_strip,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -6357,6 +6396,53 @@ def oracle_sql() -> dict[str, str]:
                                THEN (value_avg - mu) / sd END AS z
                 FROM scored
             )
+        """,
+        # round 6: k-anonymity / l-diversity over (event_type, day)
+        "e5_k_anonymity": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+                       AS day_start,
+                   count(*) AS class_size,
+                   count(DISTINCT user_id) AS l_diversity,
+                   count(*) < 5 AS at_risk
+            FROM events GROUP BY 1, 2
+        """,
+        # round 6: planted-footer boilerplate strip — sentence doc-freq
+        # on the trimmed period split, removal everywhere, ordered
+        # reassembly with '. '
+        "e1_boilerplate_strip": """
+            WITH injected AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN text || '. All rights reserved'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            segs AS (
+                SELECT doc_id, string_split(text, '.') AS parts
+                FROM injected
+            ),
+            sents AS (
+                SELECT doc_id, i AS pos, trim(parts[i]) AS sent
+                FROM segs,
+                     UNNEST(generate_series(1, len(parts))) AS g(i)
+                WHERE trim(parts[i]) <> ''
+            ),
+            flagged AS (
+                SELECT sent FROM sents
+                GROUP BY sent HAVING count(DISTINCT doc_id) > 2
+            ),
+            marked AS (
+                SELECT s.doc_id, s.pos, s.sent,
+                       f.sent IS NOT NULL AS bad
+                FROM sents s LEFT JOIN flagged f USING (sent)
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                       CASE WHEN NOT bad THEN sent END, '. '
+                       ORDER BY pos), '') AS text_clean,
+                   count(*) FILTER (WHERE bad) AS n_removed
+            FROM marked GROUP BY doc_id
         """,
         # round 6: common-neighbor link prediction on the same graph —
         # wedge join through shared neighbors, anti join vs edges

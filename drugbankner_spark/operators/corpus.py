@@ -889,3 +889,72 @@ def length_buckets(
             F.pow(F.lit(2), bucket + 1).cast("long") - 1
         ).alias("bucket_hi"),
     )
+
+
+def strip_boilerplate_sentences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_count: int = 2,
+    kernel: str = "md5",
+) -> DataFrame:
+    """Cross-document BOILERPLATE removal at sentence granularity
+    (round 6) — the RefinedWeb/CCNet "remove lines duplicated across
+    documents" pass, on the engine's naive period-sentence unit
+    (functions/normalize.py split_sentences): a sentence whose trimmed
+    form appears in MORE than ``max_doc_count`` distinct docs (nav
+    chrome, legal footers, cookie banners) is deleted from every doc;
+    survivors reassemble in original order. Output: (id, text_clean,
+    n_removed) — a doc whose sentences are ALL flagged keeps a row with
+    empty text_clean (downstream length filters see it); a doc with no
+    non-empty sentence at all contributes no row.
+
+    Scale shape: sentences shuffle as (id, pos, hash) — the doc-freq
+    agg and the flag join both key on the 32-bit sentence hash
+    (dedup.content_hash32 dual kernel: md5 oracle / xxhash64
+    production), never on sentence text; reassembly is one per-doc agg
+    over an array_sort. The boilerplate dim holds only the flagged
+    hashes — AQE broadcasts it when small."""
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    sents = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\.")).alias("pos", "_s"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.trim(F.col("_s")).alias("sent"),
+    ).filter(F.col("sent") != "").select(
+        F.col(id_col),
+        "pos",
+        "sent",
+        content_hash32(F.col("sent"), kernel).alias("_h"),
+    )
+    flagged = (
+        sents.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_doc_count)
+        .select("_h", F.lit(True).alias("_bad"))
+    )
+    marked = sents.join(flagged, "_h", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "sent", "_bad"))
+            ).alias("_a")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                ". ",
+                F.transform(
+                    F.filter(F.col("_a"), lambda x: x["_bad"].isNull()),
+                    lambda x: x["sent"],
+                ),
+            ).alias("text_clean"),
+            F.size(
+                F.filter(F.col("_a"), lambda x: x["_bad"].isNotNull())
+            ).cast("long").alias("n_removed"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Privacy risk reporting and enforcement (E5 engine extension, round 6).
+
+The PII family so far redacts VALUES (textanalysis.redact_pii); release
+gates additionally need the STRUCTURAL check: k-anonymity — every
+combination of quasi-identifier columns (the "equivalence class") must
+cover at least k rows, else the class re-identifies its members — and
+l-diversity, the distinct-sensitive-value count per class that guards
+against homogeneity attacks (everyone in the class shares the
+sensitive value, so k-anonymity alone leaks it).
+
+Spark-first: both metrics are ONE hash aggregation on the quasi-id key
+(map-side combinable; count + count-distinct per class), and
+enforcement (suppression) is one join back against the failing-class
+dim — the same shape at 100 TB, with the dim bounded by the number of
+SMALL classes, which is the set that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """One row per equivalence class: (quasi…, class_size,
+    l_diversity, at_risk). ``l_diversity`` is the distinct count of
+    ``sensitive_col`` within the class (NULL column → emitted as 0);
+    ``at_risk`` flags classes smaller than k. One agg, no joins."""
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(sensitive_col).alias("l_diversity"))
+    else:
+        aggs.append(F.lit(0).cast("long").alias("l_diversity"))
+    return df.groupBy(*quasi_cols).agg(*aggs).withColumn(
+        "at_risk", F.col("class_size") < k
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """The release-gate scalar view: (n_classes, min_class_size,
+    n_at_risk_classes, rows_at_risk, frac_rows_at_risk rounded 6dp).
+    Derived from the per-class report by one more tiny agg."""
+    rep = k_anonymity_report(df, quasi_cols, sensitive_col, k)
+    return rep.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        F.count_if(F.col("at_risk")).alias("n_at_risk_classes"),
+        F.sum(F.when(F.col("at_risk"), F.col("class_size")).otherwise(0))
+        .alias("rows_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("at_risk"), F.col("class_size")).otherwise(0))
+            / F.sum("class_size"),
+            6,
+        ).alias("frac_rows_at_risk"),
+    )
+
+
+def suppress_small_classes(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity ENFORCEMENT by suppression: keep only rows whose
+    quasi-id class has ≥ k members, original columns preserved. The
+    surviving-class dim carries only the quasi-id key; the semi join
+    lets Catalyst/AQE pick broadcast when the class count is small."""
+    ok = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= k)
+        .select(*quasi_cols)
+    )
+    return df.join(ok, quasi_cols, "semi")

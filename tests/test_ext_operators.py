@@ -1964,3 +1964,96 @@ def test_temperature_mixture_targets_math(spark):
     # alpha→0 flattens: equal weights, capped at availability
     t0 = temperature_mixture_targets(df, "source", 40, alpha=0.0)
     assert t0 == {"big": 20, "small": 9}
+
+
+def test_k_anonymity_report_and_suppression(spark):
+    # round 6: classes below k flag; suppression keeps exactly the
+    # rows of surviving classes; l-diversity counts distinct sensitive.
+    from drugbankner_spark.operators.privacy import (
+        k_anonymity_report,
+        k_anonymity_summary,
+        suppress_small_classes,
+    )
+
+    rows = [("us", "m", i, "flu") for i in range(5)] + \
+           [("us", "f", 10, "flu"), ("us", "f", 11, "cold")] + \
+           [("de", "m", 20, "flu")]
+    df = spark.createDataFrame(
+        rows, "country string, sex string, pid long, dx string"
+    )
+    rep = {(r["country"], r["sex"]): r for r in k_anonymity_report(
+        df, ["country", "sex"], "dx", k=3
+    ).collect()}
+    assert rep[("us", "m")]["class_size"] == 5
+    assert not rep[("us", "m")]["at_risk"]
+    assert rep[("us", "m")]["l_diversity"] == 1      # homogeneity leak
+    assert rep[("us", "f")]["at_risk"]
+    assert rep[("us", "f")]["l_diversity"] == 2
+
+    s = k_anonymity_summary(df, ["country", "sex"], "dx", k=3).collect()[0]
+    assert s["n_classes"] == 3 and s["n_at_risk_classes"] == 2
+    assert s["rows_at_risk"] == 3 and s["min_class_size"] == 1
+    assert s["frac_rows_at_risk"] == 0.375
+
+    kept = suppress_small_classes(df, ["country", "sex"], k=3)
+    assert kept.count() == 5
+    assert kept.select("country").distinct().collect()[0][0] == "us"
+    assert kept.columns == df.columns
+
+
+def test_strip_boilerplate_sentences(spark):
+    # round 6: a footer sentence shared by 3 docs (> max_doc_count=2)
+    # is removed everywhere; per-doc repeats of a non-boilerplate
+    # sentence survive; order is preserved on reassembly.
+    from drugbankner_spark.operators.corpus import (
+        strip_boilerplate_sentences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha first. All rights reserved. Beta ends"),
+         (2, "Gamma starts. All rights reserved. Delta."),
+         (3, "All rights reserved. Unique thought. Unique thought"),
+         (4, "Only original content here. Nothing shared")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate_sentences(
+        docs, max_doc_count=2
+    ).collect()}
+    assert out[1]["text_clean"] == "Alpha first. Beta ends"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "Gamma starts. Delta"
+    assert out[3]["text_clean"] == "Unique thought. Unique thought"
+    assert out[4]["text_clean"] == "Only original content here. Nothing shared"
+    assert out[4]["n_removed"] == 0
+
+
+def test_strip_boilerplate_all_flagged_doc_keeps_empty_row(spark):
+    from drugbankner_spark.operators.corpus import (
+        strip_boilerplate_sentences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "Subscribe to our newsletter") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    out = strip_boilerplate_sentences(docs, max_doc_count=2).collect()
+    assert len(out) == 4
+    assert all(r["text_clean"] == "" and r["n_removed"] == 1 for r in out)
+
+
+def test_strip_boilerplate_kernel_parity(spark):
+    from drugbankner_spark.operators.corpus import (
+        strip_boilerplate_sentences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Shared footer. Real content one"),
+         (2, "Shared footer. Real content two"),
+         (3, "Shared footer. Real content three")],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(strip_boilerplate_sentences(docs, max_doc_count=2,
+                                           kernel="md5")) == \
+        key(strip_boilerplate_sentences(docs, max_doc_count=2,
+                                        kernel="xxhash64"))
