@@ -2870,6 +2870,23 @@ def _e1_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
     return strip_boilerplate_sentences(docs, max_doc_count=2)
 
 
+def _e6_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    # First-order Markov transitions between event types per user
+    # (round 6) — one entity-keyed lag window + pair agg, row-normalized
+    # over the bounded |states|² matrix.
+    from drugbankner_spark.operators.temporal import transition_matrix
+
+    return transition_matrix(load_table(spark, sf, "events"))
+
+
+def _e6_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    # Top-20 five-step user journey prefixes (round 6) — discovers the
+    # orders funnel_analysis merely hypothesizes.
+    from drugbankner_spark.operators.temporal import top_paths
+
+    return top_paths(load_table(spark, sf, "events"), max_len=5, k=20)
+
+
 def _e4_mpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL MPEG-1 Layer I/II sample decode (round 6 — VERDICT r05 next
     # #2): per doc, a deterministic tone parameterized by doc_id is
@@ -3537,6 +3554,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_anomaly": _t_anomaly,
         "e5_k_anonymity": _e5_k_anonymity,
         "e1_boilerplate_strip": _e1_boilerplate_strip,
+        "e6_transition_matrix": _e6_transition_matrix,
+        "e6_top_paths": _e6_top_paths,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -6443,6 +6462,42 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY pos), '') AS text_clean,
                    count(*) FILTER (WHERE bad) AS n_removed
             FROM marked GROUP BY doc_id
+        """,
+        # round 6: Markov transitions + top journey prefixes per user
+        "e6_transition_matrix": """
+            WITH ordered AS (
+                SELECT user_id, event_type AS next_state,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_state
+                FROM events
+            ),
+            pairs AS (
+                SELECT prev_state, next_state, count(*) AS n
+                FROM ordered WHERE prev_state IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT prev_state, next_state, n,
+                   round(n / (sum(n) OVER (PARTITION BY prev_state)), 6)
+                       AS prob
+            FROM pairs
+        """,
+        "e6_top_paths": """
+            WITH ordered AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ),
+            paths AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM ordered WHERE rn <= 5 GROUP BY user_id
+            )
+            SELECT path, count(*) AS n_entities
+            FROM paths GROUP BY 1
+            ORDER BY n_entities DESC, path ASC LIMIT 20
         """,
         # round 6: common-neighbor link prediction on the same graph —
         # wedge join through shared neighbors, anti join vs edges

@@ -389,3 +389,83 @@ def apply_cdc(
     if keep_tombstones:
         return latest.select(*data_cols, op_col)
     return latest.filter(F.col(op_col) != "D").select(*data_cols)
+
+
+def transition_matrix(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences (round 6): order each entity's events by (ts, tiebreak),
+    pair consecutive states with ``lag``, count, and row-normalize.
+    Output: (prev_state, next_state, n, prob) with prob = n / Σ_row n,
+    rounded 6dp — the "what happens after X" view behind funnel design
+    and synthetic-sequence generation.
+
+    Scale shape: ONE shuffle on the entity key for the lag window
+    (sequences stay co-located however long), one map-side-combinable
+    pair agg, and the normalization window runs over the matrix itself
+    — at most |states|² rows, nothing like data volume."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(entity_col),
+            F.col(state_col).alias("next_state"),
+            F.lag(state_col).over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = Window.partitionBy("prev_state")
+    return pairs.select(
+        "prev_state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_tot), 6).alias("prob"),
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_len: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k entity journey prefixes (round 6): each entity's first
+    ``max_len`` states joined with '>' form its path; paths rank by
+    frequency (deterministic ties: count desc, path asc). The
+    "how do users actually move" companion to funnel_analysis, which
+    tests ONE hypothesized order — this discovers the orders.
+
+    One entity-keyed window (row_number + filter ≤ max_len bounds every
+    sequence), one per-entity agg whose array is ≤ max_len elements,
+    one path count agg, and a TakeOrderedAndProject top-k — no global
+    sort."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    prefix = events.select(
+        F.col(entity_col),
+        F.col(state_col).alias("_s"),
+        F.row_number().over(w).alias("_rn"),
+    ).filter(F.col("_rn") <= max_len)
+    paths = prefix.groupBy(entity_col).agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rn", "_s"))),
+                lambda x: x["_s"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .orderBy(F.desc("n_entities"), F.asc("path"))
+        .limit(k)
+    )

@@ -203,6 +203,19 @@ def detect_anomalies(
     One bounded window frame over the per-key bucket series — the agg
     shuffle is the same one the bucketing already paid."""
     obs = _bucketed(events, key_cols, ts_col, value_col, step_seconds)
+    return anomaly_scores(obs, key_cols, lookback, z_threshold)
+
+
+def anomaly_scores(
+    obs: DataFrame,
+    key_cols: list[str],
+    lookback: int = 8,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """The scoring stage of :func:`detect_anomalies`, split out so the
+    streaming face (bucket partials maintained incrementally, scored at
+    read) shares it with the batch path. ``obs`` must carry
+    (keys…, bucket_start, value_avg)."""
     w = (
         Window.partitionBy(*key_cols)
         .orderBy("bucket_start")
@@ -223,3 +236,59 @@ def detect_anomalies(
             F.abs(z) > z_threshold, F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def stream_bucket_partials(
+    events_stream: DataFrame,
+    state_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 21600,
+) -> None:
+    """Streaming maintenance of the bucketed series (round 6): per
+    micro-batch, land the MERGEABLE partials (keys…, bucket_start,
+    n_obs, _sum) in an epoch-keyed partition (dynamic partition
+    overwrite → replayed epochs idempotent — the sketches
+    stream_corpus_stats pattern). Ingest cost stays O(batch); the
+    z-score window — not incrementally maintainable — runs at read over
+    the merged buckets (:func:`read_anomalies`), whose row count is
+    bounded by keys × span/step, not by event volume."""
+    from drugbankner_spark.operators.scale import upsert_partitions
+    from drugbankner_spark.streaming.streams import run_foreach_batch
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        part = _bucketed(
+            batch_df, key_cols, ts_col, value_col, step_seconds
+        ).select(
+            *key_cols,
+            "bucket_start",
+            "n_obs",
+            (F.col("value_avg") * F.col("n_obs")).alias("_sum"),
+            F.lit(int(epoch_id)).alias("_epoch"),
+        )
+        upsert_partitions(part, state_dir, ["_epoch"])
+
+    run_foreach_batch(events_stream, admit, output_mode="append",
+                      max_files_per_trigger=1)
+
+
+def read_anomalies(
+    spark,
+    state_dir: str,
+    key_cols: list[str],
+    lookback: int = 8,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Merge-on-read of a :func:`stream_bucket_partials` state dir:
+    partials sum per (key, bucket), then the shared scoring stage —
+    equals the batch :func:`detect_anomalies` over the same events
+    (stream==batch test in tests/test_timeseries.py)."""
+    obs = (
+        spark.read.parquet(state_dir)
+        .groupBy(*key_cols, "bucket_start")
+        .agg(F.sum("n_obs").alias("n_obs"), F.sum("_sum").alias("_s"))
+        .withColumn("value_avg", F.col("_s") / F.col("n_obs"))
+        .drop("_s")
+    )
+    return anomaly_scores(obs, key_cols, lookback, z_threshold)

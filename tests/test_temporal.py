@@ -396,3 +396,50 @@ def test_funnel_randomized_vs_bruteforce(spark):
                for r in funnel_analysis(
                    ev, steps, conversion_window_seconds=window).collect()}
         assert got == brute(window), f"window={window}"
+
+
+def test_transition_matrix_counts_and_row_normalization(spark):
+    # round 6: u1 a->b->a, u2 a->b->b; matrix rows normalize to 1.
+    import datetime as dt
+
+    from drugbankner_spark.operators.temporal import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"), (1, t0.replace(hour=1), 2, "b"),
+        (1, t0.replace(hour=2), 3, "a"),
+        (2, t0, 4, "a"), (2, t0.replace(hour=1), 5, "b"),
+        (2, t0.replace(hour=2), 6, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    m = {(r["prev_state"], r["next_state"]): r
+         for r in transition_matrix(ev).collect()}
+    assert m[("a", "b")]["n"] == 2 and m[("a", "b")]["prob"] == 1.0
+    assert m[("b", "a")]["n"] == 1 and m[("b", "a")]["prob"] == 0.5
+    assert m[("b", "b")]["n"] == 1 and m[("b", "b")]["prob"] == 0.5
+    assert len(m) == 3
+
+
+def test_top_paths_prefix_cap_and_deterministic_ties(spark):
+    import datetime as dt
+
+    from drugbankner_spark.operators.temporal import top_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def seq(uid, states):
+        return [(uid, t0.replace(hour=i), uid * 100 + i, s)
+                for i, s in enumerate(states)]
+
+    ev = spark.createDataFrame(
+        seq(1, ["a", "b", "c"]) + seq(2, ["a", "b", "c"]) +
+        seq(3, ["x", "y"]) +
+        seq(4, ["a", "b", "c", "d", "e", "LATE"]),   # 6th event ignored
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    rows = top_paths(ev, max_len=5, k=10).collect()
+    assert [tuple(r) for r in rows] == [
+        ("a>b>c", 2), ("a>b>c>d>e", 1), ("x>y", 1),
+    ]

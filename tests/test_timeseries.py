@@ -102,3 +102,36 @@ def test_anomaly_flags_planted_spike(spark):
     # first bucket: no trailing history -> NULL score, not flagged
     assert out[base_epoch]["zscore"] is None
     assert not out[base_epoch]["is_anomaly"]
+
+
+def test_streaming_anomalies_equal_batch(spark, tmp_path):
+    # round 6: epoch-partitioned bucket partials maintained through
+    # readStream + foreachBatch, scored at read == the batch operator.
+    from drugbankner_spark.operators.timeseries import (
+        read_anomalies,
+        stream_bucket_partials,
+    )
+
+    src = str(tmp_path / "events_src")
+    state = str(tmp_path / "anomaly_state")
+    flat = [(m, 10 + (m % 2)) for m in range(8)]
+    late = [(8, 500), (0, 12)]   # (0, 12) lands in epoch-0's bucket
+    ev = _series(spark, flat + late)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); minute-0's
+    # bucket gets partials in BOTH epochs, so merge-on-read is genuine
+    _series(spark, flat).coalesce(1).write.mode("overwrite").parquet(src)
+    _series(spark, late).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "key string, ts timestamp, value double"
+    ).parquet(src)
+    stream_bucket_partials(stream, state, ["key"], step_seconds=STEP)
+
+    got = sorted(map(tuple, read_anomalies(
+        spark, state, ["key"], lookback=8, z_threshold=3.0
+    ).collect()))
+    from drugbankner_spark.operators.timeseries import detect_anomalies
+    want = sorted(map(tuple, detect_anomalies(
+        ev, ["key"], step_seconds=STEP, lookback=8, z_threshold=3.0
+    ).collect()))
+    assert got == want and len(got) == 9
