@@ -3286,8 +3286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-7 rotation pool (hash-oracled, pytest-green at both SFs,
     ready for the next window): e6_funnel, e5_cohort_retention,
     e5_retrieval_metrics, e5_cdc_apply, e1_near_dup_recall,
-    e1_simhash_pairs — plus the 24 demoted names above, and the
-    rows-only e4_mpeg_decode."""
+    e1_simhash_pairs, g_triangle_count, g_common_neighbors,
+    e5_temperature_mix, e5_ndcg, e5_dsir_weights, t_resample_gapfill,
+    t_ewma, t_anomaly, e5_k_anonymity, e1_boilerplate_strip,
+    e6_transition_matrix, e6_top_paths — plus the 24 demoted names
+    above, and the rows-only e4_mpeg_decode."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,

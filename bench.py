@@ -78,6 +78,11 @@ HEADLINE = [
     "e3_bm25_topk",
     "e3_unigram_tokens",
     "e3_wordlm",
+    # round 6 late: DSIR curation (two corpus feature passes + model
+    # joins) and the cross-doc boilerplate strip (sentence doc-freq +
+    # reassembly) — the two heaviest of the late-round additions
+    "e5_dsir_weights",
+    "e1_boilerplate_strip",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch

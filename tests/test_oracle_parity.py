@@ -74,3 +74,21 @@ def test_rotation_candidates_stay_oracle_ready():
                  "e6_sessionize", "q5_regional_revenue"]:
         assert name in QUERIES and name in ORACLES, name
         assert name not in entrymod.queries(), f"{name} rotated back?"
+
+
+def test_round7_pool_names_stay_oracle_ready():
+    # The round-7 rotation pool advertised in the queries() docstring:
+    # every name must keep a runnable query AND a DuckDB oracle (the
+    # rows-only e4_mpeg_decode excepted) so the driver can hash-check
+    # it the day it rotates in.
+    pool = [
+        "e6_funnel", "e5_cohort_retention", "e5_retrieval_metrics",
+        "e5_cdc_apply", "e1_near_dup_recall", "e1_simhash_pairs",
+        "g_triangle_count", "g_common_neighbors", "e5_temperature_mix",
+        "e5_ndcg", "e5_dsir_weights", "t_resample_gapfill", "t_ewma",
+        "t_anomaly", "e5_k_anonymity", "e1_boilerplate_strip",
+        "e6_transition_matrix", "e6_top_paths",
+    ]
+    for name in pool:
+        assert name in QUERIES and name in ORACLES, name
+    assert "e4_mpeg_decode" in QUERIES  # rows-only by nature
