@@ -1,0 +1,131 @@
+"""Jaro–Winkler string similarity (round 6) — the similarity-scored
+complement to the edit-DISTANCE fuzzy join (relational.fuzzy_join):
+entity resolution wants "how alike", bounded in [0, 1], with the
+Winkler common-prefix boost that rewards the way real-world name
+variants actually agree.
+
+Convention (pinned by tests against DuckDB's built-in
+``jaro_winkler_similarity``, which oracles the registry entry —
+genuine cross-engine kernel parity, the e3_unicode_normalize pattern):
+
+- Jaro: match window ``max(len)//2 - 1``, transpositions halved;
+  either side empty → 0.0.
+- Winkler boost ONLY when jaro > 0.7 (the classic threshold —
+  verified empirically against DuckDB, which skips the boost at
+  ≤ 0.7): jw = jaro + min(prefix, 4) · 0.1 · (1 − jaro).
+
+Spark has no built-in (only levenshtein/soundex); a character-DP over
+two strings is a genuine Python-only computation, so the engine
+surface is an Arrow-batched pandas UDF — the repo's standard slow-path
+shape — applied AFTER blocking, never across raw pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def jaro_winkler_py(a: str, b: str) -> float:
+    """Reference scalar kernel (tested char-exact vs DuckDB)."""
+    if not a or not b:
+        return 0.0
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    window = max(la, lb) // 2 - 1
+    a_hit = [False] * la
+    b_hit = [False] * lb
+    m = 0
+    for i, ch in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_hit[j] and b[j] == ch:
+                a_hit[i] = b_hit[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    # transpositions: matched chars compared in order
+    t = 0
+    j = 0
+    for i in range(la):
+        if a_hit[i]:
+            while not b_hit[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    # rapidfuzz/DuckDB convention: half-transpositions TRUNCATE to an
+    # integer (classic Jaro keeps the .5; pinned by the parity sweep)
+    jaro = (m / la + m / lb + (m - t // 2) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for x, y in zip(a, b):
+        if x != y or prefix == 4:
+            break
+        prefix += 1
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+def jaro_winkler_sim(a: Column, b: Column) -> Column:
+    """Column form: Jaro–Winkler similarity in [0, 1] (NULL if either
+    side is NULL), Arrow-batched. The UDF is created at call time (the
+    repo convention — a module-level pandas_udf needs a live session
+    at import)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _kernel(xs: "pd.Series", ys: "pd.Series") -> "pd.Series":
+        import pandas as pd
+
+        return pd.Series(
+            [
+                jaro_winkler_py(x, y)
+                if x is not None and y is not None
+                else None
+                for x, y in zip(xs, ys)
+            ],
+            dtype="float64",
+        )
+
+    return pandas_udf(_kernel, "double", PandasUDFType.SCALAR)(a, b)
+
+
+def jw_blocked_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float = 0.9,
+    block_prefix: int = 1,
+) -> DataFrame:
+    """Blocked Jaro–Winkler entity match: candidate pairs must share
+    the (lowercased) first ``block_prefix`` characters — one equi join,
+    never a cross join — then score ≥ ``threshold`` survives. Output:
+    left columns + ``matched_<right_col>`` + ``jw_sim`` (6dp).
+
+    The blocking trade-off is explicit and the same as fuzzy_join's: a
+    variant differing inside the prefix escapes the block (recall, not
+    correctness). At scale the kernel runs only on co-blocked pairs —
+    the quadratic stays inside blocks."""
+    l_ = left.withColumn(
+        "_blk", F.lower(F.substring(F.col(left_col), 1, block_prefix))
+    )
+    r_ = right.select(
+        F.col(right_col).alias(f"matched_{right_col}"),
+        F.lower(
+            F.substring(F.col(right_col), 1, block_prefix)
+        ).alias("_blk"),
+    ).distinct()
+    scored = l_.join(r_, "_blk").withColumn(
+        "jw_sim",
+        F.round(
+            jaro_winkler_sim(
+                F.col(left_col), F.col(f"matched_{right_col}")
+            ),
+            6,
+        ),
+    )
+    return scored.filter(F.col("jw_sim") >= threshold).drop("_blk")

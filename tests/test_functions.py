@@ -154,3 +154,54 @@ def test_is_curie_routing(spark):
     df = spark.createDataFrame([("a:b",), ("plain",), ("",)], ["t"])
     out = df.select(I.is_curie(F.col("t")).alias("c")).collect()
     assert [r["c"] for r in out] == [True, False, False]
+
+
+def test_jaro_winkler_kernel_matches_duckdb_exactly():
+    # round 6: the scalar kernel is pinned char-exact to DuckDB's
+    # jaro_winkler_similarity (the registry oracle) — including the
+    # rapidfuzz truncated half-transposition and the 0.7 boost gate.
+    import random
+
+    import duckdb
+
+    from drugbankner_spark.functions.stringsim import jaro_winkler_py
+
+    con = duckdb.connect()
+    rng = random.Random(7)
+    for _ in range(500):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 12)))
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler_py(a, b) - want) < 1e-12, (a, b)
+    con.close()
+    # the textbook goldens
+    assert abs(jaro_winkler_py("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(jaro_winkler_py("dixon", "dicksonx") - 0.8133333333333332) < 1e-12
+    assert jaro_winkler_py("", "abc") == 0.0
+    assert jaro_winkler_py("same", "same") == 1.0
+    # no boost at jaro <= 0.7 despite a common prefix
+    assert abs(jaro_winkler_py("axxxxx", "ayyyyy") - 4 / 9) < 1e-12
+
+
+def test_jw_blocked_match_scores_and_blocks(spark):
+    from drugbankner_spark.functions.stringsim import jw_blocked_match
+
+    left = spark.createDataFrame(
+        [(1, "martha"), (2, "dixon"), (3, "zebra")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [("marhta",), ("dicksonx",), ("Zebra!",), ("qqqq",)],
+        "cand string",
+    )
+    got = {(r["id"], r["matched_cand"]): r["jw_sim"]
+           for r in jw_blocked_match(
+               left, right, "name", "cand", threshold=0.8
+           ).collect()}
+    assert got[(1, "marhta")] == 0.961111
+    assert got[(2, "dicksonx")] == 0.813333
+    # 'zebra' vs 'Zebra!' co-blocks via lowercased prefix and scores
+    assert (3, "Zebra!") in got
+    assert all(v >= 0.8 for v in got.values())

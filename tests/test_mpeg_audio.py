@@ -177,3 +177,30 @@ def test_decode_media_and_audio_features_mpeg(spark):
         # dominant bin within one FFT bin of 880 Hz (resolution ~86 Hz)
         assert abs(au[mid]["dominant_hz"] - 880) < 90, au[mid]
         assert au[mid]["sample_rate"] == SR
+
+
+def test_driver_fixture_is_current():
+    # The frozen _MPEG_DECODE_FIXTURE in __spark_entry__ must equal
+    # what the real encoder+decoder produce today — codec drift fails
+    # here before it fails the driver hash check.
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from drugbankner_spark.functions import mpeg_audio as MA
+
+    sr = 44100
+    rows = []
+    for m in range(80):
+        f = 200.0 + (m % 40) * 37.0
+        t = np.arange(1152 * 2)
+        x = 0.5 * np.sin(2 * np.pi * f * t / sr)
+        enc = MA.encode_layer1 if m % 2 == 0 else MA.encode_layer2
+        d = MA.decode_mpeg_audio(enc(x))
+        mono = d["samples"][:, 0]
+        rows.append((m, d["layer"], d["sample_rate"], d["n_samples"],
+                     round(float(np.sqrt(np.mean(mono ** 2))), 6)))
+    want = ",\n                ".join(
+        f"({m}, {lay}, {srr}, {ns}, {rms!r})"
+        for m, lay, srr, ns, rms in rows
+    )
+    assert entrymod._MPEG_DECODE_FIXTURE == want

@@ -87,8 +87,8 @@ def test_round7_pool_names_stay_oracle_ready():
         "g_triangle_count", "g_common_neighbors", "e5_temperature_mix",
         "e5_ndcg", "e5_dsir_weights", "t_resample_gapfill", "t_ewma",
         "t_anomaly", "e5_k_anonymity", "e1_boilerplate_strip",
-        "e6_transition_matrix", "e6_top_paths",
+        "e6_transition_matrix", "e6_top_paths", "j_jw_match",
+        "e4_mpeg_decode",   # frozen-fixture oracle (round 6 late)
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
-    assert "e4_mpeg_decode" in QUERIES  # rows-only by nature
