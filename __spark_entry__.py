@@ -2911,6 +2911,20 @@ def _j_jw_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    # Robust score normalization (round 6): exact per-type percent_rank
+    # + winsorization to the interpolated [p05, p95] of events.value —
+    # the outlier guard before thresholds/mixture weights derive from a
+    # score. Exact quantiles agree across engines (percentile ≡
+    # quantile_cont).
+    from drugbankner_spark.operators.relational import percentile_normalize
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return percentile_normalize(ev, "value", ["event_type"])
+
+
 #: Frozen decoded-tone fixture for e4_mpeg_decode's oracle: 80 rows
 #: of (doc_id %% 80, layer, sample_rate, n_samples, rms@6dp) computed
 #: ONCE by the real encoder+decoder pair (regenerate with
@@ -3070,6 +3084,34 @@ def _e3_unigram_apply(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     toks = apply_unigram(
         docs, FROZEN_UNIGRAM_PIECES, max_piece_len=UNIGRAM_MAX_PIECE_LEN
+    )
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("tokens_str"),
+    )
+
+
+def _e3_wordpiece_apply(spark: SparkSession, sf: str) -> DataFrame:
+    # WordPiece tokenizer APPLY under a full hash oracle (round 6
+    # late): the vocab is a frozen fixture (fixtures_wordpiece.py) and
+    # the oracle replicates greedy longest-match-first per DISTINCT
+    # word in recursive DuckDB SQL — candidates via a list
+    # comprehension over the piece map, the longest match taken each
+    # step, no-match (or >64-char words) yielding [UNK] for the whole
+    # word, exactly like greedy_wordpiece. TRAINING stays
+    # pytest-verified on goldens (tests/test_wordpiece.py) — this row
+    # hash-grades the serving path, the e3_unigram_apply pattern.
+    from drugbankner_spark.fixtures_wordpiece import (
+        FROZEN_WORDPIECE_VOCAB,
+        WORDPIECE_MAX_PIECE_LEN,
+    )
+    from drugbankner_spark.operators.wordpiece import apply_wordpiece
+
+    docs = load_table(spark, sf, "documents")
+    toks = apply_wordpiece(
+        docs, FROZEN_WORDPIECE_VOCAB,
+        max_piece_len=WORDPIECE_MAX_PIECE_LEN,
     )
     return toks.select(
         "doc_id",
@@ -3402,9 +3444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     e1_simhash_pairs, g_triangle_count, g_common_neighbors,
     e5_temperature_mix, e5_ndcg, e5_dsir_weights, t_resample_gapfill,
     t_ewma, t_anomaly, e5_k_anonymity, e1_boilerplate_strip,
-    e6_transition_matrix, e6_top_paths, j_jw_match, e4_mpeg_decode
-    (upgraded from rows-only to a frozen-fixture hash oracle) — plus
-    the 24 demoted names above."""
+    e6_transition_matrix, e6_top_paths, j_jw_match, e5_winsorize,
+    e3_wordpiece_apply (third tokenizer family, recursive-SQL greedy
+    oracle), e4_mpeg_decode (upgraded from rows-only to a
+    frozen-fixture hash oracle) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3674,6 +3717,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_transition_matrix": _e6_transition_matrix,
         "e6_top_paths": _e6_top_paths,
         "j_jw_match": _j_jw_match,
+        "e5_winsorize": _e5_winsorize,
+        "e3_wordpiece_apply": _e3_wordpiece_apply,
         # round 5: the originals consolidated into the six new suites
         # (driver window shows them via syn_suite / j_join_suite /
         # a_agg_suite / e1_near_dup_suite / e3_docmeta_suite /
@@ -4139,6 +4184,102 @@ def _unigram_apply_oracle() -> str:
             SELECT w, [w[x:x] for x in generate_series(1, length(w))]
             FROM fin
             WHERE scores[length(w) + 1] IS NULL AND length(w) > 0
+        ),
+        occ AS (
+            SELECT doc_id, w, ord FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS ord
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        doc_tokens AS (
+            SELECT doc_id,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   string_agg(array_to_string(toks, ' '), ' '
+                              ORDER BY ord) AS tokens_str
+            FROM occ JOIN segs USING (w)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(dt.n_tokens, 0) AS n_tokens,
+               COALESCE(dt.tokens_str, '') AS tokens_str
+        FROM documents d LEFT JOIN doc_tokens dt USING (doc_id)
+    """
+
+
+def _wordpiece_apply_oracle() -> str:
+    """Recursive-SQL greedy matcher for e3_wordpiece_apply: per
+    DISTINCT word, each CTE iteration consumes ONE piece — the longest
+    vocab entry (## -prefixed past position 0) matching at the cursor,
+    via a list comprehension over the frozen piece MAP; no match, or a
+    word beyond MAX_WORD_CHARS, yields ['[UNK]'] for the whole word —
+    exactly greedy_wordpiece. Doc assembly re-joins words in position
+    order (the unigram oracle's occ/doc_tokens tail)."""
+    from drugbankner_spark.fixtures_wordpiece import (
+        FROZEN_WORDPIECE_VOCAB,
+        WORDPIECE_MAX_PIECE_LEN,
+    )
+    from drugbankner_spark.operators.wordpiece import MAX_WORD_CHARS
+
+    for p in FROZEN_WORDPIECE_VOCAB:
+        assert "'" not in p and "\\" not in p, p
+    vals = ", ".join(f"('{p}')" for p in sorted(FROZEN_WORDPIECE_VOCAB))
+    n = WORDPIECE_MAX_PIECE_LEN
+    cap = MAX_WORD_CHARS
+    return f"""
+        WITH RECURSIVE
+        vocab(piece) AS (VALUES {vals}),
+        vm AS (
+            SELECT map(list(piece ORDER BY piece),
+                       list(1 ORDER BY piece)) AS m
+            FROM vocab
+        ),
+        words AS (
+            SELECT DISTINCT w FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w <> ''
+        ),
+        seg AS (
+            SELECT w, 0 AS pos, []::VARCHAR[] AS toks, FALSE AS failed
+            FROM words WHERE length(w) <= {cap}
+            UNION ALL
+            SELECT w,
+                   CASE WHEN best IS NULL THEN length(w)
+                        ELSE best.e END AS pos,
+                   CASE WHEN best IS NULL THEN ['[UNK]']
+                        ELSE toks || [best.piece] END AS toks,
+                   best IS NULL AS failed
+            FROM (
+                SELECT w, pos, toks,
+                       list_filter(cands, c -> c.e = mx)[1] AS best
+                FROM (
+                    SELECT w, pos, toks, cands,
+                           list_max(list_transform(cands, c -> c.e))
+                               AS mx
+                    FROM (
+                        SELECT w, pos, toks,
+                            list_filter(
+                                [ {{'piece': CASE WHEN pos = 0
+                                        THEN w[pos + 1 : e]
+                                        ELSE '##' || w[pos + 1 : e] END,
+                                    'e': e }}
+                                  for e in generate_series(
+                                      pos + 1,
+                                      least(length(w), pos + {n})) ],
+                                c -> len(m[c.piece]) = 1) AS cands
+                        FROM seg, vm
+                        WHERE pos < length(w) AND NOT failed
+                    )
+                )
+            )
+        ),
+        segs AS (
+            SELECT w, toks FROM seg WHERE pos >= length(w)
+            UNION ALL
+            SELECT w, ['[UNK]']::VARCHAR[] AS toks
+            FROM words WHERE length(w) > {cap}
         ),
         occ AS (
             SELECT doc_id, w, ord FROM (
@@ -6270,6 +6411,7 @@ def oracle_sql() -> dict[str, str]:
         # round 6: unigram-LM APPLY — recursive-SQL Viterbi DP over the
         # frozen piece fixture (builder docstring has the mechanics)
         "e3_unigram_apply": _unigram_apply_oracle(),
+        "e3_wordpiece_apply": _wordpiece_apply_oracle(),
         # round 6: end-to-end retrieval — composed chunk/hashed-TF/LSH
         # oracle (builder docstring has the mechanics)
         "e2_retrieval_topk": _e2_retrieval_topk_oracle(),
@@ -6616,6 +6758,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, count(*) AS n_entities
             FROM paths GROUP BY 1
             ORDER BY n_entities DESC, path ASC LIMIT 20
+        """,
+        # round 6 late: robust normalization — exact per-type rank +
+        # winsorization to interpolated [p05, p95]
+        "e5_winsorize": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS qlo,
+                       quantile_cont(value, 0.95) AS qhi
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round(percent_rank() OVER (
+                       PARTITION BY e.event_type ORDER BY e.value ASC
+                   ), 6) AS pct_rank,
+                   round(least(greatest(e.value, q.qlo), q.qhi), 6)
+                       AS winsorized
+            FROM events e JOIN q USING (event_type)
         """,
         # round 6 late: MPEG decode upgraded from rows-only to a frozen
         # fixture oracle — output depends only on doc_id % 80

@@ -344,3 +344,60 @@ def fuzzy_join(
         .filter(F.col("distance") <= max_distance)
         .drop("_blk")
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Robust per-group score normalization (round 6): adds
+    ``pct_rank`` (exact percent_rank of ``value_col`` within the group)
+    and ``winsorized`` (the value clipped to the group's exact
+    interpolated [lo, hi] quantiles — the standard outlier guard before
+    quality thresholds or mixture weights are derived from a score).
+    Both engines interpolate quantiles identically (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``); outputs round to 6dp.
+
+    Plan: one map-side-combinable quantile agg per group + one join
+    back (broadcast-able group dim) + one rank window — the window
+    shuffle reuses the same group key. NULL values pass through with
+    NULL rank/winsorized."""
+    from pyspark.sql.window import Window
+
+    keys = key_cols or []
+    q = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_qlo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_qhi"),
+    )
+    j = df.join(F.broadcast(q), keys) if keys else df.crossJoin(
+        F.broadcast(q)
+    )
+    # asc_nulls_last pins the NULL position cross-engine (Spark ASC
+    # defaults NULLS FIRST, DuckDB NULLS LAST)
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col(value_col).asc_nulls_last())
+    ranked = j.withColumn(
+        "pct_rank",
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.round(F.percent_rank().over(w), 6),
+        ),
+    )
+    # explicit NULL guard: Spark's greatest() IGNORES NULL arguments
+    # (returns the non-null side), so a bare clip would winsorize NULL
+    # values to the lower quantile
+    return ranked.withColumn(
+        "winsorized",
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.round(
+                F.least(F.greatest(F.col(value_col), F.col("_qlo")),
+                        F.col("_qhi")),
+                6,
+            ),
+        ),
+    ).drop("_qlo", "_qhi")

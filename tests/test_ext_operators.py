@@ -2057,3 +2057,22 @@ def test_strip_boilerplate_kernel_parity(spark):
                                            kernel="md5")) == \
         key(strip_boilerplate_sentences(docs, max_doc_count=2,
                                         kernel="xxhash64"))
+
+
+def test_percentile_normalize_goldens(spark):
+    # round 6: winsorize clips to the exact interpolated group
+    # quantiles; percent_rank spans [0, 1]; NULL passes through.
+    from drugbankner_spark.operators.relational import percentile_normalize
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)] + [("a", None)],
+        "grp string, v double",
+    )
+    out = percentile_normalize(df, "v", ["grp"], lo=0.1, hi=0.9)
+    rows = {r["v"]: r for r in out.collect()}
+    # quantile_cont(0.1) of 1..10 = 1.9; (0.9) = 9.1
+    assert rows[1.0]["winsorized"] == 1.9
+    assert rows[10.0]["winsorized"] == 9.1
+    assert rows[5.0]["winsorized"] == 5.0
+    assert rows[1.0]["pct_rank"] == 0.0
+    assert rows[None]["pct_rank"] is None and rows[None]["winsorized"] is None

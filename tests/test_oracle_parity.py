@@ -88,6 +88,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e5_ndcg", "e5_dsir_weights", "t_resample_gapfill", "t_ewma",
         "t_anomaly", "e5_k_anonymity", "e1_boilerplate_strip",
         "e6_transition_matrix", "e6_top_paths", "j_jw_match",
+        "e5_winsorize", "e3_wordpiece_apply",
         "e4_mpeg_decode",   # frozen-fixture oracle (round 6 late)
     ]
     for name in pool:
