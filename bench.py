@@ -79,10 +79,11 @@ HEADLINE = [
     "e3_unigram_tokens",
     "e3_wordlm",
     # round 6 late: DSIR curation (two corpus feature passes + model
-    # joins) and the cross-doc boilerplate strip (sentence doc-freq +
-    # reassembly) — the two heaviest of the late-round additions
+    # joins), the cross-doc boilerplate strip (sentence doc-freq +
+    # reassembly), and the third tokenizer family's serving pass
     "e5_dsir_weights",
     "e1_boilerplate_strip",
+    "e3_wordpiece_apply",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch

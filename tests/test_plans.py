@@ -363,3 +363,28 @@ def test_dsir_broadcasts_the_bounded_ratio_dim(spark):
     assert not X.has_cartesian(df)
     plan = X.plan_string(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_jw_match_blocked_equi_join_no_cartesian(spark):
+    # round 6 late: the JW kernel must run only on co-blocked pairs —
+    # an equi join on the prefix block, never a nested loop.
+    df = QUERIES["j_jw_match"](spark, SF)
+    assert not X.has_cartesian(df)
+    plan = X.plan_string(df, "simple")
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan, plan
+
+
+def test_winsorize_broadcasts_the_quantile_dim(spark):
+    # round 6 late: the per-group [p05, p95] dim reaches the events as
+    # a broadcast; the rank window reuses the same group key.
+    df = QUERIES["e5_winsorize"](spark, SF)
+    assert not X.has_cartesian(df)
+    assert "BroadcastHashJoin" in X.plan_string(df, "simple")
+    assert X.count_shuffles(df) <= 3
+
+
+def test_wordpiece_apply_single_scan_arrow_pass(spark):
+    # round 6 late: serving is one mapInPandas pass over the scan — no
+    # shuffle at all.
+    df = QUERIES["e3_wordpiece_apply"](spark, SF)
+    assert X.count_shuffles(df) == 0, X.plan_string(df, "simple")
