@@ -296,6 +296,10 @@ SF1_QUERIES = [
     # round 5 late: tokenizer training + word-LM scoring at 10×
     "e3_unigram_tokens",
     "e3_wordlm",
+    # round 6 late: DSIR's double corpus feature pass + the WordPiece
+    # serving pass at 10×
+    "e5_dsir_weights",
+    "e3_wordpiece_apply",
 ]
 
 

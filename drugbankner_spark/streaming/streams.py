@@ -300,3 +300,47 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Streaming Markov transition pairs (round 6 late,
+    applyInPandasWithState): per entity, remember the LAST (state, ts,
+    tiebreak) across micro-batches and emit one row per consecutive
+    (prev_state, next_state) pair — including the pair that SPANS a
+    batch boundary, which a per-batch lag window would drop. Downstream
+    aggregation (count + row-normalize) runs on the emitted pairs
+    (foreachBatch partials or the memory-sink test harness), so the
+    final matrix equals temporal.transition_matrix whenever per-entity
+    arrival is time-ordered — the same delivery contract funnel_stream
+    documents. State per entity = one (state, ts, event_id) triple,
+    independent of event volume."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, prev_state string, next_state string"
+    state_schema = "last_state string, last_ts double, last_id bigint"
+
+    def update(key, pdfs, state):
+        last = state.get if state.exists else (None, None, None)
+        last_state = last[0]
+        prevs, nexts = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid, tp in zip(pdf["ts"], pdf["event_id"],
+                                   pdf["event_type"]):
+                if last_state is not None:
+                    prevs.append(last_state)
+                    nexts.append(tp)
+                last_state = tp
+                last = (tp, ts.timestamp(), int(eid))
+        state.update(tuple(last))
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(prevs),
+            "prev_state": prevs,
+            "next_state": nexts,
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

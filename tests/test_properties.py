@@ -303,3 +303,59 @@ def test_avi_container_roundtrip_property(n_frames, fps, n_sample):
     assert len(picked) == min(n_sample, n_frames)
     idxs = [i for i, _, _ in picked]
     assert idxs == sorted(set(idxs))  # strictly increasing, no dups
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=0, max_size=10),
+        min_size=2, max_size=2,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_kernel_properties(pair):
+    # symmetry, range, identity, and DuckDB-builtin agreement — the
+    # cross-engine convention is a property, not a fixture.
+    import duckdb
+
+    from drugbankner_spark.functions.stringsim import jaro_winkler_py
+
+    a, b = pair
+    s = jaro_winkler_py(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == jaro_winkler_py(b, a)
+    if a == b and a:
+        assert s == 1.0
+    with duckdb.connect() as con:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+    assert abs(s - want) < 1e-12
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=50, deadline=None)
+def test_greedy_wordpiece_reassembles_or_unks(words, max_len):
+    # for any vocab containing the full alphabet, greedy segmentation
+    # either reassembles the word exactly (## stripped) or yields [UNK]
+    # only when the word exceeds the char cap.
+    from drugbankner_spark.operators.wordpiece import (
+        MAX_WORD_CHARS,
+        greedy_wordpiece,
+    )
+
+    vocab = {"a", "b", "##a", "##b", "ab", "##ab", "##ba"}
+    for w in words:
+        toks = greedy_wordpiece(w, vocab, max_len)
+        if len(w) > MAX_WORD_CHARS:
+            assert toks == ["[UNK]"]
+        else:
+            rebuilt = toks[0] + "".join(t[2:] for t in toks[1:])
+            assert rebuilt == w
+            assert all(t.startswith("##") for t in toks[1:])
+            assert not toks[0].startswith("##")

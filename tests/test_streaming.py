@@ -524,3 +524,49 @@ def test_streaming_ann_index_maintenance_foreachbatch(spark):
         cols)
     assert got == want and len(got) > 0
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_transition_stream_equals_batch_across_batch_boundary(spark, tmp_path):
+    # round 6 late: the stored last-state must stitch the pair that
+    # spans two micro-batches; counting the emitted pairs equals the
+    # batch transition_matrix.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.temporal import transition_matrix
+    from drugbankner_spark.streaming.streams import (
+        run_to_memory,
+        transition_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"), (1, t0.replace(hour=1), 2, "b"),
+        (1, t0.replace(hour=2), 3, "a"),
+        (2, t0, 4, "a"), (2, t0.replace(hour=1), 5, "b"),
+        (2, t0.replace(hour=2), 6, "b"),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    ev = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ev_src")
+    # file 1 = first half, file 2 = rest: user 1's (b -> a) pair and
+    # user 2's (b -> b) pair both SPAN the boundary
+    spark.createDataFrame(rows[:2] + rows[3:5], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows[2:3] + rows[5:], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src) \
+        .withWatermark("ts", "10 minutes")
+    pairs = run_to_memory(
+        transition_stream(stream), "trans_pairs", "append"
+    )
+    got = sorted(map(tuple,
+        pairs.groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n")).collect()))
+    want = sorted(map(tuple,
+        transition_matrix(ev).select("prev_state", "next_state", "n")
+        .collect()))
+    assert got == want and len(got) == 3
