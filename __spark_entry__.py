@@ -3315,6 +3315,24 @@ def _e3_wordlm(spark: SparkSession, sf: str) -> DataFrame:
     return word_lm_logprob(docs, model)
 
 
+def _e3_kn_ppl(spark: SparkSession, sf: str) -> DataFrame:
+    # Interpolated Kneser-Ney bigram perplexity (round 6 late): the
+    # smoothing KenLM/CCNet quality filters actually run. Train on the
+    # 'en' slice, score EVERY doc so all four branches are hash-checked
+    # cross-engine: seen bigram (discounted ML + interpolation), seen
+    # context with unseen bigram (pure interpolation mass), unseen
+    # context (continuation-only backoff), unseen continuation (0.5
+    # pseudo-count floor).
+    from drugbankner_spark.operators.textanalysis import (
+        kn_lm_logprob,
+        train_kn_lm,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    model = train_kn_lm(docs.filter(F.col("lang") == "en"))
+    return kn_lm_logprob(docs, model)
+
+
 def _e4_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
     # REAL stdlib GIF codec under the driver (round 5 late): each doc's
     # UTF-8 bytes become palette indices, encode through the LZW
@@ -3447,7 +3465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     e6_transition_matrix, e6_top_paths, j_jw_match, e5_winsorize,
     e3_wordpiece_apply (third tokenizer family, recursive-SQL greedy
     oracle), e4_mpeg_decode (upgraded from rows-only to a
-    frozen-fixture hash oracle) — plus the 24 demoted names above."""
+    frozen-fixture hash oracle), e3_kn_ppl (interpolated Kneser-Ney
+    perplexity, the KenLM/CCNet smoothing, all four branches
+    hash-checked) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3531,6 +3551,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_unicode_normalize": _e3_unicode_normalize,
         "e3_url_canonicalize": _e3_url_canonicalize,
         "e3_wordlm": _e3_wordlm,
+        "e3_kn_ppl": _e3_kn_ppl,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -5336,6 +5357,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS mean_logprob
+            FROM scored GROUP BY doc_id
+        """,
+        # e3_kn_ppl: interpolated Kneser-Ney replicated term-for-term —
+        # all four dims (bigram counts, context totals + fan-out,
+        # continuation counts, type total) derive from the SAME bigram
+        # table, and the scoring expression mirrors the Spark operator
+        # order exactly so the float math is bitwise-identical.
+        "e3_kn_ppl": """
+            WITH en AS (
+                SELECT string_split(text, ' ') AS ts
+                FROM documents WHERE lang = 'en'
+            ),
+            pairs AS (
+                SELECT ts[i] AS w1, ts[i + 1] AS w2
+                FROM en, UNNEST(generate_series(
+                    1, greatest(len(ts) - 1, 0))) AS g(i)
+                WHERE ts[i] <> '' AND ts[i + 1] <> ''
+            ),
+            big AS (
+                SELECT w1, w2, count(*) AS n12
+                FROM pairs GROUP BY w1, w2
+            ),
+            ctx AS (
+                SELECT w1, CAST(sum(n12) AS DOUBLE) AS n1,
+                       CAST(count(*) AS DOUBLE) AS d_after
+                FROM big GROUP BY w1
+            ),
+            cont AS (
+                SELECT w2, CAST(count(*) AS DOUBLE) AS d_before
+                FROM big GROUP BY w2
+            ),
+            types AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_types FROM big
+            ),
+            occ AS (
+                SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                      FROM documents),
+                     UNNEST(generate_series(
+                         1, greatest(len(ts) - 1, 0))) AS g(i)
+                WHERE ts[i] <> '' AND ts[i + 1] <> ''
+            ),
+            scored AS (
+                SELECT o.doc_id,
+                       ln(CASE WHEN c.n1 IS NOT NULL THEN
+                              greatest(coalesce(b.n12 * 1.0, 0.0)
+                                       - 0.75, 0.0) / c.n1
+                              + (0.75 * c.d_after / c.n1)
+                                * (coalesce(k.d_before, 0.5) / t.n_types)
+                          ELSE coalesce(k.d_before, 0.5) / t.n_types
+                          END) AS lp
+                FROM occ o
+                LEFT JOIN big b ON b.w1 = o.w1 AND b.w2 = o.w2
+                LEFT JOIN ctx c ON c.w1 = o.w1
+                LEFT JOIN cont k ON k.w2 = o.w2
+                CROSS JOIN types t
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS mean_logprob,
+                   round(exp(-avg(lp)), 3) AS ppl
             FROM scored GROUP BY doc_id
         """,
         # e4_gif_decode: the SAME format-blind digest oracle — it never

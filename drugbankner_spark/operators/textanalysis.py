@@ -594,6 +594,111 @@ def word_lm_logprob(
     )
 
 
+def train_kn_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> dict:
+    """Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
+    smoothing KenLM ships and CCNet's quality filter runs at web
+    scale) — the principled sibling of the stupid-backoff model above.
+    Four bounded dims, each one map-side-combinable agg over the
+    bigram-pair scan:
+
+    - ``bigrams``  (w1, w2, n12): raw bigram counts
+    - ``ctx``      (w1, n1, d_after): context total ``Σ_w2 n12`` and
+      distinct-continuation fan-out ``N1+(w1,·)`` — derived from the
+      bigram table itself so the model is self-consistent (no separate
+      unigram pass that could disagree at sentence edges)
+    - ``cont``     (w2, d_before): continuation count ``N1+(·,w2)``
+    - ``types``    1 row: total distinct bigram types ``N1+(··)``
+
+    ``min_count`` prunes the bigram tail BEFORE the derived dims so all
+    four stay broadcastable at web scale; the continuation distribution
+    is then computed over the kept types — document the cutoff with the
+    run config, as for :func:`train_word_lm`."""
+    big = (
+        _bigram_pairs(docs, text_col, [])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    if min_count > 1:
+        big = big.filter(F.col("n12") >= min_count)
+    ctx = big.groupBy("w1").agg(
+        F.sum("n12").alias("n1"),
+        F.count(F.lit(1)).alias("d_after"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("d_before"))
+    types = big.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    return {"bigrams": big, "ctx": ctx, "cont": cont, "types": types}
+
+
+def kn_lm_logprob(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    broadcast_max_rows: int = LM_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Per-document mean log-probability and perplexity under
+    interpolated Kneser–Ney:
+
+    ``P(w2|w1) = max(n12 − D, 0)/n1 + (D·N1+(w1,·)/n1) · Pcont(w2)``
+
+    with ``Pcont(w2) = N1+(·,w2)/N1+(··)``; an unseen context ``w1``
+    backs off entirely to ``Pcont(w2)``, and a word never seen as a
+    continuation floors at ``0.5/N1+(··)`` (the same 0.5 pseudo-count
+    convention as the stupid-backoff floor, so the score is finite on
+    fully out-of-domain text). Every term is an exact integer ratio —
+    deterministic across partitionings; only the final avg-of-logs is
+    float-summed, rounded to 6dp like the other LM faces.
+
+    Plan shape = one bigram explode + three model-dim joins (broadcast
+    when a count-agg confirms they fit) + one per-doc agg: the corpus
+    shuffles (id, w1, w2) pairs once and text never moves. Output:
+    (id, n_bigrams, mean_logprob, ppl) with ``ppl = exp(−mean)``
+    rounded to 3dp."""
+    occ = _bigram_pairs(docs, text_col, [id_col])
+    big = model["bigrams"].select(
+        "w1", "w2", F.col("n12").cast("double").alias("_n12")
+    )
+    ctx = model["ctx"].select(
+        "w1",
+        F.col("n1").cast("double").alias("_n1"),
+        F.col("d_after").cast("double").alias("_d_after"),
+    )
+    cont = model["cont"].select(
+        "w2", F.col("d_before").cast("double").alias("_d_before")
+    )
+    d = F.lit(float(discount))
+    pcont = F.coalesce(F.col("_d_before"), F.lit(0.5)) / F.col("n_types")
+    p_seen_ctx = (
+        F.greatest(F.coalesce(F.col("_n12"), F.lit(0.0)) - d, F.lit(0.0))
+        / F.col("_n1")
+        + (d * F.col("_d_after") / F.col("_n1")) * pcont
+    )
+    scored = (
+        occ.join(_maybe_broadcast(big, broadcast_max_rows),
+                 ["w1", "w2"], "left")
+        .join(_maybe_broadcast(ctx, broadcast_max_rows), "w1", "left")
+        .join(_maybe_broadcast(cont, broadcast_max_rows), "w2", "left")
+        .crossJoin(F.broadcast(model["types"]))  # always exactly 1 row
+        .select(
+            F.col(id_col),
+            F.log(
+                F.when(F.col("_n1").isNotNull(), p_seen_ctx)
+                .otherwise(pcont)
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+        F.round(F.exp(-F.avg("_lp")), 3).alias("ppl"),
+    )
+
+
 def _aho_corasick(terms: list[str]):
     """Build an Aho-Corasick automaton: goto/fail/output tables over
     the term set. Pure dicts — picklable into an Arrow kernel closure."""

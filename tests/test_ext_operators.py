@@ -2076,3 +2076,95 @@ def test_percentile_normalize_goldens(spark):
     assert rows[5.0]["winsorized"] == 5.0
     assert rows[1.0]["pct_rank"] == 0.0
     assert rows[None]["pct_rank"] is None and rows[None]["winsorized"] is None
+
+
+def _kn_reference(train_texts, probe_tokens, discount=0.75):
+    # independent interpolated-KN implementation (plain dicts, no
+    # Spark) — the oracle for the Spark model on arbitrary corpora.
+    import math
+    from collections import Counter
+
+    big = Counter()
+    for t in train_texts:
+        ws = [w for w in t.split(" ") if w]
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    n1 = Counter()
+    d_after = Counter()
+    d_before = Counter()
+    for (a, b), n in big.items():
+        n1[a] += n
+        d_after[a] += 1
+        d_before[b] += 1
+    n_types = float(len(big))
+    lps = []
+    for a, b in zip(probe_tokens, probe_tokens[1:]):
+        pc = (d_before[b] if b in d_before else 0.5) / n_types
+        if a in n1:
+            p = (max(big.get((a, b), 0) - discount, 0.0) / n1[a]
+                 + discount * d_after[a] / n1[a] * pc)
+        else:
+            p = pc
+        lps.append(math.log(p))
+    return sum(lps) / len(lps)
+
+
+def test_kn_lm_matches_independent_reference(spark):
+    # round 6 late: Spark interpolated Kneser-Ney == a dict-based
+    # reference on a randomized corpus, every branch (seen bigram,
+    # seen-context/unseen-bigram, unseen context, unseen continuation).
+    import random
+
+    from drugbankner_spark.operators.textanalysis import (
+        kn_lm_logprob,
+        train_kn_lm,
+    )
+
+    rng = random.Random(19)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "on", "a"]
+    train_texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12)))
+        for _ in range(30)
+    ]
+    probes = [
+        (0, "the cat sat on the mat"),
+        (1, "cat the sat zz"),            # unseen bigrams + unseen word
+        (2, "zz qq ww"),                  # fully out-of-domain
+        (3, " ".join(rng.choice(vocab + ["zz"]) for _ in range(9))),
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], ["doc_id", "text"]
+    )
+    model = train_kn_lm(train)
+    got = {r["doc_id"]: r for r in
+           kn_lm_logprob(spark.createDataFrame(probes, ["doc_id", "text"]),
+                         model).collect()}
+    for pid, text in probes:
+        toks = [w for w in text.split(" ") if w]
+        want = _kn_reference(train_texts, toks)
+        assert abs(got[pid]["mean_logprob"] - round(want, 6)) < 2e-6, pid
+        assert got[pid]["n_bigrams"] == len(toks) - 1
+        import math
+        assert abs(got[pid]["ppl"] - round(math.exp(-want), 3)) < 2e-3
+
+
+def test_kn_lm_in_domain_scores_higher(spark):
+    from drugbankner_spark.operators.textanalysis import (
+        kn_lm_logprob,
+        train_kn_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran on the mat")],
+        ["doc_id", "text"],
+    )
+    model = train_kn_lm(train)
+    probes = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "cat the sat"), (12, "zz qq ww")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in kn_lm_logprob(probes, model).collect()}
+    assert (out[10]["mean_logprob"] > out[11]["mean_logprob"]
+            > out[12]["mean_logprob"])
+    # perplexity is the inverse face of the same ordering
+    assert out[10]["ppl"] < out[11]["ppl"] < out[12]["ppl"]

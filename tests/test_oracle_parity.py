@@ -90,6 +90,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e6_transition_matrix", "e6_top_paths", "j_jw_match",
         "e5_winsorize", "e3_wordpiece_apply",
         "e4_mpeg_decode",   # frozen-fixture oracle (round 6 late)
+        "e3_kn_ppl",        # interpolated Kneser-Ney perplexity
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
