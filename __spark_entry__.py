@@ -1796,15 +1796,7 @@ def _g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators.graph import triangle_count
 
     docs = load_table(spark, sf, "documents")
-    e1 = docs.select(
-        (F.col("doc_id") % 97).alias("src"),
-        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
-    )
-    e2 = docs.select(
-        ((F.col("doc_id") * 3 + 5) % 97).alias("src"),
-        ((F.col("doc_id") * 5 + 11) % 97).alias("dst"),
-    )
-    return triangle_count(e1.unionByName(e2))
+    return triangle_count(_graph_edges(docs))
 
 
 def _g_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
@@ -1814,6 +1806,12 @@ def _g_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators.graph import common_neighbor_scores
 
     docs = load_table(spark, sf, "documents")
+    return common_neighbor_scores(_graph_edges(docs), min_common=2)
+
+
+def _graph_edges(docs: DataFrame):
+    # the shared deterministic Z_97 synthetic graph (two edges per doc)
+    # used by every g_* entry
     e1 = docs.select(
         (F.col("doc_id") % 97).alias("src"),
         ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
@@ -1822,7 +1820,31 @@ def _g_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("doc_id") * 3 + 5) % 97).alias("src"),
         ((F.col("doc_id") * 5 + 11) % 97).alias("dst"),
     )
-    return common_neighbor_scores(e1.unionByName(e2), min_common=2)
+    return e1.unionByName(e2)
+
+
+def _g_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
+    # Multi-source k-hop BFS (round 6 late) on the Z_97 graph: exact
+    # min hop distance from seeds {0,1,2}, capped at 3 hops. The
+    # oracle is a recursive CTE enumerating (node, dist) pairs with
+    # MIN at the end — the textbook SQL BFS — so a hash match proves
+    # the iterative frontier/anti-join machinery exact.
+    from drugbankner_spark.operators.graph import bfs_distances
+
+    docs = load_table(spark, sf, "documents")
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    return bfs_distances(_graph_edges(docs), seeds, max_hops=3)
+
+
+def _g_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    # Synchronous label propagation (round 6 late), 3 fixed iterations
+    # with the min-label tiebreak, on the Z_97 graph; the oracle
+    # replays the same three synchronous rounds as chained CTEs
+    # (mode-vote via max-count window + min tiebreak per round).
+    from drugbankner_spark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf, "documents")
+    return label_propagation(_graph_edges(docs), iterations=3)
 
 
 def _e5_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
@@ -3467,7 +3489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle), e4_mpeg_decode (upgraded from rows-only to a
     frozen-fixture hash oracle), e3_kn_ppl (interpolated Kneser-Ney
     perplexity, the KenLM/CCNet smoothing, all four branches
-    hash-checked) — plus the 24 demoted names above."""
+    hash-checked), g_bfs_distances (multi-source k-hop BFS vs a
+    recursive-CTE oracle), g_label_prop (synchronous LPA communities
+    vs a chained-CTE replay) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3552,6 +3576,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_url_canonicalize": _e3_url_canonicalize,
         "e3_wordlm": _e3_wordlm,
         "e3_kn_ppl": _e3_kn_ppl,
+        "g_bfs_distances": _g_bfs_distances,
+        "g_label_prop": _g_label_prop,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -6930,6 +6956,101 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round 6: exact triangle count — canonical a<b<c closed-triple
         # join (equals the degree-oriented Spark algorithm's count)
+        # g_bfs_distances: textbook recursive-CTE BFS — enumerate
+        # (node, dist) pairs from the seeds, bounded at 3 hops, MIN per
+        # node at the end.
+        "g_bfs_distances": """
+            WITH RECURSIVE raw AS (
+                SELECT doc_id % 97 AS s,
+                       (doc_id * doc_id + 1) % 97 AS d
+                FROM documents
+                UNION ALL
+                SELECT (doc_id * 3 + 5) % 97, (doc_id * 5 + 11) % 97
+                FROM documents
+            ),
+            sym AS (
+                SELECT s AS a, d AS b FROM raw WHERE s <> d
+                UNION
+                SELECT d, s FROM raw WHERE s <> d
+            ),
+            walk(node, dist) AS (
+                SELECT CAST(v.node AS BIGINT), v.dist
+                FROM (VALUES (0, 0), (1, 0), (2, 0)) v(node, dist)
+                UNION
+                SELECT s.b, w.dist + 1
+                FROM walk w JOIN sym s ON s.a = w.node
+                WHERE w.dist < 3
+            )
+            SELECT node, CAST(min(dist) AS INTEGER) AS dist
+            FROM walk GROUP BY node
+        """,
+        # g_label_prop: the same three synchronous LPA rounds as
+        # chained CTEs — per round a neighbor-label count, a max-count
+        # window, and a min-label tiebreak.
+        "g_label_prop": """
+            WITH raw AS (
+                SELECT doc_id % 97 AS s,
+                       (doc_id * doc_id + 1) % 97 AS d
+                FROM documents
+                UNION ALL
+                SELECT (doc_id * 3 + 5) % 97, (doc_id * 5 + 11) % 97
+                FROM documents
+            ),
+            sym AS (
+                SELECT s AS a, d AS b FROM raw WHERE s <> d
+                UNION
+                SELECT d, s FROM raw WHERE s <> d
+            ),
+            l0 AS (
+                SELECT DISTINCT a AS node, a AS label FROM sym
+            ),
+            v1 AS (
+                SELECT s.a AS node, l.label, count(*) AS c
+                FROM sym s JOIN l0 l ON l.node = s.b
+                GROUP BY s.a, l.label
+            ),
+            t1 AS (
+                SELECT node, min(label) AS label FROM (
+                    SELECT node, label, c,
+                           max(c) OVER (PARTITION BY node) AS mx
+                    FROM v1
+                ) WHERE c = mx GROUP BY node
+            ),
+            l1 AS (
+                SELECT l0.node, coalesce(t1.label, l0.label) AS label
+                FROM l0 LEFT JOIN t1 ON t1.node = l0.node
+            ),
+            v2 AS (
+                SELECT s.a AS node, l.label, count(*) AS c
+                FROM sym s JOIN l1 l ON l.node = s.b
+                GROUP BY s.a, l.label
+            ),
+            t2 AS (
+                SELECT node, min(label) AS label FROM (
+                    SELECT node, label, c,
+                           max(c) OVER (PARTITION BY node) AS mx
+                    FROM v2
+                ) WHERE c = mx GROUP BY node
+            ),
+            l2 AS (
+                SELECT l1.node, coalesce(t2.label, l1.label) AS label
+                FROM l1 LEFT JOIN t2 ON t2.node = l1.node
+            ),
+            v3 AS (
+                SELECT s.a AS node, l.label, count(*) AS c
+                FROM sym s JOIN l2 l ON l.node = s.b
+                GROUP BY s.a, l.label
+            ),
+            t3 AS (
+                SELECT node, min(label) AS label FROM (
+                    SELECT node, label, c,
+                           max(c) OVER (PARTITION BY node) AS mx
+                    FROM v3
+                ) WHERE c = mx GROUP BY node
+            )
+            SELECT l2.node, coalesce(t3.label, l2.label) AS label
+            FROM l2 LEFT JOIN t3 ON t3.node = l2.node
+        """,
         "g_triangle_count": """
             WITH raw AS (
                 SELECT doc_id % 97 AS s,

@@ -493,3 +493,112 @@ def kcore_decomposition(
             .otherwise(F.col("core")).alias("core"),
         ).localCheckpoint(eager=True)
     return core
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest seed, bounded at
+    ``max_hops`` (k-hop neighborhood extraction — "every doc within 2
+    links of a known-bad site", contamination blast radius, seed-set
+    expansion). Output: (node, dist) for every vertex reachable in
+    ≤ ``max_hops`` hops, dist = exact minimum hop count, seeds at 0.
+    Deterministic — a graph property like the CC labels above.
+
+    One round per hop: frontier ⋈ edges → dist+1, anti-join visited,
+    min-agg (a frontier node reached twice in the same round keeps one
+    row), ``localCheckpoint`` cutting lineage. Early exit on an empty
+    frontier — one count action per round, the same convergence-probe
+    budget as :func:`connected_components`. The visited table only ever
+    grows by the frontier, so per-round shuffle volume is proportional
+    to the frontier's edge fan-out, not the whole graph."""
+    adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        adj = adj.union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    adj = adj.filter(F.col("a") != F.col("b")).distinct() \
+        .localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for _ in range(max_hops):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+            .join(visited.select("node"), "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with the
+    deterministic min-label tiebreak: every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties broken by MIN label. Fixed ``iterations`` (the
+    GraphFrames LPA contract — sync LPA oscillates on bipartite
+    structures, so a fixed budget, not convergence, is the standard
+    stopping rule). Output: (node, label). Deterministic for a given
+    iteration count — count/max/min are partition-order free.
+
+    Per round: one join (adjacency ⋈ labels) + one (node, label) count
+    agg + one max-count window + one min-agg — two shuffles, the same
+    budget as a CC round; isolated nodes keep their label via the
+    left join + coalesce."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")) \
+        .localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node")
+        top = (
+            votes.withColumn("mx", F.max("c").over(w))
+            .filter(F.col("c") == F.col("mx"))
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(top, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

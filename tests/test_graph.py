@@ -202,3 +202,114 @@ def test_kcore_decomposition_known_and_random(spark):
     got_r = {r["v"]: r["core"] for r in kcore_decomposition(
         spark.createDataFrame(redges, "src long, dst long")).collect()}
     assert got_r == core_ref
+
+
+def test_bfs_distances_golden_chain_with_branch(spark):
+    # round 6 late: 0-1-2-3-4 chain plus branch 2-9; seeds {0} —
+    # exact min-hop distances, capped at max_hops.
+    from drugbankner_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (2, 9)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 9: 3}  # 4 is 4 hops: cut
+
+
+def test_bfs_distances_multi_seed_and_directed(spark):
+    from drugbankner_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 2)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], ["node"])
+    und = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, seeds, max_hops=5).collect()}
+    assert und == {0: 0, 3: 0, 1: 1, 2: 1}
+    dird = {r["node"]: r["dist"]
+            for r in bfs_distances(edges, seeds, max_hops=5,
+                                   directed=True).collect()}
+    # directed: 2 reachable from both seeds (via 1 and direct from 3)
+    assert dird == {0: 0, 3: 0, 1: 1, 2: 1}
+
+
+def test_bfs_distances_randomized_vs_reference(spark):
+    import random
+    from collections import deque
+
+    from drugbankner_spark.operators.graph import bfs_distances
+
+    rng = random.Random(23)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+    seeds = [0, 7]
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want, q = {s: 0 for s in seeds}, deque(seeds)
+    while q:
+        u = q.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    got = {r["node"]: r["dist"] for r in bfs_distances(
+        spark.createDataFrame(edges, ["src", "dst"]),
+        spark.createDataFrame([(s,) for s in seeds], ["node"]),
+        max_hops=4,
+    ).collect()}
+    assert got == want
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    # two 4-cliques joined by one bridge edge: LPA separates them and
+    # each community takes its min node id as label.
+    import itertools
+
+    from drugbankner_spark.operators.graph import label_propagation
+
+    c1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = spark.createDataFrame(
+        c1 + c2 + [(3, 10)], ["src", "dst"]
+    )
+    got = {r["node"]: r["label"]
+           for r in label_propagation(edges, iterations=3).collect()}
+    assert all(got[v] == 0 for v in [0, 1, 2, 3])
+    assert all(got[v] == 10 for v in [10, 11, 12, 13])
+
+
+def test_label_propagation_matches_reference_iterations(spark):
+    # randomized graph: Spark sync-LPA == a dict-based synchronous
+    # reference with the same min-tiebreak, per iteration count.
+    import random
+    from collections import Counter
+
+    from drugbankner_spark.operators.graph import label_propagation
+
+    rng = random.Random(31)
+    n = 30
+    raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+    adj = {}
+    for a, b in raw:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = Counter(labels[u] for u in nbrs)
+            mx = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == mx)
+        labels = new
+    got = {r["node"]: r["label"] for r in label_propagation(
+        spark.createDataFrame(raw, ["src", "dst"]), iterations=3
+    ).collect()}
+    assert got == labels

@@ -91,6 +91,8 @@ def test_round7_pool_names_stay_oracle_ready():
         "e5_winsorize", "e3_wordpiece_apply",
         "e4_mpeg_decode",   # frozen-fixture oracle (round 6 late)
         "e3_kn_ppl",        # interpolated Kneser-Ney perplexity
+        "g_bfs_distances",  # k-hop BFS vs recursive-CTE oracle
+        "g_label_prop",     # sync LPA vs chained-CTE replay
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
