@@ -2933,6 +2933,34 @@ def _j_jw_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _er_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    # Composed entity resolution (round 6 late): block -> Jaro-Winkler
+    # -> threshold -> connected components -> canonical rep, end to
+    # end in ONE hash-checked row (the Splink/Dedupe skeleton).
+    # Records = parts (partkey <= 400) ∪ tail-transposed variants
+    # (every third part, id + 100000); identical short names and the
+    # planted transpositions both cluster, and the oracle replays the
+    # whole pipeline: DuckDB's builtin JW kernel for pairs, a
+    # recursive-CTE reachability closure for the components.
+    from drugbankner_spark.functions.stringsim import er_cluster
+
+    part = load_table(spark, sf, "part").filter(F.col("p_partkey") <= 400)
+    base = part.select(
+        F.col("p_partkey").alias("rid"), F.col("p_name").alias("rname")
+    )
+    variants = part.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") + 100000).alias("rid"),
+        F.concat(
+            F.expr("substring(p_name, 1, length(p_name) - 2)"),
+            F.reverse(F.expr("substring(p_name, length(p_name) - 1, 2)")),
+        ).alias("rname"),
+    )
+    return er_cluster(
+        base.unionByName(variants), "rname", "rid",
+        threshold=0.97, block_prefix=1,
+    )
+
+
 def _e5_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     # Robust score normalization (round 6): exact per-type percent_rank
     # + winsorization to the interpolated [p05, p95] of events.value —
@@ -3491,7 +3519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     perplexity, the KenLM/CCNet smoothing, all four branches
     hash-checked), g_bfs_distances (multi-source k-hop BFS vs a
     recursive-CTE oracle), g_label_prop (synchronous LPA communities
-    vs a chained-CTE replay) — plus the 24 demoted names above."""
+    vs a chained-CTE replay), er_resolve (composed entity resolution:
+    block -> JW -> CC -> canonical rep in one hash-checked row) —
+    plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3578,6 +3608,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_kn_ppl": _e3_kn_ppl,
         "g_bfs_distances": _g_bfs_distances,
         "g_label_prop": _g_label_prop,
+        "er_resolve": _er_resolve,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -6956,6 +6987,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round 6: exact triangle count — canonical a<b<c closed-triple
         # join (equals the degree-oriented Spark algorithm's count)
+        # er_resolve: the whole ER pipeline replayed — DuckDB's builtin
+        # JW for blocked pairs, recursive-CTE reachability for the CC
+        # labels, canonical name via self-join on the min member id.
+        "er_resolve": """
+            WITH RECURSIVE recs AS (
+                SELECT p_partkey AS id, p_name AS name
+                FROM part WHERE p_partkey <= 400
+                UNION ALL
+                SELECT p_partkey + 100000,
+                       substr(p_name, 1, length(p_name) - 2)
+                       || reverse(substr(p_name, length(p_name) - 1, 2))
+                FROM part
+                WHERE p_partkey <= 400 AND p_partkey % 3 = 0
+            ),
+            pairs AS (
+                SELECT r1.id AS a, r2.id AS b
+                FROM recs r1 JOIN recs r2
+                  ON lower(substr(r1.name, 1, 1))
+                     = lower(substr(r2.name, 1, 1))
+                 AND r1.id < r2.id
+                WHERE round(jaro_winkler_similarity(r1.name, r2.name),
+                            6) >= 0.97
+            ),
+            sym AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT id, id FROM recs
+                UNION
+                SELECT w.id, s.b FROM reach w JOIN sym s ON s.a = w.r
+            ),
+            cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+            SELECT rec.id, rec.name, cl.cluster,
+                   canon.name AS canonical_name
+            FROM recs rec
+            JOIN cl ON cl.id = rec.id
+            JOIN recs canon ON canon.id = cl.cluster
+        """,
         # g_bfs_distances: textbook recursive-CTE BFS — enumerate
         # (node, dist) pairs from the seeds, bounded at 3 hops, MIN per
         # node at the end.

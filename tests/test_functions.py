@@ -205,3 +205,64 @@ def test_jw_blocked_match_scores_and_blocks(spark):
     # 'zebra' vs 'Zebra!' co-blocks via lowercased prefix and scores
     assert (3, "Zebra!") in got
     assert all(v >= 0.8 for v in got.values())
+
+
+def test_er_cluster_golden(spark):
+    # round 6 late: composed ER (block -> JW -> threshold -> CC ->
+    # canonical rep). 'robert smith'/'robert smiht' cluster (tail
+    # transposition, same block 'r'); 'bob jones' stays a singleton;
+    # the canonical name is the MIN-id member's.
+    from drugbankner_spark.functions.stringsim import er_cluster
+
+    recs = spark.createDataFrame(
+        [(1, "robert smith"), (2, "robert smiht"), (3, "bob jones"),
+         (4, "rachel adams")],
+        ["rid", "rname"],
+    )
+    out = {r["id"]: r for r in
+           er_cluster(recs, "rname", "rid", threshold=0.95).collect()}
+    assert out[1]["cluster"] == out[2]["cluster"] == 1
+    assert out[1]["canonical_name"] == "robert smith"
+    assert out[2]["canonical_name"] == "robert smith"
+    assert out[3]["cluster"] == 3 and out[3]["canonical_name"] == "bob jones"
+    # same block 'r' as the roberts, but JW far below 0.95: singleton
+    assert out[4]["cluster"] == 4
+
+
+def test_er_cluster_matches_union_find_reference(spark):
+    # randomized: Spark ER clusters == a scalar-kernel + union-find
+    # reference over the same blocked pairs.
+    import random
+
+    from drugbankner_spark.functions.stringsim import (
+        er_cluster,
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(41)
+    base = ["alpha corp", "alpha corq", "beta llc", "betta llc",
+            "gamma inc", "gamma  inc", "delta gmbh", "epsilon sa"]
+    recs = [(i, rng.choice(base) + rng.choice(["", "", " x"]))
+            for i in range(40)]
+    thr, bp = 0.94, 1
+    parent = {i: i for i, _ in recs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, na in recs:
+        for j, nb in recs:
+            if i < j and na[:bp].lower() == nb[:bp].lower() \
+                    and round(jaro_winkler_py(na, nb), 6) >= thr:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i, _ in recs}
+    got = {r["id"]: r["cluster"] for r in er_cluster(
+        spark.createDataFrame(recs, ["rid", "rname"]),
+        "rname", "rid", threshold=thr, block_prefix=bp,
+    ).collect()}
+    assert got == want

@@ -93,6 +93,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e3_kn_ppl",        # interpolated Kneser-Ney perplexity
         "g_bfs_distances",  # k-hop BFS vs recursive-CTE oracle
         "g_label_prop",     # sync LPA vs chained-CTE replay
+        "er_resolve",       # composed ER: block -> JW -> CC -> rep
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
