@@ -149,10 +149,14 @@ def assemble_reference_json(
     )
 
 
-def checkpoint(df: DataFrame, path: str) -> None:
-    """S4: Parquet checkpoint replacing the pickle restart files."""
-    df.write.mode("overwrite").parquet(path)
+def checkpoint(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S4: columnar checkpoint replacing the pickle restart files.
+    ``fmt`` is any Spark-native columnar format — ``parquet`` (default)
+    or ``orc`` (both ship in-core: predicate pushdown, column pruning,
+    and min/max stats work identically; ORC matters when the
+    surrounding lake is Hive/ORC-standardized)."""
+    df.write.mode("overwrite").format(fmt).save(path)
 
 
-def restore(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def restore(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(path)

@@ -193,3 +193,30 @@ def test_jsonl_gzip_transparent_read(spark, tmpdir):
     back = spark.read.schema(docs.schema).json(path)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, docs.collect()))
+
+
+def test_orc_checkpoint_roundtrip_and_pushdown(spark, tmpdir):
+    # S4 variant (round 6 late): ORC is the second in-core columnar
+    # checkpoint format — full value/schema round-trip including a
+    # timestamp and an array column, and the read plan shows the
+    # filter pushed to the ORC scan.
+    import pyspark.sql.functions as F
+
+    orders = (
+        load_table(spark, SF, "orders").limit(50)
+        .withColumn("tags", F.array(F.lit("a"), F.lit("b")))
+    )
+    path = os.path.join(tmpdir, "ckpt_orc")
+    P.checkpoint(orders, path, fmt="orc")
+    back = P.restore(spark, path, fmt="orc")
+    want = sorted(map(tuple, orders.drop("tags").collect()))
+    got = sorted(map(tuple, back.drop("tags").collect()))
+    assert got == want
+    # file sources re-read as nullable (containers too): compare
+    # names + simpleString types only
+    assert [(f.name, f.dataType.simpleString()) for f in back.schema] \
+        == [(f.name, f.dataType.simpleString()) for f in orders.schema]
+    plan = back.filter(F.col("o_orderkey") == 1)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan
+
