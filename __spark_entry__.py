@@ -2933,6 +2933,44 @@ def _j_jw_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e3_gopher_rep(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher §A1.1 repetition signals (round 6 late): line structure is
+    # synthesized deterministically (every ' table ' becomes a line
+    # break — replace() is left-to-right non-overlapping in BOTH
+    # engines), then dup-line fractions and top/dup n-gram char masses
+    # for n=2..10 are hash-checked cross-engine from ONE explode.
+    from drugbankner_spark.operators.textanalysis import (
+        gopher_repetition_signals,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "),
+                  F.lit("\n")).alias("text"),
+    )
+    return gopher_repetition_signals(synth)
+
+
+def _e1_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # C4 cleaning rules (round 6 late) over deterministically
+    # synthesized pages: ' table ' -> '.\n' gives terminal-punct line
+    # breaks, ' slow ' -> ' javascript ' plants the blocklist word,
+    # ' end.' closes the last line, and every 7th doc gets a '{' (page
+    # flag). Line keeps, ordered reassembly, and page flags all
+    # hash-checked.
+    from drugbankner_spark.operators.corpus import c4_filter
+
+    docs = load_table(spark, sf, "documents")
+    s1 = F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    s2 = F.replace(s1, F.lit(" slow "), F.lit(" javascript "))
+    s3 = F.concat(s2, F.lit(" end."))
+    s4 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(s3, F.lit(" {"))
+    ).otherwise(s3)
+    return c4_filter(docs.select("doc_id", s4.alias("text")))
+
+
 def _er_resolve(spark: SparkSession, sf: str) -> DataFrame:
     # Composed entity resolution (round 6 late): block -> Jaro-Winkler
     # -> threshold -> connected components -> canonical rep, end to
@@ -3520,8 +3558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash-checked), g_bfs_distances (multi-source k-hop BFS vs a
     recursive-CTE oracle), g_label_prop (synchronous LPA communities
     vs a chained-CTE replay), er_resolve (composed entity resolution:
-    block -> JW -> CC -> canonical rep in one hash-checked row) —
-    plus the 24 demoted names above."""
+    block -> JW -> CC -> canonical rep in one hash-checked row),
+    e3_gopher_rep (Gopher §A1.1 repetition signal set, one explode for
+    n=2..10), e1_c4_filter (C4 line rules + page flags, pure
+    higher-order expressions) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3609,6 +3649,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bfs_distances": _g_bfs_distances,
         "g_label_prop": _g_label_prop,
         "er_resolve": _er_resolve,
+        "e3_gopher_rep": _e3_gopher_rep,
+        "e1_c4_filter": _e1_c4_filter,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -6987,6 +7029,170 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round 6: exact triangle count — canonical a<b<c closed-triple
         # join (equals the degree-oriented Spark algorithm's count)
+        # e3_gopher_rep: the same synthesized lines, then dup-line and
+        # top/dup n-gram char masses for n=2..10 from one gram table
+        # (n driven by a VALUES dim, not 9 copies of the query).
+        "e3_gopher_rep": """
+            WITH synth AS (
+                SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, length(text) AS nc,
+                       string_split(text, ' ') AS tk,
+                       string_split(text, chr(10)) AS ls
+                FROM synth
+            ),
+            ns(n, is_top) AS (
+                VALUES (2, true), (3, true), (4, true), (5, false),
+                       (6, false), (7, false), (8, false), (9, false),
+                       (10, false)
+            ),
+            grams AS (
+                SELECT b.doc_id, ns.n, ns.is_top, b.nc,
+                       array_to_string(
+                           list_slice(b.tk, i, i + ns.n - 1), ' '
+                       ) AS gram
+                FROM base b, ns,
+                     UNNEST(generate_series(
+                         1, greatest(len(b.tk) - ns.n + 1, 0))) AS g(i)
+            ),
+            gcnt AS (
+                SELECT doc_id, n, is_top, gram,
+                       max(nc) AS nc, count(*) AS c
+                FROM grams GROUP BY doc_id, n, is_top, gram
+            ),
+            per_n AS (
+                SELECT doc_id, n, is_top,
+                       max(c * length(gram)) AS top_mass,
+                       sum(CASE WHEN c >= 2
+                           THEN c * length(gram) END) AS dup_mass,
+                       max(nc) AS nc
+                FROM gcnt GROUP BY doc_id, n, is_top
+            ),
+            gd AS (
+                SELECT doc_id,
+                       round(coalesce(max(CASE WHEN n = 2
+                           THEN top_mass / nc END), 0), 6)
+                           AS top2gram_char_frac,
+                       round(coalesce(max(CASE WHEN n = 3
+                           THEN top_mass / nc END), 0), 6)
+                           AS top3gram_char_frac,
+                       round(coalesce(max(CASE WHEN n = 4
+                           THEN top_mass / nc END), 0), 6)
+                           AS top4gram_char_frac,
+                       round(coalesce(max(CASE WHEN n = 5
+                           THEN dup_mass / nc END), 0), 6)
+                           AS dup5gram_char_frac,
+                       round(coalesce(max(CASE WHEN n = 6
+                           THEN dup_mass / nc END), 0), 6)
+                           AS dup6gram_char_frac,
+                       round(coalesce(max(CASE WHEN n = 7
+                           THEN dup_mass / nc END), 0), 6)
+                           AS dup7gram_char_frac,
+                       round(coalesce(max(CASE WHEN n = 8
+                           THEN dup_mass / nc END), 0), 6)
+                           AS dup8gram_char_frac,
+                       round(coalesce(max(CASE WHEN n = 9
+                           THEN dup_mass / nc END), 0), 6)
+                           AS dup9gram_char_frac,
+                       round(coalesce(max(CASE WHEN n = 10
+                           THEN dup_mass / nc END), 0), 6)
+                           AS dup10gram_char_frac
+                FROM per_n GROUP BY doc_id
+            ),
+            lcnt AS (
+                SELECT doc_id, line, count(*) AS c
+                FROM (SELECT doc_id, unnest(ls) AS line FROM base)
+                GROUP BY doc_id, line
+            ),
+            ld AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_lines,
+                       round((sum(c) - count(*)) / sum(c), 6)
+                           AS dup_line_frac,
+                       round(coalesce(
+                           sum(CASE WHEN c >= 2
+                               THEN c * length(line) END)
+                           / sum(c * length(line)), 0), 6)
+                           AS dup_line_char_frac
+                FROM lcnt GROUP BY doc_id
+            )
+            SELECT ld.doc_id, ld.n_lines, ld.dup_line_frac,
+                   ld.dup_line_char_frac,
+                   coalesce(gd.top2gram_char_frac, 0)
+                       AS top2gram_char_frac,
+                   coalesce(gd.top3gram_char_frac, 0)
+                       AS top3gram_char_frac,
+                   coalesce(gd.top4gram_char_frac, 0)
+                       AS top4gram_char_frac,
+                   coalesce(gd.dup5gram_char_frac, 0)
+                       AS dup5gram_char_frac,
+                   coalesce(gd.dup6gram_char_frac, 0)
+                       AS dup6gram_char_frac,
+                   coalesce(gd.dup7gram_char_frac, 0)
+                       AS dup7gram_char_frac,
+                   coalesce(gd.dup8gram_char_frac, 0)
+                       AS dup8gram_char_frac,
+                   coalesce(gd.dup9gram_char_frac, 0)
+                       AS dup9gram_char_frac,
+                   coalesce(gd.dup10gram_char_frac, 0)
+                       AS dup10gram_char_frac
+            FROM ld LEFT JOIN gd ON gd.doc_id = ld.doc_id
+        """,
+        # e1_c4_filter: same synthesized pages; line keeps via the same
+        # three rules, ordered reassembly via string_agg ORDER BY line
+        # index (string_agg skips the NULLed dropped lines).
+        "e1_c4_filter": """
+            WITH synth AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN base_text || ' {'
+                            ELSE base_text END AS text
+                FROM (
+                    SELECT doc_id,
+                           replace(replace(text, ' table ',
+                                           '.' || chr(10)),
+                                   ' slow ', ' javascript ')
+                           || ' end.' AS base_text
+                    FROM documents
+                )
+            ),
+            ln AS (
+                SELECT s.doc_id, i, ls[i] AS line
+                FROM (SELECT doc_id,
+                             string_split(text, chr(10)) AS ls
+                      FROM synth) s,
+                     UNNEST(generate_series(1, len(ls))) AS g(i)
+            ),
+            flags AS (
+                SELECT doc_id, i, line,
+                       (right(line, 1) IN ('.', '!', '?', '"')
+                        AND len(list_filter(string_split(line, ' '),
+                                            w -> w <> '')) >= 3
+                        AND NOT contains(lower(line), 'javascript'))
+                           AS ok
+                FROM ln
+            ),
+            agg AS (
+                SELECT doc_id,
+                       coalesce(string_agg(
+                           CASE WHEN ok THEN line END, chr(10)
+                           ORDER BY i), '') AS text,
+                       CAST(count(*) FILTER (ok) AS INT)
+                           AS n_lines_kept,
+                       CAST(count(*) - count(*) FILTER (ok) AS INT)
+                           AS n_lines_dropped
+                FROM flags GROUP BY doc_id
+            )
+            SELECT a.doc_id, a.text, a.n_lines_kept, a.n_lines_dropped,
+                   contains(s.text, '{') AS has_brace,
+                   contains(lower(s.text), 'lorem ipsum') AS has_lorem,
+                   (NOT contains(s.text, '{')
+                    AND NOT contains(lower(s.text), 'lorem ipsum')
+                    AND a.n_lines_kept >= 1) AS keep
+            FROM agg a JOIN synth s ON s.doc_id = a.doc_id
+        """,
         # er_resolve: the whole ER pipeline replayed — DuckDB's builtin
         # JW for blocked pairs, recursive-CTE reachability for the CC
         # labels, canonical name via self-join on the min member id.

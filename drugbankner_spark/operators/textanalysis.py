@@ -1041,3 +1041,114 @@ def ngram_topk(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def gopher_repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The Gopher §A1.1 REPETITION signals (Rae et al. 2021) that
+    :func:`gopher_quality_filter` doesn't cover — per document:
+
+    - ``dup_line_frac``: duplicated lines / total lines
+    - ``dup_line_char_frac``: chars inside lines occurring ≥ 2 times
+      (all occurrences) / total line chars
+    - ``top{n}gram_char_frac`` for n ∈ ``top_ns``: max over n-grams of
+      ``count · len(gram)`` / total chars — the mass of the single
+      heaviest n-gram (max of the product, so no tiebreak needed)
+    - ``dup{n}gram_char_frac`` for n ∈ ``dup_ns``: Σ over n-grams with
+      count ≥ 2 of ``count · len(gram)`` / total chars — an
+      overlap-agnostic upper bound (the published rule de-overlaps;
+      the convention here is deterministic and engine-replicable, and
+      thresholds calibrate the same way)
+
+    Fractions are 6dp; documents shorter than n contribute 0. ONE
+    explode produces every (n, gram) pair, so the whole signal set
+    costs one shuffle keyed by (doc, n, gram) plus a per-doc line agg
+    — not one pass per n. 100 TB shape: everything partitions on the
+    document id; no dimension tables, no skew (gram keys are salted by
+    doc id by construction)."""
+    t = F.col(text_col)
+    pre = docs.select(
+        F.col(id_col),
+        F.length(t).alias("_nc"),
+        tokens(t).alias("_tk"),
+        F.split(t, "\n").alias("_ln"),
+    )
+    all_ns = list(top_ns) + list(dup_ns)
+
+    def _tag(n: int):
+        # single-arg lambda: a second parameter would make F.transform
+        # pass the element INDEX into it (the (x, i) calling
+        # convention), silently replacing the captured n
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_structs = F.flatten(
+        F.array(*[
+            F.transform(_word_ngrams(F.col("_tk"), n), _tag(n))
+            for n in all_ns
+        ])
+    )
+    gcnt = (
+        pre.select(
+            F.col(id_col), "_nc",
+            F.explode(gram_structs).alias("_g"),
+        )
+        .groupBy(F.col(id_col), F.col("_g.n").alias("n"),
+                 F.col("_g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("c"), F.max("_nc").alias("_nc"))
+    )
+    mass = F.col("c") * F.length("gram")
+    per_n = gcnt.groupBy(id_col, "n").agg(
+        F.max(mass).alias("_top_mass"),
+        F.sum(F.when(F.col("c") >= 2, mass)).alias("_dup_mass"),
+        F.max("_nc").alias("_nc"),
+    )
+    gram_cols = [
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n,
+                             F.col("_top_mass") / F.col("_nc"))),
+                F.lit(0.0),
+            ), 6,
+        ).alias(f"top{n}gram_char_frac")
+        for n in top_ns
+    ] + [
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n,
+                             F.col("_dup_mass") / F.col("_nc"))),
+                F.lit(0.0),
+            ), 6,
+        ).alias(f"dup{n}gram_char_frac")
+        for n in dup_ns
+    ]
+    grams_doc = per_n.groupBy(id_col).agg(*gram_cols)
+    lcnt = (
+        pre.select(F.col(id_col), F.explode("_ln").alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    line_mass = F.col("c") * F.length("line")
+    lines_doc = lcnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, line_mass))
+                / F.sum(line_mass),
+                F.lit(0.0),
+            ), 6,
+        ).alias("dup_line_char_frac"),
+    )
+    return lines_doc.join(grams_doc, id_col, "left").select(
+        id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+          for c in [f"top{n}gram_char_frac" for n in top_ns]
+          + [f"dup{n}gram_char_frac" for n in dup_ns]],
+    )

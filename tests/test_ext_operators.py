@@ -2168,3 +2168,94 @@ def test_kn_lm_in_domain_scores_higher(spark):
             > out[12]["mean_logprob"])
     # perplexity is the inverse face of the same ordering
     assert out[10]["ppl"] < out[11]["ppl"] < out[12]["ppl"]
+
+
+def _gopher_rep_reference(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    from collections import Counter
+
+    out = {}
+    lines = text.split("\n")
+    lc = Counter(lines)
+    out["n_lines"] = len(lines)
+    out["dup_line_frac"] = round(
+        (len(lines) - len(lc)) / len(lines), 6)
+    tot_lc = sum(len(l) for l in lines)
+    dup_lc = sum(c * len(l) for l, c in lc.items() if c >= 2)
+    out["dup_line_char_frac"] = round(
+        dup_lc / tot_lc, 6) if tot_lc else 0.0
+    toks = text.split(" ")
+    nc = len(text)
+    for n in list(top_ns) + list(dup_ns):
+        grams = Counter(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        key = (f"top{n}gram_char_frac" if n in top_ns
+               else f"dup{n}gram_char_frac")
+        if not grams:
+            out[key] = 0.0
+        elif n in top_ns:
+            out[key] = round(
+                max(c * len(g) for g, c in grams.items()) / nc, 6)
+        else:
+            out[key] = round(
+                sum(c * len(g) for g, c in grams.items() if c >= 2) / nc,
+                6)
+    return out
+
+
+def test_gopher_repetition_signals_vs_reference(spark):
+    # round 6 late: the Gopher §A1.1 repetition signal set — Spark ==
+    # a Counter-based reference on hand-shaped and randomized docs.
+    import random
+
+    from drugbankner_spark.operators.textanalysis import (
+        gopher_repetition_signals,
+    )
+
+    rng = random.Random(47)
+    vocab = ["q", "w", "e", "r", "t", "yy"]
+    docs = [
+        (0, "a b a b c"),
+        (1, "x\nx\ny y y y y y"),
+        (2, "q w e r t q w e r t q w e r t"),   # dup 5-grams
+        (3, "solo"),
+    ] + [
+        (10 + i,
+         "\n".join(
+             " ".join(rng.choice(vocab)
+                      for _ in range(rng.randint(1, 14)))
+             for _ in range(rng.randint(1, 4))))
+        for i in range(12)
+    ]
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition_signals(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    assert set(got) == {d for d, _ in docs}
+    for did, text in docs:
+        want = _gopher_rep_reference(text)
+        for k, v in want.items():
+            assert abs(got[did][k] - v) < 1e-9, (did, k, got[did][k], v)
+
+
+def test_c4_filter_goldens(spark):
+    # round 6 late: C4 line rules (terminal punct, >=3 words, no
+    # javascript) + page flags (brace, lorem ipsum, empty page).
+    from drugbankner_spark.operators.corpus import c4_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, 'good line here.\nshort.\nno punct at all\n'
+                'uses JavaScript heavily.\nanother "fine" line!'),
+            (1, "decent text here. { lorem\nmore words follow."),
+            (2, "Lorem Ipsum dolor sit amet."),
+            (3, "nothing survives here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in c4_filter(docs).collect()}
+    assert out[0]["text"] == 'good line here.\nanother "fine" line!'
+    assert out[0]["n_lines_kept"] == 2 and out[0]["n_lines_dropped"] == 3
+    assert out[0]["keep"] is True
+    assert out[1]["has_brace"] is True and out[1]["keep"] is False
+    assert out[1]["n_lines_kept"] == 1  # second line fine, page flagged
+    assert out[2]["has_lorem"] is True and out[2]["keep"] is False
+    assert out[3]["n_lines_kept"] == 0 and out[3]["text"] == ""
+    assert out[3]["keep"] is False

@@ -94,6 +94,8 @@ def test_round7_pool_names_stay_oracle_ready():
         "g_bfs_distances",  # k-hop BFS vs recursive-CTE oracle
         "g_label_prop",     # sync LPA vs chained-CTE replay
         "er_resolve",       # composed ER: block -> JW -> CC -> rep
+        "e3_gopher_rep",    # Gopher repetition signals, n=2..10
+        "e1_c4_filter",     # C4 line rules + page flags
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
