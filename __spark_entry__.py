@@ -2971,6 +2971,47 @@ def _e1_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
     return c4_filter(docs.select("doc_id", s4.alias("text")))
 
 
+def _e5_span_corrupt(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic T5 span corruption (round 6 late): hash-seeded
+    # span starts/lengths, gaps-and-islands merge, sentinel rendering
+    # of inputs/targets — every piece (md5 hash, window island ids,
+    # ordered reassembly) replicated in SQL and hash-checked.
+    from drugbankner_spark.operators.sft import span_corrupt
+
+    docs = load_table(spark, sf, "documents")
+    return span_corrupt(docs)
+
+
+def _e1_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    # PII scrub (round 6 late): deterministic synthetic PII — emails,
+    # IPs, SSNs, phones keyed off doc_id residues so docs carry
+    # different mixes — then the sequential redaction with per-kind
+    # counts, hash-checked against RE2 (DuckDB) running the SAME
+    # patterns: genuine cross-dialect regex parity.
+    from drugbankner_spark.operators.pii import pii_scrub
+
+    docs = load_table(spark, sf, "documents")
+    d = F.col("doc_id")
+    extra = F.concat(
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" u"), d.cast("string"), F.lit("@ex.io")
+        )).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.concat(
+            F.lit(" at 10."), (d % 256).cast("string"), F.lit(".3.7")
+        )).otherwise(F.lit("")),
+        F.when(d % 5 == 2, F.concat(
+            F.lit(" ssn 123-45-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")),
+        F.when(d % 7 == 3, F.lit(" call +1 555 123 4567"))
+        .otherwise(F.lit("")),
+    )
+    synth = docs.select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+    return pii_scrub(synth)
+
+
 def _er_resolve(spark: SparkSession, sf: str) -> DataFrame:
     # Composed entity resolution (round 6 late): block -> Jaro-Winkler
     # -> threshold -> connected components -> canonical rep, end to
@@ -3561,7 +3602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     block -> JW -> CC -> canonical rep in one hash-checked row),
     e3_gopher_rep (Gopher §A1.1 repetition signal set, one explode for
     n=2..10), e1_c4_filter (C4 line rules + page flags, pure
-    higher-order expressions) — plus the 24 demoted names above."""
+    higher-order expressions), e1_pii_scrub (sequential regex PII
+    redaction, Java-vs-RE2 dialect parity), e5_span_corrupt
+    (deterministic T5 denoising spans, hash-seeded + islands-merged) —
+    plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3651,6 +3695,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_resolve": _er_resolve,
         "e3_gopher_rep": _e3_gopher_rep,
         "e1_c4_filter": _e1_c4_filter,
+        "e1_pii_scrub": _e1_pii_scrub,
+        "e5_span_corrupt": _e5_span_corrupt,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7192,6 +7238,153 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(s.text), 'lorem ipsum')
                     AND a.n_lines_kept >= 1) AS keep
             FROM agg a JOIN synth s ON s.doc_id = a.doc_id
+        """,
+        # e5_span_corrupt: hash-seeded starts/lengths (md5 kernel),
+        # gaps-and-islands merge via the same two windows, sentinel
+        # reassembly via ordered string_agg.
+        "e5_span_corrupt": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents
+            ),
+            tp AS (
+                SELECT doc_id, len(tk) AS n, p, tk[p] AS tok
+                FROM toks,
+                     UNNEST(generate_series(1, len(tk))) AS g(p)
+            ),
+            starts AS (
+                SELECT doc_id, p AS s,
+                       least(p + {_sql_hash32(
+                           "CAST(doc_id AS VARCHAR) || '#' "
+                           "|| CAST(p AS VARCHAR)")} % 3, n) AS e
+                FROM tp
+                WHERE {_sql_hash32(
+                    "CAST(doc_id AS VARCHAR) || ':' "
+                    "|| CAST(p AS VARCHAR)")} % 7 = 0
+            ),
+            flagged AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                           PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)
+                       THEN 1 ELSE 0 END AS new_f
+                FROM starts
+            ),
+            isl0 AS (
+                SELECT doc_id, s, e,
+                       sum(new_f) OVER (
+                           PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+                FROM flagged
+            ),
+            islands AS (
+                SELECT doc_id, island, min(s) AS s, max(e) AS e
+                FROM isl0 GROUP BY doc_id, island
+            ),
+            cov AS (
+                SELECT tp.doc_id, tp.p, tp.tok, i.s, i.e, i.island
+                FROM tp LEFT JOIN islands i
+                  ON i.doc_id = tp.doc_id
+                 AND tp.p >= i.s AND tp.p <= i.e
+            ),
+            inp AS (
+                SELECT doc_id, string_agg(
+                    CASE WHEN s IS NULL THEN tok
+                         WHEN p = s THEN '<extra_id_'
+                             || CAST(island - 1 AS VARCHAR) || '>'
+                    END, ' ' ORDER BY p) AS inputs
+                FROM cov GROUP BY doc_id
+            ),
+            spans AS (
+                SELECT doc_id, island,
+                       '<extra_id_' || CAST(island - 1 AS VARCHAR)
+                       || '> ' || string_agg(tok, ' ' ORDER BY p) AS t,
+                       count(*) AS sl
+                FROM cov WHERE s IS NOT NULL
+                GROUP BY doc_id, island
+            ),
+            tg AS (
+                SELECT doc_id,
+                       string_agg(t, ' ' ORDER BY island) AS targets,
+                       CAST(count(*) AS INT) AS n_spans,
+                       CAST(sum(sl) AS INT) AS n_noise_tokens
+                FROM spans GROUP BY doc_id
+            )
+            SELECT i.doc_id, i.inputs,
+                   coalesce(tg.targets, '') AS targets,
+                   coalesce(tg.n_spans, 0) AS n_spans,
+                   coalesce(tg.n_noise_tokens, 0) AS n_noise_tokens
+            FROM inp i LEFT JOIN tg ON tg.doc_id = i.doc_id
+        """,
+        # e1_pii_scrub: the same four patterns in RE2, applied in the
+        # same order, counts on each intermediate text, global-flag
+        # regexp_replace.
+        "e1_pii_scrub": """
+            WITH synth AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.io'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 4 = 1
+                          THEN ' at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.3.7'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 2
+                          THEN ' ssn 123-45-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                       4, '0')
+                          ELSE '' END
+                       || CASE WHEN doc_id % 7 = 3
+                          THEN ' call +1 555 123 4567'
+                          ELSE '' END AS text
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       )) AS INT) AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS text
+                FROM synth
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(text,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                       )) AS INT) AS n_ipv4,
+                       regexp_replace(text,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '[IP]', 'g') AS text
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       CAST(len(regexp_extract_all(text,
+                           '\\b\\d{3}-\\d{2}-\\d{4}\\b'
+                       )) AS INT) AS n_ssn,
+                       regexp_replace(text,
+                           '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                           '[SSN]', 'g') AS text
+                FROM s2
+            ),
+            s4 AS (
+                SELECT doc_id, n_email, n_ipv4, n_ssn,
+                       CAST(len(regexp_extract_all(text,
+                           '\\+?\\d[\\d() -]{7,}\\d'
+                       )) AS INT) AS n_phone,
+                       regexp_replace(text,
+                           '\\+?\\d[\\d() -]{7,}\\d',
+                           '[PHONE]', 'g') AS text
+                FROM s3
+            )
+            SELECT doc_id, text, n_email, n_ipv4, n_ssn, n_phone,
+                   (n_email + n_ipv4 + n_ssn + n_phone) > 0 AS has_pii
+            FROM s4
         """,
         # er_resolve: the whole ER pipeline replayed — DuckDB's builtin
         # JW for blocked pairs, recursive-CTE reachability for the CC

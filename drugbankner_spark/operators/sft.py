@@ -130,3 +130,152 @@ def render_chat(
         ).alias("assistant_spans")] if with_spans else [] ),
     )
     return out
+
+
+def span_corrupt(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    every_k: int = 7,
+    max_span: int = 3,
+    kernel: str = "md5",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4), made
+    DETERMINISTIC: instead of sampling spans, token position ``p``
+    starts a noise span iff ``hash32(id:p) % every_k == 0``, with span
+    length ``1 + hash32(id#p) % max_span``; overlapping spans merge
+    (gaps-and-islands), and each merged span becomes ``<extra_id_n>``
+    in the inputs with the removed tokens behind the same sentinel in
+    the targets — the standard denoising-objective rendering, but
+    reproducible across engines, partitionings, and reruns (the same
+    hash-not-RNG convention as every sampler in this repo).
+
+    Output: (id, inputs, targets, n_spans, n_noise_tokens); untouched
+    docs get their original text, empty targets, 0 spans.
+
+    Shape: one token explode + per-doc windows for the island merge +
+    a bounded range join (tokens x merged spans WITHIN a doc) + two
+    ordered reassembly aggs — everything keys on the doc id, so at
+    100 TB it partitions like every other corpus op and the range join
+    never crosses documents."""
+    from pyspark.sql import Window
+
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    toks_pos = (
+        docs.select(
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("_tk"),
+        )
+        .select(
+            id_col,
+            F.size("_tk").alias("_n"),
+            F.posexplode("_tk").alias("_p0", "tok"),
+        )
+        .select(
+            id_col, "_n", "tok", (F.col("_p0") + 1).alias("p")
+        )
+    )
+    idc = F.col(id_col).cast("string")
+    h_start = content_hash32(
+        F.concat(idc, F.lit(":"), F.col("p").cast("string")), kernel
+    )
+    h_len = content_hash32(
+        F.concat(idc, F.lit("#"), F.col("p").cast("string")), kernel
+    )
+    starts = toks_pos.filter(h_start % every_k == 0).select(
+        id_col,
+        F.col("p").alias("s"),
+        F.least(F.col("p") + h_len % max_span, F.col("_n")).alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = starts.withColumn(
+        "_new", F.when(
+            F.col("s") > F.coalesce(prev_max_e, F.lit(0)), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).groupBy(id_col, "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("island") - 1).cast("string"),
+        F.lit(">"),
+    )
+    isl = islands.select(
+        F.col(id_col).alias("_iid"), "island", "s", "e"
+    )
+    cov = toks_pos.join(
+        isl,
+        (toks_pos[id_col] == isl["_iid"])
+        & (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")),
+        "left",
+    ).select(
+        toks_pos[id_col].alias("_id"), "p", "tok", "s", "e", "island"
+    )
+    piece = (
+        F.when(F.col("s").isNull(), F.col("tok"))
+        .when(F.col("p") == F.col("s"),
+              F.concat(F.lit("<extra_id_"),
+                       (F.col("island") - 1).cast("string"), F.lit(">")))
+    )
+    inputs = (
+        cov.withColumn("_piece", piece)
+        .filter(F.col("_piece").isNotNull())
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("p", "_piece"))),
+                    lambda x: x["_piece"],
+                ), " ",
+            ).alias("inputs")
+        )
+    )
+    spans = (
+        cov.filter(F.col("s").isNotNull())
+        .groupBy("_id", "island", "s")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ), " ",
+            ).alias("_span_text"),
+            F.count(F.lit(1)).alias("_span_len"),
+        )
+    )
+    targets = spans.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "island",
+                    F.concat(
+                        F.lit("<extra_id_"),
+                        (F.col("island") - 1).cast("string"),
+                        F.lit("> "), F.col("_span_text"),
+                    ).alias("t"),
+                ))),
+                lambda x: x["t"],
+            ), " ",
+        ).alias("targets"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("_span_len").alias("n_noise_tokens"),
+    )
+    return (
+        inputs.join(targets, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "inputs",
+            F.coalesce("targets", F.lit("")).alias("targets"),
+            F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("n_noise_tokens", F.lit(0)).cast("int")
+            .alias("n_noise_tokens"),
+        )
+    )

@@ -2259,3 +2259,113 @@ def test_c4_filter_goldens(spark):
     assert out[2]["has_lorem"] is True and out[2]["keep"] is False
     assert out[3]["n_lines_kept"] == 0 and out[3]["text"] == ""
     assert out[3]["keep"] is False
+
+
+def test_pii_scrub_goldens(spark):
+    # round 6 late: sequential email -> ipv4 -> ssn -> phone redaction
+    # with per-kind counts; digits consumed by an earlier pattern can't
+    # re-match later ones.
+    from drugbankner_spark.operators.pii import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@ex-corp.io now"),
+            (1, "server at 10.0.3.7 port open"),
+            (2, "ssn 123-45-6789 leaked"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text with no pii"),
+            (5, "a@b.io and 1.2.3.4 and 999-88-7777"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[0]["text"] == "mail [EMAIL] now"
+    assert out[0]["n_email"] == 1 and out[0]["has_pii"] is True
+    assert out[1]["text"] == "server at [IP] port open"
+    assert out[2]["text"] == "ssn [SSN] leaked"
+    assert out[3]["text"] == "call [PHONE] today"
+    assert out[3]["n_phone"] == 1
+    assert out[4]["text"] == "clean text with no pii"
+    assert out[4]["has_pii"] is False
+    assert out[5]["text"] == "[EMAIL] and [IP] and [SSN]"
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_ssn"],
+            out[5]["n_phone"]) == (1, 1, 1, 0)
+
+
+def _span_corrupt_reference(doc_id, text, every_k=7, max_span=3):
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    toks = text.split(" ")
+    n = len(toks)
+    raw = []
+    for p in range(1, n + 1):
+        if h32(f"{doc_id}:{p}") % every_k == 0:
+            raw.append((p, min(p + h32(f"{doc_id}#{p}") % max_span, n)))
+    raw.sort()
+    merged = []
+    for s, e in raw:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    inp, tgt, covered = [], [], set()
+    for j, (s, e) in enumerate(merged):
+        tgt.append(f"<extra_id_{j}> " + " ".join(toks[s - 1:e]))
+        covered.update(range(s, e + 1))
+    j = 0
+    for p in range(1, n + 1):
+        if p not in covered:
+            inp.append(toks[p - 1])
+        elif j < len(merged) and merged[j][0] == p:
+            inp.append(f"<extra_id_{j}>")
+            j += 1
+    return (" ".join(inp), " ".join(tgt), len(merged), len(covered))
+
+
+def test_span_corrupt_matches_reference(spark):
+    # round 6 late: deterministic T5 span corruption == a plain-python
+    # reference (same md5 hash convention) on randomized docs.
+    import random
+
+    from drugbankner_spark.operators.sft import span_corrupt
+
+    rng = random.Random(53)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(30)}"
+                     for _ in range(rng.randint(1, 40))))
+        for i in range(25)
+    ]
+    got = {r["doc_id"]: r for r in span_corrupt(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    assert set(got) == {d for d, _ in docs}
+    n_corrupted = 0
+    for did, text in docs:
+        inp, tgt, ns, nn = _span_corrupt_reference(did, text)
+        r = got[did]
+        assert (r["inputs"], r["targets"], r["n_spans"],
+                r["n_noise_tokens"]) == (inp, tgt, ns, nn), did
+        n_corrupted += ns > 0
+    assert n_corrupted >= 5  # the hash actually fires
+
+
+def test_span_corrupt_reconstruction_invariant(spark):
+    # splicing each target span back over its sentinel reconstructs
+    # the original text exactly.
+    import re
+
+    from drugbankner_spark.operators.sft import span_corrupt
+
+    docs = [(i, " ".join(f"t{j % 11}" for j in range(i + 1)))
+            for i in range(1, 30)]
+    for r in span_corrupt(
+            spark.createDataFrame(docs, ["doc_id", "text"])).collect():
+        spans = {}
+        for m in re.finditer(r"<extra_id_(\d+)>([^<]*)", r["targets"]):
+            spans[int(m.group(1))] = m.group(2).strip()
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>",
+            lambda m: spans[int(m.group(1))], r["inputs"])
+        assert rebuilt == dict(docs)[r["doc_id"]]

@@ -96,6 +96,8 @@ def test_round7_pool_names_stay_oracle_ready():
         "er_resolve",       # composed ER: block -> JW -> CC -> rep
         "e3_gopher_rep",    # Gopher repetition signals, n=2..10
         "e1_c4_filter",     # C4 line rules + page flags
+        "e1_pii_scrub",     # sequential regex PII redaction
+        "e5_span_corrupt",  # deterministic T5 denoising spans
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
