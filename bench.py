@@ -84,6 +84,13 @@ HEADLINE = [
     "e5_dsir_weights",
     "e1_boilerplate_strip",
     "e3_wordpiece_apply",
+    # round 6 late (second wave): the 9-way n-gram repetition sweep
+    # (one explode for n=2..10 — the widest single gram shuffle),
+    # Kneser-Ney scoring (three model-dim joins), and the composed ER
+    # pipeline (blocked JW kernel + CC fixpoint)
+    "e3_gopher_rep",
+    "e3_kn_ppl",
+    "er_resolve",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch

@@ -74,7 +74,15 @@ def jaro_winkler_sim(a: Column, b: Column) -> Column:
     """Column form: Jaro–Winkler similarity in [0, 1] (NULL if either
     side is NULL), Arrow-batched. The UDF is created at call time (the
     repo convention — a module-level pandas_udf needs a live session
-    at import)."""
+    at import).
+
+    Marked ``asNondeterministic`` even though the kernel is pure: the
+    callers project the score AND filter on it, and a deterministic
+    Python UDF referenced by both gets extracted into TWO
+    ArrowEvalPython passes (Catalyst duplicates the expression when it
+    splits the filter from the project) — the flag pins Catalyst to
+    ONE kernel evaluation per pair, halving the only Python cost in
+    the ER path (plan-tested)."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     def _kernel(xs: "pd.Series", ys: "pd.Series") -> "pd.Series":
@@ -90,7 +98,9 @@ def jaro_winkler_sim(a: Column, b: Column) -> Column:
             dtype="float64",
         )
 
-    return pandas_udf(_kernel, "double", PandasUDFType.SCALAR)(a, b)
+    return pandas_udf(
+        _kernel, "double", PandasUDFType.SCALAR
+    ).asNondeterministic()(a, b)
 
 
 def jw_blocked_match(

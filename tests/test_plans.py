@@ -388,3 +388,49 @@ def test_wordpiece_apply_single_scan_arrow_pass(spark):
     # shuffle at all.
     df = QUERIES["e3_wordpiece_apply"](spark, SF)
     assert X.count_shuffles(df) == 0, X.plan_string(df, "simple")
+
+
+def test_c4_and_pii_run_at_scan_throughput(spark):
+    # round 6 late: both rule filters are pure column expressions —
+    # zero shuffles, no Python, single scan.
+    for name in ["e1_c4_filter", "e1_pii_scrub"]:
+        df = QUERIES[name](spark, SF)
+        plan = X.plan_string(df, "simple")
+        assert X.count_shuffles(df) == 0, (name, plan)
+        assert "Python" not in plan, name
+
+
+def test_gopher_rep_single_gram_shuffle_budget(spark):
+    # one explode covers n=2..10: the gram agg + per-n agg + per-doc
+    # agg + line aggs + one join — bounded, and never a cartesian.
+    df = QUERIES["e3_gopher_rep"](spark, SF)
+    assert not X.has_cartesian(df)
+    assert X.count_shuffles(df) <= 7, X.plan_string(df, "simple")
+
+
+def test_kn_ppl_broadcasts_bounded_model_dims(spark):
+    # all three KN model dims ride broadcast joins (the count-agg
+    # guard admits them); the corpus shuffles only for the final
+    # per-doc agg.
+    df = QUERIES["e3_kn_ppl"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert not X.has_cartesian(df)
+
+
+def test_er_resolve_blocked_equi_join_no_cartesian(spark):
+    # the ER candidate join is an equi join on the block key; JW runs
+    # as ONE Arrow pass over co-blocked pairs only.
+    from drugbankner_spark.functions.stringsim import er_self_pairs
+    from drugbankner_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    part = load_table(spark, SF, "part").filter(F.col("p_partkey") <= 50)
+    pairs = er_self_pairs(
+        part.select(F.col("p_partkey").alias("rid"),
+                    F.col("p_name").alias("rname")),
+        "rname", "rid",
+    )
+    plan = X.plan_string(pairs, "simple")
+    assert not X.has_cartesian(pairs), plan
+    assert plan.count("ArrowEvalPython") == 1, plan
