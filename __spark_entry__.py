@@ -1414,6 +1414,25 @@ def _e2_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def _e2_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    # Hard-negative mining (round 6 late): top-5 cosine negatives per
+    # query after anti-joining the labeled positives (q, q+1) and
+    # (q, q+2), skipping rank 1 (the false-negative hedge) — the
+    # DPR/Sentence-BERT recipe as one broadcast join + anti-join +
+    # window, oracled by brute force with NOT EXISTS.
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    pos = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(F.col("vec_id") + 1, F.col("vec_id") + 2)
+        ).alias("pos_id"),
+    )
+    return SIM.hard_negatives(emb, queries, pos, k=5, skip_top=1)
+
+
 #: Built LSH index paths keyed by (applicationId, sf dir) — build once,
 #: probe many (the ANN serving amortization; results are identical to
 #: inline lsh_topk, tested in tests/test_partitioning.py). applicationId,
@@ -3604,8 +3623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     n=2..10), e1_c4_filter (C4 line rules + page flags, pure
     higher-order expressions), e1_pii_scrub (sequential regex PII
     redaction, Java-vs-RE2 dialect parity), e5_span_corrupt
-    (deterministic T5 denoising spans, hash-seeded + islands-merged) —
-    plus the 24 demoted names above."""
+    (deterministic T5 denoising spans, hash-seeded + islands-merged),
+    e2_hard_negatives (DPR-style mining: anti-join labeled positives,
+    skip-top false-negative hedge) — plus the 24 demoted names
+    above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3697,6 +3718,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_c4_filter": _e1_c4_filter,
         "e1_pii_scrub": _e1_pii_scrub,
         "e5_span_corrupt": _e5_span_corrupt,
+        "e2_hard_negatives": _e2_hard_negatives,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -4612,6 +4634,38 @@ def _e2_cosine_topk_oracle() -> str:
     """
 
 
+def _e2_hard_negatives_oracle() -> str:
+    return f"""WITH pos AS (
+            SELECT vec_id AS query_id, vec_id + 1 AS pos_id
+            FROM embeddings WHERE vec_id < 5
+            UNION ALL
+            SELECT vec_id, vec_id + 2
+            FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({_SQL_COSINE}, 6) AS cos_sim
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+              AND NOT EXISTS (
+                  SELECT 1 FROM pos p
+                  WHERE p.query_id = q.vec_id
+                    AND p.pos_id = c.vec_id
+              )
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS r
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(r - 1 AS INTEGER) AS rank
+        FROM ranked WHERE r > 1 AND r <= 6
+    """
+
+
 def _lsh_bits_sql(num_planes: int = 8) -> str:
     from drugbankner_spark.operators.similarity import hyperplane
 
@@ -5250,6 +5304,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dfreq USING (term) CROSS JOIN n
         """,
         "e2_cosine_topk": _e2_cosine_topk_oracle(),
+        "e2_hard_negatives": _e2_hard_negatives_oracle(),
         "e2_lsh_topk": _e2_lsh_topk_oracle(),
         "e2_ivf_topk": _e2_ivf_topk_oracle(),
         "e2_pq_adc_topk": _pq_adc_oracle(),

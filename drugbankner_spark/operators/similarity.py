@@ -1307,3 +1307,62 @@ def dequantize_int8(
             lambda c: c.cast("double") * F.col(scale_col),
         ),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    pos_id_col: str = "pos_id",
+    k: int = 5,
+    skip_top: int = 0,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    Sentence-BERT recipe): per query, the ``k`` most-similar corpus
+    items that are NOT known positives and not the query itself.
+    ``skip_top`` drops the very hardest ranks first — the standard
+    hedge against false negatives (an unlabeled positive is most
+    likely to sit at rank 1). Output: (query_id, neighbor_id, cos_sim,
+    rank) with rank 1 = hardest kept negative.
+
+    Shape: the exact cosine join (query side broadcast, the
+    :func:`cosine_topk` pattern) + one anti-join against the labeled
+    positive pairs + one per-query window. At 100 TB you'd swap the
+    exact join for probe_lsh_index/probe_ivf_index candidates and keep
+    the anti-join + window unchanged — the mining logic is the same."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    pos = positives.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(pos_id_col).alias("neighbor_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(pos), ["query_id", "neighbor_id"], "left_anti")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter((F.col("_r") > skip_top) & (F.col("_r") <= skip_top + k))
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            (F.col("_r") - skip_top).alias("rank"),
+        )
+    )

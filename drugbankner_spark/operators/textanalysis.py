@@ -624,6 +624,12 @@ def train_kn_lm(
     )
     if min_count > 1:
         big = big.filter(F.col("n12") >= min_count)
+    return _kn_dims(big)
+
+
+def _kn_dims(big: DataFrame) -> dict:
+    """Derive the three KN side dims from a (w1, w2, n12) bigram table
+    — shared by training and shard merging."""
     ctx = big.groupBy("w1").agg(
         F.sum("n12").alias("n1"),
         F.count(F.lit(1)).alias("d_after"),
@@ -631,6 +637,46 @@ def train_kn_lm(
     cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("d_before"))
     types = big.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
     return {"bigrams": big, "ctx": ctx, "cont": cont, "types": types}
+
+
+def merge_kn_models(*models: dict) -> dict:
+    """Merge KN models trained on disjoint corpus shards into the
+    model of the union — bigram counts are sufficient statistics
+    (they ADD), and every derived dim recomputes from the merged
+    table, so ``merge(train(A), train(B)) ≡ train(A ∪ B)`` exactly
+    (tested). This is the 100 TB training story: shard the corpus,
+    train partials map-side, merge with one (w1, w2) agg — the same
+    mergeable-partial shape as the sketches and streaming stats.
+    (Only valid when the shard models were trained with min_count=1;
+    a pruned shard has already discarded counts the union needs.)"""
+    from functools import reduce
+
+    big = (
+        reduce(DataFrame.unionByName, [m["bigrams"] for m in models])
+        .groupBy("w1", "w2")
+        .agg(F.sum("n12").alias("n12"))
+    )
+    return _kn_dims(big)
+
+
+def merge_word_lm_models(*models: dict) -> dict:
+    """Shard-merge for the stupid-backoff model: unigram, bigram, and
+    total counts all add (same sufficient-statistic argument as
+    :func:`merge_kn_models`, same min_count=1 caveat)."""
+    from functools import reduce
+
+    big = (
+        reduce(DataFrame.unionByName, [m["bigrams"] for m in models])
+        .groupBy("w1", "w2")
+        .agg(F.sum("n12").alias("n12"))
+    )
+    uni = (
+        reduce(DataFrame.unionByName, [m["unigrams"] for m in models])
+        .groupBy("w")
+        .agg(F.sum("n1").alias("n1"))
+    )
+    total = uni.agg(F.sum("n1").cast("double").alias("total"))
+    return {"bigrams": big, "unigrams": uni, "total": total}
 
 
 def kn_lm_logprob(

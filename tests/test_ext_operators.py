@@ -2369,3 +2369,84 @@ def test_span_corrupt_reconstruction_invariant(spark):
             r"<extra_id_(\d+)>",
             lambda m: spans[int(m.group(1))], r["inputs"])
         assert rebuilt == dict(docs)[r["doc_id"]]
+
+
+def test_hard_negatives_excludes_positives_and_skips_top(spark):
+    # round 6 late: per query, top-k by cosine excluding labeled
+    # positives and self; skip_top drops the hardest rank. Verified
+    # against a numpy brute-force reference.
+    import math
+    import random
+
+    from drugbankner_spark.operators.similarity import hard_negatives
+
+    rng = random.Random(61)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(30)]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = corpus.filter("vec_id < 3")
+    pos = [(q, q + 1) for q in range(3)] + [(q, q + 2) for q in range(3)]
+    posdf = spark.createDataFrame(pos, ["query_id", "pos_id"])
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a))
+                          * math.sqrt(sum(y * y for y in b))), 6)
+
+    vd = dict(vecs)
+    for skip in (0, 1):
+        got = {}
+        for r in hard_negatives(corpus, queries, posdf, k=4,
+                                skip_top=skip).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["cos_sim"]))
+        for q in range(3):
+            banned = {q, q + 1, q + 2}
+            ranked = sorted(
+                ((cos(vd[q], vd[n]), n) for n in vd if n not in banned),
+                key=lambda t: (-t[0], t[1]))
+            want = [(i + 1, n, s) for i, (s, n)
+                    in enumerate(ranked[skip:skip + 4])]
+            assert sorted(got[q]) == want, (q, skip)
+
+
+def test_lm_shard_merge_equals_union_training(spark):
+    # round 6 late: merge(train(A), train(B)) == train(A ∪ B) for both
+    # LM families — counts are sufficient statistics, compared through
+    # the full scoring output (bitwise: integer-ratio math).
+    import random
+
+    from drugbankner_spark.operators.textanalysis import (
+        kn_lm_logprob,
+        merge_kn_models,
+        merge_word_lm_models,
+        train_kn_lm,
+        train_word_lm,
+        word_lm_logprob,
+    )
+
+    rng = random.Random(67)
+    vocab = ["a", "b", "c", "d", "ee"]
+    mk = lambda n, base: [(base + i, " ".join(
+        rng.choice(vocab) for _ in range(rng.randint(2, 10))))
+        for i in range(n)]
+    A, B = mk(12, 0), mk(15, 100)
+    dfA = spark.createDataFrame(A, ["doc_id", "text"])
+    dfB = spark.createDataFrame(B, ["doc_id", "text"])
+    dfU = dfA.unionByName(dfB)
+    probes = spark.createDataFrame(
+        mk(8, 500) + [(900, "zz qq")], ["doc_id", "text"])
+
+    merged_kn = merge_kn_models(train_kn_lm(dfA), train_kn_lm(dfB))
+    want = sorted(map(tuple,
+                  kn_lm_logprob(probes, train_kn_lm(dfU)).collect()))
+    got = sorted(map(tuple, kn_lm_logprob(probes, merged_kn).collect()))
+    assert got == want
+
+    merged_w = merge_word_lm_models(
+        train_word_lm(dfA), train_word_lm(dfB))
+    want_w = sorted(map(tuple,
+                    word_lm_logprob(probes, train_word_lm(dfU)).collect()))
+    got_w = sorted(map(tuple,
+                   word_lm_logprob(probes, merged_w).collect()))
+    assert got_w == want_w

@@ -98,6 +98,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e1_c4_filter",     # C4 line rules + page flags
         "e1_pii_scrub",     # sequential regex PII redaction
         "e5_span_corrupt",  # deterministic T5 denoising spans
+        "e2_hard_negatives",  # DPR-style hard-negative mining
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
