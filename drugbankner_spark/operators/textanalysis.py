@@ -1095,6 +1095,7 @@ def gopher_repetition_signals(
     id_col: str = "doc_id",
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    key: str = "gram",
 ) -> DataFrame:
     """The Gopher §A1.1 REPETITION signals (Rae et al. 2021) that
     :func:`gopher_quality_filter` doesn't cover — per document:
@@ -1116,7 +1117,17 @@ def gopher_repetition_signals(
     costs one shuffle keyed by (doc, n, gram) plus a per-doc line agg
     — not one pass per n. 100 TB shape: everything partitions on the
     document id; no dimension tables, no skew (gram keys are salted by
-    doc id by construction)."""
+    doc id by construction).
+
+    ``key="hash"`` is the production form for the 100 TB run: the
+    shuffle key becomes ``(xxhash64(gram), length(gram))`` instead of
+    the gram text — the signals only ever need each gram's COUNT and
+    LENGTH, so the text itself never has to move, cutting shuffle
+    bytes roughly in half (bench's heaviest entry). A 64-bit collision
+    inside one (doc, n) group (~hundreds of grams) is ~2⁻⁵⁰ per doc —
+    the same trade every MinHash kernel in dedup.py makes. The default
+    ``key="gram"`` form is the oracle-replicable one (DuckDB has no
+    xxhash64); identical outputs are pinned in tests."""
     t = F.col(text_col)
     pre = docs.select(
         F.col(id_col),
@@ -1138,16 +1149,26 @@ def gopher_repetition_signals(
             for n in all_ns
         ])
     )
+    if key == "hash":
+        gram_key = [
+            F.xxhash64(F.col("_g.gram")).alias("gh"),
+            F.length(F.col("_g.gram")).alias("gl"),
+        ]
+    elif key == "gram":
+        gram_key = [F.col("_g.gram").alias("gram")]
+    else:
+        raise ValueError(f"unknown gram key form: {key!r}")
     gcnt = (
         pre.select(
             F.col(id_col), "_nc",
             F.explode(gram_structs).alias("_g"),
         )
-        .groupBy(F.col(id_col), F.col("_g.n").alias("n"),
-                 F.col("_g.gram").alias("gram"))
+        .groupBy(F.col(id_col), F.col("_g.n").alias("n"), *gram_key)
         .agg(F.count(F.lit(1)).alias("c"), F.max("_nc").alias("_nc"))
     )
-    mass = F.col("c") * F.length("gram")
+    mass = F.col("c") * (
+        F.col("gl") if key == "hash" else F.length("gram")
+    )
     per_n = gcnt.groupBy(id_col, "n").agg(
         F.max(mass).alias("_top_mass"),
         F.sum(F.when(F.col("c") >= 2, mass)).alias("_dup_mass"),

@@ -2450,3 +2450,28 @@ def test_lm_shard_merge_equals_union_training(spark):
     got_w = sorted(map(tuple,
                    word_lm_logprob(probes, merged_w).collect()))
     assert got_w == want_w
+
+
+def test_gopher_repetition_hash_key_parity(spark):
+    # the production hash-key form (xxhash64 gram keys, text never
+    # shuffles) emits identical signals to the oracle gram-text form.
+    import random
+
+    from drugbankner_spark.operators.textanalysis import (
+        gopher_repetition_signals,
+    )
+
+    rng = random.Random(71)
+    docs = spark.createDataFrame(
+        [(i, "\n".join(
+            " ".join(rng.choice(["q", "w", "e", "rr"])
+                     for _ in range(rng.randint(1, 25)))
+            for _ in range(rng.randint(1, 3))))
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple,
+              gopher_repetition_signals(docs, key="gram").collect()))
+    b = sorted(map(tuple,
+              gopher_repetition_signals(docs, key="hash").collect()))
+    assert a == b and len(a) == 40

@@ -359,3 +359,27 @@ def test_greedy_wordpiece_reassembles_or_unks(words, max_len):
             assert rebuilt == w
             assert all(t.startswith("##") for t in toks[1:])
             assert not toks[0].startswith("##")
+
+
+@given(st.lists(
+    st.sampled_from([
+        "word", "a@b.io", "10.0.3.7", "123-45-6789",
+        "+1 555 123 4567", "x9", ".", "{",
+    ]),
+    min_size=1, max_size=12,
+))
+@settings(max_examples=20, deadline=None)
+def test_pii_scrub_idempotent(parts):
+    # scrubbing is idempotent: replacement tokens contain no digits or
+    # @, so a second pass never fires. One shared session, one pass.
+    from drugbankner_spark.operators.pii import pii_scrub
+
+    spark = _spark()
+    text = " ".join(parts)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    once = pii_scrub(df).collect()[0]
+    twice = pii_scrub(
+        spark.createDataFrame([(0, once["text"])], ["doc_id", "text"])
+    ).collect()[0]
+    assert twice["text"] == once["text"]
+    assert twice["has_pii"] is False or once["text"] == text

@@ -570,3 +570,30 @@ def test_transition_stream_equals_batch_across_batch_boundary(spark, tmp_path):
         transition_matrix(ev).select("prev_state", "next_state", "n")
         .collect()))
     assert got == want and len(got) == 3
+
+
+def test_stateless_rule_filters_compose_with_streams(spark, tmp_path):
+    # round 6 late: c4_filter and pii_scrub are pure projections, so
+    # the SAME operator code runs unchanged on a readStream source —
+    # stream output == batch output row-for-row.
+    from drugbankner_spark.operators.corpus import c4_filter
+    from drugbankner_spark.operators.pii import pii_scrub
+    from drugbankner_spark.streaming.streams import run_to_memory
+
+    rows = [
+        (1, "good line here.\nmail a@b.io now.\nshort."),
+        (2, "server 10.0.3.7 is fine today."),
+        (3, "no structure"),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    batch = spark.createDataFrame(rows, schema)
+
+    got_c4 = run_to_memory(c4_filter(stream), "c4_stream")
+    assert sorted(map(tuple, got_c4.collect())) \
+        == sorted(map(tuple, c4_filter(batch).collect()))
+    got_pii = run_to_memory(pii_scrub(stream), "pii_stream")
+    assert sorted(map(tuple, got_pii.collect())) \
+        == sorted(map(tuple, pii_scrub(batch).collect()))
