@@ -3001,6 +3001,35 @@ def _e5_span_corrupt(spark: SparkSession, sf: str) -> DataFrame:
     return span_corrupt(docs)
 
 
+def _e5_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    # ECE / reliability diagram (round 6 late): synthetic predictions
+    # in exact integer arithmetic — confidence (doc_id·7919 mod 1001)
+    # /1000 (hits 1.0: pins the last-bin rule), correctness correlated
+    # with confidence via a second residue — binned report + weighted
+    # ECE hash-checked.
+    from drugbankner_spark.operators.evals import calibration_report
+
+    docs = load_table(spark, sf, "documents")
+    conf = ((F.col("doc_id") * 7919) % 1001) / F.lit(1000.0)
+    correct = (
+        ((F.col("doc_id") * 104729) % 1000)
+        < ((F.col("doc_id") * 7919) % 1001) * 0.8
+    ).cast("int")
+    preds = docs.select(conf.alias("confidence"),
+                        correct.alias("correct"))
+    return calibration_report(preds, n_bins=10)
+
+
+def _e5_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic k-fold assignment (round 6 late): md5-bucket mod k
+    # — stable across engines/partitionings; the oracle recomputes the
+    # same hash chain.
+    from drugbankner_spark.operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf, "documents")
+    return kfold_assign(docs, "doc_id", k=5).select("doc_id", "fold")
+
+
 def _e1_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     # PII scrub (round 6 late): deterministic synthetic PII — emails,
     # IPs, SSNs, phones keyed off doc_id residues so docs carry
@@ -3625,8 +3654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     redaction, Java-vs-RE2 dialect parity), e5_span_corrupt
     (deterministic T5 denoising spans, hash-seeded + islands-merged),
     e2_hard_negatives (DPR-style mining: anti-join labeled positives,
-    skip-top false-negative hedge) — plus the 24 demoted names
-    above."""
+    skip-top false-negative hedge), e5_calibration (ECE/reliability
+    bins, Guo et al. 2017), e5_kfold (deterministic hash k-fold) —
+    plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3719,6 +3749,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_pii_scrub": _e1_pii_scrub,
         "e5_span_corrupt": _e5_span_corrupt,
         "e2_hard_negatives": _e2_hard_negatives,
+        "e5_calibration": _e5_calibration,
+        "e5_kfold": _e5_kfold,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7293,6 +7325,41 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(s.text), 'lorem ipsum')
                     AND a.n_lines_kept >= 1) AS keep
             FROM agg a JOIN synth s ON s.doc_id = a.doc_id
+        """,
+        # e5_calibration: same synthetic predictions; per-bin agg then
+        # the weighted |gap| rollup joined back (abs over the ROUNDED
+        # per-bin columns — the operator's documented convention).
+        "e5_calibration": """
+            WITH preds AS (
+                SELECT (doc_id * 7919) % 1001 / 1000.0 AS c,
+                       CASE WHEN (doc_id * 104729) % 1000
+                                 < ((doc_id * 7919) % 1001) * 0.8
+                            THEN 1.0 ELSE 0.0 END AS y
+                FROM documents
+            ),
+            per_bin AS (
+                SELECT CAST(least(floor(c * 10), 9) AS INT) AS bin,
+                       count(*) AS n,
+                       round(avg(c), 6) AS avg_confidence,
+                       round(avg(y), 6) AS accuracy,
+                       round(abs(avg(c) - avg(y)), 6) AS abs_gap
+                FROM preds GROUP BY bin
+            ),
+            tot AS (
+                SELECT round(
+                    sum(n * abs(avg_confidence - accuracy)) / sum(n), 6
+                ) AS ece
+                FROM per_bin
+            )
+            SELECT per_bin.*, tot.ece FROM per_bin CROSS JOIN tot
+        """,
+        # e5_kfold: the md5 bucket chain (hash32 % 10000 % 5) replayed.
+        "e5_kfold": f"""
+            SELECT doc_id,
+                   CAST({_sql_hash32(
+                       "CAST(doc_id AS VARCHAR) || 'kfold'")}
+                        % 10000 % 5 AS INT) AS fold
+            FROM documents
         """,
         # e5_span_corrupt: hash-seeded starts/lengths (md5 kernel),
         # gaps-and-islands merge via the same two windows, sentinel

@@ -295,3 +295,42 @@ def ndcg_at_k(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def calibration_report(
+    preds: DataFrame,
+    conf_col: str = "confidence",
+    label_col: str = "correct",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error (Guo et al.
+    2017) over (confidence ∈ [0,1], correct ∈ {0,1}) predictions:
+    equal-width bins, per-bin count / mean confidence / empirical
+    accuracy / |gap|, plus the same ECE value on every row (weighted
+    mean |gap|, the standard single-number summary — carried as a
+    column so the report stays ONE DataFrame). Convention: confidence
+    1.0 lands in the LAST bin (least(floor(c·B), B−1)); empty bins are
+    simply absent (they contribute 0 to ECE). One agg + one 1-row
+    broadcast join; 6dp for cross-engine parity."""
+    b = F.lit(n_bins)
+    binned = preds.select(
+        F.least(
+            F.floor(F.col(conf_col) * b).cast("int"), b - 1
+        ).alias("bin"),
+        F.col(conf_col).alias("_c"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("_c"), 6).alias("avg_confidence"),
+        F.round(F.avg("_y"), 6).alias("accuracy"),
+        F.round(F.abs(F.avg("_c") - F.avg("_y")), 6).alias("abs_gap"),
+    )
+    total = per_bin.agg(
+        F.round(
+            F.sum(F.col("n") * F.abs(
+                F.col("avg_confidence") - F.col("accuracy")
+            )) / F.sum("n"), 6,
+        ).alias("ece")
+    )
+    return per_bin.crossJoin(F.broadcast(total))

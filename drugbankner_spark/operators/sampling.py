@@ -496,3 +496,42 @@ def temperature_mixture_targets(
         k: min(n, int(w / z_f * total_budget))
         for (k, n), (_, w) in zip(rows, weights_f)
     }
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    seed: str = "kfold",
+    kernel: str = "md5",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = hash32(seed:id) % k``
+    — the cross-validation sibling of :func:`hash_split` (same
+    hash-not-RNG contract: stable across reruns, partitionings, and
+    engines). Output: the input plus a ``fold`` column. Pure
+    projection, zero shuffle."""
+    if k < 2:
+        raise ValueError("kfold_assign: k must be >= 2")
+    return df.withColumn(
+        "fold",
+        (hash_bucket(F.col(id_col).cast("string"), seed, kernel)
+         % F.lit(k)).cast("int"),
+    )
+
+
+def kfold_split(
+    df: DataFrame,
+    id_col: str,
+    fold: int,
+    k: int = 5,
+    seed: str = "kfold",
+    kernel: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """(train, held_out) for one fold — held_out is fold ``fold``,
+    train is everything else. Filters on the same pure projection, so
+    both sides push down to the scan."""
+    assigned = kfold_assign(df, id_col, k, seed, kernel)
+    return (
+        assigned.filter(F.col("fold") != fold).drop("fold"),
+        assigned.filter(F.col("fold") == fold).drop("fold"),
+    )

@@ -2475,3 +2475,50 @@ def test_gopher_repetition_hash_key_parity(spark):
     b = sorted(map(tuple,
               gopher_repetition_signals(docs, key="hash").collect()))
     assert a == b and len(a) == 40
+
+
+def test_calibration_report_hand_golden(spark):
+    # round 6 late: two bins, hand-computed gaps and weighted ECE;
+    # confidence 1.0 lands in the LAST bin.
+    from drugbankner_spark.operators.evals import calibration_report
+
+    preds = spark.createDataFrame(
+        [(0.1, 0), (0.15, 1), (0.9, 1), (0.95, 1), (1.0, 0)],
+        ["confidence", "correct"],
+    )
+    out = {r["bin"]: r for r in
+           calibration_report(preds, n_bins=10).collect()}
+    assert set(out) == {1, 9}
+    b1 = out[1]   # 0.1, 0.15 -> avg_conf 0.125, acc 0.5
+    assert (b1["n"], b1["avg_confidence"], b1["accuracy"]) \
+        == (2, 0.125, 0.5)
+    assert b1["abs_gap"] == 0.375
+    b9 = out[9]   # 0.9, 0.95, 1.0 -> avg 0.95, acc 2/3
+    assert b9["n"] == 3 and b9["avg_confidence"] == 0.95
+    # ece = (2*0.375 + 3*|0.95 - 0.666667|) / 5
+    want_ece = round((2 * 0.375 + 3 * abs(0.95 - round(2 / 3, 6))) / 5, 6)
+    assert all(r["ece"] == want_ece for r in out.values())
+
+
+def test_kfold_assign_partition_invariant_and_complete(spark):
+    from drugbankner_spark.operators.sampling import (
+        kfold_assign,
+        kfold_split,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "key")
+    a = {r["key"]: r["fold"]
+         for r in kfold_assign(df, "key", k=5).collect()}
+    b = {r["key"]: r["fold"]
+         for r in kfold_assign(df.repartition(13), "key", k=5).collect()}
+    assert a == b
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    # folds are roughly balanced (hash-uniform)
+    from collections import Counter
+    c = Counter(a.values())
+    assert max(c.values()) < 2 * min(c.values())
+    train, held = kfold_split(df, "key", fold=2, k=5)
+    ht = {r["key"] for r in held.collect()}
+    tt = {r["key"] for r in train.collect()}
+    assert ht == {k for k, f in a.items() if f == 2}
+    assert tt | ht == set(a) and not (tt & ht)

@@ -99,6 +99,8 @@ def test_round7_pool_names_stay_oracle_ready():
         "e1_pii_scrub",     # sequential regex PII redaction
         "e5_span_corrupt",  # deterministic T5 denoising spans
         "e2_hard_negatives",  # DPR-style hard-negative mining
+        "e5_calibration",   # ECE / reliability diagram bins
+        "e5_kfold",         # deterministic hash k-fold
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
