@@ -3001,6 +3001,17 @@ def _e5_span_corrupt(spark: SparkSession, sf: str) -> DataFrame:
     return span_corrupt(docs)
 
 
+def _e5_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # Deequ-style column profile (round 6 late) over the documents
+    # dims: one melt + one (column, value) agg + one window — exact
+    # counts, lexicographic min/max on the canonical string form,
+    # deterministic mode.
+    from drugbankner_spark.operators.checks import profile_columns
+
+    docs = load_table(spark, sf, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 def _e5_calibration(spark: SparkSession, sf: str) -> DataFrame:
     # ECE / reliability diagram (round 6 late): synthetic predictions
     # in exact integer arithmetic — confidence (doc_id·7919 mod 1001)
@@ -3655,8 +3666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (deterministic T5 denoising spans, hash-seeded + islands-merged),
     e2_hard_negatives (DPR-style mining: anti-join labeled positives,
     skip-top false-negative hedge), e5_calibration (ECE/reliability
-    bins, Guo et al. 2017), e5_kfold (deterministic hash k-fold) —
-    plus the 24 demoted names above."""
+    bins, Guo et al. 2017), e5_kfold (deterministic hash k-fold),
+    e5_profile (Deequ-style column profile in one value-keyed
+    shuffle) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3751,6 +3763,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_hard_negatives": _e2_hard_negatives,
         "e5_calibration": _e5_calibration,
         "e5_kfold": _e5_kfold,
+        "e5_profile": _e5_profile,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7325,6 +7338,44 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(s.text), 'lorem ipsum')
                     AND a.n_lines_kept >= 1) AS keep
             FROM agg a JOIN synth s ON s.doc_id = a.doc_id
+        """,
+        # e5_profile: the same melt -> counts -> stats/top split; the
+        # output column named "column" needs quoting (reserved word).
+        "e5_profile": """
+            WITH m AS (
+                SELECT 'doc_id' AS "column",
+                       CAST(doc_id AS VARCHAR) AS value FROM documents
+                UNION ALL SELECT 'lang', lang FROM documents
+                UNION ALL SELECT 'source', source FROM documents
+                UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+                FROM documents
+            ),
+            counts AS (
+                SELECT "column", value, count(*) AS c
+                FROM m GROUP BY "column", value
+            ),
+            stats AS (
+                SELECT "column",
+                       CAST(sum(c) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN value IS NULL THEN c
+                                ELSE 0 END) AS BIGINT) AS n_null,
+                       CAST(count(CASE WHEN value IS NOT NULL
+                                  THEN 1 END) AS BIGINT) AS n_distinct,
+                       min(value) AS min_value,
+                       max(value) AS max_value
+                FROM counts GROUP BY "column"
+            ),
+            top AS (
+                SELECT "column", value AS top_value, c AS top_count,
+                       row_number() OVER (
+                           PARTITION BY "column"
+                           ORDER BY c DESC, value ASC) AS rk
+                FROM counts WHERE value IS NOT NULL
+            )
+            SELECT s."column", s.n, s.n_null, s.n_distinct,
+                   s.min_value, s.max_value, t.top_value, t.top_count
+            FROM stats s
+            JOIN top t ON t."column" = s."column" AND t.rk = 1
         """,
         # e5_calibration: same synthetic predictions; per-bin agg then
         # the weighted |gap| rollup joined back (abs over the ROUNDED

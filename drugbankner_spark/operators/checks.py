@@ -77,3 +77,65 @@ def constraint_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Deequ-style column profile: one row per column — (column, n,
+    n_null, n_distinct, min_value, max_value, top_value, top_count).
+    Values are profiled through their canonical STRING form (so one
+    melt covers heterogeneous types; min/max are therefore
+    lexicographic on that form — document when profiling numerics).
+    n_distinct and min/max exclude NULLs (SQL aggregate semantics);
+    top_value is the exact mode with the (count desc, value asc)
+    deterministic tiebreak. A column with NO non-NULL values produces
+    no row (there is nothing to profile; pair with
+    :func:`constraint_report`'s not_null check to forbid it).
+
+    Shape: ONE melt (array-of-structs explode) + one (column, value)
+    count agg + one per-column window — a single value-keyed shuffle
+    for the whole profile, not one pass per column, and the scan reads
+    only the profiled columns."""
+    from pyspark.sql import Window
+
+    if not cols:
+        raise ValueError("profile_columns: cols must be non-empty")
+    melt = df.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in cols
+        ])).alias("_m")
+    ).select("_m.column", "_m.value")
+    counts = melt.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("column")
+    w_top = Window.partitionBy("column").orderBy(
+        F.desc("c"), F.asc("value")
+    )
+    per_col = (
+        counts.withColumn(
+            "n", F.sum("c").over(w)
+        )
+        .withColumn(
+            "n_null",
+            F.sum(F.when(F.col("value").isNull(), F.col("c"))
+                  .otherwise(F.lit(0))).over(w),
+        )
+        .withColumn(
+            "n_distinct",
+            F.count(F.when(F.col("value").isNotNull(), F.lit(1)))
+            .over(w),
+        )
+        .withColumn("min_value", F.min("value").over(w))
+        .withColumn("max_value", F.max("value").over(w))
+        .filter(F.col("value").isNotNull())
+        .withColumn("_rk", F.row_number().over(w_top))
+        .filter(F.col("_rk") == 1)
+    )
+    return per_col.select(
+        "column", "n", "n_null", "n_distinct", "min_value", "max_value",
+        F.col("value").alias("top_value"), F.col("c").alias("top_count"),
+    )

@@ -95,3 +95,32 @@ def test_shared_persist_registry_releases(spark):
     assert pairs.count() >= 1  # action populates the cache
     assert release_shared_caches() >= 1
     assert release_shared_caches() == 0  # registry drained
+
+
+def test_profile_columns_goldens(spark):
+    # round 6 late: Deequ-style profile — exact counts, lexicographic
+    # min/max on the string form, deterministic mode tiebreak.
+    from drugbankner_spark.operators.checks import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, None), (10, "b")],
+        ["k", "v"],
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+    k = out["k"]
+    assert (k["n"], k["n_null"], k["n_distinct"]) == (5, 0, 5)
+    assert (k["min_value"], k["max_value"]) == ("1", "4")  # lexicographic
+    assert k["top_count"] == 1 and k["top_value"] == "1"   # tie -> min
+    v = out["v"]
+    assert (v["n"], v["n_null"], v["n_distinct"]) == (5, 1, 2)
+    assert (v["min_value"], v["max_value"]) == ("a", "b")
+    assert (v["top_value"], v["top_count"]) == ("a", 2)    # tie -> 'a'
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        profile_columns(df, [])
+    # all-NULL column: no row
+    allnull = spark.createDataFrame([(1, None), (2, None)],
+                                    "k long, z string")
+    assert {r["column"] for r in
+            profile_columns(allnull, ["z"]).collect()} == set()

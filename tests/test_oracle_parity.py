@@ -101,6 +101,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e2_hard_negatives",  # DPR-style hard-negative mining
         "e5_calibration",   # ECE / reliability diagram bins
         "e5_kfold",         # deterministic hash k-fold
+        "e5_profile",       # Deequ-style column profile
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
