@@ -3001,6 +3001,25 @@ def _e5_span_corrupt(spark: SparkSession, sf: str) -> DataFrame:
     return span_corrupt(docs)
 
 
+def _e5_group_ols(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-group closed-form OLS (round 6 late): quantity trend over
+    # ship-date day index per returnflag. x and y are INTEGER-valued on
+    # purpose — every sum stays below 2^53, so the float sums are
+    # EXACT and order-independent and the ratios are bitwise
+    # deterministic (no rounding-boundary risk, unlike summing raw
+    # prices).
+    from drugbankner_spark.operators.relational import group_ols
+
+    li = load_table(spark, sf, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.lit("1996-01-01"))
+        .alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    return group_ols(pts, "x", "y", ["l_returnflag"])
+
+
 def _e5_profile(spark: SparkSession, sf: str) -> DataFrame:
     # Deequ-style column profile (round 6 late) over the documents
     # dims: one melt + one (column, value) agg + one window — exact
@@ -3668,7 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skip-top false-negative hedge), e5_calibration (ECE/reliability
     bins, Guo et al. 2017), e5_kfold (deterministic hash k-fold),
     e5_profile (Deequ-style column profile in one value-keyed
-    shuffle) — plus the 24 demoted names above."""
+    shuffle), e5_group_ols (closed-form per-group OLS trend with
+    exact integer-valued sums) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3764,6 +3784,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_calibration": _e5_calibration,
         "e5_kfold": _e5_kfold,
         "e5_profile": _e5_profile,
+        "e5_group_ols": _e5_group_ols,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7338,6 +7359,37 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(s.text), 'lorem ipsum')
                     AND a.n_lines_kept >= 1) AS keep
             FROM agg a JOIN synth s ON s.doc_id = a.doc_id
+        """,
+        # e5_group_ols: identical closed-form arithmetic — exact
+        # integer-valued sums, then the same expression tree.
+        "e5_group_ols": """
+            WITH pts AS (
+                SELECT l_returnflag,
+                       CAST(datediff('day', DATE '1996-01-01',
+                                     l_shipdate) AS DOUBLE) AS x,
+                       CAST(l_quantity AS DOUBLE) AS y
+                FROM lineitem
+            ),
+            s AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy,
+                       sum(x * x) AS sxx,
+                       sum(y * y) AS syy
+                FROM pts GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy)
+                         / (n * sxx - sx * sx), 4) AS slope,
+                   round((sy - (n * sxy - sx * sy)
+                               / (n * sxx - sx * sx) * sx) / n, 4)
+                       AS intercept,
+                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx)
+                            * (n * syy - sy * sy)), 4) AS r2
+            FROM s
         """,
         # e5_profile: the same melt -> counts -> stats/top split; the
         # output column named "column" needs quoting (reserved word).

@@ -401,3 +401,56 @@ def percentile_normalize(
             ),
         ),
     ).drop("_qlo", "_qhi")
+
+
+def group_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: list[str],
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS): one
+    aggregation computing Σx, Σy, Σxy, Σx², Σy², then
+
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``, ``intercept = (Σy −
+    slope·Σx)/n``, ``r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² −
+    (Σy)²))`` — the trend-per-entity query ("is this source's quality
+    drifting?", "which nation's revenue is growing?") as ONE map-side-
+    combinable agg, no window, no second pass. NULL x or y rows are
+    excluded (SQL aggregate semantics). Groups with n < 2 or zero x
+    variance emit NULL slope/intercept/r²; zero y variance emits NULL
+    r² (division by zero → NULL in both engines). Rounded at
+    ``ndigits`` (4 by default — coarser than the usual 6: the sums are
+    float and partition-order dependent, and the ratio amplifies; the
+    repo's documented float-rounding trade)."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = F.when(x.isNotNull() & y.isNotNull(), F.lit(1))
+    agg = df.groupBy(*keys).agg(
+        F.count(both).cast("double").alias("_n"),
+        F.sum(F.when(both.isNotNull(), x)).alias("_sx"),
+        F.sum(F.when(both.isNotNull(), y)).alias("_sy"),
+        F.sum(F.when(both.isNotNull(), x * y)).alias("_sxy"),
+        F.sum(F.when(both.isNotNull(), x * x)).alias("_sxx"),
+        F.sum(F.when(both.isNotNull(), y * y)).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x != 0, cov_n / var_x)
+    return agg.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.round(slope, ndigits).alias("slope"),
+        F.round(
+            F.when(slope.isNotNull(), (sy - slope * sx) / n), ndigits
+        ).alias("intercept"),
+        F.round(
+            F.when((var_x != 0) & (var_y != 0),
+                   cov_n * cov_n / (var_x * var_y)),
+            ndigits,
+        ).alias("r2"),
+    )

@@ -2522,3 +2522,41 @@ def test_kfold_assign_partition_invariant_and_complete(spark):
     tt = {r["key"] for r in train.collect()}
     assert ht == {k for k, f in a.items() if f == 2}
     assert tt | ht == set(a) and not (tt & ht)
+
+
+def test_group_ols_matches_numpy(spark):
+    # round 6 late: closed-form per-group OLS vs numpy.polyfit on
+    # randomized groups, plus the degenerate conventions.
+    import random
+
+    import numpy as np
+
+    from drugbankner_spark.operators.relational import group_ols
+
+    rng = random.Random(79)
+    rows = []
+    for g in ["a", "b", "c"]:
+        base = rng.uniform(-2, 2)
+        for i in range(40):
+            x = float(i)
+            rows.append((g, x, base * x + rng.uniform(-1, 1) + 3.0))
+    rows += [("single", 1.0, 5.0)]          # n=1 -> NULLs
+    rows += [("flat_x", 2.0, 1.0), ("flat_x", 2.0, 9.0)]  # var_x=0
+    rows += [("flat_y", 1.0, 4.0), ("flat_y", 2.0, 4.0)]  # var_y=0
+    rows += [("a", None, 1.0), ("a", 1.0, None)]          # excluded
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = {r["grp"]: r for r in group_ols(df, "x", "y", ["grp"]).collect()}
+    for g in ["a", "b", "c"]:
+        xs = np.array([x for gg, x, y in rows
+                       if gg == g and x is not None and y is not None])
+        ys = np.array([y for gg, x, y in rows
+                       if gg == g and x is not None and y is not None])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert out[g]["n"] == len(xs)
+        assert abs(out[g]["slope"] - slope) < 1e-3, g
+        assert abs(out[g]["intercept"] - intercept) < 1e-3, g
+        assert abs(out[g]["r2"] - r * r) < 1e-3, g
+    assert out["single"]["slope"] is None
+    assert out["flat_x"]["slope"] is None and out["flat_x"]["r2"] is None
+    assert out["flat_y"]["slope"] == 0.0 and out["flat_y"]["r2"] is None

@@ -102,6 +102,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e5_calibration",   # ECE / reliability diagram bins
         "e5_kfold",         # deterministic hash k-fold
         "e5_profile",       # Deequ-style column profile
+        "e5_group_ols",     # closed-form per-group OLS trend
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
