@@ -431,6 +431,50 @@ def _q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    # E5: TPC-H Q2 shape — the last uncovered TPC-H number: per-part
+    # ARGMIN supplier within a region (correlated min subquery).
+    # Supply cost derives from lineitem (no partsupp in this dataset):
+    # min extendedprice per (part, supplier) — a MIN, not a SUM, so
+    # every value is exact and the equality re-join on the min is
+    # deterministic. All ties kept, as in the reference query.
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_size") % 10 == 5
+    )
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp_r = (
+        supp.join(F.broadcast(nat),
+                  supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_r),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    minc = cost.groupBy("p_partkey").agg(
+        F.min("cost").alias("min_cost")
+    ).withColumnRenamed("p_partkey", "_mp")
+    return (
+        cost.join(
+            F.broadcast(minc),
+            (F.col("p_partkey") == F.col("_mp"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select("p_partkey", "p_type", "s_name", "n_name",
+                "s_acctbal", F.round("cost", 2).alias("supply_cost"))
+    )
+
+
 def _q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
     # E5: TPC-H Q4 shape — EXISTS correlated on a non-key condition,
     # planned as a LEFT SEMI join (no fact-row duplication). Condition
@@ -3688,7 +3732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bins, Guo et al. 2017), e5_kfold (deterministic hash k-fold),
     e5_profile (Deequ-style column profile in one value-keyed
     shuffle), e5_group_ols (closed-form per-group OLS trend with
-    exact integer-valued sums) — plus the 24 demoted names above."""
+    exact integer-valued sums), q2_min_cost_supplier (the last
+    uncovered TPC-H number — per-part argmin supplier within a
+    region; all 22 TPC-H shapes now hash-oracled) — plus the 24
+    demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3844,6 +3891,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q21_late_sole_supplier": _q21_late_sole_supplier,
         "q22_idle_customers": _q22_idle_customers,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
         # round 4: the suite-consolidated originals stay individually
         # runnable + per-entry hash-checked here (driver window shows
         # them via u_set_suite / f_curie_suite)
@@ -6101,6 +6149,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE late = 1 AND n_supp >= 2 AND n_late = 1
             GROUP BY s_name
+        """,
+        # q2: the correlated-min subquery as CTEs — min cost per
+        # (part, supplier) from lineitem, region-filtered suppliers,
+        # ties kept via the equality re-join on the per-part min.
+        "q2_min_cost_supplier": """
+            WITH supp_r AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'
+            ),
+            cost AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice) AS cost
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            j AS (
+                SELECT p.p_partkey, p.p_type, sr.s_name, sr.n_name,
+                       sr.s_acctbal, c.cost
+                FROM cost c
+                JOIN part p ON p.p_partkey = c.l_partkey
+                 AND p.p_size % 10 = 5
+                JOIN supp_r sr ON sr.s_suppkey = c.l_suppkey
+            ),
+            m AS (
+                SELECT p_partkey, min(cost) AS min_cost
+                FROM j GROUP BY p_partkey
+            )
+            SELECT j.p_partkey, j.p_type, j.s_name, j.n_name,
+                   j.s_acctbal, round(j.cost, 2) AS supply_cost
+            FROM j JOIN m ON m.p_partkey = j.p_partkey
+                        AND j.cost = m.min_cost
         """,
         "q22_idle_customers": """
             SELECT c_mktsegment, count(*) AS numcust,
