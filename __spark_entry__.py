@@ -3045,6 +3045,16 @@ def _e5_span_corrupt(spark: SparkSession, sf: str) -> DataFrame:
     return span_corrupt(docs)
 
 
+def _e6_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    # Market-basket co-occurrence + lift (round 6 late): unordered
+    # event-type pairs per user basket — the order-free complement of
+    # e6_transition_matrix; exact integer supports, 6dp ratios.
+    from drugbankner_spark.operators.temporal import cooccurrence_lift
+
+    ev = load_table(spark, sf, "events")
+    return cooccurrence_lift(ev, min_support=2)
+
+
 def _e5_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     # Per-group closed-form OLS (round 6 late): quantity trend over
     # ship-date day index per returnflag. x and y are INTEGER-valued on
@@ -3734,8 +3744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shuffle), e5_group_ols (closed-form per-group OLS trend with
     exact integer-valued sums), q2_min_cost_supplier (the last
     uncovered TPC-H number — per-part argmin supplier within a
-    region; all 22 TPC-H shapes now hash-oracled) — plus the 24
-    demoted names above."""
+    region; all 22 TPC-H shapes now hash-oracled), e6_cooccurrence
+    (market-basket pair support/confidence/lift — the order-free
+    complement of the transition matrix) — plus the 24 demoted names
+    above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3832,6 +3844,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_kfold": _e5_kfold,
         "e5_profile": _e5_profile,
         "e5_group_ols": _e5_group_ols,
+        "e6_cooccurrence": _e6_cooccurrence,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7440,6 +7453,37 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(s.text), 'lorem ipsum')
                     AND a.n_lines_kept >= 1) AS keep
             FROM agg a JOIN synth s ON s.doc_id = a.doc_id
+        """,
+        # e6_cooccurrence: same basket -> canonical pair -> dims chain.
+        "e6_cooccurrence": """
+            WITH base AS (
+                SELECT DISTINCT user_id AS ent, event_type AS item
+                FROM events
+            ),
+            tot AS (
+                SELECT CAST(count(DISTINCT ent) AS DOUBLE) AS n_baskets
+                FROM base
+            ),
+            item_n AS (
+                SELECT item, count(*) AS n_item FROM base GROUP BY item
+            ),
+            pairs AS (
+                SELECT a.item AS item_a, b.item AS item_b,
+                       count(*) AS n_ab
+                FROM base a JOIN base b
+                  ON a.ent = b.ent AND a.item < b.item
+                GROUP BY a.item, b.item
+                HAVING count(*) >= 2
+            )
+            SELECT p.item_a, p.item_b, p.n_ab,
+                   na.n_item AS n_a, nb.n_item AS n_b,
+                   round(p.n_ab / na.n_item, 6) AS confidence_a_to_b,
+                   round(p.n_ab * tot.n_baskets
+                         / (na.n_item * nb.n_item), 6) AS lift
+            FROM pairs p
+            JOIN item_n na ON na.item = p.item_a
+            JOIN item_n nb ON nb.item = p.item_b
+            CROSS JOIN tot
         """,
         # e5_group_ols: identical closed-form arithmetic — exact
         # integer-valued sums, then the same expression tree.

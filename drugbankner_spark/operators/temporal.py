@@ -469,3 +469,61 @@ def top_paths(
         .orderBy(F.desc("n_entities"), F.asc("path"))
         .limit(k)
     )
+
+
+def cooccurrence_lift(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket co-occurrence (the Apriori level-2 statistics,
+    order-free — the complement of :func:`transition_matrix`'s ordered
+    pairs): for every unordered item pair appearing in at least
+    ``min_support`` entities' baskets, the support counts plus
+
+    - ``confidence_a_to_b`` = n_ab / n_a
+    - ``lift`` = (n_ab · N) / (n_a · n_b)   (N = total baskets)
+
+    Basket = the DISTINCT item set per entity. Canonicalized a < b so
+    each pair appears once. Exact integer counts; ratios rounded 6dp.
+
+    Shape: distinct (entity, item) → self-join per entity (the
+    quadratic stays inside a basket — baskets are item-vocabulary
+    bounded, not event-volume bounded) → pair counts ⋈ broadcast item
+    counts ⋈ 1-row total. At 100 TB everything keys on the entity then
+    the pair; no skew beyond genuinely popular pairs."""
+    base = events.select(
+        F.col(entity_col).alias("ent"), F.col(item_col).alias("item")
+    ).distinct()
+    n_total = base.select("ent").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
+    )
+    item_n = base.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = base.select("ent", F.col("item").alias("item_a"))
+    b = base.select("ent", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "ent")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    na = item_n.select(F.col("item").alias("item_a"),
+                       F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("item").alias("item_b"),
+                       F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "item_a", "item_b", "n_ab", "n_a", "n_b",
+            F.round(F.col("n_ab") / F.col("n_a"), 6)
+            .alias("confidence_a_to_b"),
+            F.round(
+                F.col("n_ab") * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")), 6,
+            ).alias("lift"),
+        )
+    )

@@ -104,6 +104,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e5_profile",       # Deequ-style column profile
         "e5_group_ols",     # closed-form per-group OLS trend
         "q2_min_cost_supplier",  # last TPC-H number: argmin supplier
+        "e6_cooccurrence",  # market-basket support/confidence/lift
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name

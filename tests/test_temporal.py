@@ -443,3 +443,30 @@ def test_top_paths_prefix_cap_and_deterministic_ties(spark):
     assert [tuple(r) for r in rows] == [
         ("a>b>c", 2), ("a>b>c>d>e", 1), ("x>y", 1),
     ]
+
+
+def test_cooccurrence_lift_hand_golden(spark):
+    # round 6 late: baskets {1:ab, 2:ab, 3:ac, 4:b} -> pair stats.
+    from drugbankner_spark.operators.temporal import cooccurrence_lift
+
+    rows = [(1, "a"), (1, "b"), (1, "b"),   # dup collapses: basket {a,b}
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "b")]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = {(r["item_a"], r["item_b"]): r
+           for r in cooccurrence_lift(ev).collect()}
+    ab = out[("a", "b")]
+    # n_a=3, n_b=3, n_ab=2, N=4
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"]) == (2, 3, 3)
+    assert ab["confidence_a_to_b"] == round(2 / 3, 6)
+    assert ab["lift"] == round(2 * 4 / 9, 6)
+    ac = out[("a", "c")]
+    assert (ac["n_ab"], ac["n_a"], ac["n_b"]) == (1, 3, 1)
+    assert ac["lift"] == round(4 / 3, 6)
+    assert set(out) == {("a", "b"), ("a", "c")}  # b,c never co-occur
+    # min_support filters
+    assert set(
+        (r["item_a"], r["item_b"])
+        for r in cooccurrence_lift(ev, min_support=2).collect()
+    ) == {("a", "b")}
