@@ -302,7 +302,9 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
     )
 
 
-def transition_stream(events: DataFrame) -> DataFrame:
+def transition_stream(
+    events: DataFrame, idle_gap_ms: int | None = None
+) -> DataFrame:
     """Streaming Markov transition pairs (round 6 late,
     applyInPandasWithState): per entity, remember the LAST (state, ts,
     tiebreak) across micro-batches and emit one row per consecutive
@@ -313,7 +315,17 @@ def transition_stream(events: DataFrame) -> DataFrame:
     final matrix equals temporal.transition_matrix whenever per-entity
     arrival is time-ordered — the same delivery contract funnel_stream
     documents. State per entity = one (state, ts, event_id) triple,
-    independent of event volume."""
+    independent of event volume.
+
+    ``idle_gap_ms`` bounds TOTAL state at scale: with it set, the
+    operator uses EventTimeTimeout and evicts an entity whose last
+    event fell ``idle_gap_ms`` behind the watermark — on a 100 TB
+    clickstream the entity universe grows without bound, and "one
+    small triple per entity, forever" is still an unbounded state
+    store. The documented trade: a pair separated by more than the gap
+    is NOT stitched (the entity restarts fresh), which mirrors how a
+    session gap would split it anyway. Default None keeps the exact
+    stitch-everything semantics."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -321,6 +333,12 @@ def transition_stream(events: DataFrame) -> DataFrame:
     state_schema = "last_state string, last_ts double, last_id bigint"
 
     def update(key, pdfs, state):
+        if idle_gap_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [], "prev_state": [], "next_state": []}
+            )
+            return
         last = state.get if state.exists else (None, None, None)
         last_state = last[0]
         prevs, nexts = [], []
@@ -334,6 +352,10 @@ def transition_stream(events: DataFrame) -> DataFrame:
                 last_state = tp
                 last = (tp, ts.timestamp(), int(eid))
         state.update(tuple(last))
+        if idle_gap_ms is not None:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idle_gap_ms
+            )
         yield pd.DataFrame({
             "user_id": [key[0]] * len(prevs),
             "prev_state": prevs,
@@ -342,5 +364,6 @@ def transition_stream(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if idle_gap_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )

@@ -597,3 +597,46 @@ def test_stateless_rule_filters_compose_with_streams(spark, tmp_path):
     got_pii = run_to_memory(pii_scrub(stream), "pii_stream")
     assert sorted(map(tuple, got_pii.collect())) \
         == sorted(map(tuple, pii_scrub(batch).collect()))
+
+
+def test_transition_stream_idle_gap_evicts_state(spark, tmp_path):
+    # round 6 late: with idle_gap_ms set, an entity idle past the
+    # watermark gap is evicted — the cross-gap pair is NOT stitched
+    # (the entity restarts), while a fresh entity's pairs still are.
+    import datetime as dt
+
+    from drugbankner_spark.streaming.streams import (
+        run_to_memory,
+        transition_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    src = str(tmp_path / "ev_gap_src")
+    # batch 1: user 1 emits 'a' at t0; user 2 advances the watermark
+    spark.createDataFrame(
+        [(1, t0, 1, "a"), (2, t0, 2, "x")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2: user 2 jumps far ahead -> watermark advances hours past
+    # user 1's last event; user 1's state times out
+    spark.createDataFrame(
+        [(2, t0.replace(hour=10), 3, "y")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 3: user 1 returns -> would be (a -> b) without eviction
+    spark.createDataFrame(
+        [(1, t0.replace(hour=11), 4, "b"),
+         (1, t0.replace(hour=11, minute=5), 5, "c")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src) \
+        .withWatermark("ts", "10 minutes")
+    pairs = run_to_memory(
+        transition_stream(stream, idle_gap_ms=30 * 60 * 1000),
+        "trans_gap_pairs", "append",
+    )
+    got = sorted(map(tuple, pairs.select(
+        "user_id", "prev_state", "next_state").collect()))
+    # user 2: (x -> y) stitched (arrived before its state timed out);
+    # user 1: (a -> b) dropped by eviction, (b -> c) kept
+    assert got == [(1, "b", "c"), (2, "x", "y")]
