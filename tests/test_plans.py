@@ -434,3 +434,39 @@ def test_er_resolve_blocked_equi_join_no_cartesian(spark):
     plan = X.plan_string(pairs, "simple")
     assert not X.has_cartesian(pairs), plan
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_round6_second_wave_plan_shapes(spark):
+    # span corruption: the tokens x spans range join stays within a
+    # doc (equi on the id + range residual), never cartesian; OLS is
+    # one hash agg (zero joins); the co-occurrence self-join is equi
+    # on the entity; q2's dims all broadcast.
+    df = QUERIES["e5_span_corrupt"](spark, SF)
+    assert not X.has_cartesian(df), X.plan_string(df, "simple")
+    ols = QUERIES["e5_group_ols"](spark, SF)
+    plan = X.plan_string(ols, "simple")
+    assert X.count_shuffles(ols) <= 1 and "Join" not in plan, plan
+    co = QUERIES["e6_cooccurrence"](spark, SF)
+    assert not X.has_cartesian(co)
+    q2 = QUERIES["q2_min_cost_supplier"](spark, SF)
+    p2 = X.plan_string(q2, "simple")
+    assert not X.has_cartesian(q2)
+    assert p2.count("BroadcastHashJoin") >= 3, p2
+
+
+def test_hard_negatives_broadcasts_queries_and_positives(spark):
+    # the corpus never shuffles: query side and positive pairs ride
+    # broadcast joins; top-k is a per-query window.
+    df = QUERIES["e2_hard_negatives"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "Cross" not in plan
+
+
+def test_profile_columns_single_value_shuffle(spark):
+    # one melt + one (column, value) agg + windows over the same
+    # partitioning: bounded exchanges, no Python.
+    df = QUERIES["e5_profile"](spark, SF)
+    plan = X.plan_string(df, "simple")
+    assert X.count_shuffles(df) <= 2, plan
+    assert "Python" not in plan
