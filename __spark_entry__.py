@@ -1910,6 +1910,19 @@ def _g_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     return label_propagation(_graph_edges(docs), iterations=3)
 
 
+def _g_random_walks(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic DeepWalk corpus (round 6 late) on the Z_97 graph:
+    # hash-seeded neighbor choice over sorted adjacency, 2 walks of
+    # length 3 per node; the oracle replays both steps as chained CTEs
+    # with the same md5 index arithmetic.
+    from drugbankner_spark.operators.graph import random_walks
+
+    docs = load_table(spark, sf, "documents")
+    return random_walks(
+        _graph_edges(docs), walk_len=3, walks_per_node=2
+    )
+
+
 def _e5_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     # Temperature-weighted mixing (round 6): per-source targets ∝
     # sqrt(n) (alpha=0.5, UniMax/T5-style low-resource upweighting) in
@@ -3746,8 +3759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     uncovered TPC-H number — per-part argmin supplier within a
     region; all 22 TPC-H shapes now hash-oracled), e6_cooccurrence
     (market-basket pair support/confidence/lift — the order-free
-    complement of the transition matrix) — plus the 24 demoted names
-    above."""
+    complement of the transition matrix), g_random_walks
+    (deterministic DeepWalk corpus: hash-seeded steps over sorted
+    adjacency) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3845,6 +3859,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_profile": _e5_profile,
         "e5_group_ols": _e5_group_ols,
         "e6_cooccurrence": _e6_cooccurrence,
+        "g_random_walks": _g_random_walks,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7773,6 +7788,61 @@ def oracle_sql() -> dict[str, str]:
             FROM recs rec
             JOIN cl ON cl.id = rec.id
             JOIN recs canon ON canon.id = cl.cluster
+        """,
+        # g_random_walks: the same two hash-seeded steps as chained
+        # CTEs over sorted list-adjacency.
+        "g_random_walks": f"""
+            WITH raw AS (
+                SELECT doc_id % 97 AS s,
+                       (doc_id * doc_id + 1) % 97 AS d
+                FROM documents
+                UNION ALL
+                SELECT (doc_id * 3 + 5) % 97, (doc_id * 5 + 11) % 97
+                FROM documents
+            ),
+            sym AS (
+                SELECT s AS a, d AS b FROM raw WHERE s <> d
+                UNION
+                SELECT d, s FROM raw WHERE s <> d
+            ),
+            adj AS (
+                SELECT a AS node, list(b ORDER BY b) AS nbrs
+                FROM sym GROUP BY a
+            ),
+            w0 AS (
+                SELECT adj.node AS start, w.walk_id,
+                       adj.node AS cur,
+                       CAST(adj.node AS VARCHAR) AS path
+                FROM adj, (VALUES (0), (1)) w(walk_id)
+            ),
+            w1 AS (
+                SELECT w0.start, w0.walk_id,
+                       a.nbrs[CAST({_sql_hash32(
+                           "CAST(w0.start AS VARCHAR) || '|' || "
+                           "CAST(w0.walk_id AS VARCHAR) || '|1|' || "
+                           "CAST(w0.cur AS VARCHAR)")}
+                           % len(a.nbrs) + 1 AS INT)] AS cur,
+                       w0.path
+                FROM w0 JOIN adj a ON a.node = w0.cur
+            ),
+            w1p AS (
+                SELECT start, walk_id, cur,
+                       path || ' ' || CAST(cur AS VARCHAR) AS path
+                FROM w1
+            ),
+            w2 AS (
+                SELECT w1p.start, w1p.walk_id,
+                       a.nbrs[CAST({_sql_hash32(
+                           "CAST(w1p.start AS VARCHAR) || '|' || "
+                           "CAST(w1p.walk_id AS VARCHAR) || '|2|' || "
+                           "CAST(w1p.cur AS VARCHAR)")}
+                           % len(a.nbrs) + 1 AS INT)] AS cur,
+                       w1p.path
+                FROM w1p JOIN adj a ON a.node = w1p.cur
+            )
+            SELECT start, walk_id,
+                   path || ' ' || CAST(cur AS VARCHAR) AS path
+            FROM w2
         """,
         # g_bfs_distances: textbook recursive-CTE BFS — enumerate
         # (node, dist) pairs from the seeds, bounded at 3 hops, MIN per

@@ -602,3 +602,82 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+) -> DataFrame:
+    """DeepWalk/node2vec walk-corpus generation (Perozzi et al. 2014),
+    made DETERMINISTIC: from every node, ``walks_per_node`` walks of
+    ``walk_len`` nodes over the undirected graph, where step ``t``
+    from node ``cur`` picks sorted-neighbor index
+    ``hash32(start|walk|t|cur) % degree`` — hash-not-RNG, so the
+    corpus is reproducible across engines, partitionings, and reruns
+    (the repo's standard sampling convention; the skip-gram trainer
+    downstream doesn't care that the walk is pseudo-random).
+    Output: (start, walk_id, path) with path the space-joined node
+    sequence.
+
+    Shape: one adjacency agg (sorted neighbor ARRAY per node — degree-
+    bounded rows), then ``walk_len − 1`` equi joins of the walk
+    frontier against the adjacency on the current node. At 100 TB the
+    frontier shuffles on ``cur`` each step — the standard vertex-
+    program shape — and hub-node skew is AQE's skew-join case, not a
+    correctness concern."""
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = sym.groupBy(F.col("a").alias("node")).agg(
+        F.array_sort(F.collect_list("b")).alias("nbrs")
+    )
+    walks = (
+        adj.select("node")
+        .select(
+            F.col("node").alias("start"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("walk_id"),
+        )
+        .select(
+            "start", "walk_id",
+            F.col("start").alias("cur"),
+            F.col("start").cast("string").alias("path"),
+        )
+    )
+    for t in range(1, walk_len):
+        h = content_hash32(
+            F.concat_ws(
+                "|",
+                F.col("start").cast("string"),
+                F.col("walk_id").cast("string"),
+                F.lit(str(t)),
+                F.col("cur").cast("string"),
+            )
+        )
+        step = (
+            walks.join(adj, walks["cur"] == adj["node"])
+            .select(
+                "start", "walk_id",
+                F.element_at(
+                    "nbrs", (h % F.size("nbrs") + 1).cast("int")
+                ).alias("cur"),
+                F.col("path"),
+            )
+            .select(
+                "start", "walk_id", "cur",
+                F.concat_ws(
+                    " ", F.col("path"), F.col("cur").cast("string")
+                ).alias("path"),
+            )
+        )
+        walks = step
+    return walks.select("start", "walk_id", "path")

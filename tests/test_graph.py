@@ -313,3 +313,44 @@ def test_label_propagation_matches_reference_iterations(spark):
         spark.createDataFrame(raw, ["src", "dst"]), iterations=3
     ).collect()}
     assert got == labels
+
+
+def test_random_walks_match_reference_and_are_valid_paths(spark):
+    # round 6 late: hash-seeded DeepWalk corpus == a dict-based
+    # reference; every consecutive pair is a real edge.
+    import hashlib
+    import random
+
+    from drugbankner_spark.operators.graph import random_walks
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rng = random.Random(83)
+    n = 25
+    raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    adj = {}
+    for a, b in raw:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    adj = {v: sorted(ns) for v, ns in adj.items()}
+    want = {}
+    for v in adj:
+        for w in range(2):
+            cur, path = v, [v]
+            for t in range(1, 4):
+                nbrs = adj[cur]
+                cur = nbrs[h32(f"{v}|{w}|{t}|{cur}") % len(nbrs)]
+                path.append(cur)
+            want[(v, w)] = " ".join(map(str, path))
+    got = {(r["start"], r["walk_id"]): r["path"] for r in random_walks(
+        spark.createDataFrame(raw, ["src", "dst"]),
+        walk_len=4, walks_per_node=2,
+    ).collect()}
+    assert got == want
+    for (v, w), path in got.items():
+        nodes = list(map(int, path.split(" ")))
+        assert nodes[0] == v and len(nodes) == 4
+        for a, b in zip(nodes, nodes[1:]):
+            assert b in adj[a]

@@ -105,6 +105,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e5_group_ols",     # closed-form per-group OLS trend
         "q2_min_cost_supplier",  # last TPC-H number: argmin supplier
         "e6_cooccurrence",  # market-basket support/confidence/lift
+        "g_random_walks",   # deterministic DeepWalk walk corpus
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
