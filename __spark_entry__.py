@@ -3058,6 +3058,17 @@ def _e5_span_corrupt(spark: SparkSession, sf: str) -> DataFrame:
     return span_corrupt(docs)
 
 
+def _e3_skipgram(spark: SparkSession, sf: str) -> DataFrame:
+    # word2vec skip-gram pair counts (round 6 late): symmetric
+    # window-2 co-occurrence over the corpus in one explode + one
+    # (center, context) agg; the oracle is a double-lateral
+    # generate_series.
+    from drugbankner_spark.operators.textanalysis import skipgram_counts
+
+    docs = load_table(spark, sf, "documents")
+    return skipgram_counts(docs, window=2)
+
+
 def _e6_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     # Market-basket co-occurrence + lift (round 6 late): unordered
     # event-type pairs per user basket — the order-free complement of
@@ -3761,7 +3772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (market-basket pair support/confidence/lift — the order-free
     complement of the transition matrix), g_random_walks
     (deterministic DeepWalk corpus: hash-seeded steps over sorted
-    adjacency) — plus the 24 demoted names above."""
+    adjacency), e3_skipgram (word2vec window-pair counts — one explode
+    + one pair-keyed agg) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3860,6 +3872,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_group_ols": _e5_group_ols,
         "e6_cooccurrence": _e6_cooccurrence,
         "g_random_walks": _g_random_walks,
+        "e3_skipgram": _e3_skipgram,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7468,6 +7481,23 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(s.text), 'lorem ipsum')
                     AND a.n_lines_kept >= 1) AS keep
             FROM agg a JOIN synth s ON s.doc_id = a.doc_id
+        """,
+        # e3_skipgram: double-lateral generate_series window pairs.
+        "e3_skipgram": """
+            WITH toks AS (
+                SELECT string_split(text, ' ') AS tk FROM documents
+            ),
+            pairs AS (
+                SELECT tk[i] AS center, tk[j] AS context
+                FROM toks,
+                     UNNEST(generate_series(1, len(tk))) AS gi(i),
+                     UNNEST(generate_series(
+                         greatest(i - 2, 1),
+                         least(i + 2, len(tk)))) AS gj(j)
+                WHERE j <> i AND tk[i] <> '' AND tk[j] <> ''
+            )
+            SELECT center, context, count(*) AS n
+            FROM pairs GROUP BY center, context
         """,
         # e6_cooccurrence: same basket -> canonical pair -> dims chain.
         "e6_cooccurrence": """

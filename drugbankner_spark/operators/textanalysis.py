@@ -1219,3 +1219,50 @@ def gopher_repetition_signals(
           for c in [f"top{n}gram_char_frac" for n in top_ns]
           + [f"dup{n}gram_char_frac" for n in dup_ns]],
     )
+
+
+def skipgram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+) -> DataFrame:
+    """word2vec training-pair generation (Mikolov et al. 2013):
+    corpus-wide (center, context, n) co-occurrence counts within a
+    symmetric ``window`` — the input a skip-gram trainer consumes
+    (the walk corpus from ``graph.random_walks`` feeds the same
+    shape). Pure fixed window, no dynamic shrinking (that's an RNG
+    trick; deterministic engines don't).
+
+    One nested-transform expression builds every in-window pair
+    per document (no self-pairs), ONE explode ships them, one count
+    agg — a single (center, context)-keyed shuffle for the whole
+    corpus."""
+    pre = docs.select(F.split(F.col(text_col), " ").alias("_tk"))
+    tk = F.col("_tk")
+    n = F.size(tk)
+
+    def per_center(i):
+        ctx = F.filter(
+            F.sequence(
+                F.greatest(i - window, F.lit(1)),
+                F.least(i + window, n),
+            ),
+            lambda j: j != i,
+        )
+        return F.transform(
+            ctx,
+            lambda j: F.struct(
+                F.element_at(tk, i).alias("center"),
+                F.element_at(tk, j).alias("context"),
+            ),
+        )
+
+    pairs = F.flatten(F.transform(F.sequence(F.lit(1), n), per_center))
+    return (
+        pre.select(F.explode(pairs).alias("_p"))
+        .select("_p.center", "_p.context")
+        .filter((F.col("center") != "") & (F.col("context") != ""))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

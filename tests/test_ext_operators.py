@@ -2560,3 +2560,27 @@ def test_group_ols_matches_numpy(spark):
     assert out["single"]["slope"] is None
     assert out["flat_x"]["slope"] is None and out["flat_x"]["r2"] is None
     assert out["flat_y"]["slope"] == 0.0 and out["flat_y"]["r2"] is None
+
+
+def test_skipgram_counts_matches_reference(spark):
+    # round 6 late: in-window pair counts == a Counter reference, no
+    # self-pairs, symmetric window clipped at edges.
+    import random
+    from collections import Counter
+
+    from drugbankner_spark.operators.textanalysis import skipgram_counts
+
+    rng = random.Random(89)
+    texts = [" ".join(rng.choice("abcd") for _ in range(rng.randint(1, 12)))
+             for _ in range(20)] + ["x", "y z"]
+    want = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for i, c in enumerate(ws):
+            for j in range(max(0, i - 2), min(len(ws), i + 3)):
+                if j != i and c and ws[j]:
+                    want[(c, ws[j])] += 1
+    got = {(r["center"], r["context"]): r["n"] for r in skipgram_counts(
+        spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                              ["doc_id", "text"]), window=2).collect()}
+    assert got == dict(want)

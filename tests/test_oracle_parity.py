@@ -106,6 +106,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "q2_min_cost_supplier",  # last TPC-H number: argmin supplier
         "e6_cooccurrence",  # market-basket support/confidence/lift
         "g_random_walks",   # deterministic DeepWalk walk corpus
+        "e3_skipgram",      # word2vec window-pair counts
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
