@@ -3138,6 +3138,45 @@ def _e5_kfold(spark: SparkSession, sf: str) -> DataFrame:
     return kfold_assign(docs, "doc_id", k=5).select("doc_id", "fold")
 
 
+def _synth_pages(docs: DataFrame):
+    # shared synthesized web-page corpus for the C4/PII/curation
+    # entries: deterministic PII appended by doc_id residue, then line
+    # structure (' table ' -> '.\n'), the javascript blocklist word,
+    # a closing ' end.' line, and a '{' page flag on every 7th doc.
+    d = F.col("doc_id")
+    extra = F.concat(
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" u"), d.cast("string"), F.lit("@ex.io")
+        )).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.concat(
+            F.lit(" at 10."), (d % 256).cast("string"), F.lit(".3.7")
+        )).otherwise(F.lit("")),
+        F.when(d % 5 == 2, F.concat(
+            F.lit(" ssn 123-45-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")),
+        F.when(d % 7 == 3, F.lit(" call +1 555 123 4567"))
+        .otherwise(F.lit("")),
+    )
+    s0 = F.concat(F.col("text"), extra)
+    s1 = F.replace(s0, F.lit(" table "), F.lit(".\n"))
+    s2 = F.replace(s1, F.lit(" slow "), F.lit(" javascript "))
+    s3 = F.concat(s2, F.lit(" end."))
+    s4 = F.when(d % 7 == 0, F.concat(s3, F.lit(" {"))).otherwise(s3)
+    return docs.select("doc_id", s4.alias("text"))
+
+
+def _pipeline_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # Second flagship composition (round 6 late): the FineWeb/Dolma
+    # curation order — C4 line rules -> PII scrub -> Gopher rules ->
+    # exact dedup — end to end over synthesized pages, every stage's
+    # verdict hash-checked in one row per document.
+    from drugbankner_spark.operators.corpus import curate_corpus
+
+    docs = load_table(spark, sf, "documents")
+    return curate_corpus(_synth_pages(docs))
+
+
 def _e1_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     # PII scrub (round 6 late): deterministic synthetic PII — emails,
     # IPs, SSNs, phones keyed off doc_id residues so docs carry
@@ -3773,7 +3812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     complement of the transition matrix), g_random_walks
     (deterministic DeepWalk corpus: hash-seeded steps over sorted
     adjacency), e3_skipgram (word2vec window-pair counts — one explode
-    + one pair-keyed agg) — plus the 24 demoted names above."""
+    + one pair-keyed agg), pipeline_curate_corpus (the FineWeb/Dolma
+    curation chain C4 -> PII -> Gopher -> dedup, per-stage verdicts
+    hash-checked end to end) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3873,6 +3914,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_cooccurrence": _e6_cooccurrence,
         "g_random_walks": _g_random_walks,
         "e3_skipgram": _e3_skipgram,
+        "pipeline_curate_corpus": _pipeline_curate_corpus,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7712,6 +7754,140 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(tg.n_spans, 0) AS n_spans,
                    coalesce(tg.n_noise_tokens, 0) AS n_noise_tokens
             FROM inp i LEFT JOIN tg ON tg.doc_id = i.doc_id
+        """,
+        # pipeline_curate_corpus: the full curation chain replayed —
+        # synth pages, C4 line keeps, sequential PII scrub, Gopher
+        # rules, exact dedup by scrubbed text, one verdict row per doc.
+        "pipeline_curate_corpus": f"""
+            WITH synth AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN base_text || ' {{' ELSE base_text
+                       END AS text
+                FROM (
+                    SELECT doc_id,
+                           replace(replace(
+                               text
+                               || CASE WHEN doc_id % 3 = 0
+                                  THEN ' u' || CAST(doc_id AS VARCHAR)
+                                       || '@ex.io' ELSE '' END
+                               || CASE WHEN doc_id % 4 = 1
+                                  THEN ' at 10.'
+                                       || CAST(doc_id % 256 AS VARCHAR)
+                                       || '.3.7' ELSE '' END
+                               || CASE WHEN doc_id % 5 = 2
+                                  THEN ' ssn 123-45-'
+                                       || lpad(CAST(doc_id % 10000
+                                               AS VARCHAR), 4, '0')
+                                  ELSE '' END
+                               || CASE WHEN doc_id % 7 = 3
+                                  THEN ' call +1 555 123 4567'
+                                  ELSE '' END,
+                               ' table ', '.' || chr(10)),
+                               ' slow ', ' javascript ')
+                           || ' end.' AS base_text
+                    FROM documents
+                )
+            ),
+            ln AS (
+                SELECT s.doc_id, i, ls[i] AS line
+                FROM (SELECT doc_id,
+                             string_split(text, chr(10)) AS ls
+                      FROM synth) s,
+                     UNNEST(generate_series(1, len(ls))) AS g(i)
+            ),
+            lflags AS (
+                SELECT doc_id, i, line,
+                       (right(line, 1) IN ('.', '!', '?', '"')
+                        AND len(list_filter(string_split(line, ' '),
+                                            w -> w <> '')) >= 3
+                        AND NOT contains(lower(line), 'javascript'))
+                           AS ok
+                FROM ln
+            ),
+            c4 AS (
+                SELECT f.doc_id,
+                       coalesce(string_agg(
+                           CASE WHEN f.ok THEN f.line END, chr(10)
+                           ORDER BY f.i), '') AS text,
+                       (NOT contains(any_value(s.text), '{{')
+                        AND NOT contains(lower(any_value(s.text)),
+                                         'lorem ipsum')
+                        AND count(*) FILTER (f.ok) >= 1) AS keep_c4
+                FROM lflags f JOIN synth s ON s.doc_id = f.doc_id
+                GROUP BY f.doc_id
+            ),
+            p1 AS (
+                SELECT doc_id, keep_c4,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'
+                       )) AS ne,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                           '[EMAIL]', 'g') AS text
+                FROM c4
+            ),
+            p2 AS (
+                SELECT doc_id, keep_c4, ne,
+                       len(regexp_extract_all(text,
+                           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'
+                       )) AS ni,
+                       regexp_replace(text,
+                           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                           '[IP]', 'g') AS text
+                FROM p1
+            ),
+            p3 AS (
+                SELECT doc_id, keep_c4, ne, ni,
+                       len(regexp_extract_all(text,
+                           '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS ns,
+                       regexp_replace(text,
+                           '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b',
+                           '[SSN]', 'g') AS text
+                FROM p2
+            ),
+            scr AS (
+                SELECT doc_id, keep_c4,
+                       (ne + ni + ns + len(regexp_extract_all(text,
+                           '\\+?\\d[\\d() -]{{7,}}\\d'))) > 0 AS has_pii,
+                       regexp_replace(text,
+                           '\\+?\\d[\\d() -]{{7,}}\\d',
+                           '[PHONE]', 'g') AS text
+                FROM p3
+            ),
+            qual AS (
+                SELECT doc_id,
+                       (len(string_split(text, ' ')) >= 20
+                        AND len(string_split(text, ' ')) <= 100000
+                        AND length(text)
+                            / len(string_split(text, ' ')) >= 3.0
+                        AND length(text)
+                            / len(string_split(text, ' ')) <= 10.0
+                        AND (length(text) - length(regexp_replace(
+                             text, '[0-9]', '', 'g'))) / length(text)
+                            <= 0.2
+                        AND len(list_distinct(string_split(text, ' ')))
+                            / len(string_split(text, ' ')) >= 0.2
+                        AND len(list_intersect(
+                            string_split(lower(text), ' '),
+                            {_SQL_EN_STOPWORDS})) > 0)
+                       IS TRUE AS keep_quality
+                FROM scr
+            ),
+            keeper AS (
+                SELECT text, min(doc_id) AS kid
+                FROM scr WHERE keep_c4 GROUP BY text
+            )
+            SELECT s.doc_id, s.keep_c4, s.has_pii, q.keep_quality,
+                   coalesce(s.keep_c4 AND s.doc_id <> k.kid, false)
+                       AS is_exact_dup,
+                   (s.keep_c4 AND q.keep_quality
+                    AND NOT coalesce(s.keep_c4 AND s.doc_id <> k.kid,
+                                     false)) AS keep,
+                   length(s.text) AS n_chars_final
+            FROM scr s
+            JOIN qual q ON q.doc_id = s.doc_id
+            LEFT JOIN keeper k ON k.text = s.text
         """,
         # e1_pii_scrub: the same four patterns in RE2, applied in the
         # same order, counts on each intermediate text, global-flag

@@ -91,6 +91,9 @@ HEADLINE = [
     "e3_gopher_rep",
     "e3_kn_ppl",
     "er_resolve",
+    # round 6 late (second wave): the composed FineWeb/Dolma curation
+    # chain — C4 line rules -> PII scrub -> Gopher rules -> exact dedup
+    "pipeline_curate_corpus",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch

@@ -1006,3 +1006,60 @@ def c4_filter(
             ~has_brace & ~has_lorem & (n_kept >= min_kept_lines)
         ).alias("keep"),
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The modern pretraining-curation chain composed end to end —
+    C4 line rules → PII scrub → Gopher quality rules → exact dedup —
+    as ONE lazy plan (the FineWeb/Dolma recipe order: cheap rules
+    first, scrub before quality so ratios see the redacted text, dedup
+    last on the final bytes). Per ORIGINAL document: every stage's
+    verdict plus the final ``keep``:
+
+    (id, keep_c4, has_pii, keep_quality, is_exact_dup, keep,
+    n_chars_final)
+
+    PII is scrubbed, not dropped — ``has_pii`` is an audit flag.
+    Exact dedup groups the scrubbed text of C4-surviving pages and
+    keeps the MIN id. Every stage is the repo's existing operator, so
+    the one new thing is the composition — and the driver hash-checks
+    it end to end."""
+    from drugbankner_spark.operators.pii import pii_scrub
+    from drugbankner_spark.operators.textanalysis import (
+        gopher_quality_filter,
+    )
+
+    c4 = c4_filter(docs, text_col, id_col)
+    keepc4 = c4.select(
+        F.col(id_col), F.col("keep").alias("keep_c4"), "text"
+    )
+    scr = pii_scrub(keepc4.select(id_col, "text"), "text", id_col)
+    base = keepc4.drop("text").join(
+        scr.select(id_col, "text", "has_pii"), id_col
+    )
+    qual = gopher_quality_filter(
+        scr.select(id_col, "text"), "text", id_col
+    ).select(id_col, F.col("keep").alias("keep_quality"))
+    keeper = (
+        base.filter(F.col("keep_c4"))
+        .groupBy("text")
+        .agg(F.min(id_col).alias("_keeper"))
+    )
+    is_dup = F.col("keep_c4") & (F.col(id_col) != F.col("_keeper"))
+    return (
+        base.join(qual, id_col)
+        .join(keeper, "text", "left")
+        .select(
+            F.col(id_col),
+            "keep_c4", "has_pii", "keep_quality",
+            is_dup.alias("is_exact_dup"),
+            (
+                F.col("keep_c4") & F.col("keep_quality") & ~is_dup
+            ).alias("keep"),
+            F.length("text").alias("n_chars_final"),
+        )
+    )

@@ -2584,3 +2584,29 @@ def test_skipgram_counts_matches_reference(spark):
         spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                               ["doc_id", "text"]), window=2).collect()}
     assert got == dict(want)
+
+
+def test_curate_corpus_stage_verdicts(spark):
+    # round 6 late: the composed C4 -> PII -> Gopher -> dedup chain.
+    from drugbankner_spark.operators.corpus import curate_corpus
+
+    good = ("the cat and dog sat in a house of mats together "
+            "with every other animal that he ever knew and liked "
+            "during those years.")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # survives everything
+            (2, good),                      # exact dup of 1 -> dropped
+            (3, "no punct no structure"),   # fails c4
+            (4, good.replace("mats", "mail a@b.io mats")),  # pii flag
+            (5, "tiny line ok."),           # c4 ok, gopher len fails
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["is_exact_dup"] is False
+    assert out[2]["is_exact_dup"] is True and out[2]["keep"] is False
+    assert out[3]["keep_c4"] is False and out[3]["keep"] is False
+    assert out[4]["has_pii"] is True and out[4]["keep"] is True
+    assert out[5]["keep_c4"] is True and out[5]["keep_quality"] is False
+    assert out[5]["keep"] is False

@@ -107,6 +107,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e6_cooccurrence",  # market-basket support/confidence/lift
         "g_random_walks",   # deterministic DeepWalk walk corpus
         "e3_skipgram",      # word2vec window-pair counts
+        "pipeline_curate_corpus",  # C4 -> PII -> Gopher -> dedup
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
