@@ -3109,6 +3109,18 @@ def _e5_profile(spark: SparkSession, sf: str) -> DataFrame:
     return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
+def _e5_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic pseudonymization (round 6 late): customer names
+    # replaced by salted sha256 prefixes — join-preserving, exact
+    # cross-engine (both engines emit lowercase hex sha256).
+    from drugbankner_spark.operators.privacy import tokenize_columns
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return tokenize_columns(cust, ["c_name"], salt="release-2026")
+
+
 def _e5_calibration(spark: SparkSession, sf: str) -> DataFrame:
     # ECE / reliability diagram (round 6 late): synthetic predictions
     # in exact integer arithmetic — confidence (doc_id·7919 mod 1001)
@@ -3814,7 +3826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     adjacency), e3_skipgram (word2vec window-pair counts — one explode
     + one pair-keyed agg), pipeline_curate_corpus (the FineWeb/Dolma
     curation chain C4 -> PII -> Gopher -> dedup, per-stage verdicts
-    hash-checked end to end) — plus the 24 demoted names above."""
+    hash-checked end to end), e5_tokenize (salted-sha256
+    pseudonymization, join-preserving) — plus the 24 demoted names
+    above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3915,6 +3929,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_random_walks": _g_random_walks,
         "e3_skipgram": _e3_skipgram,
         "pipeline_curate_corpus": _pipeline_curate_corpus,
+        "e5_tokenize": _e5_tokenize,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7640,6 +7655,16 @@ def oracle_sql() -> dict[str, str]:
                    s.min_value, s.max_value, t.top_value, t.top_count
             FROM stats s
             JOIN top t ON t."column" = s."column" AND t.rk = 1
+        """,
+        # e5_tokenize: the same salted sha256 prefix (both engines emit
+        # lowercase hex).
+        "e5_tokenize": """
+            SELECT c_custkey,
+                   CASE WHEN c_name IS NOT NULL THEN
+                       substr(sha256('release-2026:' || c_name), 1, 12)
+                   END AS c_name,
+                   c_nationkey
+            FROM customer
         """,
         # e5_calibration: same synthetic predictions; per-bin agg then
         # the weighted |gap| rollup joined back (abs over the ROUNDED

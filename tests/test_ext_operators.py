@@ -2610,3 +2610,29 @@ def test_curate_corpus_stage_verdicts(spark):
     assert out[4]["has_pii"] is True and out[4]["keep"] is True
     assert out[5]["keep_c4"] is True and out[5]["keep_quality"] is False
     assert out[5]["keep"] is False
+
+
+def test_tokenize_columns_join_preserving_and_irreversible_shape(spark):
+    # round 6 late: same (salt, value) -> same token across tables
+    # (joins survive); different salt -> different token; NULL -> NULL.
+    import hashlib
+
+    from drugbankner_spark.operators.privacy import tokenize_columns
+
+    a = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, None)], ["id", "user"])
+    b = spark.createDataFrame(
+        [("alice", 10), ("bob", 20)], ["user", "score"])
+    ta = tokenize_columns(a, ["user"], salt="s1")
+    tb = tokenize_columns(b, ["user"], salt="s1")
+    joined = ta.join(tb, "user").select("id", "score")
+    assert sorted(map(tuple, joined.collect())) == [(1, 10), (2, 20)]
+    rows = {r["id"]: r["user"] for r in ta.collect()}
+    want = hashlib.sha256(b"s1:alice").hexdigest()[:12]
+    assert rows[1] == want and rows[3] is None
+    t2 = {r["id"]: r["user"]
+          for r in tokenize_columns(a, ["user"], salt="s2").collect()}
+    assert t2[1] != rows[1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        tokenize_columns(a, [], salt="s")

@@ -108,6 +108,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "g_random_walks",   # deterministic DeepWalk walk corpus
         "e3_skipgram",      # word2vec window-pair counts
         "pipeline_curate_corpus",  # C4 -> PII -> Gopher -> dedup
+        "e5_tokenize",      # salted-sha256 pseudonymization
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
