@@ -1458,6 +1458,32 @@ def _e2_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def _e2_mean_pool(spark: SparkSession, sf: str) -> DataFrame:
+    # Chunk->doc embedding rollup (round 6 late): 8 consecutive
+    # vectors per synthetic doc, element-wise mean at 6dp.
+    from drugbankner_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "doc", F.expr("vec_id div 8")
+    )
+    pooled = mean_pool_embeddings(emb, "doc")
+    # the hash compare needs scalars: fixed '%.6f' per element (the
+    # elements are already 6dp-rounded, so the format is lossless and
+    # identical in Java and C printf)
+    return pooled.select(
+        "doc",
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda v: F.format_string("%.6f", v),
+            ), ",",
+        ).alias("embedding"),
+        "n_vecs",
+    )
+
+
 def _e2_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     # Hard-negative mining (round 6 late): top-5 cosine negatives per
     # query after anti-joining the labeled positives (q, q+1) and
@@ -3827,8 +3853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     + one pair-keyed agg), pipeline_curate_corpus (the FineWeb/Dolma
     curation chain C4 -> PII -> Gopher -> dedup, per-stage verdicts
     hash-checked end to end), e5_tokenize (salted-sha256
-    pseudonymization, join-preserving) — plus the 24 demoted names
-    above."""
+    pseudonymization, join-preserving), e2_mean_pool (chunk->doc
+    embedding rollup: per-dim avg + ordered reassembly) — plus the 24
+    demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3930,6 +3957,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_skipgram": _e3_skipgram,
         "pipeline_curate_corpus": _pipeline_curate_corpus,
         "e5_tokenize": _e5_tokenize,
+        "e2_mean_pool": _e2_mean_pool,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7655,6 +7683,29 @@ def oracle_sql() -> dict[str, str]:
                    s.min_value, s.max_value, t.top_value, t.top_count
             FROM stats s
             JOIN top t ON t."column" = s."column" AND t.rk = 1
+        """,
+        # e2_mean_pool: per-dim avg + ordered list reassembly.
+        "e2_mean_pool": """
+            WITH per AS (
+                SELECT vec_id // 8 AS grp, g.i,
+                       round(avg(CAST(embedding[g.i] AS DOUBLE)), 6)
+                           AS m
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS g(i)
+                GROUP BY grp, g.i
+            ),
+            vecs AS (
+                SELECT grp,
+                       string_agg(printf('%.6f', m), ',' ORDER BY i)
+                           AS embedding
+                FROM per GROUP BY grp
+            ),
+            nv AS (
+                SELECT vec_id // 8 AS grp, count(*) AS n_vecs
+                FROM embeddings GROUP BY grp
+            )
+            SELECT v.grp AS doc, v.embedding, nv.n_vecs
+            FROM vecs v JOIN nv ON nv.grp = v.grp
         """,
         # e5_tokenize: the same salted sha256 prefix (both engines emit
         # lowercase hex).

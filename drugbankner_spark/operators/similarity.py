@@ -1366,3 +1366,47 @@ def hard_negatives(
             (F.col("_r") - skip_top).alias("rank"),
         )
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Chunk→document embedding rollup: element-wise MEAN of each
+    group's vectors (the standard pooling when documents are embedded
+    chunk-by-chunk and retrieval wants one vector per document).
+    Output: (group, embedding array<double>, n_vecs), elements rounded
+    ``ndigits`` for cross-engine parity.
+
+    Shape: one posexplode to (group, dim_idx, value) + one
+    (group, dim_idx) avg (map-side combinable — the partial-agg path a
+    collect_list-of-arrays fold would NOT get) + one ordered
+    reassembly agg. Two shuffles total, both on the group key."""
+    per_dim = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .groupBy("grp", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), ndigits).alias("m")
+        )
+    )
+    return (
+        per_dim.groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda x: x["m"],
+            ).alias("embedding"),
+            F.count(F.lit(1)).alias("_ndim"),
+        )
+        .join(
+            df.groupBy(F.col(group_col).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_vecs")),
+            "grp",
+        )
+        .select(F.col("grp").alias(group_col), "embedding", "n_vecs")
+    )

@@ -2636,3 +2636,26 @@ def test_tokenize_columns_join_preserving_and_irreversible_shape(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         tokenize_columns(a, [], salt="s")
+
+
+def test_mean_pool_embeddings_matches_numpy(spark):
+    import random
+
+    import numpy as np
+
+    from drugbankner_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    rng = random.Random(97)
+    rows = [(i, i % 4, [rng.uniform(-1, 1) for _ in range(6)])
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, doc long, embedding array<double>")
+    out = {r["doc"]: r for r in
+           mean_pool_embeddings(df, "doc").collect()}
+    for d in range(4):
+        vecs = np.array([v for _, g, v in rows if g == d])
+        want = [round(x, 6) for x in vecs.mean(axis=0)]
+        assert out[d]["embedding"] == want
+        assert out[d]["n_vecs"] == len(vecs)

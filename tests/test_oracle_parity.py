@@ -109,6 +109,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e3_skipgram",      # word2vec window-pair counts
         "pipeline_curate_corpus",  # C4 -> PII -> Gopher -> dedup
         "e5_tokenize",      # salted-sha256 pseudonymization
+        "e2_mean_pool",     # chunk->doc embedding rollup
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
