@@ -3095,6 +3095,19 @@ def _e3_skipgram(spark: SparkSession, sf: str) -> DataFrame:
     return skipgram_counts(docs, window=2)
 
 
+def _e6_transition_power(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-step Markov forecast (round 6 late): M^2 of the event
+    # transition matrix via one relational matrix multiply over the
+    # published 6dp probs.
+    from drugbankner_spark.operators.temporal import (
+        transition_matrix,
+        transition_power,
+    )
+
+    ev = load_table(spark, sf, "events")
+    return transition_power(transition_matrix(ev), k=2)
+
+
 def _e6_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     # Market-basket co-occurrence + lift (round 6 late): unordered
     # event-type pairs per user basket — the order-free complement of
@@ -3854,8 +3867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     curation chain C4 -> PII -> Gopher -> dedup, per-stage verdicts
     hash-checked end to end), e5_tokenize (salted-sha256
     pseudonymization, join-preserving), e2_mean_pool (chunk->doc
-    embedding rollup: per-dim avg + ordered reassembly) — plus the 24
-    demoted names above."""
+    embedding rollup: per-dim avg + ordered reassembly),
+    e6_transition_power (k-step Markov forecast via relational matrix
+    multiply) — plus the 24 demoted names above."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3958,6 +3972,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_corpus": _pipeline_curate_corpus,
         "e5_tokenize": _e5_tokenize,
         "e2_mean_pool": _e2_mean_pool,
+        "e6_transition_power": _e6_transition_power,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7278,6 +7293,32 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         # round 6: Markov transitions + top journey prefixes per user
+        # e6_transition_power: the same rounded matrix squared — join
+        # on the intermediate state, sum of products, re-round.
+        "e6_transition_power": """
+            WITH ordered AS (
+                SELECT user_id, event_type AS next_state,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_state
+                FROM events
+            ),
+            pairs AS (
+                SELECT prev_state, next_state, count(*) AS n
+                FROM ordered WHERE prev_state IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT prev_state AS a, next_state AS b,
+                       round(n / (sum(n) OVER (PARTITION BY prev_state)),
+                             6) AS p
+                FROM pairs
+            )
+            SELECT x.a AS prev_state, y.b AS next_state,
+                   round(sum(x.p * y.p), 6) AS prob
+            FROM m x JOIN m y ON y.a = x.b
+            GROUP BY x.a, y.b
+        """,
         "e6_transition_matrix": """
             WITH ordered AS (
                 SELECT user_id, event_type AS next_state,

@@ -527,3 +527,41 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def transition_power(tm: DataFrame, k: int = 2) -> DataFrame:
+    """k-step transition probabilities: the matrix power M^k of a
+    :func:`transition_matrix` result ("where is the user k events from
+    now") computed as k−1 relational matrix multiplies — join on the
+    intermediate state, sum of products per (start, end). Operates on
+    the matrix's published 6dp ``prob`` column (the composable
+    contract; the oracle replays the same rounded input), re-rounding
+    at 6dp on output. The matrix is ≤|states|² rows, so every join is
+    broadcast-sized regardless of corpus scale."""
+    if k < 1:
+        raise ValueError("transition_power: k must be >= 1")
+    base = tm.select(
+        F.col("prev_state").alias("a"),
+        F.col("next_state").alias("b"),
+        F.col("prob").alias("p"),
+    )
+    out = base
+    for _ in range(k - 1):
+        rhs = base.select(
+            F.col("a").alias("_m"),
+            F.col("b").alias("_end"),
+            F.col("p").alias("_q"),
+        )
+        out = (
+            out.join(F.broadcast(rhs), out["b"] == rhs["_m"])
+            .groupBy(
+                F.col("a"), F.col("_end").alias("b2")
+            )
+            .agg(F.sum(F.col("p") * F.col("_q")).alias("p"))
+            .select("a", F.col("b2").alias("b"), "p")
+        )
+    return out.select(
+        F.col("a").alias("prev_state"),
+        F.col("b").alias("next_state"),
+        F.round("p", 6).alias("prob"),
+    )

@@ -110,6 +110,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "pipeline_curate_corpus",  # C4 -> PII -> Gopher -> dedup
         "e5_tokenize",      # salted-sha256 pseudonymization
         "e2_mean_pool",     # chunk->doc embedding rollup
+        "e6_transition_power",  # k-step Markov forecast
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name

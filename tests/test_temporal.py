@@ -470,3 +470,40 @@ def test_cooccurrence_lift_hand_golden(spark):
         (r["item_a"], r["item_b"])
         for r in cooccurrence_lift(ev, min_support=2).collect()
     ) == {("a", "b")}
+
+
+def test_transition_power_matches_numpy(spark):
+    # round 6 late: M^2 and M^3 via relational multiply == numpy on
+    # the same 6dp-rounded matrix.
+    import numpy as np
+
+    from drugbankner_spark.operators.temporal import (
+        transition_matrix,
+        transition_power,
+    )
+
+    rows, uid, eid = [], 0, 0
+    import random
+    rng = random.Random(101)
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    for uid in range(30):
+        for step in range(rng.randint(2, 8)):
+            eid += 1
+            rows.append((uid, t0 + dt.timedelta(minutes=step), eid,
+                         rng.choice(["a", "b", "c"])))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    tm = transition_matrix(ev)
+    states = sorted({r["prev_state"] for r in tm.collect()}
+                    | {r["next_state"] for r in tm.collect()})
+    idx = {s: i for i, s in enumerate(states)}
+    M = np.zeros((len(states), len(states)))
+    for r in tm.collect():
+        M[idx[r["prev_state"]], idx[r["next_state"]]] = r["prob"]
+    for k in (2, 3):
+        Mk = np.linalg.matrix_power(M, k)
+        got = {(r["prev_state"], r["next_state"]): r["prob"]
+               for r in transition_power(tm, k).collect()}
+        for (a, b), p in got.items():
+            assert abs(p - Mk[idx[a], idx[b]]) < 1e-5, (k, a, b)
