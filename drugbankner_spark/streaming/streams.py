@@ -367,3 +367,44 @@ def transition_stream(
         GroupStateTimeout.EventTimeTimeout if idle_gap_ms is not None
         else GroupStateTimeout.NoTimeout,
     )
+
+
+def cooccurrence_stream(events: DataFrame) -> DataFrame:
+    """Streaming market-basket pairs (round 6 late): per entity, keep
+    the DISTINCT item set seen so far (state bounded by item
+    vocabulary, not event volume) and emit one canonical (a < b) pair
+    row the FIRST time each unordered pair co-occurs in that entity's
+    basket — including pairs that span micro-batches, which a
+    per-batch groupBy can't see, and never double-emitting when an
+    item repeats. Counting the emitted pairs downstream reproduces
+    ``temporal.cooccurrence_lift``'s n_ab exactly (stream==batch
+    pinned in tests)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, item_a string, item_b string"
+    state_schema = "items array<string>"
+
+    def update(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        a_out, b_out = [], []
+        for pdf in pdfs:
+            for item in pdf["event_type"]:
+                if item is None or item in seen:
+                    continue
+                for other in seen:
+                    lo, hi = sorted((item, other))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                seen.add(item)
+        state.update((sorted(seen),))
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(a_out),
+            "item_a": a_out,
+            "item_b": b_out,
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

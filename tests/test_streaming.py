@@ -640,3 +640,40 @@ def test_transition_stream_idle_gap_evicts_state(spark, tmp_path):
     # user 2: (x -> y) stitched (arrived before its state timed out);
     # user 1: (a -> b) dropped by eviction, (b -> c) kept
     assert got == [(1, "b", "c"), (2, "x", "y")]
+
+
+def test_cooccurrence_stream_equals_batch(spark, tmp_path):
+    # round 6 late: cross-batch basket growth — pair counts from the
+    # stateful stream equal cooccurrence_lift's n_ab.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.temporal import cooccurrence_lift
+    from drugbankner_spark.streaming.streams import (
+        cooccurrence_stream,
+        run_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    rows1 = [(1, t0, 1, "a"), (1, t0, 2, "b"), (2, t0, 3, "a")]
+    rows2 = [(1, t0, 4, "c"), (1, t0, 5, "a"),   # 'a' repeat: no re-emit
+             (2, t0, 6, "b")]                     # (a,b) spans batches
+    src = str(tmp_path / "cooc_src")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    pairs = run_to_memory(cooccurrence_stream(stream), "cooc_pairs",
+                          "append")
+    got = sorted(map(tuple,
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab")).collect()))
+    ev = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(map(tuple,
+        cooccurrence_lift(ev).select("item_a", "item_b", "n_ab")
+        .collect()))
+    assert got == want and ("a", "b") in {(a, b) for a, b, _ in got}
