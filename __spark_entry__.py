@@ -1949,6 +1949,71 @@ def _g_random_walks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_prep_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-7 consolidation suite: five round-6-late E5 singles in one
+    # tagged-union row (kfold, calibration, tokenize, profile, OLS) —
+    # numerics ride v_num per metric so no double ever casts to
+    # string (engine repr divergence), strings ride v.
+    cal = _e5_calibration(spark, sf)
+    cal_rows = _union_all([
+        cal.select(*_okv(
+            "ece", F.concat_ws("§", F.col("bin").cast("string"),
+                               F.lit(m)),
+            v_num=F.col(m).cast("double"),
+        ))
+        for m in ["n", "avg_confidence", "accuracy", "abs_gap", "ece"]
+    ])
+    ols = _e5_group_ols(spark, sf)
+    ols_rows = _union_all([
+        ols.select(*_okv(
+            "ols", F.concat_ws("§", F.col("l_returnflag"), F.lit(m)),
+            v_num=F.col(m).cast("double"),
+        ))
+        for m in ["n", "slope", "intercept", "r2"]
+    ])
+    return _union_all([
+        _e5_kfold(spark, sf).select(*_okv(
+            "kfold", F.col("doc_id"), v_num=F.col("fold"),
+        )),
+        cal_rows,
+        _e5_tokenize(spark, sf).select(*_okv(
+            "tok", F.col("c_custkey"), F.col("c_name"),
+            F.col("c_nationkey"),
+        )),
+        _e5_profile(spark, sf).select(*_okv(
+            "profile", F.col("column"),
+            F.concat_ws(
+                "§", F.col("n").cast("string"),
+                F.col("n_null").cast("string"),
+                F.col("n_distinct").cast("string"),
+                "min_value", "max_value", "top_value",
+                F.col("top_count").cast("string"),
+            ),
+        )),
+        ols_rows,
+    ])
+
+
+def _g_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-7 consolidation suite: the three round-6-late graph
+    # singles (BFS distances, LPA communities, walk corpus) in one
+    # tagged-union row.
+    return _union_all([
+        _g_bfs_distances(spark, sf).select(*_okv(
+            "bfs", F.col("node"), v_num=F.col("dist"),
+        )),
+        _g_label_prop(spark, sf).select(*_okv(
+            "lpa", F.col("node"), v_num=F.col("label"),
+        )),
+        _g_random_walks(spark, sf).select(*_okv(
+            "walk",
+            F.concat_ws("§", F.col("start").cast("string"),
+                        F.col("walk_id").cast("string")),
+            F.col("path"),
+        )),
+    ])
+
+
 def _e5_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     # Temperature-weighted mixing (round 6): per-source targets ∝
     # sqrt(n) (alpha=0.5, UniMax/T5-style low-resource upweighting) in
@@ -3869,7 +3934,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pseudonymization, join-preserving), e2_mean_pool (chunk->doc
     embedding rollup: per-dim avg + ordered reassembly),
     e6_transition_power (k-step Markov forecast via relational matrix
-    multiply) — plus the 24 demoted names above."""
+    multiply) — plus the 24 demoted names above. Two ready-made
+    consolidation suites compress the wave for the window:
+    e5_prep_suite (kfold + calibration + tokenize + profile + OLS) and
+    g_graph_suite (BFS + LPA + walk corpus), each a tagged union whose
+    branches stay individually hash-checked here."""
     return {
         # -- never driver-verified: first in the window ------------------
         "q_tpch_suite": _q_tpch_suite,
@@ -3973,6 +4042,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_tokenize": _e5_tokenize,
         "e2_mean_pool": _e2_mean_pool,
         "e6_transition_power": _e6_transition_power,
+        "e5_prep_suite": _e5_prep_suite,
+        "g_graph_suite": _g_graph_suite,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -8683,6 +8754,60 @@ def oracle_sql() -> dict[str, str]:
     out["e6_sessionize_batch"] = out["e6_sessionize"]
     # driver-window suites: tagged unions of the consolidated originals'
     # oracles, stringified into the common (op, k, v) schema
+    # round-6-late consolidation suites: tagged unions of the new
+    # singles' oracles (numerics per-metric on v_num — a double never
+    # casts to string, where engine reprs diverge)
+    out["e5_prep_suite"] = f"""
+        SELECT 'kfold' AS op, CAST(doc_id AS VARCHAR) AS k,
+               CAST(NULL AS VARCHAR) AS v, CAST(fold AS DOUBLE) AS v_num
+        FROM ({out["e5_kfold"]})
+        UNION ALL
+        SELECT 'ece', CAST(bin AS VARCHAR) || '§' || m.name,
+               CAST(NULL AS VARCHAR),
+               CASE m.name WHEN 'n' THEN CAST(n AS DOUBLE)
+                    WHEN 'avg_confidence' THEN avg_confidence
+                    WHEN 'accuracy' THEN accuracy
+                    WHEN 'abs_gap' THEN abs_gap
+                    ELSE ece END
+        FROM ({out["e5_calibration"]}),
+             (VALUES ('n'), ('avg_confidence'), ('accuracy'),
+                     ('abs_gap'), ('ece')) m(name)
+        UNION ALL
+        SELECT 'tok', CAST(c_custkey AS VARCHAR), c_name,
+               CAST(c_nationkey AS DOUBLE)
+        FROM ({out["e5_tokenize"]})
+        UNION ALL
+        SELECT 'profile', "column",
+               concat_ws('§', CAST(n AS VARCHAR),
+                         CAST(n_null AS VARCHAR),
+                         CAST(n_distinct AS VARCHAR), min_value,
+                         max_value, top_value,
+                         CAST(top_count AS VARCHAR)),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e5_profile"]})
+        UNION ALL
+        SELECT 'ols', l_returnflag || '§' || m.name,
+               CAST(NULL AS VARCHAR),
+               CASE m.name WHEN 'n' THEN CAST(n AS DOUBLE)
+                    WHEN 'slope' THEN slope
+                    WHEN 'intercept' THEN intercept
+                    ELSE r2 END
+        FROM ({out["e5_group_ols"]}),
+             (VALUES ('n'), ('slope'), ('intercept'), ('r2')) m(name)
+    """
+    out["g_graph_suite"] = f"""
+        SELECT 'bfs' AS op, CAST(node AS VARCHAR) AS k,
+               CAST(NULL AS VARCHAR) AS v, CAST(dist AS DOUBLE) AS v_num
+        FROM ({out["g_bfs_distances"]})
+        UNION ALL
+        SELECT 'lpa', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(label AS DOUBLE)
+        FROM ({out["g_label_prop"]})
+        UNION ALL
+        SELECT 'walk', CAST(start AS VARCHAR) || '§'
+               || CAST(walk_id AS VARCHAR), path, CAST(NULL AS DOUBLE)
+        FROM ({out["g_random_walks"]})
+    """
     out["u_set_suite"] = f"""
         SELECT 'a5' AS op, o_orderstatus AS k, o_orderpriority AS v
         FROM ({out["a5_distinct"]})

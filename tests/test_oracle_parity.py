@@ -111,6 +111,8 @@ def test_round7_pool_names_stay_oracle_ready():
         "e5_tokenize",      # salted-sha256 pseudonymization
         "e2_mean_pool",     # chunk->doc embedding rollup
         "e6_transition_power",  # k-step Markov forecast
+        "e5_prep_suite",    # consolidation: 5 E5 singles in one row
+        "g_graph_suite",    # consolidation: BFS + LPA + walks
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
