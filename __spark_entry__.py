@@ -3119,6 +3119,25 @@ def _e3_gopher_rep(spark: SparkSession, sf: str) -> DataFrame:
     return gopher_repetition_signals(synth)
 
 
+def _e3_gopher_rep_hash(spark: SparkSession, sf: str) -> DataFrame:
+    # production form of e3_gopher_rep: xxhash64 gram keys — the gram
+    # TEXT never shuffles. No DuckDB oracle (no xxhash64 there);
+    # output equality with the oracle form is pinned in pytest, and
+    # bench times both so the shuffle-byte saving is measured, not
+    # asserted.
+    from drugbankner_spark.operators.textanalysis import (
+        gopher_repetition_signals,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "),
+                  F.lit("\n")).alias("text"),
+    )
+    return gopher_repetition_signals(synth, key="hash")
+
+
 def _e1_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
     # C4 cleaning rules (round 6 late) over deterministically
     # synthesized pages: ' table ' -> '.\n' gives terminal-punct line
@@ -4044,6 +4063,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_transition_power": _e6_transition_power,
         "e5_prep_suite": _e5_prep_suite,
         "g_graph_suite": _g_graph_suite,
+        "e3_gopher_rep_hash": _e3_gopher_rep_hash,  # rows-only: prod kernel
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,

@@ -89,6 +89,11 @@ HEADLINE = [
     # Kneser-Ney scoring (three model-dim joins), and the composed ER
     # pipeline (blocked JW kernel + CC fixpoint)
     "e3_gopher_rep",
+    # xxhash64 gram keys: gram TEXT never shuffles. Local[32] shuffles
+    # at memory speed, so the measured win here is small (~6%); the
+    # byte saving is the cluster story, and benching both keeps the
+    # honest comparison on record.
+    "e3_gopher_rep_hash",
     "e3_kn_ppl",
     "er_resolve",
     # round 6 late (second wave): the composed FineWeb/Dolma curation

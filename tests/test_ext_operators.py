@@ -2659,3 +2659,15 @@ def test_mean_pool_embeddings_matches_numpy(spark):
         want = [round(x, 6) for x in vecs.mean(axis=0)]
         assert out[d]["embedding"] == want
         assert out[d]["n_vecs"] == len(vecs)
+
+
+def test_gopher_rep_hash_entry_equals_oracle_entry(spark):
+    # the rows-only production registry entry == the hash-oracled one.
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, E.all_queries()["e3_gopher_rep"](
+        spark, sf).collect()))
+    b = sorted(map(tuple, E.all_queries()["e3_gopher_rep_hash"](
+        spark, sf).collect()))
+    assert a == b and len(a) > 0
