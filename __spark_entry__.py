@@ -3179,6 +3179,16 @@ def _e3_skipgram(spark: SparkSession, sf: str) -> DataFrame:
     return skipgram_counts(docs, window=2)
 
 
+def _e6_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # Multi-touch attribution (round 6 late): purchases credited to
+    # the ≤5 most recent touches since the previous purchase —
+    # first/last/linear models in one row per touch, hash-checked.
+    from drugbankner_spark.operators.temporal import attribution
+
+    ev = load_table(spark, sf, "events")
+    return attribution(ev, "purchase", lookback_events=5)
+
+
 def _e6_transition_power(spark: SparkSession, sf: str) -> DataFrame:
     # Two-step Markov forecast (round 6 late): M^2 of the event
     # transition matrix via one relational matrix multiply over the
@@ -3953,7 +3963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pseudonymization, join-preserving), e2_mean_pool (chunk->doc
     embedding rollup: per-dim avg + ordered reassembly),
     e6_transition_power (k-step Markov forecast via relational matrix
-    multiply) — plus the 24 demoted names above. Two ready-made
+    multiply), e6_attribution (multi-touch first/last/linear credits
+    with per-conversion reset + recency cap) — plus the 24 demoted
+    names above. Two ready-made
     consolidation suites compress the wave for the window:
     e5_prep_suite (kfold + calibration + tokenize + profile + OLS) and
     g_graph_suite (BFS + LPA + walk corpus), each a tagged union whose
@@ -4064,6 +4076,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_prep_suite": _e5_prep_suite,
         "g_graph_suite": _g_graph_suite,
         "e3_gopher_rep_hash": _e3_gopher_rep_hash,  # rows-only: prod kernel
+        "e6_attribution": _e6_attribution,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -7384,6 +7397,53 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         # round 6: Markov transitions + top journey prefixes per user
+        # e6_attribution: the same running-conversion-count windows,
+        # segment equi join, and in-group recency cap.
+        "e6_attribution": """
+            WITH seq AS (
+                SELECT user_id AS ent, ts, event_id AS eid,
+                       event_type AS etype,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS seq
+                FROM events
+            ),
+            convs AS (
+                SELECT ent AS c_ent, eid AS conversion_id,
+                       seq AS c_idx
+                FROM seq WHERE etype = 'purchase'
+            ),
+            touches AS (
+                SELECT ent, ts, eid, etype, seq + 1 AS t_idx
+                FROM seq WHERE etype <> 'purchase'
+            ),
+            joined AS (
+                SELECT t.ent, t.ts, t.eid, t.etype, c.conversion_id,
+                       row_number() OVER (
+                           PARTITION BY t.ent, c.conversion_id
+                           ORDER BY t.ts DESC, t.eid DESC) AS r
+                FROM touches t
+                JOIN convs c ON c.c_ent = t.ent AND c.c_idx = t.t_idx
+            ),
+            kept AS (SELECT * FROM joined WHERE r <= 5),
+            sized AS (
+                SELECT *, count(*) OVER (
+                    PARTITION BY ent, conversion_id) AS k
+                FROM kept
+            )
+            SELECT ent AS user_id, conversion_id, eid AS touch_id,
+                   etype AS touch_type,
+                   CAST(k - r + 1 AS BIGINT) AS position,
+                   CAST(k AS BIGINT) AS n_touches,
+                   CAST(CASE WHEN r = k THEN 1 ELSE 0 END AS INT)
+                       AS first_credit,
+                   CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS INT)
+                       AS last_credit,
+                   round(1.0 / k, 6) AS linear_credit
+            FROM sized
+        """,
         # e6_transition_power: the same rounded matrix squared — join
         # on the intermediate state, sum of products, re-round.
         "e6_transition_power": """

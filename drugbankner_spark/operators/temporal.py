@@ -565,3 +565,72 @@ def transition_power(tm: DataFrame, k: int = 2) -> DataFrame:
         F.col("b").alias("next_state"),
         F.round("p", 6).alias("prob"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    lookback_events: int = 5,
+) -> DataFrame:
+    """Multi-touch attribution (the marketing-analytics staple): for
+    every CONVERSION event, credit the touches that preceded it since
+    the previous conversion (the window resets per conversion), capped
+    at the most recent ``lookback_events``. Emits all three standard
+    models at once — ``first_credit``/``last_credit`` (1 for the
+    oldest/newest kept touch) and ``linear_credit`` = 1/k (6dp) — plus
+    position-from-oldest and k, so any weighted model derives
+    downstream. Deterministic: ordering pinned by (ts, tiebreak).
+
+    Shape: one entity-keyed window pass assigns each row its running
+    conversion count (a touch with count s belongs to conversion
+    s + 1), one equi join (entity, segment) attaches touches to their
+    conversion, and two windows inside the (conversion) group cap and
+    position them. Everything keys on the entity then the conversion —
+    clickstream-scale safe, no range join."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    is_conv = (F.col(type_col) == conversion_type).cast("int")
+    seq = events.select(
+        F.col(entity_col).alias("ent"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        F.sum(is_conv).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("seq"),
+    )
+    convs = seq.filter(F.col("etype") == conversion_type).select(
+        F.col("ent").alias("c_ent"),
+        F.col("eid").alias("conversion_id"),
+        F.col("seq").alias("c_idx"),
+    )
+    touches = seq.filter(F.col("etype") != conversion_type).select(
+        "ent", "ts", "eid", "etype", (F.col("seq") + 1).alias("t_idx")
+    )
+    joined = touches.join(
+        convs,
+        (F.col("ent") == F.col("c_ent"))
+        & (F.col("t_idx") == F.col("c_idx")),
+    )
+    wg = Window.partitionBy("ent", "conversion_id")
+    recency = F.row_number().over(
+        wg.orderBy(F.desc("ts"), F.desc("eid"))
+    )
+    kept = joined.withColumn("_r", recency).filter(
+        F.col("_r") <= lookback_events
+    )
+    k = F.count(F.lit(1)).over(wg)
+    return kept.select(
+        F.col("ent").alias(entity_col),
+        "conversion_id",
+        F.col("eid").alias("touch_id"),
+        F.col("etype").alias("touch_type"),
+        (k - F.col("_r") + 1).alias("position"),
+        k.alias("n_touches"),
+        (F.col("_r") == k).cast("int").alias("first_credit"),
+        (F.col("_r") == 1).cast("int").alias("last_credit"),
+        F.round(F.lit(1.0) / k, 6).alias("linear_credit"),
+    )

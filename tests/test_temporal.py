@@ -507,3 +507,48 @@ def test_transition_power_matches_numpy(spark):
                for r in transition_power(tm, k).collect()}
         for (a, b), p in got.items():
             assert abs(p - Mk[idx[a], idx[b]]) < 1e-5, (k, a, b)
+
+
+def test_attribution_hand_golden(spark):
+    # round 6 late: touches reset per conversion; lookback caps to the
+    # most recent; first/last/linear credits.
+    import datetime as dt
+
+    from drugbankner_spark.operators.temporal import attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, minute, eid, tp):
+        return (uid, t0 + dt.timedelta(minutes=minute), eid, tp)
+
+    rows = [
+        ev(1, 0, 1, "ad"), ev(1, 1, 2, "email"), ev(1, 2, 3, "buy"),
+        ev(1, 3, 4, "ad"), ev(1, 4, 5, "buy"),       # second window
+        ev(2, 0, 6, "a"), ev(2, 1, 7, "b"), ev(2, 2, 8, "c"),
+        ev(2, 3, 9, "d"), ev(2, 4, 10, "buy"),       # 4 touches
+        ev(3, 0, 11, "buy"),                          # no touches
+    ]
+    out = attribution(
+        spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long, event_type string",
+        ),
+        "buy", lookback_events=3,
+    ).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conversion_id"], []).append(r)
+    c3 = {r["touch_id"]: r for r in by_conv[3]}
+    assert set(c3) == {1, 2} and c3[1]["position"] == 1
+    assert c3[1]["first_credit"] == 1 and c3[1]["last_credit"] == 0
+    assert c3[2]["last_credit"] == 1 and c3[2]["linear_credit"] == 0.5
+    c5 = {r["touch_id"]: r for r in by_conv[5]}
+    assert set(c5) == {4}   # window reset: only the post-buy 'ad'
+    assert c5[4]["first_credit"] == c5[4]["last_credit"] == 1
+    assert c5[4]["linear_credit"] == 1.0
+    c10 = {r["touch_id"]: r for r in by_conv[10]}
+    assert set(c10) == {7, 8, 9}  # lookback 3 drops the oldest touch
+    assert c10[7]["position"] == 1 and c10[7]["first_credit"] == 1
+    assert c10[9]["last_credit"] == 1
+    assert c10[8]["linear_credit"] == round(1 / 3, 6)
+    assert 11 not in by_conv  # conversion with no touches: no rows
