@@ -316,10 +316,11 @@ SF1_QUERIES = [
     "e5_dsir_weights",
     "e3_wordpiece_apply",
     # round 6 late (second wave): the 9-way gram sweep, KN scoring,
-    # and span corruption at 10×
+    # span corruption, and the composed curation chain at 10×
     "e3_gopher_rep",
     "e3_kn_ppl",
     "e5_span_corrupt",
+    "pipeline_curate_corpus",
 ]
 
 
