@@ -3784,6 +3784,32 @@ def _e3_wordlm(spark: SparkSession, sf: str) -> DataFrame:
     return word_lm_logprob(docs, model)
 
 
+def _e5_ner_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # NER span evaluation (round 6 late): Aho-Corasick taggings over
+    # two overlapping term sets stand in for pred vs gold — 'ark' hits
+    # are spurious ENGINE predictions, 'hash' spans are missed gold —
+    # CoNLL exact-match P/R/F1 per label + micro, hash-checked.
+    from drugbankner_spark.operators.evals import ner_span_metrics
+    from drugbankner_spark.operators.textanalysis import (
+        tag_dictionary_terms,
+    )
+
+    docs = load_table(spark, sf, "documents")
+
+    def spans(terms):
+        t = tag_dictionary_terms(docs, terms)
+        return t.select(
+            "doc_id", "start",
+            F.length("term").alias("length"),
+            F.when(F.col("term") == "window", F.lit("UI"))
+            .otherwise(F.lit("ENGINE")).alias("label"),
+        )
+
+    pred = spans(["spark", "ark", "window"])
+    gold = spans(["spark", "window", "hash"])
+    return ner_span_metrics(pred, gold)
+
+
 def _e3_kn_ppl(spark: SparkSession, sf: str) -> DataFrame:
     # Interpolated Kneser-Ney bigram perplexity (round 6 late): the
     # smoothing KenLM/CCNet quality filters actually run. Train on the
@@ -3964,8 +3990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embedding rollup: per-dim avg + ordered reassembly),
     e6_transition_power (k-step Markov forecast via relational matrix
     multiply), e6_attribution (multi-touch first/last/linear credits
-    with per-conversion reset + recency cap) — plus the 24 demoted
-    names above. Two ready-made
+    with per-conversion reset + recency cap), e5_ner_eval (CoNLL
+    exact-match span P/R/F1 + micro over Aho-Corasick taggings) —
+    plus the 24 demoted names above. Two ready-made
     consolidation suites compress the wave for the window:
     e5_prep_suite (kfold + calibration + tokenize + profile + OLS) and
     g_graph_suite (BFS + LPA + walk corpus), each a tagged union whose
@@ -4077,6 +4104,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_graph_suite": _g_graph_suite,
         "e3_gopher_rep_hash": _e3_gopher_rep_hash,  # rows-only: prod kernel
         "e6_attribution": _e6_attribution,
+        "e5_ner_eval": _e5_ner_eval,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -5917,6 +5945,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
+        """,
+        # e5_ner_eval: both taggings via the brute-force substr scan
+        # (the e3_dict_tag oracle), then the same TP/derived-FP-FN
+        # metric arithmetic.
+        "e5_ner_eval": """
+            WITH p_terms(term) AS (
+                VALUES ('spark'), ('ark'), ('window')
+            ),
+            g_terms(term) AS (
+                VALUES ('spark'), ('window'), ('hash')
+            ),
+            p AS (
+                SELECT DISTINCT d.doc_id, CAST(i - 1 AS BIGINT) AS start,
+                       length(t.term) AS length,
+                       CASE WHEN t.term = 'window' THEN 'UI'
+                            ELSE 'ENGINE' END AS label
+                FROM documents d, p_terms t,
+                     UNNEST(generate_series(
+                         1, length(d.text) - length(t.term) + 1)) AS g(i)
+                WHERE substr(d.text, i, length(t.term)) = t.term
+            ),
+            g AS (
+                SELECT DISTINCT d.doc_id, CAST(i - 1 AS BIGINT) AS start,
+                       length(t.term) AS length,
+                       CASE WHEN t.term = 'window' THEN 'UI'
+                            ELSE 'ENGINE' END AS label
+                FROM documents d, g_terms t,
+                     UNNEST(generate_series(
+                         1, length(d.text) - length(t.term) + 1)) AS g(i)
+                WHERE substr(d.text, i, length(t.term)) = t.term
+            ),
+            tp AS (
+                SELECT p.label, count(*) AS tp
+                FROM p JOIN g USING (doc_id, start, length, label)
+                GROUP BY p.label
+            ),
+            np AS (SELECT label, count(*) AS n_pred FROM p GROUP BY label),
+            ng AS (SELECT label, count(*) AS n_gold FROM g GROUP BY label),
+            per AS (
+                SELECT coalesce(np.label, ng.label) AS label,
+                       coalesce(tp.tp, 0) AS tp,
+                       coalesce(np.n_pred, 0) - coalesce(tp.tp, 0) AS fp,
+                       coalesce(ng.n_gold, 0) - coalesce(tp.tp, 0) AS fn
+                FROM np
+                FULL JOIN ng ON ng.label = np.label
+                LEFT JOIN tp ON tp.label = coalesce(np.label, ng.label)
+            ),
+            allrows AS (
+                SELECT label, tp, fp, fn FROM per
+                UNION ALL
+                SELECT '__micro__', sum(tp), sum(fp), sum(fn) FROM per
+            )
+            SELECT label, tp, fp, fn,
+                   round(CASE WHEN tp + fp > 0
+                              THEN tp / (tp + fp) ELSE 0.0 END, 6)
+                       AS precision,
+                   round(CASE WHEN tp + fn > 0
+                              THEN tp / (tp + fn) ELSE 0.0 END, 6)
+                       AS recall,
+                   round(CASE WHEN (CASE WHEN tp + fp > 0
+                                    THEN tp / (tp + fp) ELSE 0.0 END)
+                              + (CASE WHEN tp + fn > 0
+                                 THEN tp / (tp + fn) ELSE 0.0 END) > 0
+                         THEN 2 * (CASE WHEN tp + fp > 0
+                                   THEN tp / (tp + fp) ELSE 0.0 END)
+                              * (CASE WHEN tp + fn > 0
+                                 THEN tp / (tp + fn) ELSE 0.0 END)
+                              / ((CASE WHEN tp + fp > 0
+                                  THEN tp / (tp + fp) ELSE 0.0 END)
+                                 + (CASE WHEN tp + fn > 0
+                                    THEN tp / (tp + fn) ELSE 0.0 END))
+                         ELSE 0.0 END, 6) AS f1
+            FROM allrows
         """,
         # e3_kn_ppl: interpolated Kneser-Ney replicated term-for-term —
         # all four dims (bigram counts, context totals + fan-out,

@@ -334,3 +334,71 @@ def calibration_report(
         ).alias("ece")
     )
     return per_bin.crossJoin(F.broadcast(total))
+
+
+def ner_span_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "doc_id",
+    start_col: str = "start",
+    label_col: str = "label",
+    length_col: str = "length",
+) -> DataFrame:
+    """Span-level NER evaluation (the CoNLL exact-match convention —
+    the metric the reference's scispaCy pipeline would be scored by):
+    a prediction is a true positive iff (doc, start, length, label)
+    all match a gold span. Per label: tp/fp/fn + precision/recall/F1,
+    plus one ``__micro__`` row aggregated over all labels (6dp; empty
+    denominators → 0.0, the seqeval convention).
+
+    Shape: duplicate spans collapse first (distinct), then ONE inner
+    join on the full span key counts TP per label, and the per-label
+    totals derive from two count aggs — no anti-joins needed since
+    fp = n_pred − tp and fn = n_gold − tp. Everything keys on (doc,
+    span), clickstream-scale safe."""
+    key = [id_col, start_col, length_col, label_col]
+    p = pred.select(*key).distinct()
+    g = gold.select(*key).distinct()
+    tp = (
+        p.join(g, key)
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    np_ = p.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_pred"))
+    ng = g.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_gold"))
+    per = (
+        np_.join(ng, label_col, "full")
+        .join(tp, label_col, "left")
+        .select(
+            F.col(label_col).alias("label"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("n_pred", F.lit(0))
+             - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("n_gold", F.lit(0))
+             - F.coalesce("tp", F.lit(0))).alias("fn"),
+        )
+    )
+    micro = per.agg(
+        F.lit("__micro__").alias("label"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+    )
+    allrows = per.unionByName(micro)
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        prec + rec > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return allrows.select(
+        "label", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

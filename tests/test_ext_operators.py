@@ -2671,3 +2671,34 @@ def test_gopher_rep_hash_entry_equals_oracle_entry(spark):
     b = sorted(map(tuple, E.all_queries()["e3_gopher_rep_hash"](
         spark, sf).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ner_span_metrics_goldens(spark):
+    # round 6 late: CoNLL exact-match span scoring with micro rollup.
+    from drugbankner_spark.operators.evals import ner_span_metrics
+
+    cols = ["doc_id", "start", "length", "label"]
+    gold = spark.createDataFrame(
+        [(1, 0, 5, "DRUG"), (1, 10, 4, "DISEASE"), (2, 3, 6, "DRUG"),
+         (2, 3, 6, "DRUG")],   # dup gold collapses
+        cols,
+    )
+    pred = spark.createDataFrame(
+        [(1, 0, 5, "DRUG"),       # exact TP
+         (1, 10, 4, "DRUG"),      # right span, wrong label: FP (+FN)
+         (1, 20, 3, "DISEASE"),   # spurious: FP
+         (2, 3, 6, "DRUG")],      # TP
+        cols,
+    )
+    out = {r["label"]: r for r in
+           ner_span_metrics(pred, gold).collect()}
+    drug = out["DRUG"]
+    assert (drug["tp"], drug["fp"], drug["fn"]) == (2, 1, 0)
+    assert drug["precision"] == round(2 / 3, 6) and drug["recall"] == 1.0
+    dis = out["DISEASE"]
+    assert (dis["tp"], dis["fp"], dis["fn"]) == (0, 1, 1)
+    assert dis["precision"] == 0.0 and dis["f1"] == 0.0
+    mic = out["__micro__"]
+    assert (mic["tp"], mic["fp"], mic["fn"]) == (2, 2, 1)
+    p, r = 2 / 4, 2 / 3
+    assert mic["f1"] == round(2 * p * r / (p + r), 6)

@@ -114,6 +114,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e5_prep_suite",    # consolidation: 5 E5 singles in one row
         "g_graph_suite",    # consolidation: BFS + LPA + walks
         "e6_attribution",   # multi-touch attribution credits
+        "e5_ner_eval",      # CoNLL span P/R/F1 + micro
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
