@@ -3784,6 +3784,22 @@ def _e3_wordlm(spark: SparkSession, sf: str) -> DataFrame:
     return word_lm_logprob(docs, model)
 
 
+def _e1_repair_text(spark: SparkSession, sf: str) -> DataFrame:
+    # Extraction-artifact repair (round 6 late): deterministic
+    # artifacts planted per doc — ' merge ' becomes a line-wrap
+    # hyphenation, ' batch ' a tab run, every 3rd doc gains a BEL —
+    # then the rule chain, hash-checked against RE2 (including the
+    # $1 vs \\1 backreference dialect difference).
+    from drugbankner_spark.operators.corpus import repair_text
+
+    docs = load_table(spark, sf, "documents")
+    d = F.col("doc_id")
+    s1 = F.replace(F.col("text"), F.lit(" merge "), F.lit("-\n"))
+    s2 = F.replace(s1, F.lit(" batch "), F.lit("\t\t"))
+    s3 = F.when(d % 3 == 0, F.concat(s2, F.lit("\x07"))).otherwise(s2)
+    return repair_text(docs.select("doc_id", s3.alias("text")))
+
+
 def _e5_ner_eval(spark: SparkSession, sf: str) -> DataFrame:
     # NER span evaluation (round 6 late): Aho-Corasick taggings over
     # two overlapping term sets stand in for pred vs gold — 'ark' hits
@@ -3991,7 +4007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     e6_transition_power (k-step Markov forecast via relational matrix
     multiply), e6_attribution (multi-touch first/last/linear credits
     with per-conversion reset + recency cap), e5_ner_eval (CoNLL
-    exact-match span P/R/F1 + micro over Aho-Corasick taggings) —
+    exact-match span P/R/F1 + micro over Aho-Corasick taggings),
+    e1_repair_text (extraction-artifact repair: de-hyphenation,
+    control strip, whitespace collapse — $1-vs-\\1 dialect pinned) —
     plus the 24 demoted names above. Two ready-made
     consolidation suites compress the wave for the window:
     e5_prep_suite (kfold + calibration + tokenize + profile + OLS) and
@@ -4105,6 +4123,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_gopher_rep_hash": _e3_gopher_rep_hash,  # rows-only: prod kernel
         "e6_attribution": _e6_attribution,
         "e5_ner_eval": _e5_ner_eval,
+        "e1_repair_text": _e1_repair_text,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -5945,6 +5964,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
+        """,
+        # e1_repair_text: same artifacts, same rule chain; DuckDB's
+        # backreference is \\1 where Spark's is $1.
+        "e1_repair_text": """
+            WITH synth AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN base || chr(7) ELSE base END AS text
+                FROM (
+                    SELECT doc_id,
+                           replace(replace(text, ' merge ',
+                                           '-' || chr(10)),
+                                   ' batch ', chr(9) || chr(9)) AS base
+                    FROM documents
+                )
+            ),
+            fixed AS (
+                SELECT doc_id, length(text) AS n_chars_before,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '([A-Za-z])-\\n([A-Za-z])',
+                                   '\\1\\2', 'g'),
+                               '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                           '[ \\t]+', ' ', 'g') AS text
+                FROM synth
+            )
+            SELECT doc_id, text, n_chars_before,
+                   length(text) AS n_chars_after
+            FROM fixed
         """,
         # e5_ner_eval: both taggings via the brute-force substr scan
         # (the e3_dict_tag oracle), then the same TP/derived-FP-FN

@@ -2702,3 +2702,22 @@ def test_ner_span_metrics_goldens(spark):
     assert (mic["tp"], mic["fp"], mic["fn"]) == (2, 2, 1)
     p, r = 2 / 4, 2 / 3
     assert mic["f1"] == round(2 * p * r / (p + r), 6)
+
+
+def test_repair_text_goldens(spark):
+    from drugbankner_spark.operators.corpus import repair_text
+
+    docs = spark.createDataFrame(
+        [(1, "over-\nfit models\x07 need   space"),
+         (2, "call 911 now\t\tok"),
+         (3, "clean")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repair_text(docs).collect()}
+    assert out[1]["text"] == "overfit models need space"
+    assert out[2]["text"] == "call 911 now ok"
+    assert out[3]["text"] == "clean"
+    assert out[1]["n_chars_before"] > out[1]["n_chars_after"]
+    masked = {r["doc_id"]: r["text"] for r in
+              repair_text(docs, mask_numbers=True).collect()}
+    assert masked[2] == "call <NUM> now ok"

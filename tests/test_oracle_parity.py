@@ -115,6 +115,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "g_graph_suite",    # consolidation: BFS + LPA + walks
         "e6_attribution",   # multi-touch attribution credits
         "e5_ner_eval",      # CoNLL span P/R/F1 + micro
+        "e1_repair_text",   # extraction-artifact repair chain
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
