@@ -3784,6 +3784,16 @@ def _e3_wordlm(spark: SparkSession, sf: str) -> DataFrame:
     return word_lm_logprob(docs, model)
 
 
+def _e5_augment(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic EDA augmentation (round 6 late): hash-seeded token
+    # drops + disjoint adjacent-pair swaps; the oracle replays the
+    # swap as lead/lag over the surviving positions.
+    from drugbankner_spark.operators.corpus import augment_text
+
+    docs = load_table(spark, sf, "documents")
+    return augment_text(docs)
+
+
 def _e1_repair_text(spark: SparkSession, sf: str) -> DataFrame:
     # Extraction-artifact repair (round 6 late): deterministic
     # artifacts planted per doc — ' merge ' becomes a line-wrap
@@ -4009,8 +4019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with per-conversion reset + recency cap), e5_ner_eval (CoNLL
     exact-match span P/R/F1 + micro over Aho-Corasick taggings),
     e1_repair_text (extraction-artifact repair: de-hyphenation,
-    control strip, whitespace collapse — $1-vs-\\1 dialect pinned) —
-    plus the 24 demoted names above. Two ready-made
+    control strip, whitespace collapse — $1-vs-\\1 dialect pinned),
+    e5_augment (deterministic EDA: hash-seeded drops + disjoint pair
+    swaps, lead/lag oracle) — plus the 24 demoted names above. Two
+    ready-made
     consolidation suites compress the wave for the window:
     e5_prep_suite (kfold + calibration + tokenize + profile + OLS) and
     g_graph_suite (BFS + LPA + walk corpus), each a tagged union whose
@@ -4124,6 +4136,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_attribution": _e6_attribution,
         "e5_ner_eval": _e5_ner_eval,
         "e1_repair_text": _e1_repair_text,
+        "e5_augment": _e5_augment,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -5964,6 +5977,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
+        """,
+        # e5_augment: same drop hash over raw positions, swap replayed
+        # as lead/lag over surviving positions (pairs are disjoint so
+        # the window form is exact).
+        "e5_augment": f"""
+            WITH pre AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents
+            ),
+            keeppos AS (
+                SELECT p.doc_id, g.p,
+                       row_number() OVER (
+                           PARTITION BY p.doc_id ORDER BY g.p) AS j,
+                       p.tk[g.p] AS tok
+                FROM pre p,
+                     UNNEST(generate_series(1, len(p.tk))) AS g(p)
+                WHERE {_sql_hash32(
+                    "CAST(p.doc_id AS VARCHAR) || '~' "
+                    "|| CAST(g.p AS VARCHAR)")} % 11 <> 0
+            ),
+            nk AS (
+                SELECT doc_id, count(*) AS n
+                FROM keeppos GROUP BY doc_id
+            ),
+            sw AS (
+                SELECT k.doc_id, k.j,
+                       CASE
+                         WHEN k.j % 2 = 1 AND k.j < nk.n
+                              AND {_sql_hash32(
+                                  "CAST(k.doc_id AS VARCHAR) || '^' "
+                                  "|| CAST((k.j + 1) // 2 AS VARCHAR)")}
+                                  % 7 = 0
+                         THEN lead(k.tok) OVER w
+                         WHEN k.j % 2 = 0
+                              AND {_sql_hash32(
+                                  "CAST(k.doc_id AS VARCHAR) || '^' "
+                                  "|| CAST(k.j // 2 AS VARCHAR)")}
+                                  % 7 = 0
+                         THEN lag(k.tok) OVER w
+                         ELSE k.tok
+                       END AS tok,
+                       CASE WHEN k.j % 2 = 0 AND {_sql_hash32(
+                           "CAST(k.doc_id AS VARCHAR) || '^' "
+                           "|| CAST(k.j // 2 AS VARCHAR)")} % 7 = 0
+                       THEN 1 ELSE 0 END AS swapped
+                FROM keeppos k JOIN nk ON nk.doc_id = k.doc_id
+                WINDOW w AS (PARTITION BY k.doc_id ORDER BY k.j)
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY j) AS text,
+                       CAST(sum(swapped) AS INT) AS n_swapped_pairs
+                FROM sw GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   coalesce(a.text, '') AS text,
+                   CAST(len(p.tk) - coalesce(nk.n, 0) AS INT)
+                       AS n_dropped,
+                   coalesce(a.n_swapped_pairs, 0) AS n_swapped_pairs
+            FROM pre p
+            LEFT JOIN nk ON nk.doc_id = p.doc_id
+            LEFT JOIN agg a ON a.doc_id = p.doc_id
         """,
         # e1_repair_text: same artifacts, same rule chain; DuckDB's
         # backreference is \\1 where Spark's is $1.

@@ -1101,3 +1101,77 @@ def repair_text(
         before.alias("n_chars_before"),
         F.length(t).alias("n_chars_after"),
     )
+
+
+def augment_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_every_k: int = 11,
+    swap_every_k: int = 7,
+) -> DataFrame:
+    """Deterministic EDA-style augmentation (Wei & Zou 2019, minus the
+    RNG): token p is DELETED iff ``hash32(id~p) % drop_every_k == 0``,
+    then adjacent pair (2i−1, 2i) of the surviving sequence SWAPS iff
+    ``hash32(id^i) % swap_every_k == 0`` — pairs are disjoint by
+    construction, so there is no sequential dependence and the whole
+    transform is two pure array expressions (zero shuffle). Same
+    hash-not-RNG contract as span corruption: the augmented corpus is
+    reproducible across engines, partitionings, and epochs (vary the
+    salt per epoch for fresh augmentations). Output: (id, text,
+    n_dropped, n_swapped_pairs)."""
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    idc = F.col(id_col).cast("string")
+    pre = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
+    )
+    tk = F.col("_tk")
+    # survivors: positions (1-based) whose drop hash doesn't fire
+    keep_pos = F.filter(
+        F.sequence(F.lit(1), F.size(tk)),
+        lambda p: content_hash32(
+            F.concat(idc, F.lit("~"), p.cast("string"))
+        ) % drop_every_k != 0,
+    )
+    kept = pre.select(
+        F.col(id_col),
+        (F.size(tk) - F.size(keep_pos)).alias("n_dropped"),
+        F.transform(keep_pos, lambda p: F.element_at(tk, p))
+        .alias("_kt"),
+    )
+    kt = F.col("_kt")
+    n = F.size(kt)
+    # pair i covers positions (2i-1, 2i); swap fires per-pair. The
+    # pair index is kept INTEGER all the way to the hash — a double
+    # would stringify as '1.0' and change the digest.
+    def swap_fires(i):
+        return (
+            content_hash32(
+                F.concat(idc, F.lit("^"),
+                         i.cast("long").cast("string"))
+            ) % swap_every_k == 0
+        )
+
+    swapped = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.when(
+            (j % 2 == 1) & (j < n)
+            & swap_fires(F.floor((j + 1) / 2)),
+            F.element_at(kt, (j + 1).cast("int")),
+        ).when(
+            (j % 2 == 0) & swap_fires(F.floor(j / 2)),
+            F.element_at(kt, (j - 1).cast("int")),
+        ).otherwise(F.element_at(kt, j.cast("int"))),
+    )
+    n_pairs_swapped = F.size(F.filter(
+        F.sequence(F.lit(1), F.floor(n / 2).cast("int")),
+        lambda i: swap_fires(i),
+    ))
+    return kept.select(
+        F.col(id_col),
+        F.array_join(swapped, " ").alias("text"),
+        "n_dropped",
+        F.when(n >= 2, n_pairs_swapped).otherwise(F.lit(0))
+        .alias("n_swapped_pairs"),
+    )

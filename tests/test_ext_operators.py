@@ -2721,3 +2721,47 @@ def test_repair_text_goldens(spark):
     masked = {r["doc_id"]: r["text"] for r in
               repair_text(docs, mask_numbers=True).collect()}
     assert masked[2] == "call <NUM> now ok"
+
+
+def _augment_reference(doc_id, text, dk=11, sk=7):
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    toks = text.split(" ")
+    kept = [t for p, t in enumerate(toks, 1)
+            if h32(f"{doc_id}~{p}") % dk != 0]
+    n_dropped = len(toks) - len(kept)
+    out = list(kept)
+    n_sw = 0
+    for i in range(1, len(kept) // 2 + 1):
+        if h32(f"{doc_id}^{i}") % sk == 0:
+            n_sw += 1
+            a, b = 2 * i - 2, 2 * i - 1
+            out[a], out[b] = out[b], out[a]
+    return " ".join(out), n_dropped, n_sw
+
+
+def test_augment_text_matches_reference(spark):
+    # round 6 late: hash-seeded EDA (delete + disjoint pair swaps) ==
+    # a plain-python reference, and augmentation actually fires.
+    import random
+
+    from drugbankner_spark.operators.corpus import augment_text
+
+    rng = random.Random(103)
+    docs = [(i, " ".join(f"w{rng.randrange(40)}"
+                         for _ in range(rng.randint(1, 30))))
+            for i in range(30)]
+    got = {r["doc_id"]: r for r in augment_text(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    dropped = swapped = 0
+    for did, text in docs:
+        t, nd, ns = _augment_reference(did, text)
+        r = got[did]
+        assert (r["text"], r["n_dropped"], r["n_swapped_pairs"]) \
+            == (t, nd, ns), did
+        dropped += nd
+        swapped += ns
+    assert dropped > 5 and swapped > 3

@@ -116,6 +116,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e6_attribution",   # multi-touch attribution credits
         "e5_ner_eval",      # CoNLL span P/R/F1 + micro
         "e1_repair_text",   # extraction-artifact repair chain
+        "e5_augment",       # deterministic EDA augmentation
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
