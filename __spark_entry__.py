@@ -3794,6 +3794,28 @@ def _e5_augment(spark: SparkSession, sf: str) -> DataFrame:
     return augment_text(docs)
 
 
+def _e5_iob_tags(spark: SparkSession, sf: str) -> DataFrame:
+    # Span -> IOB token labels (round 6 late): the same overlapping
+    # taggings as e5_ner_eval ('ark' fires inside 'spark' — the
+    # longer-span-wins resolution is live on real data), rendered as
+    # B/I/O per whitespace token.
+    from drugbankner_spark.operators.sft import spans_to_iob
+    from drugbankner_spark.operators.textanalysis import (
+        tag_dictionary_terms,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    spans = tag_dictionary_terms(
+        docs, ["spark", "ark", "window"]
+    ).select(
+        "doc_id", "start",
+        F.length("term").alias("length"),
+        F.when(F.col("term") == "window", F.lit("UI"))
+        .otherwise(F.lit("ENGINE")).alias("label"),
+    )
+    return spans_to_iob(docs, spans)
+
+
 def _e1_repair_text(spark: SparkSession, sf: str) -> DataFrame:
     # Extraction-artifact repair (round 6 late): deterministic
     # artifacts planted per doc — ' merge ' becomes a line-wrap
@@ -4021,8 +4043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     e1_repair_text (extraction-artifact repair: de-hyphenation,
     control strip, whitespace collapse — $1-vs-\\1 dialect pinned),
     e5_augment (deterministic EDA: hash-seeded drops + disjoint pair
-    swaps, lead/lag oracle) — plus the 24 demoted names above. Two
-    ready-made
+    swaps, lead/lag oracle), e5_iob_tags (span -> B/I/O token labels
+    with pairwise-priority overlap resolution) — plus the 24 demoted
+    names above. Two ready-made
     consolidation suites compress the wave for the window:
     e5_prep_suite (kfold + calibration + tokenize + profile + OLS) and
     g_graph_suite (BFS + LPA + walk corpus), each a tagged union whose
@@ -4137,6 +4160,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_ner_eval": _e5_ner_eval,
         "e1_repair_text": _e1_repair_text,
         "e5_augment": _e5_augment,
+        "e5_iob_tags": _e5_iob_tags,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -5977,6 +6001,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
+        """,
+        # e5_iob_tags: same substr-scan spans, the pairwise-priority
+        # anti-join resolution, prefix-sum token offsets, and the
+        # first-token window.
+        "e5_iob_tags": """
+            WITH spans0 AS (
+                SELECT DISTINCT d.doc_id,
+                       CAST(i - 1 AS BIGINT) AS s_start,
+                       length(t.term) AS s_len,
+                       CASE WHEN t.term = 'window' THEN 'UI'
+                            ELSE 'ENGINE' END AS s_label
+                FROM documents d,
+                     (VALUES ('spark'), ('ark'), ('window')) t(term),
+                     UNNEST(generate_series(
+                         1, length(d.text) - length(t.term) + 1)) AS g(i)
+                WHERE substr(d.text, i, length(t.term)) = t.term
+            ),
+            kept AS (
+                SELECT s.* FROM spans0 s
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans0 o
+                    WHERE o.doc_id = s.doc_id
+                      AND s.s_start < o.s_start + o.s_len
+                      AND o.s_start < s.s_start + s.s_len
+                      AND (o.s_len > s.s_len
+                           OR (o.s_len = s.s_len
+                               AND o.s_start < s.s_start)
+                           OR (o.s_len = s.s_len
+                               AND o.s_start = s.s_start
+                               AND o.s_label < s.s_label))
+                )
+            ),
+            tok AS (
+                SELECT b.doc_id, CAST(g.p AS INT) AS pos,
+                       b.tk[g.p] AS token
+                FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents) b,
+                     UNNEST(generate_series(1, len(b.tk))) AS g(p)
+            ),
+            offs AS (
+                SELECT doc_id, pos, token,
+                       coalesce(sum(length(token) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS tok_start
+                FROM tok
+            ),
+            joined AS (
+                SELECT o.doc_id, o.pos, o.token, k.s_start, k.s_len,
+                       k.s_label,
+                       row_number() OVER (
+                           PARTITION BY o.doc_id, k.s_start, k.s_len
+                           ORDER BY o.tok_start) AS rn
+                FROM offs o LEFT JOIN kept k
+                  ON k.doc_id = o.doc_id
+                 AND o.tok_start >= k.s_start
+                 AND o.tok_start < k.s_start + k.s_len
+            )
+            SELECT doc_id, pos, token,
+                   CASE WHEN s_label IS NULL THEN 'O'
+                        WHEN rn = 1 THEN 'B-' || s_label
+                        ELSE 'I-' || s_label END AS tag
+            FROM joined
         """,
         # e5_augment: same drop hash over raw positions, swap replayed
         # as lead/lag over surviving positions (pairs are disjoint so

@@ -279,3 +279,102 @@ def span_corrupt(
             .alias("n_noise_tokens"),
         )
     )
+
+
+def spans_to_iob(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_col: str = "start",
+    length_col: str = "length",
+    label_col: str = "label",
+) -> DataFrame:
+    """Character spans → token-level IOB tags (the rendering step
+    between span annotations — dictionary taggers, the NER UDTF — and
+    a token-classification trainer). Whitespace tokens; a token joins
+    the span that covers its START character; the span's first token
+    is ``B-label``, the rest ``I-label``, everything else ``O``.
+
+    Overlap resolution is DETERMINISTIC and documented: a span is
+    dropped iff it overlaps another span of the same doc with higher
+    priority (longer first, then earlier start, then label asc) — one
+    in-doc pair join + anti-join, no sequential dependence (a span
+    dropped this way does not revive spans it overlapped; the greedy
+    optimum would need a sequential scan and buys nothing for
+    training data). Output: (id, pos, token, tag), pos 1-based.
+
+    Shape: token offsets from one per-doc prefix-sum window, span
+    priority from one bounded in-doc pair join, tagging from one
+    range join (tokens × surviving spans WITHIN a doc) + a first-token
+    window — everything keys on the doc id."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
+        )
+        .select(
+            id_col,
+            F.posexplode("_tk").alias("_p0", "token"),
+        )
+        .select(
+            F.col(id_col).alias("_d"), "token",
+            (F.col("_p0") + 1).alias("pos"),
+        )
+    )
+    w_off = Window.partitionBy("_d").orderBy("pos")
+    toks = toks.withColumn(
+        "tok_start",
+        F.coalesce(
+            F.sum(F.length("token") + 1).over(
+                w_off.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    s = spans.select(
+        F.col(id_col).alias("_sd"),
+        F.col(start_col).alias("s_start"),
+        F.col(length_col).alias("s_len"),
+        F.col(label_col).alias("s_label"),
+    ).distinct()
+    other = s.select(
+        F.col("_sd").alias("_od"), F.col("s_start").alias("o_start"),
+        F.col("s_len").alias("o_len"), F.col("s_label").alias("o_label"),
+    )
+    overlapped = s.join(
+        other,
+        (F.col("_sd") == F.col("_od"))
+        & (F.col("s_start") < F.col("o_start") + F.col("o_len"))
+        & (F.col("o_start") < F.col("s_start") + F.col("s_len"))
+        & (
+            (F.col("o_len") > F.col("s_len"))
+            | ((F.col("o_len") == F.col("s_len"))
+               & (F.col("o_start") < F.col("s_start")))
+            | ((F.col("o_len") == F.col("s_len"))
+               & (F.col("o_start") == F.col("s_start"))
+               & (F.col("o_label") < F.col("s_label")))
+        ),
+        "left_semi",
+    )
+    kept = s.join(
+        overlapped, ["_sd", "s_start", "s_len", "s_label"], "left_anti"
+    )
+    tagged = toks.join(
+        kept,
+        (F.col("_d") == F.col("_sd"))
+        & (F.col("tok_start") >= F.col("s_start"))
+        & (F.col("tok_start") < F.col("s_start") + F.col("s_len")),
+        "left",
+    )
+    w_span = Window.partitionBy("_d", "s_start", "s_len").orderBy(
+        "tok_start"
+    )
+    tag = F.when(F.col("s_label").isNull(), F.lit("O")).when(
+        F.row_number().over(w_span) == 1,
+        F.concat(F.lit("B-"), F.col("s_label")),
+    ).otherwise(F.concat(F.lit("I-"), F.col("s_label")))
+    return tagged.select(
+        F.col("_d").alias(id_col), "pos", "token", tag.alias("tag")
+    )

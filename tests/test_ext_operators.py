@@ -2765,3 +2765,28 @@ def test_augment_text_matches_reference(spark):
         dropped += nd
         swapped += ns
     assert dropped > 5 and swapped > 3
+
+
+def test_spans_to_iob_goldens(spark):
+    # round 6 late: B/I/O rendering with the documented overlap
+    # resolution (longer span wins; dropped spans don't revive).
+    from drugbankner_spark.operators.sft import spans_to_iob
+
+    docs = spark.createDataFrame(
+        [(1, "take aspirin daily for fever")], ["doc_id", "text"])
+    # offsets: take=0 aspirin=5 daily=13 for=19 fever=23
+    spans = spark.createDataFrame(
+        [(1, 5, 7, "DRUG"),        # 'aspirin'
+         (1, 5, 3, "CHEM"),        # overlaps DRUG, shorter: dropped
+         (1, 19, 9, "SYMPTOM")],   # 'for fever' (two tokens)
+        ["doc_id", "start", "length", "label"],
+    )
+    out = {r["pos"]: (r["token"], r["tag"]) for r in
+           spans_to_iob(docs, spans).collect()}
+    assert out == {
+        1: ("take", "O"),
+        2: ("aspirin", "B-DRUG"),
+        3: ("daily", "O"),
+        4: ("for", "B-SYMPTOM"),
+        5: ("fever", "I-SYMPTOM"),
+    }

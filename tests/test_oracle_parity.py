@@ -117,6 +117,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e5_ner_eval",      # CoNLL span P/R/F1 + micro
         "e1_repair_text",   # extraction-artifact repair chain
         "e5_augment",       # deterministic EDA augmentation
+        "e5_iob_tags",      # span -> B/I/O token labels
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
