@@ -438,9 +438,11 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
             "calibration_sec": round(calib, 3), "queries": queries}
 
 
-#: sf3 set: the 3 heaviest sf1 entries (VERDICT r05 next #7) — all
+#: sf3 set: the heaviest sf1 entries (VERDICT r05 next #7) — all
 #: documents-table-only, so the sf3 corpus needs just that table.
-SF3_QUERIES = ["e3_charlm", "e3_wordlm", "e1_intradoc_dedup"]
+#: Round 6 late adds the 9-way gram sweep (the new heaviest).
+SF3_QUERIES = ["e3_charlm", "e3_wordlm", "e1_intradoc_dedup",
+               "e3_gopher_rep"]
 
 
 def _stage_shuffle_snapshot(spark) -> dict:

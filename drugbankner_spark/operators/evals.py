@@ -402,3 +402,71 @@ def ner_span_metrics(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def stream_calibration_partials(
+    preds_stream: DataFrame,
+    state_dir: str,
+    conf_col: str = "confidence",
+    label_col: str = "correct",
+    n_bins: int = 10,
+) -> None:
+    """Streaming maintenance of the calibration report: per
+    micro-batch, land MERGEABLE per-bin partials (bin, n, sum_conf,
+    sum_correct) in an epoch-keyed partition (dynamic partition
+    overwrite — replayed epochs stay idempotent; the sketches/
+    time-series partials pattern). ECE and the reliability curve are
+    ratios of sums, so they reconstruct EXACTLY at read
+    (:func:`read_calibration`) — the bin table is ≤ n_bins × epochs
+    rows, never prediction volume."""
+    from drugbankner_spark.operators.scale import upsert_partitions
+    from drugbankner_spark.streaming.streams import run_foreach_batch
+
+    b = F.lit(n_bins)
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        part = (
+            batch_df.select(
+                F.least(
+                    F.floor(F.col(conf_col) * b).cast("int"), b - 1
+                ).alias("bin"),
+                F.col(conf_col).alias("_c"),
+                F.col(label_col).cast("double").alias("_y"),
+            )
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_c").alias("sum_conf"),
+                F.sum("_y").alias("sum_correct"),
+            )
+            .withColumn("_epoch", F.lit(int(epoch_id)))
+        )
+        upsert_partitions(part, state_dir, ["_epoch"])
+
+    run_foreach_batch(preds_stream, admit, output_mode="update",
+                      max_files_per_trigger=1)
+
+
+def read_calibration(spark, state_dir: str) -> DataFrame:
+    """Merge the streamed per-bin partials and emit the SAME schema as
+    :func:`calibration_report` — sums add across epochs, the ratios
+    and ECE recompute at read."""
+    parts = spark.read.parquet(state_dir)
+    per_bin = parts.groupBy("bin").agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("sum_conf") / F.sum("n"), 6)
+        .alias("avg_confidence"),
+        F.round(F.sum("sum_correct") / F.sum("n"), 6).alias("accuracy"),
+        F.round(
+            F.abs(F.sum("sum_conf") / F.sum("n")
+                  - F.sum("sum_correct") / F.sum("n")), 6
+        ).alias("abs_gap"),
+    )
+    total = per_bin.agg(
+        F.round(
+            F.sum(F.col("n") * F.abs(
+                F.col("avg_confidence") - F.col("accuracy")
+            )) / F.sum("n"), 6,
+        ).alias("ece")
+    )
+    return per_bin.crossJoin(F.broadcast(total))

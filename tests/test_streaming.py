@@ -677,3 +677,32 @@ def test_cooccurrence_stream_equals_batch(spark, tmp_path):
         cooccurrence_lift(ev).select("item_a", "item_b", "n_ab")
         .collect()))
     assert got == want and ("a", "b") in {(a, b) for a, b, _ in got}
+
+
+def test_stream_calibration_partials_match_batch(spark, tmp_path):
+    # round 6 late: per-bin (n, sum_conf, sum_correct) partials merge
+    # across micro-batches into the exact batch calibration report.
+    import shutil
+
+    from drugbankner_spark.operators.evals import (
+        calibration_report,
+        read_calibration,
+        stream_calibration_partials,
+    )
+
+    rows1 = [(0.12, 0), (0.18, 1), (0.95, 1)]
+    rows2 = [(0.11, 0), (0.93, 1), (1.0, 0), (0.55, 1)]
+    schema = "confidence double, correct int"
+    src = str(tmp_path / "preds_src")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    state = str(tmp_path / "cal_state")
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_calibration_partials(stream, state)
+    got = sorted(map(tuple, read_calibration(spark, state).collect()))
+    want = sorted(map(tuple, calibration_report(
+        spark.createDataFrame(rows1 + rows2, schema)).collect()))
+    assert got == want and len(got) >= 3
+    shutil.rmtree(state, ignore_errors=True)
