@@ -3794,6 +3794,22 @@ def _e5_augment(spark: SparkSession, sf: str) -> DataFrame:
     return augment_text(docs)
 
 
+def _e5_class_report(spark: SparkSession, sf: str) -> DataFrame:
+    # sklearn-style classification report (round 6 late): lang as the
+    # prediction vs a residue-perturbed gold (every 4th doc's gold
+    # flips to 'en'), per-class P/R/F1 + support + accuracy row.
+    from drugbankner_spark.operators.evals import classification_report
+
+    docs = load_table(spark, sf, "documents")
+    preds = docs.select(
+        F.col("doc_id").alias("example_id"),
+        F.col("lang").alias("predicted"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("en"))
+        .otherwise(F.col("lang")).alias("gold"),
+    )
+    return classification_report(preds)
+
+
 def _e5_iob_tags(spark: SparkSession, sf: str) -> DataFrame:
     # Span -> IOB token labels (round 6 late): the same overlapping
     # taggings as e5_ner_eval ('ark' fires inside 'spark' — the
@@ -4044,8 +4060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     control strip, whitespace collapse — $1-vs-\\1 dialect pinned),
     e5_augment (deterministic EDA: hash-seeded drops + disjoint pair
     swaps, lead/lag oracle), e5_iob_tags (span -> B/I/O token labels
-    with pairwise-priority overlap resolution) — plus the 24 demoted
-    names above. Two ready-made
+    with pairwise-priority overlap resolution), e5_class_report
+    (sklearn-style per-class P/R/F1 + accuracy from one pair-count
+    agg) — plus the 24 demoted names above. Two ready-made
     consolidation suites compress the wave for the window:
     e5_prep_suite (kfold + calibration + tokenize + profile + OLS) and
     g_graph_suite (BFS + LPA + walk corpus), each a tagged union whose
@@ -4161,6 +4178,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_repair_text": _e1_repair_text,
         "e5_augment": _e5_augment,
         "e5_iob_tags": _e5_iob_tags,
+        "e5_class_report": _e5_class_report,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -6001,6 +6019,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
+        """,
+        # e5_class_report: same pair-count -> marginals arithmetic.
+        "e5_class_report": """
+            WITH preds AS (
+                SELECT lang AS p,
+                       CASE WHEN doc_id % 4 = 0 THEN 'en'
+                            ELSE lang END AS g
+                FROM documents
+            ),
+            pairs AS (
+                SELECT p, g, count(*) AS n FROM preds GROUP BY p, g
+            ),
+            tp AS (
+                SELECT g AS label, n AS tp FROM pairs WHERE p = g
+            ),
+            np AS (
+                SELECT p AS label, sum(n) AS n_pred
+                FROM pairs GROUP BY p
+            ),
+            ng AS (
+                SELECT g AS label, sum(n) AS support
+                FROM pairs GROUP BY g
+            ),
+            per AS (
+                SELECT coalesce(ng.label, np.label) AS label,
+                       coalesce(ng.support, 0) AS support,
+                       coalesce(tp.tp, 0) AS tp,
+                       coalesce(np.n_pred, 0) AS n_pred
+                FROM ng
+                FULL JOIN np ON np.label = ng.label
+                LEFT JOIN tp ON tp.label = coalesce(ng.label, np.label)
+            ),
+            rows_ AS (
+                SELECT label, CAST(support AS BIGINT) AS support,
+                       round(CASE WHEN n_pred > 0
+                             THEN tp / n_pred ELSE 0.0 END, 6)
+                           AS precision,
+                       round(CASE WHEN support > 0
+                             THEN tp / support ELSE 0.0 END, 6)
+                           AS recall,
+                       round(CASE WHEN (CASE WHEN n_pred > 0
+                                        THEN tp / n_pred
+                                        ELSE 0.0 END)
+                                  + (CASE WHEN support > 0
+                                     THEN tp / support ELSE 0.0 END)
+                                  > 0
+                             THEN 2 * (CASE WHEN n_pred > 0
+                                       THEN tp / n_pred ELSE 0.0 END)
+                                  * (CASE WHEN support > 0
+                                     THEN tp / support ELSE 0.0 END)
+                                  / ((CASE WHEN n_pred > 0
+                                      THEN tp / n_pred ELSE 0.0 END)
+                                     + (CASE WHEN support > 0
+                                        THEN tp / support
+                                        ELSE 0.0 END))
+                             ELSE 0.0 END, 6) AS f1
+                FROM per
+            )
+            SELECT * FROM rows_
+            UNION ALL
+            SELECT '__accuracy__', CAST(sum(support) AS BIGINT),
+                   round(sum(tp) / sum(support), 6),
+                   round(sum(tp) / sum(support), 6),
+                   round(sum(tp) / sum(support), 6)
+            FROM per
         """,
         # e5_iob_tags: same substr-scan spans, the pairwise-priority
         # anti-join resolution, prefix-sum token offsets, and the

@@ -470,3 +470,59 @@ def read_calibration(spark, state_dir: str) -> DataFrame:
         ).alias("ece")
     )
     return per_bin.crossJoin(F.broadcast(total))
+
+
+def classification_report(
+    preds: DataFrame,
+    id_col: str = "example_id",
+    pred_col: str = "predicted",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Per-class precision/recall/F1 + support over (predicted, gold)
+    label pairs — the sklearn-style report as ONE label-pair count agg
+    plus two marginal rollups (the confusion matrix is the
+    intermediate, so no second scan). One ``__accuracy__`` row carries
+    overall accuracy in all three metric columns. 6dp; empty
+    denominators → 0.0."""
+    pairs = preds.groupBy(
+        F.col(pred_col).alias("p"), F.col(gold_col).alias("g")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tp = pairs.filter(F.col("p") == F.col("g")).select(
+        F.col("g").alias("label"), F.col("n").alias("tp")
+    )
+    np_ = pairs.groupBy(F.col("p").alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    ng = pairs.groupBy(F.col("g").alias("label")).agg(
+        F.sum("n").alias("support")
+    )
+    per = (
+        ng.join(np_, "label", "full")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("tp", F.lit(0)).alias("_tp"),
+            F.coalesce("n_pred", F.lit(0)).alias("_np"),
+        )
+    )
+    prec = F.when(F.col("_np") > 0, F.col("_tp") / F.col("_np")) \
+        .otherwise(F.lit(0.0))
+    rec = F.when(F.col("support") > 0,
+                 F.col("_tp") / F.col("support")).otherwise(F.lit(0.0))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)) \
+        .otherwise(F.lit(0.0))
+    rows = per.select(
+        "label", "support",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+    acc = per.agg(
+        F.lit("__accuracy__").alias("label"),
+        F.sum("support").alias("support"),
+        F.round(F.sum("_tp") / F.sum("support"), 6).alias("precision"),
+        F.round(F.sum("_tp") / F.sum("support"), 6).alias("recall"),
+        F.round(F.sum("_tp") / F.sum("support"), 6).alias("f1"),
+    )
+    return rows.unionByName(acc)

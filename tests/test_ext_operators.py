@@ -2790,3 +2790,32 @@ def test_spans_to_iob_goldens(spark):
         4: ("for", "B-SYMPTOM"),
         5: ("fever", "I-SYMPTOM"),
     }
+
+
+def test_classification_report_matches_sklearn_formulas(spark):
+    from collections import Counter
+
+    from drugbankner_spark.operators.evals import classification_report
+
+    import random
+    rng = random.Random(107)
+    labels = ["a", "b", "c"]
+    rows = [(i, rng.choice(labels), rng.choice(labels))
+            for i in range(200)]
+    out = {r["label"]: r for r in classification_report(
+        spark.createDataFrame(rows, ["example_id", "predicted", "gold"])
+    ).collect()}
+    pred_n = Counter(p for _, p, _ in rows)
+    gold_n = Counter(g for _, _, g in rows)
+    tp = Counter(g for _, p, g in rows if p == g)
+    for lab in labels:
+        prec = tp[lab] / pred_n[lab] if pred_n[lab] else 0.0
+        rec = tp[lab] / gold_n[lab] if gold_n[lab] else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        r = out[lab]
+        assert r["support"] == gold_n[lab]
+        assert abs(r["precision"] - prec) < 1e-6
+        assert abs(r["f1"] - f1) < 1e-6
+    acc = sum(tp.values()) / len(rows)
+    assert abs(out["__accuracy__"]["precision"] - acc) < 1e-6
+    assert out["__accuracy__"]["support"] == len(rows)

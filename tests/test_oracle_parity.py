@@ -118,6 +118,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e1_repair_text",   # extraction-artifact repair chain
         "e5_augment",       # deterministic EDA augmentation
         "e5_iob_tags",      # span -> B/I/O token labels
+        "e5_class_report",  # sklearn-style per-class P/R/F1
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
