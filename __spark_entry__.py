@@ -3794,6 +3794,15 @@ def _e5_augment(spark: SparkSession, sf: str) -> DataFrame:
     return augment_text(docs)
 
 
+def _e3_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    # Character-distribution Shannon entropy (round 6 late): the cheap
+    # gibberish detector, hash-checked per doc.
+    from drugbankner_spark.operators.textanalysis import char_entropy
+
+    docs = load_table(spark, sf, "documents")
+    return char_entropy(docs)
+
+
 def _e5_class_report(spark: SparkSession, sf: str) -> DataFrame:
     # sklearn-style classification report (round 6 late): lang as the
     # prediction vs a residue-perturbed gold (every 4th doc's gold
@@ -4062,7 +4071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     swaps, lead/lag oracle), e5_iob_tags (span -> B/I/O token labels
     with pairwise-priority overlap resolution), e5_class_report
     (sklearn-style per-class P/R/F1 + accuracy from one pair-count
-    agg) — plus the 24 demoted names above. Two ready-made
+    agg), e3_char_entropy (character-distribution Shannon entropy, the
+    gibberish detector) — plus the 24 demoted names above. Two
+    ready-made
     consolidation suites compress the wave for the window:
     e5_prep_suite (kfold + calibration + tokenize + profile + OLS) and
     g_graph_suite (BFS + LPA + walk corpus), each a tagged union whose
@@ -4179,6 +4190,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_augment": _e5_augment,
         "e5_iob_tags": _e5_iob_tags,
         "e5_class_report": _e5_class_report,
+        "e3_char_entropy": _e3_char_entropy,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -6019,6 +6031,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
+        """,
+        # e3_char_entropy: per-position substr explode, identical
+        # -(c/tot)·ln(c/tot) term order.
+        "e3_char_entropy": """
+            WITH chars AS (
+                SELECT doc_id, substr(text, i, 1) AS ch
+                FROM documents,
+                     UNNEST(generate_series(1, length(text))) AS g(i)
+            ),
+            counts AS (
+                SELECT doc_id, ch, count(*) AS c
+                FROM chars GROUP BY doc_id, ch
+            ),
+            probs AS (
+                SELECT doc_id, c,
+                       sum(c) OVER (PARTITION BY doc_id) AS tot
+                FROM counts
+            )
+            SELECT doc_id,
+                   CAST(max(tot) AS BIGINT) AS n_chars,
+                   count(*) AS n_distinct_chars,
+                   round(-sum((c / tot) * ln(c / tot)), 6) AS entropy
+            FROM probs GROUP BY doc_id
         """,
         # e5_class_report: same pair-count -> marginals arithmetic.
         "e5_class_report": """

@@ -1266,3 +1266,35 @@ def skipgram_counts(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    nats) — the cheap gibberish/binary-junk detector (near-zero for
+    'aaaa…', ~ln(alphabet) for uniform noise; real prose sits in a
+    narrow band, so both tails are filterable). One char explode + a
+    (doc, char) count agg + a per-doc rollup; 6dp. Output: (id,
+    n_chars, n_distinct_chars, entropy)."""
+    counts = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col)
+    probs = counts.withColumn("_tot", F.sum("c").over(w))
+    p = F.col("c") / F.col("_tot")
+    return probs.groupBy(id_col).agg(
+        F.max("_tot").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+    )

@@ -2819,3 +2819,17 @@ def test_classification_report_matches_sklearn_formulas(spark):
     acc = sum(tp.values()) / len(rows)
     assert abs(out["__accuracy__"]["precision"] - acc) < 1e-6
     assert out["__accuracy__"]["support"] == len(rows)
+
+
+def test_char_entropy_goldens(spark):
+    import math
+
+    from drugbankner_spark.operators.textanalysis import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct_chars"] == 1
+    assert out[2]["entropy"] == round(math.log(2), 6)
+    assert out[3]["entropy"] == round(math.log(4), 6)
+    assert out[3]["n_chars"] == 4
