@@ -3794,6 +3794,15 @@ def _e5_augment(spark: SparkSession, sf: str) -> DataFrame:
     return augment_text(docs)
 
 
+def _e3_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    # Zipf rank-frequency fit per language (round 6 late): ln-ln OLS
+    # over the term distribution, deterministic rank tiebreak.
+    from drugbankner_spark.operators.textanalysis import zipf_slope
+
+    docs = load_table(spark, sf, "documents")
+    return zipf_slope(docs, group_col="lang")
+
+
 def _e3_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     # Character-distribution Shannon entropy (round 6 late): the cheap
     # gibberish detector, hash-checked per doc.
@@ -4072,8 +4081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with pairwise-priority overlap resolution), e5_class_report
     (sklearn-style per-class P/R/F1 + accuracy from one pair-count
     agg), e3_char_entropy (character-distribution Shannon entropy, the
-    gibberish detector) — plus the 24 demoted names above. Two
-    ready-made
+    gibberish detector), e3_zipf (per-language Zipf rank-frequency
+    OLS, the corpus-authenticity signal) — plus the 24 demoted names
+    above. Two ready-made
     consolidation suites compress the wave for the window:
     e5_prep_suite (kfold + calibration + tokenize + profile + OLS) and
     g_graph_suite (BFS + LPA + walk corpus), each a tagged union whose
@@ -4191,6 +4201,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_iob_tags": _e5_iob_tags,
         "e5_class_report": _e5_class_report,
         "e3_char_entropy": _e3_char_entropy,
+        "e3_zipf": _e3_zipf,
         "e5_datacard": _e5_datacard,
         "e4_container_probe": _e4_container_probe,
         "e4_gif_decode": _e4_gif_decode,
@@ -6031,6 +6042,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(avg(lp), 6) AS mean_logprob
             FROM scored GROUP BY doc_id
+        """,
+        # e3_zipf: term counts -> deterministic rank -> ln-ln points
+        # -> the e5_group_ols closed-form arithmetic.
+        "e3_zipf": """
+            WITH counts AS (
+                SELECT lang AS grp, term, count(*) AS n
+                FROM (SELECT lang,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                WHERE term <> ''
+                GROUP BY lang, term
+            ),
+            pts AS (
+                SELECT grp,
+                       ln(CAST(row_number() OVER (
+                           PARTITION BY grp
+                           ORDER BY n DESC, term ASC) AS DOUBLE)) AS x,
+                       ln(CAST(n AS DOUBLE)) AS y
+                FROM counts
+            ),
+            s AS (
+                SELECT grp,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy,
+                       sum(x * x) AS sxx,
+                       sum(y * y) AS syy
+                FROM pts GROUP BY grp
+            )
+            SELECT grp,
+                   CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy)
+                         / (n * sxx - sx * sx), 4) AS slope,
+                   round((sy - (n * sxy - sx * sy)
+                               / (n * sxx - sx * sx) * sx) / n, 4)
+                       AS intercept,
+                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx)
+                            * (n * syy - sy * sy)), 4) AS r2
+            FROM s
         """,
         # e3_char_entropy: per-position substr explode, identical
         # -(c/tot)·ln(c/tot) term order.

@@ -1298,3 +1298,40 @@ def char_entropy(
         F.count(F.lit(1)).alias("n_distinct_chars"),
         F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+    the corpus term distribution (natural text ≈ −1; templated or
+    synthetic corpora flatten toward 0 — a corpus-level authenticity
+    signal next to the per-doc entropy/repetition ones). Rank ties
+    broken by term asc so the fit is deterministic. Output per group
+    (or one '__corpus__' row): the :func:`relational.group_ols`
+    columns (n, slope, intercept, r2).
+
+    Shape: one token count agg + one rank window over the (bounded)
+    vocabulary + the closed-form OLS agg."""
+    from pyspark.sql import Window
+
+    from drugbankner_spark.operators.relational import group_ols
+
+    grp = (F.col(group_col) if group_col
+           else F.lit("__corpus__")).alias("grp")
+    counts = (
+        docs.select(grp, F.explode(
+            F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("term"))
+    pts = counts.select(
+        "grp",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    return group_ols(pts, "x", "y", ["grp"])

@@ -2833,3 +2833,24 @@ def test_char_entropy_goldens(spark):
     assert out[2]["entropy"] == round(math.log(2), 6)
     assert out[3]["entropy"] == round(math.log(4), 6)
     assert out[3]["n_chars"] == 4
+
+
+def test_zipf_slope_recovers_planted_exponent(spark):
+    # a synthetic corpus with freq(rank) = round(1000 * rank^-1) fits
+    # slope ~ -1 with high r2; a uniform corpus fits slope ~ 0.
+    from drugbankner_spark.operators.textanalysis import zipf_slope
+
+    rows = []
+    for r in range(1, 60):
+        rows.extend(("zipf", f"t{r:03d}") for _ in range(
+            max(1, round(1000 / r))))
+    for r in range(1, 60):
+        rows.extend(("flat", f"t{r:03d}") for _ in range(20))
+    docs = spark.createDataFrame(
+        [(g, " ".join(t for _ in range(1)))  # one token per row
+         for g, t in rows], ["grp", "text"])
+    out = {r["grp"]: r for r in
+           zipf_slope(docs, group_col="grp").collect()}
+    assert -1.1 < out["zipf"]["slope"] < -0.9
+    assert out["zipf"]["r2"] > 0.98
+    assert abs(out["flat"]["slope"]) < 0.05

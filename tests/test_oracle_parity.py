@@ -120,6 +120,7 @@ def test_round7_pool_names_stay_oracle_ready():
         "e5_iob_tags",      # span -> B/I/O token labels
         "e5_class_report",  # sklearn-style per-class P/R/F1
         "e3_char_entropy",  # char-distribution Shannon entropy
+        "e3_zipf",          # per-language Zipf rank-frequency OLS
     ]
     for name in pool:
         assert name in QUERIES and name in ORACLES, name
