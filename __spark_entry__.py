@@ -7658,9 +7658,14 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rn <= 5
                 GROUP BY query_id
             )
-            SELECT i.query_id,
-                   round(COALESCE(d.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
-            FROM ideal i LEFT JOIN dcg d USING (query_id)
+            SELECT q.query_id,
+                   CASE WHEN i.idcg IS NULL THEN 0.0
+                        ELSE round(COALESCE(d.dcg, 0.0) / i.idcg, 6)
+                   END AS ndcg_at_k
+            FROM (SELECT query_id FROM topk
+                  UNION SELECT query_id FROM qrels) q
+            LEFT JOIN ideal i USING (query_id)
+            LEFT JOIN dcg d USING (query_id)
         """,
         # round 6: DSIR importance weights — hashed unigram+bigram
         # log-likelihood ratio, target lang='en' vs the raw pool,
@@ -7714,14 +7719,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round 6 time-series family: 6 h resample with gapfill (locf +
         # linear interp), finite-window EWMA, trailing z-score anomaly.
-        # avg written as sum/count in BOTH engines; 6dp floats.
+        # avg written as sum/count(value) in BOTH engines (count of
+        # NON-NULL values — ADVICE r06: count(*) biased the avg low on
+        # NULL-valued observations); 6dp floats.
         "t_resample_gapfill": """
             WITH obs AS (
                 SELECT event_type,
                        CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
                            AS bucket_start,
                        count(*) AS n_obs,
-                       sum(value) / count(*) AS value_avg
+                       sum(value) / count(value) AS value_avg
                 FROM events GROUP BY 1, 2
             ),
             span AS (
@@ -7778,7 +7785,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
                            AS bucket_start,
-                       sum(value) / count(*) AS value_avg
+                       sum(value) / count(value) AS value_avg
                 FROM events GROUP BY 1, 2
             ),
             contrib AS (
@@ -7787,6 +7794,7 @@ def oracle_sql() -> dict[str, str]:
                        power(0.5, i) AS w,
                        power(0.5, i) * value_avg AS wx
                 FROM obs, UNNEST(generate_series(0, 7)) AS g(i)
+                WHERE value_avg IS NOT NULL
             ),
             tot AS (
                 SELECT event_type, bucket_start,
@@ -7795,7 +7803,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             hi AS (
                 SELECT event_type, max(bucket_start) AS hi
-                FROM obs GROUP BY 1
+                FROM obs WHERE value_avg IS NOT NULL GROUP BY 1
             )
             SELECT t.event_type, t.bucket_start,
                    round(swx / sw, 6) AS ewma
@@ -7807,7 +7815,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
                            AS bucket_start,
-                       sum(value) / count(*) AS value_avg
+                       sum(value) / count(value) AS value_avg
                 FROM events GROUP BY 1, 2
             ),
             scored AS (
@@ -9067,7 +9075,10 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_retrieved_relevant, 0)
                        AS n_retrieved_relevant,
                    round(COALESCE(h.n_retrieved_relevant, 0)
-                         / least(t.n_relevant, 5), 6) AS recall_at_k,
+                         / t.n_relevant, 6) AS recall_at_k,
+                   round(COALESCE(h.n_retrieved_relevant, 0)
+                         / least(t.n_relevant, 5), 6)
+                       AS capped_recall_at_k,
                    COALESCE(round(1.0 / h.first_rank, 6), 0.0)
                        AS reciprocal_rank
             FROM totals t LEFT JOIN hits h USING (query_id)

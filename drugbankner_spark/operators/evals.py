@@ -202,8 +202,13 @@ def retrieval_metrics(
     """Per-query retrieval quality (round 6, closing the loop on the
     e2_retrieval_topk pipeline): given ranked ``results`` and a
     ``qrels`` relevance set (query_col, doc_col), emit per query —
-    n_relevant, n_retrieved_relevant (within rank ≤ k), recall_at_k,
-    and reciprocal_rank (1/rank of the FIRST relevant hit; 0 when none
+    n_relevant, n_retrieved_relevant (within rank ≤ k), recall_at_k
+    (STANDARD recall: hits / n_relevant — comparable to published
+    recall@k numbers), capped_recall_at_k (hits / min(n_relevant, k),
+    a.k.a. R-capped recall — the "did we fill the budget" variant that
+    reaches 1.0 when every slot is a hit; ADVICE r06 flagged that
+    shipping THIS under the name recall_at_k misleads), and
+    reciprocal_rank (1/rank of the FIRST relevant hit; 0 when none
     retrieved). Average reciprocal_rank across queries for MRR.
 
     Pure relational: one semi-shaped inner join results⋈qrels on
@@ -233,9 +238,14 @@ def retrieval_metrics(
             ),
             F.round(
                 F.coalesce("n_retrieved_relevant", F.lit(0))
-                / F.least(F.col("n_relevant"), F.lit(k)),
+                / F.col("n_relevant"),
                 6,
             ).alias("recall_at_k"),
+            F.round(
+                F.coalesce("n_retrieved_relevant", F.lit(0))
+                / F.least(F.col("n_relevant"), F.lit(k)),
+                6,
+            ).alias("capped_recall_at_k"),
             F.coalesce(
                 F.round(1.0 / F.col("_first_rank"), 6), F.lit(0.0)
             ).alias("reciprocal_rank"),
@@ -255,13 +265,18 @@ def ndcg_at_k(
     """nDCG@k over GRADED relevance (round 6, completing the retrieval
     metric family beside recall@k/MRR): DCG = Σ rel_i / log2(rank_i+1)
     over retrieved docs at rank ≤ k; IDCG from the qrels' top-k grades
-    sorted descending; ndcg = DCG/IDCG (0 when a query has no positive
-    grades). Linear gain (rel, not 2^rel-1) — the original
+    sorted descending; ndcg = DCG/IDCG. Every query id seen in EITHER
+    ``results`` or ``qrels`` gets a row: queries with no positive
+    grade (zero-grade qrels only, or absent from qrels entirely) emit
+    ndcg_at_k = 0.0 rather than dropping — ADVICE r06 flagged that the
+    round-6 version silently dropped them, inflating downstream
+    mean-nDCG. Linear gain (rel, not 2^rel-1) — the original
     Järvelin-Kekäläinen form; swap the gain expression for the burst
     variant if needed. Rounded to 6dp for cross-engine parity.
 
     Relational shape: one (query, doc) join + per-query agg for DCG,
-    one qrels window for IDCG — costs nothing next to retrieval."""
+    one qrels window for IDCG, one distinct over the (small) query-id
+    union — costs nothing next to retrieval."""
     from pyspark.sql import Window
 
     log2 = lambda c: F.log(c.cast("double")) / F.log(F.lit(2.0))
@@ -286,13 +301,25 @@ def ndcg_at_k(
             F.col(rel_col) / log2(F.col("_rn") + 1)
         ).alias("_idcg"))
     )
+    all_queries = (
+        results.select(query_col)
+        .unionByName(qrels.select(query_col))
+        .distinct()
+    )
     return (
-        ideal.join(dcg, query_col, "left")
+        all_queries.join(ideal, query_col, "left")
+        .join(dcg, query_col, "left")
         .select(
             F.col(query_col),
-            F.round(
-                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6
-            ).alias("ndcg_at_k"),
+            F.when(F.col("_idcg").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("_dcg"), F.lit(0.0))
+                    / F.col("_idcg"),
+                    6,
+                )
+            )
+            .alias("ndcg_at_k"),
         )
     )
 

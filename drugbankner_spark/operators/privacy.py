@@ -73,14 +73,27 @@ def suppress_small_classes(
     """k-anonymity ENFORCEMENT by suppression: keep only rows whose
     quasi-id class has ≥ k members, original columns preserved. The
     surviving-class dim carries only the quasi-id key; the semi join
-    lets Catalyst/AQE pick broadcast when the class count is small."""
+    lets Catalyst/AQE pick broadcast when the class count is small.
+
+    NULL quasi-identifier values form a countable class, exactly as
+    :func:`k_anonymity_report` groups them (groupBy puts NULLs in one
+    class): the semi join uses null-safe equality (``eqNullSafe``) per
+    quasi column, so a NULL-keyed class of size ≥ k SURVIVES. ADVICE
+    r06 flagged that the plain (null-unsafe) semi join dropped every
+    NULL-quasi row regardless of class size — report and enforcement
+    disagreed on exactly the NULL-keyed classes."""
     ok = (
         df.groupBy(*quasi_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= k)
         .select(*quasi_cols)
     )
-    return df.join(ok, quasi_cols, "semi")
+    left, right = df.alias("_l"), ok.alias("_r")
+    cond = None
+    for c in quasi_cols:
+        e = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        cond = e if cond is None else cond & e
+    return left.join(right, cond, "semi")
 
 
 def tokenize_columns(

@@ -41,7 +41,14 @@ def _bucketed(
 ) -> DataFrame:
     """(keys…, bucket_start, n_obs, value_avg): one row per observed
     per-key bucket. One map-side-combinable agg; sum/count kept exact,
-    the avg derived after the shuffle."""
+    the avg derived after the shuffle.
+
+    NULL handling (ADVICE r06): ``value_avg`` averages only NON-NULL
+    values (sum skips NULLs, so the denominator must too — the round-6
+    sum/count(*) form biased the avg low whenever a bucket held NULL
+    observations). ``n_obs`` stays count(*) — it counts observations,
+    not values; an all-NULL bucket therefore has n_obs > 0 and
+    value_avg NULL, which downstream fills treat as a gap."""
     b = (
         F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
         * step_seconds
@@ -51,9 +58,10 @@ def _bucketed(
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
             F.sum(value_col).alias("_sum"),
+            F.count(value_col).alias("_nval"),
         )
-        .withColumn("value_avg", F.col("_sum") / F.col("n_obs"))
-        .drop("_sum")
+        .withColumn("value_avg", F.col("_sum") / F.col("_nval"))
+        .drop("_sum", "_nval")
     )
 
 
@@ -151,6 +159,11 @@ def ewma_grid(
     agg on (key, target) and a range clip against the per-key span dim.
     No recursion, no unbounded window frames."""
     obs = _bucketed(events, key_cols, ts_col, value_col, step_seconds)
+    # An all-NULL bucket has value_avg NULL: it must contribute neither
+    # numerator nor denominator (pandas ewm(ignore_na=True)); without
+    # the filter its weight lands in _sw with nothing in _swx (ADVICE
+    # r06).
+    obs = obs.filter(F.col("value_avg").isNotNull())
     decay = 1.0 - alpha
     contrib = obs.select(
         *key_cols,
@@ -248,24 +261,31 @@ def stream_bucket_partials(
 ) -> None:
     """Streaming maintenance of the bucketed series (round 6): per
     micro-batch, land the MERGEABLE partials (keys…, bucket_start,
-    n_obs, _sum) in an epoch-keyed partition (dynamic partition
+    n_obs, _sum, _nval) in an epoch-keyed partition (dynamic partition
     overwrite → replayed epochs idempotent — the sketches
-    stream_corpus_stats pattern). Ingest cost stays O(batch); the
-    z-score window — not incrementally maintainable — runs at read over
-    the merged buckets (:func:`read_anomalies`), whose row count is
+    stream_corpus_stats pattern). ``_nval`` (non-NULL value count)
+    rides along since ADVICE r06 made value_avg = sum/_nval — partials
+    reconstructed from value_avg × n_obs would diverge from batch on
+    NULL-valued observations. Ingest cost stays O(batch); the z-score
+    window — not incrementally maintainable — runs at read over the
+    merged buckets (:func:`read_anomalies`), whose row count is
     bounded by keys × span/step, not by event volume."""
     from drugbankner_spark.operators.scale import upsert_partitions
     from drugbankner_spark.streaming.streams import run_foreach_batch
 
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
-        part = _bucketed(
-            batch_df, key_cols, ts_col, value_col, step_seconds
-        ).select(
-            *key_cols,
-            "bucket_start",
-            "n_obs",
-            (F.col("value_avg") * F.col("n_obs")).alias("_sum"),
-            F.lit(int(epoch_id)).alias("_epoch"),
+        b = (
+            F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
+            * step_seconds
+        ).cast("long")
+        part = (
+            batch_df.groupBy(*key_cols, b.alias("bucket_start"))
+            .agg(
+                F.count(F.lit(1)).alias("n_obs"),
+                F.sum(value_col).alias("_sum"),
+                F.count(value_col).alias("_nval"),
+            )
+            .withColumn("_epoch", F.lit(int(epoch_id)))
         )
         upsert_partitions(part, state_dir, ["_epoch"])
 
@@ -287,8 +307,12 @@ def read_anomalies(
     obs = (
         spark.read.parquet(state_dir)
         .groupBy(*key_cols, "bucket_start")
-        .agg(F.sum("n_obs").alias("n_obs"), F.sum("_sum").alias("_s"))
-        .withColumn("value_avg", F.col("_s") / F.col("n_obs"))
-        .drop("_s")
+        .agg(
+            F.sum("n_obs").alias("n_obs"),
+            F.sum("_sum").alias("_s"),
+            F.sum("_nval").alias("_nv"),
+        )
+        .withColumn("value_avg", F.col("_s") / F.col("_nv"))
+        .drop("_s", "_nv")
     )
     return anomaly_scores(obs, key_cols, lookback, z_threshold)

@@ -94,13 +94,24 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.dropDuplicatesWithinWatermark(["event_id"])
 
 
-def stateful_user_totals(events: DataFrame) -> DataFrame:
+def stateful_user_totals(
+    events: DataFrame, idle_gap_ms: int | None = None
+) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per
     user, maintain cumulative (event count, value sum) state across
     micro-batches, emitting the updated totals each batch. The pattern
     for operators Spark's built-ins can't express (running sketches,
     session models with custom logic). State is per-key and partitioned —
-    scales with user cardinality, not event volume."""
+    scales with user cardinality, not event volume.
+
+    ``idle_gap_ms`` (ADVICE r06 — the same bound transition_stream
+    carries): with it set, an entity whose last event fell
+    ``idle_gap_ms`` behind the watermark is evicted, bounding TOTAL
+    state on an unbounded entity universe; a returning entity restarts
+    its totals from zero (the documented trade — totals are
+    per-activity-era, like a session restart). Requires a watermark on
+    the input stream. Default None keeps cumulative-forever semantics
+    with the unbounded-state caveat."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -108,18 +119,29 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     state_schema = "n bigint, s double"
 
     def update(key, pdfs, state):
+        if idle_gap_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [], "n_events": [], "sum_value": []}
+            )
+            return
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             s += float(pdf["value"].sum())
         state.update((n, s))
+        if idle_gap_ms is not None:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idle_gap_ms
+            )
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if idle_gap_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -251,7 +273,10 @@ def enrich_stream(
     return events.join(F.broadcast(dim), key, how)
 
 
-def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
+def funnel_stream(
+    events: DataFrame, steps: list[str],
+    idle_gap_ms: int | None = None,
+) -> DataFrame:
     """Streaming ordered funnel (round 6, applyInPandasWithState): per
     entity, maintain the greedy earliest-match step timestamps across
     micro-batches and emit the updated progress each batch — the
@@ -266,7 +291,15 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
     retroactively rewrite history without keeping the full event log
     per entity (which is exactly what the batch operator is for).
     State per entity = one epoch-seconds timestamp per matched step,
-    bounded by len(steps) — independent of event volume."""
+    bounded by len(steps) — independent of event volume.
+
+    ``idle_gap_ms`` (ADVICE r06 — the same bound transition_stream
+    carries): per-entity state is small but the ENTITY UNIVERSE is
+    unbounded on a 100 TB clickstream; with it set, an entity idle
+    ``idle_gap_ms`` behind the watermark is evicted and a late return
+    restarts the funnel from step 0 (equivalent to a session split).
+    Requires a watermark on the input stream. Default None keeps
+    progress forever with the unbounded-state caveat."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -277,6 +310,12 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
     state_schema = ", ".join(f"t{i} double" for i in range(n_steps))
 
     def update(key, pdfs, state):
+        if idle_gap_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [], "n_steps_completed": [], "completed": [],
+            })
+            return
         got = list(state.get) if state.exists else [None] * n_steps
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
@@ -289,6 +328,10 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
                     if depth == 0 or tsec > got[depth - 1]:
                         got[depth] = tsec
         state.update(tuple(got))
+        if idle_gap_ms is not None:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idle_gap_ms
+            )
         depth = sum(1 for t in got if t is not None)
         yield pd.DataFrame({
             "user_id": [key[0]],
@@ -298,7 +341,8 @@ def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if idle_gap_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -369,7 +413,9 @@ def transition_stream(
     )
 
 
-def cooccurrence_stream(events: DataFrame) -> DataFrame:
+def cooccurrence_stream(
+    events: DataFrame, idle_gap_ms: int | None = None
+) -> DataFrame:
     """Streaming market-basket pairs (round 6 late): per entity, keep
     the DISTINCT item set seen so far (state bounded by item
     vocabulary, not event volume) and emit one canonical (a < b) pair
@@ -378,7 +424,15 @@ def cooccurrence_stream(events: DataFrame) -> DataFrame:
     per-batch groupBy can't see, and never double-emitting when an
     item repeats. Counting the emitted pairs downstream reproduces
     ``temporal.cooccurrence_lift``'s n_ab exactly (stream==batch
-    pinned in tests)."""
+    pinned in tests).
+
+    ``idle_gap_ms`` (ADVICE r06 — the same bound transition_stream
+    carries): with it set, an entity idle ``idle_gap_ms`` behind the
+    watermark is evicted; a returning entity starts a fresh basket, so
+    a pair spanning a longer-than-gap silence re-emits (basket-per-era
+    semantics — exactly how a session gap would split the basket).
+    Requires a watermark on the input stream. Default None keeps the
+    exact first-ever-pair semantics with the unbounded-state caveat."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -386,6 +440,12 @@ def cooccurrence_stream(events: DataFrame) -> DataFrame:
     state_schema = "items array<string>"
 
     def update(key, pdfs, state):
+        if idle_gap_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [], "item_a": [], "item_b": []}
+            )
+            return
         seen = set(state.get[0]) if state.exists else set()
         a_out, b_out = [], []
         for pdf in pdfs:
@@ -398,6 +458,10 @@ def cooccurrence_stream(events: DataFrame) -> DataFrame:
                     b_out.append(hi)
                 seen.add(item)
         state.update((sorted(seen),))
+        if idle_gap_ms is not None:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idle_gap_ms
+            )
         yield pd.DataFrame({
             "user_id": [key[0]] * len(a_out),
             "item_a": a_out,
@@ -406,5 +470,6 @@ def cooccurrence_stream(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if idle_gap_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )

@@ -1848,8 +1848,10 @@ def test_word_lm_broadcast_guard_shuffle_fallback(spark):
 
 
 def test_retrieval_metrics_recall_and_mrr(spark):
-    # round 6: recall@k uses min(n_relevant, k) as denominator; a query
-    # with no retrieved relevant scores rr=0; ranks beyond k ignored.
+    # round 7 (ADVICE r06): recall_at_k is STANDARD recall
+    # (hits / n_relevant); the min(n_relevant, k)-denominator variant
+    # ships under its honest name capped_recall_at_k. A query with no
+    # retrieved relevant scores rr=0; ranks beyond k ignored.
     from drugbankner_spark.operators.evals import retrieval_metrics
 
     results = spark.createDataFrame(
@@ -1867,18 +1869,22 @@ def test_retrieval_metrics_recall_and_mrr(spark):
     rows = {r["query_id"]: r
             for r in retrieval_metrics(results, qrels, k=2).collect()}
     assert rows[1]["n_retrieved_relevant"] == 1    # only rank<=2 counts
-    assert rows[1]["recall_at_k"] == 0.5           # 1 / min(3, 2)
+    assert rows[1]["recall_at_k"] == round(1 / 3, 6)   # 1 of 3 relevant
+    assert rows[1]["capped_recall_at_k"] == 0.5        # 1 / min(3, 2)
     assert rows[1]["reciprocal_rank"] == 0.5       # first hit at rank 2
     assert rows[2]["n_retrieved_relevant"] == 0
     assert rows[2]["recall_at_k"] == 0.0 and rows[2]["reciprocal_rank"] == 0.0
-    assert rows[3]["recall_at_k"] == 0.5           # 1 / min(4, 2)
+    assert rows[3]["recall_at_k"] == 0.25          # 1 of 4 relevant
+    assert rows[3]["capped_recall_at_k"] == 0.5    # 1 / min(4, 2)
     assert rows[3]["reciprocal_rank"] == 1.0
 
 
 def test_ndcg_at_k_goldens(spark):
-    # round 6: graded nDCG@k — DCG = Σ rel/log2(rank+1) over retrieved,
-    # IDCG from qrels' descending grades; query with no retrieved
-    # relevant scores 0; query absent from qrels (no positives) drops.
+    # round 7 (ADVICE r06): graded nDCG@k — DCG = Σ rel/log2(rank+1)
+    # over retrieved, IDCG from qrels' descending grades; query with no
+    # retrieved relevant scores 0; a query with only zero-grade qrels
+    # (5) or absent from qrels entirely (4) now EMITS 0.0 instead of
+    # silently dropping (which inflated downstream mean-nDCG).
     import math
 
     from drugbankner_spark.operators.evals import ndcg_at_k
@@ -1886,13 +1892,15 @@ def test_ndcg_at_k_goldens(spark):
     results = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2), (1, 12, 3),
          (2, 20, 1),
-         (3, 30, 1)],
+         (3, 30, 1),
+         (4, 40, 1)],                          # no qrels at all
         "query_id long, doc_id long, rank long",
     )
     qrels = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 3), (1, 99, 2),   # best doc retrieved 2nd
          (2, 77, 3),                           # nothing relevant found
-         (3, 30, 2)],                          # perfect single hit
+         (3, 30, 2),                           # perfect single hit
+         (5, 50, 0)],                          # only zero-grade qrels
         "query_id long, doc_id long, rel long",
     )
     rows = {r["query_id"]: r["ndcg_at_k"]
@@ -1902,6 +1910,8 @@ def test_ndcg_at_k_goldens(spark):
     assert rows[1] == round(dcg1 / idcg1, 6)
     assert rows[2] == 0.0
     assert rows[3] == 1.0
+    assert rows[4] == 0.0 and rows[5] == 0.0
+    assert set(rows) == {1, 2, 3, 4, 5}
 
 
 def test_intradoc_dedup_xxhash_kernel_parity(spark):
@@ -1999,6 +2009,22 @@ def test_k_anonymity_report_and_suppression(spark):
     assert kept.count() == 5
     assert kept.select("country").distinct().collect()[0][0] == "us"
     assert kept.columns == df.columns
+
+    # ADVICE r06: NULL quasi-id values are a countable class — a
+    # NULL-keyed class of size >= k must SURVIVE suppression (the
+    # report already counted it; the null-unsafe semi join dropped it).
+    rows_n = rows + [(None, "x", 100 + i, "flu") for i in range(4)]
+    df_n = spark.createDataFrame(
+        rows_n, "country string, sex string, pid long, dx string"
+    )
+    rep_n = {(r["country"], r["sex"]): r for r in k_anonymity_report(
+        df_n, ["country", "sex"], "dx", k=3
+    ).collect()}
+    assert rep_n[(None, "x")]["class_size"] == 4
+    assert not rep_n[(None, "x")]["at_risk"]
+    kept_n = suppress_small_classes(df_n, ["country", "sex"], k=3)
+    assert kept_n.count() == 9                 # 5 (us,m) + 4 (NULL,x)
+    assert kept_n.filter("country IS NULL").count() == 4
 
 
 def test_strip_boilerplate_sentences(spark):

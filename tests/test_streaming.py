@@ -642,6 +642,80 @@ def test_transition_stream_idle_gap_evicts_state(spark, tmp_path):
     assert got == [(1, "b", "c"), (2, "x", "y")]
 
 
+def test_sibling_stateful_ops_idle_gap_evicts_state(spark, tmp_path):
+    # round 7 (ADVICE r06): funnel_stream / cooccurrence_stream /
+    # stateful_user_totals get the same idle_gap_ms bound
+    # transition_stream carries — an entity idle past the gap is
+    # evicted and restarts fresh, bounding total state on an unbounded
+    # entity universe.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.streaming.streams import (
+        cooccurrence_stream,
+        funnel_stream,
+        run_to_memory,
+        stateful_user_totals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    src = str(tmp_path / "ev_sibling_gap")
+    # batch 1: user 1 starts (funnel step 'a', basket item 'a');
+    # user 2 keeps the watermark moving
+    spark.createDataFrame(
+        [(1, t0, 1, "a"), (2, t0, 2, "x")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2: watermark jumps hours past user 1's last event
+    spark.createDataFrame(
+        [(2, t0.replace(hour=10), 3, "y")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 3: user 1 returns with 'b' — without eviction the funnel
+    # would advance a->b and the basket would pair (a, b)
+    spark.createDataFrame(
+        [(1, t0.replace(hour=11), 4, "b")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src) \
+            .withWatermark("ts", "10 minutes")
+
+    gap = 30 * 60 * 1000
+    fun = run_to_memory(
+        funnel_stream(stream(), ["a", "b"], idle_gap_ms=gap),
+        "funnel_gap", "update",
+    )
+    # memory sink retains every trigger's update rows: batch 1 emits
+    # depth 1 ('a' matched); the restarted batch-3 funnel sees only
+    # 'b' (step-0 mismatch) and emits 0. Without eviction batch 3
+    # would stitch a->b and emit depth 2 / completed — assert it never
+    # does.
+    u1 = fun.filter("user_id = 1").collect()
+    assert {r["n_steps_completed"] for r in u1} == {0, 1}
+    assert not any(r["completed"] for r in u1)
+
+    cooc = run_to_memory(
+        cooccurrence_stream(stream(), idle_gap_ms=gap),
+        "cooc_gap", "append",
+    )
+    assert cooc.filter("user_id = 1").count() == 0   # no (a, b) pair
+
+    tot = run_to_memory(
+        stateful_user_totals(
+            stream().withColumn("value", F.lit(1.0)), idle_gap_ms=gap
+        ),
+        "totals_gap", "update",
+    )
+    # user 1's totals restart at 1 event after eviction — without it
+    # the batch-3 update would read cumulative 2
+    final = {r["user_id"]: r["n_events"]
+             for r in tot.groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events")).collect()}
+    assert final[1] == 1
+
+
 def test_cooccurrence_stream_equals_batch(spark, tmp_path):
     # round 6 late: cross-batch basket growth — pair counts from the
     # stateful stream equal cooccurrence_lift's n_ab.

@@ -89,6 +89,40 @@ def test_ewma_gap_skips_missing_buckets(spark):
     assert rows[base_epoch + 60] == 10.0  # only the decayed x(0) term
 
 
+def test_null_values_do_not_bias_bucket_avg_or_ewma(spark):
+    # ADVICE r06: value_avg averages only NON-NULL values; an all-NULL
+    # bucket is a gap for EWMA (contributes neither numerator nor
+    # denominator, pandas ewm(ignore_na=True)) but still counts n_obs.
+    rows = [
+        ("k", BASE + dt.timedelta(minutes=0), 10.0),
+        ("k", BASE + dt.timedelta(minutes=0), None),   # mixed bucket
+        ("k", BASE + dt.timedelta(minutes=1), None),   # all-NULL bucket
+        ("k", BASE + dt.timedelta(minutes=2), 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double"
+    )
+    base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    got = {
+        r["bucket_start"]: r
+        for r in resample_gapfill(df, ["key"], step_seconds=STEP).collect()
+    }
+    b0, b1 = got[base_epoch], got[base_epoch + 60]
+    assert b0["n_obs"] == 2 and b0["value_avg"] == 10.0  # not 5.0
+    assert b1["n_obs"] == 1 and b1["value_avg"] is None  # a gap
+    assert b1["locf"] == 10.0 and b1["interp"] == 8.0
+    ew = {
+        r["bucket_start"]: r["ewma"]
+        for r in ewma_grid(
+            df, ["key"], step_seconds=STEP, alpha=0.5, span=2
+        ).collect()
+    }
+    # bucket 1: only the decayed x(0) term — the all-NULL bucket must
+    # not park weight in the denominator (which would halve this).
+    assert ew[base_epoch + 60] == 10.0
+    assert ew[base_epoch + 120] == 6.0
+
+
 def test_anomaly_flags_planted_spike(spark):
     flat = [(m, 10 + (m % 2)) for m in range(8)]        # mean~10.5, sd~.5
     df = _series(spark, flat + [(8, 500)])
