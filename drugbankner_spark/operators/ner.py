@@ -418,6 +418,55 @@ def prepare_sentences(
     )
 
 
+def link_entities_tfidf(
+    detected: DataFrame,
+    aliases: DataFrame,
+    alias_col: str = "name",
+    alias_id_col: str = "id",
+    threshold: float = 0.7,
+    k: int = 1,
+) -> DataFrame:
+    """In-engine entity linking over a :func:`detect_entities` output
+    (X1 gap closure, VERDICT r06 next #5): every detected-but-unlinked
+    mention (``kb_id`` NULL, ``entity_text`` present) is vectorized as
+    char-3-gram TF-IDF and linked to the concepts whose alias vectors
+    score cosine ≥ ``threshold``, top-``k`` per mention — the public
+    scispaCy CandidateGenerator design (see operators/linker.py),
+    computed relationally instead of inside the model UDTF.
+
+    Contract-preserving: rows already carrying a kb_id pass through
+    untouched (one row per candidate link appears for newly linked
+    mentions — the same one-row-per-(sentence, entity, kb) shape
+    detect_entities emits, NER.py:106-108); mentions that clear no
+    candidate keep their NULL kb_id so the name-fallback path (J7)
+    still sees them; entity-less sentinel rows pass through. Linking
+    cost scales with DISTINCT mention strings, not detections."""
+    from drugbankner_spark.operators.linker import link_by_tfidf
+
+    linked_already = detected.filter(F.col("kb_id").isNotNull())
+    no_entity = detected.filter(F.col("entity_text").isNull())
+    unlinked = detected.filter(
+        F.col("kb_id").isNull() & F.col("entity_text").isNotNull()
+    )
+    candidates = link_by_tfidf(
+        unlinked, "entity_text", aliases, alias_col, alias_id_col,
+        threshold=threshold, k=k,
+    ).select(
+        F.col("mention").alias("entity_text"),
+        F.col("alias_id").alias("_linked_kb"),
+    )
+    # candidates is bounded by distinct mentions × k — usually dim-sized
+    # but corpus-dependent, so AQE picks the join strategy (no hint)
+    relinked = (
+        unlinked.drop("kb_id")
+        .join(candidates, "entity_text", "left")
+        .withColumn("kb_id", F.col("_linked_kb"))
+        .drop("_linked_kb")
+        .select(*detected.columns)
+    )
+    return linked_already.unionByName(no_entity).unionByName(relinked)
+
+
 def text_to_kg2_nodes(
     records: DataFrame,
     text_col: F.Column,
@@ -425,6 +474,9 @@ def text_to_kg2_nodes(
     syn: Synonymizer,
     model_factory: Callable[[], Any] | list[Callable[[], Any]],
     categories: tuple[str, ...] | None,
+    linker_aliases: DataFrame | None = None,
+    linker_threshold: float = 0.7,
+    linker_k: int = 1,
 ) -> DataFrame:
     """Full sentence pipeline (perform_NER.py:19-54): prepare_sentences →
     detect (X1) → align (J7) → per-drug longest-name merge (A2/A6).
@@ -435,7 +487,14 @@ def text_to_kg2_nodes(
     (perform_NER.py:79-99, U1). Here each config is a parallel
     ``mapInPandas`` branch over the same sentences, unioned before
     alignment — the merge semantics (first-wins + longest-name upgrade)
-    are identical because merge_longest_name is config-agnostic."""
+    are identical because merge_longest_name is config-agnostic.
+
+    ``linker_aliases`` (optional): an (id, name) concept-alias table —
+    when given, unlinked detections route through the in-engine TF-IDF
+    linker (:func:`link_entities_tfidf`) before alignment, the
+    composition VERDICT r06 next #5 asks for: mention spotting (the
+    model) and linking (relational TF-IDF ANN) become separate,
+    independently testable stages."""
     sentences = prepare_sentences(records, text_col, id_cols)
     factories = (
         list(model_factory) if isinstance(model_factory, (list, tuple))
@@ -445,6 +504,11 @@ def text_to_kg2_nodes(
     for mf in factories[1:]:
         detected = detected.unionByName(
             detect_entities(sentences, "sentence", id_cols, mf)
+        )
+    if linker_aliases is not None:
+        detected = link_entities_tfidf(
+            detected, linker_aliases,
+            threshold=linker_threshold, k=linker_k,
         )
     aligned = align_detected(detected, syn, id_cols)
     return merge_longest_name(aligned, id_cols, categories)
