@@ -642,6 +642,53 @@ def test_transition_stream_idle_gap_evicts_state(spark, tmp_path):
     assert got == [(1, "b", "c"), (2, "x", "y")]
 
 
+def test_transition_stream_soak_state_stays_bounded(spark, tmp_path):
+    # VERDICT r06 next #9 (soak): 50 micro-batches, each introducing a
+    # NEW entity and idling the old ones — with idle_gap_ms set, the
+    # state-store row count must stay FLAT across epochs (the whole
+    # point of the eviction bound: a growing entity universe must not
+    # grow executor state). Without eviction the store would end at 50.
+    import datetime as dt
+    import json as _json
+
+    from drugbankner_spark.streaming.streams import transition_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    src = str(tmp_path / "soak_src")
+    n_batches = 50
+    for i in range(n_batches):
+        rows = [(i, t0 + dt.timedelta(hours=i), 2 * i, "a"),
+                (i, t0 + dt.timedelta(hours=i, minutes=1), 2 * i + 1, "b")]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src) \
+        .withWatermark("ts", "1 minute")
+    q = (
+        transition_stream(stream, idle_gap_ms=30 * 60 * 1000)
+        .writeStream.format("memory").queryName("soak_pairs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    per_batch = []
+    for p in q.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        ops = d.get("stateOperators") or []
+        if ops and d.get("numInputRows", 0) > 0:
+            per_batch.append(ops[0]["numRowsTotal"])
+    assert len(per_batch) >= n_batches
+    # steady state: at most the current entity + one not-yet-evicted
+    # predecessor lives in the store, regardless of universe size
+    assert max(per_batch[5:]) <= 3, per_batch
+    # and the operator still did its job: one (a -> b) pair per entity
+    pairs = spark.table("soak_pairs")
+    assert pairs.count() == n_batches
+    assert pairs.select("user_id").distinct().count() == n_batches
+
+
 def test_sibling_stateful_ops_idle_gap_evicts_state(spark, tmp_path):
     # round 7 (ADVICE r06): funnel_stream / cooccurrence_stream /
     # stateful_user_totals get the same idle_gap_ms bound
