@@ -3470,97 +3470,139 @@ def _e5_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 #: tests/test_mpeg_audio.py::test_driver_fixture_is_current).
 _MPEG_DECODE_FIXTURE = """(0, 1, 44100, 2304, 0.351743),
                 (1, 2, 44100, 2304, 0.350323),
-                (2, 1, 44100, 2304, 0.349921),
-                (3, 2, 44100, 2304, 0.350841),
-                (4, 1, 44100, 2304, 0.351701),
-                (5, 2, 44100, 2304, 0.351528),
+                (2, 3, 44100, 2304, 0.0),
+                (3, 1, 44100, 2304, 0.35089),
+                (4, 2, 44100, 2304, 0.351647),
+                (5, 3, 44100, 2304, 0.0),
                 (6, 1, 44100, 2304, 0.350734),
                 (7, 2, 44100, 2304, 0.350383),
-                (8, 1, 44100, 2304, 0.350802),
-                (9, 2, 44100, 2304, 0.351315),
-                (10, 1, 44100, 2304, 0.351418),
-                (11, 2, 44100, 2304, 0.350983),
+                (8, 3, 44100, 2304, 0.0),
+                (9, 1, 44100, 2304, 0.351402),
+                (10, 2, 44100, 2304, 0.351421),
+                (11, 3, 44100, 2304, 0.0),
                 (12, 1, 44100, 2304, 0.350583),
                 (13, 2, 44100, 2304, 0.350695),
-                (14, 1, 44100, 2304, 0.351017),
-                (15, 2, 44100, 2304, 0.351333),
-                (16, 1, 44100, 2304, 0.351144),
-                (17, 2, 44100, 2304, 0.350724),
+                (14, 3, 44100, 2304, 0.0),
+                (15, 1, 44100, 2304, 0.35139),
+                (16, 2, 44100, 2304, 0.351085),
+                (17, 3, 44100, 2304, 0.0),
                 (18, 1, 44100, 2304, 0.350764),
                 (19, 2, 44100, 2304, 0.351006),
-                (20, 1, 44100, 2304, 0.351167),
-                (21, 2, 44100, 2304, 0.35114),
-                (22, 1, 44100, 2304, 0.350961),
-                (23, 2, 44100, 2304, 0.350717),
+                (20, 3, 44100, 2304, 0.0),
+                (21, 1, 44100, 2304, 0.351248),
+                (22, 2, 44100, 2304, 0.350832),
+                (23, 3, 44100, 2304, 0.0),
                 (24, 1, 44100, 2304, 0.350905),
                 (25, 2, 44100, 2304, 0.351177),
-                (26, 1, 44100, 2304, 0.351194),
-                (27, 2, 44100, 2304, 0.350919),
-                (28, 1, 44100, 2304, 0.350772),
-                (29, 2, 44100, 2304, 0.350869),
+                (26, 3, 44100, 2304, 0.0),
+                (27, 1, 44100, 2304, 0.350894),
+                (28, 2, 44100, 2304, 0.350756),
+                (29, 3, 44100, 2304, 0.0),
                 (30, 1, 44100, 2304, 0.350983),
                 (31, 2, 44100, 2304, 0.351168),
-                (32, 1, 44100, 2304, 0.350904),
-                (33, 2, 44100, 2304, 0.3508),
-                (34, 1, 44100, 2304, 0.350877),
-                (35, 2, 44100, 2304, 0.35104),
+                (32, 3, 44100, 2304, 0.0),
+                (33, 1, 44100, 2304, 0.350847),
+                (34, 2, 44100, 2304, 0.350836),
+                (35, 3, 44100, 2304, 0.0),
                 (36, 1, 44100, 2304, 0.351072),
                 (37, 2, 44100, 2304, 0.351038),
-                (38, 1, 44100, 2304, 0.350832),
-                (39, 2, 44100, 2304, 0.350821),
-                (40, 1, 44100, 2304, 0.351743),
-                (41, 2, 44100, 2304, 0.350323),
+                (38, 3, 44100, 2304, 0.0),
+                (39, 1, 44100, 2304, 0.35075),
+                (40, 2, 44100, 2304, 0.351731),
+                (41, 3, 44100, 2304, 0.0),
                 (42, 1, 44100, 2304, 0.349921),
                 (43, 2, 44100, 2304, 0.350841),
-                (44, 1, 44100, 2304, 0.351701),
-                (45, 2, 44100, 2304, 0.351528),
-                (46, 1, 44100, 2304, 0.350734),
-                (47, 2, 44100, 2304, 0.350383),
+                (44, 3, 44100, 2304, 0.0),
+                (45, 1, 44100, 2304, 0.351532),
+                (46, 2, 44100, 2304, 0.350789),
+                (47, 3, 44100, 2304, 0.0),
                 (48, 1, 44100, 2304, 0.350802),
                 (49, 2, 44100, 2304, 0.351315),
-                (50, 1, 44100, 2304, 0.351418),
-                (51, 2, 44100, 2304, 0.350983),
-                (52, 1, 44100, 2304, 0.350583),
-                (53, 2, 44100, 2304, 0.350695),
+                (50, 3, 44100, 2304, 0.0),
+                (51, 1, 44100, 2304, 0.35095),
+                (52, 2, 44100, 2304, 0.350584),
+                (53, 3, 44100, 2304, 0.0),
                 (54, 1, 44100, 2304, 0.351017),
                 (55, 2, 44100, 2304, 0.351333),
-                (56, 1, 44100, 2304, 0.351144),
-                (57, 2, 44100, 2304, 0.350724),
-                (58, 1, 44100, 2304, 0.350764),
-                (59, 2, 44100, 2304, 0.351006),
+                (56, 3, 44100, 2304, 0.0),
+                (57, 1, 44100, 2304, 0.350679),
+                (58, 2, 44100, 2304, 0.350697),
+                (59, 3, 44100, 2304, 0.0),
                 (60, 1, 44100, 2304, 0.351167),
                 (61, 2, 44100, 2304, 0.35114),
-                (62, 1, 44100, 2304, 0.350961),
-                (63, 2, 44100, 2304, 0.350717),
-                (64, 1, 44100, 2304, 0.350905),
-                (65, 2, 44100, 2304, 0.351177),
+                (62, 3, 44100, 2304, 0.0),
+                (63, 1, 44100, 2304, 0.350723),
+                (64, 2, 44100, 2304, 0.350924),
+                (65, 3, 44100, 2304, 0.0),
                 (66, 1, 44100, 2304, 0.351194),
                 (67, 2, 44100, 2304, 0.350919),
-                (68, 1, 44100, 2304, 0.350772),
-                (69, 2, 44100, 2304, 0.350869),
-                (70, 1, 44100, 2304, 0.350983),
-                (71, 2, 44100, 2304, 0.351168),
+                (68, 3, 44100, 2304, 0.0),
+                (69, 1, 44100, 2304, 0.350878),
+                (70, 2, 44100, 2304, 0.351105),
+                (71, 3, 44100, 2304, 0.0),
                 (72, 1, 44100, 2304, 0.350904),
                 (73, 2, 44100, 2304, 0.3508),
-                (74, 1, 44100, 2304, 0.350877),
-                (75, 2, 44100, 2304, 0.35104),
-                (76, 1, 44100, 2304, 0.351072),
-                (77, 2, 44100, 2304, 0.351038),
+                (74, 3, 44100, 2304, 0.0),
+                (75, 1, 44100, 2304, 0.351073),
+                (76, 2, 44100, 2304, 0.351153),
+                (77, 3, 44100, 2304, 0.0),
                 (78, 1, 44100, 2304, 0.350832),
-                (79, 2, 44100, 2304, 0.350821)"""
+                (79, 2, 44100, 2304, 0.350821),
+                (80, 3, 44100, 2304, 0.0),
+                (81, 1, 44100, 2304, 0.350379),
+                (82, 2, 44100, 2304, 0.350008),
+                (83, 3, 44100, 2304, 0.0),
+                (84, 1, 44100, 2304, 0.351701),
+                (85, 2, 44100, 2304, 0.351528),
+                (86, 3, 44100, 2304, 0.0),
+                (87, 1, 44100, 2304, 0.350436),
+                (88, 2, 44100, 2304, 0.35073),
+                (89, 3, 44100, 2304, 0.0),
+                (90, 1, 44100, 2304, 0.351418),
+                (91, 2, 44100, 2304, 0.350983),
+                (92, 3, 44100, 2304, 0.0),
+                (93, 1, 44100, 2304, 0.350743),
+                (94, 2, 44100, 2304, 0.351129),
+                (95, 3, 44100, 2304, 0.0),
+                (96, 1, 44100, 2304, 0.351144),
+                (97, 2, 44100, 2304, 0.350724),
+                (98, 3, 44100, 2304, 0.0),
+                (99, 1, 44100, 2304, 0.350931),
+                (100, 2, 44100, 2304, 0.351251),
+                (101, 3, 44100, 2304, 0.0),
+                (102, 1, 44100, 2304, 0.350961),
+                (103, 2, 44100, 2304, 0.350717),
+                (104, 3, 44100, 2304, 0.0),
+                (105, 1, 44100, 2304, 0.351185),
+                (106, 2, 44100, 2304, 0.351163),
+                (107, 3, 44100, 2304, 0.0),
+                (108, 1, 44100, 2304, 0.350772),
+                (109, 2, 44100, 2304, 0.350869),
+                (110, 3, 44100, 2304, 0.0),
+                (111, 1, 44100, 2304, 0.351177),
+                (112, 2, 44100, 2304, 0.350986),
+                (113, 3, 44100, 2304, 0.0),
+                (114, 1, 44100, 2304, 0.350877),
+                (115, 2, 44100, 2304, 0.35104),
+                (116, 3, 44100, 2304, 0.0),
+                (117, 1, 44100, 2304, 0.35113),
+                (118, 2, 44100, 2304, 0.350849),
+                (119, 3, 44100, 2304, 0.0)"""
 
 
 def _e4_mpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
-    # REAL MPEG-1 Layer I/II sample decode (round 6 — VERDICT r05 next
-    # #2): per doc, a deterministic tone parameterized by doc_id is
-    # encoded with the matched-filterbank fixture encoder (Layer I for
-    # even ids, Layer II for odd) and decoded by the subband decoder.
-    # HASH-ORACLED via frozen fixtures (round 6 late): the output
-    # depends only on doc_id % 80, so the 80 decoded rows are frozen as
-    # a VALUES dim (_MPEG_DECODE_FIXTURE — the fixtures_ner.py pattern
-    # VERDICT r05 prescribed for the unigram apply) and the oracle
-    # joins documents against it on the modulus. Round-trip SNR and PR
-    # properties are pinned in tests/test_mpeg_audio.py.
+    # REAL MPEG-1 sample decode (round 6 — VERDICT r05 next #2; round 7
+    # adds Layer III): per doc, doc_id % 3 picks the layer — a
+    # deterministic tone through the matched-filterbank Layer I/II
+    # encoders, or (% 3 == 2) a Layer III SILENCE stream through the
+    # real side-info/scalefactor/reservoir/IMDCT/synthesis chain (the
+    # spectral Huffman tables are the one documented cut — see
+    # mpeg_audio.py's Layer III section).
+    # HASH-ORACLED via frozen fixtures: the output depends only on
+    # doc_id % 120 (tone on % 40 × layer on % 3), so the 120 decoded
+    # rows are frozen as a VALUES dim (_MPEG_DECODE_FIXTURE) and the
+    # oracle joins documents against it on the modulus. Round-trip SNR
+    # and PR properties are pinned in tests/test_mpeg_audio.py.
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -3584,9 +3626,14 @@ def _e4_mpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
                 f = 200.0 + (int(did) % 40) * 37.0
                 t = np.arange(1152 * 2)
                 x = 0.5 * np.sin(2 * np.pi * f * t / sr)
-                enc = (MA.encode_layer1 if did % 2 == 0
-                       else MA.encode_layer2)
-                d = MA.decode_mpeg_audio(enc(x))
+                sel = int(did) % 3
+                if sel == 2:
+                    stream = MA.encode_layer3_silence(n_frames=2)
+                else:
+                    enc = (MA.encode_layer1 if sel == 0
+                           else MA.encode_layer2)
+                    stream = enc(x)
+                d = MA.decode_mpeg_audio(stream)
                 mono = d["samples"][:, 0]
                 rows.append((
                     int(did), d["layer"], d["sample_rate"],
@@ -8284,13 +8331,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN q USING (event_type)
         """,
         # round 6 late: MPEG decode upgraded from rows-only to a frozen
-        # fixture oracle — output depends only on doc_id % 80
+        # fixture oracle — output depends only on doc_id % 120 (tone on
+        # % 40 × layer on % 3; round 7 adds the Layer III silence path)
         "e4_mpeg_decode": f"""
             WITH fix(m, layer, sample_rate, n_samples, rms) AS (
                 VALUES {_MPEG_DECODE_FIXTURE}
             )
             SELECT d.doc_id, f.layer, f.sample_rate, f.n_samples, f.rms
-            FROM documents d JOIN fix f ON d.doc_id % 80 = f.m
+            FROM documents d JOIN fix f ON d.doc_id % 120 = f.m
         """,
         # round 6: blocked Jaro–Winkler entity match — the Python
         # kernel is pinned char-exact to DuckDB's built-in (tests), so

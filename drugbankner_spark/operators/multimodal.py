@@ -316,10 +316,17 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                         float(sum(px)) / len(px),
                         float(min(px)), float(max(px)),
                     ]))
-                elif (mp3.is_mp3(data)
-                      and mp3.mp3_info(data).get("layer") in (1, 2)):
-                    # REAL MPEG-1 Layer I/II sample decode (round 6)
+                elif mp3.is_mp3(data):
+                    # REAL MPEG-1 sample decode (round 6; round 7 adds
+                    # the Layer III silence path — granules with
+                    # spectral Huffman bits raise from mpeg_audio with
+                    # the precise Annex-B-tables message)
                     a = mpa.decode_mpeg_audio(data)
+                    if not a["valid"]:
+                        raise NotImplementedError(
+                            "media decode: MP3-tagged payload with no "
+                            "decodable MPEG frames"
+                        )
                     mono = (a["samples"].mean(axis=1)
                             if a["n_samples"] else np.zeros(1))
                     rows.append((int(mid), [
@@ -331,10 +338,11 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "media decode: PNG, baseline JPEG, GIF, BMP, PNM, "
-                        "WAV and MPEG-1 Layer I/II decode with the in-repo "
-                        "codecs; MP3 Layer III / AAC / compressed video "
-                        "need libraries not present in this environment "
-                        "(pass fake=True for the test path)"
+                        "WAV and MPEG-1 audio decode with the in-repo "
+                        "codecs (Layer III up to silence frames); AAC / "
+                        "compressed video need libraries not present in "
+                        "this environment (pass fake=True for the test "
+                        "path)"
                     )
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 
@@ -594,9 +602,10 @@ def audio_features(media: DataFrame, n_fft: int = 512) -> DataFrame:
                              .reshape(-1, ch).mean(axis=1))
                     duration = meta["duration_sec"]
                     rms = meta["rms"]  # all-samples rms (pre-downmix)
-                elif (mp3.is_mp3(data)
-                      and mp3.mp3_info(data).get("layer") in (1, 2)):
-                    # REAL MPEG-1 Layer I/II subband decode (round 6)
+                elif mp3.is_mp3(data):
+                    # REAL MPEG-1 subband decode (round 6; Layer III
+                    # silence path round 7 — spectral granules raise
+                    # from mpeg_audio)
                     a = mpa.decode_mpeg_audio(data)
                     if not a["valid"] or a["n_samples"] == 0:
                         raise NotImplementedError(

@@ -116,10 +116,142 @@ def test_decode_tolerates_corrupt_tail_and_junk_prefix():
     assert d2["valid"] and d2["n_frames"] == d["n_frames"] - 1
 
 
-def test_layer3_raises_honestly():
-    data = mp3.encode_mp3(n_frames=3)  # layer III silence fixture
-    with pytest.raises(NotImplementedError):
-        MA.decode_mpeg_audio(data)
+def test_layer3_silence_decodes_end_to_end():
+    # round 7 (VERDICT r06 next #8): silence frames — zero spectral
+    # bits — run the REAL side-info/scalefactor/IMDCT/synthesis chain.
+    data = MA.encode_layer3_silence(n_frames=3)
+    d = MA.decode_mpeg_audio(data)
+    assert d["valid"] and d["layer"] == 3 and d["n_frames"] == 3
+    assert d["n_samples"] == 3 * 1152
+    assert float(abs(d["samples"]).max()) == 0.0
+    # the legacy all-zero-payload frame-walk fixture is also silence
+    d2 = MA.decode_mpeg_audio(mp3.encode_mp3(n_frames=2))
+    assert d2["valid"] and d2["layer"] == 3 and d2["n_samples"] == 2 * 1152
+
+
+def test_layer3_spectral_bits_raise_naming_the_cut():
+    # A granule carrying spectral Huffman bits names the missing
+    # Annex B code tables — the documented scope cut.
+    from drugbankner_spark.functions.mpeg_audio import (
+        _BitWriter,
+        _frame_header_bytes,
+    )
+    from drugbankner_spark.functions.mp3_codec import parse_frame_header
+
+    hdr = _frame_header_bytes(3, 128, 44100, 1)
+    frame_bytes = parse_frame_header(hdr)["frame_bytes"]
+    w = _BitWriter()
+    w.write(0, 9)         # main_data_begin
+    w.write(0, 5)         # private
+    w.write(0, 4)         # scfsi
+    for _ in range(2):
+        w.write(10, 12)   # part2_3_length: 10 SPECTRAL bits (part2=0)
+        w.write(0, 9); w.write(210, 8); w.write(0, 4); w.write(0, 1)
+        w.write(0, 15); w.write(0, 4); w.write(0, 3)
+        w.write(0, 1); w.write(0, 1); w.write(0, 1)
+    body = hdr + w.to_bytes()
+    frame = body + b"\x00" * (frame_bytes - len(body))
+    with pytest.raises(NotImplementedError, match="Annex B Huffman"):
+        MA.decode_mpeg_audio(frame * 2)
+
+
+def test_layer3_side_info_and_scalefactors_bit_exact():
+    # slen table: scalefac_compress=11 -> (3, 1); planted pattern 0b101
+    # reads back 5 on slen1 bands (0-10) and 1 on slen2 bands (11-20).
+    data = MA.encode_layer3_silence(
+        n_frames=2, scalefac_compress=11, planted_scalefac_bits=0b101
+    )
+    info = MA.layer3_stream_info(data)
+    assert len(info) == 2
+    g = info[0]["granules"][0][0]
+    assert g["global_gain"] == 210 and g["big_values"] == 0
+    assert g["spectral_bits"] == 0
+    assert g["scalefacs"]["long"][:11] == [5] * 11
+    assert g["scalefacs"]["long"][11:21] == [1] * 10
+    assert g["part2_3_length"] == 11 * 3 + 10 * 1
+
+
+def test_layer3_bit_reservoir_backreference():
+    # Frame 1's scalefactor bits live in frame 0's free space
+    # (main_data_begin=32): the reservoir must hand back the planted
+    # pattern, not this frame's own bytes (which are zeros).
+    data = MA.encode_layer3_silence(
+        n_frames=3, scalefac_compress=11, planted_scalefac_bits=0b111,
+        reservoir_backref=32,
+    )
+    info = MA.layer3_stream_info(data)
+    assert len(info) == 3
+    assert info[1]["main_data_begin"] == 32
+    assert info[1]["granules"][0][0]["scalefacs"]["long"][0] == 7
+    # a stream CUT mid-reservoir (first frame missing) skips the frame
+    # whose back-reference now dangles instead of mis-decoding
+    h = MA.layer3_stream_info(data)[1]["offset"]
+    cut = data[417:]                      # drop frame 0 (417 bytes CBR)
+    info_cut = MA.layer3_stream_info(cut)
+    assert all(f["main_data_begin"] == 0 or f["offset"] > 0
+               for f in info_cut)
+    assert len(info_cut) == 1             # only the begin=0 head frame
+    assert h >= 0
+
+
+def test_layer3_tdac_perfect_reconstruction():
+    # The 36-point MDCT/IMDCT pair with the type-0 sine window is a
+    # Princen-Bradley TDAC: 18-hop overlap-add reconstructs the input
+    # exactly up to the standard N/4 factor.
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal(18 * 8)
+    w = MA._l3_long_window()
+    recon = np.zeros(len(x))
+    prev_tail = np.zeros(18)
+    for b in range(len(x) // 18 - 1):
+        y = MA._imdct(MA._mdct(x[b * 18: b * 18 + 36] * w)) * w
+        recon[b * 18:(b + 1) * 18] = prev_tail + y[:18]
+        prev_tail = y[18:]
+    want = (36 / 4.0) * x[18: 18 * 6]
+    assert np.abs(recon[18: 18 * 6] - want).max() < 1e-9
+
+
+def test_layer3_windows_and_alias_coefficients():
+    import numpy as np
+
+    # start/stop windows splice the long and short shapes with a flat
+    # top; short window is the 12-point sine
+    w1, w3 = MA._l3_window(1), MA._l3_window(3)
+    assert np.allclose(w1[18:24], 1.0) and np.allclose(w3[12:18], 1.0)
+    assert np.allclose(w1[:18], MA._l3_long_window()[:18])
+    assert np.allclose(w3[18:], MA._l3_long_window()[18:])
+    assert np.allclose(w1[30:], 0.0) and np.allclose(w3[:6], 0.0)
+    # alias reduction is ENERGY-PRESERVING (each butterfly is a
+    # rotation: cs^2 + ca^2 = 1)
+    rng = np.random.default_rng(7)
+    xr = rng.standard_normal(576)
+    out = MA._l3_alias_reduce(xr)
+    assert abs((out ** 2).sum() - (xr ** 2).sum()) < 1e-9
+    assert not np.allclose(out, xr)
+    # short-block IMDCT: three 12-point windows overlap into 36 slots,
+    # first and last 6 stay zero
+    y = MA._l3_imdct_block(rng.standard_normal(18), 2)
+    assert y.shape == (36,)
+    assert np.allclose(y[:6], 0.0) and np.allclose(y[30:], 0.0)
+
+
+def test_layer3_requantizer_formula():
+    import numpy as np
+
+    g = {"global_gain": 214, "scalefac_scale": 0, "preflag": 1}
+    is_vals = np.array([8, -8, 0])
+    # band 0: pretab 0, scalefac 2 -> 2^(-0.5*2)=1/2; gain 2^1=2
+    sfb_of = np.array([0, 0, 0])
+    xr = MA._l3_requantize_long(is_vals, g, [2] + [0] * 20, sfb_of)
+    want = 8.0 ** (4.0 / 3.0) * 2.0 * 0.5
+    assert np.allclose(xr, [want, -want, 0.0])
+    # pretab band 17 adds 3 under preflag: factor 2^(-0.5*3)
+    xr2 = MA._l3_requantize_long(
+        np.array([1]), g, [0] * 21, np.array([17])
+    )
+    assert np.allclose(xr2, [2.0 * 2.0 ** (-1.5)])
 
 
 def test_bitreader_bounds():
@@ -190,12 +322,17 @@ def test_driver_fixture_is_current():
 
     sr = 44100
     rows = []
-    for m in range(80):
+    for m in range(120):
         f = 200.0 + (m % 40) * 37.0
         t = np.arange(1152 * 2)
         x = 0.5 * np.sin(2 * np.pi * f * t / sr)
-        enc = MA.encode_layer1 if m % 2 == 0 else MA.encode_layer2
-        d = MA.decode_mpeg_audio(enc(x))
+        sel = m % 3
+        if sel == 2:
+            stream = MA.encode_layer3_silence(n_frames=2)
+        else:
+            stream = (MA.encode_layer1 if sel == 0
+                      else MA.encode_layer2)(x)
+        d = MA.decode_mpeg_audio(stream)
         mono = d["samples"][:, 0]
         rows.append((m, d["layer"], d["sample_rate"], d["n_samples"],
                      round(float(np.sqrt(np.mean(mono ** 2))), 6)))
