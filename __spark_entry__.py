@@ -1387,6 +1387,57 @@ def _ep2_aligned_nodes(spark: SparkSession, sf: str) -> DataFrame:
     return P.run_ep2(b["records"], b["mechanistic_nodes"], b["syn"])
 
 
+def _e1_suffix_array(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 7 (round-8 pool): distributed suffix array by prefix
+    # doubling over the first 20 documents — log N rounds of (position
+    # self-join + two-phase global dense-rank), no suffix string ever
+    # materialized engine-side. The oracle sorts the actual suffix
+    # strings (bounded probe corpus), so every rank is content-checked.
+    from drugbankner_spark.operators.suffixarray import suffix_array
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") < 20
+    ).select("doc_id", "text")
+    sa = suffix_array(docs)
+    return sa.select(
+        F.col("gpos").cast("long").alias("gpos"),
+        "doc_id",
+        F.col("local_pos").cast("long").alias("local_pos"),
+        F.col("sa_rank").cast("long").alias("sa_rank"),
+    )
+
+
+def _e1_sa_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 7 (round-8 pool): exact substring duplication via the
+    # suffix array (Lee et al. 2022) — a 48-char slice of doc 0 is
+    # planted at the tail of every doc_id % 4 == 1 document, and every
+    # >= 40-char duplicated span (planted + natural, cross- and
+    # intra-document) must surface as adjacent-suffix pairs.
+    from drugbankner_spark.operators.suffixarray import duplicated_spans
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") < 12
+    ).select("doc_id", "text")
+    tail = docs.filter(F.col("doc_id") == 0).select(
+        F.substring("text", 16, 48).alias("_tail")
+    )
+    planted = docs.crossJoin(F.broadcast(tail)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("text"), F.lit(" "), F.col("_tail")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    spans = duplicated_spans(planted, min_len=40)
+    return spans.select(
+        "doc_id",
+        F.col("local_pos").cast("long").alias("local_pos"),
+        "other_doc_id",
+        F.col("other_pos").cast("long").alias("other_pos"),
+        "prefix",
+    )
+
+
 #: x1_tfidf_linker probe mentions: the distinct surfaces the frozen
 #: stub detections spot, plus fuzzy probes the lexicon CAN'T serve —
 #: a typo, a double-space variant, and a hyphen-free alias form. The
@@ -4214,7 +4265,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green goes unverified. Keepers: the flagship EP1/EP2 pipelines,
     q_tpch_suite (the 14-query relational surface), and the two
     readStream faces e6_sessionize_closed / e6_windows so Structured
-    Streaming is driver-verified every round."""
+    Streaming is driver-verified every round.
+
+    Round-8 rotation pool (hash-oracled this round, pytest-green at
+    both SFs, ready for the next window): x1_tfidf_linker and
+    ep1_tfidf_mechanistic_nodes entered the window directly (round-7
+    new ops); e1_suffix_array (distributed prefix-doubling suffix
+    array, content-checked against a direct suffix-string sort) and
+    e1_sa_dup_spans (Lee-et-al exact substring duplication via
+    adjacent-suffix pairs) wait in the pool, plus the 47 r06-green
+    rows demoted this round."""
     return {
         # -- round-7 rotation (VERDICT r06 next #3): the whole never-
         # driver-verified pool — 43 hash-oracled singles plus the two
@@ -4531,6 +4591,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the synthesis filterbank has no SQL twin; SNR/PR goldens in
         # tests/test_mpeg_audio.py)
         "e4_mpeg_decode": _e4_mpeg_decode,
+        # round 7 (round-8 pool): distributed suffix array (prefix
+        # doubling, two-phase global dense-rank) + Lee-et-al exact
+        # substring duplication — both hash-oracled against direct
+        # suffix-string sorts in SQL
+        "e1_suffix_array": _e1_suffix_array,
+        "e1_sa_dup_spans": _e1_sa_dup_spans,
         # round 6: event-analytics + retrieval-metric widening, all
         # hash-oracled (rotation candidates for the next window)
         "e6_funnel": _e6_funnel,
@@ -6877,6 +6943,94 @@ def oracle_sql() -> dict[str, str]:
         # done by the relational TF-IDF instead of the stub's lexicon
         "x1_tfidf_linker": _x1_tfidf_linker_oracle(),
         "ep1_tfidf_mechanistic_nodes": _ep1_tfidf_oracle(),
+        # round 7 (round-8 pool): the suffix-array family — the oracle
+        # sorts the ACTUAL suffix strings of the bounded probe corpus
+        # (rank() over substr-to-end), so the prefix-doubling ranks and
+        # the adjacent-pair duplicated spans are content-checked
+        "e1_suffix_array": f"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 20
+            ),
+            corpus AS (
+                SELECT string_agg(text || chr(1), '' ORDER BY doc_id)
+                    AS s
+                FROM d
+            ),
+            offs AS (
+                SELECT doc_id, text,
+                       COALESCE(sum(length(text) + 1) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING
+                       ), 0) AS off
+                FROM d
+            ),
+            pos AS (
+                SELECT o.doc_id, o.off + i AS gpos, i AS local_pos
+                FROM offs o,
+                     UNNEST(generate_series(1, length(o.text) + 1))
+                         AS g(i)
+            )
+            SELECT CAST(p.gpos AS BIGINT) AS gpos, p.doc_id,
+                   CAST(p.local_pos AS BIGINT) AS local_pos,
+                   CAST(rank() OVER (
+                       ORDER BY substr(c.s, CAST(p.gpos AS INT))
+                   ) AS BIGINT) AS sa_rank
+            FROM pos p, corpus c
+        """,
+        "e1_sa_dup_spans": """
+            WITH d0 AS (
+                SELECT substring(text, 16, 48) AS tail
+                FROM documents WHERE doc_id = 0
+            ),
+            d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 1
+                            THEN text || ' ' || (SELECT tail FROM d0)
+                            ELSE text END AS text
+                FROM documents WHERE doc_id < 12
+            ),
+            corpus AS (
+                SELECT string_agg(text || chr(1), '' ORDER BY doc_id)
+                    AS s
+                FROM d
+            ),
+            offs AS (
+                SELECT doc_id, text,
+                       COALESCE(sum(length(text) + 1) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING
+                       ), 0) AS off
+                FROM d
+            ),
+            pos AS (
+                SELECT o.doc_id, o.off + i AS gpos, i AS local_pos
+                FROM offs o,
+                     UNNEST(generate_series(1, length(o.text) + 1))
+                         AS g(i)
+            ),
+            sa AS (
+                SELECT p.doc_id, p.local_pos,
+                       rank() OVER (
+                           ORDER BY substr(c.s, CAST(p.gpos AS INT))
+                       ) AS r
+                FROM pos p, corpus c
+            ),
+            win AS (
+                SELECT sa.r, sa.doc_id, sa.local_pos,
+                       substr(dd.text, CAST(sa.local_pos AS INT), 40)
+                           AS w
+                FROM sa JOIN d dd USING (doc_id)
+            )
+            SELECT a.doc_id,
+                   CAST(a.local_pos AS BIGINT) AS local_pos,
+                   b.doc_id AS other_doc_id,
+                   CAST(b.local_pos AS BIGINT) AS other_pos,
+                   a.w AS prefix
+            FROM win a JOIN win b ON b.r = a.r + 1
+            WHERE length(a.w) >= 40 AND a.w = b.w
+        """,
         # -- round 2: temporal joins, dedup clustering, E5 widening -----
         "t_asof_join": """
             WITH p AS (

@@ -1,0 +1,96 @@
+"""Distributed suffix array (prefix doubling) + exact substring
+duplication goldens (round 7).
+
+Hand-computed suffix orders on tiny corpora, the two-phase global
+dense-rank primitive against the single-partition window reference,
+and the Lee-et-al duplicated-span extraction. Cross-engine hash
+oracles live in __spark_entry__ (e1_suffix_array / e1_sa_dup_spans,
+round-8 pool).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from drugbankner_spark.operators.suffixarray import (
+    corpus_positions,
+    duplicated_spans,
+    global_dense_rank,
+    suffix_array,
+)
+
+
+def test_corpus_positions_offsets_and_chars(spark):
+    docs = spark.createDataFrame([(1, "ab"), (2, "cd")],
+                                 ["doc_id", "text"])
+    rows = {r["gpos"]: r for r in corpus_positions(docs).collect()}
+    assert len(rows) == 6                       # 2×(2 chars + sep)
+    assert rows[1]["ch"] == "a" and rows[2]["ch"] == "b"
+    assert rows[3]["ch"] == "\x01" and rows[3]["doc_id"] == 1
+    assert rows[4]["ch"] == "c" and rows[4]["doc_id"] == 2
+    assert rows[4]["local_pos"] == 1
+
+
+def test_global_dense_rank_matches_window_reference(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 37).alias("k1"),
+        ((F.col("id") * 7) % 11).alias("k2"),
+    )
+    got = {r["id"]: r["rank"] for r in global_dense_rank(
+        df, ["k1", "k2"], num_partitions=8
+    ).collect()}
+    w = Window.orderBy("k1", "k2")
+    want = {r["id"]: r["rank"] for r in df.withColumn(
+        "rank", F.dense_rank().over(w)
+    ).collect()}
+    assert got == want
+
+
+def test_suffix_array_banana(spark):
+    # corpus "banana\x01": sorted suffixes put the separator first,
+    # then a-, ana-, anana-, banana-, na-, nana-.
+    docs = spark.createDataFrame([(1, "banana")], ["doc_id", "text"])
+    ranks = {r["gpos"]: r["sa_rank"]
+             for r in suffix_array(docs).collect()}
+    assert ranks == {7: 1, 6: 2, 4: 3, 2: 4, 1: 5, 5: 6, 3: 7}
+
+
+def test_suffix_array_cross_document(spark):
+    # "ab\x01ab\x01": identical docs interleave in suffix order; the
+    # separator keeps spans from crossing document bounds.
+    docs = spark.createDataFrame([(1, "ab"), (2, "ab")],
+                                 ["doc_id", "text"])
+    ranks = {r["gpos"]: r["sa_rank"]
+             for r in suffix_array(docs).collect()}
+    assert ranks == {6: 1, 3: 2, 4: 3, 1: 4, 5: 5, 2: 6}
+
+
+def test_duplicated_spans_finds_planted_duplicate(spark):
+    shared = "THE QUICK BROWN FOX"          # 19 chars
+    docs = spark.createDataFrame(
+        [(1, "xx" + shared + "yy"), (2, "zz" + shared + "qq"),
+         (3, "totally different body here")],
+        ["doc_id", "text"],
+    )
+    spans = duplicated_spans(docs, min_len=len(shared)).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    pair = {(s["doc_id"], s["local_pos"]),
+            (s["other_doc_id"], s["other_pos"])}
+    assert pair == {(1, 3), (2, 3)}
+    assert s["prefix"] == shared
+    # raising the threshold past the duplicate's length finds nothing
+    assert duplicated_spans(docs, min_len=len(shared) + 1).count() == 0
+
+
+def test_duplicated_spans_within_one_document(spark):
+    body = "abcdefghijklmnop"
+    docs = spark.createDataFrame(
+        [(1, body + "-----" + body)], ["doc_id", "text"]
+    )
+    spans = duplicated_spans(docs, min_len=len(body)).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert {s["local_pos"], s["other_pos"]} == {1, len(body) + 6}
+    assert s["prefix"] == body
