@@ -1387,6 +1387,17 @@ def _ep2_aligned_nodes(spark: SparkSession, sf: str) -> DataFrame:
     return P.run_ep2(b["records"], b["mechanistic_nodes"], b["syn"])
 
 
+def _e2_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 7 (round-8 pool): 1-bit quantization + exact Hamming top-k
+    # — the rerank-funnel first stage. Integer-only end to end, so the
+    # oracle needs no rounding convention at all.
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    codes = SIM.binary_quantize(emb)
+    return SIM.hamming_topk(codes, codes.filter(F.col("vec_id") < 5), k=5)
+
+
 def _e1_suffix_array(spark: SparkSession, sf: str) -> DataFrame:
     # Round 7 (round-8 pool): distributed suffix array by prefix
     # doubling over the first 20 documents — log N rounds of (position
@@ -4273,8 +4284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new ops); e1_suffix_array (distributed prefix-doubling suffix
     array, content-checked against a direct suffix-string sort) and
     e1_sa_dup_spans (Lee-et-al exact substring duplication via
-    adjacent-suffix pairs) wait in the pool, plus the 47 r06-green
-    rows demoted this round."""
+    adjacent-suffix pairs) and e2_hamming_topk (1-bit quantization +
+    integer-exact Hamming top-k) wait in the pool, plus the 47
+    r06-green rows demoted this round."""
     return {
         # -- round-7 rotation (VERDICT r06 next #3): the whole never-
         # driver-verified pool — 43 hash-oracled singles plus the two
@@ -4597,6 +4609,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suffix-string sorts in SQL
         "e1_suffix_array": _e1_suffix_array,
         "e1_sa_dup_spans": _e1_sa_dup_spans,
+        # round 7 (round-8 pool): 1-bit quantization + Hamming top-k
+        "e2_hamming_topk": _e2_hamming_topk,
         # round 6: event-analytics + retrieval-metric widening, all
         # hash-oracled (rotation candidates for the next window)
         "e6_funnel": _e6_funnel,
@@ -7030,6 +7044,37 @@ def oracle_sql() -> dict[str, str]:
                    a.w AS prefix
             FROM win a JOIN win b ON b.r = a.r + 1
             WHERE length(a.w) >= 40 AND a.w = b.w
+        """,
+        # round 7 (round-8 pool): 1-bit quantization (32 sign bits per
+        # BIGINT word — all words small positives, no sign convention)
+        # + exact Hamming top-k, integer arithmetic end to end
+        "e2_hamming_topk": """
+            WITH codes AS (
+                SELECT vec_id,
+                       list_transform(generate_series(0, 1), w ->
+                           CAST(list_sum(list_transform(
+                               generate_series(0, 31), i ->
+                               CASE WHEN embedding[w * 32 + i + 1] > 0
+                                    THEN (CAST(1 AS BIGINT) << i)
+                                    ELSE CAST(0 AS BIGINT) END
+                           )) AS BIGINT)) AS code
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(
+                           generate_series(1, 2), j ->
+                           bit_count(xor(q.code[j], c.code[j]))
+                       )) AS BIGINT) AS hamming
+                FROM codes c, codes q
+                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, hamming, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY hamming ASC, neighbor_id ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 5
         """,
         # -- round 2: temporal joins, dedup clustering, E5 widening -----
         "t_asof_join": """

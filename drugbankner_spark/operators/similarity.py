@@ -1410,3 +1410,76 @@ def mean_pool_embeddings(
         )
         .select(F.col("grp").alias(group_col), "embedding", "n_vecs")
     )
+
+
+def binary_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """1-bit vector quantization (round 7): each embedding becomes a
+    sign-bit pattern packed 32 dims per BIGINT word — the 32×/64×
+    storage-compression serving tier below int8 (the same role as
+    faiss's binary indexes / "binary quantization" in vector DBs).
+    Packing 32 (not 64) bits per word keeps every word a small
+    POSITIVE integer, so no engine's overflow/sign convention is in
+    play and the DuckDB oracle is trivially exact.
+
+    Pure per-row expressions (nested higher-order functions), zero
+    shuffle, integer-only — codes are bit-identical across engines.
+    Output: (id, code array<long> of ceil(dim/32) words)."""
+    nw = (dim + 31) // 32
+    expr = f"""transform(sequence(0, {nw - 1}), w ->
+        aggregate(sequence(0, 31), CAST(0 AS LONG), (acc, i) ->
+            acc + CASE WHEN w * 32 + i < {dim}
+                        AND element_at({vec_col},
+                                       w * 32 + i + 1) > 0
+                       THEN shiftleft(CAST(1 AS LONG), i)
+                       ELSE CAST(0 AS LONG) END))"""
+    return emb.select(F.col(id_col), F.expr(expr).alias("code"))
+
+
+def hamming_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact Hamming top-k over binary-quantized codes (excluding
+    self): distance = popcount of the XOR, per word, summed — ALL
+    integer arithmetic, so unlike every float-scored ANN variant there
+    is no rounding convention at all; ranks are bit-deterministic with
+    the (distance, neighbor id) tie-break.
+
+    Same scale shape as :func:`cosine_topk` (broadcast query side,
+    TakeOrderedAndProject per query), but each comparison is ~dim/32
+    XOR+popcounts instead of dim float multiplies — the rerank-funnel
+    first stage (Hamming shortlist → exact cosine on the shortlist).
+    For corpus×corpus joins at scale, band the words like
+    simhash_band_pairs (dedup.py) instead of brute force."""
+    from pyspark.sql import Window
+
+    q = query_codes.select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("_qc")
+    )
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("code").alias("_cc")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(_qc, _cc, (a, b) -> bit_count(a ^ b)), "
+        "0, (acc, x) -> acc + x)"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                dist.cast("long").alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

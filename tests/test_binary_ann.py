@@ -1,0 +1,66 @@
+"""1-bit quantization + Hamming top-k goldens (round 7).
+
+Hand-checked packing and distances; the cross-engine hash oracle is
+``e2_hamming_topk`` (round-8 pool) in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from drugbankner_spark.operators.similarity import (
+    binary_quantize,
+    hamming_topk,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_binary_quantize_packing(spark):
+    # dims 0 and 33 positive -> bit 0 of word 0 and bit 1 of word 1.
+    v = [0.0] * 64
+    v[0] = 1.0
+    v[33] = 0.5
+    v[63] = 2.0                          # bit 31 of word 1
+    rows = {r["vec_id"]: r["code"]
+            for r in binary_quantize(_vecs(spark, [(1, v)])).collect()}
+    assert rows[1] == [1, 2 + (1 << 31)]
+    # zero/negative dims contribute nothing; all-negative packs to 0s
+    rows0 = {r["vec_id"]: r["code"] for r in binary_quantize(
+        _vecs(spark, [(2, [-1.0] * 64)])).collect()}
+    assert rows0[2] == [0, 0]
+
+
+def test_hamming_topk_distances_and_ties(spark):
+    base = [1.0] * 64                     # all bits set
+    flip3 = list(base); flip3[5] = flip3[9] = flip3[40] = -1.0
+    flip1 = list(base); flip1[63] = -1.0
+    flip1b = list(base); flip1b[0] = -1.0  # also distance 1 -> tie
+    codes = binary_quantize(_vecs(spark, [
+        (0, base), (1, flip1), (2, flip3), (3, flip1b),
+    ]))
+    got = [(r["neighbor_id"], r["hamming"], r["rank"])
+           for r in hamming_topk(
+               codes, codes.filter(F.col("vec_id") == 0), k=3
+           ).orderBy("rank").collect()]
+    # ties at distance 1 break by neighbor id ascending
+    assert got == [(1, 1, 1), (3, 1, 2), (2, 3, 3)]
+
+
+def test_hamming_matches_python_popcount(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.choice([-1.0, 1.0]) for _ in range(64)])
+            for i in range(20)]
+    codes = binary_quantize(_vecs(spark, rows))
+    got = {(r["query_id"], r["neighbor_id"]): r["hamming"]
+           for r in hamming_topk(
+               codes, codes.filter(F.col("vec_id") < 3), k=19
+           ).collect()}
+    bits = {i: [1 if x > 0 else 0 for x in v] for i, v in rows}
+    for (q, n), d in got.items():
+        want = sum(a != b for a, b in zip(bits[q], bits[n]))
+        assert d == want
