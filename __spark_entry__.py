@@ -1398,6 +1398,37 @@ def _e2_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.hamming_topk(codes, codes.filter(F.col("vec_id") < 5), k=5)
 
 
+def _e2_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 7 (round-8 pool): the rerank funnel — integer Hamming
+    # shortlist (20) → exact cosine top-5 on the survivors.
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), shortlist_k=20, k=5
+    )
+
+
+def _g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 7 (round-8 pool): PageRank (the CommonCrawl domain-
+    # authority curation signal) on a deterministic supplier→part
+    # graph; 5 unrolled power iterations, dangling mass redistributed.
+    # Oracle = the same 5 iterations as chained CTEs (the g_label_prop
+    # replay pattern); 6dp rounding only at the END — damping contracts
+    # any sub-6dp float-sum-order drift.
+    from drugbankner_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") < 3000
+    )
+    edges = li.select(
+        (F.col("l_suppkey") % 50).alias("src"),
+        (F.col("l_partkey") % 50).alias("dst"),
+    ).distinct()
+    pr = pagerank(edges, n_iters=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _e1_suffix_array(spark: SparkSession, sf: str) -> DataFrame:
     # Round 7 (round-8 pool): distributed suffix array by prefix
     # doubling over the first 20 documents — log N rounds of (position
@@ -4284,9 +4315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new ops); e1_suffix_array (distributed prefix-doubling suffix
     array, content-checked against a direct suffix-string sort) and
     e1_sa_dup_spans (Lee-et-al exact substring duplication via
-    adjacent-suffix pairs) and e2_hamming_topk (1-bit quantization +
-    integer-exact Hamming top-k) wait in the pool, plus the 47
-    r06-green rows demoted this round."""
+    adjacent-suffix pairs), e2_hamming_topk (1-bit quantization +
+    integer-exact Hamming top-k), e2_rerank_topk (the composed
+    Hamming-shortlist → exact-cosine rerank funnel), and g_pagerank
+    (the CommonCrawl domain-authority signal, chained-CTE power-
+    iteration oracle) wait in the pool, plus the 47 r06-green rows
+    demoted this round."""
     return {
         # -- round-7 rotation (VERDICT r06 next #3): the whole never-
         # driver-verified pool — 43 hash-oracled singles plus the two
@@ -4609,8 +4643,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suffix-string sorts in SQL
         "e1_suffix_array": _e1_suffix_array,
         "e1_sa_dup_spans": _e1_sa_dup_spans,
-        # round 7 (round-8 pool): 1-bit quantization + Hamming top-k
+        # round 7 (round-8 pool): 1-bit quantization + Hamming top-k,
+        # the composed rerank funnel, and PageRank (chained-CTE oracle)
         "e2_hamming_topk": _e2_hamming_topk,
+        "e2_rerank_topk": _e2_rerank_topk,
+        "g_pagerank": _g_pagerank,
         # round 6: event-analytics + retrieval-metric widening, all
         # hash-oracled (rotation candidates for the next window)
         "e6_funnel": _e6_funnel,
@@ -5487,6 +5524,98 @@ _SQL_COSINE = """
     / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
        * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))
 """
+
+
+#: 1-bit code CTE body (e2_hamming_topk / e2_rerank_topk share it).
+_SQL_BINARY_CODES = """
+            SELECT vec_id, embedding,
+                   list_transform(generate_series(0, 1), w ->
+                       CAST(list_sum(list_transform(
+                           generate_series(0, 31), i ->
+                           CASE WHEN embedding[w * 32 + i + 1] > 0
+                                THEN (CAST(1 AS BIGINT) << i)
+                                ELSE CAST(0 AS BIGINT) END
+                       )) AS BIGINT)) AS code
+            FROM embeddings
+"""
+
+
+def _e2_rerank_topk_oracle() -> str:
+    return f"""WITH codes AS ({_SQL_BINARY_CODES}),
+        ham AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 2), j ->
+                       bit_count(xor(q.code[j], c.code[j]))
+                   )) AS BIGINT) AS hamming
+            FROM codes c, codes q
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY hamming ASC, neighbor_id ASC
+                ) AS hrank FROM ham
+            ) WHERE hrank <= 20
+        ),
+        rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round({_SQL_COSINE}, 6) AS cos_sim
+            FROM short s
+            JOIN embeddings c ON c.vec_id = s.neighbor_id
+            JOIN embeddings q ON q.vec_id = s.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank FROM rescored
+        ) WHERE rank <= 5
+    """
+
+
+def _g_pagerank_oracle(n_iters: int = 5, d: float = 0.85) -> str:
+    """Chained-CTE power-iteration replay (the g_label_prop oracle
+    pattern): r0 = uniform; each r{{i}} applies the exact Spark
+    formula (1−d)/N + d·(inflow + dangling_mass/N); 6dp rounding only
+    at the end — damping contracts sub-6dp float-sum-order drift."""
+    ctes = [f"""e AS (
+            SELECT DISTINCT l_suppkey % 50 AS src, l_partkey % 50 AS dst
+            FROM lineitem WHERE l_orderkey < 3000
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+        base AS (
+            SELECT node, COALESCE(out_deg, 0) AS out_deg
+            FROM nodes LEFT JOIN deg ON node = src
+        ),
+        r0 AS (
+            SELECT node, out_deg, 1.0 / nn.n AS rank FROM base, nn
+        )"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""d{i} AS (
+            SELECT COALESCE(sum(rank), 0.0) AS mass
+            FROM r{i - 1} WHERE out_deg = 0
+        ),
+        c{i} AS (
+            SELECT e.dst AS node, sum(r.rank / r.out_deg) AS inflow
+            FROM e JOIN r{i - 1} r
+              ON r.node = e.src AND r.out_deg > 0
+            GROUP BY e.dst
+        ),
+        r{i} AS (
+            SELECT b.node, b.out_deg,
+                   (1.0 - {d}) / nn.n
+                   + {d} * (COALESCE(c.inflow, 0.0) + dd.mass / nn.n)
+                       AS rank
+            FROM base b
+            LEFT JOIN c{i} c USING (node), nn, d{i} dd
+        )""")
+    return ("WITH " + ",\n        ".join(ctes)
+            + f"\n        SELECT node, round(rank, 6) AS rank"
+              f" FROM r{n_iters}")
 
 
 def _e2_cosine_topk_oracle() -> str:
@@ -7045,6 +7174,9 @@ def oracle_sql() -> dict[str, str]:
             FROM win a JOIN win b ON b.r = a.r + 1
             WHERE length(a.w) >= 40 AND a.w = b.w
         """,
+        # round 7 (round-8 pool): rerank funnel + PageRank replay
+        "e2_rerank_topk": _e2_rerank_topk_oracle(),
+        "g_pagerank": _g_pagerank_oracle(),
         # round 7 (round-8 pool): 1-bit quantization (32 sign bits per
         # BIGINT word — all words small positives, no sign convention)
         # + exact Hamming top-k, integer arithmetic end to end

@@ -1483,3 +1483,52 @@ def hamming_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist_k: int = 20,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """The rerank funnel (round 7): 1-bit Hamming SHORTLIST →
+    exact-cosine RERANK — the standard two-stage serving pattern
+    (binary/PQ first stage, exact scores on the survivors). The cheap
+    integer stage scans the corpus; the float stage touches only
+    queries × shortlist_k rows, so full-precision vectors for the
+    corpus are read once for quantization and again only for the
+    shortlisted candidates (at scale: the shortlist join prunes the
+    hydration scan by candidate id).
+
+    Output: (query_id, neighbor_id, cos_sim, rank) — same shape as
+    :func:`cosine_topk`, ranks from the exact scores."""
+    from pyspark.sql import Window
+
+    codes = binary_quantize(corpus, id_col, vec_col, dim)
+    qcodes = binary_quantize(queries, id_col, vec_col, dim)
+    short = hamming_topk(codes, qcodes, id_col, k=shortlist_k)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        short.select("query_id", "neighbor_id")
+        .join(vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

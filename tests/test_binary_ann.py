@@ -64,3 +64,25 @@ def test_hamming_matches_python_popcount(spark):
     for (q, n), d in got.items():
         want = sum(a != b for a, b in zip(bits[q], bits[n]))
         assert d == want
+
+
+def test_rerank_funnel_equals_exact_when_shortlist_covers_all(spark):
+    # With shortlist_k >= corpus size the funnel must return exactly
+    # cosine_topk's answer — the funnel only ever PRUNES.
+    import random
+
+    from drugbankner_spark.operators.similarity import (
+        cosine_topk,
+        rerank_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(30)]
+    emb = _vecs(spark, rows)
+    q = emb.filter(F.col("vec_id") < 3)
+    got = sorted(map(tuple, rerank_topk(
+        emb, q, shortlist_k=29, k=5
+    ).collect()))
+    want = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    assert got == want
