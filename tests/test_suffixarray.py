@@ -94,3 +94,29 @@ def test_duplicated_spans_within_one_document(spark):
     s = spans[0]
     assert {s["local_pos"], s["other_pos"]} == {1, len(body) + 6}
     assert s["prefix"] == body
+
+
+def test_suffix_array_matches_python_reference_on_random_corpora(spark):
+    # Three seeded random corpora (skewed alphabet -> deep ties that
+    # force many doubling rounds) against a direct sorted-suffix
+    # reference.
+    import random
+
+    from drugbankner_spark.operators.suffixarray import DOC_SEP
+
+    for seed in (3, 17, 29):
+        rng = random.Random(seed)
+        docs = [
+            (i, "".join(rng.choice("aab") for _ in range(rng.randint(5, 40))))
+            for i in range(4)
+        ]
+        s = "".join(t + DOC_SEP for _, t in docs)
+        order = sorted(range(1, len(s) + 1), key=lambda i: s[i - 1:])
+        want = {gpos: r + 1 for r, gpos in enumerate(order)}
+        got = {
+            r["gpos"]: r["sa_rank"]
+            for r in suffix_array(
+                spark.createDataFrame(docs, ["doc_id", "text"])
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
