@@ -3485,6 +3485,17 @@ def _pipeline_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return curate_corpus(_synth_pages(docs))
 
 
+def _pipeline_pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
+    # Third flagship composition (round 7, round-8 pool): curation
+    # chain → sequence packing of the SURVIVING scrubbed corpus — the
+    # last two stages a training run consumes, one lazy plan, the
+    # composed oracle checking the stage hand-off end to end.
+    from drugbankner_spark.operators.corpus import pretrain_prep
+
+    docs = load_table(spark, sf, "documents")
+    return pretrain_prep(_synth_pages(docs), seq_len=512)
+
+
 def _e1_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     # PII scrub (round 6 late): deterministic synthetic PII — emails,
     # IPs, SSNs, phones keyed off doc_id residues so docs carry
@@ -4319,7 +4330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     integer-exact Hamming top-k), e2_rerank_topk (the composed
     Hamming-shortlist → exact-cosine rerank funnel), and g_pagerank
     (the CommonCrawl domain-authority signal, chained-CTE power-
-    iteration oracle) wait in the pool, plus the 47 r06-green rows
+    iteration oracle) and pipeline_pretrain_prep (the third flagship
+    composition: curation chain → sequence packing of the survivors,
+    composed oracle) wait in the pool, plus the 47 r06-green rows
     demoted this round."""
     return {
         # -- round-7 rotation (VERDICT r06 next #3): the whole never-
@@ -4643,6 +4656,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suffix-string sorts in SQL
         "e1_suffix_array": _e1_suffix_array,
         "e1_sa_dup_spans": _e1_sa_dup_spans,
+        # round 7 (round-8 pool): the third flagship composition —
+        # curation chain -> sequence packing of the survivors
+        "pipeline_pretrain_prep": _pipeline_pretrain_prep,
         # round 7 (round-8 pool): 1-bit quantization + Hamming top-k,
         # the composed rerank funnel, and PageRank (chained-CTE oracle)
         "e2_hamming_topk": _e2_hamming_topk,
@@ -10312,4 +10328,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(totacctbal AS DOUBLE)
         FROM ({out["q22_idle_customers"]})
     """
+    # round 7: composed pretrain-prep oracle — the curation chain's
+    # CTE prefix (everything up to its final verdict SELECT) plus a
+    # kept-survivors CTE and the single-window packing reference the
+    # e3_pack_sequences oracle uses, seq_len 512.
+    _cur = out["pipeline_curate_corpus"]
+    _head, _sep, _ = _cur.rpartition("SELECT s.doc_id, s.keep_c4")
+    assert _sep, "curate oracle shape changed; update pretrain_prep"
+    out["pipeline_pretrain_prep"] = _head + """
+            , kept AS (
+                SELECT s.doc_id, s.text
+                FROM scr s
+                JOIN qual q ON q.doc_id = s.doc_id
+                LEFT JOIN keeper k ON k.text = s.text
+                WHERE s.keep_c4 AND q.keep_quality
+                  AND NOT coalesce(s.keep_c4 AND s.doc_id <> k.kid,
+                                   false)
+            ),
+            tok AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tokens
+                FROM kept
+            ),
+            placed AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS start
+                FROM tok
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(start / 512.0) AS BIGINT) AS seq_first,
+                   CAST(floor((start + n_tokens - 1) / 512.0)
+                        AS BIGINT) AS seq_last,
+                   CAST(start % 512 AS BIGINT) AS offset_in_first
+            FROM placed
+        """
     return out

@@ -1012,6 +1012,7 @@ def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_text: bool = False,
 ) -> DataFrame:
     """The modern pretraining-curation chain composed end to end —
     C4 line rules → PII scrub → Gopher quality rules → exact dedup —
@@ -1022,6 +1023,10 @@ def curate_corpus(
 
     (id, keep_c4, has_pii, keep_quality, is_exact_dup, keep,
     n_chars_final)
+
+    ``keep_text=True`` appends ``text_final`` (the scrubbed bytes) so
+    downstream stages — packing, tokenization — can consume the
+    survivors without recomputing the chain.
 
     PII is scrubbed, not dropped — ``has_pii`` is an audit flag.
     Exact dedup groups the scrubbed text of C4-surviving pages and
@@ -1050,7 +1055,7 @@ def curate_corpus(
         .agg(F.min(id_col).alias("_keeper"))
     )
     is_dup = F.col("keep_c4") & (F.col(id_col) != F.col("_keeper"))
-    return (
+    out = (
         base.join(qual, id_col)
         .join(keeper, "text", "left")
         .select(
@@ -1061,7 +1066,37 @@ def curate_corpus(
                 F.col("keep_c4") & F.col("keep_quality") & ~is_dup
             ).alias("keep"),
             F.length("text").alias("n_chars_final"),
+            F.col("text").alias("text_final"),
         )
+    )
+    if not keep_text:
+        out = out.drop("text_final")
+    return out
+
+
+def pretrain_prep(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+) -> DataFrame:
+    """The full pretraining prep composed end to end (round 7): the
+    curation chain (C4 → PII scrub → Gopher → exact dedup), then
+    GPT-style sequence packing of the SURVIVING scrubbed corpus — the
+    last two pipeline stages a training run consumes, under ONE lazy
+    plan. Output: one row per KEPT document with its packed placement
+    (id, n_tokens, seq_first, seq_last, offset_in_first).
+
+    Composition, not new operators: every stage is the repo's existing
+    hash-oracled kernel; what the composed oracle checks is that the
+    stages agree on the hand-off (which docs survive, what their final
+    bytes are, where packing places them)."""
+    cur = curate_corpus(docs, text_col, id_col, keep_text=True)
+    kept = cur.filter(F.col("keep")).select(
+        F.col(id_col), F.col("text_final").alias(text_col)
+    )
+    return pack_sequence_assignments(
+        kept, id_col=id_col, text_col=text_col, seq_len=seq_len
     )
 
 

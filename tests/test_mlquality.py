@@ -167,3 +167,36 @@ def test_dsir_single_token_and_kernel_parity(spark):
             raw, raw.filter("doc_id = 2"), dim=16, kernel=kernel
         ).collect()
         assert sorted(r["doc_id"] for r in rows) == [1, 2], kernel
+
+
+def test_pretrain_prep_composition_equals_manual_chain(spark):
+    # round 7: the composed flagship must equal running curate (with
+    # text) and packing by hand over the survivors.
+    from drugbankner_spark.operators.corpus import (
+        curate_corpus,
+        pack_sequence_assignments,
+        pretrain_prep,
+    )
+    from drugbankner_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _synth_pages
+
+    # raw sf0.001 docs all fail the C4 line rules (no terminal
+    # punctuation) — use the driver's synthesized pages, where the
+    # chain keeps a nontrivial subset
+    docs = _synth_pages(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    got = sorted(map(tuple, pretrain_prep(docs, seq_len=128).collect()))
+    cur = curate_corpus(docs, keep_text=True)
+    kept = cur.filter(F.col("keep")).select(
+        "doc_id", F.col("text_final").alias("text")
+    )
+    want = sorted(map(tuple, pack_sequence_assignments(
+        kept, seq_len=128
+    ).collect()))
+    assert got == want and len(got) > 0
+    # survivors only — no dropped doc appears
+    dropped = {r["doc_id"] for r in cur.filter(~F.col("keep")).collect()}
+    assert dropped.isdisjoint({t[0] for t in got})
