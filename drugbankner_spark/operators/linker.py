@@ -81,7 +81,8 @@ def char_wb_gram_counts(
 
 
 def build_alias_vectors(
-    alias_texts: DataFrame, text_col: str, n: int = 3
+    alias_texts: DataFrame, text_col: str, n: int = 3,
+    max_df_ratio: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the TF-IDF model over DISTINCT alias strings.
 
@@ -91,6 +92,13 @@ def build_alias_vectors(
       (inverted-index) form, rows L2-normalized;
     - ``idf``: (gram, idf) — the fitted vocabulary, reused verbatim to
       vectorize mentions (sklearn transform semantics).
+
+    ``max_df_ratio`` (sklearn's ``max_df``): drop grams occurring in
+    more than that fraction of aliases — the stop-gram pruning knob.
+    At scale these grams are exactly the posting-join hot keys AND the
+    lowest-idf (least informative) dimensions, so pruning them removes
+    the skew before it happens; norms are computed AFTER the cut, so
+    vectors stay unit-length in the pruned space (what sklearn does).
 
     One gram pass over aliases, two bounded aggs (df per gram, norm per
     alias). N (alias count) rides a 1-row broadcast cross join, never a
@@ -107,11 +115,16 @@ def build_alias_vectors(
         .agg(F.count(F.lit(1)).alias("_df"))
         .crossJoin(F.broadcast(n_rows))
         .select(
-            "gram",
+            "gram", "_df", "_n_aliases",
             (F.log((1.0 + F.col("_n_aliases")) / (1.0 + F.col("_df")))
              + 1.0).alias("idf"),
         )
     )
+    if max_df_ratio is not None:
+        idf = idf.filter(
+            F.col("_df") <= F.col("_n_aliases") * F.lit(max_df_ratio)
+        )
+    idf = idf.select("gram", "idf")
     weighted = counts.join(idf, "gram").select(
         "gram", F.col("_id").alias("alias"),
         (F.col("tf") * F.col("idf")).alias("_w"),
@@ -135,6 +148,7 @@ def link_by_tfidf(
     k: int = 1,
     n: int = 3,
     broadcast_max_rows: int = ALIAS_BROADCAST_MAX_ROWS,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Link each DISTINCT mention string to its top-k concepts.
 
@@ -154,7 +168,9 @@ def link_by_tfidf(
         .filter(F.col("alias").isNotNull() & F.col("alias_id").isNotNull())
         .distinct()
     )
-    postings, idf = build_alias_vectors(alias_map, "alias", n)
+    postings, idf = build_alias_vectors(
+        alias_map, "alias", n, max_df_ratio=max_df_ratio
+    )
 
     distinct_mentions = (
         mentions.select(F.col(mention_col).alias("mention"))

@@ -36,10 +36,9 @@ def test_char_wb_gram_semantics(spark):
 
 
 def test_tfidf_numbers_match_hand_computation(spark):
-    # Two aliases 'ab' and 'ac': grams per alias = {' a?', 'a? ', ...}.
-    # N=2; ' a' appears in both (df=2, idf=ln(3/3)+1=1); the others in
-    # one (df=1, idf=ln(3/2)+1). Mention 'ab' must score 1.0 against
-    # alias 'ab' and the shared-gram fraction against 'ac'.
+    # Two aliases 'ab' and 'ac': each vectorizes over its two padded
+    # 3-grams, which do NOT overlap — the exact-match mention scores
+    # 1.0 and the other concept emits nothing.
     aliases = spark.createDataFrame(
         [("C1", "ab"), ("C2", "ac")], ["id", "name"]
     )
@@ -50,15 +49,13 @@ def test_tfidf_numbers_match_hand_computation(spark):
             mentions, "m", aliases, "name", "id", threshold=0.0, k=5
         ).collect()
     }
-    idf_shared = 1.0                       # ' a': df=2 -> ln(3/3)+1
-    idf_rare = math.log(3.0 / 2.0) + 1.0   # 'ab '/' ab'... df=1
-    # alias 'ab' vector over grams (' ab', 'ab '): both tf=1
-    # mention 'ab' identical -> cosine 1.0
+    # alias 'ab' vector over grams (' ab', 'ab '): both tf=1; the
+    # identical mention scores cosine 1.0 exactly
     assert rows[("ab", "C1")]["score"] == 1.0
     assert rows[("ab", "C1")]["rank"] == 1
-    # shared grams between 'ab' and 'ac': only ' a'... wait — char_wb
-    # 3-grams of ' ab ' are ' ab' and 'ab '; of ' ac ' are ' ac' and
-    # 'ac '. NO shared gram -> 'ac' scores 0 and is absent.
+    # char_wb 3-grams of ' ab ' are {' ab', 'ab '} and of ' ac ' are
+    # {' ac', 'ac '}: NO shared gram -> 'ac' scores 0 and is absent
+    # (2-char tokens never share char_wb 3-grams unless equal)
     assert ("ab", "C2") not in rows
 
 
@@ -181,3 +178,33 @@ def test_linker_plan_has_no_cartesian(spark):
     df = E.all_queries()["x1_tfidf_linker"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_max_df_prunes_stop_grams_but_keeps_exact_match(spark):
+    # A gram in every alias (here the grams of the shared token 'the')
+    # is a posting-join hot key and carries minimum idf; max_df prunes
+    # it, norms re-computed in the pruned space keep exact matches at
+    # cosine 1.0.
+    aliases = spark.createDataFrame(
+        [("C1", "the cat"), ("C2", "the dog"), ("C3", "the owl")],
+        ["id", "name"],
+    )
+    mentions = spark.createDataFrame([("the cat",)], ["m"])
+    rows = {
+        r["alias_id"]: r["score"]
+        for r in link_by_tfidf(
+            mentions, "m", aliases, "name", "id",
+            threshold=0.0, k=5, max_df_ratio=0.9,
+        ).collect()
+    }
+    assert rows["C1"] == 1.0          # exact match survives pruning
+    # the shared-token grams are GONE: no cross-candidate similarity
+    assert "C2" not in rows and "C3" not in rows
+    # without pruning, the shared grams leak similarity
+    rows_full = {
+        r["alias_id"]: r["score"]
+        for r in link_by_tfidf(
+            mentions, "m", aliases, "name", "id", threshold=0.0, k=5
+        ).collect()
+    }
+    assert rows_full["C2"] > 0.0
