@@ -1387,6 +1387,20 @@ def _ep2_aligned_nodes(spark: SparkSession, sf: str) -> DataFrame:
     return P.run_ep2(b["records"], b["mechanistic_nodes"], b["syn"])
 
 
+def _t_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 7 (round-8 pool): classical additive seasonal decomposition
+    # (statsmodels convention — 2xMA half-weight trend for the even
+    # period, per-phase means re-centered to sum 0) per event type, 6 h
+    # buckets x period 4 = daily seasonality. No float ever gates a
+    # comparison, so 6dp output rounding is the whole parity story.
+    from drugbankner_spark.operators.timeseries import seasonal_decompose
+
+    ev = load_table(spark, sf, "events")
+    return seasonal_decompose(
+        ev, ["event_type"], step_seconds=21600, period=4
+    )
+
+
 def _e2_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
     # Round 7 (round-8 pool): 1-bit quantization + exact Hamming top-k
     # — the rerank-funnel first stage. Integer-only end to end, so the
@@ -4330,10 +4344,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     integer-exact Hamming top-k), e2_rerank_topk (the composed
     Hamming-shortlist → exact-cosine rerank funnel), and g_pagerank
     (the CommonCrawl domain-authority signal, chained-CTE power-
-    iteration oracle) and pipeline_pretrain_prep (the third flagship
+    iteration oracle), pipeline_pretrain_prep (the third flagship
     composition: curation chain → sequence packing of the survivors,
-    composed oracle) wait in the pool, plus the 47 r06-green rows
-    demoted this round."""
+    composed oracle) and t_seasonal (classical additive seasonal
+    decomposition, integer-exact micro-unit arithmetic end to end —
+    the float/rounding-convention findings are documented on the
+    operator) wait in the pool, plus the 47 r06-green rows demoted
+    this round."""
     return {
         # -- round-7 rotation (VERDICT r06 next #3): the whole never-
         # driver-verified pool — 43 hash-oracled singles plus the two
@@ -4659,6 +4676,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7 (round-8 pool): the third flagship composition —
         # curation chain -> sequence packing of the survivors
         "pipeline_pretrain_prep": _pipeline_pretrain_prep,
+        # round 7 (round-8 pool): classical seasonal decomposition
+        "t_seasonal": _t_seasonal,
         # round 7 (round-8 pool): 1-bit quantization + Hamming top-k,
         # the composed rerank funnel, and PageRank (chained-CTE oracle)
         "e2_hamming_topk": _e2_hamming_topk,
@@ -8445,6 +8464,117 @@ def oracle_sql() -> dict[str, str]:
                                 / (nb - pb)
                    END, 6) AS interp
             FROM f
+        """,
+        # round 7: classical additive seasonal decomposition — interp
+        # grid (unrounded), 2xMA half-weight trend (period 4, even),
+        # integer phase, per-phase means re-centered per key; 6dp only
+        # on output
+        "t_seasonal": """
+            WITH obs AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                           AS bucket_start,
+                       CAST(floor((sum(value) / count(value)) * 1e6
+                                  + 0.5) AS BIGINT) AS vm
+                FROM events GROUP BY 1, 2
+            ),
+            span AS (
+                SELECT event_type, min(bucket_start) AS lo,
+                       max(bucket_start) AS hi
+                FROM obs GROUP BY 1
+            ),
+            grid AS (
+                SELECT event_type, lo,
+                       unnest(generate_series(lo, hi, 21600))
+                           AS bucket_start
+                FROM span
+            ),
+            g AS (
+                SELECT grid.event_type, grid.lo, grid.bucket_start,
+                       obs.vm
+                FROM grid LEFT JOIN obs USING (event_type, bucket_start)
+            ),
+            f AS (
+                SELECT *,
+                    last_value(vm IGNORE NULLS) OVER w_f AS pv,
+                    last_value(CASE WHEN vm IS NOT NULL
+                               THEN bucket_start END IGNORE NULLS)
+                        OVER w_f AS pb,
+                    first_value(vm IGNORE NULLS) OVER w_b AS nv,
+                    first_value(CASE WHEN vm IS NOT NULL
+                                THEN bucket_start END IGNORE NULLS)
+                        OVER w_b AS nb
+                FROM g
+                WINDOW w_f AS (PARTITION BY event_type
+                               ORDER BY bucket_start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+                       w_b AS (PARTITION BY event_type
+                               ORDER BY bucket_start
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING)
+            ),
+            filled AS (
+                SELECT event_type, lo, bucket_start,
+                       CASE
+                           WHEN vm IS NOT NULL THEN vm
+                           WHEN pv IS NULL THEN nv
+                           WHEN nv IS NULL THEN pv
+                           ELSE pv + CAST(floor(
+                               ((nv - pv) * (bucket_start - pb))
+                               / (nb - pb) + 0.5) AS BIGINT)
+                       END AS v
+                FROM f
+            ),
+            tr AS (
+                SELECT event_type, bucket_start, v,
+                       CAST(((bucket_start - lo) % (21600 * 4)) / 21600
+                            AS INT) AS phase,
+                       CASE WHEN lag(v, 2) OVER w IS NOT NULL
+                             AND lead(v, 2) OVER w IS NOT NULL
+                            THEN lag(v, 2) OVER w
+                                 + 2 * lag(v, 1) OVER w + 2 * v
+                                 + 2 * lead(v, 1) OVER w
+                                 + lead(v, 2) OVER w
+                       END AS t8
+                FROM filled
+                WINDOW w AS (PARTITION BY event_type
+                             ORDER BY bucket_start)
+            ),
+            det AS (
+                SELECT *, 8 * v - t8 AS d8 FROM tr
+            ),
+            pa AS (
+                SELECT event_type, phase,
+                       sum(d8) AS ds, count(d8) AS dc
+                FROM det GROUP BY 1, 2
+            ),
+            rc AS (
+                SELECT event_type,
+                       (max(CASE WHEN phase = 0
+                                 THEN CAST(ds AS DOUBLE) / dc END)
+                        + max(CASE WHEN phase = 1
+                                   THEN CAST(ds AS DOUBLE) / dc END)
+                        + max(CASE WHEN phase = 2
+                                   THEN CAST(ds AS DOUBLE) / dc END)
+                        + max(CASE WHEN phase = 3
+                                   THEN CAST(ds AS DOUBLE) / dc END))
+                       / 4 AS pmean
+                FROM pa GROUP BY 1
+            ),
+            seas AS (
+                SELECT pa.event_type, pa.phase,
+                       CAST(pa.ds AS DOUBLE) / pa.dc - rc.pmean AS s8
+                FROM pa JOIN rc USING (event_type)
+            )
+            SELECT d.event_type, d.bucket_start, d.phase,
+                   CAST(d.v AS DOUBLE) / 1e6 AS value,
+                   floor(d.t8 / 8e6 * 1e4 + 0.5) / 1e4 AS trend,
+                   floor(s.s8 / 8e6 * 1e4 + 0.5) / 1e4 AS seasonal,
+                   floor((d.d8 / 8e6 - s.s8 / 8e6) * 1e4 + 0.5) / 1e4
+                       AS resid
+            FROM det d JOIN seas s
+              ON s.event_type = d.event_type AND s.phase = d.phase
         """,
         "t_ewma": """
             WITH obs AS (

@@ -316,3 +316,179 @@ def read_anomalies(
         .drop("_s", "_nv")
     )
     return anomaly_scores(obs, key_cols, lookback, z_threshold)
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 21600,
+    period: int = 4,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the statsmodels
+    ``seasonal_decompose`` convention) per key over the
+    interpolation-filled bucket grid:
+
+    - ``trend``: centered moving average over one period — even
+      periods use the standard 2×MA half-weights (0.5 on the two
+      window endpoints), odd periods the plain centered mean; NULL on
+      the ``period//2`` edge buckets where the window is incomplete
+      (statsmodels' NaN edges);
+    - ``seasonal``: per-phase mean of the detrended series, re-centered
+      so the period's offsets sum to 0 per key;
+    - ``resid``: value − trend − seasonal (NULL where trend is).
+
+    CROSS-ENGINE DETERMINISM (the hard-won part): a float chain here
+    hits BOTH failure modes at once — unordered aggregation sums drift
+    by an ULP, and sums-of-decimal-data divided by the period land
+    EXACTLY on rounding boundaries, where Spark's round() (BigDecimal
+    HALF_UP on the decimal repr) and DuckDB's (binary-value rounding)
+    disagree. So the pipeline is integer-exact: bucket values convert
+    ONCE to BIGINT micro-units via floor(x·1e6 + 0.5) (deterministic —
+    an ULP of drift can't cross the half boundary for ≤6dp data);
+    interpolation and the trend window stay in integers (trend carried
+    at 8× scale so the half-weights are exact); phase means become
+    (integer sum, count) pairs; and the final doubles are computed
+    with IDENTICAL expression order in both engines and rounded with
+    floor(x·1e4 + 0.5)/1e4 — pure binary arithmetic, no decimal-repr
+    convention anywhere.
+
+    Decomposing on the interp-filled grid keeps windows aligned across
+    gaps (a missing bucket would silently shift every ROWS window).
+    Plan: the resample grid, lag/lead window passes, one (key, phase)
+    agg + a fixed-width phase pivot per key — all dim-sized."""
+    obs = _bucketed(events, key_cols, ts_col, value_col, step_seconds)
+    span = obs.groupBy(*key_cols).agg(
+        F.min("bucket_start").alias("_lo"),
+        F.max("bucket_start").alias("_hi"),
+    )
+    grid = span.select(
+        *key_cols, "_lo",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_seconds))
+        ).alias("bucket_start"),
+    )
+    micro = F.floor(F.col("value_avg") * 1e6 + 0.5).cast("long")
+    g = grid.join(
+        obs.select(*key_cols, "bucket_start", micro.alias("_vm")),
+        [*key_cols, "bucket_start"], "left",
+    )
+    fwd = (
+        Window.partitionBy(*key_cols).orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(*key_cols).orderBy("bucket_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("_vm", ignorenulls=True).over(fwd)
+    prev_b = F.last(
+        F.when(F.col("_vm").isNotNull(), F.col("bucket_start")),
+        ignorenulls=True,
+    ).over(fwd)
+    next_v = F.first("_vm", ignorenulls=True).over(bwd)
+    next_b = F.first(
+        F.when(F.col("_vm").isNotNull(), F.col("bucket_start")),
+        ignorenulls=True,
+    ).over(bwd)
+    # integer interpolation: micro-unit delta × elapsed over gap, with
+    # floor(x + 0.5) on the one unavoidable division (identical binary
+    # doubles in both engines since the operands are exact integers)
+    interp = (
+        F.when(F.col("_vm").isNotNull(), F.col("_vm"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + F.floor(
+                ((next_v - prev_v) * (F.col("bucket_start") - prev_b))
+                / (next_b - prev_b)
+                + 0.5
+            ).cast("long")
+        )
+    )
+    filled = g.select(
+        *key_cols, "_lo", "bucket_start", interp.alias("_v")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("bucket_start")
+    half = period // 2
+    # trend in EXACT integers at 8× micro scale (even period: the 2×MA
+    # half-weights become whole numbers; odd period: plain ×8)
+    lo_end = F.lag("_v", half).over(w)
+    hi_end = F.lead("_v", half).over(w)
+    if period % 2 == 0:
+        terms = [lo_end]
+        for i in range(half - 1, 0, -1):
+            terms.append(2 * F.lag("_v", i).over(w))
+        terms.append(2 * F.col("_v"))
+        for i in range(1, half):
+            terms.append(2 * F.lead("_v", i).over(w))
+        terms.append(hi_end)
+        denom8 = 2 * period
+    else:
+        terms = [8 * F.lag("_v", i).over(w)
+                 for i in range(half, 0, -1)]
+        terms.append(8 * F.col("_v"))
+        terms += [8 * F.lead("_v", i).over(w)
+                  for i in range(1, half + 1)]
+        denom8 = 8 * period
+    trend8 = terms[0]
+    for term in terms[1:]:
+        trend8 = trend8 + term
+    trend8 = F.when(
+        lo_end.isNotNull() & hi_end.isNotNull(), trend8
+    )
+    phase = (
+        F.pmod(
+            F.col("bucket_start") - F.col("_lo"),
+            F.lit(step_seconds * period),
+        )
+        / F.lit(step_seconds)
+    ).cast("int")
+    t = filled.select(
+        *key_cols, "bucket_start", "_v",
+        trend8.alias("_t8"), phase.alias("phase"),
+    ).withColumn("_d8", F.lit(denom8) * F.col("_v") - F.col("_t8"))
+    # per-phase detrended mean as an EXACT (sum, count) pair
+    pa = t.groupBy(*key_cols, "phase").agg(
+        F.sum("_d8").alias("_ds"), F.count("_d8").alias("_dc")
+    )
+    # re-center: mean of the per-phase means, summed in FIXED phase
+    # order via a pivot (an avg over the group would reintroduce
+    # engine-internal summation order)
+    pivots = [
+        F.max(F.when(F.col("phase") == i,
+                     F.col("_ds") / F.col("_dc"))).alias(f"_s{i}")
+        for i in range(period)
+    ]
+    rc = pa.groupBy(*key_cols).agg(*pivots)
+    pmean = F.col("_s0")
+    for i in range(1, period):
+        pmean = pmean + F.col(f"_s{i}")
+    rc = rc.select(*key_cols, (pmean / period).alias("_pmean"))
+    seas = pa.join(rc, key_cols).select(
+        *key_cols, "phase",
+        (F.col("_ds") / F.col("_dc") - F.col("_pmean"))
+        .alias("_seas8"),
+    )
+
+    def out4(col):
+        # floor-based 4dp rounding: identical binary arithmetic in
+        # both engines, no decimal-repr convention
+        return F.floor(col * 1e4 + 0.5) / 1e4
+
+    scale = float(denom8) * 1e6
+    return (
+        t.join(seas, [*key_cols, "phase"])
+        .select(
+            *key_cols, "bucket_start", "phase",
+            (F.col("_v") / 1e6).alias("value"),
+            out4(F.col("_t8") / F.lit(scale)).alias("trend"),
+            out4(F.col("_seas8") / F.lit(scale)).alias("seasonal"),
+            out4(
+                F.col("_d8") / F.lit(scale)
+                - F.col("_seas8") / F.lit(scale)
+            ).alias("resid"),
+        )
+    )

@@ -169,3 +169,63 @@ def test_streaming_anomalies_equal_batch(spark, tmp_path):
         ev, ["key"], step_seconds=STEP, lookback=8, z_threshold=3.0
     ).collect()))
     assert got == want and len(got) == 9
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    # round 7: linear trend + exact period-4 offsets, one obs/bucket.
+    # The classical decomposition must return trend ~= the line,
+    # seasonal == the centered offsets, resid ~= 0; edges NULL.
+    from drugbankner_spark.operators.timeseries import seasonal_decompose
+
+    offs = [3.0, -1.0, -4.0, 2.0]          # sums to 0 (already centered)
+    rows = [
+        ("k", BASE + dt.timedelta(minutes=m), 10.0 + 0.5 * m + offs[m % 4])
+        for m in range(16)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double"
+    )
+    got = {r["phase"]: r for r in seasonal_decompose(
+        df, ["key"], step_seconds=STEP, period=4
+    ).collect() if r["trend"] is not None}
+    out = seasonal_decompose(df, ["key"], step_seconds=STEP, period=4)
+    rows_all = out.orderBy("bucket_start").collect()
+    # edges: first and last period//2 buckets have no trend
+    assert rows_all[0]["trend"] is None and rows_all[1]["trend"] is None
+    assert rows_all[-1]["trend"] is None and rows_all[-2]["trend"] is None
+    mid = [r for r in rows_all if r["trend"] is not None]
+    assert len(mid) == 12
+    for r in mid:
+        m = (r["bucket_start"] - rows_all[0]["bucket_start"]) // STEP
+        assert abs(r["trend"] - (10.0 + 0.5 * m)) < 1e-3, r
+        assert abs(r["resid"]) < 1e-3, r
+    # per-phase seasonal equals the planted (already-centered) offsets
+    seas = {r["phase"]: r["seasonal"] for r in rows_all}
+    for p in range(4):
+        assert abs(seas[p] - offs[p]) < 1e-3, (p, seas[p])
+    # seasonal offsets sum to ~0 (the re-centering contract)
+    assert abs(sum(seas[p] for p in range(4))) < 1e-3
+    assert got  # trend-bearing rows exist
+
+
+def test_seasonal_decompose_interp_aligns_windows_across_gaps(spark):
+    # a missing bucket must NOT shift the phase/window alignment: the
+    # gap is interp-filled before decomposition.
+    from drugbankner_spark.operators.timeseries import seasonal_decompose
+
+    offs = [3.0, -1.0, -4.0, 2.0]
+    rows = [
+        ("k", BASE + dt.timedelta(minutes=m), 10.0 + offs[m % 4])
+        for m in range(12) if m != 5                    # hole at m=5
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double"
+    )
+    out = {r["bucket_start"]: r for r in seasonal_decompose(
+        df, ["key"], step_seconds=STEP, period=4
+    ).collect()}
+    base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    # the gap bucket exists on the grid with an interpolated value
+    assert base_epoch + 5 * STEP in out
+    assert len(out) == 12                   # full grid, no phase shift
+    assert out[base_epoch + 5 * STEP]["phase"] == 1
