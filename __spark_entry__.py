@@ -1443,6 +1443,22 @@ def _g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _g_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 7 (round-8 pool): PERSONALIZED PageRank — teleport +
+    # dangling mass to seeds {0, 7}; same graph/replay as g_pagerank.
+    from drugbankner_spark.operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") < 3000
+    )
+    edges = li.select(
+        (F.col("l_suppkey") % 50).alias("src"),
+        (F.col("l_partkey") % 50).alias("dst"),
+    ).distinct()
+    pr = personalized_pagerank(edges, [0, 7], n_iters=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _e1_suffix_array(spark: SparkSession, sf: str) -> DataFrame:
     # Round 7 (round-8 pool): distributed suffix array by prefix
     # doubling over the first 20 documents — log N rounds of (position
@@ -4344,7 +4360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     integer-exact Hamming top-k), e2_rerank_topk (the composed
     Hamming-shortlist → exact-cosine rerank funnel), and g_pagerank
     (the CommonCrawl domain-authority signal, chained-CTE power-
-    iteration oracle), pipeline_pretrain_prep (the third flagship
+    iteration oracle), g_ppr (personalized PageRank — seeded teleport,
+    the seed-affinity expansion signal), pipeline_pretrain_prep (the
+    third flagship
     composition: curation chain → sequence packing of the survivors,
     composed oracle) and t_seasonal (classical additive seasonal
     decomposition, integer-exact micro-unit arithmetic end to end —
@@ -4683,6 +4701,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_hamming_topk": _e2_hamming_topk,
         "e2_rerank_topk": _e2_rerank_topk,
         "g_pagerank": _g_pagerank,
+        "g_ppr": _g_ppr,
         # round 6: event-analytics + retrieval-metric widening, all
         # hash-oracled (rotation candidates for the next window)
         "e6_funnel": _e6_funnel,
@@ -5610,11 +5629,25 @@ def _e2_rerank_topk_oracle() -> str:
     """
 
 
-def _g_pagerank_oracle(n_iters: int = 5, d: float = 0.85) -> str:
+def _g_pagerank_oracle(
+    n_iters: int = 5, d: float = 0.85, seeds: list | None = None
+) -> str:
     """Chained-CTE power-iteration replay (the g_label_prop oracle
-    pattern): r0 = uniform; each r{{i}} applies the exact Spark
-    formula (1−d)/N + d·(inflow + dangling_mass/N); 6dp rounding only
-    at the end — damping contracts sub-6dp float-sum-order drift."""
+    pattern): r0 = teleport vector; each r{{i}} applies the exact Spark
+    formula — uniform teleport (1−d)/N + d·(inflow + mass/N) for
+    classic PageRank, or (1−d)·tele + d·(inflow + mass·tele) for the
+    personalized form; 6dp rounding only at the end — damping
+    contracts sub-6dp float-sum-order drift."""
+    if seeds is None:
+        tele = "1.0 / nn.n"
+        r_expr = ("(1.0 - {d}) / nn.n + {d} * "
+                  "(COALESCE(c.inflow, 0.0) + dd.mass / nn.n)")
+    else:
+        in_list = ", ".join(str(s) for s in seeds)
+        tele = (f"CASE WHEN node IN ({in_list}) "
+                f"THEN 1.0 / {len(seeds)} ELSE 0.0 END")
+        r_expr = ("(1.0 - {d}) * b.tele + {d} * "
+                  "(COALESCE(c.inflow, 0.0) + dd.mass * b.tele)")
     ctes = [f"""e AS (
             SELECT DISTINCT l_suppkey % 50 AS src, l_partkey % 50 AS dst
             FROM lineitem WHERE l_orderkey < 3000
@@ -5623,11 +5656,12 @@ def _g_pagerank_oracle(n_iters: int = 5, d: float = 0.85) -> str:
         nn AS (SELECT count(*) AS n FROM nodes),
         deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
         base AS (
-            SELECT node, COALESCE(out_deg, 0) AS out_deg
-            FROM nodes LEFT JOIN deg ON node = src
+            SELECT node, COALESCE(out_deg, 0) AS out_deg,
+                   {tele} AS tele
+            FROM nodes LEFT JOIN deg ON node = src, nn
         ),
         r0 AS (
-            SELECT node, out_deg, 1.0 / nn.n AS rank FROM base, nn
+            SELECT node, out_deg, tele AS rank FROM base
         )"""]
     for i in range(1, n_iters + 1):
         ctes.append(f"""d{i} AS (
@@ -5642,9 +5676,7 @@ def _g_pagerank_oracle(n_iters: int = 5, d: float = 0.85) -> str:
         ),
         r{i} AS (
             SELECT b.node, b.out_deg,
-                   (1.0 - {d}) / nn.n
-                   + {d} * (COALESCE(c.inflow, 0.0) + dd.mass / nn.n)
-                       AS rank
+                   {r_expr.format(d=d)} AS rank
             FROM base b
             LEFT JOIN c{i} c USING (node), nn, d{i} dd
         )""")
@@ -7212,6 +7244,7 @@ def oracle_sql() -> dict[str, str]:
         # round 7 (round-8 pool): rerank funnel + PageRank replay
         "e2_rerank_topk": _e2_rerank_topk_oracle(),
         "g_pagerank": _g_pagerank_oracle(),
+        "g_ppr": _g_pagerank_oracle(seeds=[0, 7]),
         # round 7 (round-8 pool): 1-bit quantization (32 sign bits per
         # BIGINT word — all words small positives, no sign convention)
         # + exact Hamming top-k, integer arithmetic end to end

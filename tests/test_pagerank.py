@@ -115,3 +115,36 @@ def test_crawl_links_to_host_rank_composition(spark):
     ranks = {r["node"]: r["rank"]
              for r in pagerank(edges, n_iters=8).collect()}
     assert max(ranks, key=ranks.get) == "hub.io"
+
+
+def test_personalized_pagerank_seed_affinity(spark):
+    # round 7: teleport to seeds — a node unreachable from the seeds
+    # converges to 0; seeds retain mass; totals sum to ~1 over the
+    # reachable component.
+    from drugbankner_spark.operators.graph import personalized_pagerank
+
+    # chain 1->2->3, island 9->10 (unreachable from seed 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in personalized_pagerank(
+        edges, [1], n_iters=20
+    ).collect()}
+    assert ranks[9] == 0.0 and ranks[10] == 0.0
+    assert ranks[1] > 0.1 and ranks[2] > 0.0 and ranks[3] > 0.0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    # seed bias: with seed 3 (a sink), mass concentrates there
+    r3 = {r["node"]: r["rank"] for r in personalized_pagerank(
+        edges, [3], n_iters=20
+    ).collect()}
+    assert r3[3] > 0.9 and r3[1] == 0.0
+
+
+def test_personalized_pagerank_requires_seeds(spark):
+    import pytest
+
+    from drugbankner_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, [])
