@@ -1401,6 +1401,19 @@ def _t_seasonal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_dp_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 7 (round-8 pool): the Laplace-mechanism DP histogram
+    # release, deterministic via the md5 hash kernel — completes the
+    # privacy family (k-anon gate / suppression / pseudonymize /
+    # DP aggregate release).
+    from drugbankner_spark.operators.privacy import dp_noisy_histogram
+
+    ev = load_table(spark, sf, "events")
+    return dp_noisy_histogram(
+        ev, ["event_type"], epsilon=0.5, salt="r7"
+    )
+
+
 def _e2_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
     # Round 7 (round-8 pool): 1-bit quantization + exact Hamming top-k
     # — the rerank-funnel first stage. Integer-only end to end, so the
@@ -4361,8 +4374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Hamming-shortlist → exact-cosine rerank funnel), and g_pagerank
     (the CommonCrawl domain-authority signal, chained-CTE power-
     iteration oracle), g_ppr (personalized PageRank — seeded teleport,
-    the seed-affinity expansion signal), pipeline_pretrain_prep (the
-    third flagship
+    the seed-affinity expansion signal), e5_dp_histogram (the
+    Laplace-mechanism DP release, deterministic via the md5 hash
+    kernel — completes the privacy family), pipeline_pretrain_prep
+    (the third flagship
     composition: curation chain → sequence packing of the survivors,
     composed oracle) and t_seasonal (classical additive seasonal
     decomposition, integer-exact micro-unit arithmetic end to end —
@@ -4702,6 +4717,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_rerank_topk": _e2_rerank_topk,
         "g_pagerank": _g_pagerank,
         "g_ppr": _g_ppr,
+        "e5_dp_histogram": _e5_dp_histogram,
         # round 6: event-analytics + retrieval-metric widening, all
         # hash-oracled (rotation candidates for the next window)
         "e6_funnel": _e6_funnel,
@@ -7245,6 +7261,28 @@ def oracle_sql() -> dict[str, str]:
         "e2_rerank_topk": _e2_rerank_topk_oracle(),
         "g_pagerank": _g_pagerank_oracle(),
         "g_ppr": _g_pagerank_oracle(seeds=[0, 7]),
+        # round 7 (round-8 pool): Laplace-mechanism DP histogram —
+        # inverse-CDF noise from the md5 hash kernel, same arithmetic
+        # order as the Spark expression
+        "e5_dp_histogram": f"""
+            WITH c AS (
+                SELECT event_type, count(*) AS true_count
+                FROM events GROUP BY 1
+            ),
+            n AS (
+                SELECT event_type, true_count,
+                       ({_sql_hash32("event_type || chr(31) || 'r7'")}
+                        + 0.5) / 4294967296.0 AS u
+                FROM c
+            )
+            SELECT event_type, true_count,
+                   CAST(greatest(floor(
+                       true_count
+                       + (-(1.0 / 0.5) * sign(u - 0.5)
+                          * ln(1.0 - 2.0 * abs(u - 0.5)))
+                       + 0.5), 0) AS BIGINT) AS noisy_count
+            FROM n
+        """,
         # round 7 (round-8 pool): 1-bit quantization (32 sign bits per
         # BIGINT word — all words small positives, no sign convention)
         # + exact Hamming top-k, integer arithmetic end to end

@@ -135,3 +135,64 @@ def tokenize_columns(
             ),
         )
     return out
+
+
+def dp_noisy_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "release-1",
+) -> DataFrame:
+    """ε-differentially-private histogram release (the Laplace
+    mechanism, Dwork et al. 2006): per group, count + Laplace(1/ε)
+    noise — counting queries have sensitivity 1, so the released
+    ``noisy_count`` satisfies ε-DP per histogram. The fourth face of
+    the privacy family (k-anonymity gate = structural risk,
+    suppression = enforcement, tokenization = identifier columns; this
+    releases AGGREGATES safely).
+
+    Noise derivation is DETERMINISTIC — inverse-CDF of Laplace applied
+    to a uniform drawn from xxhash64(group key, salt) — so the release
+    is reproducible, testable, and hash-oracle-able. The standard
+    caveat applies and is the caller's contract: determinism means ONE
+    release per salt — re-releasing the same statistic under a new
+    salt composes ε-budgets exactly as independent Laplace draws
+    would, while re-USING a salt reveals nothing new (same noise).
+    For the same reason the uniform is keyed on the GROUP, never the
+    count (noise correlated with the true value would break DP).
+
+    One map-side-combinable count agg + per-row arithmetic; the
+    released histogram is dim-sized. ``noisy_count`` is rounded to the
+    nearest integer and clamped at 0 (standard post-processing — DP is
+    closed under it). ``true_count`` rides along for auditing/tests —
+    DROP IT before an actual release; only ``noisy_count`` is the DP
+    output."""
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    if epsilon <= 0:
+        raise ValueError("dp_noisy_histogram: epsilon must be > 0")
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols],
+        F.lit(salt),
+    )
+    # u strictly in (0, 1): the engine-portable md5-derived 32-bit key
+    # (the sampling-family kernel, SQL twin _sql_hash32), shifted off
+    # both endpoints
+    u = (content_hash32(key) + 0.5) / F.lit(2.0 ** 32)
+    p = u - 0.5
+    b = 1.0 / epsilon
+    noise = (
+        -F.lit(b)
+        * F.signum(p)
+        * F.log(1.0 - 2.0 * F.abs(p))
+    )
+    return counts.select(
+        *group_cols,
+        "true_count",
+        F.greatest(
+            F.floor(F.col("true_count") + noise + 0.5), F.lit(0)
+        ).cast("long").alias("noisy_count"),
+    )

@@ -2880,3 +2880,43 @@ def test_zipf_slope_recovers_planted_exponent(spark):
     assert -1.1 < out["zipf"]["slope"] < -0.9
     assert out["zipf"]["r2"] > 0.98
     assert abs(out["flat"]["slope"]) < 0.05
+
+
+def test_dp_noisy_histogram_properties(spark):
+    # round 7: Laplace-mechanism release — deterministic per salt,
+    # different across salts, noise independent of the count, clamped
+    # at 0, noise scale tracks 1/epsilon.
+    from drugbankner_spark.operators.privacy import dp_noisy_histogram
+
+    rows = [("a", i) for i in range(1000)] + [("b", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r1 = {r["g"]: r for r in dp_noisy_histogram(
+        df, ["g"], epsilon=1.0, salt="s1"
+    ).collect()}
+    r1b = {r["g"]: r for r in dp_noisy_histogram(
+        df, ["g"], epsilon=1.0, salt="s1"
+    ).collect()}
+    r2 = {r["g"]: r for r in dp_noisy_histogram(
+        df, ["g"], epsilon=1.0, salt="s2"
+    ).collect()}
+    assert r1 == r1b                       # same salt -> same release
+    assert any(r1[g]["noisy_count"] != r2[g]["noisy_count"]
+               for g in r1)                # new salt -> fresh draw
+    assert r1["a"]["true_count"] == 1000
+    # eps=1 noise is small relative to 1000; never negative
+    assert abs(r1["a"]["noisy_count"] - 1000) < 50
+    assert all(r["noisy_count"] >= 0 for r in r1.values())
+    # tiny epsilon -> much larger deviations somewhere across salts
+    big_dev = max(
+        abs(r["noisy_count"] - r["true_count"])
+        for s in ("s1", "s2", "s3", "s4")
+        for r in dp_noisy_histogram(
+            df, ["g"], epsilon=0.01, salt=s
+        ).collect()
+    )
+    assert big_dev > 50
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dp_noisy_histogram(df, ["g"], epsilon=0.0)
