@@ -1414,6 +1414,21 @@ def _e5_dp_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_dp_histogram_user(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (VERDICT r07 next #6): USER-level ε-DP histogram — each
+    # user's rows clamped to 3 contributions across the whole release
+    # (deterministic group-key-order budget spend), noise Laplace(3/ε).
+    # Row-level adjacency (the r7 face) stays as e5_dp_histogram; this
+    # is the honest release over per-user event streams.
+    from drugbankner_spark.operators.privacy import dp_noisy_histogram
+
+    ev = load_table(spark, sf, "events")
+    return dp_noisy_histogram(
+        ev, ["event_type"], epsilon=0.5, salt="r8u",
+        contributor_col="user_id", max_contributions=3,
+    )
+
+
 def _e2_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
     # Round 7 (round-8 pool): 1-bit quantization + exact Hamming top-k
     # — the rerank-funnel first stage. Integer-only end to end, so the
@@ -1434,6 +1449,28 @@ def _e2_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.rerank_topk(
         emb, emb.filter(F.col("vec_id") < 5), shortlist_k=20, k=5
     )
+
+
+def _e2_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (VERDICT r07 next #7): banded corpus×corpus Hamming
+    # pairs — every vector gets a 1-bit-flip clone planted (dim 1
+    # negated), and the banded join (4 bands of 16 bits over the
+    # 2-word codes; pigeonhole covers radius <= 3) must surface every
+    # pair the oracle's brute-force all-pairs scan finds.
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") < 300
+    ).select("vec_id", "embedding")
+    clone = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (v, i) -> "
+            "CASE WHEN i = 1 THEN -v ELSE v END)"
+        ).alias("embedding"),
+    )
+    codes = SIM.binary_quantize(emb.unionByName(clone))
+    return SIM.hamming_band_pairs(codes, max_hamming=3, band_bits=16)
 
 
 def _g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
@@ -4715,9 +4752,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the composed rerank funnel, and PageRank (chained-CTE oracle)
         "e2_hamming_topk": _e2_hamming_topk,
         "e2_rerank_topk": _e2_rerank_topk,
+        # round 8 (VERDICT r07 next #7): banded corpus×corpus pairs
+        "e2_hamming_pairs": _e2_hamming_pairs,
         "g_pagerank": _g_pagerank,
         "g_ppr": _g_ppr,
         "e5_dp_histogram": _e5_dp_histogram,
+        # round 8 (VERDICT r07 next #6): user-level DP with the
+        # per-contributor clamp
+        "e5_dp_histogram_user": _e5_dp_histogram_user,
         # round 6: event-analytics + retrieval-metric widening, all
         # hash-oracled (rotation candidates for the next window)
         "e6_funnel": _e6_funnel,
@@ -7283,6 +7325,43 @@ def oracle_sql() -> dict[str, str]:
                        + 0.5), 0) AS BIGINT) AS noisy_count
             FROM n
         """,
+        # round 8 (VERDICT r07 next #6): user-level DP — per-user
+        # contribution clamp (budget 3, spent in group-key order), then
+        # Laplace(3/eps) on the bounded counts
+        "e5_dp_histogram_user": f"""
+            WITH per AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            budget AS (
+                SELECT event_type, n,
+                       COALESCE(sum(n) OVER (
+                           PARTITION BY user_id ORDER BY event_type
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING
+                       ), 0) AS before
+                FROM per
+            ),
+            c AS (
+                SELECT event_type,
+                       CAST(sum(greatest(0, least(n, 3 - before)))
+                            AS BIGINT) AS true_count
+                FROM budget GROUP BY 1
+            ),
+            nz AS (
+                SELECT event_type, true_count,
+                       ({_sql_hash32("event_type || chr(31) || 'r8u'")}
+                        + 0.5) / 4294967296.0 AS u
+                FROM c
+            )
+            SELECT event_type, true_count,
+                   CAST(greatest(floor(
+                       true_count
+                       + (-(3.0 / 0.5) * sign(u - 0.5)
+                          * ln(1.0 - 2.0 * abs(u - 0.5)))
+                       + 0.5), 0) AS BIGINT) AS noisy_count
+            FROM nz
+        """,
         # round 7 (round-8 pool): 1-bit quantization (32 sign bits per
         # BIGINT word — all words small positives, no sign convention)
         # + exact Hamming top-k, integer arithmetic end to end
@@ -7313,6 +7392,45 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY hamming ASC, neighbor_id ASC
                 ) AS rank FROM scored
             ) WHERE rank <= 5
+        """,
+        # round 8 (VERDICT r07 next #7): the banded pair generator's
+        # oracle is the brute-force all-pairs scan — pigeonhole says
+        # they must be identical at radius 3 with 4 bands
+        "e2_hamming_pairs": """
+            WITH base AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 300
+            ),
+            corpus AS (
+                SELECT vec_id, embedding FROM base
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(generate_series(1, 64), i ->
+                           CASE WHEN i = 2 THEN -embedding[i]
+                                ELSE embedding[i] END)
+                FROM base
+            ),
+            codes AS (
+                SELECT vec_id,
+                       list_transform(generate_series(0, 1), w ->
+                           CAST(list_sum(list_transform(
+                               generate_series(0, 31), i ->
+                               CASE WHEN embedding[w * 32 + i + 1] > 0
+                                    THEN (CAST(1 AS BIGINT) << i)
+                                    ELSE CAST(0 AS BIGINT) END
+                           )) AS BIGINT)) AS code
+                FROM corpus
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 2), j ->
+                       bit_count(xor(a.code[j], b.code[j]))
+                   )) AS BIGINT) AS hamming
+            FROM codes a, codes b
+            WHERE a.vec_id < b.vec_id
+              AND list_sum(list_transform(
+                      generate_series(1, 2), j ->
+                      bit_count(xor(a.code[j], b.code[j])))) <= 3
         """,
         # -- round 2: temporal joins, dedup clustering, E5 widening -----
         "t_asof_join": """

@@ -111,6 +111,15 @@ ALIAS = {
     "e6_sessionize_stream": "e6_sessionize",
 }
 
+#: Pinned reference calibration (VERDICT r07 next #5): BENCH_r05's
+#: calibration_sec — the last driver run at sane ambient load
+#: (loadavg 3.7). ``headline_v1_total_calibrated`` = headline_v1_total
+#: × (REF_CALIBRATION / this run's calibration_sec), i.e. the headline
+#: normalized to r05-equivalent environment speed, so round-over-round
+#: deltas attribute to CODE, not shared-VM load (r06/r07 both ran at
+#: loadavg ≥7.6 and their raw deltas were unreadable). Do not re-pin.
+REF_CALIBRATION = 0.084
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -183,6 +192,10 @@ def main() -> None:
         "headline_v1_total": round(
             sum(timings.get(n, 0.0) for n in HEADLINE_V1), 3
         ),
+        "headline_v1_total_calibrated": round(
+            sum(timings.get(n, 0.0) for n in HEADLINE_V1)
+            * (REF_CALIBRATION / calib if calib else 1.0), 3
+        ),
         "headline_all_total": total,
         "queries": timings,
         "sf": sf,
@@ -227,6 +240,7 @@ def main() -> None:
         "value": result["value"],
         "unit": "sec",
         "headline_v1_total": result["headline_v1_total"],
+        "headline_v1_total_calibrated": result["headline_v1_total_calibrated"],
         "headline_all_total": result["headline_all_total"],
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,

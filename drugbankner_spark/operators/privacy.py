@@ -142,14 +142,31 @@ def dp_noisy_histogram(
     group_cols: list[str],
     epsilon: float = 1.0,
     salt: str = "release-1",
+    contributor_col: str | None = None,
+    max_contributions: int = 1,
 ) -> DataFrame:
     """ε-differentially-private histogram release (the Laplace
-    mechanism, Dwork et al. 2006): per group, count + Laplace(1/ε)
-    noise — counting queries have sensitivity 1, so the released
-    ``noisy_count`` satisfies ε-DP per histogram. The fourth face of
-    the privacy family (k-anonymity gate = structural risk,
-    suppression = enforcement, tokenization = identifier columns; this
-    releases AGGREGATES safely).
+    mechanism, Dwork et al. 2006). The fourth face of the privacy
+    family (k-anonymity gate = structural risk, suppression =
+    enforcement, tokenization = identifier columns; this releases
+    AGGREGATES safely).
+
+    **Adjacency relation — read this before releasing** (VERDICT r07
+    next #6). With ``contributor_col=None`` the guarantee is ROW-level
+    ε-DP: neighboring datasets differ in ONE ROW, counting sensitivity
+    is 1, noise is Laplace(1/ε). Over a table like ``events`` where one
+    user contributes many rows, row-level DP does NOT bound what the
+    release reveals about a USER. For user-level ε-DP pass
+    ``contributor_col``: each contributor's rows are first CLAMPED to
+    at most ``max_contributions`` across the whole histogram
+    (deterministically — per contributor, groups are walked in group-
+    key order and contributions kept until the budget is spent, so
+    both engines agree bit-for-bit), making the L1 sensitivity of the
+    full histogram vector exactly ``max_contributions``; noise scale
+    becomes Laplace(max_contributions/ε). ``true_count`` is then the
+    BOUNDED count (the statistic actually released), which undercounts
+    heavy contributors by construction — the standard
+    contribution-bounding bias/variance trade.
 
     Noise derivation is DETERMINISTIC — inverse-CDF of Laplace applied
     to a uniform drawn from xxhash64(group key, salt) — so the release
@@ -167,13 +184,50 @@ def dp_noisy_histogram(
     closed under it). ``true_count`` rides along for auditing/tests —
     DROP IT before an actual release; only ``noisy_count`` is the DP
     output."""
+    from pyspark.sql import Window
+
     from drugbankner_spark.operators.dedup import content_hash32
 
     if epsilon <= 0:
         raise ValueError("dp_noisy_histogram: epsilon must be > 0")
-    counts = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("true_count")
-    )
+    if max_contributions < 1:
+        raise ValueError("dp_noisy_histogram: max_contributions must be >= 1")
+    sensitivity = 1.0
+    if contributor_col is None:
+        counts = df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("true_count")
+        )
+    else:
+        # user-level clamp: per (contributor, group) counts, then an
+        # EXCLUSIVE running sum per contributor in group-key order
+        # spends the max_contributions budget deterministically. The
+        # window partitions by contributor — bounded by groups-per-
+        # contributor, never a corpus-wide key.
+        sensitivity = float(max_contributions)
+        per = df.groupBy(contributor_col, *group_cols).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        w = Window.partitionBy(contributor_col).orderBy(
+            *[F.col(c).asc_nulls_first() for c in group_cols]
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        kept = per.withColumn(
+            "_before", F.coalesce(F.sum("_n").over(w), F.lit(0))
+        ).select(
+            *group_cols,
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col("_n"),
+                    F.lit(max_contributions) - F.col("_before"),
+                ),
+            ).alias("_kept"),
+        )
+        # groups stay keyed on OBSERVED group values (same release
+        # domain as the row-level variant) — a clamped-to-zero group
+        # still emits its noisy bin rather than leaking absence
+        counts = kept.groupBy(*group_cols).agg(
+            F.sum("_kept").alias("true_count")
+        )
     key = F.concat_ws(
         "\x1f", *[F.col(c).cast("string") for c in group_cols],
         F.lit(salt),
@@ -183,7 +237,7 @@ def dp_noisy_histogram(
     # both endpoints
     u = (content_hash32(key) + 0.5) / F.lit(2.0 ** 32)
     p = u - 0.5
-    b = 1.0 / epsilon
+    b = sensitivity / epsilon
     noise = (
         -F.lit(b)
         * F.signum(p)

