@@ -1529,28 +1529,33 @@ def _e1_suffix_array(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _e1_sa_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
-    # Round 7 (round-8 pool): exact substring duplication via the
-    # suffix array (Lee et al. 2022) — a 48-char slice of doc 0 is
-    # planted at the tail of every doc_id % 4 == 1 document, and every
-    # >= 40-char duplicated span (planted + natural, cross- and
-    # intra-document) must surface as adjacent-suffix pairs.
-    from drugbankner_spark.operators.suffixarray import duplicated_spans
-
+def _sa_planted_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # The SA probe corpus (shared by e1_sa_dup_spans / e1_sa_dedup and
+    # the _SA_PLANTED_CTES oracle twin): 12 documents, a 48-char slice
+    # of doc 0 planted at the tail of every doc_id % 4 == 1 document.
     docs = load_table(spark, sf, "documents").filter(
         F.col("doc_id") < 12
     ).select("doc_id", "text")
     tail = docs.filter(F.col("doc_id") == 0).select(
         F.substring("text", 16, 48).alias("_tail")
     )
-    planted = docs.crossJoin(F.broadcast(tail)).select(
+    return docs.crossJoin(F.broadcast(tail)).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 4 == 1,
             F.concat(F.col("text"), F.lit(" "), F.col("_tail")),
         ).otherwise(F.col("text")).alias("text"),
     )
-    spans = duplicated_spans(planted, min_len=40)
+
+
+def _e1_sa_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 7 (round-8 pool): exact substring duplication via the
+    # suffix array (Lee et al. 2022) — every >= 40-char duplicated span
+    # (planted + natural, cross- and intra-document) must surface as
+    # adjacent-suffix pairs.
+    from drugbankner_spark.operators.suffixarray import duplicated_spans
+
+    spans = duplicated_spans(_sa_planted_docs(spark, sf), min_len=40)
     return spans.select(
         "doc_id",
         F.col("local_pos").cast("long").alias("local_pos"),
@@ -1558,6 +1563,16 @@ def _e1_sa_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
         F.col("other_pos").cast("long").alias("other_pos"),
         "prefix",
     )
+
+
+def _e1_sa_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (VERDICT r07 next #2): the Lee-et-al exact-span REMOVAL
+    # composed end to end — keeper = corpus-first occurrence per
+    # duplicated 40-char window, every other occurrence's span merged
+    # (gaps-and-islands) and stripped from its document.
+    from drugbankner_spark.operators.suffixarray import sa_dedup_corpus
+
+    return sa_dedup_corpus(_sa_planted_docs(spark, sf), min_len=40)
 
 
 #: x1_tfidf_linker probe mentions: the distinct surfaces the frozen
@@ -1627,6 +1642,51 @@ def _ep1_tfidf_mechanistic_nodes(spark: SparkSession, sf: str) -> DataFrame:
         NER.MECHANISTIC_CATEGORIES,
         linker_aliases=syn.nodes.select("id", "name"),
         linker_threshold=0.7, linker_k=1,
+    )
+
+
+def _ep1_spotted_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (VERDICT r07 next #8): EP1 with ZERO stub factories —
+    # mention DETECTION is the relational dictionary spotter (token
+    # n-grams vs the synonymizer's alias surface forms), LINKING is
+    # the TF-IDF char-3gram linker, then the unchanged J7 alignment
+    # and A2/A6 merge. Every detection and every kb link in the output
+    # comes from engine arithmetic; the only remaining X1 gap is the
+    # neural model itself (no model download in the sandbox).
+    from drugbankner_spark import pipelines as P
+    from drugbankner_spark.fixtures_ner import MINI_XML
+    from drugbankner_spark.operators import ner as NER
+    from drugbankner_spark.operators.drugbank import extract_drug_records
+    from drugbankner_spark.sources.xml_source import (
+        normalize_drugs,
+        read_drugbank_xml,
+    )
+
+    syn = _syn(spark)
+    records = extract_drug_records(
+        normalize_drugs(read_drugbank_xml(spark, MINI_XML)), syn
+    )
+    sentences = NER.prepare_sentences(
+        records, P.mechanistic_text(), ["kg2_id"]
+    ).filter(
+        # X3 parity with the frozen oracle fixture: the mini XML plants
+        # one sentence whose only purpose is to raise inside the stub
+        # model (detect_entities swallows it, NER.py X3), so the
+        # fixture's sentence inventory excludes it. The relational
+        # spotter has no error path — apply the same exclusion so both
+        # engines see the post-X3 sentence set.
+        ~F.col("sentence").contains("TRIGGER_NER_ERROR")
+    )
+    detected = NER.spot_mentions(
+        sentences, "sentence", ["kg2_id"],
+        syn.nodes.select("name"), "name", max_tokens=4,
+    )
+    detected = NER.link_entities_tfidf(
+        detected, syn.nodes.select("id", "name"), threshold=0.7, k=1
+    )
+    aligned = NER.align_detected(detected, syn, ["kg2_id"])
+    return NER.merge_longest_name(
+        aligned, ["kg2_id"], NER.MECHANISTIC_CATEGORIES
     )
 
 
@@ -4743,6 +4803,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suffix-string sorts in SQL
         "e1_suffix_array": _e1_suffix_array,
         "e1_sa_dup_spans": _e1_sa_dup_spans,
+        # round 8 (VERDICT r07 next #2): the composed removal step
+        "e1_sa_dedup": _e1_sa_dedup,
+        # round 8 (VERDICT r07 next #8): EP1 with the relational
+        # dictionary spotter — zero stub factories anywhere
+        "ep1_spotted_nodes": _ep1_spotted_nodes,
         # round 7 (round-8 pool): the third flagship composition —
         # curation chain -> sequence packing of the survivors
         "pipeline_pretrain_prep": _pipeline_pretrain_prep,
@@ -5094,6 +5159,72 @@ def _ep1_tfidf_oracle() -> str:
         detected AS {FN.detected_values_sql()},
         spot AS (
             SELECT DISTINCT kg2_id, sentence, entity_text FROM detected
+        ),
+        spot_mentions AS (
+            SELECT DISTINCT entity_text AS mention FROM spot
+            WHERE entity_text IS NOT NULL
+        )""" + _tfidf_link_cte("spot_mentions", 0.7, 1) + """,
+        relinked AS (
+            SELECT s.kg2_id, s.sentence, s.entity_text,
+                   l.alias_id AS kb_id
+            FROM spot s
+            LEFT JOIN tfidf_linked l ON l.mention = s.entity_text
+        )""" + _ep1_assembly_sql("relinked")) + """
+        SELECT kg2_id, curie, name, category FROM ep1_nodes
+    """
+
+
+def _ep1_spotted_oracle() -> str:
+    """EP1 with the relational spotter + TF-IDF linker, end to end in
+    SQL (VERDICT r07 next #8): the prepared-sentence set comes from
+    the frozen fixture's DISTINCT (kg2_id, sentence) rows (the fixture
+    carries the no-detection sentinels, so it is the COMPLETE sentence
+    inventory, drift-tested against the live prepare_sentences);
+    spotting = token n-grams (n = 1..4) equi-joined to the
+    synonymizer's alias surfaces, linking = the TF-IDF CTE at
+    threshold 0.7/k=1, then the unchanged J7 + A2/A6 assembly."""
+    from drugbankner_spark import fixtures_ner as FN
+
+    return _syn_with(f""",
+        detected AS {FN.detected_values_sql()},
+        sent AS (SELECT DISTINCT kg2_id, sentence FROM detected),
+        stoks AS (
+            SELECT kg2_id, sentence,
+                   list_filter(
+                       string_split_regex(sentence, '\\s+'),
+                       t -> t <> '') AS tk
+            FROM sent
+        ),
+        sgrams AS (
+            SELECT DISTINCT kg2_id, sentence,
+                   array_to_string(tk[i:i+n-1], ' ') AS gram
+            FROM stoks,
+                 UNNEST(generate_series(1, 4)) AS nn(n),
+                 UNNEST(generate_series(1, len(tk))) AS ii(i)
+            WHERE i + n - 1 <= len(tk)
+        ),
+        surf AS (
+            SELECT DISTINCT trim(regexp_replace(
+                lower(name), '\\s+', ' ', 'g')) AS s
+            FROM syn_nodes
+            WHERE name IS NOT NULL
+              AND trim(regexp_replace(lower(name), '\\s+', ' ', 'g'))
+                  <> ''
+        ),
+        spotted AS (
+            SELECT DISTINCT g.kg2_id, g.sentence,
+                   g.gram AS entity_text
+            FROM sgrams g JOIN surf ON lower(g.gram) = surf.s
+        ),
+        spot AS (
+            SELECT kg2_id, sentence, entity_text FROM spotted
+            UNION ALL
+            SELECT s.kg2_id, s.sentence, NULL
+            FROM sent s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spotted p
+                WHERE p.kg2_id = s.kg2_id AND p.sentence = s.sentence
+            )
         ),
         spot_mentions AS (
             SELECT DISTINCT entity_text AS mention FROM spot
@@ -5637,6 +5768,57 @@ _SQL_COSINE = """
        * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))))
 """
 
+
+#: Planted-duplicate SA probe corpus (e1_sa_dup_spans / e1_sa_dedup
+#: share it): 12 documents, a 48-char slice of doc 0 appended to every
+#: doc_id % 4 == 1 document, suffix array by direct sorted-suffix rank,
+#: 40-char adjacent-suffix windows.
+_SA_PLANTED_CTES = """
+            WITH d0 AS (
+                SELECT substring(text, 16, 48) AS tail
+                FROM documents WHERE doc_id = 0
+            ),
+            d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 1
+                            THEN text || ' ' || (SELECT tail FROM d0)
+                            ELSE text END AS text
+                FROM documents WHERE doc_id < 12
+            ),
+            corpus AS (
+                SELECT string_agg(text || chr(1), '' ORDER BY doc_id)
+                    AS s
+                FROM d
+            ),
+            offs AS (
+                SELECT doc_id, text,
+                       COALESCE(sum(length(text) + 1) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING
+                       ), 0) AS off
+                FROM d
+            ),
+            pos AS (
+                SELECT o.doc_id, o.off + i AS gpos, i AS local_pos
+                FROM offs o,
+                     UNNEST(generate_series(1, length(o.text) + 1))
+                         AS g(i)
+            ),
+            sa AS (
+                SELECT p.doc_id, p.local_pos,
+                       rank() OVER (
+                           ORDER BY substr(c.s, CAST(p.gpos AS INT))
+                       ) AS r
+                FROM pos p, corpus c
+            ),
+            win AS (
+                SELECT sa.r, sa.doc_id, sa.local_pos,
+                       substr(dd.text, CAST(sa.local_pos AS INT), 40)
+                           AS w
+                FROM sa JOIN d dd USING (doc_id)
+            )
+"""
 
 #: 1-bit code CTE body (e2_hamming_topk / e2_rerank_topk share it).
 _SQL_BINARY_CODES = """
@@ -7211,6 +7393,8 @@ def oracle_sql() -> dict[str, str]:
         # done by the relational TF-IDF instead of the stub's lexicon
         "x1_tfidf_linker": _x1_tfidf_linker_oracle(),
         "ep1_tfidf_mechanistic_nodes": _ep1_tfidf_oracle(),
+        # round 8 (VERDICT r07 next #8): EP1 with zero stub factories
+        "ep1_spotted_nodes": _ep1_spotted_oracle(),
         # round 7 (round-8 pool): the suffix-array family — the oracle
         # sorts the ACTUAL suffix strings of the bounded probe corpus
         # (rank() over substr-to-end), so the prefix-doubling ranks and
@@ -7246,51 +7430,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS sa_rank
             FROM pos p, corpus c
         """,
-        "e1_sa_dup_spans": """
-            WITH d0 AS (
-                SELECT substring(text, 16, 48) AS tail
-                FROM documents WHERE doc_id = 0
-            ),
-            d AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % 4 = 1
-                            THEN text || ' ' || (SELECT tail FROM d0)
-                            ELSE text END AS text
-                FROM documents WHERE doc_id < 12
-            ),
-            corpus AS (
-                SELECT string_agg(text || chr(1), '' ORDER BY doc_id)
-                    AS s
-                FROM d
-            ),
-            offs AS (
-                SELECT doc_id, text,
-                       COALESCE(sum(length(text) + 1) OVER (
-                           ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 1 PRECEDING
-                       ), 0) AS off
-                FROM d
-            ),
-            pos AS (
-                SELECT o.doc_id, o.off + i AS gpos, i AS local_pos
-                FROM offs o,
-                     UNNEST(generate_series(1, length(o.text) + 1))
-                         AS g(i)
-            ),
-            sa AS (
-                SELECT p.doc_id, p.local_pos,
-                       rank() OVER (
-                           ORDER BY substr(c.s, CAST(p.gpos AS INT))
-                       ) AS r
-                FROM pos p, corpus c
-            ),
-            win AS (
-                SELECT sa.r, sa.doc_id, sa.local_pos,
-                       substr(dd.text, CAST(sa.local_pos AS INT), 40)
-                           AS w
-                FROM sa JOIN d dd USING (doc_id)
-            )
+        "e1_sa_dup_spans": _SA_PLANTED_CTES + """
             SELECT a.doc_id,
                    CAST(a.local_pos AS BIGINT) AS local_pos,
                    b.doc_id AS other_doc_id,
@@ -7298,6 +7438,55 @@ def oracle_sql() -> dict[str, str]:
                    a.w AS prefix
             FROM win a JOIN win b ON b.r = a.r + 1
             WHERE length(a.w) >= 40 AND a.w = b.w
+        """,
+        # round 8 (VERDICT r07 next #2): the Lee-et-al REMOVAL step —
+        # keeper = corpus-first occurrence per duplicated 40-char
+        # window, every other occurrence's span stripped; the oracle
+        # rebuilds each text by per-char coverage + ordered string_agg
+        "e1_sa_dedup": _SA_PLANTED_CTES + """
+            , pairs AS (
+                SELECT a.doc_id AS d1, a.local_pos AS p1,
+                       b.doc_id AS d2, b.local_pos AS p2,
+                       a.w AS prefix
+                FROM win a JOIN win b ON b.r = a.r + 1
+                WHERE length(a.w) >= 40 AND a.w = b.w
+            ),
+            occ AS (
+                SELECT prefix, d1 AS d, p1 AS p FROM pairs
+                UNION
+                SELECT prefix, d2, p2 FROM pairs
+            ),
+            removals AS (
+                SELECT DISTINCT d AS doc_id, p AS start FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY prefix ORDER BY d, p
+                    ) AS rn FROM occ
+                ) WHERE rn > 1
+            ),
+            chars AS (
+                SELECT dd.doc_id, i,
+                       substr(dd.text, CAST(i AS INT), 1) AS ch
+                FROM d dd,
+                     UNNEST(generate_series(1, length(dd.text)))
+                         AS g(i)
+            ),
+            kept AS (
+                SELECT c.doc_id,
+                       string_agg(c.ch, '' ORDER BY c.i) AS text,
+                       count(*) AS n
+                FROM chars c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM removals r
+                    WHERE r.doc_id = c.doc_id
+                      AND c.i >= r.start AND c.i < r.start + 40
+                )
+                GROUP BY c.doc_id
+            )
+            SELECT dd.doc_id, COALESCE(k.text, '') AS text,
+                   CAST(COALESCE(k.n, 0) AS INT) AS n_chars_kept,
+                   CAST(length(dd.text) - COALESCE(k.n, 0) AS INT)
+                       AS n_chars_removed
+            FROM d dd LEFT JOIN kept k USING (doc_id)
         """,
         # round 7 (round-8 pool): rerank funnel + PageRank replay
         "e2_rerank_topk": _e2_rerank_topk_oracle(),

@@ -261,3 +261,87 @@ def duplicated_spans(
             F.col("win").alias("prefix"),
         )
     )
+
+
+def sa_dedup_corpus(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sa: DataFrame | None = None,
+) -> DataFrame:
+    """Lee et al. 2022 exact-substring REMOVAL composed end to end
+    (VERDICT r07 next #2): every duplicated ``min_len``-char window
+    keeps its corpus-FIRST occurrence (minimal (doc, position)) and
+    every other occurrence's span is stripped from its document.
+    Output: (id, text, n_chars_kept, n_chars_removed) — the gram-free
+    exact counterpart of the shingle-based span dedups in
+    operators/corpus.py.
+
+    Semantics: suffixes sharing a ≥ min_len prefix are CONTIGUOUS in
+    suffix-array order, so the adjacent pairs from
+    :func:`duplicated_spans` enumerate every occurrence of every
+    duplicated window; grouping the pair endpoints by the canonical
+    ``prefix`` yields the occurrence set, one keeper per prefix
+    survives, and overlapping removal spans merge per document via the
+    engine's gaps-and-islands interval fold (operators/corpus.py)
+    before one per-row strip pass rebuilds the text.
+
+    Scale shape: the keeper vote is ONE shuffle keyed on the prefix
+    string (hash it for a production kernel — the md5 twin of the
+    gram-stats pattern; the text key keeps the DuckDB oracle exact);
+    the interval merge windows partition by DOC id (bounded per doc,
+    never corpus-wide); the strip is pure per-row expressions. The SA
+    construction dominates — see :func:`suffix_array`'s sizing note."""
+    from drugbankner_spark.operators.corpus import _merged_span_intervals
+
+    spans = duplicated_spans(docs, min_len, text_col, id_col, sa=sa)
+    occ = (
+        spans.select("prefix", F.col("doc_id").alias("_d"),
+                     F.col("local_pos").alias("_p"))
+        .unionByName(
+            spans.select("prefix", F.col("other_doc_id").alias("_d"),
+                         F.col("other_pos").alias("_p"))
+        )
+        .distinct()
+    )
+    keeper = occ.groupBy("prefix").agg(
+        F.min(F.struct(F.col("_d"), F.col("_p"))).alias("_keep")
+    )
+    removals = (
+        occ.join(keeper, "prefix")
+        .filter(
+            (F.col("_d") != F.col("_keep._d"))
+            | (F.col("_p") != F.col("_keep._p"))
+        )
+        .select(F.col("_d").alias(id_col),
+                F.col("_p").cast("int").alias("_start"))
+        .distinct()
+    )
+    merged = _merged_span_intervals(removals, id_col, min_len)
+    stripped = F.expr(
+        f"""aggregate(
+            _spans,
+            struct(CAST('' AS STRING) AS acc, 1 AS nxt),
+            (s, sp) -> struct(
+                concat(s.acc, substring({text_col}, s.nxt,
+                                        CAST(sp._lo AS INT) - s.nxt)),
+                CAST(sp._hi AS INT)),
+            s -> concat(s.acc, substring({text_col}, s.nxt,
+                        length({text_col}) - s.nxt + 1)))"""
+    )
+    empty = "array<struct<_lo:int,_hi:int>>"
+    return (
+        docs.join(merged, id_col, "left")
+        .withColumn(
+            "_spans",
+            F.coalesce(F.col("_spans"), F.array().cast(empty)),
+        )
+        .select(
+            F.col(id_col),
+            stripped.alias(text_col),
+            F.length(stripped).alias("n_chars_kept"),
+            (F.length(text_col) - F.length(stripped))
+            .alias("n_chars_removed"),
+        )
+    )

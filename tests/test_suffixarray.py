@@ -17,6 +17,7 @@ from drugbankner_spark.operators.suffixarray import (
     corpus_positions,
     duplicated_spans,
     global_dense_rank,
+    sa_dedup_corpus,
     suffix_array,
 )
 
@@ -152,3 +153,44 @@ def test_suffix_array_matches_python_reference_on_random_corpora(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_sa_dedup_corpus_keeps_first_occurrence(spark):
+    shared = "THE QUICK BROWN FOX JUMPS"
+    docs = spark.createDataFrame(
+        [(1, "xx" + shared + "yy"), (2, "zz" + shared + "qq"),
+         (3, "totally different body here"),
+         (4, "A" + shared + "B" + shared)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           sa_dedup_corpus(docs, min_len=len(shared)).collect()}
+    # doc 1 is corpus-first: untouched
+    assert out[1]["text"] == "xx" + shared + "yy"
+    assert out[1]["n_chars_removed"] == 0
+    # every later occurrence stripped (cross-doc and both intra-doc)
+    assert out[2]["text"] == "zzqq"
+    assert out[2]["n_chars_removed"] == len(shared)
+    assert out[4]["text"] == "AB"
+    assert out[4]["n_chars_removed"] == 2 * len(shared)
+    # untouched doc passes through with zero removals
+    assert out[3]["text"] == "totally different body here"
+    assert out[3]["n_chars_removed"] == 0
+    for r in out.values():
+        assert r["n_chars_kept"] == len(r["text"])
+
+
+def test_sa_dedup_corpus_overlapping_windows_merge(spark):
+    # A duplicated region longer than min_len: its sliding windows
+    # overlap and must merge into ONE stripped interval, not leave
+    # stranded partial windows behind.
+    region = "abcdefghijklmnopqrstuvwxyz"      # 26 chars, min_len 10
+    docs = spark.createDataFrame(
+        [(1, "S" + region + "E"), (2, "T" + region + "U")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           sa_dedup_corpus(docs, min_len=10).collect()}
+    assert out[1]["text"] == "S" + region + "E"
+    assert out[2]["text"] == "TU"
+    assert out[2]["n_chars_removed"] == len(region)
