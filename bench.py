@@ -99,6 +99,14 @@ HEADLINE = [
     # round 6 late (second wave): the composed FineWeb/Dolma curation
     # chain — C4 line rules -> PII scrub -> Gopher rules -> exact dedup
     "pipeline_curate_corpus",
+    # round 8 (VERDICT r07 next #3/#4): the distributed suffix array
+    # at an sf-proportional slice (benched under the operator's name
+    # via ALIAS — the registry's e1_suffix_array row is a fixed-size
+    # correctness fixture), and the TF-IDF linker at corpus scale with
+    # the max_df stop-gram cut off/on
+    "e1_suffix_array",
+    "x1_linker_corpus",
+    "x1_linker_corpus_maxdf",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch
@@ -109,6 +117,10 @@ HEADLINE = [
 ALIAS = {
     "e6_sessionize": "e6_sessionize_batch",
     "e6_sessionize_stream": "e6_sessionize",
+    # BENCH carries the operator's name; the registry's own
+    # e1_suffix_array row is a fixed-size correctness fixture, while
+    # the benched form is the sf-proportional slice (VERDICT r07 #3)
+    "e1_suffix_array": "e1_suffix_array_bench",
 }
 
 #: Pinned reference calibration (VERDICT r07 next #5): BENCH_r05's
@@ -368,6 +380,11 @@ SF1_QUERIES = [
     "e3_kn_ppl",
     "e5_span_corrupt",
     "pipeline_curate_corpus",
+    # round 8: the SA slice slope (rows 10x, round count ~constant —
+    # the log-depth story) and the linker's ontology-scaling slope
+    # (mention slice pinned to replica 0; alias dim grows 10x)
+    "e1_suffix_array",
+    "x1_linker_corpus_maxdf",
 ]
 
 

@@ -30,6 +30,31 @@ def shared_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def cache_mark() -> int:
+    """Registry watermark for scoped release — pair with
+    :func:`release_since`. Iterative operators (the suffix array's
+    prefix-doubling loop) persist a fresh branch point every round;
+    once the round's eager checkpoint has materialized, the round's
+    caches are dead weight and releasing JUST them keeps a 20-round
+    run's cache footprint at one round, without touching caches a
+    composing caller registered earlier."""
+    return len(_SHARED)
+
+
+def release_since(mark: int) -> int:
+    """Unpersist (and unregister) every shared cache recorded after
+    ``mark``; returns how many were released."""
+    n = 0
+    while len(_SHARED) > mark:
+        df = _SHARED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
 def release_shared_caches() -> int:
     """Unpersist every registered shared subtree; returns how many were
     released. Safe to call at any time — caches are recomputable, so a

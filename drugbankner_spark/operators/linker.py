@@ -135,7 +135,13 @@ def build_alias_vectors(
     postings = weighted.join(norms, "alias").select(
         "gram", "alias", (F.col("_w") / F.col("_norm")).alias("w")
     )
-    return postings, idf
+    # both outputs feed multiple consumers (the broadcast-size guard's
+    # count action, the posting join, the mention transform) — without
+    # the persist each consumer re-runs the whole fit; the first
+    # corpus-scale bench (r08) measured the recompute at ~5x
+    from drugbankner_spark.caching import shared_persist
+
+    return shared_persist(postings), shared_persist(idf)
 
 
 def link_by_tfidf(
@@ -160,7 +166,9 @@ def link_by_tfidf(
     fold. Scores round to 6dp BEFORE threshold/rank (the engine-wide
     float-parity pattern), and ties rank by alias_id ascending, so the
     output is deterministic and hash-oracle-able."""
-    alias_map = (
+    from drugbankner_spark.caching import shared_persist
+
+    alias_map = shared_persist(
         aliases.select(
             F.col(alias_col).alias("alias"),
             F.col(alias_id_col).alias("alias_id"),

@@ -62,14 +62,23 @@ def global_running_sum(
     cumsummed on the driver-sized side and broadcast back). All rows
     shuffle exactly once; the only unpartitioned window runs over the
     P-row histogram."""
+    from drugbankner_spark.caching import shared_persist
+
     parts = df.repartitionByRange(
         *([num_partitions] if num_partitions else []), *order_cols
     )
     w_in = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
-    local = parts.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_lsum", F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    # persist the branch point: the histogram and the data pass BOTH
+    # read ``_pid``, and two independently-planned range exchanges may
+    # sample DIFFERENT boundaries — the pids would disagree and the
+    # offsets silently misalign (caught on the suffix-array bench
+    # corpus: ranks overshot n). One shared subtree = one exchange.
+    local = shared_persist(
+        parts.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_lsum", F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+        )
     )
     hist = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
     w_off = Window.orderBy("_pid").rowsBetween(
@@ -133,13 +142,20 @@ def global_dense_rank(
     Range partitioning puts equal keys in the same partition (Spark's
     RangePartitioner is key-value based), so the within-partition dense
     rank plus cross-partition offset is exact."""
+    from drugbankner_spark.caching import shared_persist
+
     parts = df.repartitionByRange(
         *( [num_partitions] if num_partitions else [] ), *key_cols
     )
     pid = F.spark_partition_id()
     w_in = Window.partitionBy("_pid").orderBy(*key_cols)
-    local = parts.withColumn("_pid", pid).withColumn(
-        "_lrank", F.dense_rank().over(w_in)
+    # persist the branch point (same reasoning as global_running_sum):
+    # the histogram and the rank pass must observe ONE range exchange's
+    # ``_pid``, not two independently-sampled ones
+    local = shared_persist(
+        parts.withColumn("_pid", pid).withColumn(
+            "_lrank", F.dense_rank().over(w_in)
+        )
     )
     hist = local.groupBy("_pid").agg(
         F.max("_lrank").alias("_n_keys")
@@ -163,6 +179,7 @@ def suffix_array(
     id_col: str = "doc_id",
     sep: str = DOC_SEP,
     max_rounds: int = 40,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(gpos, doc_id, local_pos, sa_rank): the suffix array of the
     doc-ordered, separator-joined corpus — ``sa_rank`` is the 1-based
@@ -174,14 +191,26 @@ def suffix_array(
     comparison). Stops when all ranks are distinct (max rank == N) or
     after ``max_rounds`` (2^40 chars — any real corpus). Suffixes are
     pairwise distinct (distinct lengths), so the final rank is a
-    permutation."""
+    permutation.
+
+    ``num_partitions`` sizes every per-round shuffle (range
+    partitioning + rank windows): leave None for the session default
+    at cluster scale; set it to a small value for bench-scale corpora
+    where per-round fixed stage cost would otherwise dominate (the
+    round count is ⌈log₂(longest repeated prefix)⌉, so each saved
+    stage pays off that many times)."""
+    from drugbankner_spark.caching import cache_mark, release_since
+
     pos = corpus_positions(docs, text_col, id_col, sep)
     n = pos.count()
+    mark = cache_mark()
     cur = global_dense_rank(
         pos.select("gpos", "doc_id", "local_pos",
                    F.col("ch").alias("_k1")),
         ["_k1"],
+        num_partitions=num_partitions,
     ).drop("_k1").localCheckpoint(eager=True)
+    release_since(mark)  # the eager checkpoint materialized downstream
     k = 1
     rounds = 0
     while rounds < max_rounds:
@@ -199,9 +228,11 @@ def suffix_array(
                 F.coalesce("_r2", F.lit(0)).alias("_k2"),
             )
         )
-        cur = global_dense_rank(keyed, ["_k1", "_k2"]).drop(
-            "_k1", "_k2"
-        ).localCheckpoint(eager=True)
+        mark = cache_mark()
+        cur = global_dense_rank(
+            keyed, ["_k1", "_k2"], num_partitions=num_partitions
+        ).drop("_k1", "_k2").localCheckpoint(eager=True)
+        release_since(mark)
         k *= 2
         rounds += 1
     return cur.withColumnRenamed("rank", "sa_rank")
