@@ -2420,6 +2420,142 @@ def _g_graph_suite(spark: SparkSession, sf: str) -> DataFrame:
     ])
 
 
+def _num_metric_rows(df, op: str, key_cols: list[str], metrics: list[str]):
+    """Tagged-union rows for a numeric-wide relation: one output row
+    per (input row, metric), k = key values § metric name, v_num = the
+    metric — the e5_prep_suite per-metric pattern, factored out for
+    the round-8 consolidation wave."""
+    return _union_all([
+        df.select(*_okv(
+            op,
+            F.concat_ws("§", *[F.col(c).cast("string") for c in key_cols],
+                        F.lit(m)),
+            v_num=F.col(m).cast("double"),
+        ))
+        for m in metrics
+    ])
+
+
+def _t_ts_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-8 consolidation suite (VERDICT r07 next #1): the three
+    # r07-green time-series singles in one tagged-union row; every
+    # original stays individually runnable + hash-checked via
+    # all_queries.
+    anomaly = _t_anomaly(spark, sf)
+    return _union_all([
+        _num_metric_rows(_t_resample_gapfill(spark, sf), "resample",
+                         ["event_type", "bucket_start"],
+                         ["n_obs", "value_avg", "locf", "interp"]),
+        _num_metric_rows(_t_ewma(spark, sf), "ewma",
+                         ["event_type", "bucket_start"], ["ewma"]),
+        _num_metric_rows(anomaly, "anomaly",
+                         ["event_type", "bucket_start"],
+                         ["value_avg", "zscore"]),
+        anomaly.select(*_okv(
+            "anomaly_flag",
+            F.concat_ws("§", F.col("event_type"),
+                        F.col("bucket_start").cast("string")),
+            F.col("is_anomaly"),
+        )),
+    ])
+
+
+def _e6_journey_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-8 consolidation suite: the five r07-green event-journey
+    # singles (transition matrix/power, top paths, attribution,
+    # co-occurrence) in one tagged-union row.
+    att = _e6_attribution(spark, sf)
+    return _union_all([
+        _num_metric_rows(_e6_transition_matrix(spark, sf), "tm",
+                         ["prev_state", "next_state"], ["n", "prob"]),
+        _num_metric_rows(_e6_top_paths(spark, sf), "paths",
+                         ["path"], ["n_entities"]),
+        _num_metric_rows(_e6_transition_power(spark, sf), "power",
+                         ["prev_state", "next_state"], ["prob"]),
+        _num_metric_rows(att, "att",
+                         ["user_id", "conversion_id", "touch_id"],
+                         ["position", "n_touches", "first_credit",
+                          "last_credit", "linear_credit"]),
+        att.select(*_okv(
+            "att_touch",
+            F.concat_ws("§", F.col("user_id").cast("string"),
+                        F.col("conversion_id").cast("string"),
+                        F.col("touch_id").cast("string")),
+            F.col("touch_type"),
+        )),
+        _num_metric_rows(_e6_cooccurrence(spark, sf), "cooc",
+                         ["item_a", "item_b"],
+                         ["n_ab", "n_a", "n_b", "confidence_a_to_b",
+                          "lift"]),
+    ])
+
+
+def _e5_eval_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-8 consolidation suite: the five r07-green eval/metric
+    # singles (nDCG, retrieval metrics, classification report, NER
+    # span eval, IOB tagging) in one tagged-union row.
+    return _union_all([
+        _num_metric_rows(_e5_ndcg(spark, sf), "ndcg",
+                         ["query_id"], ["ndcg_at_k"]),
+        _num_metric_rows(_e5_retrieval_metrics(spark, sf), "retr",
+                         ["query_id"],
+                         ["n_relevant", "n_retrieved_relevant",
+                          "recall_at_k", "capped_recall_at_k",
+                          "reciprocal_rank"]),
+        _num_metric_rows(_e5_class_report(spark, sf), "cls",
+                         ["label"],
+                         ["support", "precision", "recall", "f1"]),
+        _num_metric_rows(_e5_ner_eval(spark, sf), "ner",
+                         ["label"],
+                         ["tp", "fp", "fn", "precision", "recall",
+                          "f1"]),
+        _e5_iob_tags(spark, sf).select(*_okv(
+            "iob",
+            F.concat_ws("§", F.col("doc_id").cast("string"),
+                        F.col("pos").cast("string")),
+            F.concat_ws("§", F.col("token"), F.col("tag")),
+        )),
+    ])
+
+
+def _e1_clean_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-8 consolidation suite: the four r07-green text-cleaning
+    # singles (C4 line rules, PII scrub, extraction repair,
+    # boilerplate strip) in one tagged-union row — full cleaned texts
+    # ride v, so the hash still checks every output character.
+    return _union_all([
+        _e1_c4_filter(spark, sf).select(*_okv(
+            "c4", F.col("doc_id"),
+            F.concat_ws("§", "text",
+                        F.col("n_lines_kept").cast("string"),
+                        F.col("n_lines_dropped").cast("string"),
+                        F.col("has_brace").cast("string"),
+                        F.col("has_lorem").cast("string"),
+                        F.col("keep").cast("string")),
+        )),
+        _e1_pii_scrub(spark, sf).select(*_okv(
+            "pii", F.col("doc_id"),
+            F.concat_ws("§", "text",
+                        F.col("n_email").cast("string"),
+                        F.col("n_ipv4").cast("string"),
+                        F.col("n_ssn").cast("string"),
+                        F.col("n_phone").cast("string"),
+                        F.col("has_pii").cast("string")),
+        )),
+        _e1_repair_text(spark, sf).select(*_okv(
+            "repair", F.col("doc_id"),
+            F.concat_ws("§", "text",
+                        F.col("n_chars_before").cast("string"),
+                        F.col("n_chars_after").cast("string")),
+        )),
+        _e1_boilerplate_strip(spark, sf).select(*_okv(
+            "boiler", F.col("doc_id"),
+            F.concat_ws("§", "text_clean",
+                        F.col("n_removed").cast("string")),
+        )),
+    ])
+
+
 def _e5_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     # Temperature-weighted mixing (round 6): per-source targets ∝
     # sqrt(n) (alpha=0.5, UniMax/T5-style low-resource upweighting) in
@@ -4583,33 +4719,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decomposition, integer-exact micro-unit arithmetic end to end —
     the float/rounding-convention findings are documented on the
     operator) wait in the pool, plus the 47 r06-green rows demoted
-    this round."""
+    this round.
+
+    Round-8 rotation (VERDICT r07 next #1): all nine pool entries
+    above enter the window, plus the four round-8 new ops
+    (e1_sa_dedup — the Lee-et-al exact-span REMOVAL composed;
+    e2_hamming_pairs — banded corpus×corpus 1-bit pairs;
+    e5_dp_histogram_user — user-level DP with the per-contributor
+    clamp; ep1_spotted_nodes — EP1 with ZERO stub factories via the
+    relational dictionary spotter). The 13 slots come from
+    consolidating 17 r07-green singles into four tagged-union suites
+    (t_ts_suite, e6_journey_suite, e5_eval_suite, e1_clean_suite) —
+    every original stays individually runnable via ``all_queries``
+    and hash-checked in tests/test_oracle_parity.py. Round-9 rotation
+    pool (hash-oracled this round, never driver-verified):
+    e1_suffix_array_bench, x1_linker_corpus, x1_linker_corpus_maxdf
+    (the corpus-scale bench probes — BENCH times them every round)."""
     return {
-        # -- round-7 rotation (VERDICT r06 next #3): the whole never-
-        # driver-verified pool — 43 hash-oracled singles plus the two
-        # ready-made consolidation suites (e5_prep_suite = kfold +
-        # calibration + tokenize + profile + OLS; g_graph_suite = BFS +
-        # LPA + walk corpus) -------------------------------------------
+        # -- round-8 rotation (VERDICT r07 next #1): the nine round-7
+        # pool entries — the only hash-oracled operators never driver-
+        # verified — enter the window, plus this round's four new ops.
+        # To free the 13 slots, 17 r07-green singles consolidate into
+        # four new tagged-union suites (t_ts_suite = resample + ewma +
+        # anomaly; e6_journey_suite = transition matrix/power + top
+        # paths + attribution + co-occurrence; e5_eval_suite = nDCG +
+        # retrieval + class report + NER eval + IOB; e1_clean_suite =
+        # C4 + PII + repair + boilerplate) — the established mechanism:
+        # every original stays individually runnable via all_queries
+        # and hash-checked in tests/test_oracle_parity.py -------------
+        "e1_suffix_array": _e1_suffix_array,
+        "e1_sa_dup_spans": _e1_sa_dup_spans,
+        "g_pagerank": _g_pagerank,
+        "g_ppr": _g_ppr,
+        "e5_dp_histogram": _e5_dp_histogram,
+        "t_seasonal": _t_seasonal,
+        "e2_hamming_topk": _e2_hamming_topk,
+        "e2_rerank_topk": _e2_rerank_topk,
+        "pipeline_pretrain_prep": _pipeline_pretrain_prep,
+        # -- round-8 new ops (VERDICT r07 next #2/#6/#7/#8) ------------
+        "e1_sa_dedup": _e1_sa_dedup,
+        "e2_hamming_pairs": _e2_hamming_pairs,
+        "e5_dp_histogram_user": _e5_dp_histogram_user,
+        "ep1_spotted_nodes": _ep1_spotted_nodes,
+        # -- round-8 consolidation suites ------------------------------
+        "t_ts_suite": _t_ts_suite,
+        "e6_journey_suite": _e6_journey_suite,
+        "e5_eval_suite": _e5_eval_suite,
+        "e1_clean_suite": _e1_clean_suite,
+        # -- r07-green rows staying in the window ----------------------
         "e5_prep_suite": _e5_prep_suite,
         "g_graph_suite": _g_graph_suite,
         "e6_funnel": _e6_funnel,
         "e5_cohort_retention": _e5_cohort_retention,
-        "e5_retrieval_metrics": _e5_retrieval_metrics,
         "e5_cdc_apply": _e5_cdc_apply,
         "e1_near_dup_recall": _e1_near_dup_recall,
         "e1_simhash_pairs": _e1_simhash_pairs,
         "g_triangle_count": _g_triangle_count,
         "g_common_neighbors": _g_common_neighbors,
         "e5_temperature_mix": _e5_temperature_mix,
-        "e5_ndcg": _e5_ndcg,
         "e5_dsir_weights": _e5_dsir_weights,
-        "t_resample_gapfill": _t_resample_gapfill,
-        "t_ewma": _t_ewma,
-        "t_anomaly": _t_anomaly,
         "e5_k_anonymity": _e5_k_anonymity,
-        "e1_boilerplate_strip": _e1_boilerplate_strip,
-        "e6_transition_matrix": _e6_transition_matrix,
-        "e6_top_paths": _e6_top_paths,
         "j_jw_match": _j_jw_match,
         "e5_winsorize": _e5_winsorize,
         "e3_wordpiece_apply": _e3_wordpiece_apply,
@@ -4617,34 +4786,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_kn_ppl": _e3_kn_ppl,
         "er_resolve": _er_resolve,
         "e3_gopher_rep": _e3_gopher_rep,
-        "e1_c4_filter": _e1_c4_filter,
-        "e1_pii_scrub": _e1_pii_scrub,
         "e5_span_corrupt": _e5_span_corrupt,
         "e2_hard_negatives": _e2_hard_negatives,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "e6_cooccurrence": _e6_cooccurrence,
         "e3_skipgram": _e3_skipgram,
         "pipeline_curate_corpus": _pipeline_curate_corpus,
         "e2_mean_pool": _e2_mean_pool,
-        "e6_transition_power": _e6_transition_power,
-        "e6_attribution": _e6_attribution,
-        "e5_ner_eval": _e5_ner_eval,
-        "e1_repair_text": _e1_repair_text,
         "e5_augment": _e5_augment,
-        "e5_iob_tags": _e5_iob_tags,
-        "e5_class_report": _e5_class_report,
         "e3_char_entropy": _e3_char_entropy,
         "e3_zipf": _e3_zipf,
-        # -- round-7 new ops: the in-engine TF-IDF linker (X1 closure,
-        # VERDICT r06 next #5) — candidate generator + EP1 end-to-end
-        # with relational linking ---------------------------------------
+        # -- round-7 new ops: the in-engine TF-IDF linker (X1 closure)
         "x1_tfidf_linker": _x1_tfidf_linker,
         "ep1_tfidf_mechanistic_nodes": _ep1_tfidf_mechanistic_nodes,
         # -- keepers: the EP2 flagship merge (its oracle hash-checks the
         # classic EP1 assembly downstream too), the 14-query TPC-H
         # suite, and a readStream face (streaming stays driver-verified
-        # every round). ep1_mechanistic_nodes and e6_windows demote to
-        # pytest-only to make room — both multi-round green ------------
+        # every round) -------------------------------------------------
         "q_tpch_suite": _q_tpch_suite,
         "e6_sessionize_closed": _e6_sessionize_closed,
         "ep2_aligned_nodes": _ep2_aligned_nodes,
@@ -10740,6 +10897,121 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'walk', CAST(start AS VARCHAR) || '§'
                || CAST(walk_id AS VARCHAR), path, CAST(NULL AS DOUBLE)
         FROM ({out["g_random_walks"]})
+    """
+    def _num_rows_sql(base_key: str, op: str, key_exprs: list[str],
+                      metrics: list[str]) -> str:
+        # SQL twin of the Spark-side _num_metric_rows helper: one row
+        # per (input row, metric), k = keys § metric, v_num = metric
+        keys = " || '§' || ".join(
+            f"CAST({k} AS VARCHAR)" for k in key_exprs
+        )
+        cases = " ".join(
+            f"WHEN '{m}' THEN CAST(\"{m}\" AS DOUBLE)" for m in metrics
+        )
+        vals = ", ".join(f"('{m}')" for m in metrics)
+        return f"""
+        SELECT '{op}' AS op, {keys} || '§' || m.name AS k,
+               CAST(NULL AS VARCHAR) AS v,
+               CASE m.name {cases} END AS v_num
+        FROM ({out[base_key]}), (VALUES {vals}) m(name)
+        """
+
+    # round-8 consolidation suites (VERDICT r07 next #1): tagged
+    # unions of the consolidated originals' oracles
+    out["t_ts_suite"] = (
+        _num_rows_sql("t_resample_gapfill", "resample",
+                      ["event_type", "bucket_start"],
+                      ["n_obs", "value_avg", "locf", "interp"])
+        + " UNION ALL "
+        + _num_rows_sql("t_ewma", "ewma",
+                        ["event_type", "bucket_start"], ["ewma"])
+        + " UNION ALL "
+        + _num_rows_sql("t_anomaly", "anomaly",
+                        ["event_type", "bucket_start"],
+                        ["value_avg", "zscore"])
+        + f""" UNION ALL
+        SELECT 'anomaly_flag', concat_ws('§', event_type,
+                   CAST(bucket_start AS VARCHAR)),
+               CAST(is_anomaly AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM ({out["t_anomaly"]})
+        """
+    )
+    out["e6_journey_suite"] = (
+        _num_rows_sql("e6_transition_matrix", "tm",
+                      ["prev_state", "next_state"], ["n", "prob"])
+        + " UNION ALL "
+        + _num_rows_sql("e6_top_paths", "paths", ["path"],
+                        ["n_entities"])
+        + " UNION ALL "
+        + _num_rows_sql("e6_transition_power", "power",
+                        ["prev_state", "next_state"], ["prob"])
+        + " UNION ALL "
+        + _num_rows_sql("e6_attribution", "att",
+                        ["user_id", "conversion_id", "touch_id"],
+                        ["position", "n_touches", "first_credit",
+                         "last_credit", "linear_credit"])
+        + f""" UNION ALL
+        SELECT 'att_touch', concat_ws('§', CAST(user_id AS VARCHAR),
+                   CAST(conversion_id AS VARCHAR),
+                   CAST(touch_id AS VARCHAR)),
+               touch_type, CAST(NULL AS DOUBLE)
+        FROM ({out["e6_attribution"]})
+        """
+        + " UNION ALL "
+        + _num_rows_sql("e6_cooccurrence", "cooc",
+                        ["item_a", "item_b"],
+                        ["n_ab", "n_a", "n_b", "confidence_a_to_b",
+                         "lift"])
+    )
+    out["e5_eval_suite"] = (
+        _num_rows_sql("e5_ndcg", "ndcg", ["query_id"], ["ndcg_at_k"])
+        + " UNION ALL "
+        + _num_rows_sql("e5_retrieval_metrics", "retr", ["query_id"],
+                        ["n_relevant", "n_retrieved_relevant",
+                         "recall_at_k", "capped_recall_at_k",
+                         "reciprocal_rank"])
+        + " UNION ALL "
+        + _num_rows_sql("e5_class_report", "cls", ["label"],
+                        ["support", "precision", "recall", "f1"])
+        + " UNION ALL "
+        + _num_rows_sql("e5_ner_eval", "ner", ["label"],
+                        ["tp", "fp", "fn", "precision", "recall",
+                         "f1"])
+        + f""" UNION ALL
+        SELECT 'iob', concat_ws('§', CAST(doc_id AS VARCHAR),
+                   CAST(pos AS VARCHAR)),
+               concat_ws('§', token, tag), CAST(NULL AS DOUBLE)
+        FROM ({out["e5_iob_tags"]})
+        """
+    )
+    out["e1_clean_suite"] = f"""
+        SELECT 'c4' AS op, CAST(doc_id AS VARCHAR) AS k,
+               concat_ws('§', text, CAST(n_lines_kept AS VARCHAR),
+                   CAST(n_lines_dropped AS VARCHAR),
+                   CAST(has_brace AS VARCHAR),
+                   CAST(has_lorem AS VARCHAR),
+                   CAST(keep AS VARCHAR)) AS v,
+               CAST(NULL AS DOUBLE) AS v_num
+        FROM ({out["e1_c4_filter"]})
+        UNION ALL
+        SELECT 'pii', CAST(doc_id AS VARCHAR),
+               concat_ws('§', text, CAST(n_email AS VARCHAR),
+                   CAST(n_ipv4 AS VARCHAR), CAST(n_ssn AS VARCHAR),
+                   CAST(n_phone AS VARCHAR),
+                   CAST(has_pii AS VARCHAR)),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e1_pii_scrub"]})
+        UNION ALL
+        SELECT 'repair', CAST(doc_id AS VARCHAR),
+               concat_ws('§', text, CAST(n_chars_before AS VARCHAR),
+                   CAST(n_chars_after AS VARCHAR)),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e1_repair_text"]})
+        UNION ALL
+        SELECT 'boiler', CAST(doc_id AS VARCHAR),
+               concat_ws('§', text_clean, CAST(n_removed AS VARCHAR)),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e1_boilerplate_strip"]})
     """
     out["u_set_suite"] = f"""
         SELECT 'a5' AS op, o_orderstatus AS k, o_orderpriority AS v
