@@ -1451,6 +1451,17 @@ def _e2_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e2_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (round-9 pool): fully-relational distributed Lloyd's
+    # k-means — grid-integer geometry (ARCHITECTURE §7i, float-parity
+    # law), hash-seeded deterministic init, k=8 over the embeddings
+    # table, 3 iterations replayed as chained CTEs in the oracle.
+    from drugbankner_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_lloyd(emb, k=8, n_iters=3)
+
+
 def _e2_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # Round 8 (VERDICT r07 next #7): banded corpus×corpus Hamming
     # pairs — every vector gets a 1-bit-flip clone planted (dim 1
@@ -4734,7 +4745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and hash-checked in tests/test_oracle_parity.py. Round-9 rotation
     pool (hash-oracled this round, never driver-verified):
     e1_suffix_array_bench, x1_linker_corpus, x1_linker_corpus_maxdf
-    (the corpus-scale bench probes — BENCH times them every round)."""
+    (the corpus-scale bench probes — BENCH times them every round),
+    and e2_kmeans (fully-relational distributed Lloyd's k-means —
+    grid-integer geometry per the float-parity law, hash-seeded
+    deterministic init, chained-CTE replay oracle)."""
     return {
         # -- round-8 rotation (VERDICT r07 next #1): the nine round-7
         # pool entries — the only hash-oracled operators never driver-
@@ -5079,6 +5093,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_rerank_topk": _e2_rerank_topk,
         # round 8 (VERDICT r07 next #7): banded corpus×corpus pairs
         "e2_hamming_pairs": _e2_hamming_pairs,
+        # round 8 (round-9 pool): distributed Lloyd's k-means
+        "e2_kmeans": _e2_kmeans,
         "g_pagerank": _g_pagerank,
         "g_ppr": _g_ppr,
         "e5_dp_histogram": _e5_dp_histogram,
@@ -5405,6 +5421,64 @@ def _tfidf_link_cte(
                 FROM tf_per_concept WHERE score >= {threshold}
             ) WHERE rank <= {k}
         )"""
+
+
+def _e2_kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64,
+                      scale: int = 10_000) -> str:
+    """Chained-CTE replay of kmeans_lloyd (the g_label_prop/g_pagerank
+    replay pattern): grid-quantized points, hash-ranked seeds, then per
+    iteration one distance CTE + one argmin CTE + one grid-rounded
+    centroid CTE — all-integer geometry, so the replay is bitwise."""
+    h = _sql_hash32("CAST(id AS VARCHAR)")
+    parts = [f"""
+        WITH pts AS (
+            SELECT vec_id AS id, i - 1 AS dim,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}
+                              + 0.5) AS BIGINT) AS v
+            FROM embeddings,
+                 UNNEST(generate_series(1, {dim})) AS g(i)
+        ),
+        seeds AS (
+            SELECT id, rn - 1 AS cid FROM (
+                SELECT DISTINCT id,
+                       row_number() OVER (ORDER BY {h}, id) AS rn
+                FROM (SELECT DISTINCT id FROM pts)
+            ) WHERE rn <= {k}
+        ),
+        cent_0 AS (
+            SELECT s.cid, p.dim, p.v AS c
+            FROM pts p JOIN seeds s ON s.id = p.id
+        )"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+        scored_{i} AS (
+            SELECT p.id, c.cid,
+                   CAST(sum((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS d
+            FROM pts p JOIN cent_{i - 1} c USING (dim)
+            GROUP BY 1, 2
+        ),
+        assign_{i} AS (
+            SELECT id, cid, d FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id ORDER BY d, cid
+                ) AS rn FROM scored_{i}
+            ) WHERE rn = 1
+        )""")
+        if i < n_iters:
+            parts.append(f""",
+        cent_{i} AS (
+            SELECT a.cid, p.dim,
+                   CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)
+                              + 0.5) AS BIGINT) AS c
+            FROM pts p JOIN assign_{i} a USING (id)
+            GROUP BY 1, 2
+        )""")
+    parts.append(f"""
+        SELECT id AS vec_id, cid AS cluster_id,
+               CAST(d AS BIGINT) AS sq_dist
+        FROM assign_{n_iters}
+    """)
+    return "".join(parts)
 
 
 def _x1_linker_corpus_oracle(max_df_ratio: float | None) -> str:
@@ -7831,6 +7905,9 @@ def oracle_sql() -> dict[str, str]:
         # doc-trigram alias dim, max_df off / on
         "x1_linker_corpus": _x1_linker_corpus_oracle(None),
         "x1_linker_corpus_maxdf": _x1_linker_corpus_oracle(0.1),
+        # round 8 (round-9 pool): distributed Lloyd's k-means —
+        # chained-CTE replay, all-integer grid geometry
+        "e2_kmeans": _e2_kmeans_oracle(),
         # round 7 (round-8 pool): rerank funnel + PageRank replay
         "e2_rerank_topk": _e2_rerank_topk_oracle(),
         "g_pagerank": _g_pagerank_oracle(),

@@ -508,7 +508,10 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
 #: benches its HASH kernel (VERDICT r06 next #4) — grams shuffle as
 #: (xxhash64, length), never text, halving the peak-stage shuffle.
 SF3_QUERIES = ["e3_charlm", "e3_wordlm", "e1_intradoc_dedup",
-               "e3_gopher_rep_hash"]
+               "e3_gopher_rep_hash",
+               # round 8: the SA slice at 30x the bench SF — rows grow
+               # 30x, round count stays ~log(longest repeated prefix)
+               "e1_suffix_array"]
 
 
 def _stage_shuffle_snapshot(spark) -> dict:
