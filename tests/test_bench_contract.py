@@ -1,0 +1,48 @@
+"""bench.py contract guards (round 8) — no SparkSession needed.
+
+BENCH_r06 was lost to a stdout-line contract violation; these guards
+catch the cheaper failure modes at test time instead of round-grading
+time: every benched name must resolve through ALIAS into the query
+registry, the frozen v1 list must stay frozen, and the calibrated
+headline must be derivable from the pinned reference constant.
+"""
+
+from __future__ import annotations
+
+import bench
+import __spark_entry__ as entrymod
+
+
+def test_every_bench_name_resolves_in_registry():
+    qs = entrymod.all_queries()
+    for name in [*bench.HEADLINE, *bench.SF1_QUERIES,
+                 *bench.SF3_QUERIES, *bench.HEADLINE_V1]:
+        resolved = bench.ALIAS.get(name, name)
+        assert resolved in qs, (
+            f"bench entry {name!r} (-> {resolved!r}) missing from "
+            f"all_queries — its timing would silently vanish from "
+            f"BENCH_r{{N}}"
+        )
+
+
+def test_headline_v1_is_frozen():
+    # VERDICT r05 next #6: the round-1 12-query set is the only
+    # round-over-round-comparable total. Do not edit.
+    assert bench.HEADLINE_V1 == [
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_regional_revenue", "j2_mode_vote", "a6_first_writer_wins",
+        "w1_running_sum", "e1_minhash_near_dup", "e2_cosine_topk",
+        "e2_lsh_topk", "e3_text_quality", "e6_sessionize",
+        "f7_identifier_extract",
+    ]
+
+
+def test_v1_entries_all_in_headline():
+    assert set(bench.HEADLINE_V1) <= set(bench.HEADLINE)
+
+
+def test_calibration_reference_pinned():
+    # VERDICT r07 next #5: the calibrated headline normalizes to the
+    # r05 clean-load environment; re-pinning would silently re-base
+    # every round-over-round comparison.
+    assert bench.REF_CALIBRATION == 0.084
