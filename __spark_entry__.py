@@ -1462,6 +1462,29 @@ def _e2_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans_lloyd(emb, k=8, n_iters=3)
 
 
+def _e2_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (round-9 pool): cluster-balanced sampling over the
+    # k-means fit — at most 12 vectors per cluster by deterministic
+    # hash rank; the diversity draw SemDeDup-style curation uses.
+    from drugbankner_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return cluster_balanced_sample(emb, k=8, per_cluster=12, n_iters=3)
+
+
+def _e2_semdedup_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (round-9 pool): SemDeDup in the paper's cluster-scoped
+    # shape — within-k-means-cell cosine pairs (threshold 0.92) →
+    # connected components → min-id survivor; the quadratic search is
+    # local to each cell, which is the method's scaling argument.
+    from drugbankner_spark.operators.clustering import semdedup_clustered
+
+    emb = load_table(spark, sf, "embeddings")
+    return semdedup_clustered(emb, k=8, threshold=0.92, n_iters=3)
+
+
 def _e2_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # Round 8 (VERDICT r07 next #7): banded corpus×corpus Hamming
     # pairs — every vector gets a 1-bit-flip clone planted (dim 1
@@ -4746,9 +4769,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool (hash-oracled this round, never driver-verified):
     e1_suffix_array_bench, x1_linker_corpus, x1_linker_corpus_maxdf
     (the corpus-scale bench probes — BENCH times them every round),
-    and e2_kmeans (fully-relational distributed Lloyd's k-means —
+    e2_kmeans (fully-relational distributed Lloyd's k-means —
     grid-integer geometry per the float-parity law, hash-seeded
-    deterministic init, chained-CTE replay oracle)."""
+    deterministic init, chained-CTE replay oracle), e2_cluster_sample
+    (the cluster-balanced diversity draw over the same replayed fit)
+    and e2_semdedup_kmeans (SemDeDup in the paper's cluster-scoped
+    shape: within-cell cosine pairs → recursive-CTE components →
+    min-id survivor)."""
     return {
         # -- round-8 rotation (VERDICT r07 next #1): the nine round-7
         # pool entries — the only hash-oracled operators never driver-
@@ -5093,8 +5120,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_rerank_topk": _e2_rerank_topk,
         # round 8 (VERDICT r07 next #7): banded corpus×corpus pairs
         "e2_hamming_pairs": _e2_hamming_pairs,
-        # round 8 (round-9 pool): distributed Lloyd's k-means
+        # round 8 (round-9 pool): distributed Lloyd's k-means + the
+        # cluster-balanced diversity draw over its fit
         "e2_kmeans": _e2_kmeans,
+        "e2_cluster_sample": _e2_cluster_sample,
+        "e2_semdedup_kmeans": _e2_semdedup_kmeans,
         "g_pagerank": _g_pagerank,
         "g_ppr": _g_ppr,
         "e5_dp_histogram": _e5_dp_histogram,
@@ -5424,14 +5454,16 @@ def _tfidf_link_cte(
 
 
 def _e2_kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64,
-                      scale: int = 10_000) -> str:
+                      scale: int = 10_000,
+                      tail: str | None = None,
+                      recursive: bool = False) -> str:
     """Chained-CTE replay of kmeans_lloyd (the g_label_prop/g_pagerank
     replay pattern): grid-quantized points, hash-ranked seeds, then per
     iteration one distance CTE + one argmin CTE + one grid-rounded
     centroid CTE — all-integer geometry, so the replay is bitwise."""
     h = _sql_hash32("CAST(id AS VARCHAR)")
     parts = [f"""
-        WITH pts AS (
+        WITH {"RECURSIVE " if recursive else ""}pts AS (
             SELECT vec_id AS id, i - 1 AS dim,
                    CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}
                               + 0.5) AS BIGINT) AS v
@@ -5473,7 +5505,7 @@ def _e2_kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64,
             FROM pts p JOIN assign_{i} a USING (id)
             GROUP BY 1, 2
         )""")
-    parts.append(f"""
+    parts.append(tail if tail is not None else f"""
         SELECT id AS vec_id, cid AS cluster_id,
                CAST(d AS BIGINT) AS sq_dist
         FROM assign_{n_iters}
@@ -7906,8 +7938,62 @@ def oracle_sql() -> dict[str, str]:
         "x1_linker_corpus": _x1_linker_corpus_oracle(None),
         "x1_linker_corpus_maxdf": _x1_linker_corpus_oracle(0.1),
         # round 8 (round-9 pool): distributed Lloyd's k-means —
-        # chained-CTE replay, all-integer grid geometry
+        # chained-CTE replay, all-integer grid geometry — and the
+        # hash-rank diversity draw over the same replayed fit
         "e2_kmeans": _e2_kmeans_oracle(),
+        "e2_cluster_sample": _e2_kmeans_oracle(tail=f"""
+        SELECT id AS vec_id, cid AS cluster_id,
+               CAST(rn AS INT) AS draw_rank
+        FROM (
+            SELECT id, cid, row_number() OVER (
+                PARTITION BY cid
+                ORDER BY {_sql_hash32("CAST(id AS VARCHAR)")}, id
+            ) AS rn
+            FROM assign_3
+        ) WHERE rn <= 12
+    """),
+        # round 8 (round-9 pool): paper-shape SemDeDup — the k-means
+        # replay, within-cell cosine pairs, recursive-CTE components,
+        # min-id survivor
+        "e2_semdedup_kmeans": _e2_kmeans_oracle(recursive=True, tail=f"""
+        , vecsj AS (
+            SELECT a.id, a.cid, e.embedding
+            FROM assign_3 a JOIN embeddings e ON e.vec_id = a.id
+        ),
+        sd_pairs AS (
+            SELECT c.id AS id_a, q.id AS id_b
+            FROM vecsj c JOIN vecsj q
+              ON c.cid = q.cid AND c.id < q.id
+            WHERE round({_SQL_COSINE}, 6) >= 0.92
+        ),
+        sd_edges AS (
+            SELECT id_a AS a, id_b AS b FROM sd_pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM sd_pairs
+        ),
+        sd_reach(id, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sd_edges)
+            UNION
+            SELECT e.b, r.lab
+            FROM sd_reach r JOIN sd_edges e ON e.a = r.id
+        ),
+        sd_comp AS (
+            SELECT id, min(lab) AS component FROM sd_reach GROUP BY id
+        ),
+        sd_all AS (
+            SELECT a.id, a.cid AS kmeans_cluster,
+                   coalesce(c.component, a.id) AS cluster_id
+            FROM assign_3 a LEFT JOIN sd_comp c ON c.id = a.id
+        ),
+        sd_sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM sd_all GROUP BY 1
+        )
+        SELECT s.id AS vec_id, s.kmeans_cluster, s.cluster_id,
+               CAST(z.cluster_size AS BIGINT) AS cluster_size,
+               s.id = s.cluster_id AS is_survivor
+        FROM sd_all s JOIN sd_sizes z USING (cluster_id)
+    """),
         # round 7 (round-8 pool): rerank funnel + PageRank replay
         "e2_rerank_topk": _e2_rerank_topk_oracle(),
         "g_pagerank": _g_pagerank_oracle(),

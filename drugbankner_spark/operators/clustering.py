@@ -73,9 +73,6 @@ def kmeans_lloyd(
     smaller id) and recomputes grid-rounded centroid means; the final
     assignment is returned as (id, cluster_id, sq_dist) with
     ``sq_dist`` the integer distance used by that assignment.
-
-    The seed-rank window sorts only the one-column id dim; swap in
-    global_dense_rank (suffixarray.py) for web-scale id sets.
     """
     from drugbankner_spark.caching import (
         cache_mark,
@@ -88,17 +85,20 @@ def kmeans_lloyd(
         raise ValueError("kmeans_lloyd: k and n_iters must be >= 1")
     mark = cache_mark()
     pts = shared_persist(_quantized_points(vecs, id_col, vec_col, scale))
-    w = Window.orderBy(
-        content_hash32(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    # seed draw: global sort + limit(k) plans as TakeOrderedAndProject
+    # (distributed per-partition top-k, k rows to the driver side) —
+    # never a single-partition window over the full id set; ordinals
+    # then come from a window over just the k winners
+    w = Window.orderBy("_h", "_id")
     seed_ids = (
-        vecs.select(id_col)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-        .select(
+        vecs.select(
             F.col(id_col).alias("_id"),
-            (F.col("_r") - 1).alias("cluster_id"),
+            content_hash32(F.col(id_col).cast("string")).alias("_h"),
         )
+        .orderBy("_h", "_id")
+        .limit(k)
+        .withColumn("cluster_id", F.row_number().over(w) - 1)
+        .select("_id", "cluster_id")
     )
     centroids = pts.join(F.broadcast(seed_ids), "_id").select(
         "cluster_id", "dim", F.col("v").alias("c")
@@ -141,4 +141,103 @@ def kmeans_lloyd(
     release_since(mark)
     return assigned.select(
         F.col("_id").alias(id_col), "cluster_id", "sq_dist"
+    )
+
+
+def cluster_balanced_sample(
+    vecs: DataFrame,
+    k: int = 8,
+    per_cluster: int = 10,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-balanced sampling (the diversity draw SemDeDup-style
+    curation and topic-balanced training mixes use): k-means the
+    corpus, then keep at most ``per_cluster`` vectors per cluster —
+    drawn by the engine's deterministic hash rank (md5 of the id), so
+    a rare topic cluster survives a draw that frequency-proportional
+    sampling would flood with the head topic. Output: (id, cluster_id,
+    draw_rank). One window per cluster (bounded by cluster size) on
+    top of the k-means cost; pass precomputed ``assignments`` to reuse
+    a fit."""
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    if assignments is None:
+        assignments = kmeans_lloyd(
+            vecs, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+        )
+    w = Window.partitionBy("cluster_id").orderBy(
+        content_hash32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assignments.withColumn("draw_rank", F.row_number().over(w))
+        .filter(F.col("draw_rank") <= per_cluster)
+        .select(id_col, "cluster_id", "draw_rank")
+    )
+
+
+def semdedup_clustered(
+    vecs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup in the PAPER's shape (Abbas et al. 2023 §3): k-means
+    the corpus, then find near-duplicate pairs only WITHIN each
+    cluster — the clustering is what makes the quadratic pair search
+    local (cost Σ_c |c|² instead of n²), which is the method's whole
+    scaling argument. The engine's earlier `similarity.semantic_dedup`
+    localizes with sign-LSH buckets instead; this variant is the
+    faithful cluster-scoped composition over :func:`kmeans_lloyd`.
+
+    Within-cluster pairs at rounded-6dp cosine ≥ ``threshold`` feed
+    the connected-component fold (graph.py) and the min-id member of
+    each component survives. Output, one row per vector: (id,
+    kmeans_cluster, cluster_id, cluster_size, is_survivor) — the
+    semantic_dedup contract plus the k-means cell.
+
+    Scale shape: ONE self-join keyed on the k-means cell (bounded by
+    cell size — balance cells by raising k), the CC fixpoint's
+    O(log n) rounds, one size agg. Fully deterministic (grid-integer
+    k-means, 6dp-rounded cosines, min-id survivor) — the whole
+    composition hash-matches a chained-CTE + recursive-SQL oracle."""
+    from drugbankner_spark.operators.graph import near_dup_clusters
+    from drugbankner_spark.operators.similarity import cosine
+
+    assign = kmeans_lloyd(
+        vecs, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    ).select(id_col, F.col("cluster_id").alias("kmeans_cluster"))
+    v = vecs.select(id_col, vec_col).join(assign, id_col)
+    a = v.select(
+        "kmeans_cluster", F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_ea"),
+    )
+    b = v.select(
+        "kmeans_cluster", F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_eb"),
+    )
+    pairs = (
+        a.join(b, "kmeans_cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("_ea"), F.col("_eb")), 6)
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    comp = near_dup_clusters(vecs.select(id_col), pairs, id_col)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "cluster_id")
+        .join(assign, id_col)
+        .select(
+            id_col, "kmeans_cluster", "cluster_id", "cluster_size",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_survivor"),
+        )
     )
