@@ -107,6 +107,9 @@ HEADLINE = [
     "e1_suffix_array",
     "x1_linker_corpus",
     "x1_linker_corpus_maxdf",
+    # round 8 late: the distributed Lloyd fit (3 iterations over the
+    # full embeddings table — two bounded-key shuffles per iteration)
+    "e2_kmeans",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch
@@ -385,6 +388,9 @@ SF1_QUERIES = [
     # (mention slice pinned to replica 0; alias dim grows 10x)
     "e1_suffix_array",
     "x1_linker_corpus_maxdf",
+    # round 8 late: the Lloyd fit at 10x vectors (per-iteration rows
+    # scale linearly; the centroid dim stays k x dim)
+    "e2_kmeans",
 ]
 
 

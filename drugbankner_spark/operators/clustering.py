@@ -55,6 +55,32 @@ def _quantized_points(
     )
 
 
+def _assign_step(pts: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd assignment: dim-keyed equi-join against the BROADCAST
+    k×dim centroid table, integer squared distance, per-point argmin
+    (ties to the smaller cluster id). Factored out so the plan shape
+    is testable — the loop's localCheckpoints hide it from the final
+    query plan."""
+    scored = (
+        pts.join(F.broadcast(centroids), "dim")
+        .groupBy("_id", "cluster_id")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            ).alias("_d")
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.min(F.struct("_d", "cluster_id")).alias("_best"))
+        .select(
+            "_id",
+            F.col("_best.cluster_id").alias("cluster_id"),
+            F.col("_best._d").alias("sq_dist"),
+        )
+    )
+
+
 def kmeans_lloyd(
     vecs: DataFrame,
     k: int = 8,
@@ -105,25 +131,9 @@ def kmeans_lloyd(
     )
     assigned = None
     for it in range(n_iters):
-        scored = (
-            pts.join(F.broadcast(centroids), "dim")
-            .groupBy("_id", "cluster_id")
-            .agg(
-                F.sum(
-                    (F.col("v") - F.col("c"))
-                    * (F.col("v") - F.col("c"))
-                ).alias("_d")
-            )
+        assigned = _assign_step(pts, centroids).localCheckpoint(
+            eager=True
         )
-        assigned = (
-            scored.groupBy("_id")
-            .agg(F.min(F.struct("_d", "cluster_id")).alias("_best"))
-            .select(
-                "_id",
-                F.col("_best.cluster_id").alias("cluster_id"),
-                F.col("_best._d").alias("sq_dist"),
-            )
-        ).localCheckpoint(eager=True)
         if it == n_iters - 1:
             break  # the last update would never be read
         # grid-rounded integer mean: ONE IEEE division of exact

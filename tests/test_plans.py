@@ -470,3 +470,55 @@ def test_profile_columns_single_value_shuffle(spark):
     plan = X.plan_string(df, "simple")
     assert X.count_shuffles(df) <= 2, plan
     assert "Python" not in plan
+
+
+def test_round8_plan_shapes(spark):
+    # Round-8 operators stay JVM-side, never cartesian, and keep their
+    # dims broadcast: the spotter (gram equi-join vs the alias dim),
+    # the banded Hamming pair generator (band-key equi-join), and the
+    # SA-removal composition.
+    for name in ["e2_hamming_pairs", "e1_sa_dedup", "ep1_spotted_nodes"]:
+        df = QUERIES[name](spark, SF)
+        assert not X.has_cartesian(df), name
+        plan = X.plan_string(df, "simple")
+        assert "BatchEvalPython" not in plan and (
+            "ArrowEvalPython" not in plan
+        ), f"{name} must not call into Python"
+
+
+def test_kmeans_assign_broadcasts_centroids_no_python(spark):
+    # The Lloyd assign step joins the corpus against the k x dim
+    # centroid dim — that dim must broadcast (never shuffle the corpus
+    # on the join) and the step stays in codegen. The loop's
+    # localCheckpoints hide iteration plans from the final query, so
+    # the factored _assign_step is asserted directly.
+    from drugbankner_spark.operators.clustering import (
+        _assign_step,
+        _quantized_points,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    pts = _quantized_points(emb, "vec_id", "embedding", 10_000)
+    cents = pts.limit(8).selectExpr(
+        "0 AS cluster_id", "dim", "v AS c"
+    )
+    df = _assign_step(pts, cents)
+    assert X.count_broadcast_joins(df) >= 1
+    assert not X.has_cartesian(df)
+    plan = X.plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spot_mentions_broadcasts_surface_dim(spark):
+    from drugbankner_spark.operators.ner import spot_mentions
+
+    sents = spark.createDataFrame(
+        [(1, "alpha beta gamma")], ["kg2_id", "sentence"]
+    )
+    surf = spark.createDataFrame([("beta",)], ["name"])
+    df = spot_mentions(sents, "sentence", ["kg2_id"], surf, "name")
+    assert X.count_broadcast_joins(df) >= 1
+    assert not X.has_cartesian(df)
