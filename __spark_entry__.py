@@ -1474,6 +1474,32 @@ def _e2_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_balanced_sample(emb, k=8, per_cluster=12, n_iters=3)
 
 
+def _e1_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (round-9 pool): the SEMANTIC face of benchmark
+    # decontamination — train vectors flagged when any benchmark
+    # vector's cosine reaches 0.9; completes the family (exact n-gram
+    # + bloom + semantic). Benchmark = vec_id < 20, train = the rest.
+    from drugbankner_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        threshold=0.9,
+    )
+
+
+def _e5_fim_transform(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (round-9 pool): deterministic Fill-in-the-Middle
+    # rendering (PSM) — hash-drawn cut points, pure projection.
+    from drugbankner_spark.operators.sft import fim_transform
+
+    docs = load_table(spark, sf, "documents")
+    return fim_transform(docs, salt="r8-fim")
+
+
 def _e2_semdedup_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     # Round 8 (round-9 pool): SemDeDup in the paper's cluster-scoped
     # shape — within-k-means-cell cosine pairs (threshold 0.92) →
@@ -4773,9 +4799,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     grid-integer geometry per the float-parity law, hash-seeded
     deterministic init, chained-CTE replay oracle), e2_cluster_sample
     (the cluster-balanced diversity draw over the same replayed fit)
-    and e2_semdedup_kmeans (SemDeDup in the paper's cluster-scoped
+    e2_semdedup_kmeans (SemDeDup in the paper's cluster-scoped
     shape: within-cell cosine pairs → recursive-CTE components →
-    min-id survivor)."""
+    min-id survivor), e1_semantic_decontaminate (the paraphrase face
+    of benchmark decontamination — max benchmark cosine per train
+    vector, broadcast benchmark dim) and e5_fim_transform
+    (deterministic Fill-in-the-Middle rendering, hash-drawn cut
+    points, pure projection)."""
     return {
         # -- round-8 rotation (VERDICT r07 next #1): the nine round-7
         # pool entries — the only hash-oracled operators never driver-
@@ -5125,6 +5155,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_kmeans": _e2_kmeans,
         "e2_cluster_sample": _e2_cluster_sample,
         "e2_semdedup_kmeans": _e2_semdedup_kmeans,
+        # round 8 (round-9 pool): the semantic decontamination face +
+        # the deterministic FIM pretraining transform
+        "e1_semantic_decontaminate": _e1_semantic_decontaminate,
+        "e5_fim_transform": _e5_fim_transform,
         "g_pagerank": _g_pagerank,
         "g_ppr": _g_ppr,
         "e5_dp_histogram": _e5_dp_histogram,
@@ -7952,6 +7986,59 @@ def oracle_sql() -> dict[str, str]:
             FROM assign_3
         ) WHERE rn <= 12
     """),
+        # round 8 (round-9 pool): semantic decontamination — max
+        # benchmark cosine per train vector, benchmark = vec_id < 20
+        "e1_semantic_decontaminate": f"""
+            WITH q AS (
+                SELECT embedding FROM embeddings WHERE vec_id < 20
+            ),
+            c AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id >= 20
+            ),
+            scored AS (
+                SELECT c.vec_id,
+                       round(max({_SQL_COSINE}), 6)
+                           AS max_benchmark_sim
+                FROM c, q GROUP BY 1
+            )
+            SELECT t.vec_id, s.max_benchmark_sim,
+                   coalesce(s.max_benchmark_sim >= 0.9, false)
+                       AS contaminated
+            FROM c t LEFT JOIN scored s USING (vec_id)
+        """,
+        # round 8 (round-9 pool): deterministic FIM (PSM) — hash-drawn
+        # token cut points, pure projection in both engines
+        "e5_fim_transform": f"""
+            WITH cuts AS (
+                SELECT doc_id, tk, len(tk) AS n,
+                       1 + ({_sql_hash32(
+                           "CAST(doc_id AS VARCHAR) || ':r8-fim:a'"
+                       )}) % greatest(len(tk), 1) AS ca,
+                       1 + ({_sql_hash32(
+                           "CAST(doc_id AS VARCHAR) || ':r8-fim:b'"
+                       )}) % greatest(len(tk), 1) AS cb
+                FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents)
+            ),
+            spans AS (
+                SELECT doc_id, tk, n,
+                       least(ca, cb) AS lo, greatest(ca, cb) AS hi
+                FROM cuts
+            )
+            SELECT doc_id,
+                   '<PRE>'
+                   || coalesce(array_to_string(tk[1:lo-1], ' '), '')
+                   || '<SUF>'
+                   || coalesce(array_to_string(tk[hi:n], ' '), '')
+                   || '<MID>'
+                   || coalesce(array_to_string(tk[lo:hi-1], ' '), '')
+                       AS text_fim,
+                   CAST(lo - 1 AS INT) AS n_prefix,
+                   CAST(hi - lo AS INT) AS n_middle,
+                   CAST(n - hi + 1 AS INT) AS n_suffix
+            FROM spans
+        """,
         # round 8 (round-9 pool): paper-shape SemDeDup — the k-means
         # replay, within-cell cosine pairs, recursive-CTE components,
         # min-id survivor

@@ -1249,6 +1249,52 @@ def semantic_dedup(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination (round 8) — the third face
+    of the family: `corpus.decontaminate` catches verbatim n-gram
+    overlap, `bloom_decontaminate` scales the same check through a
+    shared bit-array, and this catches PARAPHRASED leakage the lexical
+    checks cannot see (the gap documented by benchmark-contamination
+    studies): a training example is flagged when its embedding's
+    cosine to ANY benchmark embedding reaches ``threshold``.
+
+    Output, one row per train vector: (id, max_benchmark_sim rounded
+    6dp, contaminated). Scale shape: the benchmark side is a DIM
+    (eval suites are thousands of rows, the corpus is the fact) — it
+    broadcasts, the train side never shuffles, and the per-train
+    reduction is a map-side-combinable max. Train rows with no
+    benchmark comparison (empty benchmark) keep sim NULL /
+    contaminated false."""
+    b = benchmark.select(F.col(vec_col).alias("_bv"))
+    scored = (
+        train.select(F.col(id_col), F.col(vec_col).alias("_tv"))
+        .join(F.broadcast(b))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max(cosine(F.col("_tv"), F.col("_bv"))), 6
+            ).alias("max_benchmark_sim")
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "max_benchmark_sim",
+            F.coalesce(
+                F.col("max_benchmark_sim") >= threshold, F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
 def quantize_embeddings_int8(
     emb: DataFrame,
     id_col: str = "vec_id",

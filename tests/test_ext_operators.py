@@ -2964,3 +2964,71 @@ def test_dp_noisy_histogram_user_level_clamp(spark):
     with pytest.raises(ValueError):
         dp_noisy_histogram(df, ["g"], contributor_col="u",
                            max_contributions=0)
+
+
+def test_fim_transform_psm_and_spm(spark):
+    # Round 8: deterministic FIM — parts partition the token stream,
+    # counts reconcile, PSM/SPM reorder the same three segments, and
+    # the draw is salt-stable.
+    from drugbankner_spark.operators.sft import fim_transform
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "single"), (3, "")],
+        ["doc_id", "text"],
+    )
+    psm = {r["doc_id"]: r for r in fim_transform(docs).collect()}
+    for did, ntok in [(1, 8), (2, 1), (3, 1)]:
+        r = psm[did]
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == ntok
+        assert r["n_suffix"] >= 1
+        assert r["text_fim"].startswith("<PRE>")
+        assert "<SUF>" in r["text_fim"] and "<MID>" in r["text_fim"]
+    # the rendered segments are the original tokens in order
+    r = psm[1]
+    import re
+    m = re.match(r"<PRE>(.*)<SUF>(.*)<MID>(.*)", r["text_fim"])
+    pre, suf, mid = m.groups()
+    assert (pre + " " + mid + " " + suf).split() == list("abcdefgh")
+    # SPM reorders the SAME segments
+    spm = {r2["doc_id"]: r2 for r2 in
+           fim_transform(docs, mode="spm").collect()}
+    m2 = re.match(r"<SUF>(.*)<PRE>(.*)<MID>(.*)", spm[1]["text_fim"])
+    assert m2.groups() == (suf, pre, mid)
+    # same salt -> identical draw; new salt -> some doc moves
+    again = {r2["doc_id"]: r2["text_fim"]
+             for r2 in fim_transform(docs).collect()}
+    assert again == {k: v["text_fim"] for k, v in psm.items()}
+
+    import pytest
+    with pytest.raises(ValueError):
+        fim_transform(docs, mode="middle-out")
+
+
+def test_semantic_decontaminate_flags_planted_paraphrase(spark):
+    from drugbankner_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    train = spark.createDataFrame(
+        [(10, [0.99, 0.01, 0.0, 0.0]),    # ~bench 1 -> contaminated
+         (11, [0.0, 0.0, 1.0, 0.0]),      # orthogonal -> clean
+         (12, [0.0, -1.0, 0.0, 0.0])],    # anti-parallel -> clean
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in semantic_decontaminate(
+        train, bench, threshold=0.9
+    ).collect()}
+    assert out[10]["contaminated"] and out[10]["max_benchmark_sim"] > 0.99
+    assert not out[11]["contaminated"]
+    assert not out[12]["contaminated"]
+    # empty benchmark: nothing flagged, sim NULL
+    empty = bench.filter("vec_id < 0")
+    out2 = {r["vec_id"]: r for r in semantic_decontaminate(
+        train, empty, threshold=0.9
+    ).collect()}
+    assert all(not r["contaminated"] for r in out2.values())
+    assert all(r["max_benchmark_sim"] is None for r in out2.values())
