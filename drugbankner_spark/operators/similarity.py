@@ -1563,8 +1563,16 @@ def hamming_band_pairs(
     per_word = 32 // band_bits
     mask = (1 << band_bits) - 1
     # number of bands = per_word × words; validated against the FIRST
-    # row's word count at plan time via a tiny agg (dim-sized check)
-    n_words = len(codes.select("code").first()["code"])
+    # row's word count at plan time via a tiny limit-1 action
+    head = codes.select("code").take(1)
+    if not head:
+        # empty corpus: no pairs, schema preserved
+        return codes.sparkSession.createDataFrame(
+            [], f"id_a {codes.schema[id_col].dataType.simpleString()}, "
+                f"id_b {codes.schema[id_col].dataType.simpleString()}, "
+                "hamming long"
+        )
+    n_words = len(head[0]["code"])
     n_bands = per_word * n_words
     if max_hamming >= n_bands:
         raise ValueError(

@@ -138,3 +138,16 @@ def test_hamming_band_pairs_rejects_uncovered_radius(spark):
         hamming_band_pairs(codes, max_hamming=4, band_bits=16)
     with pytest.raises(ValueError):
         hamming_band_pairs(codes, band_bits=24)
+
+
+def test_hamming_band_pairs_empty_corpus(spark):
+    from drugbankner_spark.operators.similarity import (
+        binary_quantize,
+        hamming_band_pairs,
+    )
+
+    emb = _vecs(spark, [(1, [0.5] * 64)]).filter("vec_id < 0")
+    codes = binary_quantize(emb)
+    out = hamming_band_pairs(codes, max_hamming=3)
+    assert out.columns == ["id_a", "id_b", "hamming"]
+    assert out.count() == 0
