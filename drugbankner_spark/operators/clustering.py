@@ -215,13 +215,15 @@ def semdedup_clustered(
     O(log n) rounds, one size agg. Fully deterministic (grid-integer
     k-means, 6dp-rounded cosines, min-id survivor) — the whole
     composition hash-matches a chained-CTE + recursive-SQL oracle."""
+    from drugbankner_spark.caching import shared_persist
     from drugbankner_spark.operators.graph import near_dup_clusters
     from drugbankner_spark.operators.similarity import cosine
 
     assign = kmeans_lloyd(
         vecs, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     ).select(id_col, F.col("cluster_id").alias("kmeans_cluster"))
-    v = vecs.select(id_col, vec_col).join(assign, id_col)
+    # both self-join sides read the assigned corpus (branch-point law)
+    v = shared_persist(vecs.select(id_col, vec_col).join(assign, id_col))
     a = v.select(
         "kmeans_cluster", F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_ea"),

@@ -449,8 +449,12 @@ def spot_mentions(
     hash-oracle-able end to end; for 100k+-term dictionaries with
     deep phrases, textanalysis.tag_dictionary_terms (Aho-Corasick,
     O(text) per doc) is the offsets-included alternative."""
+    from drugbankner_spark.caching import shared_persist
+
     norm = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
-    surf = (
+    # persisted: the broadcast-size guard's count() and the join are
+    # two consumers of the distinct (dim-guard law, ARCHITECTURE §7i)
+    surf = shared_persist(
         surfaces.select(norm(F.col(surface_col)).alias("_surf"))
         .filter(F.col("_surf") != "")
         .distinct()

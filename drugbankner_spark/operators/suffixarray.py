@@ -201,9 +201,11 @@ def suffix_array(
     stage pays off that many times)."""
     from drugbankner_spark.caching import cache_mark, release_since
 
+    # mark BEFORE corpus_positions: its internal running-sum persist
+    # is only needed until the first checkpoint materializes
+    mark = cache_mark()
     pos = corpus_positions(docs, text_col, id_col, sep)
     n = pos.count()
-    mark = cache_mark()
     cur = global_dense_rank(
         pos.select("gpos", "doc_id", "local_pos",
                    F.col("ch").alias("_k1")),
@@ -324,9 +326,14 @@ def sa_dedup_corpus(
     the interval merge windows partition by DOC id (bounded per doc,
     never corpus-wide); the strip is pure per-row expressions. The SA
     construction dominates — see :func:`suffix_array`'s sizing note."""
+    from drugbankner_spark.caching import shared_persist
     from drugbankner_spark.operators.corpus import _merged_span_intervals
 
-    spans = duplicated_spans(docs, min_len, text_col, id_col, sa=sa)
+    # both occurrence branches read the span table — persist so the
+    # post-checkpoint join/window work runs once (branch-point law)
+    spans = shared_persist(
+        duplicated_spans(docs, min_len, text_col, id_col, sa=sa)
+    )
     occ = (
         spans.select("prefix", F.col("doc_id").alias("_d"),
                      F.col("local_pos").alias("_p"))
