@@ -1474,6 +1474,38 @@ def _e2_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_balanced_sample(emb, k=8, per_cluster=12, n_iters=3)
 
 
+def _e2_assign_stream(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 8 (round-9 pool): the STREAMING routing face of the
+    # k-means fit — embeddings re-arrive as a readStream (two file
+    # chunks, availableNow) and route to the fitted centroids via the
+    # stateless grid-integer argmin; over the finite input this equals
+    # the batch assignment bit-for-bit, so the oracle is e2_kmeans's
+    # replay verbatim (one oracle, two names — the established
+    # streaming-parity pattern).
+    import tempfile
+
+    from drugbankner_spark.operators.clustering import kmeans_fit
+    from drugbankner_spark.streaming import streams as S
+
+    emb = load_table(spark, sf, "embeddings")
+    _assigned, centroids = kmeans_fit(emb, k=8, n_iters=3)
+    key = (spark.sparkContext.applicationId, sf, "emb")
+    if key not in _STREAM_SRC:
+        d = tempfile.mkdtemp(prefix="emb_stream_")
+        emb.select("vec_id", "embedding").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(d)
+        _STREAM_SRC[key] = d
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).option("maxFilesPerTrigger", 1).parquet(_STREAM_SRC[key])
+    n = next(_STREAM_SEQ)
+    return S.run_to_memory(
+        S.cluster_assign_stream(stream, centroids),
+        f"e2_assign_stream_{n}",
+    )
+
+
 def _e1_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # Round 8 (round-9 pool): the SEMANTIC face of benchmark
     # decontamination — train vectors flagged when any benchmark
@@ -4803,9 +4835,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shape: within-cell cosine pairs → recursive-CTE components →
     min-id survivor), e1_semantic_decontaminate (the paraphrase face
     of benchmark decontamination — max benchmark cosine per train
-    vector, broadcast benchmark dim) and e5_fim_transform
+    vector, broadcast benchmark dim), e5_fim_transform
     (deterministic Fill-in-the-Middle rendering, hash-drawn cut
-    points, pure projection)."""
+    points, pure projection) and e2_assign_stream (the STREAMING
+    routing face of the k-means fit — stateless grid-integer argmin
+    against the collected centroid literal; equals the batch
+    assignment bit-for-bit, so it shares e2_kmeans's oracle)."""
     return {
         # -- round-8 rotation (VERDICT r07 next #1): the nine round-7
         # pool entries — the only hash-oracled operators never driver-
@@ -5159,6 +5194,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the deterministic FIM pretraining transform
         "e1_semantic_decontaminate": _e1_semantic_decontaminate,
         "e5_fim_transform": _e5_fim_transform,
+        # round 8 (round-9 pool): the streaming routing face — equals
+        # the batch k-means assignment over the finite input
+        "e2_assign_stream": _e2_assign_stream,
         "g_pagerank": _g_pagerank,
         "g_ppr": _g_ppr,
         "e5_dp_histogram": _e5_dp_histogram,
@@ -7975,6 +8013,9 @@ def oracle_sql() -> dict[str, str]:
         # chained-CTE replay, all-integer grid geometry — and the
         # hash-rank diversity draw over the same replayed fit
         "e2_kmeans": _e2_kmeans_oracle(),
+        # the streaming routing face must equal its batch twin — one
+        # oracle, two names
+        "e2_assign_stream": _e2_kmeans_oracle(),
         "e2_cluster_sample": _e2_kmeans_oracle(tail=f"""
         SELECT id AS vec_id, cid AS cluster_id,
                CAST(rn AS INT) AS draw_rank

@@ -81,6 +81,22 @@ def _assign_step(pts: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_fit(
+    vecs: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`kmeans_lloyd` plus the model: returns ``(assignments,
+    centroids)`` where ``centroids`` is the (cluster_id, dim, c)
+    grid-integer table the FINAL assignment was scored against — the
+    dim a serving path (``streaming.cluster_assign_stream``) routes
+    new vectors with, bit-consistent with the batch assignment."""
+    return _kmeans(vecs, k, n_iters, id_col, vec_col, scale)
+
+
 def kmeans_lloyd(
     vecs: DataFrame,
     k: int = 8,
@@ -100,6 +116,13 @@ def kmeans_lloyd(
     assignment is returned as (id, cluster_id, sq_dist) with
     ``sq_dist`` the integer distance used by that assignment.
     """
+    return _kmeans(vecs, k, n_iters, id_col, vec_col, scale)[0]
+
+
+def _kmeans(
+    vecs: DataFrame, k: int, n_iters: int,
+    id_col: str, vec_col: str, scale: int,
+) -> tuple[DataFrame, DataFrame]:
     from drugbankner_spark.caching import (
         cache_mark,
         release_since,
@@ -149,8 +172,11 @@ def kmeans_lloyd(
             )
         ).localCheckpoint(eager=True)
     release_since(mark)
-    return assigned.select(
-        F.col("_id").alias(id_col), "cluster_id", "sq_dist"
+    return (
+        assigned.select(
+            F.col("_id").alias(id_col), "cluster_id", "sq_dist"
+        ),
+        centroids,
     )
 
 

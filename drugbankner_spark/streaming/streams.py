@@ -473,3 +473,65 @@ def cooccurrence_stream(
         GroupStateTimeout.EventTimeTimeout if idle_gap_ms is not None
         else GroupStateTimeout.NoTimeout,
     )
+
+
+def cluster_assign_stream(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Streaming k-means ROUTING (round 8): assign each in-flight
+    vector to its nearest fitted centroid — the serving face of
+    `clustering.kmeans_fit` ("cluster-route every new document as it
+    arrives" — topic sharding, SemDeDup cells, cluster-quota
+    admission). The centroid table (k×dim grid integers, a dim by
+    construction) is COLLECTED once at plan time and baked into one
+    per-row expression: quantize the vector, integer squared distance
+    to each centroid, argmin via array_min over (dist, cluster_id)
+    structs. STATELESS — no aggregation, no watermark, append mode —
+    and bit-identical to the batch `_assign_step` because both run the
+    same grid-integer arithmetic (the partial sums here fold left-to-
+    right per row; integer addition is order-free anyway).
+
+    Output: (id, cluster_id, sq_dist), the batch assignment contract.
+    Re-fit centroids land by restarting the query (or blue/green
+    queries); Spark re-evaluates STATIC JOIN dims per micro-batch but
+    a collected literal is fixed for the query's lifetime — the trade
+    for zero per-batch join work."""
+    rows = centroids.collect()          # k×dim — bounded by the model
+    if not rows:
+        raise ValueError("cluster_assign_stream: centroids are empty")
+    by_cid: dict = {}
+    for r in rows:
+        by_cid.setdefault(r["cluster_id"], {})[r["dim"]] = r["c"]
+    n_dim = max(max(d) for d in by_cid.values()) + 1
+    cents = ", ".join(
+        "named_struct('cid', {cid}, 'vals', array({vals}))".format(
+            cid=int(cid),
+            vals=", ".join(
+                f"CAST({int(by_cid[cid].get(j, 0))} AS BIGINT)"
+                for j in range(n_dim)
+            ),
+        )
+        for cid in sorted(by_cid)
+    )
+    best = F.expr(
+        f"""array_min(transform(array({cents}), ct -> named_struct(
+            'd', aggregate(
+                zip_with(
+                    transform({vec_col}, x ->
+                        CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5)
+                             AS BIGINT)),
+                    ct.vals, (a, b) -> (a - b) * (a - b)),
+                CAST(0 AS BIGINT), (acc, x) -> acc + x),
+            'cid', ct.cid)))"""
+    )
+    return vecs.select(
+        F.col(id_col), best.alias("_best")
+    ).select(
+        id_col,
+        F.col("_best.cid").alias("cluster_id"),
+        F.col("_best.d").alias("sq_dist"),
+    )

@@ -827,3 +827,39 @@ def test_stream_calibration_partials_match_batch(spark, tmp_path):
         spark.createDataFrame(rows1 + rows2, schema)).collect()))
     assert got == want and len(got) >= 3
     shutil.rmtree(state, ignore_errors=True)
+
+
+def test_cluster_assign_stream_equals_batch_assignment(spark, tmp_path):
+    # round 8: the streaming routing face must reproduce the batch
+    # k-means assignment bit-for-bit — same grid-integer arithmetic,
+    # stateless append mode, availableNow over two arrival chunks.
+    import random
+
+    from drugbankner_spark.operators.clustering import kmeans_fit
+    from drugbankner_spark.streaming.streams import (
+        cluster_assign_stream,
+        run_to_memory,
+    )
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, centroids = kmeans_fit(emb, k=4, n_iters=3)
+    want = _sorted_rows(assigned, ["vec_id", "cluster_id", "sq_dist"])
+
+    src = str(tmp_path / "vec_src")
+    emb.repartition(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    got_df = run_to_memory(
+        cluster_assign_stream(stream, centroids), "r8_assign_stream"
+    )
+    got = _sorted_rows(got_df, ["vec_id", "cluster_id", "sq_dist"])
+    assert got == want and len(got) == 40
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_assign_stream(stream, centroids.filter("cluster_id < 0"))
