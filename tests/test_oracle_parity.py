@@ -76,6 +76,21 @@ def test_rotation_candidates_stay_oracle_ready():
         assert name not in entrymod.queries(), f"{name} rotated back?"
 
 
+def test_round9_consolidated_singles_stay_oracle_ready():
+    # Round-9 rotation: 15 r07-GREEN singles consolidated into
+    # e3_lm_suite / e5_sft_suite / g_count_suite / e5_gov_suite to
+    # free window slots for the round-8-late pool. Every original
+    # keeps a runnable query AND a DuckDB oracle here.
+    for name in ["e3_kn_ppl", "e3_skipgram", "e3_char_entropy",
+                 "e3_zipf", "e3_wordpiece_apply", "e5_span_corrupt",
+                 "e5_augment", "e5_temperature_mix", "e5_dsir_weights",
+                 "g_triangle_count", "g_common_neighbors",
+                 "e5_k_anonymity", "e5_winsorize", "e5_cdc_apply",
+                 "e5_cohort_retention"]:
+        assert name in QUERIES and name in ORACLES, name
+        assert name not in entrymod.queries(), f"{name} rotated back?"
+
+
 def test_round7_pool_names_stay_oracle_ready():
     # The round-7 rotation pool advertised in the queries() docstring:
     # every name must keep a runnable query AND a DuckDB oracle (the
