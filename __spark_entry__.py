@@ -2373,6 +2373,21 @@ def _e5_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _g_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: coreness by SYNCHRONIZED h-index iteration (Lü et al.
+    # 2016) on the shared Z_97 graph — the graph-density curation
+    # signal (spam rings / templated link farms concentrate in high
+    # cores). FIXED 4 rounds so the chained-CTE oracle replays the
+    # identical integer arithmetic round by round; convergence of the
+    # iteration to the exact peeling coreness (kcore_decomposition,
+    # round 6 — data-dependent fixpoint, not statically SQL-
+    # expressible) is pinned separately in tests/test_graph.py.
+    from drugbankner_spark.operators.graph import coreness_hindex
+
+    docs = load_table(spark, sf, "documents")
+    return coreness_hindex(_graph_edges(docs), rounds=4)
+
+
 def _g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     # Exact triangle counting (round 6): deterministic synthetic graph
     # over Z_97 derived from doc ids (two edges per doc). The Spark
@@ -5322,6 +5337,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_assign_stream": _e2_assign_stream,
         "g_pagerank": _g_pagerank,
         "g_ppr": _g_ppr,
+        # round 9 (round-10 pool): coreness by synchronized h-index
+        # iteration — fixed rounds, chained-CTE integer replay oracle
+        "g_kcore": _g_kcore,
         "e5_dp_histogram": _e5_dp_histogram,
         # round 8 (VERDICT r07 next #3/#4): bench-grade SA slice +
         # corpus-scale TF-IDF linker probes (max_df off/on)
@@ -8249,6 +8267,45 @@ def oracle_sql() -> dict[str, str]:
         "e2_rerank_topk": _e2_rerank_topk_oracle(),
         "g_pagerank": _g_pagerank_oracle(),
         "g_ppr": _g_pagerank_oracle(seeds=[0, 7]),
+        # g_kcore: the same 4 synchronized h-index rounds as chained
+        # CTEs — per round, rank neighbor values desc and take
+        # max(least(rank, value)); all integer arithmetic.
+        "g_kcore": (
+            """
+            WITH raw AS (
+                SELECT doc_id % 97 AS s,
+                       (doc_id * doc_id + 1) % 97 AS d
+                FROM documents
+                UNION ALL
+                SELECT (doc_id * 3 + 5) % 97, (doc_id * 5 + 11) % 97
+                FROM documents
+            ),
+            sym AS (
+                SELECT s AS a, d AS b FROM raw WHERE s <> d
+                UNION
+                SELECT d, s FROM raw WHERE s <> d
+            ),
+            v0 AS (
+                SELECT a AS v, COUNT(*) AS core FROM sym GROUP BY a
+            )
+            """
+            + "".join(
+                f""",
+            v{r} AS (
+                SELECT t.v, MAX(LEAST(t.rk, t.uval)) AS core
+                FROM (
+                    SELECT s.a AS v, p.core AS uval,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.a
+                               ORDER BY p.core DESC, s.b
+                           ) AS rk
+                    FROM sym s JOIN v{r - 1} p ON p.v = s.b
+                ) t GROUP BY t.v
+            )"""
+                for r in range(1, 5)
+            )
+            + "\n            SELECT v, core FROM v4"
+        ),
         # round 7 (round-8 pool): Laplace-mechanism DP histogram —
         # inverse-CDF noise from the md5 hash kernel, same arithmetic
         # order as the Spark expression

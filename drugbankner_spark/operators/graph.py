@@ -577,6 +577,69 @@ def kcore_decomposition(
     return core
 
 
+def coreness_hindex(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Coreness via SYNCHRONIZED h-index iteration (Lü et al. 2016,
+    "The H-index of a network, and its relation to degree and
+    coreness"): start every vertex at its degree, then repeatedly set
+    each vertex's value to the H-index of its neighbors' values (the
+    largest h such that ≥ h neighbors hold value ≥ h). The sequence is
+    monotone non-increasing and converges to the exact k-core number.
+    Unlike the fixpoint peeling in ``kcore_decomposition`` (whose round
+    count is data-dependent), this runs a FIXED number of synchronized
+    rounds — the property that makes it cross-engine replayable as a
+    chained-CTE SQL oracle, the same contract as ``pagerank``.
+
+    Per round: one shuffle join (directed-edge table ⋈ values on the
+    neighbor endpoint), one row_number window partitioned by vertex,
+    one max(least(rank, value)) hash agg — all integer arithmetic, no
+    float convention anywhere. No collect; the value table stays
+    distributed, so the node set can be web-scale. Output:
+    (v, core) after ``rounds`` iterations (equal to true coreness once
+    converged — tests pin equality against ``kcore_decomposition``).
+    """
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # both directions: one row per (vertex, neighbor)
+    dirs = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"),
+                                F.col("a").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    vals = dirs.groupBy("v").agg(F.count(F.lit(1)).alias("core"))
+    from pyspark.sql import Window
+
+    for r in range(1, rounds + 1):
+        nb = dirs.join(
+            vals.select(F.col("v").alias("u"), F.col("core").alias("uval")),
+            "u",
+        )
+        # H-index of the neighbor multiset: rank neighbor values desc,
+        # h = max(min(rank, value)). The (uval desc, u) tiebreak pins a
+        # deterministic rank order, though max(least(...)) is invariant
+        # to how ties are broken.
+        w = Window.partitionBy("v").orderBy(F.desc("uval"), F.asc("u"))
+        vals = (
+            nb.withColumn("rk", F.row_number().over(w))
+            .groupBy("v")
+            .agg(F.max(F.least(F.col("rk"), F.col("uval"))).alias("core"))
+        )
+        if r % checkpoint_every == 0 or r == rounds:
+            vals = vals.localCheckpoint(eager=True)
+    return vals
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,

@@ -204,6 +204,50 @@ def test_kcore_decomposition_known_and_random(spark):
     assert got_r == core_ref
 
 
+def test_coreness_hindex_converges_to_peeling(spark):
+    # Round 9: the synchronized h-index iteration must converge to the
+    # exact peeling coreness — on a known graph AND a random one.
+    import random
+
+    from drugbankner_spark.operators.graph import (
+        coreness_hindex,
+        kcore_decomposition,
+    )
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges = k4 + [(0, 9), (9, 10), (10, 11)]  # clique + a path tail
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["v"]: r["core"]
+           for r in coreness_hindex(df, rounds=8).collect()}
+    want = {r["v"]: r["core"] for r in kcore_decomposition(df).collect()}
+    assert got == want
+    assert got[0] == 3 and got[11] == 1
+
+    rng = random.Random(11)
+    redges = list({(rng.randint(0, 23), rng.randint(0, 23))
+                   for _ in range(80)})
+    rdf = spark.createDataFrame(redges, "src long, dst long")
+    got_r = {r["v"]: r["core"]
+             for r in coreness_hindex(rdf, rounds=12).collect()}
+    want_r = {r["v"]: r["core"]
+              for r in kcore_decomposition(rdf).collect()}
+    assert got_r == want_r
+
+
+def test_coreness_hindex_monotone_rounds(spark):
+    # Values are monotone non-increasing in the round count — running
+    # MORE rounds never raises any vertex's value (Lü et al. lemma);
+    # degree (round 0) upper-bounds everything.
+    from drugbankner_spark.operators.graph import coreness_hindex
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    v2 = {r["v"]: r["core"] for r in coreness_hindex(df, rounds=2).collect()}
+    v5 = {r["v"]: r["core"] for r in coreness_hindex(df, rounds=5).collect()}
+    assert set(v2) == set(v5)
+    assert all(v5[v] <= v2[v] for v in v2)
+
+
 def test_bfs_distances_golden_chain_with_branch(spark):
     # round 6 late: 0-1-2-3-4 chain plus branch 2-9; seeds {0} —
     # exact min-hop distances, capped at max_hops.
