@@ -3768,6 +3768,20 @@ def _t_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _t_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: two-sided CUSUM change detection on the same bucketed
+    # series as t_anomaly — the closed-form window shape (running sum
+    # minus clamped running min), BIGINT micro-unit arithmetic end to
+    # end, so the oracle is exact with no float convention anywhere.
+    from drugbankner_spark.operators.timeseries import cusum_changepoints
+
+    return cusum_changepoints(
+        load_table(spark, sf, "events"), ["event_type"],
+        step_seconds=21600, slack_micro=0,
+        threshold_permille=3000,
+    )
+
+
 def _e5_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     # k-anonymity / l-diversity release gate (round 6): equivalence
     # classes over (event_type, day), sensitive = user_id, k=5 — one
@@ -5340,6 +5354,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (round-10 pool): coreness by synchronized h-index
         # iteration — fixed rounds, chained-CTE integer replay oracle
         "g_kcore": _g_kcore,
+        # round 9 (round-10 pool): two-sided CUSUM change detection —
+        # closed-form window shape, BIGINT micro-units end to end
+        "t_cusum": _t_cusum,
         "e5_dp_histogram": _e5_dp_histogram,
         # round 8 (VERDICT r07 next #3/#4): bench-grade SA slice +
         # corpus-scale TF-IDF linker probes (max_df off/on)
@@ -9825,6 +9842,61 @@ def oracle_sql() -> dict[str, str]:
                                THEN (value_avg - mu) / sd END AS z
                 FROM scored
             )
+        """,
+        # t_cusum: the closed-form CUSUM (running sum minus clamped
+        # running min) replayed verbatim — BIGINT micro-units end to
+        # end, deviations scaled by the per-key bucket count so the
+        # mean needs no division.
+        "t_cusum": """
+            WITH obs AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                           AS bucket_start,
+                       SUM(CAST(floor(value * 1000000.0 + 0.5)
+                           AS BIGINT)) AS s_micro,
+                       COUNT(*) AS n_obs
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            dev AS (
+                SELECT event_type, bucket_start, s_micro, n_obs,
+                       COUNT(*) OVER wk AS n,
+                       SUM(s_micro) OVER wk AS total,
+                       s_micro * COUNT(*) OVER wk
+                           - SUM(s_micro) OVER wk AS d_pos,
+                       SUM(s_micro) OVER wk
+                           - s_micro * COUNT(*) OVER wk AS d_neg
+                FROM obs
+                WINDOW wk AS (PARTITION BY event_type)
+            ),
+            cum AS (
+                SELECT event_type, bucket_start, s_micro, n_obs, n,
+                       total,
+                       SUM(d_pos) OVER wo AS cum_p,
+                       SUM(d_neg) OVER wo AS cum_n
+                FROM dev
+                WINDOW wo AS (PARTITION BY event_type
+                              ORDER BY bucket_start
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+            ),
+            cu AS (
+                SELECT event_type, bucket_start, s_micro, n_obs, n,
+                       total,
+                       cum_p - LEAST(0, MIN(cum_p) OVER wo) AS cusum_pos,
+                       cum_n - LEAST(0, MIN(cum_n) OVER wo) AS cusum_neg
+                FROM cum
+                WINDOW wo AS (PARTITION BY event_type
+                              ORDER BY bucket_start
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+            )
+            SELECT event_type, bucket_start, s_micro, n_obs,
+                   cusum_pos, cusum_neg,
+                   (cusum_pos * 1000 > 3000 * abs(total)
+                    OR cusum_neg * 1000 > 3000 * abs(total))
+                       AS is_change
+            FROM cu
         """,
         # round 6: k-anonymity / l-diversity over (event_type, day)
         "e5_k_anonymity": """

@@ -251,6 +251,107 @@ def anomaly_scores(
     )
 
 
+def cusum_changepoints(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 21600,
+    slack_micro: int = 0,
+    threshold_permille: int = 3000,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954) per key over the
+    bucketed series — the distribution-shift monitor for ingest
+    pipelines (a feed whose mean level drifts should flag long before
+    a per-bucket z-score fires, because CUSUM accumulates small
+    persistent deviations that detect_anomalies' trailing window
+    ignores).
+
+    The textbook recursion C_i = max(0, C_{i-1} + d_i) is not a window
+    function — but its closed form IS:
+    ``C_i = cum_i − min(0, min_{j≤i} cum_j)`` where ``cum`` is the
+    running sum of deviations. Two ordered-window passes (running sum
+    + running min), no recursion, no per-row iteration — the plan is
+    one bucket agg shuffle + one window over the per-key series,
+    scale-safe by construction.
+
+    CROSS-ENGINE DETERMINISM: the whole chain is BIGINT arithmetic —
+    values convert once to micro-units via floor(x·1e6 + 0.5)
+    (the seasonal_decompose convention); per-bucket sums are exact;
+    deviations are scaled by the per-key bucket count n so the mean
+    needs no division: d_i = (s_i·n − S) ∓ slack_micro·n. Both cusum
+    columns are therefore exact integers at (micro-units × n) scale.
+
+    The change flag is SCALE-FREE so one setting works across data
+    volumes: flag where the accumulated mean-deviation exceeds
+    ``threshold_permille``/1000 × the per-key AVERAGE bucket sum —
+    as integers, cusum·1000 > threshold_permille·|S| (cusum/n vs
+    thr·|S|/n with both sides multiplied by 1000·n). Overflow bound:
+    needs 1000·n²·mean_bucket_sum_micro < 2⁶³ — at 6-hour buckets
+    that holds for decades of series at 10⁹ micro-units per bucket.
+
+    Output: (keys…, bucket_start, s_micro, n_obs, cusum_pos,
+    cusum_neg, is_change) — cusum columns at micro×n scale,
+    ``is_change`` true where either side exceeds the threshold."""
+    v_int = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    b = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
+        * step_seconds
+    ).cast("long")
+    obs = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, b.alias("bucket_start"))
+        .agg(
+            F.sum(v_int).alias("s_micro"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    wk = Window.partitionBy(*key_cols)
+    n = F.count(F.lit(1)).over(wk)
+    total = F.sum("s_micro").over(wk)
+    dev = F.col("s_micro") * n - total
+    slack = F.lit(int(slack_micro)) * n
+    scored = obs.select(
+        *key_cols,
+        "bucket_start",
+        "s_micro",
+        "n_obs",
+        (dev - slack).alias("_d_pos"),
+        (-dev - slack).alias("_d_neg"),
+        n.alias("_n"),
+        total.alias("_total"),
+    )
+    wo = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = scored.select(
+        *key_cols,
+        "bucket_start",
+        "s_micro",
+        "n_obs",
+        "_n",
+        "_total",
+        F.sum("_d_pos").over(wo).alias("_cum_p"),
+        F.sum("_d_neg").over(wo).alias("_cum_n"),
+    )
+    zero = F.lit(0).cast("long")
+    c_pos = F.col("_cum_p") - F.least(zero, F.min("_cum_p").over(wo))
+    c_neg = F.col("_cum_n") - F.least(zero, F.min("_cum_n").over(wo))
+    thr = F.lit(int(threshold_permille)) * F.abs(F.col("_total"))
+    return cum.select(
+        *key_cols,
+        "bucket_start",
+        "s_micro",
+        "n_obs",
+        c_pos.alias("cusum_pos"),
+        c_neg.alias("cusum_neg"),
+        ((c_pos * F.lit(1000) > thr)
+         | (c_neg * F.lit(1000) > thr)).alias("is_change"),
+    )
+
+
 def stream_bucket_partials(
     events_stream: DataFrame,
     state_dir: str,

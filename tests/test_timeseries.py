@@ -27,6 +27,63 @@ def _series(spark, points):
     )
 
 
+def test_cusum_closed_form_equals_textbook_recursion(spark):
+    # Round 9: the window-function closed form
+    # C_i = cum_i - min(0, min_{j<=i} cum_j) must equal the textbook
+    # recursion C_i = max(0, C_{i-1} + d_i) on a series with a planted
+    # level shift — and the shift must flag while the stable head
+    # doesn't.
+    from drugbankner_spark.operators.timeseries import cusum_changepoints
+
+    vals = [10.0] * 6 + [14.0] * 6          # mean shift at i=6
+    df = _series(spark, list(enumerate(vals)))
+    rows = sorted(
+        cusum_changepoints(df, ["key"], step_seconds=STEP,
+                           threshold_permille=400).collect(),
+        key=lambda r: r["bucket_start"],
+    )
+    # textbook recursion in exact integer micro*n units
+    s = [int(v * 1_000_000) for v in vals]
+    n, S = len(s), sum(s)
+    cp = cn = 0
+    exp_pos, exp_neg = [], []
+    for si in s:
+        cp = max(0, cp + (si * n - S))
+        cn = max(0, cn + (S - si * n))
+        exp_pos.append(cp)
+        exp_neg.append(cn)
+    assert [r["cusum_pos"] for r in rows] == exp_pos
+    assert [r["cusum_neg"] for r in rows] == exp_neg
+    # scale-free flag: stable head quiet, accumulated shift fires
+    assert rows[0]["is_change"] is False
+    assert rows[-1]["is_change"] is True
+
+
+def test_cusum_two_keys_and_null_values(spark):
+    # keys are independent; NULL values drop out of the bucket sums
+    from drugbankner_spark.operators.timeseries import cusum_changepoints
+
+    rows = [("a", BASE + dt.timedelta(minutes=m), float(m)) for m in range(4)]
+    rows += [("b", BASE + dt.timedelta(minutes=m), 5.0) for m in range(4)]
+    df = spark.createDataFrame(
+        rows + [("b", BASE + dt.timedelta(minutes=1), None)],
+        "key string, ts timestamp, value double",
+    )
+    got = {(r["key"], r["bucket_start"]): r
+           for r in cusum_changepoints(df, ["key"],
+                                       step_seconds=STEP).collect()}
+    base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    # constant series: all deviations 0, cusum identically 0, no flags
+    for m in range(4):
+        r = got[("b", base_epoch + 60 * m)]
+        assert r["cusum_pos"] == 0 and r["cusum_neg"] == 0
+        assert r["is_change"] is False
+    # the NULL contributes to no sum; bucket 1 of 'b' still has its 5.0
+    assert got[("b", base_epoch + 60)]["s_micro"] == 5_000_000
+    # ramp series on 'a' accumulates on both sides across the run
+    assert got[("a", base_epoch + 180)]["cusum_pos"] > 0
+
+
 def test_gapfill_locf_and_linear_interpolation(spark):
     # observed at minutes 0 (v=10), 1 (v=20), 4 (v=50): gaps at 2, 3.
     df = _series(spark, [(0, 10), (1, 20), (4, 50)])
