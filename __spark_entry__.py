@@ -3768,6 +3768,32 @@ def _t_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_bleu(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: corpus-level BLEU-4 — prediction = the document with
+    # every 7th token dropped (a deterministic "lossy decode"),
+    # reference = the document itself, so every clipped precision is
+    # a non-trivial exact fraction. One row out; the only
+    # transcendental (exp of the brevity log-ratio) is left to the
+    # caller per the float-parity law.
+    from drugbankner_spark.operators.evals import bleu_corpus
+
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    pairs = docs.select(
+        F.array_join(
+            F.filter(toks, lambda x, i: ((i + 1) % 7) != 0), " "
+        ).alias("prediction"),
+        F.col("text").alias("reference"),
+    )
+    return bleu_corpus(pairs)
+
+
 def _t_cusum(spark: SparkSession, sf: str) -> DataFrame:
     # Round 9: two-sided CUSUM change detection on the same bucketed
     # series as t_anomaly — the closed-form window shape (running sum
@@ -5357,6 +5383,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (round-10 pool): two-sided CUSUM change detection —
         # closed-form window shape, BIGINT micro-units end to end
         "t_cusum": _t_cusum,
+        # round 9 (round-10 pool): corpus BLEU-4 — exact clipped
+        # fractions, sqrt-only geometric mean, BP as a log-ratio
+        "e5_bleu": _e5_bleu,
         "e5_dp_histogram": _e5_dp_histogram,
         # round 8 (VERDICT r07 next #3/#4): bench-grade SA slice +
         # corpus-scale TF-IDF linker probes (max_df off/on)
@@ -9842,6 +9871,124 @@ def oracle_sql() -> dict[str, str]:
                                THEN (value_avg - mu) / sd END AS z
                 FROM scored
             )
+        """,
+        # e5_bleu: corpus BLEU-4 replicated relationally — tokens via
+        # a positions table, n-grams via lead() windows, clipped
+        # matches via per-(doc, n, gram) count join + LEAST, then one
+        # corpus rollup. Geometric mean pinned to sqrt(sqrt()) and the
+        # multiplication order ((p1*p2)*p3)*p4 — identical to the
+        # Spark side; the only exp() stays outside the contract.
+        "e5_bleu": """
+            WITH toks0 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                           '\\s+'), t -> t <> '') AS tk
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, ii.i AS i, tk[ii.i] AS tok
+                FROM toks0, UNNEST(generate_series(1, len(tk))) AS ii(i)
+            ),
+            ptok AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS j, tok
+                FROM toks WHERE i % 7 <> 0
+            ),
+            pl AS (
+                SELECT doc_id, tok,
+                       lead(tok, 1) OVER w AS t1,
+                       lead(tok, 2) OVER w AS t2,
+                       lead(tok, 3) OVER w AS t3
+                FROM ptok
+                WINDOW w AS (PARTITION BY doc_id ORDER BY j)
+            ),
+            rl AS (
+                SELECT doc_id, tok,
+                       lead(tok, 1) OVER w AS t1,
+                       lead(tok, 2) OVER w AS t2,
+                       lead(tok, 3) OVER w AS t3
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            pgrams AS (
+                SELECT doc_id, 1 AS n, tok AS gram FROM pl
+                UNION ALL SELECT doc_id, 2, tok || ' ' || t1
+                FROM pl WHERE t1 IS NOT NULL
+                UNION ALL SELECT doc_id, 3,
+                    tok || ' ' || t1 || ' ' || t2
+                FROM pl WHERE t2 IS NOT NULL
+                UNION ALL SELECT doc_id, 4,
+                    tok || ' ' || t1 || ' ' || t2 || ' ' || t3
+                FROM pl WHERE t3 IS NOT NULL
+            ),
+            rgrams AS (
+                SELECT doc_id, 1 AS n, tok AS gram FROM rl
+                UNION ALL SELECT doc_id, 2, tok || ' ' || t1
+                FROM rl WHERE t1 IS NOT NULL
+                UNION ALL SELECT doc_id, 3,
+                    tok || ' ' || t1 || ' ' || t2
+                FROM rl WHERE t2 IS NOT NULL
+                UNION ALL SELECT doc_id, 4,
+                    tok || ' ' || t1 || ' ' || t2 || ' ' || t3
+                FROM rl WHERE t3 IS NOT NULL
+            ),
+            pc AS (SELECT doc_id, n, gram, COUNT(*) AS cp
+                   FROM pgrams GROUP BY 1, 2, 3),
+            rc AS (SELECT doc_id, n, gram, COUNT(*) AS cr
+                   FROM rgrams GROUP BY 1, 2, 3),
+            m AS (
+                SELECT pc.n, SUM(LEAST(cp, cr)) AS matches
+                FROM pc JOIN rc USING (doc_id, n, gram) GROUP BY pc.n
+            ),
+            tot AS (SELECT n, COUNT(*) AS total FROM pgrams GROUP BY n),
+            spine AS (
+                SELECT v.n,
+                       CAST(COALESCE(m.matches, 0) AS BIGINT) AS matches,
+                       CAST(COALESCE(tot.total, 0) AS BIGINT) AS total
+                FROM (VALUES (1), (2), (3), (4)) v(n)
+                LEFT JOIN m ON m.n = v.n
+                LEFT JOIN tot ON tot.n = v.n
+            ),
+            lens AS (
+                SELECT CAST(SUM(CASE WHEN i % 7 <> 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS pred_len,
+                       CAST(COUNT(*) AS BIGINT) AS ref_len
+                FROM toks
+            ),
+            wide AS (
+                SELECT lens.pred_len, lens.ref_len,
+                       MAX(CASE WHEN n = 1 THEN matches END) AS match_1,
+                       MAX(CASE WHEN n = 2 THEN matches END) AS match_2,
+                       MAX(CASE WHEN n = 3 THEN matches END) AS match_3,
+                       MAX(CASE WHEN n = 4 THEN matches END) AS match_4,
+                       MAX(CASE WHEN n = 1 THEN total END) AS total_1,
+                       MAX(CASE WHEN n = 2 THEN total END) AS total_2,
+                       MAX(CASE WHEN n = 3 THEN total END) AS total_3,
+                       MAX(CASE WHEN n = 4 THEN total END) AS total_4
+                FROM spine, lens
+                GROUP BY lens.pred_len, lens.ref_len
+            ),
+            withp AS (
+                SELECT *,
+                       CASE WHEN total_1 = 0 THEN 0.0
+                            ELSE match_1 / total_1 END AS p_1,
+                       CASE WHEN total_2 = 0 THEN 0.0
+                            ELSE match_2 / total_2 END AS p_2,
+                       CASE WHEN total_3 = 0 THEN 0.0
+                            ELSE match_3 / total_3 END AS p_3,
+                       CASE WHEN total_4 = 0 THEN 0.0
+                            ELSE match_4 / total_4 END AS p_4
+                FROM wide
+            )
+            SELECT pred_len, ref_len, match_1, match_2, match_3,
+                   match_4, total_1, total_2, total_3, total_4,
+                   p_1, p_2, p_3, p_4,
+                   sqrt(sqrt(((p_1 * p_2) * p_3) * p_4)) AS bleu_no_bp,
+                   CASE WHEN pred_len = 0 THEN NULL
+                        ELSE LEAST(0.0, 1.0 - ref_len / pred_len) END
+                       AS bp_log_ratio
+            FROM withp
         """,
         # t_cusum: the closed-form CUSUM (running sum minus clamped
         # running min) replayed verbatim — BIGINT micro-units end to

@@ -100,6 +100,90 @@ def eval_scores(
     )
 
 
+def bleu_corpus(
+    pairs: DataFrame,
+    pred_col: str = "prediction",
+    ref_col: str = "reference",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002) over (prediction,
+    reference) pairs: per n = 1..max_n the CLIPPED n-gram matches are
+    summed across the corpus before dividing (the corpus statistic,
+    not a mean of sentence BLEUs), plus the brevity-penalty length
+    totals. Single-reference form (the common data-pipeline case:
+    scoring a decoded/augmented text against its source).
+
+    Per pair: one pre-projected token array each side (lambda-capture
+    audit: the clipped-overlap fold re-reads its inputs per element,
+    so they must be column references), 2·max_n gram arrays, max_n
+    clipped-overlap folds. Then ONE map-side-combinable global agg —
+    the whole corpus collapses to a single row, scale-safe.
+
+    FLOAT-PARITY LAW: no transcendental leaves this operator.
+    Matches/totals/lengths are exact BIGINTs; precisions are single
+    IEEE divisions; ``bleu_no_bp`` is the 4-way geometric mean via
+    sqrt(sqrt(((p1·p2)·p3)·p4)) — multiplication order pinned, sqrt
+    correctly rounded per IEEE on both engines (requires max_n=4);
+    ``bp_log_ratio`` = min(0, 1 − r/c) is division+subtraction only.
+    Full BLEU = bleu_no_bp · exp(bp_log_ratio): the one exp() is left
+    to the CALLER (exp is not correctly-rounded cross-engine; golden
+    tests compute it in Python). Any p_n = 0 ⇒ bleu_no_bp = 0
+    (unsmoothed convention)."""
+    if max_n != 4:
+        raise ValueError("the pinned sqrt(sqrt()) geometric mean "
+                         "requires max_n=4")
+    pre = pairs.select(
+        _toks(F.col(pred_col)).alias("_p"),
+        _toks(F.col(ref_col)).alias("_r"),
+    )
+    gram_cols = []
+    for n in range(1, max_n + 1):
+        gram_cols += [
+            _ngrams(F.col("_p"), n).alias(f"_pg{n}"),
+            _ngrams(F.col("_r"), n).alias(f"_rg{n}"),
+        ]
+    g = pre.select(F.size("_p").alias("_lp"), F.size("_r").alias("_lr"),
+                   *gram_cols)
+    per_pair = g.select(
+        "_lp",
+        "_lr",
+        *[
+            _multiset_overlap(F.col(f"_pg{n}"), F.col(f"_rg{n}"))
+            .alias(f"_m{n}")
+            for n in range(1, max_n + 1)
+        ],
+        *[F.size(f"_pg{n}").alias(f"_t{n}") for n in range(1, max_n + 1)],
+    )
+    agg = per_pair.agg(
+        F.sum("_lp").cast("long").alias("pred_len"),
+        F.sum("_lr").cast("long").alias("ref_len"),
+        *[F.sum(f"_m{n}").cast("long").alias(f"match_{n}")
+          for n in range(1, max_n + 1)],
+        *[F.sum(f"_t{n}").cast("long").alias(f"total_{n}")
+          for n in range(1, max_n + 1)],
+    )
+    prec = [
+        F.when(F.col(f"total_{n}") == 0, F.lit(0.0))
+        .otherwise(F.col(f"match_{n}") / F.col(f"total_{n}"))
+        .alias(f"p_{n}")
+        for n in range(1, max_n + 1)
+    ]
+    with_p = agg.select("*", *prec)
+    geo = F.sqrt(F.sqrt(
+        ((F.col("p_1") * F.col("p_2")) * F.col("p_3")) * F.col("p_4")
+    ))
+    bp_log = F.least(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("ref_len") / F.col("pred_len"),
+    )
+    return with_p.select(
+        "*",
+        geo.alias("bleu_no_bp"),
+        F.when(F.col("pred_len") == 0, F.lit(None).cast("double"))
+        .otherwise(bp_log).alias("bp_log_ratio"),
+    )
+
+
 def inject_needles(
     docs: DataFrame,
     needle: Column | str,

@@ -3032,3 +3032,48 @@ def test_semantic_decontaminate_flags_planted_paraphrase(spark):
     ).collect()}
     assert all(not r["contaminated"] for r in out2.values())
     assert all(r["max_benchmark_sim"] is None for r in out2.values())
+
+
+def test_bleu_corpus_clipped_and_geomean(spark):
+    # Round 9: the classic clipping example — pred "the the the the
+    # the the the" vs ref "the cat is on the mat": clipped unigram
+    # matches = 2 (ref holds two "the"), total 7; no bigram matches.
+    from math import exp
+
+    from drugbankner_spark.operators.evals import bleu_corpus
+
+    df = spark.createDataFrame(
+        [("the the the the the the the", "the cat is on the mat")],
+        "prediction string, reference string",
+    )
+    r = bleu_corpus(df).collect()[0]
+    assert (r["match_1"], r["total_1"]) == (2, 7)
+    assert (r["match_2"], r["total_2"]) == (0, 6)
+    assert r["p_1"] == 2 / 7 and r["p_2"] == 0.0
+    assert r["bleu_no_bp"] == 0.0          # unsmoothed: any p_n=0 -> 0
+    # pred longer than ref: no brevity penalty
+    assert r["bp_log_ratio"] == 0.0
+
+    # perfect match across a two-pair corpus: BLEU exactly 1
+    df2 = spark.createDataFrame(
+        [("a b c d e", "a b c d e"), ("x y z w q r", "x y z w q r")],
+        "prediction string, reference string",
+    )
+    r2 = bleu_corpus(df2).collect()[0]
+    assert r2["bleu_no_bp"] == 1.0 and r2["bp_log_ratio"] == 0.0
+    assert all(r2[f"p_{n}"] == 1.0 for n in range(1, 5))
+
+    # corpus pooling + brevity penalty: truncate one pair's pred.
+    # stats pool BEFORE dividing (not a mean of sentence BLEUs).
+    df3 = spark.createDataFrame(
+        [("a b c d", "a b c d e f"), ("p q r s", "p q r s")],
+        "prediction string, reference string",
+    )
+    r3 = bleu_corpus(df3).collect()[0]
+    assert (r3["match_1"], r3["total_1"]) == (8, 8)
+    assert (r3["match_4"], r3["total_4"]) == (2, 2)
+    assert r3["pred_len"] == 8 and r3["ref_len"] == 10
+    assert r3["bp_log_ratio"] == 1.0 - 10 / 8
+    # the caller-side exp() completes the published definition
+    bleu = r3["bleu_no_bp"] * exp(r3["bp_log_ratio"])
+    assert abs(bleu - exp(1 - 10 / 8)) < 1e-12
