@@ -1440,6 +1440,37 @@ def _e2_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.hamming_topk(codes, codes.filter(F.col("vec_id") < 5), k=5)
 
 
+def _e2_srp_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: signed-random-projection codes (SimHash for dense
+    # embeddings — angle-preserving, unlike per-coordinate
+    # binary_quantize) + the top-k composition over them, in one
+    # tagged row: 'code' rows carry the packed words (melted so no
+    # array column reaches the hash), 'topk' rows prove the codes
+    # drop straight into the integer Hamming machinery.
+    from drugbankner_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf, "embeddings")
+    codes = SIM.srp_sketch(emb, n_bits=64, dim=64)
+    melted = codes.select(
+        "vec_id", F.posexplode("code").alias("word", "cw")
+    ).select(*_okv(
+        "code",
+        F.concat_ws("§", F.col("vec_id").cast("string"),
+                    F.col("word").cast("string")),
+        v_num=F.col("cw").cast("double"),
+    ))
+    topk = SIM.hamming_topk(
+        codes, codes.filter(F.col("vec_id") < 5), k=5
+    ).select(*_okv(
+        "topk",
+        F.concat_ws("§", F.col("query_id").cast("string"),
+                    F.col("rank").cast("string")),
+        v_num=(F.col("neighbor_id") * F.lit(10000)
+               + F.col("hamming")).cast("double"),
+    ))
+    return melted.unionByName(topk)
+
+
 def _e2_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     # Round 7 (round-8 pool): the rerank funnel — integer Hamming
     # shortlist (20) → exact cosine top-5 on the survivors.
@@ -5386,6 +5417,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (round-10 pool): corpus BLEU-4 — exact clipped
         # fractions, sqrt-only geometric mean, BP as a log-ratio
         "e5_bleu": _e5_bleu,
+        # round 9 (round-10 pool): signed random projection (angle-
+        # preserving 1-bit codes) + its Hamming top-k composition
+        "e2_srp_sketch": _e2_srp_sketch,
         "e5_dp_histogram": _e5_dp_histogram,
         # round 8 (VERDICT r07 next #3/#4): bench-grade SA slice +
         # corpus-scale TF-IDF linker probes (max_df off/on)
@@ -6820,6 +6854,74 @@ def _e3_fingerprint_oracle() -> str:
         SELECT doc_id, min(chunk_hash) AS min_fingerprint,
                count(*) AS n_chunks
         FROM hashed GROUP BY doc_id
+    """
+
+
+def _e2_srp_oracle(n_bits: int = 64, dim: int = 64,
+                   scale: int = 10_000) -> str:
+    """SQL twin of e2_srp_sketch: the SAME srp_sign_matrix literals
+    (generated once in Python — no per-engine hashing), DuckDB
+    1-based indexing, identical pinned addition order."""
+    from drugbankner_spark.operators.similarity import srp_sign_matrix
+
+    signs = srp_sign_matrix(n_bits, dim)
+    nw = (n_bits + 31) // 32
+
+    def proj(k: int) -> str:
+        return " + ".join(
+            f"({signs[k][j]} * vi[{j + 1}])" for j in range(dim)
+        )
+
+    words = []
+    for w in range(nw):
+        bits = " + ".join(
+            f"(CASE WHEN ({proj(w * 32 + i)}) > 0 THEN {1 << i} "
+            f"ELSE 0 END)"
+            for i in range(32) if w * 32 + i < n_bits
+        )
+        words.append(f"CAST({bits} AS BIGINT) AS c{w}")
+    code_rows = "\n                UNION ALL ".join(
+        f"""SELECT 'code' AS op,
+                       CAST(vec_id AS VARCHAR) || '§' || '{w}' AS k,
+                       CAST(NULL AS VARCHAR) AS v,
+                       CAST(c{w} AS DOUBLE) AS v_num FROM codes"""
+        for w in range(nw)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(q.c{w}, c.c{w}))" for w in range(nw)
+    )
+    return f"""
+        WITH vit AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5)
+                            AS BIGINT)) AS vi
+            FROM embeddings
+        ),
+        codes AS (
+            SELECT vec_id, {", ".join(words)} FROM vit
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST({ham} AS BIGINT) AS hamming
+            FROM codes c, codes q
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id, hamming,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY hamming ASC, neighbor_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        {code_rows}
+        UNION ALL
+        SELECT 'topk',
+               CAST(query_id AS VARCHAR) || '§' || CAST(rank AS VARCHAR),
+               CAST(NULL AS VARCHAR),
+               CAST(neighbor_id * 10000 + hamming AS DOUBLE)
+        FROM topk WHERE rank <= 5
     """
 
 
@@ -9990,6 +10092,11 @@ def oracle_sql() -> dict[str, str]:
                        AS bp_log_ratio
             FROM withp
         """,
+        # e2_srp_sketch: the SAME Python-generated ±1 matrix inlines
+        # into both engines' expressions (no cross-engine hash
+        # convention at all); grid-integer projections, 32-bit word
+        # packing, then the standard integer Hamming top-k.
+        "e2_srp_sketch": _e2_srp_oracle(),
         # t_cusum: the closed-form CUSUM (running sum minus clamped
         # running min) replayed verbatim — BIGINT micro-units end to
         # end, deviations scaled by the per-key bucket count so the

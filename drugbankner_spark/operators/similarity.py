@@ -1486,6 +1486,88 @@ def binary_quantize(
     return emb.select(F.col(id_col), F.expr(expr).alias("code"))
 
 
+def srp_sign_matrix(
+    n_bits: int, dim: int, seed: str = "srp"
+) -> list[list[int]]:
+    """Deterministic ±1 Rademacher projection matrix: sign(k, j) from
+    the parity of the first 8 md5 hex chars of ``"{seed}|{k}|{j}"``.
+    Achlioptas (2003) showed ±1 entries satisfy the JL lemma just like
+    Gaussians — and unlike Gaussians they keep the arithmetic on the
+    integer grid. Generated ONCE in Python and inlined as literals
+    into BOTH engines' expressions, so there is no cross-engine hash
+    convention in play at all."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}|{k}|{j}".encode())
+                   .hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for j in range(dim)
+        ]
+        for k in range(n_bits)
+    ]
+
+
+def srp_sketch(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    dim: int = 64,
+    scale: int = 10_000,
+    seed: str = "srp",
+) -> DataFrame:
+    """Signed random projection (SimHash for dense embeddings —
+    Charikar 2002): project each vector onto ``n_bits`` fixed ±1
+    directions and keep the sign bits, packed 32 per BIGINT word (the
+    :func:`binary_quantize` layout, so the codes drop straight into
+    ``hamming_topk`` / ``hamming_band_pairs``). Unlike
+    ``binary_quantize`` (per-COORDINATE signs, which degrade when mass
+    concentrates in few dims), SRP bits estimate the cosine ANGLE:
+    P[bit differs] = θ/π for any pair, the classic LSH guarantee.
+
+    CROSS-ENGINE DETERMINISM: components quantize once to the integer
+    grid (floor(x·scale + 0.5), the k-means convention); each
+    projection is a ±1-weighted integer SUM with the addition order
+    pinned by the inlined literal expression; sign ties (proj == 0)
+    are bit 0. Zero shuffle, zero UDF — one projection per row, and
+    the sign matrix is baked into the plan as literals (the ANN
+    literal-heavy single-expression lesson: one Py4J call, not
+    n_bits·dim of them).
+
+    Output: (id, code array<long> of ceil(n_bits/32) words)."""
+    signs = srp_sign_matrix(n_bits, dim, seed)
+    nw = (n_bits + 31) // 32
+    vi = (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{scale} + 0.5) AS BIGINT))"
+    )
+    pre = emb.select(F.col(id_col), F.expr(vi).alias("_vi"))
+
+    def proj(k: int) -> str:
+        # Spark SQL [] indexing is 0-based
+        return " + ".join(
+            f"({signs[k][j]} * _vi[{j}])" for j in range(dim)
+        )
+
+    words = []
+    for w in range(nw):
+        bits = []
+        for i in range(32):
+            k = w * 32 + i
+            if k >= n_bits:
+                break
+            bits.append(
+                f"(CASE WHEN ({proj(k)}) > 0 THEN {1 << i}L "
+                f"ELSE 0L END)"
+            )
+        words.append("(" + " + ".join(bits) + ")")
+    code = "array(" + ", ".join(words) + ")"
+    return pre.select(F.col(id_col), F.expr(code).alias("code"))
+
+
 def hamming_topk(
     codes: DataFrame,
     query_codes: DataFrame,

@@ -151,3 +151,49 @@ def test_hamming_band_pairs_empty_corpus(spark):
     out = hamming_band_pairs(codes, max_hamming=3)
     assert out.columns == ["id_a", "id_b", "hamming"]
     assert out.count() == 0
+
+
+def test_srp_sketch_is_angle_lsh(spark):
+    # Round 9: SRP bits estimate ANGLE — a noisy copy of v must land
+    # at a smaller Hamming distance from v than a random vector does
+    # (P[bit differs] = theta/pi, Charikar 2002). Deterministic
+    # fixture: base vector, a 5%-perturbed copy, and an unrelated one.
+    import math
+    import random
+
+    from drugbankner_spark.operators.similarity import (
+        hamming_topk,
+        srp_sketch,
+        srp_sign_matrix,
+    )
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + rng.uniform(-0.05, 0.05) for x in base]
+    far = [rng.uniform(-1, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = srp_sketch(df, n_bits=64, dim=64)
+    rows = {r["vec_id"]: r["code"] for r in codes.collect()}
+    assert all(len(c) == 2 for c in rows.values())
+    assert all(0 <= w < (1 << 32) for c in rows.values() for w in c)
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert ham(rows[0], rows[1]) < ham(rows[0], rows[2])
+    # the near pair flips ~theta/pi of 64 bits: a 5% perturbation is
+    # well under 45 degrees, so fewer than half the bits differ
+    assert ham(rows[0], rows[1]) < 16
+
+    # codes drop straight into the integer Hamming machinery
+    topk = hamming_topk(codes, codes.filter("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(topk, key=lambda r: r["rank"])] == [1, 2]
+
+    # the sign matrix is deterministic and balanced-ish
+    m = srp_sign_matrix(64, 64)
+    assert m == srp_sign_matrix(64, 64)
+    flat = [s for row in m for s in row]
+    assert abs(sum(flat)) < len(flat) * 0.2
