@@ -3799,6 +3799,21 @@ def _t_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_dp_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: DP quantile release — one Laplace histogram over the
+    # PUBLIC domain [0, 500) in 50 bins (width exactly 10.0), then
+    # quantiles read off the noisy CDF as integer compares; all
+    # post-processing, so the whole release costs the histogram's ε.
+    from drugbankner_spark.operators.privacy import dp_quantiles
+
+    return dp_quantiles(
+        load_table(spark, sf, "events"), "value",
+        lo=0.0, hi=500.0, n_bins=50,
+        qs_permille=(250, 500, 750, 900),
+        epsilon=0.5, salt="r9q",
+    )
+
+
 def _e5_bleu(spark: SparkSession, sf: str) -> DataFrame:
     # Round 9: corpus-level BLEU-4 — prediction = the document with
     # every 7th token dropped (a deterministic "lossy decode"),
@@ -5420,6 +5435,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (round-10 pool): signed random projection (angle-
         # preserving 1-bit codes) + its Hamming top-k composition
         "e2_srp_sketch": _e2_srp_sketch,
+        # round 9 (round-10 pool): DP quantiles off one noisy CDF —
+        # post-processing of a single Laplace histogram release
+        "e5_dp_quantile": _e5_dp_quantile,
         "e5_dp_histogram": _e5_dp_histogram,
         # round 8 (VERDICT r07 next #3/#4): bench-grade SA slice +
         # corpus-scale TF-IDF linker probes (max_df off/on)
@@ -8512,6 +8530,59 @@ def oracle_sql() -> dict[str, str]:
                           * ln(1.0 - 2.0 * abs(u - 0.5)))
                        + 0.5), 0) AS BIGINT) AS noisy_count
             FROM nz
+        """,
+        # round 9: DP quantiles — the dp_histogram noise kernel keyed
+        # on the PUBLIC bin grid, noisy CDF, integer-compare readout
+        "e5_dp_quantile": f"""
+            WITH obs AS (
+                SELECT LEAST(49, GREATEST(0,
+                           CAST(floor((value - 0.0) / 10.0) AS INT)
+                       )) AS bin
+                FROM events WHERE value IS NOT NULL
+            ),
+            c AS (SELECT bin, count(*) AS c FROM obs GROUP BY 1),
+            spine AS (
+                SELECT CAST(ii.b AS INT) AS bin
+                FROM UNNEST(generate_series(0, 49)) AS ii(b)
+            ),
+            keyed AS (
+                SELECT bin,
+                       ({_sql_hash32(
+                           "CAST(bin AS VARCHAR) || chr(31) || 'r9q'"
+                       )} + 0.5) / 4294967296.0 AS u
+                FROM spine
+            ),
+            nz AS (
+                SELECT k.bin,
+                       CAST(greatest(floor(
+                           COALESCE(c.c, 0)
+                           + (-(1.0 / 0.5) * sign(u - 0.5)
+                              * ln(1.0 - 2.0 * abs(u - 0.5)))
+                           + 0.5), 0) AS BIGINT) AS noisy_count
+                FROM keyed k LEFT JOIN c ON c.bin = k.bin
+            ),
+            cdf AS (
+                SELECT bin,
+                       CAST(SUM(noisy_count) OVER (
+                           ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS noisy_cum,
+                       CAST(SUM(noisy_count) OVER () AS BIGINT)
+                           AS noisy_total
+                FROM nz
+            ),
+            hit AS (
+                SELECT CAST(q.q_permille AS BIGINT) AS q_permille,
+                       MIN(bin) AS bin
+                FROM cdf, (VALUES (250), (500), (750), (900))
+                     q(q_permille)
+                WHERE noisy_cum * 1000 >= q.q_permille * noisy_total
+                GROUP BY 1
+            )
+            SELECT hit.q_permille, hit.bin,
+                   0.0 + hit.bin * 10.0 AS lower_edge,
+                   cdf.noisy_cum, cdf.noisy_total
+            FROM hit JOIN cdf ON cdf.bin = hit.bin
         """,
         # round 7 (round-8 pool): 1-bit quantization (32 sign bits per
         # BIGINT word — all words small positives, no sign convention)

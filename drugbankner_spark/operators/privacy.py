@@ -250,3 +250,116 @@ def dp_noisy_histogram(
             F.floor(F.col("true_count") + noise + 0.5), F.lit(0)
         ).cast("long").alias("noisy_count"),
     )
+
+
+def dp_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 50,
+    qs_permille: tuple[int, ...] = (250, 500, 750, 900),
+    epsilon: float = 1.0,
+    salt: str = "release-1",
+) -> DataFrame:
+    """ε-DP quantile release via the noisy CDF: ONE Laplace-mechanism
+    histogram over a PUBLIC fixed-bin domain [lo, hi), then quantiles
+    read off the noisy cumulative counts. Everything after the noisy
+    histogram is post-processing, so the whole release costs the one
+    histogram's ε (all quantiles share it — the standard advantage
+    over per-quantile exponential-mechanism releases when the domain
+    is discretizable).
+
+    The bin grid MUST be data-independent (lo/hi/n_bins are public
+    caller knowledge — e.g. a sensor's spec range); values outside
+    clamp into the edge bins rather than revealing their existence via
+    a dropped row. EVERY bin of the public grid emits noise, observed
+    or not — an absent bin would leak emptiness. Row-level adjacency
+    (one row changes one bin count: L1 sensitivity 1, noise
+    Laplace(1/ε)); for user-level guarantees bound contributions
+    upstream the way ``dp_noisy_histogram(contributor_col=...)`` does.
+
+    Determinism follows the dp_noisy_histogram kernel exactly: uniform
+    from the md5-derived 32-bit hash of (bin index, salt) — keyed on
+    the BIN, never the count — inverse-CDF Laplace, floor+clamp to a
+    non-negative integer. The quantile rule is then an exact integer
+    compare: the first bin where cum·1000 ≥ q‰·total.
+
+    Plan: one map-side-combinable count agg onto a dim-sized bin
+    spine (n_bins rows — the only single-partition windows run on
+    that spine, never on data), one tiny quantile-spine join. Output:
+    (q_permille, bin, lower_edge, noisy_cum, noisy_total)."""
+    from pyspark.sql import Window
+
+    from drugbankner_spark.operators.dedup import content_hash32
+
+    if epsilon <= 0:
+        raise ValueError("dp_quantiles: epsilon must be > 0")
+    if not lo < hi:
+        raise ValueError("dp_quantiles: need lo < hi")
+    width = (hi - lo) / n_bins
+    idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+            .cast("int"),
+        ),
+    )
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    spine = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    key = F.concat_ws(
+        "\x1f", F.col("bin").cast("string"), F.lit(salt)
+    )
+    u = (content_hash32(key) + 0.5) / F.lit(2.0 ** 32)
+    p = u - 0.5
+    b = 1.0 / epsilon
+    noise = -F.lit(b) * F.signum(p) * F.log(1.0 - 2.0 * F.abs(p))
+    noisy = (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.greatest(
+                F.floor(F.coalesce(F.col("_c"), F.lit(0)) + noise + 0.5),
+                F.lit(0),
+            ).cast("long").alias("noisy_count"),
+        )
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cdf = noisy.select(
+        "bin",
+        F.sum("noisy_count").over(wcum).alias("noisy_cum"),
+        F.sum("noisy_count").over(wall).alias("noisy_total"),
+    )
+    qdim = df.sparkSession.createDataFrame(
+        [(int(q),) for q in qs_permille], "q_permille long"
+    )
+    hit = (
+        cdf.join(F.broadcast(qdim))
+        .filter(
+            F.col("noisy_cum") * F.lit(1000)
+            >= F.col("q_permille") * F.col("noisy_total")
+        )
+        .groupBy("q_permille")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        hit.join(cdf, "bin")
+        .select(
+            "q_permille",
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lower_edge"),
+            "noisy_cum",
+            "noisy_total",
+        )
+    )

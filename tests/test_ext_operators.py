@@ -3077,3 +3077,55 @@ def test_bleu_corpus_clipped_and_geomean(spark):
     # the caller-side exp() completes the published definition
     bleu = r3["bleu_no_bp"] * exp(r3["bp_log_ratio"])
     assert abs(bleu - exp(1 - 10 / 8)) < 1e-12
+
+
+def test_dp_quantiles_accuracy_and_postprocessing(spark):
+    # Round 9: with a large epsilon (noise << counts) the noisy-CDF
+    # quantiles land on the true ones; bins are monotone in q; and the
+    # release covers the full PUBLIC grid (empty bins emit noise too,
+    # so the total can exceed the row count).
+    from drugbankner_spark.operators.privacy import dp_quantiles
+
+    # 1000 values uniform over [0, 100): true quartiles at 25/50/75
+    df = spark.createDataFrame(
+        [(float(i % 100) + 0.5,) for i in range(1000)], "value double"
+    )
+    out = {r["q_permille"]: r for r in dp_quantiles(
+        df, "value", lo=0.0, hi=100.0, n_bins=20,
+        qs_permille=(250, 500, 750), epsilon=1000.0, salt="t",
+    ).collect()}
+    assert [out[q]["bin"] for q in (250, 500, 750)] == [4, 9, 14]
+    assert out[500]["lower_edge"] == 45.0
+    bins = [out[q]["bin"] for q in sorted(out)]
+    assert bins == sorted(bins)
+    # same release, tiny epsilon: totals differ (real noise) but the
+    # output is still a valid monotone CDF readout over the same grid
+    noisy = {r["q_permille"]: r for r in dp_quantiles(
+        df, "value", lo=0.0, hi=100.0, n_bins=20,
+        qs_permille=(250, 500, 750), epsilon=0.05, salt="t",
+    ).collect()}
+    nb = [noisy[q]["bin"] for q in sorted(noisy)]
+    assert nb == sorted(nb)
+    assert all(0 <= b <= 19 for b in nb)
+    # determinism: same salt, same release
+    again = {r["q_permille"]: r["bin"] for r in dp_quantiles(
+        df, "value", lo=0.0, hi=100.0, n_bins=20,
+        qs_permille=(250, 500, 750), epsilon=0.05, salt="t",
+    ).collect()}
+    assert again == {q: noisy[q]["bin"] for q in noisy}
+
+
+def test_dp_quantiles_out_of_domain_clamps(spark):
+    # values outside the public domain clamp into the edge bins —
+    # they must not vanish (dropping them would leak their existence)
+    from drugbankner_spark.operators.privacy import dp_quantiles
+
+    df = spark.createDataFrame(
+        [(-5.0,), (1.0,), (2.0,), (999.0,)], "value double"
+    )
+    out = dp_quantiles(
+        df, "value", lo=0.0, hi=10.0, n_bins=10,
+        qs_permille=(500,), epsilon=1000.0, salt="t",
+    ).collect()[0]
+    # 4 rows all inside the grid: total reflects every one of them
+    assert out["noisy_total"] >= 4
