@@ -3814,6 +3814,20 @@ def _e5_dp_quantile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _t_holt(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: Holt linear-trend smoothing to the final (level, trend)
+    # + 1/2/3-step forecasts per event_type — one in-executor fold per
+    # key over the sorted bucket array; the oracle replays the same
+    # IEEE multiply/add sequence as a recursive CTE, so the doubles
+    # are bit-identical with no rounding convention.
+    from drugbankner_spark.operators.timeseries import holt_linear
+
+    return holt_linear(
+        load_table(spark, sf, "events"), ["event_type"],
+        step_seconds=21600, alpha=0.5, beta=0.2, horizons=(1, 2, 3),
+    )
+
+
 def _e5_bleu(spark: SparkSession, sf: str) -> DataFrame:
     # Round 9: corpus-level BLEU-4 — prediction = the document with
     # every 7th token dropped (a deterministic "lossy decode"),
@@ -5438,6 +5452,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (round-10 pool): DP quantiles off one noisy CDF —
         # post-processing of a single Laplace histogram release
         "e5_dp_quantile": _e5_dp_quantile,
+        # round 9 (round-10 pool): Holt linear-trend smoothing — one
+        # fold per key, recursive-CTE replay oracle, bit-exact doubles
+        "t_holt": _t_holt,
         "e5_dp_histogram": _e5_dp_histogram,
         # round 8 (VERDICT r07 next #3/#4): bench-grade SA slice +
         # corpus-scale TF-IDF linker probes (max_df off/on)
@@ -10168,6 +10185,51 @@ def oracle_sql() -> dict[str, str]:
         # convention at all); grid-integer projections, 32-bit word
         # packing, then the standard integer Hamming top-k.
         "e2_srp_sketch": _e2_srp_oracle(),
+        # t_holt: the Holt fold replayed as a recursive CTE — same
+        # init convention (l=x1, b=x2-x1, 0 for singletons), same
+        # literal coefficients, same multiply/add order; IEEE doubles
+        # are bit-identical so no rounding convention is needed.
+        "t_holt": """
+            WITH RECURSIVE obs AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                           AS bucket_start,
+                       SUM(CAST(floor(value * 1000000.0 + 0.5)
+                           AS BIGINT)) AS s_micro
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            ser AS (
+                SELECT event_type,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY bucket_start) AS i,
+                       s_micro / 1000000.0 AS x,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM obs
+            ),
+            holt(event_type, i, n, l, b) AS (
+                SELECT s1.event_type, CAST(2 AS BIGINT), s1.n,
+                       s1.x, COALESCE(s2.x - s1.x, 0.0)
+                FROM ser s1
+                LEFT JOIN ser s2 ON s2.event_type = s1.event_type
+                                AND s2.i = 2
+                WHERE s1.i = 1
+                UNION ALL
+                SELECT h.event_type, h.i + 1, h.n,
+                       0.5 * s.x + 0.5 * (h.l + h.b),
+                       0.2 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l)
+                           + 0.8 * h.b
+                FROM holt h
+                JOIN ser s ON s.event_type = h.event_type
+                          AND s.i = h.i + 1
+            )
+            SELECT event_type, CAST(n AS INT) AS n_buckets,
+                   l AS level, b AS trend,
+                   l + 1.0 * b AS forecast_1,
+                   l + 2.0 * b AS forecast_2,
+                   l + 3.0 * b AS forecast_3
+            FROM holt WHERE i = GREATEST(n, 2)
+        """,
         # t_cusum: the closed-form CUSUM (running sum minus clamped
         # running min) replayed verbatim — BIGINT micro-units end to
         # end, deviations scaled by the per-key bucket count so the

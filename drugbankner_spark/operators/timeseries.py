@@ -593,3 +593,87 @@ def seasonal_decompose(
             ).alias("resid"),
         )
     )
+
+
+def holt_linear(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 21600,
+    alpha: float = 0.5,
+    beta: float = 0.2,
+    horizons: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per key over
+    the bucketed series, to the FINAL (level, trend) state plus h-step
+    forecasts — the level+slope companion to the stateless EWMA
+    (``ewma_grid``) and the seasonal decomposition: the classic
+    short-horizon forecaster for capacity/monitoring series.
+
+    Standard init (l₁ = x₁, b₁ = x₂ − x₁, 0 for singletons), then
+    l_t = α·x_t + (1−α)(l+b), b_t = β(l_t − l_prev) + (1−β)b — an
+    inherently SEQUENTIAL recursion (the coupled states have no
+    shuffle-friendly closed form like CUSUM's prefix-min), so it runs
+    as ONE in-executor fold per key over the sorted bucket array
+    (``F.aggregate``): no per-row Python, no window re-scans. The
+    per-key array is bounded by time-span/step_seconds (the calendar,
+    not the row count — the same state bound every smoother carries),
+    NOT by data volume: document ~10⁴ buckets as the comfort zone.
+
+    CROSS-ENGINE DETERMINISM: bucket values enter as s_micro/10⁶ (one
+    IEEE division of the exact integer sum — never the order-sensitive
+    float avg); the fold's multiply/add sequence is replayed verbatim
+    by a recursive-CTE oracle, and IEEE ops on identical doubles in
+    identical order are bit-identical, so the output needs NO rounding
+    convention. Output: (keys…, n_buckets, level, trend,
+    forecast_{h}…)."""
+    v_int = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    b = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
+        * step_seconds
+    ).cast("long")
+    obs = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, b.alias("bucket_start"))
+        .agg(F.sum(v_int).alias("s_micro"))
+    )
+    ser = obs.groupBy(*key_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket_start",
+                                                 "s_micro"))),
+            lambda s: s["s_micro"] / F.lit(1_000_000.0),
+        ).alias("_vals")
+    )
+    a, bt = float(alpha), float(beta)
+    # fold from the 3rd element; init from the first two. The lambda
+    # computes l_new ONCE via a nested named struct so the oracle can
+    # replay the exact same two-step arithmetic.
+    fold = (
+        f"aggregate(slice(_vals, 3, size(_vals)), "
+        f"named_struct("
+        f"  'l', _vals[0], "
+        f"  'b', CASE WHEN size(_vals) >= 2 "
+        f"            THEN _vals[1] - _vals[0] ELSE CAST(0.0 AS DOUBLE) "
+        f"       END), "
+        f"(acc, x) -> named_struct("
+        f"  'l', {a} * x + {1.0 - a} * (acc.l + acc.b), "
+        f"  'b', {bt} * (({a} * x + {1.0 - a} * (acc.l + acc.b)) "
+        f"       - acc.l) + {1.0 - bt} * acc.b))"
+    )
+    st = ser.filter(F.size("_vals") >= 1).select(
+        *key_cols,
+        F.size("_vals").alias("n_buckets"),
+        F.expr(fold).alias("_st"),
+    )
+    return st.select(
+        *key_cols,
+        "n_buckets",
+        F.col("_st.l").alias("level"),
+        F.col("_st.b").alias("trend"),
+        *[
+            (F.col("_st.l") + F.lit(float(h)) * F.col("_st.b"))
+            .alias(f"forecast_{h}")
+            for h in horizons
+        ],
+    )

@@ -286,3 +286,37 @@ def test_seasonal_decompose_interp_aligns_windows_across_gaps(spark):
     assert base_epoch + 5 * STEP in out
     assert len(out) == 12                   # full grid, no phase shift
     assert out[base_epoch + 5 * STEP]["phase"] == 1
+
+
+def test_holt_linear_matches_python_recursion_bitwise(spark):
+    # Round 9: the F.aggregate fold must equal the textbook Holt
+    # recursion BIT-FOR-BIT (same IEEE ops in the same order) — that
+    # is the whole cross-engine determinism contract.
+    from drugbankner_spark.operators.timeseries import holt_linear
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 13.5]
+    df = _series(spark, list(enumerate(vals)))
+    r = holt_linear(df, ["key"], step_seconds=STEP,
+                    alpha=0.5, beta=0.2).collect()[0]
+    a, b = 0.5, 0.2
+    l, tr = vals[0], vals[1] - vals[0]
+    for x in vals[2:]:
+        lnew = a * x + (1 - a) * (l + tr)
+        tr = b * (lnew - l) + (1 - b) * tr
+        l = lnew
+    assert r["level"] == l and r["trend"] == tr
+    assert r["forecast_3"] == l + 3.0 * tr
+    assert r["n_buckets"] == len(vals)
+
+
+def test_holt_linear_short_series_edges(spark):
+    # singleton: level = x1, trend = 0; two points: trend = x2 - x1
+    from drugbankner_spark.operators.timeseries import holt_linear
+
+    one = _series(spark, [(0, 42.0)])
+    r1 = holt_linear(one, ["key"], step_seconds=STEP).collect()[0]
+    assert (r1["level"], r1["trend"]) == (42.0, 0.0)
+    two = _series(spark, [(0, 10.0), (1, 14.0)])
+    r2 = holt_linear(two, ["key"], step_seconds=STEP).collect()[0]
+    assert (r2["level"], r2["trend"]) == (10.0, 4.0)
+    assert r2["forecast_1"] == 14.0
