@@ -2791,6 +2791,40 @@ def _e5_gov_suite(spark: SparkSession, sf: str) -> DataFrame:
     ])
 
 
+def _j_er_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-9 consolidation suite: the two r07-green fuzzy-matching
+    # singles (Jaro-Winkler match, composed entity resolution) in one
+    # tagged-union row.
+    return _union_all([
+        _j_jw_match(spark, sf).select(*_okv(
+            "jw",
+            F.concat_ws("§", F.col("c_custkey").cast("string"),
+                        F.col("c_name")),
+            F.col("matched_v_name"),
+            v_num=F.col("jw_sim"),
+        )),
+        _er_resolve(spark, sf).select(*_okv(
+            "er",
+            F.concat_ws("§", F.col("id").cast("string"), F.col("name")),
+            F.concat_ws("§", F.col("cluster").cast("string"),
+                        F.col("canonical_name")),
+        )),
+    ])
+
+
+def _e1_pair_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-9 consolidation suite: the two r07-green near-dup pair
+    # singles (banded MinHash recall/precision audit, banded SimHash
+    # pairs) in one tagged-union row.
+    return _union_all([
+        _num_metric_rows(_e1_near_dup_recall(spark, sf), "recall", [],
+                         ["n_true", "n_candidates", "n_hit", "recall",
+                          "precision"]),
+        _num_metric_rows(_e1_simhash_pairs(spark, sf), "simhash",
+                         ["id_a", "id_b"], ["hamming"]),
+    ])
+
+
 def _e5_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     # Temperature-weighted mixing (round 6): per-source targets ∝
     # sqrt(n) (alpha=0.5, UniMax/T5-style low-resource upweighting) in
@@ -5067,10 +5101,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (k_anonymity + winsorize + cdc_apply + cohort_retention) — the
     established mechanism; every original stays individually
     runnable via ``all_queries`` and hash-checked in
-    tests/test_oracle_parity.py. The final two slots rotate BACK two
-    long-demoted driver-green rows: e6_windows (a second readStream
-    face in the window) and f7_identifier_extract (the 15-regex
-    single-scan extractor on the bench headline)."""
+    tests/test_oracle_parity.py. Four of this round's six NEW
+    hash-oracled operators (g_kcore — synchronized h-index coreness;
+    t_cusum — closed-form CUSUM change detection; e5_bleu — corpus
+    BLEU-4; e2_srp_sketch — signed random projection) take the last
+    window slots via two more micro-consolidations of r07-green
+    singles (j_er_suite = jw_match + er_resolve; e1_pair_suite =
+    near_dup_recall + simhash_pairs). Round-10 rotation pool
+    (hash-oracled this round, never driver-verified): e5_dp_quantile
+    (DP quantiles off one noisy-CDF Laplace release) and t_holt
+    (Holt linear-trend smoothing, recursive-CTE replay oracle,
+    bit-exact doubles)."""
     return {
         # -- round-8 rotation (VERDICT r07 next #1): the nine round-7
         # pool entries — the only hash-oracled operators never driver-
@@ -5121,19 +5162,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_linker_corpus": _x1_linker_corpus,
         "x1_linker_corpus_maxdf": _x1_linker_corpus_maxdf,
         "e1_suffix_array_bench": _e1_suffix_array_bench,
-        # -- rotate-backs: long-demoted driver-green rows filling the
-        # final two slots (second readStream face; 15-regex scan) ----
-        "e6_windows": _e6_windows,
-        "f7_identifier_extract": _f7_identifier_extract,
+        # -- round-9 NEW ops (hash-oracled at both SFs this round):
+        # four enter the window directly; the final two slots come
+        # from the j_er_suite / e1_pair_suite micro-consolidations of
+        # four more r07-green singles ---------------------------------
+        "g_kcore": _g_kcore,
+        "t_cusum": _t_cusum,
+        "e5_bleu": _e5_bleu,
+        "e2_srp_sketch": _e2_srp_sketch,
+        # -- round-9 consolidation suites (r07-green pairs) ------------
+        "j_er_suite": _j_er_suite,
+        "e1_pair_suite": _e1_pair_suite,
         # -- r07-green rows staying in the window ----------------------
         "e5_prep_suite": _e5_prep_suite,
         "g_graph_suite": _g_graph_suite,
         "e6_funnel": _e6_funnel,
-        "e1_near_dup_recall": _e1_near_dup_recall,
-        "e1_simhash_pairs": _e1_simhash_pairs,
-        "j_jw_match": _j_jw_match,
         "e4_mpeg_decode": _e4_mpeg_decode,
-        "er_resolve": _er_resolve,
         "e3_gopher_rep": _e3_gopher_rep,
         "e2_hard_negatives": _e2_hard_negatives,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
@@ -10239,8 +10283,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
                            AS bucket_start,
-                       SUM(CAST(floor(value * 1000000.0 + 0.5)
-                           AS BIGINT)) AS s_micro,
+                       CAST(SUM(CAST(floor(value * 1000000.0 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS s_micro,
                        COUNT(*) AS n_obs
                 FROM events WHERE value IS NOT NULL
                 GROUP BY 1, 2
@@ -10270,8 +10314,10 @@ def oracle_sql() -> dict[str, str]:
             cu AS (
                 SELECT event_type, bucket_start, s_micro, n_obs, n,
                        total,
-                       cum_p - LEAST(0, MIN(cum_p) OVER wo) AS cusum_pos,
-                       cum_n - LEAST(0, MIN(cum_n) OVER wo) AS cusum_neg
+                       CAST(cum_p - LEAST(0, MIN(cum_p) OVER wo)
+                            AS BIGINT) AS cusum_pos,
+                       CAST(cum_n - LEAST(0, MIN(cum_n) OVER wo)
+                            AS BIGINT) AS cusum_neg
                 FROM cum
                 WINDOW wo AS (PARTITION BY event_type
                               ORDER BY bucket_start
@@ -11945,6 +11991,35 @@ def oracle_sql() -> dict[str, str]:
     """
     # round-9 consolidation suites: tagged unions of the consolidated
     # r07-green originals' oracles
+    out["j_er_suite"] = f"""
+        SELECT 'jw' AS op,
+               concat_ws('§', CAST(c_custkey AS VARCHAR), c_name) AS k,
+               matched_v_name AS v, jw_sim AS v_num
+        FROM ({out["j_jw_match"]})
+        UNION ALL
+        SELECT 'er', concat_ws('§', CAST(id AS VARCHAR), name),
+               concat_ws('§', CAST(cluster AS VARCHAR), canonical_name),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["er_resolve"]})
+    """
+    out["e1_pair_suite"] = (
+        f"""
+        SELECT 'recall' AS op, m.name AS k,
+               CAST(NULL AS VARCHAR) AS v,
+               CASE m.name
+                    WHEN 'n_true' THEN CAST(n_true AS DOUBLE)
+                    WHEN 'n_candidates' THEN CAST(n_candidates AS DOUBLE)
+                    WHEN 'n_hit' THEN CAST(n_hit AS DOUBLE)
+                    WHEN 'recall' THEN recall
+                    ELSE precision END AS v_num
+        FROM ({out["e1_near_dup_recall"]}),
+             (VALUES ('n_true'), ('n_candidates'), ('n_hit'),
+                     ('recall'), ('precision')) m(name)
+        UNION ALL
+        """
+        + _num_rows_sql("e1_simhash_pairs", "simhash",
+                        ["id_a", "id_b"], ["hamming"])
+    )
     out["e3_lm_suite"] = (
         _num_rows_sql("e3_kn_ppl", "kn", ["doc_id"],
                       ["n_bigrams", "mean_logprob", "ppl"])
