@@ -1791,6 +1791,38 @@ def _x1_linker_corpus_maxdf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Persisted alias-index paths, keyed like _LSH_INDEX.
+_ALIAS_INDEX: dict[tuple[str, str], str] = {}
+
+
+def _x1_linker_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: the linker's SERVING face — the ontology fit persisted
+    # ONCE per (session, sf) as a gram-bucket-partitioned index
+    # (save_alias_index); each run probes it, pruning the postings/idf
+    # scans to the mention grams' buckets. Results are bit-identical
+    # to the inline x1_linker_corpus, so the oracle is shared — what
+    # the probe buys is the COST shape: the r08 bench measured the
+    # inline fit at ~7x per 10x aliases; the probe amortizes that
+    # entirely.
+    import tempfile
+
+    from drugbankner_spark.operators.linker import (
+        link_with_alias_index,
+        save_alias_index,
+    )
+
+    mentions, aliases = _linker_corpus_mentions(spark, sf)
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ALIAS_INDEX:
+        path = tempfile.mkdtemp(prefix="alias_index_") + "/idx"
+        save_alias_index(aliases, "alias", "alias_id", path)
+        _ALIAS_INDEX[key] = path
+    return link_with_alias_index(
+        spark, _ALIAS_INDEX[key], mentions, "mention",
+        threshold=0.6, k=1,
+    )
+
+
 def _e1_sa_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Round 8 (VERDICT r07 next #2): the Lee-et-al exact-span REMOVAL
     # composed end to end — keeper = corpus-first occurrence per
@@ -5505,6 +5537,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_suffix_array_bench": _e1_suffix_array_bench,
         "x1_linker_corpus": _x1_linker_corpus,
         "x1_linker_corpus_maxdf": _x1_linker_corpus_maxdf,
+        # round 9 (round-10 pool): the linker serving face — persisted
+        # gram-bucket index probe, bit-identical to the inline fit
+        "x1_linker_indexed": _x1_linker_indexed,
         # round 8 (VERDICT r07 next #6): user-level DP with the
         # per-contributor clamp
         "e5_dp_histogram_user": _e5_dp_histogram_user,
@@ -11816,6 +11851,9 @@ def oracle_sql() -> dict[str, str]:
     # a probe of the incrementally-maintained index must equal a probe of
     # a fresh full build — one oracle, two names
     out["e2_lsh_append_topk"] = out["e2_lsh_topk"]
+    # the persisted-alias-index probe must equal the inline linker fit
+    # — one oracle, two names (round 9)
+    out["x1_linker_indexed"] = out["x1_linker_corpus"]
     # the streaming sessionize face must equal its batch twin
     out["e6_sessionize_batch"] = out["e6_sessionize"]
     # driver-window suites: tagged unions of the consolidated originals'

@@ -107,6 +107,11 @@ HEADLINE = [
     "e1_suffix_array",
     "x1_linker_corpus",
     "x1_linker_corpus_maxdf",
+    # round 9: the linker's SERVING face — the ontology fit persisted
+    # once per session (the first timed run pays the build; the bench
+    # warm-up absorbs it), probes prune to the mention grams' buckets.
+    # Timed against the inline fit above: what amortization buys.
+    "x1_linker_indexed",
     # round 8 late: the distributed Lloyd fit (3 iterations over the
     # full embeddings table — two bounded-key shuffles per iteration)
     "e2_kmeans",
@@ -388,6 +393,9 @@ SF1_QUERIES = [
     # (mention slice pinned to replica 0; alias dim grows 10x)
     "e1_suffix_array",
     "x1_linker_corpus_maxdf",
+    # round 9: the serving-face probe at 10x aliases — the slope the
+    # amortized index turns the inline fit's ~7x into
+    "x1_linker_indexed",
     # round 8 late: the Lloyd fit at 10x vectors (per-iteration rows
     # scale linearly; the centroid dim stays k x dim)
     "e2_kmeans",

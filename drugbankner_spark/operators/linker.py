@@ -180,6 +180,27 @@ def link_by_tfidf(
         alias_map, "alias", n, max_df_ratio=max_df_ratio
     )
 
+    return _link_tail(
+        mentions, mention_col, postings, idf, alias_map,
+        threshold, k, n, broadcast_max_rows,
+    )
+
+
+def _link_tail(
+    mentions: DataFrame,
+    mention_col: str,
+    postings: DataFrame,
+    idf: DataFrame,
+    alias_map: DataFrame,
+    threshold: float,
+    k: int,
+    n: int,
+    broadcast_max_rows: int,
+) -> DataFrame:
+    """The probe half of the linker, shared verbatim between the
+    inline fit (:func:`link_by_tfidf`) and the persisted-index serving
+    path (:func:`link_with_alias_index`) so the two can never drift —
+    the index probe's parity test leans on exactly this."""
     distinct_mentions = (
         mentions.select(F.col(mention_col).alias("mention"))
         .filter(F.col("mention").isNotNull())
@@ -218,4 +239,116 @@ def link_by_tfidf(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("mention", "alias_id", "score", "rank")
+    )
+
+
+#: Bucket count for the persisted alias index's gram partitioning.
+#: Probes prune to the buckets their mention grams hash into, so a
+#: small query batch touches a handful of the 64 partitions.
+ALIAS_INDEX_BUCKETS = 64
+
+
+def _gram_bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def save_alias_index(
+    aliases: DataFrame,
+    alias_col: str,
+    alias_id_col: str,
+    path: str,
+    n: int = 3,
+    max_df_ratio: float | None = None,
+    n_buckets: int = ALIAS_INDEX_BUCKETS,
+) -> None:
+    """Fit the TF-IDF alias model ONCE and persist it as a serving
+    index — the production shape the corpus-scale bench exposed: the
+    inline ``link_by_tfidf`` re-fits idf/norms over the whole ontology
+    per call, so its cost scales with the ALIAS dim (r08 bench: ~7×
+    per 10× aliases) even though a deployed linker's ontology is
+    fixed. Fit once → probe many flattens that to the probe's own
+    work.
+
+    Layout: ``postings`` and ``idf`` land PARTITIONED BY
+    ``gram_bucket = pmod(xxhash64(gram), n_buckets)`` so a probe reads
+    only the partitions its mention grams hash into (partition
+    pruning — the lsh/ivf on-disk index discipline); ``alias_map`` is
+    a plain dim. The bucket hash is a STORAGE layout, not an oracle
+    surface — probe results are bit-identical to the inline linker
+    regardless of bucketing."""
+    from drugbankner_spark.operators.similarity import (
+        invalidate_index_cache,
+    )
+
+    alias_map = (
+        aliases.select(
+            F.col(alias_col).alias("alias"),
+            F.col(alias_id_col).alias("alias_id"),
+        )
+        .filter(F.col("alias").isNotNull() & F.col("alias_id").isNotNull())
+        .distinct()
+    )
+    postings, idf = build_alias_vectors(
+        alias_map, "alias", n, max_df_ratio=max_df_ratio
+    )
+    spark = aliases.sparkSession
+    postings.withColumn(
+        "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
+    ).write.mode("overwrite").partitionBy("gram_bucket").parquet(
+        path + "/postings"
+    )
+    idf.withColumn(
+        "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
+    ).write.mode("overwrite").partitionBy("gram_bucket").parquet(
+        path + "/idf"
+    )
+    alias_map.write.mode("overwrite").parquet(path + "/alias_map")
+    for sub in ("/postings", "/idf", "/alias_map"):
+        invalidate_index_cache(spark, path + sub)
+
+
+def link_with_alias_index(
+    spark,
+    path: str,
+    mentions: DataFrame,
+    mention_col: str,
+    threshold: float = 0.7,
+    k: int = 1,
+    n: int = 3,
+    n_buckets: int = ALIAS_INDEX_BUCKETS,
+    broadcast_max_rows: int = ALIAS_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Probe a :func:`save_alias_index` layout: identical results to
+    ``link_by_tfidf`` with the same fit parameters (parity-tested),
+    but the ontology fit is amortized away and the index scan prunes
+    to the mention grams' buckets. The bucket list is a bounded
+    driver-side collect (≤ n_buckets integers — a constant, not data
+    scale). Probe cost therefore scales with the MENTION batch and the
+    matched postings, not the ontology."""
+    from drugbankner_spark.operators.similarity import _read_index
+
+    distinct_mentions = (
+        mentions.select(F.col(mention_col).alias("mention"))
+        .filter(F.col("mention").isNotNull())
+        .distinct()
+    )
+    mcounts = char_wb_gram_counts(
+        distinct_mentions, "mention", "mention", n
+    )
+    buckets = [
+        r["b"]
+        for r in mcounts.select(
+            _gram_bucket(F.col("gram"), n_buckets).alias("b")
+        ).distinct().collect()
+    ]
+    postings = _read_index(spark, path + "/postings").filter(
+        F.col("gram_bucket").isin(buckets)
+    ).select("gram", "alias", "w")
+    idf = _read_index(spark, path + "/idf").filter(
+        F.col("gram_bucket").isin(buckets)
+    ).select("gram", "idf")
+    alias_map = _read_index(spark, path + "/alias_map")
+    return _link_tail(
+        distinct_mentions, "mention", postings, idf, alias_map,
+        threshold, k, n, broadcast_max_rows,
     )

@@ -208,3 +208,64 @@ def test_max_df_prunes_stop_grams_but_keeps_exact_match(spark):
         ).collect()
     }
     assert rows_full["C2"] > 0.0
+
+
+def test_alias_index_probe_equals_inline_fit(spark, tmp_path):
+    # Round 9: the persisted-index serving path must return EXACTLY the
+    # inline linker's rows — same fit parameters, same scores, same
+    # ranks — across thresholds and k (the shared _link_tail contract).
+    from drugbankner_spark.operators.linker import (
+        link_by_tfidf,
+        link_with_alias_index,
+        save_alias_index,
+    )
+
+    aliases = spark.createDataFrame(
+        [("aspirin", 1), ("acetylsalicylic acid", 2), ("ecotrin", 3),
+         ("headache", 4), ("tension headache", 5), ("fever", 6)],
+        ["alias", "alias_id"],
+    )
+    mentions = spark.createDataFrame(
+        [("aspirin",), ("asprin",), ("tension headaches",),
+         ("high fever",), ("zzz",)],
+        ["mention"],
+    )
+    path = str(tmp_path / "alias_idx")
+    save_alias_index(aliases, "alias", "alias_id", path)
+    for thr, k in [(0.3, 1), (0.1, 3)]:
+        inline = sorted(
+            tuple(r) for r in link_by_tfidf(
+                mentions, "mention", aliases, "alias", "alias_id",
+                threshold=thr, k=k,
+            ).collect()
+        )
+        probe = sorted(
+            tuple(r) for r in link_with_alias_index(
+                spark, path, mentions, "mention", threshold=thr, k=k,
+            ).collect()
+        )
+        assert probe == inline and probe
+
+
+def test_alias_index_probe_prunes_partitions(spark, tmp_path):
+    # the probe's postings scan must carry a gram_bucket partition
+    # filter — the layout exists so small mention batches read a
+    # handful of the 64 partitions, not the whole ontology index
+    from drugbankner_spark.operators.linker import (
+        link_with_alias_index,
+        save_alias_index,
+    )
+
+    aliases = spark.createDataFrame(
+        [(f"alias number {i}", i) for i in range(50)],
+        ["alias", "alias_id"],
+    )
+    path = str(tmp_path / "alias_idx")
+    save_alias_index(aliases, "alias", "alias_id", path)
+    mentions = spark.createDataFrame([("alias number 7",)], ["mention"])
+    out = link_with_alias_index(
+        spark, path, mentions, "mention", threshold=0.3, k=1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "gram_bucket" in plan
+    assert out.count() >= 1
