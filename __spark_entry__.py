@@ -2451,6 +2451,23 @@ def _g_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return coreness_hindex(_graph_edges(docs), rounds=4)
 
 
+def _g_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: Newman modularity of the 3-round LPA communities on the
+    # Z_97 graph — exact BIGINT numerators (4·m·m_c − d_c²) over the
+    # shared 4m² denominator; the only float is one IEEE division per
+    # community. Scores the clustering the g_graph_suite's LPA row
+    # produces — labels alone say nothing about quality.
+    from drugbankner_spark.operators.graph import (
+        label_propagation,
+        modularity_score,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    edges = _graph_edges(docs)
+    labels = label_propagation(edges, iterations=3)
+    return modularity_score(edges, labels)
+
+
 def _g_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     # Exact triangle counting (round 6): deterministic synthetic graph
     # over Z_97 derived from doc ids (two edges per doc). The Spark
@@ -5516,6 +5533,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (round-10 pool): coreness by synchronized h-index
         # iteration — fixed rounds, chained-CTE integer replay oracle
         "g_kcore": _g_kcore,
+        # round 9 (round-10 pool): Newman modularity of the LPA
+        # communities — exact integer numerators, one division per row
+        "g_modularity": _g_modularity,
         # round 9 (round-10 pool): two-sided CUSUM change detection —
         # closed-form window shape, BIGINT micro-units end to end
         "t_cusum": _t_cusum,
@@ -11854,6 +11874,61 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-alias-index probe must equal the inline linker fit
     # — one oracle, two names (round 9)
     out["x1_linker_indexed"] = out["x1_linker_corpus"]
+    # g_modularity: LPA labels via the g_label_prop replay, then the
+    # exact-integer Newman sum over the canonical edge set
+    out["g_modularity"] = f"""
+        WITH raw AS (
+            SELECT doc_id % 97 AS s,
+                   (doc_id * doc_id + 1) % 97 AS d
+            FROM documents
+            UNION ALL
+            SELECT (doc_id * 3 + 5) % 97, (doc_id * 5 + 11) % 97
+            FROM documents
+        ),
+        sym AS (
+            SELECT s AS a, d AS b FROM raw WHERE s <> d
+            UNION
+            SELECT d, s FROM raw WHERE s <> d
+        ),
+        und AS (
+            SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+            FROM sym
+        ),
+        m AS (SELECT COUNT(*) AS m FROM und),
+        lab AS (
+            SELECT node, label AS community
+            FROM ({out["g_label_prop"]})
+        ),
+        deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT a AS n FROM und
+                UNION ALL SELECT b FROM und
+            ) GROUP BY n
+        ),
+        per_c AS (
+            SELECT lab.community, COUNT(*) AS n_nodes,
+                   CAST(SUM(deg.d) AS BIGINT) AS deg_sum
+            FROM deg JOIN lab ON lab.node = deg.n
+            GROUP BY 1
+        ),
+        inn AS (
+            SELECT la.community, COUNT(*) AS m_in
+            FROM und
+            JOIN lab la ON la.node = und.a
+            JOIN lab lb ON lb.node = und.b
+            WHERE la.community = lb.community
+            GROUP BY 1
+        )
+        SELECT per_c.community, per_c.n_nodes,
+               CAST(COALESCE(inn.m_in, 0) AS BIGINT) AS m_in,
+               per_c.deg_sum,
+               CAST(4 * m.m * COALESCE(inn.m_in, 0)
+                    - per_c.deg_sum * per_c.deg_sum AS BIGINT) AS q_num,
+               CAST(4 * m.m * COALESCE(inn.m_in, 0)
+                    - per_c.deg_sum * per_c.deg_sum AS DOUBLE)
+                   / (4.0 * m.m * m.m) AS q
+        FROM per_c LEFT JOIN inn ON inn.community = per_c.community, m
+    """
     # the streaming sessionize face must equal its batch twin
     out["e6_sessionize_batch"] = out["e6_sessionize"]
     # driver-window suites: tagged unions of the consolidated originals'

@@ -826,3 +826,92 @@ def random_walks(
         )
         walks = step
     return walks.select("start", "walk_id", "path")
+
+
+def modularity_score(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment, per community and
+    in EXACT integer arithmetic — the quality score that turns
+    ``label_propagation``'s labels into an evaluable clustering (the
+    Louvain objective, scored relationally):
+
+        Q = Σ_c [ m_c/m − (d_c/2m)² ]
+          = Σ_c (4·m·m_c − d_c²) / (4·m²)
+
+    with m = |undirected edges|, m_c = edges inside community c,
+    d_c = total degree of c's nodes. Per-community rows carry the
+    exact BIGINT numerator ``q_num`` = 4·m·m_c − d_c² (shared
+    denominator 4·m²) plus ``q`` = one IEEE division of those exact
+    integers — no unordered float sum anywhere; the corpus Q is
+    Σ q_num / (4m²), summable downstream in integers. Overflow bound:
+    m·m_c and d_c² < 2⁶³ — fine past 10⁹ edges.
+
+    Plan: edge canonicalization, one 1-row m aggregate broadcast (the
+    pagerank dangling-mass pattern — never a driver collect), two
+    label joins on the edge list, and dim-sized (community) aggs.
+    Communities with no internal edge still emit (their −(d_c/2m)²
+    term is real). Output: (community, n_nodes, m_in, deg_sum,
+    q_num, q)."""
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("community")
+    )
+    m_row = und.agg(F.count(F.lit(1)).alias("_m"))
+    deg = (
+        und.select(F.col("a").alias("_n"))
+        .unionByName(und.select(F.col("b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    per_c = (
+        deg.join(lab, "_n")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("_d").alias("deg_sum"),
+        )
+    )
+    inner = (
+        und.join(lab.withColumnRenamed("_n", "a")
+                 .withColumnRenamed("community", "_ca"), "a")
+        .join(lab.withColumnRenamed("_n", "b")
+              .withColumnRenamed("community", "_cb"), "b")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("m_in"))
+    )
+    q_num = (
+        F.lit(4) * F.col("_m") * F.col("m_in")
+        - F.col("deg_sum") * F.col("deg_sum")
+    )
+    return (
+        per_c.join(inner, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("m_in", F.lit(0)).alias("m_in"),
+            "deg_sum",
+        )
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "community",
+            "n_nodes",
+            "m_in",
+            "deg_sum",
+            q_num.alias("q_num"),
+            (q_num.cast("double")
+             / (F.lit(4.0) * F.col("_m") * F.col("_m"))).alias("q"),
+        )
+    )

@@ -398,3 +398,48 @@ def test_random_walks_match_reference_and_are_valid_paths(spark):
         assert nodes[0] == v and len(nodes) == 4
         for a, b in zip(nodes, nodes[1:]):
             assert b in adj[a]
+
+
+def test_modularity_planted_two_cliques(spark):
+    # Round 9: two K4 cliques joined by one bridge edge; with the true
+    # community labels Q is the textbook positive value — computed by
+    # hand from Q = sum_c (m_c/m - (d_c/2m)^2).
+    from drugbankner_spark.operators.graph import modularity_score
+
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i + 10, j + 10) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(0, 10)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(i + 10, 1) for i in range(4)],
+        "node long, label long",
+    )
+    rows = {r["community"]: r
+            for r in modularity_score(edges, labels).collect()}
+    # m = 13; each community: m_in = 6, deg_sum = 13
+    assert rows[0]["m_in"] == 6 and rows[0]["deg_sum"] == 13
+    m = 13
+    q_exp = 6 / m - (13 / (2 * m)) ** 2
+    total_q = rows[0]["q"] + rows[1]["q"]
+    assert abs(total_q - 2 * q_exp) < 1e-12
+    assert total_q > 0.2          # strongly modular by construction
+    # exact-integer identity: q == q_num / (4 m^2) for every row
+    for r in rows.values():
+        assert r["q"] == r["q_num"] / (4.0 * m * m)
+        assert r["q_num"] == 4 * m * r["m_in"] - r["deg_sum"] ** 2
+
+
+def test_modularity_singleton_communities_negative(spark):
+    # every node its own community: all m_in = 0, Q strictly negative
+    from drugbankner_spark.operators.graph import modularity_score
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(3)], "node long, label long"
+    )
+    rows = modularity_score(edges, labels).collect()
+    assert all(r["m_in"] == 0 for r in rows)
+    assert sum(r["q"] for r in rows) < 0
