@@ -3506,6 +3506,33 @@ def _e6_sessionize_closed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e6_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: the STREAM-STREAM range join under the driver — each
+    # in-flight purchase joins the same user's clicks from the
+    # preceding 4 hours (watermark + range condition bound the join
+    # state per side). Long watermark over the finite input ⇒ equals
+    # the batch range join, which is exactly what the oracle computes;
+    # timestamps ride as unix microseconds.
+    from drugbankner_spark.streaming import streams as S
+
+    d = _events_stream_dir(spark, sf)
+    n = next(_STREAM_SEQ)
+    st = S.read_event_stream(spark, d, watermark="400 days")
+    left = st.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = st.filter(F.col("event_type") == "click")
+    out = S.run_to_memory(
+        S.stream_interval_join(left, right, lookback="4 hours"),
+        f"e6_stream_ivj_{n}", output_mode="append",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "value",
+        F.unix_micros("r_ts").alias("r_ts_us"), "r_value",
+    )
+
+
 def _e6_props_json(spark: SparkSession, sf: str) -> DataFrame:
     # Stateless transformation under readStream: append mode, no agg —
     # each micro-batch emits its parsed rows; the union over batches
@@ -5536,6 +5563,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (round-10 pool): Newman modularity of the LPA
         # communities — exact integer numerators, one division per row
         "g_modularity": _g_modularity,
+        # round 9 (round-10 pool): stream-stream range join under the
+        # driver — watermark-bounded state, batch-equality oracle
+        "e6_interval_join": _e6_interval_join,
         # round 9 (round-10 pool): two-sided CUSUM change detection —
         # closed-form window shape, BIGINT micro-units end to end
         "t_cusum": _t_cusum,
@@ -11874,6 +11904,18 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-alias-index probe must equal the inline linker fit
     # — one oracle, two names (round 9)
     out["x1_linker_indexed"] = out["x1_linker_corpus"]
+    # e6_interval_join: the stream-stream range join equals the batch
+    # range join over the finite driver input (long watermark) —
+    # timestamps as unix microseconds on both engines
+    out["e6_interval_join"] = """
+        SELECT l.event_id, l.user_id,
+               epoch_us(l.ts) AS ts_us, l.value,
+               epoch_us(r.ts) AS r_ts_us, r.value AS r_value
+        FROM events l JOIN events r
+          ON r.user_id = l.user_id
+         AND l.event_type = 'purchase' AND r.event_type = 'click'
+         AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
+    """
     # g_modularity: LPA labels via the g_label_prop replay, then the
     # exact-integer Newman sum over the canonical edge set
     out["g_modularity"] = f"""
