@@ -522,3 +522,80 @@ def test_spot_mentions_broadcasts_surface_dim(spark):
     df = spot_mentions(sents, "sentence", ["kg2_id"], surf, "name")
     assert X.count_broadcast_joins(df) >= 1
     assert not X.has_cartesian(df)
+
+
+def test_round9_plan_shapes(spark):
+    # Round-9 operators: the plan properties each one's docstring
+    # claims, asserted on the physical plan.
+    import datetime as dt
+
+    from drugbankner_spark.operators.evals import bleu_corpus
+    from drugbankner_spark.operators.similarity import srp_sketch
+    from drugbankner_spark.operators.timeseries import (
+        cusum_changepoints,
+        holt_linear,
+    )
+
+    # srp_sketch: pure projection — ZERO shuffles, zero Python, the
+    # sign matrix baked in as literals
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0] * 16) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    codes = srp_sketch(emb, n_bits=32, dim=16)
+    assert X.count_shuffles(codes) == 0
+    plan = X.plan_string(codes, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # cusum: every Window node is partitioned by the series key —
+    # never a global single-partition sort over the data
+    ev = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 0, m), float(m))
+         for m in range(8)],
+        "key string, ts timestamp, value double",
+    )
+    cu = cusum_changepoints(ev, ["key"], step_seconds=60)
+    for line in X.plan_string(cu, "simple").splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "key#" in line.split("windowspecdefinition")[1]
+
+    # holt: one fold — a single (key) aggregation exchange, no window,
+    # no Python
+    ho = holt_linear(ev, ["key"], step_seconds=60)
+    hplan = X.plan_string(ho, "simple")
+    assert "Window" not in hplan
+    assert "BatchEvalPython" not in hplan and "ArrowEvalPython" not in hplan
+
+    # bleu: collapses to ONE global aggregate — exactly one
+    # single-partition exchange (the 1-row final agg), nothing else
+    pairs = spark.createDataFrame(
+        [("a b c", "a b c d")] * 5, ["prediction", "reference"]
+    )
+    bl = bleu_corpus(pairs)
+    bplan = X.plan_string(bl, "simple")
+    assert bplan.count("Exchange SinglePartition") == 1
+    assert "BatchEvalPython" not in bplan
+
+
+def test_round9_graph_plan_shapes(spark):
+    # coreness_hindex / modularity_score: no cartesian anywhere; the
+    # h-index rank window partitions by the vertex; modularity's m
+    # rides a broadcast 1-row aggregate
+    from drugbankner_spark.operators.graph import (
+        coreness_hindex,
+        modularity_score,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], "src long, dst long"
+    )
+    core = coreness_hindex(edges, rounds=2)
+    assert not X.has_cartesian(core)
+
+    labels = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "node long, label long"
+    )
+    mod = modularity_score(edges, labels)
+    # the only nominal cross join is the broadcast of the 1-row m
+    # aggregate — assert it broadcasts rather than shuffles
+    assert X.count_broadcast_joins(mod) >= 1
