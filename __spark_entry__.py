@@ -3506,6 +3506,37 @@ def _e6_sessionize_closed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _e5_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: chance-corrected agreement (multi-class MCC + Cohen's
+    # kappa) over the same residue-perturbed label pairs as
+    # e5_class_report — integer numerators, sqrt-only MCC denominator,
+    # one division each.
+    from drugbankner_spark.operators.evals import agreement_metrics
+
+    docs = load_table(spark, sf, "documents")
+    preds = docs.select(
+        F.col("lang").alias("predicted"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("en"))
+        .otherwise(F.col("lang")).alias("gold"),
+    )
+    return agreement_metrics(preds)
+
+
+def _e3_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9: tokenizer fertility audit over the frozen-vocab
+    # WordPiece apply — tokens per word and chars per token, the
+    # standard vocab-fit signal; exact divisions only, oracle composed
+    # from the e3_wordpiece_apply replication.
+    from drugbankner_spark.operators.textanalysis import (
+        tokenizer_fertility,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return tokenizer_fertility(
+        _e3_wordpiece_apply(spark, sf), docs
+    )
+
+
 def _e6_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     # Round 9: the STREAM-STREAM range join under the driver — each
     # in-flight purchase joins the same user's clicks from the
@@ -5566,6 +5597,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9 (round-10 pool): stream-stream range join under the
         # driver — watermark-bounded state, batch-equality oracle
         "e6_interval_join": _e6_interval_join,
+        # round 9 (round-10 pool): tokenizer fertility audit — exact
+        # divisions over the wordpiece apply + doc word/char counts
+        "e3_fertility": _e3_fertility,
+        # round 9 (round-10 pool): MCC + Cohen's kappa — integer
+        # numerators, sqrt-only denominators, one division each
+        "e5_agreement": _e5_agreement,
         # round 9 (round-10 pool): two-sided CUSUM change detection —
         # closed-form window shape, BIGINT micro-units end to end
         "t_cusum": _t_cusum,
@@ -11904,6 +11941,67 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-alias-index probe must equal the inline linker fit
     # — one oracle, two names (round 9)
     out["x1_linker_indexed"] = out["x1_linker_corpus"]
+    # e5_agreement: the Gorodkin R_K / kappa arithmetic replayed over
+    # the same confusion counts — integer sums, pinned sqrt product
+    out["e5_agreement"] = """
+        WITH pr AS (
+            SELECT lang AS p,
+                   CASE WHEN doc_id % 4 = 0 THEN 'en' ELSE lang END AS g
+            FROM documents
+        ),
+        pairs AS (SELECT p, g, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS s,
+                   CAST(COALESCE(SUM(CASE WHEN p = g THEN n END), 0)
+                        AS BIGINT) AS c
+            FROM pairs
+        ),
+        pm AS (SELECT p, CAST(SUM(n) AS BIGINT) AS pk
+               FROM pairs GROUP BY p),
+        tm AS (SELECT g, CAST(SUM(n) AS BIGINT) AS tk
+               FROM pairs GROUP BY g),
+        marg AS (
+            SELECT CAST(SUM(pk * tk) AS BIGINT) AS spt,
+                   CAST(SUM(pk * pk) AS BIGINT) AS sp2,
+                   CAST(SUM(tk * tk) AS BIGINT) AS st2
+            FROM (
+                SELECT COALESCE(pm.pk, 0) AS pk, COALESCE(tm.tk, 0) AS tk
+                FROM pm FULL JOIN tm ON tm.g = pm.p
+            )
+        )
+        SELECT s AS n, c AS n_correct,
+               CAST(c * s - spt AS BIGINT) AS agree_num,
+               CAST(s * s - spt AS BIGINT) AS kappa_den,
+               CASE WHEN s * s - spt <> 0
+                    THEN (c * s - spt) / (s * s - spt) END AS kappa,
+               CASE WHEN sqrt(CAST(s * s - sp2 AS DOUBLE))
+                         * sqrt(CAST(s * s - st2 AS DOUBLE)) <> 0.0
+                    THEN CAST(c * s - spt AS DOUBLE)
+                         / (sqrt(CAST(s * s - sp2 AS DOUBLE))
+                            * sqrt(CAST(s * s - st2 AS DOUBLE)))
+               END AS mcc
+        FROM tot, marg
+    """
+    # e3_fertility: word/char counts joined onto the wordpiece-apply
+    # replication; exact divisions, NULL on zero denominators
+    out["e3_fertility"] = f"""
+        WITH wp AS (
+            SELECT doc_id, n_tokens FROM ({out["e3_wordpiece_apply"]})
+        ),
+        st AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text,
+                       '\\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        )
+        SELECT st.doc_id, st.n_words, st.n_chars, wp.n_tokens,
+               CASE WHEN st.n_words > 0
+                    THEN wp.n_tokens / st.n_words END AS fertility,
+               CASE WHEN wp.n_tokens > 0
+                    THEN st.n_chars / wp.n_tokens END AS chars_per_token
+        FROM st JOIN wp ON wp.doc_id = st.doc_id
+    """
     # e6_interval_join: the stream-stream range join equals the batch
     # range join over the finite driver input (long watermark) —
     # timestamps as unix microseconds on both engines

@@ -637,3 +637,75 @@ def classification_report(
         F.round(F.sum("_tp") / F.sum("support"), 6).alias("f1"),
     )
     return rows.unionByName(acc)
+
+
+def agreement_metrics(
+    preds: DataFrame,
+    pred_col: str = "predicted",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Chance-corrected agreement over (predicted, gold) label pairs:
+    multi-class Matthews correlation (the Gorodkin R_K form) and
+    Cohen's kappa — the two summary numbers ``classification_report``
+    deliberately doesn't fold into one cell. For label-quality audits
+    (rater vs rater, weak supervision vs gold) where accuracy is
+    inflated by class imbalance.
+
+    With s = pairs, c = correct, p_k/t_k = predicted/true counts:
+
+        kappa = (c·s − Σ p_k·t_k) / (s² − Σ p_k·t_k)
+        MCC   = (c·s − Σ p_k·t_k) /
+                (sqrt(s² − Σ p_k²) · sqrt(s² − Σ t_k²))
+
+    FLOAT-PARITY: every sum is an integer aggregate (unordered BIGINT
+    addition is exact); kappa is ONE division of exact integers; MCC's
+    denominator is two correctly-rounded sqrts of exact integers
+    multiplied in pinned order — no transcendental, no ordered float
+    sum. Degenerate denominators (single-class marginals) yield NULL.
+    Overflow bound: s² < 2⁶³ → fine to 3·10⁹ pairs.
+
+    Plan: one (pred, gold) pair agg (the confusion matrix), marginal
+    rollups on that dim-sized intermediate, one final 1-row combine.
+    Output: (n, n_correct, agree_num, kappa_den, kappa, mcc)."""
+    pairs = preds.groupBy(
+        F.col(pred_col).alias("p"), F.col(gold_col).alias("g")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from drugbankner_spark.caching import shared_persist
+
+    pairs = shared_persist(pairs)
+    totals = pairs.agg(
+        F.sum("n").cast("long").alias("s"),
+        F.coalesce(
+            F.sum(F.when(F.col("p") == F.col("g"), F.col("n"))),
+            F.lit(0),
+        ).cast("long").alias("c"),
+    )
+    p_m = pairs.groupBy("p").agg(F.sum("n").cast("long").alias("pk"))
+    t_m = pairs.groupBy("g").agg(F.sum("n").cast("long").alias("tk"))
+    marg = (
+        p_m.join(t_m, p_m["p"] == t_m["g"], "full")
+        .select(
+            F.coalesce("pk", F.lit(0)).alias("pk"),
+            F.coalesce("tk", F.lit(0)).alias("tk"),
+        )
+        .agg(
+            F.sum(F.col("pk") * F.col("tk")).cast("long").alias("spt"),
+            F.sum(F.col("pk") * F.col("pk")).cast("long").alias("sp2"),
+            F.sum(F.col("tk") * F.col("tk")).cast("long").alias("st2"),
+        )
+    )
+    j = totals.crossJoin(F.broadcast(marg))
+    num = F.col("c") * F.col("s") - F.col("spt")
+    kden = F.col("s") * F.col("s") - F.col("spt")
+    mden = (
+        F.sqrt((F.col("s") * F.col("s") - F.col("sp2")).cast("double"))
+        * F.sqrt((F.col("s") * F.col("s") - F.col("st2")).cast("double"))
+    )
+    return j.select(
+        F.col("s").alias("n"),
+        F.col("c").alias("n_correct"),
+        num.alias("agree_num"),
+        kden.alias("kappa_den"),
+        F.when(kden != 0, num / kden).alias("kappa"),
+        F.when(mden != 0.0, num.cast("double") / mden).alias("mcc"),
+    )

@@ -1335,3 +1335,47 @@ def zipf_slope(
         F.log(F.col("n").cast("double")).alias("y"),
     )
     return group_ols(pts, "x", "y", ["grp"])
+
+
+def tokenizer_fertility(
+    tokenized: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Tokenizer fertility audit — the standard tokenizer-quality
+    signal when choosing/retraining a vocab for a corpus mix:
+    ``fertility`` = subword tokens per whitespace word (≈1 on
+    in-domain text, blows up on out-of-vocabulary scripts) and
+    ``chars_per_token`` = text bytes amortized per token (the
+    context-window cost of the corpus under that tokenizer).
+
+    Takes any tokenizer's per-doc token counts (WordPiece, BPE,
+    unigram — anything emitting (id, n_tokens)) and the docs table;
+    one equi-join + per-row exact divisions, no new shuffle beyond
+    the join. NULL where a denominator is 0 (empty doc / zero
+    tokens). Output: (id, n_words, n_chars, n_tokens, fertility,
+    chars_per_token)."""
+    words = F.size(F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )).cast("long")
+    stats = docs.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    t = tokenized.select(
+        F.col(id_col), F.col(n_tokens_col).alias("n_tokens")
+    )
+    return stats.join(t, id_col).select(
+        id_col,
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.when(F.col("n_words") > 0,
+               F.col("n_tokens") / F.col("n_words")).alias("fertility"),
+        F.when(F.col("n_tokens") > 0,
+               F.col("n_chars") / F.col("n_tokens"))
+        .alias("chars_per_token"),
+    )
