@@ -511,11 +511,19 @@ def kcore_decomposition(
     max_k: int = 64,
     checkpoint_every: int = 8,
 ) -> DataFrame:
-    """k-core decomposition (round 6): per vertex, the LARGEST k such
-    that the vertex survives iterated removal of all vertices with
-    degree < k — the standard graph-density/quality signal (spam rings
-    and templated link farms concentrate in high cores). Output:
-    (v, core).
+    """k-core decomposition by iterative peeling — ORACLE SCAFFOLDING,
+    not the production path (VERDICT r09 next #5). The peel loop is a
+    data-dependent driver loop: one eager localCheckpoint + count()
+    action per round, and the round count grows with the graph's
+    degeneracy × peel depth, which is unbounded at 100 TB scale.
+    Production callers (the ``g_kcore`` registry row included) use
+    :func:`coreness_hindex` — fixed synchronized rounds, no per-round
+    driver action — which this function exists to pin against on
+    known and random graphs (``tests/test_graph.py``). Per vertex,
+    core = the LARGEST k such that the vertex survives iterated
+    removal of all vertices with degree < k — the standard
+    graph-density/quality signal (spam rings and templated link farms
+    concentrate in high cores). Output: (v, core).
 
     Algorithm: iterative peeling per k — for each k in ascending
     order, repeatedly delete sub-k-degree vertices until stable (each
@@ -583,6 +591,7 @@ def coreness_hindex(
     dst: str = "dst",
     rounds: int = 8,
     checkpoint_every: int = 4,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Coreness via SYNCHRONIZED h-index iteration (Lü et al. 2016,
     "The H-index of a network, and its relation to degree and
@@ -602,7 +611,17 @@ def coreness_hindex(
     distributed, so the node set can be web-scale. Output:
     (v, core) after ``rounds`` iterations (equal to true coreness once
     converged — tests pin equality against ``kcore_decomposition``).
-    """
+
+    Round bound (ADVICE r09): convergence needs at most
+    O(graph diameter) rounds in practice — pathological
+    chain-of-cliques graphs need ~(chain length) rounds, so the
+    default 8 under-iterates on long-diameter graphs. Callers who
+    cannot bound the diameter should pass
+    ``require_converged=True``: after the final round the values of
+    round ``rounds`` and ``rounds-1`` are compared (one extra join +
+    1-row agg) and a ``ValueError`` names the still-changing vertex
+    count instead of silently returning a column called ``core`` that
+    is only an upper bound."""
     a = F.least(F.col(src), F.col(dst))
     b = F.greatest(F.col(src), F.col(dst))
     und = (
@@ -618,6 +637,7 @@ def coreness_hindex(
         .localCheckpoint(eager=True)
     )
     vals = dirs.groupBy("v").agg(F.count(F.lit(1)).alias("core"))
+    prev_vals = vals
     from pyspark.sql import Window
 
     for r in range(1, rounds + 1):
@@ -635,8 +655,24 @@ def coreness_hindex(
             .groupBy("v")
             .agg(F.max(F.least(F.col("rk"), F.col("uval"))).alias("core"))
         )
+        if r == rounds and require_converged:
+            prev = prev_vals.select(
+                F.col("v"), F.col("core").alias("_prev")
+            )
+            n_changed = (
+                vals.join(prev, "v")
+                .filter(F.col("core") != F.col("_prev"))
+                .count()
+            )
+            if n_changed:
+                raise ValueError(
+                    f"coreness_hindex did not converge in {rounds} "
+                    f"rounds: {n_changed} vertices still changing — "
+                    "raise `rounds` (bound: graph diameter)"
+                )
         if r % checkpoint_every == 0 or r == rounds:
             vals = vals.localCheckpoint(eager=True)
+        prev_vals = vals
     return vals
 
 
@@ -865,9 +901,14 @@ def modularity_score(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # distinct: duplicate (node, label) rows would silently double-count
+    # deg_sum / n_nodes and fan out the edge joins, producing a wrong Q
+    # with no error (ADVICE r09). A node carrying TWO DIFFERENT labels
+    # is still caller error (documented precondition: labels is a
+    # function of node, as label_propagation emits).
     lab = labels.select(
         F.col(node_col).alias("_n"), F.col(label_col).alias("community")
-    )
+    ).distinct()
     m_row = und.agg(F.count(F.lit(1)).alias("_m"))
     deg = (
         und.select(F.col("a").alias("_n"))

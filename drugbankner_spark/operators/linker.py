@@ -303,7 +303,17 @@ def save_alias_index(
         path + "/idf"
     )
     alias_map.write.mode("overwrite").parquet(path + "/alias_map")
-    for sub in ("/postings", "/idf", "/alias_map"):
+    # Fit metadata rides WITH the index (ADVICE r09: a probe whose n /
+    # n_buckets differ from the fit silently prunes away every posting
+    # — grams hash into different buckets — returning wrong/missing
+    # matches with no error). A 1-row parquet, not a sidecar JSON, so
+    # the layout stays portable to any Hadoop-compatible FS.
+    spark.createDataFrame(
+        [(int(n), int(n_buckets),
+          float(max_df_ratio) if max_df_ratio is not None else None)],
+        "n int, n_buckets int, max_df_ratio double",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    for sub in ("/postings", "/idf", "/alias_map", "/meta"):
         invalidate_index_cache(spark, path + sub)
 
 
@@ -314,8 +324,8 @@ def link_with_alias_index(
     mention_col: str,
     threshold: float = 0.7,
     k: int = 1,
-    n: int = 3,
-    n_buckets: int = ALIAS_INDEX_BUCKETS,
+    n: int | None = None,
+    n_buckets: int | None = None,
     broadcast_max_rows: int = ALIAS_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Probe a :func:`save_alias_index` layout: identical results to
@@ -324,8 +334,37 @@ def link_with_alias_index(
     to the mention grams' buckets. The bucket list is a bounded
     driver-side collect (≤ n_buckets integers — a constant, not data
     scale). Probe cost therefore scales with the MENTION batch and the
-    matched postings, not the ontology."""
+    matched postings, not the ontology.
+
+    ``n`` / ``n_buckets`` default to the values persisted by
+    :func:`save_alias_index` (the ``meta`` parquet); passing explicit
+    values that disagree with the fit raises instead of silently
+    pruning every posting into the wrong bucket (ADVICE r09).
+    Pre-metadata indexes (no ``meta`` subdir) fall back to the module
+    defaults for backward compatibility."""
     from drugbankner_spark.operators.similarity import _read_index
+
+    try:
+        meta = _read_index(spark, path + "/meta").collect()[0]
+        fit_n, fit_buckets = int(meta["n"]), int(meta["n_buckets"])
+    except Exception:
+        # legacy layout without fit metadata — trust the caller
+        fit_n = n if n is not None else 3
+        fit_buckets = (
+            n_buckets if n_buckets is not None else ALIAS_INDEX_BUCKETS
+        )
+    if n is not None and n != fit_n:
+        raise ValueError(
+            f"alias index at {path!r} was fit with n={fit_n}, "
+            f"probe requested n={n}: grams would hash into different "
+            "buckets and matches would be silently pruned"
+        )
+    if n_buckets is not None and n_buckets != fit_buckets:
+        raise ValueError(
+            f"alias index at {path!r} was fit with n_buckets="
+            f"{fit_buckets}, probe requested n_buckets={n_buckets}"
+        )
+    n, n_buckets = fit_n, fit_buckets
 
     distinct_mentions = (
         mentions.select(F.col(mention_col).alias("mention"))

@@ -297,6 +297,15 @@ def dp_quantiles(
         raise ValueError("dp_quantiles: epsilon must be > 0")
     if not lo < hi:
         raise ValueError("dp_quantiles: need lo < hi")
+    # A q > 1000 can never satisfy cum·1000 >= q·total, so the readout
+    # join would silently emit NO row for that quantile (ADVICE r09) —
+    # fail fast like the epsilon/lo-hi guards above.
+    for q in qs_permille:
+        if not 0 < q <= 1000:
+            raise ValueError(
+                f"dp_quantiles: qs_permille entries must be in "
+                f"(0, 1000], got {q}"
+            )
     width = (hi - lo) / n_bins
     idx = F.least(
         F.lit(n_bins - 1),

@@ -1540,9 +1540,17 @@ def srp_sketch(
     Output: (id, code array<long> of ceil(n_bits/32) words)."""
     signs = srp_sign_matrix(n_bits, dim, seed)
     nw = (n_bits + 31) // 32
+    # Guard in the USED expression path (not a prunable side column):
+    # a vector shorter than `dim` would make _vi[j] NULL, the whole
+    # projection sum NULL, and CASE WHEN NULL > 0 silently emit an
+    # all-zero code (ADVICE r09) — raise instead.
     vi = (
+        f"CASE WHEN size({vec_col}) >= {dim} THEN "
         f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * "
-        f"{scale} + 0.5) AS BIGINT))"
+        f"{scale} + 0.5) AS BIGINT)) "
+        f"ELSE raise_error(concat('srp_sketch: embedding has ', "
+        f"CAST(size({vec_col}) AS STRING), "
+        f"' components but dim={dim} requested')) END"
     )
     pre = emb.select(F.col(id_col), F.expr(vi).alias("_vi"))
 

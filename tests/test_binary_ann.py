@@ -197,3 +197,18 @@ def test_srp_sketch_is_angle_lsh(spark):
     assert m == srp_sign_matrix(64, 64)
     flat = [s for row in m for s in row]
     assert abs(sum(flat)) < len(flat) * 0.2
+
+
+def test_srp_sketch_raises_on_short_vector(spark):
+    # ADVICE r09: a vector shorter than `dim` used to NULL out the
+    # projection sums and emit a degenerate all-zero code — now the
+    # used expression path raises.
+    import pytest
+
+    from drugbankner_spark.operators.similarity import srp_sketch
+
+    df = spark.createDataFrame(
+        [(0, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="srp_sketch"):
+        srp_sketch(df, n_bits=32, dim=64).collect()

@@ -3129,3 +3129,21 @@ def test_dp_quantiles_out_of_domain_clamps(spark):
     ).collect()[0]
     # 4 rows all inside the grid: total reflects every one of them
     assert out["noisy_total"] >= 4
+
+
+def test_dp_quantiles_rejects_out_of_range_q(spark):
+    # ADVICE r09: q > 1000 (or <= 0) can never satisfy the cum-count
+    # readout predicate and used to vanish silently — now validated up
+    # front like the epsilon/lo-hi guards.
+    import pytest
+
+    from drugbankner_spark.operators.privacy import dp_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)], ["v"])
+    for bad in (0, -5, 1001):
+        with pytest.raises(ValueError, match="qs_permille"):
+            dp_quantiles(df, "v", lo=0.0, hi=10.0,
+                         qs_permille=(500, bad))
+    assert dp_quantiles(
+        df, "v", lo=0.0, hi=10.0, qs_permille=(1000,)
+    ).count() == 1

@@ -443,3 +443,42 @@ def test_modularity_singleton_communities_negative(spark):
     rows = modularity_score(edges, labels).collect()
     assert all(r["m_in"] == 0 for r in rows)
     assert sum(r["q"] for r in rows) < 0
+
+
+def test_coreness_hindex_require_converged(spark):
+    # ADVICE r09: a fixed round count can return 'core' values that are
+    # only upper bounds on long-diameter graphs; require_converged must
+    # raise instead of silently under-iterating. Chain of 12 vertices:
+    # degrees are 1/2, h-index needs several rounds to settle to all-1s.
+    import pytest
+
+    from drugbankner_spark.operators.graph import coreness_hindex
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        coreness_hindex(chain, rounds=1, require_converged=True)
+    ok = coreness_hindex(chain, rounds=8, require_converged=True)
+    assert {r["core"] for r in ok.collect()} == {1}
+
+
+def test_modularity_deduplicates_label_rows(spark):
+    # ADVICE r09: duplicate (node, label) rows must not double-count
+    # deg_sum / n_nodes / m_in — Q with duplicated input equals Q with
+    # clean input.
+    from drugbankner_spark.operators.graph import modularity_score
+
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i + 10, j + 10) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(0, 10)], "src long, dst long"
+    )
+    clean = [(i, 0) for i in range(4)] + [(i + 10, 1) for i in range(4)]
+    labels_dup = spark.createDataFrame(
+        clean + clean + clean[:3], "node long, label long"
+    )
+    rows = {r["community"]: r
+            for r in modularity_score(edges, labels_dup).collect()}
+    assert rows[0]["n_nodes"] == 4 and rows[0]["deg_sum"] == 13
+    assert rows[0]["m_in"] == 6

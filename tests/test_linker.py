@@ -269,3 +269,42 @@ def test_alias_index_probe_prunes_partitions(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "gram_bucket" in plan
     assert out.count() >= 1
+
+
+def test_alias_index_probe_validates_fit_params(spark, tmp_path):
+    # ADVICE r09: a probe whose n / n_buckets differ from the fit used
+    # to hash grams into buckets would silently prune every posting —
+    # the persisted meta parquet must make that a loud error, and an
+    # unparameterized probe must auto-load the fit values.
+    import pytest
+
+    from drugbankner_spark.operators.linker import (
+        link_with_alias_index,
+        save_alias_index,
+    )
+
+    aliases = spark.createDataFrame(
+        [("aspirin", 1), ("ecotrin", 3)], ["alias", "alias_id"]
+    )
+    mentions = spark.createDataFrame([("aspirin",)], ["mention"])
+    path = str(tmp_path / "alias_idx")
+    save_alias_index(aliases, "alias", "alias_id", path, n=4,
+                     n_buckets=16)
+    # auto-load: no n/n_buckets passed, fit values recovered from meta
+    out = link_with_alias_index(
+        spark, path, mentions, "mention", threshold=0.3, k=1
+    ).collect()
+    assert [r["alias_id"] for r in out] == [1]
+    # explicit matching values still fine
+    assert link_with_alias_index(
+        spark, path, mentions, "mention", threshold=0.3, k=1,
+        n=4, n_buckets=16,
+    ).count() == 1
+    with pytest.raises(ValueError, match="was fit with n=4"):
+        link_with_alias_index(
+            spark, path, mentions, "mention", n=3
+        )
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        link_with_alias_index(
+            spark, path, mentions, "mention", n_buckets=64
+        )
