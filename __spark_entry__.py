@@ -1795,31 +1795,50 @@ def _x1_linker_corpus_maxdf(spark: SparkSession, sf: str) -> DataFrame:
 _ALIAS_INDEX: dict[tuple[str, str], str] = {}
 
 
-def _x1_linker_indexed(spark: SparkSession, sf: str) -> DataFrame:
-    # Round 9: the linker's SERVING face — the ontology fit persisted
-    # ONCE per (session, sf) as a gram-bucket-partitioned index
-    # (save_alias_index); each run probes it, pruning the postings/idf
-    # scans to the mention grams' buckets. Results are bit-identical
-    # to the inline x1_linker_corpus, so the oracle is shared — what
-    # the probe buys is the COST shape: the r08 bench measured the
-    # inline fit at ~7x per 10x aliases; the probe amortizes that
-    # entirely.
+def _ensure_alias_index(spark: SparkSession, sf: str) -> str:
+    """Build the persisted alias index ONCE per (session, sf) — the
+    fit step a serving deployment pays at publish time, NOT per probe.
+    BENCH de-conflation (VERDICT r09 next #3): bench.py calls this
+    explicitly BEFORE timing the probe and reports the fit seconds as
+    its own line, so the x1_linker_indexed number is probe-only.
+    The index is fit with max_df_ratio=0.1 — the same stop-gram
+    posture as x1_linker_corpus_maxdf, the inline baseline the probe
+    is timed against (serving an UNPRUNED index would compare a
+    different query)."""
     import tempfile
 
-    from drugbankner_spark.operators.linker import (
-        link_with_alias_index,
-        save_alias_index,
-    )
+    from drugbankner_spark.operators.linker import save_alias_index
 
-    mentions, aliases = _linker_corpus_mentions(spark, sf)
+    _mentions, aliases = _linker_corpus_mentions(spark, sf)
     key = (spark.sparkContext.applicationId, sf)
     if key not in _ALIAS_INDEX:
         path = tempfile.mkdtemp(prefix="alias_index_") + "/idx"
-        save_alias_index(aliases, "alias", "alias_id", path)
+        save_alias_index(
+            aliases, "alias", "alias_id", path, max_df_ratio=0.1
+        )
         _ALIAS_INDEX[key] = path
+    return _ALIAS_INDEX[key]
+
+
+def _x1_linker_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 9/10: the linker's SERVING face — the ontology fit
+    # persisted once per (session, sf) as a gram-bucket-partitioned
+    # index (one file per bucket, max_df=0.1); each run probes it,
+    # pruning the postings/idf scans to the mention grams' buckets.
+    # Results are bit-identical to the inline x1_linker_corpus_maxdf
+    # (shared oracle); what the probe buys is the COST shape: the
+    # inline fit scales with the ALIAS dim (~6.6x per 10x aliases),
+    # the probe with the mention batch.
+    from drugbankner_spark.operators.linker import link_with_alias_index
+
+    mentions, _aliases = _linker_corpus_mentions(spark, sf)
+    # prune_buckets=False: this is the BULK re-link shape — tens of
+    # thousands of distinct mentions touch every gram bucket, so the
+    # bucket pre-pass (a full mention-gram job) would be pure
+    # overhead. Small-batch serving keeps the default pruning.
     return link_with_alias_index(
-        spark, _ALIAS_INDEX[key], mentions, "mention",
-        threshold=0.6, k=1,
+        spark, _ensure_alias_index(spark, sf), mentions, "mention",
+        threshold=0.6, k=1, prune_buckets=False,
     )
 
 
@@ -11939,8 +11958,10 @@ def oracle_sql() -> dict[str, str]:
     # a fresh full build — one oracle, two names
     out["e2_lsh_append_topk"] = out["e2_lsh_topk"]
     # the persisted-alias-index probe must equal the inline linker fit
-    # — one oracle, two names (round 9)
-    out["x1_linker_indexed"] = out["x1_linker_corpus"]
+    # with the SAME max_df posture — one oracle, two names (round 10:
+    # the serving index is fit with max_df_ratio=0.1, the production
+    # stop-gram cut, so its oracle is the maxdf twin)
+    out["x1_linker_indexed"] = out["x1_linker_corpus_maxdf"]
     # e5_agreement: the Gorodkin R_K / kappa arithmetic replayed over
     # the same confusion counts — integer sums, pinned sqrt product
     out["e5_agreement"] = """

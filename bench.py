@@ -165,6 +165,14 @@ def main() -> None:
     def q(name):
         return qs.get(ALIAS.get(name, name))
 
+    # Serving-index fit, timed as its OWN line (VERDICT r09 next #3):
+    # a deployment pays save_alias_index once at publish time; the
+    # x1_linker_indexed entries below time the PROBE only.
+    t0 = time.perf_counter()
+    entrymod._ensure_alias_index(spark, sf_dir)
+    linker_fit_sec = round(time.perf_counter() - t0, 3)
+    print(f"# x1_linker_index_fit: {linker_fit_sec}s", file=sys.stderr)
+
     # Warmup pass: JIT/codegen + OS page cache; not measured.
     for name in HEADLINE:
         if q(name) is not None:
@@ -222,6 +230,7 @@ def main() -> None:
         "loadavg_1m": round(load_before[0], 2),
         "loadavg_after_1m": round(os.getloadavg()[0], 2),
         "calibration_sec": calib,
+        "x1_linker_index_fit_sec": linker_fit_sec,
     }
     # skew demonstration + sf1 scaling rehearsal (VERDICT r04 next #6/#7);
     # separate sections so the headline total stays round-comparable.
@@ -488,6 +497,12 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
         docs1.agg(F.count(F.lit(1)), F.avg(F.length("text"))).collect()
         el = time.perf_counter() - t0
         calib = el if calib is None else min(calib, el)
+    # sf1 serving-index fit, outside the probe timings (VERDICT r09 #3)
+    import __spark_entry__ as entrymod
+
+    t0 = time.perf_counter()
+    entrymod._ensure_alias_index(spark, sf1_dir)
+    fit_sec = round(time.perf_counter() - t0, 3)
     queries: dict = {}
     for name in SF1_QUERIES:
         fn = qs.get(ALIAS.get(name, name))
@@ -513,7 +528,8 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
         queries[name] = entry
         print(f"# sf1 {name}: {entry}", file=sys.stderr)
     return {"dir": sf1_dir, "data_scale_vs_sf0_1": 10,
-            "calibration_sec": round(calib, 3), "queries": queries}
+            "calibration_sec": round(calib, 3),
+            "x1_linker_index_fit_sec": fit_sec, "queries": queries}
 
 
 #: sf3 set: the heaviest sf1 entries (VERDICT r05 next #7) — all

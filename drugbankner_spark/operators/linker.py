@@ -247,6 +247,12 @@ def _link_tail(
 #: small query batch touches a handful of the 64 partitions.
 ALIAS_INDEX_BUCKETS = 64
 
+#: (applicationId, index path) → (n, n_buckets) fit metadata — the
+#: meta parquet is 1 row and immutable per path, so one read per
+#: session is enough; re-reading it per probe cost a driver job on
+#: the serving hot path.
+_ALIAS_META_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+
 
 def _gram_bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
@@ -292,16 +298,22 @@ def save_alias_index(
         alias_map, "alias", n, max_df_ratio=max_df_ratio
     )
     spark = aliases.sparkSession
+    # repartition ON the bucket key before the partitioned write: each
+    # task then owns whole buckets, so the layout is ~1 file per bucket
+    # instead of (shuffle tasks × buckets) tiny files — the probe-side
+    # scan pays per-file footer/open costs, and a 2048-file index made
+    # the serving probe SLOWER than the inline fit it amortizes
+    # (BENCH_r09: 13.4 s vs 10.5 s at sf1).
     postings.withColumn(
         "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
-    ).write.mode("overwrite").partitionBy("gram_bucket").parquet(
-        path + "/postings"
-    )
+    ).repartition(n_buckets, "gram_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("gram_bucket").parquet(path + "/postings")
     idf.withColumn(
         "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
-    ).write.mode("overwrite").partitionBy("gram_bucket").parquet(
-        path + "/idf"
-    )
+    ).repartition(n_buckets, "gram_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("gram_bucket").parquet(path + "/idf")
     alias_map.write.mode("overwrite").parquet(path + "/alias_map")
     # Fit metadata rides WITH the index (ADVICE r09: a probe whose n /
     # n_buckets differ from the fit silently prunes away every posting
@@ -315,6 +327,9 @@ def save_alias_index(
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     for sub in ("/postings", "/idf", "/alias_map", "/meta"):
         invalidate_index_cache(spark, path + sub)
+    _ALIAS_META_CACHE.pop(
+        (spark.sparkContext.applicationId, path), None
+    )
 
 
 def link_with_alias_index(
@@ -327,6 +342,7 @@ def link_with_alias_index(
     n: int | None = None,
     n_buckets: int | None = None,
     broadcast_max_rows: int = ALIAS_BROADCAST_MAX_ROWS,
+    prune_buckets: bool = True,
 ) -> DataFrame:
     """Probe a :func:`save_alias_index` layout: identical results to
     ``link_by_tfidf`` with the same fit parameters (parity-tested),
@@ -341,18 +357,33 @@ def link_with_alias_index(
     values that disagree with the fit raises instead of silently
     pruning every posting into the wrong bucket (ADVICE r09).
     Pre-metadata indexes (no ``meta`` subdir) fall back to the module
-    defaults for backward compatibility."""
+    defaults for backward compatibility.
+
+    ``prune_buckets``: bucket pruning costs one extra job (mention
+    grams → distinct bucket ids → driver collect) to save index scan
+    I/O — a win exactly when the probe batch is small (the serving
+    default). A corpus-scale batch touches every bucket anyway, so
+    the gram pre-pass is pure overhead — pass ``False`` for bulk
+    re-linking jobs (an adaptive count was tried and rejected: the
+    decision job re-materializes the caller's mention derivation,
+    which for corpus batches costs more than the pruning saves)."""
     from drugbankner_spark.operators.similarity import _read_index
 
-    try:
-        meta = _read_index(spark, path + "/meta").collect()[0]
-        fit_n, fit_buckets = int(meta["n"]), int(meta["n_buckets"])
-    except Exception:
-        # legacy layout without fit metadata — trust the caller
-        fit_n = n if n is not None else 3
-        fit_buckets = (
-            n_buckets if n_buckets is not None else ALIAS_INDEX_BUCKETS
-        )
+    mkey = (spark.sparkContext.applicationId, path)
+    if mkey not in _ALIAS_META_CACHE:
+        try:
+            meta = _read_index(spark, path + "/meta").collect()[0]
+            _ALIAS_META_CACHE[mkey] = (
+                int(meta["n"]), int(meta["n_buckets"])
+            )
+        except Exception:
+            # legacy layout without fit metadata — trust the caller
+            _ALIAS_META_CACHE[mkey] = (
+                n if n is not None else 3,
+                n_buckets if n_buckets is not None
+                else ALIAS_INDEX_BUCKETS,
+            )
+    fit_n, fit_buckets = _ALIAS_META_CACHE[mkey]
     if n is not None and n != fit_n:
         raise ValueError(
             f"alias index at {path!r} was fit with n={fit_n}, "
@@ -371,21 +402,27 @@ def link_with_alias_index(
         .filter(F.col("mention").isNotNull())
         .distinct()
     )
-    mcounts = char_wb_gram_counts(
-        distinct_mentions, "mention", "mention", n
-    )
-    buckets = [
-        r["b"]
-        for r in mcounts.select(
-            _gram_bucket(F.col("gram"), n_buckets).alias("b")
-        ).distinct().collect()
-    ]
-    postings = _read_index(spark, path + "/postings").filter(
-        F.col("gram_bucket").isin(buckets)
-    ).select("gram", "alias", "w")
-    idf = _read_index(spark, path + "/idf").filter(
-        F.col("gram_bucket").isin(buckets)
-    ).select("gram", "idf")
+    if prune_buckets:
+        mcounts = char_wb_gram_counts(
+            distinct_mentions, "mention", "mention", n
+        )
+        buckets = [
+            r["b"]
+            for r in mcounts.select(
+                _gram_bucket(F.col("gram"), n_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        postings = _read_index(spark, path + "/postings").filter(
+            F.col("gram_bucket").isin(buckets)
+        ).select("gram", "alias", "w")
+        idf = _read_index(spark, path + "/idf").filter(
+            F.col("gram_bucket").isin(buckets)
+        ).select("gram", "idf")
+    else:
+        postings = _read_index(spark, path + "/postings").select(
+            "gram", "alias", "w"
+        )
+        idf = _read_index(spark, path + "/idf").select("gram", "idf")
     alias_map = _read_index(spark, path + "/alias_map")
     return _link_tail(
         distinct_mentions, "mention", postings, idf, alias_map,
