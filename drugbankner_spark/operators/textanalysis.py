@@ -1112,112 +1112,178 @@ def gopher_repetition_signals(
       the convention here is deterministic and engine-replicable, and
       thresholds calibrate the same way)
 
-    Fractions are 6dp; documents shorter than n contribute 0. ONE
-    explode produces every (n, gram) pair, so the whole signal set
-    costs one shuffle keyed by (doc, n, gram) plus a per-doc line agg
-    — not one pass per n. 100 TB shape: everything partitions on the
-    document id; no dimension tables, no skew (gram keys are salted by
-    doc id by construction).
+    Fractions are 6dp; documents shorter than n contribute 0.
 
-    ``key="hash"`` is the production form for the 100 TB run: the
-    shuffle key becomes ``(xxhash64(gram), length(gram))`` instead of
-    the gram text — the signals only ever need each gram's COUNT and
-    LENGTH, so the text itself never has to move, cutting shuffle
-    bytes roughly in half (bench's heaviest entry). A 64-bit collision
-    inside one (doc, n) group (~hundreds of grams) is ~2⁻⁵⁰ per doc —
-    the same trade every MinHash kernel in dedup.py makes. The default
-    ``key="gram"`` form is the oracle-replicable one (DuckDB has no
-    xxhash64); identical outputs are pinned in tests."""
+    ZERO SHUFFLE (round 10, VERDICT r09 next #2): every signal is a
+    function of ONE document, so the whole set is per-row array work —
+    ``array_sort`` each n-gram window array, then a run-length
+    ``aggregate`` scan collecting (max run·len, Σ_{run≥2} run·len,
+    #runs, Σ run·len) in exact BIGINT arithmetic. The previous form
+    exploded ~9 n-gram sets per token through a (doc, n, gram) shuffle
+    and went superlinear at sf3 (slope 4.4 per 3×, 1.16 GB peak stage
+    shuffle write — BENCH_r09); this form moves no gram anywhere and
+    scales embarrassingly-parallel with the scan.
+
+    Neither form ever BUILDS the n-gram strings (profiled at sf0.1:
+    string construction via slice+array_join was 8.8 s of the old
+    form's 8.7–12 s — more than sort+scan combined). Windows are
+    keyed per position i directly off per-token helper arrays:
+
+    - ``key="gram"`` (default, the oracle-replicable form): the key
+      IS the token slice ``slice(tokens, i, n)`` — equality of slices
+      ⟺ equality of gram text (tokens cannot contain the separator),
+      so results are TEXT-EXACT; gram length = Σ token lens + (n−1)
+      off a (len+1) helper array. ~6 s at sf0.1 vs 8.7 s for the old
+      shuffle form.
+    - ``key="hash"`` (production): the key is
+      ``xxhash64(token_hash[i..i+n-1])`` — 8-byte comparisons, no
+      string bytes touched at all (~4 s at sf0.1). A 64-bit collision
+      inside one document (~hundreds of grams) is ~2⁻⁵⁰ — the same
+      trade every MinHash kernel in dedup.py makes. Identical outputs
+      to the gram form are pinned in tests."""
+    if key not in ("gram", "hash"):
+        raise ValueError(f"unknown gram key form: {key!r}")
     t = F.col(text_col)
-    pre = docs.select(
-        F.col(id_col),
-        F.length(t).alias("_nc"),
-        tokens(t).alias("_tk"),
-        F.split(t, "\n").alias("_ln"),
-    )
     all_ns = list(top_ns) + list(dup_ns)
 
-    def _tag(n: int):
-        # single-arg lambda: a second parameter would make F.transform
-        # pass the element INDEX into it (the (x, i) calling
-        # convention), silently replacing the captured n
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    def _scan(elems, init_key, lines: bool = False):
+        """Run-length scan over a sorted array of struct(k, l): returns
+        struct(top, dup) = (max run·l, Σ_{run≥2} run·l) — plus
+        (dis, tot) = (#distinct, Σ run·l) when ``lines`` — all BIGINT,
+        one pass, no shuffle. The gram scans skip dis/tot: the state
+        struct is rebuilt per element, so two fewer fields is real
+        constant-factor savings across ~9·L elements per doc."""
+        zero = F.lit(0).cast("long")
+        fields = [
+            init_key.alias("pk"),
+            F.lit(-1).cast("long").alias("pl"),
+            zero.alias("run"), zero.alias("top"), zero.alias("dup"),
+        ] + ([zero.alias("dis"), zero.alias("tot")] if lines else [])
+        init = F.struct(*fields)
 
-    gram_structs = F.flatten(
-        F.array(*[
-            F.transform(_word_ngrams(F.col("_tk"), n), _tag(n))
-            for n in all_ns
-        ])
+        def _close(a):
+            # finalize the open run (run=0 at init contributes 0)
+            mass = a["run"] * F.greatest(a["pl"], F.lit(0).cast("long"))
+            out = [
+                F.greatest(a["top"], mass),
+                a["dup"] + F.when(a["run"] >= 2, mass).otherwise(zero),
+            ]
+            if lines:
+                out += [
+                    a["dis"] + F.when(a["run"] >= 1,
+                                      F.lit(1).cast("long"))
+                    .otherwise(zero),
+                    a["tot"] + mass,
+                ]
+            return out
+
+        def merge(a, x):
+            closed = _close(a)
+            keep = [
+                a["pk"].alias("pk"), a["pl"].alias("pl"),
+                (a["run"] + 1).alias("run"), a["top"].alias("top"),
+                a["dup"].alias("dup"),
+            ] + ([a["dis"].alias("dis"), a["tot"].alias("tot")]
+                 if lines else [])
+            names = ["top", "dup"] + (["dis", "tot"] if lines else [])
+            new = [
+                x["k"].alias("pk"), x["l"].alias("pl"),
+                F.lit(1).cast("long").alias("run"),
+            ] + [c.alias(nm) for c, nm in zip(closed, names)]
+            return F.when(
+                (x["k"] == a["pk"]) & (x["l"] == a["pl"]),
+                F.struct(*keep),
+            ).otherwise(F.struct(*new))
+
+        def finish(a):
+            names = ["top", "dup"] + (["dis", "tot"] if lines else [])
+            return F.struct(*[
+                c.alias(nm) for c, nm in zip(_close(a), names)
+            ])
+
+        return F.aggregate(F.array_sort(elems), init, merge, finish)
+
+    tk = tokens(t)
+    ln = F.split(t, "\n")
+    nc = F.length(t)
+    line_scan = _scan(
+        F.transform(ln, lambda x: F.struct(
+            x.alias("k"), F.length(x).cast("long").alias("l"))),
+        F.lit(""),
+        lines=True,
     )
-    if key == "hash":
-        gram_key = [
-            F.xxhash64(F.col("_g.gram")).alias("gh"),
-            F.length(F.col("_g.gram")).alias("gl"),
-        ]
-    elif key == "gram":
-        gram_key = [F.col("_g.gram").alias("gram")]
-    else:
-        raise ValueError(f"unknown gram key form: {key!r}")
-    gcnt = (
-        pre.select(
-            F.col(id_col), "_nc",
-            F.explode(gram_structs).alias("_g"),
-        )
-        .groupBy(F.col(id_col), F.col("_g.n").alias("n"), *gram_key)
-        .agg(F.count(F.lit(1)).alias("c"), F.max("_nc").alias("_nc"))
-    )
-    mass = F.col("c") * (
-        F.col("gl") if key == "hash" else F.length("gram")
-    )
-    per_n = gcnt.groupBy(id_col, "n").agg(
-        F.max(mass).alias("_top_mass"),
-        F.sum(F.when(F.col("c") >= 2, mass)).alias("_dup_mass"),
-        F.max("_nc").alias("_nc"),
-    )
-    gram_cols = [
-        F.round(
-            F.coalesce(
-                F.max(F.when(F.col("n") == n,
-                             F.col("_top_mass") / F.col("_nc"))),
-                F.lit(0.0),
-            ), 6,
-        ).alias(f"top{n}gram_char_frac")
-        for n in top_ns
-    ] + [
-        F.round(
-            F.coalesce(
-                F.max(F.when(F.col("n") == n,
-                             F.col("_dup_mass") / F.col("_nc"))),
-                F.lit(0.0),
-            ), 6,
-        ).alias(f"dup{n}gram_char_frac")
-        for n in dup_ns
+    # stage 1: per-token helper arrays, built ONCE (not once per n) —
+    # token (len+1) for window lengths, token xxhash64 for hash keys.
+    helper_cols = [
+        F.transform(tk, lambda w: (F.length(w) + 1).cast("long"))
+        .alias("_tl"),
+        F.size(tk).alias("_sz"),
     ]
-    grams_doc = per_n.groupBy(id_col).agg(*gram_cols)
-    lcnt = (
-        pre.select(F.col(id_col), F.explode("_ln").alias("line"))
-        .groupBy(id_col, "line")
-        .agg(F.count(F.lit(1)).alias("c"))
+    if key == "hash":
+        helper_cols.append(
+            F.transform(tk, lambda w: F.xxhash64(w)).alias("_th")
+        )
+        gram_init = F.lit(0).cast("long")
+        empty_t = "array<struct<k:bigint,l:bigint>>"
+    else:
+        helper_cols.append(tk.alias("_tk"))
+        gram_init = F.array().cast("array<string>")
+        empty_t = "array<struct<k:array<string>,l:bigint>>"
+    stage1 = docs.select(
+        F.col(id_col),
+        nc.alias("_nc"),
+        F.size(ln).cast("long").alias("n_lines"),
+        line_scan.alias("_lsc"),
+        *helper_cols,
     )
-    line_mass = F.col("c") * F.length("line")
-    lines_doc = lcnt.groupBy(id_col).agg(
-        F.sum("c").alias("n_lines"),
+
+    def _window_elems(n: int):
+        """struct(k, l) per window start, straight off the helper
+        arrays — the gram string is never materialized. l = window
+        char length = Σ (token len + 1) − 1."""
+        def mk(i):
+            length = (
+                sum(
+                    [F.element_at(F.col("_tl"), i + j)
+                     for j in range(1, n)],
+                    F.element_at(F.col("_tl"), i),
+                ) - 1
+            )
+            if key == "hash":
+                k = F.xxhash64(*[
+                    F.element_at(F.col("_th"), i + j) for j in range(n)
+                ])
+            else:
+                k = F.slice(F.col("_tk"), i, n)
+            return F.struct(k.alias("k"), length.alias("l"))
+
+        return F.when(
+            F.col("_sz") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_sz") - (n - 1)), mk
+            ),
+        ).otherwise(F.array().cast(empty_t))
+
+    pre = stage1.select(
+        F.col(id_col), "_nc", "n_lines", "_lsc",
+        *[_scan(_window_elems(n), gram_init).alias(f"_g{n}")
+          for n in all_ns],
+    )
+    frac6 = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(num / den, F.lit(0.0)), 6
+    )
+    return pre.select(
+        id_col,
+        "n_lines",
         F.round(
-            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
+            (F.col("n_lines") - F.col("_lsc.dis")) / F.col("n_lines"), 6
         ).alias("dup_line_frac"),
-        F.round(
-            F.coalesce(
-                F.sum(F.when(F.col("c") >= 2, line_mass))
-                / F.sum(line_mass),
-                F.lit(0.0),
-            ), 6,
-        ).alias("dup_line_char_frac"),
-    )
-    return lines_doc.join(grams_doc, id_col, "left").select(
-        id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
-          for c in [f"top{n}gram_char_frac" for n in top_ns]
-          + [f"dup{n}gram_char_frac" for n in dup_ns]],
+        frac6(F.col("_lsc.dup"), F.col("_lsc.tot"))
+        .alias("dup_line_char_frac"),
+        *[frac6(F.col(f"_g{n}.top"), F.col("_nc"))
+          .alias(f"top{n}gram_char_frac") for n in top_ns],
+        *[frac6(F.col(f"_g{n}.dup"), F.col("_nc"))
+          .alias(f"dup{n}gram_char_frac") for n in dup_ns],
     )
 
 

@@ -401,11 +401,15 @@ def test_c4_and_pii_run_at_scan_throughput(spark):
 
 
 def test_gopher_rep_single_gram_shuffle_budget(spark):
-    # one explode covers n=2..10: the gram agg + per-n agg + per-doc
-    # agg + line aggs + one join — bounded, and never a cartesian.
-    df = QUERIES["e3_gopher_rep"](spark, SF)
-    assert not X.has_cartesian(df)
-    assert X.count_shuffles(df) <= 7, X.plan_string(df, "simple")
+    # round 10 (VERDICT r09 next #2): every signal is per-document, so
+    # the whole n=2..10 set is per-row array_sort + run-length
+    # aggregate — ZERO shuffles, no join, no Python.
+    for name in ["e3_gopher_rep", "e3_gopher_rep_hash"]:
+        df = QUERIES[name](spark, SF)
+        plan = X.plan_string(df, "simple")
+        assert not X.has_cartesian(df)
+        assert X.count_shuffles(df) == 0, (name, plan)
+        assert "Python" not in plan, name
 
 
 def test_kn_ppl_broadcasts_bounded_model_dims(spark):
