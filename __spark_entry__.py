@@ -2893,6 +2893,143 @@ def _e1_pair_suite(spark: SparkSession, sf: str) -> DataFrame:
     ])
 
 
+def _e1_sa_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-10 consolidation suite: the four r09-green suffix-array
+    # singles (global SA ranks, Lee-et-al duplicate spans, the
+    # composed exact-span removal, and the sf-proportional bench
+    # slice's rank checksum) in one tagged-union row.
+    return _union_all([
+        _e1_suffix_array(spark, sf).select(*_okv(
+            "sa", F.col("gpos"),
+            F.concat_ws("§", F.col("doc_id").cast("string"),
+                        F.col("local_pos").cast("string"),
+                        F.col("sa_rank").cast("string")),
+        )),
+        _e1_sa_dup_spans(spark, sf).select(*_okv(
+            "spans",
+            F.concat_ws("§", F.col("doc_id").cast("string"),
+                        F.col("local_pos").cast("string")),
+            F.concat_ws("§", F.col("other_doc_id").cast("string"),
+                        F.col("other_pos").cast("string"),
+                        F.col("prefix")),
+        )),
+        _e1_sa_dedup(spark, sf).select(*_okv(
+            "dedup", F.col("doc_id"),
+            F.concat_ws("§", F.col("n_chars_kept").cast("string"),
+                        F.col("n_chars_removed").cast("string"),
+                        F.col("text")),
+        )),
+        _e1_suffix_array_bench(spark, sf).select(*_okv(
+            "bench", F.col("doc_id"),
+            F.concat_ws("§", F.col("n_positions").cast("string"),
+                        F.col("rank_checksum").cast("string")),
+        )),
+    ])
+
+
+def _g_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-10 consolidation suite: the two r09-green power-iteration
+    # singles (PageRank, personalized PageRank) in one tagged row.
+    return _union_all([
+        _g_pagerank(spark, sf).select(*_okv(
+            "pr", F.col("node"), v_num=F.col("rank"))),
+        _g_ppr(spark, sf).select(*_okv(
+            "ppr", F.col("node"), v_num=F.col("rank"))),
+    ])
+
+
+def _e2_bit_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-10 consolidation suite: the four r09-green 1-bit ANN
+    # singles (Hamming top-k, the Hamming→cosine rerank funnel,
+    # banded corpus×corpus Hamming pairs, SRP sketches+topk) in one
+    # tagged-union row. The srp branch is already in okv form (ops
+    # 'code'/'topk') and passes through unchanged.
+    return _union_all([
+        _e2_hamming_topk(spark, sf).select(*_okv(
+            "htop",
+            F.concat_ws("§", F.col("query_id").cast("string"),
+                        F.col("rank").cast("string")),
+            F.col("neighbor_id"),
+            v_num=F.col("hamming").cast("double"),
+        )),
+        _e2_rerank_topk(spark, sf).select(*_okv(
+            "rrk",
+            F.concat_ws("§", F.col("query_id").cast("string"),
+                        F.col("rank").cast("string")),
+            F.col("neighbor_id"),
+            v_num=F.col("cos_sim"),
+        )),
+        _e2_hamming_pairs(spark, sf).select(*_okv(
+            "hpairs",
+            F.concat_ws("§", F.col("id_a").cast("string"),
+                        F.col("id_b").cast("string")),
+            v_num=F.col("hamming").cast("double"),
+        )),
+        _e2_srp_sketch(spark, sf),
+    ])
+
+
+def _e5_dp_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-10 consolidation suite: the two r09-green DP-histogram
+    # releases (row-level, user-level with per-contributor clamp).
+    return _union_all([
+        _e5_dp_histogram(spark, sf).select(*_okv(
+            "row", F.col("event_type"), F.col("true_count"),
+            v_num=F.col("noisy_count").cast("double"))),
+        _e5_dp_histogram_user(spark, sf).select(*_okv(
+            "user", F.col("event_type"), F.col("true_count"),
+            v_num=F.col("noisy_count").cast("double"))),
+    ])
+
+
+def _e2_kmeans_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-10 consolidation suite: the three r09-green k-means-family
+    # singles (the Lloyd fit assignments, the cluster-balanced sample,
+    # cluster-scoped SemDeDup) in one tagged-union row.
+    return _union_all([
+        _e2_kmeans(spark, sf).select(*_okv(
+            "km", F.col("vec_id"),
+            F.concat_ws("§", F.col("cluster_id").cast("string"),
+                        F.col("sq_dist").cast("string")),
+        )),
+        _e2_cluster_sample(spark, sf).select(*_okv(
+            "cs", F.col("vec_id"),
+            F.concat_ws("§", F.col("cluster_id").cast("string"),
+                        F.col("draw_rank").cast("string")),
+        )),
+        _e2_semdedup_kmeans(spark, sf).select(*_okv(
+            "sd", F.col("vec_id"),
+            F.concat_ws("§", F.col("kmeans_cluster").cast("string"),
+                        F.col("cluster_id").cast("string"),
+                        F.col("cluster_size").cast("string"),
+                        F.col("is_survivor").cast("int").cast("string")),
+        )),
+    ])
+
+
+def _x1_linker_suite(spark: SparkSession, sf: str) -> DataFrame:
+    # Round-10 consolidation suite: the two r09-green inline
+    # corpus-linker probes (unpruned, max_df=0.1). The serving-index
+    # probe keeps its OWN window row (x1_linker_indexed — rotated in
+    # this round, never driver-verified).
+    return _union_all([
+        _x1_linker_corpus(spark, sf).select(*_okv(
+            "inline",
+            F.concat_ws("§", F.col("mention"),
+                        F.col("rank").cast("string")),
+            F.col("alias_id"),
+            v_num=F.col("score"),
+        )),
+        _x1_linker_corpus_maxdf(spark, sf).select(*_okv(
+            "maxdf",
+            F.concat_ws("§", F.col("mention"),
+                        F.col("rank").cast("string")),
+            F.col("alias_id"),
+            v_num=F.col("score"),
+        )),
+    ])
+
+
 def _e5_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     # Temperature-weighted mixing (round 6): per-source targets ∝
     # sqrt(n) (alpha=0.5, UniMax/T5-style low-resource upweighting) in
@@ -3985,6 +4122,72 @@ def _t_holt(spark: SparkSession, sf: str) -> DataFrame:
     return holt_linear(
         load_table(spark, sf, "events"), ["event_type"],
         step_seconds=21600, alpha=0.5, beta=0.2, horizons=(1, 2, 3),
+    )
+
+
+def _t_acf(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 10: sample autocorrelation at lags 1..6 per event_type
+    # over 6-hour buckets — the seasonality probe for the smoothing
+    # family. Numerator/denominator are exact BIGINTs (centi-unit
+    # floor-div bucket means clear x-bar by multiplying through by
+    # n^2); acf is ONE IEEE division, so the oracle is exact.
+    from drugbankner_spark.operators.timeseries import autocorrelation
+
+    return autocorrelation(
+        load_table(spark, sf, "events"), ["event_type"],
+        step_seconds=21600, max_lag=6,
+    )
+
+
+def _e6_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 10: the exact-oracle HyperLogLog — distinct users per
+    # event_type from 256 deterministic md5-derived registers. The
+    # harmonic sum is an exact BIGINT (sum 2^(33-M)); the estimate is
+    # one literal/integer IEEE division — the first HLL whose sketch
+    # AND estimate hash-match a SQL replay (the cm_build closure,
+    # extended to distincts). Registers melt into the output so the
+    # driver hash pins the full sketch state, not just the estimate.
+    from drugbankner_spark.operators.sketches import (
+        hll_exact_estimate,
+        hll_exact_registers,
+    )
+
+    ev = load_table(spark, sf, "events")
+    regs = hll_exact_registers(ev, ["event_type"], "user_id")
+    est = hll_exact_estimate(regs, ["event_type"])
+    return _union_all([
+        regs.select(*_okv(
+            "reg",
+            F.concat_ws("§", F.col("event_type"),
+                        F.col("reg_idx").cast("string")),
+            v_num=F.col("reg_max").cast("double"),
+        )),
+        est.select(*_okv(
+            "est", F.col("event_type"),
+            F.concat_ws("§", F.col("n_zero_regs").cast("string"),
+                        F.col("s_scaled").cast("string")),
+            v_num=F.round(F.col("hll_estimate"), 6),
+        )),
+    ])
+
+
+def _e5_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 10: chi-square feature selection — top-10 tokens per
+    # language by presence/class dependence over the documents table.
+    # Counts are exact BIGINTs; the statistic is a pinned-order double
+    # expression (every IEEE step correctly rounded, so both engines
+    # agree bit-for-bit); ties rank by token text.
+    from drugbankner_spark.operators.textanalysis import (
+        chi2_feature_selection,
+    )
+
+    return chi2_feature_selection(
+        load_table(spark, sf, "documents"),
+        text_col="text", label_col="lang", id_col="doc_id",
+        min_df=5, top_k=10,
+    ).select(
+        "label", "token", "df_in_class", "df_token",
+        F.round(F.col("chi2"), 6).alias("chi2"), "rank",
     )
 
 
@@ -5237,69 +5440,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (hash-oracled this round, never driver-verified): e5_dp_quantile
     (DP quantiles off one noisy-CDF Laplace release) and t_holt
     (Holt linear-trend smoothing, recursive-CTE replay oracle,
-    bit-exact doubles)."""
+    bit-exact doubles).
+
+    Round-10 rotation (VERDICT r09 next #1/#7): the EIGHT
+    never-driver-verified pool entries enter the window —
+    g_modularity, e6_interval_join, e5_dp_quantile, t_holt,
+    x1_linker_indexed, e3_fertility, e5_agreement, plus e6_windows
+    (the r7-keeper readStream face that fell out in the r9 rotation).
+    The slots come from consolidating SEVENTEEN r09-GREEN singles
+    (all 50 window rows were green in CORRECTNESS_r09) into six new
+    tagged-union suites: e1_sa_suite (suffix array + dup spans +
+    removal + bench checksum), g_rank_suite (pagerank + ppr),
+    e2_bit_suite (hamming topk + rerank + pairs + srp), e5_dp_suite
+    (row- + user-level DP histograms), e2_kmeans_suite (lloyd fit +
+    cluster sample + semdedup), x1_linker_suite (inline corpus
+    linker, unpruned + maxdf) — the established mechanism; every
+    original stays individually runnable via ``all_queries`` and
+    hash-checked in tests/test_oracle_parity.py. The remaining three
+    slots carry this round's new hash-oracled operators (e5_chi2,
+    t_acf, e6_hll_distinct)."""
     return {
-        # -- round-8 rotation (VERDICT r07 next #1): the nine round-7
-        # pool entries — the only hash-oracled operators never driver-
-        # verified — enter the window, plus this round's four new ops.
-        # To free the 13 slots, 17 r07-green singles consolidate into
-        # four new tagged-union suites (t_ts_suite = resample + ewma +
-        # anomaly; e6_journey_suite = transition matrix/power + top
-        # paths + attribution + co-occurrence; e5_eval_suite = nDCG +
-        # retrieval + class report + NER eval + IOB; e1_clean_suite =
-        # C4 + PII + repair + boilerplate) — the established mechanism:
+        # -- round-10 rotation (VERDICT r09 next #1/#7): the eight
+        # never-driver-verified pool entries enter the window; the
+        # slots come from consolidating 17 r09-GREEN singles into the
+        # six tagged-union suites below — the established mechanism:
         # every original stays individually runnable via all_queries
         # and hash-checked in tests/test_oracle_parity.py -------------
-        "e1_suffix_array": _e1_suffix_array,
-        "e1_sa_dup_spans": _e1_sa_dup_spans,
-        "g_pagerank": _g_pagerank,
-        "g_ppr": _g_ppr,
-        "e5_dp_histogram": _e5_dp_histogram,
+        "g_modularity": _g_modularity,
+        "e6_interval_join": _e6_interval_join,
+        "e5_dp_quantile": _e5_dp_quantile,
+        "t_holt": _t_holt,
+        "x1_linker_indexed": _x1_linker_indexed,
+        "e3_fertility": _e3_fertility,
+        "e5_agreement": _e5_agreement,
+        "e6_windows": _e6_windows,
+        # -- round-10 consolidation suites (r09-green singles) ---------
+        "e1_sa_suite": _e1_sa_suite,
+        "g_rank_suite": _g_rank_suite,
+        "e2_bit_suite": _e2_bit_suite,
+        "e5_dp_suite": _e5_dp_suite,
+        "e2_kmeans_suite": _e2_kmeans_suite,
+        "x1_linker_suite": _x1_linker_suite,
+        # -- round-10 NEW ops (hash-oracled at both SFs this round) ----
+        "e5_chi2": _e5_chi2,
+        "t_acf": _t_acf,
+        "e6_hll_distinct": _e6_hll_distinct,
+        # -- r09-green rows staying in the window ----------------------
         "t_seasonal": _t_seasonal,
-        "e2_hamming_topk": _e2_hamming_topk,
-        "e2_rerank_topk": _e2_rerank_topk,
         "pipeline_pretrain_prep": _pipeline_pretrain_prep,
-        # -- round-8 new ops (VERDICT r07 next #2/#6/#7/#8) ------------
-        "e1_sa_dedup": _e1_sa_dedup,
-        "e2_hamming_pairs": _e2_hamming_pairs,
-        "e5_dp_histogram_user": _e5_dp_histogram_user,
         "ep1_spotted_nodes": _ep1_spotted_nodes,
-        # -- round-8 consolidation suites ------------------------------
         "t_ts_suite": _t_ts_suite,
         "e6_journey_suite": _e6_journey_suite,
         "e5_eval_suite": _e5_eval_suite,
         "e1_clean_suite": _e1_clean_suite,
-        # -- round-9 consolidation suites: 15 r07-GREEN singles (the
-        # only window rows already driver-verified — CORRECTNESS_r07)
-        # compress into four tagged-union suites to free the slots;
-        # the never-driver-verified round-8 rows above all stay ------
         "e3_lm_suite": _e3_lm_suite,
         "e5_sft_suite": _e5_sft_suite,
         "g_count_suite": _g_count_suite,
         "e5_gov_suite": _e5_gov_suite,
-        # -- round-9 rotation: the round-8-late pool entries, never
-        # driver-verified (hash-oracled + pytest-green at both SFs) --
-        "e2_kmeans": _e2_kmeans,
-        "e2_cluster_sample": _e2_cluster_sample,
-        "e2_semdedup_kmeans": _e2_semdedup_kmeans,
         "e2_assign_stream": _e2_assign_stream,
         "e1_semantic_decontaminate": _e1_semantic_decontaminate,
         "e5_fim_transform": _e5_fim_transform,
-        "x1_linker_corpus": _x1_linker_corpus,
-        "x1_linker_corpus_maxdf": _x1_linker_corpus_maxdf,
-        "e1_suffix_array_bench": _e1_suffix_array_bench,
-        # -- round-9 NEW ops (hash-oracled at both SFs this round):
-        # four enter the window directly; the final two slots come
-        # from the j_er_suite / e1_pair_suite micro-consolidations of
-        # four more r07-green singles ---------------------------------
         "g_kcore": _g_kcore,
         "t_cusum": _t_cusum,
         "e5_bleu": _e5_bleu,
-        "e2_srp_sketch": _e2_srp_sketch,
-        # -- round-9 consolidation suites (r07-green pairs) ------------
         "j_er_suite": _j_er_suite,
         "e1_pair_suite": _e1_pair_suite,
-        # -- r07-green rows staying in the window ----------------------
         "e5_prep_suite": _e5_prep_suite,
         "g_graph_suite": _g_graph_suite,
         "e6_funnel": _e6_funnel,
@@ -11962,6 +12167,289 @@ def oracle_sql() -> dict[str, str]:
     # the serving index is fit with max_df_ratio=0.1, the production
     # stop-gram cut, so its oracle is the maxdf twin)
     out["x1_linker_indexed"] = out["x1_linker_corpus_maxdf"]
+    # -- round-10 consolidation suites: tagged unions of the r09-green
+    # singles they replace in the window; every constituent oracle
+    # stays registered above, so the singles remain individually
+    # hash-checked in tests/test_oracle_parity.py --------------------
+    out["e1_sa_suite"] = f"""
+        SELECT 'sa' AS op, CAST(gpos AS VARCHAR) AS k,
+               concat_ws('§', CAST(doc_id AS VARCHAR),
+                         CAST(local_pos AS VARCHAR),
+                         CAST(sa_rank AS VARCHAR)) AS v,
+               CAST(NULL AS DOUBLE) AS v_num
+        FROM ({out["e1_suffix_array"]})
+        UNION ALL
+        SELECT 'spans',
+               concat_ws('§', CAST(doc_id AS VARCHAR),
+                         CAST(local_pos AS VARCHAR)),
+               concat_ws('§', CAST(other_doc_id AS VARCHAR),
+                         CAST(other_pos AS VARCHAR), prefix),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e1_sa_dup_spans"]})
+        UNION ALL
+        SELECT 'dedup', CAST(doc_id AS VARCHAR),
+               concat_ws('§', CAST(n_chars_kept AS VARCHAR),
+                         CAST(n_chars_removed AS VARCHAR), text),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e1_sa_dedup"]})
+        UNION ALL
+        SELECT 'bench', CAST(doc_id AS VARCHAR),
+               concat_ws('§', CAST(n_positions AS VARCHAR),
+                         CAST(rank_checksum AS VARCHAR)),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e1_suffix_array_bench"]})
+    """
+    out["g_rank_suite"] = f"""
+        SELECT 'pr' AS op, CAST(node AS VARCHAR) AS k,
+               CAST(NULL AS VARCHAR) AS v, rank AS v_num
+        FROM ({out["g_pagerank"]})
+        UNION ALL
+        SELECT 'ppr', CAST(node AS VARCHAR),
+               CAST(NULL AS VARCHAR), rank
+        FROM ({out["g_ppr"]})
+    """
+    out["e2_bit_suite"] = f"""
+        SELECT 'htop' AS op,
+               concat_ws('§', CAST(query_id AS VARCHAR),
+                         CAST(rank AS VARCHAR)) AS k,
+               CAST(neighbor_id AS VARCHAR) AS v,
+               CAST(hamming AS DOUBLE) AS v_num
+        FROM ({out["e2_hamming_topk"]})
+        UNION ALL
+        SELECT 'rrk',
+               concat_ws('§', CAST(query_id AS VARCHAR),
+                         CAST(rank AS VARCHAR)),
+               CAST(neighbor_id AS VARCHAR), cos_sim
+        FROM ({out["e2_rerank_topk"]})
+        UNION ALL
+        SELECT 'hpairs',
+               concat_ws('§', CAST(id_a AS VARCHAR),
+                         CAST(id_b AS VARCHAR)),
+               CAST(NULL AS VARCHAR), CAST(hamming AS DOUBLE)
+        FROM ({out["e2_hamming_pairs"]})
+        UNION ALL
+        SELECT op, k, v, v_num FROM ({out["e2_srp_sketch"]})
+    """
+    out["e5_dp_suite"] = f"""
+        SELECT 'row' AS op, event_type AS k,
+               CAST(true_count AS VARCHAR) AS v,
+               CAST(noisy_count AS DOUBLE) AS v_num
+        FROM ({out["e5_dp_histogram"]})
+        UNION ALL
+        SELECT 'user', event_type, CAST(true_count AS VARCHAR),
+               CAST(noisy_count AS DOUBLE)
+        FROM ({out["e5_dp_histogram_user"]})
+    """
+    out["e2_kmeans_suite"] = f"""
+        SELECT 'km' AS op, CAST(vec_id AS VARCHAR) AS k,
+               concat_ws('§', CAST(cluster_id AS VARCHAR),
+                         CAST(sq_dist AS VARCHAR)) AS v,
+               CAST(NULL AS DOUBLE) AS v_num
+        FROM ({out["e2_kmeans"]})
+        UNION ALL
+        SELECT 'cs', CAST(vec_id AS VARCHAR),
+               concat_ws('§', CAST(cluster_id AS VARCHAR),
+                         CAST(draw_rank AS VARCHAR)),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e2_cluster_sample"]})
+        UNION ALL
+        SELECT 'sd', CAST(vec_id AS VARCHAR),
+               concat_ws('§', CAST(kmeans_cluster AS VARCHAR),
+                         CAST(cluster_id AS VARCHAR),
+                         CAST(cluster_size AS VARCHAR),
+                         CAST(CAST(is_survivor AS INT) AS VARCHAR)),
+               CAST(NULL AS DOUBLE)
+        FROM ({out["e2_semdedup_kmeans"]})
+    """
+    out["x1_linker_suite"] = f"""
+        SELECT 'inline' AS op,
+               concat_ws('§', mention, CAST(rank AS VARCHAR)) AS k,
+               CAST(alias_id AS VARCHAR) AS v, score AS v_num
+        FROM ({out["x1_linker_corpus"]})
+        UNION ALL
+        SELECT 'maxdf',
+               concat_ws('§', mention, CAST(rank AS VARCHAR)),
+               CAST(alias_id AS VARCHAR), score
+        FROM ({out["x1_linker_corpus_maxdf"]})
+    """
+    # t_acf: the exact-integer ACF replayed — centi-unit floor-div
+    # bucket means, lead windows per lag, the n²-cleared numerator and
+    # denominator as BIGINTs, ONE division per row (round 10).
+    _acf_leads = ",\n                ".join(
+        f"lead(x, {k}) OVER w AS x{k}" for k in range(1, 7)
+    )
+    _acf_sums = ",\n                ".join(
+        f"CAST(SUM(x * x{k}) AS BIGINT) AS p{k}, "
+        f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN x END) AS BIGINT)"
+        f" AS a{k}, "
+        f"CAST(SUM(x{k}) AS BIGINT) AS b{k}"
+        for k in range(1, 7)
+    )
+    _acf_rows = "\n            UNION ALL\n".join(
+        f"""
+            SELECT event_type, {k} AS lag, n AS n_buckets,
+                   n * n * p{k} - n * s * (a{k} + b{k})
+                       + (n - {k}) * s * s AS acf_num,
+                   n * n * q - n * s * s AS acf_den,
+                   CASE WHEN n * n * q - n * s * s = 0 THEN 0.0
+                        ELSE CAST(n * n * p{k} - n * s * (a{k} + b{k})
+                                  + (n - {k}) * s * s AS DOUBLE)
+                             / CAST(n * n * q - n * s * s AS DOUBLE)
+                   END AS acf
+            FROM agg WHERE n > {k}"""
+        for k in range(1, 7)
+    )
+    out["t_acf"] = f"""
+        WITH b AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                       AS bucket_start,
+                   CAST(floor(SUM(CAST(floor(value * 100 + 0.5)
+                       AS BIGINT)) / COUNT(*)) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        led AS (
+            SELECT event_type, x,
+                {_acf_leads}
+            FROM b
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+        ),
+        agg AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q,
+                {_acf_sums}
+            FROM led GROUP BY 1
+        )
+        {_acf_rows}
+    """
+    # e6_hll_distinct: the exact-oracle HLL replayed register by
+    # register — md5 halves, leading-zero rank via bin(), the
+    # 2^33-scaled harmonic sum as a BIGINT, the single
+    # literal/integer division (round 10).
+    from drugbankner_spark.operators.sketches import (
+        _hll_alpha_m2_scaled,
+    )
+
+    _hll_a = repr(_hll_alpha_m2_scaled(8))
+    out["e6_hll_distinct"] = f"""
+        WITH h AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) AS h1,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        9, 8)) AS BIGINT) AS h2
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        regs AS (
+            SELECT event_type, CAST(h1 % 256 AS INT) AS reg_idx,
+                   MAX(CASE WHEN h2 = 0 THEN 33
+                            ELSE 33 - length(bin(h2)) END) AS reg_max
+            FROM h GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT s.event_type, CAST(t.range AS INT) AS reg_idx
+            FROM (SELECT DISTINCT event_type FROM regs) s,
+                 range(0, 256) t
+        ),
+        full_regs AS (
+            SELECT sp.event_type, sp.reg_idx,
+                   COALESCE(r.reg_max, 0) AS reg_max
+            FROM spine sp LEFT JOIN regs r
+              ON r.event_type = sp.event_type
+             AND r.reg_idx = sp.reg_idx
+        ),
+        est AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN reg_max = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero_regs,
+                   CAST(SUM(CAST(1 AS BIGINT) << (33 - reg_max))
+                        AS BIGINT) AS s_scaled
+            FROM full_regs GROUP BY 1
+        )
+        SELECT 'reg' AS op,
+               concat_ws('§', event_type, CAST(reg_idx AS VARCHAR))
+                   AS k,
+               CAST(NULL AS VARCHAR) AS v,
+               CAST(reg_max AS DOUBLE) AS v_num
+        FROM regs
+        UNION ALL
+        SELECT 'est', event_type,
+               concat_ws('§', CAST(n_zero_regs AS VARCHAR),
+                         CAST(s_scaled AS VARCHAR)),
+               round({_hll_a} / CAST(s_scaled AS DOUBLE), 6)
+        FROM est
+    """
+    # e5_chi2: presence-based chi-square feature selection replayed —
+    # exact BIGINT counts, the statistic in DOUBLE with the SAME
+    # parenthesization as the Spark expression (every IEEE step
+    # correctly rounded => bit-identical), token-text tiebreak
+    # (round 10).
+    out["e5_chi2"] = """
+        WITH pres AS (
+            SELECT DISTINCT doc_id, lang AS label, token
+            FROM (
+                SELECT doc_id, lang,
+                       UNNEST(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+        ),
+        tc AS (
+            SELECT token, label, COUNT(*) AS a FROM pres GROUP BY 1, 2
+        ),
+        td AS (
+            SELECT token, CAST(SUM(a) AS BIGINT) AS df_token
+            FROM tc GROUP BY 1
+            HAVING SUM(a) >= 5
+        ),
+        cn AS (
+            SELECT lang AS label, COUNT(*) AS n_class
+            FROM documents GROUP BY 1
+        ),
+        nt AS (SELECT COUNT(*) AS n_total FROM documents),
+        j AS (
+            SELECT tc.label, tc.token, tc.a, td.df_token,
+                   cn.n_class, nt.n_total
+            FROM tc JOIN td USING (token) JOIN cn USING (label)
+            CROSS JOIN nt
+        ),
+        sc AS (
+            SELECT label, token, a AS df_in_class, df_token,
+                   CASE WHEN (n_total - df_token) = 0
+                          OR (n_total - n_class) = 0 THEN 0.0
+                        ELSE (CAST(n_total AS DOUBLE) *
+                              ((CAST(a AS DOUBLE)
+                                * CAST(n_total - df_token - n_class + a
+                                       AS DOUBLE)
+                                - CAST(df_token - a AS DOUBLE)
+                                  * CAST(n_class - a AS DOUBLE))
+                               * (CAST(a AS DOUBLE)
+                                  * CAST(n_total - df_token - n_class
+                                         + a AS DOUBLE)
+                                  - CAST(df_token - a AS DOUBLE)
+                                    * CAST(n_class - a AS DOUBLE))))
+                             / ((CAST(df_token AS DOUBLE))
+                                * (CAST(n_total - df_token AS DOUBLE))
+                                * ((CAST(n_class AS DOUBLE))
+                                   * (CAST(n_total - n_class
+                                           AS DOUBLE))))
+                   END AS chi2
+            FROM j
+        ),
+        rk AS (
+            SELECT label, token, df_in_class, df_token, chi2,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY chi2 DESC, token ASC
+                   ) AS rank
+            FROM sc
+        )
+        SELECT label, token, df_in_class, df_token,
+               round(chi2, 6) AS chi2, rank
+        FROM rk WHERE rank <= 10
+    """
     # e5_agreement: the Gorodkin R_K / kappa arithmetic replayed over
     # the same confusion counts — integer sums, pinned sqrt product
     out["e5_agreement"] = """

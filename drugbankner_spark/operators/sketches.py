@@ -289,3 +289,132 @@ def read_cm_sketch(spark, state_dir: str) -> DataFrame:
         .groupBy("row", "pos")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------
+# Exact-oracle HyperLogLog (round 10): the Datasketches HLL above is
+# approximate-by-design and NOT cross-engine replayable (tolerance
+# tests only). This family is a from-scratch relational HLL (Flajolet
+# et al. 2007) whose registers are DETERMINISTIC integers — built from
+# the repo's established md5 hash kernel — so the whole sketch AND its
+# estimate hash-match a DuckDB replay bit-for-bit, the same closure
+# cm_build gave count-min. Reference scope: [EXT] — the reference
+# engine has no sketches at all; this is the E5/E14 release-gate
+# mandate (cheap distincts on 100 TB without a count-distinct shuffle).
+# ---------------------------------------------------------------------
+
+#: 2^b registers; b=8 → 256 registers, ~6.5% standard error — the
+#: classic monitoring trade. Bounded state: groups × 256 rows.
+HLL_B_BITS = 8
+
+
+def hll_exact_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b_bits: int = HLL_B_BITS,
+) -> DataFrame:
+    """One HLL register table per group: (group_cols…, reg_idx,
+    reg_max). Deterministic: the value's md5 splits into two exact
+    32-bit halves (the content_hash32 convention — DuckDB recomputes
+    both bit-for-bit); the first picks the register, the number of
+    leading zero bits of the second (+1) is the rank, via
+    ``33 − length(bin(h2))`` — no float, no log.
+
+    MAX-MERGEABLE: registers from disjoint shards union + max to
+    exactly the full-corpus registers (pinned in tests) — the 100 TB
+    shape: each executor emits ≤ groups×2^b rows, the only shuffle is
+    the bounded register agg, and incremental ingest is a max-merge,
+    never a rescan."""
+    m = 1 << b_bits
+    v = F.col(value_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(v), 9, 8), 16, 10).cast("long")
+    rho = (
+        F.when(h2 == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(h2)))
+        .cast("int")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.pmod(h1, F.lit(m)).cast("int")
+                 .alias("reg_idx"))
+        .agg(F.max(rho).alias("reg_max"))
+    )
+
+
+def hll_exact_merge(*register_frames: DataFrame) -> DataFrame:
+    """Union register tables from shards/epochs and re-max: equals the
+    single-pass registers over the concatenated data (tested). Group
+    and b_bits must match across inputs (same schema contract as
+    cm_merge)."""
+    out = register_frames[0]
+    for r in register_frames[1:]:
+        out = out.unionByName(r)
+    key = [c for c in out.columns if c != "reg_max"]
+    return out.groupBy(*key).agg(F.max("reg_max").alias("reg_max"))
+
+
+def hll_exact_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    b_bits: int = HLL_B_BITS,
+) -> DataFrame:
+    """Raw HLL estimate per group off a register table:
+    E = α_m·m² / Σ_j 2^(−M_j), absent registers counting M=0.
+
+    CROSS-ENGINE DETERMINISM: the harmonic sum is scaled by 2³³ into
+    an exact BIGINT (Σ 2^(33−M), M ≤ 33); α_m·m²·2³³ is ONE Python
+    float literal inlined into both engines' expressions; the
+    estimate is a single IEEE division of that literal by the exact
+    integer — bit-identical cross-engine, so unlike every other HLL
+    it hash-oracles. Deliberately NO small-range linear-counting
+    switch (it needs ln(), which is not correctly-rounded
+    cross-engine); ``n_zero_regs`` is emitted so callers can apply
+    it. Output: (groups…, n_zero_regs, s_scaled, hll_estimate)."""
+    m = 1 << b_bits
+    alpha_m2_s = _hll_alpha_m2_scaled(b_bits)
+    spine = (
+        registers.select(*group_cols).distinct()
+        .select(*group_cols,
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                .alias("reg_idx"))
+    )
+    full = spine.join(registers, [*group_cols, "reg_idx"], "left") \
+        .select(*group_cols,
+                F.coalesce("reg_max", F.lit(0)).alias("reg_max"))
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                  "CAST(33 - reg_max AS INT))")
+    return full.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("reg_max") == 0, F.lit(1)).otherwise(0))
+        .cast("long").alias("n_zero_regs"),
+        F.sum(term).alias("s_scaled"),
+    ).select(
+        *group_cols, "n_zero_regs", "s_scaled",
+        (F.lit(alpha_m2_s) / F.col("s_scaled")).alias("hll_estimate"),
+    )
+
+
+def _hll_alpha_m2_scaled(b_bits: int) -> float:
+    """α_m·m²·2³³ as one Python double — the single float literal both
+    engines receive verbatim (α_m = 0.7213/(1+1.079/m), m ≥ 128 per
+    Flajolet et al. 2007 Fig. 3)."""
+    m = 1 << b_bits
+    if m < 128:
+        raise ValueError("hll_exact: b_bits < 7 needs the small-m "
+                         "alpha table; use b_bits >= 7")
+    return 0.7213 / (1.0 + 1.079 / m) * (m * m) * float(1 << 33)
+
+
+def hll_exact_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b_bits: int = HLL_B_BITS,
+) -> DataFrame:
+    """Registers + estimate in one call — the batch convenience face
+    of the mergeable pair above."""
+    return hll_exact_estimate(
+        hll_exact_registers(df, group_cols, value_col, b_bits),
+        group_cols, b_bits,
+    )

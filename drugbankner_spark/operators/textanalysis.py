@@ -1445,3 +1445,102 @@ def tokenizer_fertility(
                F.col("n_chars") / F.col("n_tokens"))
         .alias("chars_per_token"),
     )
+
+
+def chi2_feature_selection(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """χ² feature selection (Manning/Schütze IR ch. 13): per class,
+    the tokens whose PRESENCE is most dependent on the class — the
+    classic vocabulary picker for classifier-based quality filters
+    (FastText/DSIR-style) and the drift probe for per-domain corpora.
+    Presence semantics (document frequency, not term frequency),
+    matching sklearn's chi2-on-binarized-counts convention.
+
+    For each (token w, class c), the 2×2 presence table
+    a = |docs in c with w|, b = |docs not in c with w|,
+    c_ = |docs in c without w|, d = rest, N = total docs:
+
+        χ² = N·(a·d − b·c_)² / ((a+b)(c_+d)(a+c_)(b+d))
+
+    CROSS-ENGINE DETERMINISM: all five counts are exact BIGINTs; the
+    statistic is evaluated in DOUBLE with a pinned parenthesization
+    (products can exceed 2⁶³ at corpus scale, and every IEEE ·/−//
+    step is correctly rounded, so both engines produce the identical
+    double — the float-parity law's "pinned order" clause). Ranking
+    ties break on the token text, so row_number is deterministic.
+
+    Plan: explode→distinct (doc, token) presence pairs; ONE
+    (token, class) count agg; a token-keyed join onto the token-DF
+    table (co-partitioned — both sides just aggregated on token); the
+    class totals and N ride in as broadcast 1-row/dim aggs. min_df
+    prunes the long tail BEFORE the join. Output per class:
+    (label, token, df_in_class, df_token, chi2, rank), rank ≤ top_k
+    by (χ² desc, token asc)."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    pres = (
+        docs.select(F.col(id_col), F.col(label_col).alias("label"),
+                    F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    tok_class = pres.groupBy("token", "label").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    tok_df = (
+        tok_class.groupBy("token")
+        .agg(F.sum("a").alias("df_token"))
+        .filter(F.col("df_token") >= min_df)
+    )
+    class_n = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_class")
+    )
+    n_total = docs.select(F.count(F.lit(1)).alias("n_total"))
+    j = (
+        tok_class.join(tok_df, "token")
+        .join(F.broadcast(class_n), "label")
+        .crossJoin(F.broadcast(n_total))
+    )
+    ad = F.col("a").cast("double")
+    bd = (F.col("df_token") - F.col("a")).cast("double")
+    cd = (F.col("n_class") - F.col("a")).cast("double")
+    dd = (
+        F.col("n_total") - F.col("df_token")
+        - F.col("n_class") + F.col("a")
+    ).cast("double")
+    nd = F.col("n_total").cast("double")
+    delta = ad * dd - bd * cd
+    # degenerate marginals (a token in EVERY doc, or a single-class
+    # corpus) zero a denominator factor; χ² is defined 0 there — the
+    # feature carries no class signal, and pinning it avoids the
+    # engines' divergent 0-division conventions (Spark NULL, DuckDB
+    # error/inf).
+    chi2 = F.when(
+        ((F.col("n_total") - F.col("df_token")) == 0)
+        | ((F.col("n_total") - F.col("n_class")) == 0),
+        F.lit(0.0),
+    ).otherwise(
+        (nd * (delta * delta)) / (
+            ((ad + bd) * (cd + dd)) * ((ad + cd) * (bd + dd))
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("chi2"), F.asc("token")
+    )
+    return (
+        j.select(
+            "label", "token",
+            F.col("a").alias("df_in_class"),
+            "df_token",
+            chi2.alias("chi2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

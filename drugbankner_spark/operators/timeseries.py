@@ -677,3 +677,104 @@ def holt_linear(
             for h in horizons
         ],
     )
+
+
+def autocorrelation(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 21600,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function per key over the bucketed
+    series, lags 1..``max_lag`` — the seasonality/persistence probe
+    that tells a pipeline WHICH period to hand ``seasonal_decompose``
+    and whether ``ewma_grid`` smoothing is even warranted (white-noise
+    series: all lags ≈ 0; strong daily cycle at 6 h buckets: a spike
+    at lag 4).
+
+    Estimator (the standard biased form, constant denominator):
+
+        r_k = Σ_{t≤n−k} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    CROSS-ENGINE DETERMINISM: expanding the products clears x̄ = S/n —
+    multiply through by n²:
+
+        num_k = n²·P_k − n·S·(A_k + B_k) + (n−k)·S²
+        den   = n²·Q   − n·S²
+
+    with P_k = Σ x_t·x_{t+k}, A_k/B_k the first/last n−k partial sums,
+    Q = Σ x_t² — ALL exact BIGINTs; r_k is ONE IEEE division. The
+    series value is the bucket MEAN in centi-units via exact integer
+    floor-division (floor(Σ floor(x·100 + 0.5) / count)) — bounded by
+    the data's value range, NOT by volume, so the squared sums cannot
+    outgrow BIGINT as the corpus scales. Overflow bound: needs
+    n³·x̄² < 2⁶³ at centi-scale ⇒ n ≲ 10³ buckets with values to 10³
+    — pick ``step_seconds`` so the calendar yields ≤ ~1000 buckets.
+
+    Plan: one bucket-agg shuffle, one window shuffle on the series
+    key (``lead`` per lag over the ordered buckets — max_lag lead
+    columns in a single Window node), one final per-key hash agg.
+    Output: (keys…, lag, n_buckets, acf_num, acf_den, acf)."""
+    v_int = F.floor(F.col(value_col) * F.lit(100) + F.lit(0.5)).cast("long")
+    b = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds)
+        * step_seconds
+    ).cast("long")
+    obs = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, b.alias("bucket_start"))
+        .agg(
+            F.floor(F.sum(v_int) / F.count(F.lit(1)))
+            .cast("long").alias("x")
+        )
+    )
+    wo = Window.partitionBy(*key_cols).orderBy("bucket_start")
+    led = obs.select(
+        *key_cols, "x",
+        *[F.lead("x", k).over(wo).alias(f"_x{k}")
+          for k in range(1, max_lag + 1)],
+    )
+    agg = led.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x").alias("_s"),
+        F.sum(F.col("x") * F.col("x")).alias("_q"),
+        *[
+            c
+            for k in range(1, max_lag + 1)
+            for c in (
+                F.sum(F.col("x") * F.col(f"_x{k}")).alias(f"_p{k}"),
+                F.sum(F.when(F.col(f"_x{k}").isNotNull(), F.col("x")))
+                .alias(f"_a{k}"),
+                F.sum(f"_x{k}").alias(f"_b{k}"),
+            )
+        ],
+    )
+    lag_rows = []
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col("_n") * F.col("_n") * F.col(f"_p{k}")
+            - F.col("_n") * F.col("_s")
+            * (F.col(f"_a{k}") + F.col(f"_b{k}"))
+            + (F.col("_n") - F.lit(k)) * F.col("_s") * F.col("_s")
+        )
+        den = (
+            F.col("_n") * F.col("_n") * F.col("_q")
+            - F.col("_n") * F.col("_s") * F.col("_s")
+        )
+        lag_rows.append(
+            agg.filter(F.col("_n") > k).select(
+                *key_cols,
+                F.lit(k).alias("lag"),
+                F.col("_n").alias("n_buckets"),
+                num.alias("acf_num"),
+                den.alias("acf_den"),
+                F.when(den == 0, F.lit(0.0))
+                .otherwise(num / den).alias("acf"),
+            )
+        )
+    out = lag_rows[0]
+    for r in lag_rows[1:]:
+        out = out.unionByName(r)
+    return out
