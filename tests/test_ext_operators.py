@@ -3147,3 +3147,134 @@ def test_dp_quantiles_rejects_out_of_range_q(spark):
     assert dp_quantiles(
         df, "v", lo=0.0, hi=10.0, qs_permille=(1000,)
     ).count() == 1
+
+
+def test_hll_exact_accuracy_and_determinism(spark):
+    # Round 10: the exact-oracle HLL's estimate lands within ~4 sigma
+    # (sigma ~ 1.04/sqrt(256) ~ 6.5%) of the true distinct count, and
+    # two independent builds produce IDENTICAL registers + estimate
+    # (no randomness anywhere - the md5 kernel is the hash).
+    from drugbankner_spark.operators.sketches import (
+        hll_exact_distinct,
+        hll_exact_registers,
+    )
+
+    n_true = 3000
+    df = spark.range(n_true * 3).select(
+        F.lit("g").alias("grp"), (F.col("id") % n_true).alias("v")
+    )
+    est = hll_exact_distinct(df, ["grp"], "v").collect()[0]
+    assert abs(est["hll_estimate"] - n_true) / n_true < 0.26
+    assert est["n_zero_regs"] == 0  # 3000 values >> 256 registers
+    r1 = sorted(map(tuple, hll_exact_registers(df, ["grp"], "v").collect()))
+    r2 = sorted(map(tuple, hll_exact_registers(df, ["grp"], "v").collect()))
+    assert r1 == r2 and len(r1) == 256
+
+
+def test_hll_exact_merge_equals_single_build(spark):
+    # registers are max-mergeable: shard registers union+max to exactly
+    # the full-corpus registers, and the merged estimate is identical -
+    # the 100 TB incremental-ingest contract (same as cm_merge).
+    from drugbankner_spark.operators.sketches import (
+        hll_exact_estimate,
+        hll_exact_merge,
+        hll_exact_registers,
+    )
+
+    full = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.col("id") * 7919 % 997).alias("v"),
+    )
+    s1 = full.filter(F.col("id") < 700)
+    s2 = full.filter((F.col("id") >= 700) & (F.col("id") < 1400))
+    s3 = full.filter(F.col("id") >= 1400)
+    merged = hll_exact_merge(*[
+        hll_exact_registers(s, ["grp"], "v") for s in (s1, s2, s3)
+    ])
+    direct = hll_exact_registers(full, ["grp"], "v")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    em = sorted(map(tuple,
+                    hll_exact_estimate(merged, ["grp"]).collect()))
+    ed = sorted(map(tuple,
+                    hll_exact_estimate(direct, ["grp"]).collect()))
+    assert em == ed
+
+
+def test_hll_exact_small_sets_and_nulls(spark):
+    # tiny cardinalities: raw HLL overestimates are expected (no
+    # linear-counting switch by design) but n_zero_regs exposes the
+    # regime; nulls are ignored; singleton group has 255 zero regs.
+    from drugbankner_spark.operators.sketches import hll_exact_distinct
+
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", "u1"), ("a", None), ("b", "u1"),
+         ("b", "u2"), ("b", "u3")],
+        "grp string, v string",
+    )
+    rows = {r["grp"]: r for r in
+            hll_exact_distinct(df, ["grp"], "v").collect()}
+    assert rows["a"]["n_zero_regs"] == 255
+    assert rows["b"]["n_zero_regs"] == 253
+    assert rows["a"]["hll_estimate"] > 0
+
+
+def test_chi2_feature_selection_reference(spark):
+    # Round 10: chi2 on a planted two-class corpus equals the textbook
+    # 2x2-table statistic computed in Python; the class-marker tokens
+    # rank first with the common token scoring 0-ish.
+    from drugbankner_spark.operators.textanalysis import (
+        chi2_feature_selection,
+    )
+
+    docs = []
+    for i in range(40):
+        lab = "en" if i < 20 else "de"
+        marker = "hello" if lab == "en" else "hallo"
+        # 'common' appears in every doc; marker in ~all of its class
+        docs.append((i, f"common {marker} filler{i % 7}", lab))
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    out = chi2_feature_selection(df, min_df=3, top_k=5)
+    rows = [(r["label"], r["token"], r["chi2"], r["rank"])
+            for r in out.collect()]
+    top = {lab: tok for lab, tok, _, rk in rows if rk == 1}
+    assert top == {"en": "hello", "de": "hallo"}
+
+    def chi2_ref(a, df_t, n_c, n):
+        b = df_t - a
+        c = n_c - a
+        d = n - df_t - n_c + a
+        if n - df_t == 0 or n - n_c == 0:
+            return 0.0
+        return (n * (a * d - b * c) ** 2) / (
+            (a + b) * (c + d) * (a + c) * (b + d)
+        )
+
+    want = chi2_ref(20, 20, 20, 40)  # 'hello' in every en doc only
+    got = [x for lab, tok, x, _ in rows
+           if lab == "en" and tok == "hello"][0]
+    assert abs(got - want) < 1e-6
+    # 'common' is in every doc -> degenerate marginal -> pinned 0
+    common = [x for _, tok, x, _ in rows if tok == "common"]
+    assert all(x == 0.0 for x in common)
+
+
+def test_chi2_presence_not_frequency(spark):
+    # repeating a token inside one document must not change chi2
+    # (document-frequency semantics, sklearn's binarized convention)
+    from drugbankner_spark.operators.textanalysis import (
+        chi2_feature_selection,
+    )
+
+    base = [(i, "alpha beta", "x") for i in range(6)] + \
+           [(i + 6, "gamma beta", "y") for i in range(6)]
+    rep = [(i, t.replace("alpha", "alpha alpha alpha"), l)
+           for i, t, l in base]
+    a = chi2_feature_selection(
+        spark.createDataFrame(base, ["doc_id", "text", "lang"]),
+        min_df=1, top_k=10)
+    b = chi2_feature_selection(
+        spark.createDataFrame(rep, ["doc_id", "text", "lang"]),
+        min_df=1, top_k=10)
+    assert sorted(map(tuple, a.collect())) == \
+        sorted(map(tuple, b.collect()))

@@ -320,3 +320,64 @@ def test_holt_linear_short_series_edges(spark):
     r2 = holt_linear(two, ["key"], step_seconds=STEP).collect()[0]
     assert (r2["level"], r2["trend"]) == (10.0, 4.0)
     assert r2["forecast_1"] == 14.0
+
+
+def test_acf_matches_python_reference(spark):
+    # Round 10: the n^2-cleared integer ACF equals the classic float
+    # estimator computed in Python on the same integer series (one
+    # value per bucket, so the centi-unit floor-div mean is the value
+    # itself).
+    from drugbankner_spark.operators.timeseries import autocorrelation
+
+    vals = [3.0, 5.0, 4.0, 6.0, 5.0, 7.0, 6.0, 8.0, 7.0, 9.0]
+    df = _series(spark, list(enumerate(vals)))
+    got = {
+        r["lag"]: r
+        for r in autocorrelation(
+            df, ["key"], step_seconds=STEP, max_lag=3
+        ).collect()
+    }
+    xs = [int(v * 100) for v in vals]  # centi-units, exact here
+    n = len(xs)
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+    for k in range(1, 4):
+        num = sum(
+            (xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k)
+        )
+        r = got[k]
+        assert r["n_buckets"] == n
+        # the integer identity: acf_num/acf_den == num/den exactly
+        assert abs(r["acf"] - num / den) < 1e-12, (k, r["acf"], num / den)
+        # n^2*Q - n*S^2 == n^2 * sum((x - mean)^2)
+        assert r["acf_den"] == round(den * n * n)
+    # alternating series: strong negative lag-1 autocorrelation
+    alt = _series(spark, list(enumerate([1.0, 9.0] * 6)))
+    a1 = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(
+            alt, ["key"], step_seconds=STEP, max_lag=2
+        ).collect()
+    }
+    assert a1[1] < -0.8 and a1[2] > 0.6
+
+
+def test_acf_constant_series_zero_denominator(spark):
+    # constant series: den = 0 -> acf defined 0.0, no division error
+    from drugbankner_spark.operators.timeseries import autocorrelation
+
+    df = _series(spark, [(i, 5.0) for i in range(6)])
+    rows = autocorrelation(df, ["key"], step_seconds=STEP,
+                           max_lag=2).collect()
+    assert {r["acf"] for r in rows} == {0.0}
+    assert {r["acf_den"] for r in rows} == {0}
+
+
+def test_acf_short_series_emits_only_valid_lags(spark):
+    # n=3 with max_lag=6: only lags 1..2 can be estimated (n > k)
+    from drugbankner_spark.operators.timeseries import autocorrelation
+
+    df = _series(spark, [(0, 1.0), (1, 2.0), (2, 4.0)])
+    rows = autocorrelation(df, ["key"], step_seconds=STEP,
+                           max_lag=6).collect()
+    assert sorted(r["lag"] for r in rows) == [1, 2]
