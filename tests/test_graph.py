@@ -482,3 +482,18 @@ def test_modularity_deduplicates_label_rows(spark):
             for r in modularity_score(edges, labels_dup).collect()}
     assert rows[0]["n_nodes"] == 4 and rows[0]["deg_sum"] == 13
     assert rows[0]["m_in"] == 6
+
+
+def test_g_kcore_registry_row_uses_hindex_not_peeling(spark):
+    # VERDICT r09 next #5: the peeling kcore_decomposition is oracle
+    # scaffolding (data-dependent driver loop); the production path -
+    # and the g_kcore driver row - must stay on coreness_hindex. Pin
+    # it structurally: the registry callable's source references
+    # coreness_hindex and not kcore_decomposition.
+    import inspect
+
+    import __spark_entry__ as E
+
+    src = inspect.getsource(E.all_queries()["g_kcore"])
+    assert "coreness_hindex" in src
+    assert "kcore_decomposition(" not in src
