@@ -186,6 +186,52 @@ def link_by_tfidf(
     )
 
 
+def _mention_vectors(
+    mcounts: DataFrame, idf: DataFrame, broadcast_max_rows: int
+) -> DataFrame:
+    """(gram, mention, mw): mention TF-IDF vectors under the ALIAS
+    corpus's idf (sklearn transform semantics — OOV grams drop at the
+    idf join, before the norm). Shared by the full posting join and
+    the champion-list probe so vectorization can never drift."""
+    mweighted = mcounts.join(
+        _maybe_broadcast(idf, broadcast_max_rows), "gram"
+    ).select(
+        "gram", F.col("_id").alias("mention"),
+        (F.col("tf") * F.col("idf")).alias("_w"),
+    )
+    mnorms = mweighted.groupBy("mention").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    return mweighted.join(mnorms, "mention").select(
+        "gram", "mention", (F.col("_w") / F.col("_norm")).alias("mw")
+    )
+
+
+def _fold_rank(
+    scored: DataFrame,
+    alias_map: DataFrame,
+    threshold: float,
+    k: int,
+    broadcast_max_rows: int,
+) -> DataFrame:
+    """Per-concept fold + threshold + top-k rank — the deterministic
+    tail every linker face ends in (scores already rounded to 6dp)."""
+    per_concept = (
+        scored.join(_maybe_broadcast(alias_map, broadcast_max_rows), "alias")
+        .groupBy("mention", "alias_id")
+        .agg(F.max("score").alias("score"))
+    )
+    w = Window.partitionBy("mention").orderBy(
+        F.desc("score"), F.asc("alias_id")
+    )
+    return (
+        per_concept.filter(F.col("score") >= threshold)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("mention", "alias_id", "score", "rank")
+    )
+
+
 def _link_tail(
     mentions: DataFrame,
     mention_col: str,
@@ -207,39 +253,14 @@ def _link_tail(
         .distinct()
     )
     mcounts = char_wb_gram_counts(distinct_mentions, "mention", "mention", n)
-    # transform(): alias-corpus idf; OOV grams drop here, before the norm
-    mweighted = mcounts.join(
-        _maybe_broadcast(idf, broadcast_max_rows), "gram"
-    ).select(
-        "gram", F.col("_id").alias("mention"),
-        (F.col("tf") * F.col("idf")).alias("_w"),
-    )
-    mnorms = mweighted.groupBy("mention").agg(
-        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
-    )
-    mvec = mweighted.join(mnorms, "mention").select(
-        "gram", "mention", (F.col("_w") / F.col("_norm")).alias("mw")
-    )
+    mvec = _mention_vectors(mcounts, idf, broadcast_max_rows)
     # the sparse matmul: one equi-join on gram + one (mention, alias) agg
     scored = (
         mvec.join(_maybe_broadcast(postings, broadcast_max_rows), "gram")
         .groupBy("mention", "alias")
         .agg(F.round(F.sum(F.col("mw") * F.col("w")), 6).alias("score"))
     )
-    per_concept = (
-        scored.join(_maybe_broadcast(alias_map, broadcast_max_rows), "alias")
-        .groupBy("mention", "alias_id")
-        .agg(F.max("score").alias("score"))
-    )
-    w = Window.partitionBy("mention").orderBy(
-        F.desc("score"), F.asc("alias_id")
-    )
-    return (
-        per_concept.filter(F.col("score") >= threshold)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("mention", "alias_id", "score", "rank")
-    )
+    return _fold_rank(scored, alias_map, threshold, k, broadcast_max_rows)
 
 
 #: Bucket count for the persisted alias index's gram partitioning.
@@ -247,11 +268,24 @@ def _link_tail(
 #: small query batch touches a handful of the 64 partitions.
 ALIAS_INDEX_BUCKETS = 64
 
-#: (applicationId, index path) → (n, n_buckets) fit metadata — the
-#: meta parquet is 1 row and immutable per path, so one read per
-#: session is enough; re-reading it per probe cost a driver job on
-#: the serving hot path.
-_ALIAS_META_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+#: Champion-list cap: per gram, only the top-C postings by TF-IDF
+#: weight are stored in the candidate-generation index (impact
+#: ordering, VERDICT r10 next #1). Candidates get an EXACT rerank and
+#: a per-mention completeness certificate routes any mention the cap
+#: could have hurt through the full posting join, so results stay
+#: bit-identical to the inline linker at every C.
+ALIAS_CHAMPION_C = 128
+
+#: Certificate margin: scores round to 6dp before threshold/rank, so a
+#: non-candidate bounded strictly below (certificate bound − 1e-6)
+#: cannot reach the rounded grid point of any surviving score.
+_CERT_MARGIN = 1e-6
+
+#: (applicationId, index path) → (n, n_buckets, champion_c|None) fit
+#: metadata — the meta parquet is 1 row and immutable per path, so one
+#: read per session is enough; re-reading it per probe cost a driver
+#: job on the serving hot path.
+_ALIAS_META_CACHE: dict[tuple[str, str], tuple[int, int, int | None]] = {}
 
 
 def _gram_bucket(col, n_buckets: int):
@@ -266,6 +300,7 @@ def save_alias_index(
     n: int = 3,
     max_df_ratio: float | None = None,
     n_buckets: int = ALIAS_INDEX_BUCKETS,
+    champion_c: int | None = ALIAS_CHAMPION_C,
 ) -> None:
     """Fit the TF-IDF alias model ONCE and persist it as a serving
     index — the production shape the corpus-scale bench exposed: the
@@ -281,7 +316,25 @@ def save_alias_index(
     pruning — the lsh/ivf on-disk index discipline); ``alias_map`` is
     a plain dim. The bucket hash is a STORAGE layout, not an oracle
     surface — probe results are bit-identical to the inline linker
-    regardless of bucketing."""
+    regardless of bucketing.
+
+    ``champion_c`` (VERDICT r10 next #1): additionally persist the
+    impact-ordered serving layout —
+
+    - ``champions``: per gram, the top-``champion_c`` postings by
+      weight (ties by alias asc), gram-bucket-partitioned — the
+      CANDIDATE-generation index, whose per-gram posting lists are
+      bounded by C instead of growing with the ontology;
+    - ``cutoffs``: per gram, the largest weight the champion list
+      EXCLUDED (0 when the gram's df ≤ C) — the per-mention
+      completeness certificate's raw material;
+    - ``alias_vecs``: the same posting rows re-partitioned by
+      ``alias_bucket = pmod(xxhash64(alias), n_buckets)`` — the
+      exact-rerank side, keyed by the candidate pair's alias so the
+      rerank join is bounded by candidates, never by the ontology.
+
+    ``champion_c=None`` skips the serving layout (postings/idf probes
+    still work); the probe auto-detects what the index carries."""
     from drugbankner_spark.operators.similarity import (
         invalidate_index_cache,
     )
@@ -315,6 +368,37 @@ def save_alias_index(
         "overwrite"
     ).partitionBy("gram_bucket").parquet(path + "/idf")
     alias_map.write.mode("overwrite").parquet(path + "/alias_map")
+    subs = ["/postings", "/idf", "/alias_map", "/meta"]
+    if champion_c is not None:
+        # impact ordering: one window over the (persisted) postings —
+        # rank each gram's postings by weight desc, alias asc
+        rn = F.row_number().over(
+            Window.partitionBy("gram").orderBy(
+                F.desc("w"), F.asc("alias")
+            )
+        )
+        ranked = postings.withColumn("_rn", rn)
+        ranked.filter(F.col("_rn") <= champion_c).drop("_rn").withColumn(
+            "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
+        ).repartition(n_buckets, "gram_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("gram_bucket").parquet(path + "/champions")
+        ranked.groupBy("gram").agg(
+            F.coalesce(
+                F.max(F.when(F.col("_rn") > champion_c, F.col("w"))),
+                F.lit(0.0),
+            ).alias("cutoff")
+        ).withColumn(
+            "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
+        ).repartition(n_buckets, "gram_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("gram_bucket").parquet(path + "/cutoffs")
+        postings.withColumn(
+            "alias_bucket", _gram_bucket(F.col("alias"), n_buckets)
+        ).repartition(n_buckets, "alias_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("alias_bucket").parquet(path + "/alias_vecs")
+        subs += ["/champions", "/cutoffs", "/alias_vecs"]
     # Fit metadata rides WITH the index (ADVICE r09: a probe whose n /
     # n_buckets differ from the fit silently prunes away every posting
     # — grams hash into different buckets — returning wrong/missing
@@ -322,10 +406,11 @@ def save_alias_index(
     # the layout stays portable to any Hadoop-compatible FS.
     spark.createDataFrame(
         [(int(n), int(n_buckets),
-          float(max_df_ratio) if max_df_ratio is not None else None)],
-        "n int, n_buckets int, max_df_ratio double",
+          float(max_df_ratio) if max_df_ratio is not None else None,
+          int(champion_c) if champion_c is not None else None)],
+        "n int, n_buckets int, max_df_ratio double, champion_c int",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
-    for sub in ("/postings", "/idf", "/alias_map", "/meta"):
+    for sub in subs:
         invalidate_index_cache(spark, path + sub)
     _ALIAS_META_CACHE.pop(
         (spark.sparkContext.applicationId, path), None
@@ -343,14 +428,37 @@ def link_with_alias_index(
     n_buckets: int | None = None,
     broadcast_max_rows: int = ALIAS_BROADCAST_MAX_ROWS,
     prune_buckets: bool = True,
+    use_champions: bool | None = None,
 ) -> DataFrame:
     """Probe a :func:`save_alias_index` layout: identical results to
     ``link_by_tfidf`` with the same fit parameters (parity-tested),
     but the ontology fit is amortized away and the index scan prunes
     to the mention grams' buckets. The bucket list is a bounded
     driver-side collect (≤ n_buckets integers — a constant, not data
-    scale). Probe cost therefore scales with the MENTION batch and the
-    matched postings, not the ontology.
+    scale).
+
+    ``use_champions`` (default: auto — on when the index carries the
+    champion layout): candidate generation joins mention grams against
+    the top-C champion postings per gram (bounded by C, not the
+    ontology), candidates get an EXACT rerank through their full alias
+    vectors (a per-pair join bounded by the candidate count), and a
+    per-mention completeness certificate decides whether the champion
+    result is provably the full result:
+
+        any non-candidate alias a of mention m shares only grams g
+        where w(g, a) ≤ cutoff(g), so
+        score(m, a) ≤ B(m) = min(Σ_g mw·cutoff_g, √(Σ_g cutoff_g²))
+        (the second term by Cauchy–Schwarz, ‖mw‖ = 1).
+
+    If B(m) < (k-th surviving champion score, or the threshold when
+    fewer than k survive) − 1e-6, no missed pair can enter the top-k
+    or raise a surviving concept's folded max — the champion answer IS
+    the exact answer. The remaining (uncertified) mentions re-run
+    through the full posting join, so the probe is EXACT at every
+    champion_c; C only moves the certified fraction. Probe cost is
+    therefore bounded by the mention batch × C plus the uncertified
+    tail — the inline fit's alias-dim scaling (BENCH_r10: slope 6.7
+    per 10× aliases) collapses to the certificate-miss rate.
 
     ``n`` / ``n_buckets`` default to the values persisted by
     :func:`save_alias_index` (the ``meta`` parquet); passing explicit
@@ -373,8 +481,11 @@ def link_with_alias_index(
     if mkey not in _ALIAS_META_CACHE:
         try:
             meta = _read_index(spark, path + "/meta").collect()[0]
+            md = meta.asDict()
             _ALIAS_META_CACHE[mkey] = (
-                int(meta["n"]), int(meta["n_buckets"])
+                int(meta["n"]), int(meta["n_buckets"]),
+                int(md["champion_c"])
+                if md.get("champion_c") is not None else None,
             )
         except Exception:
             # legacy layout without fit metadata — trust the caller
@@ -382,8 +493,9 @@ def link_with_alias_index(
                 n if n is not None else 3,
                 n_buckets if n_buckets is not None
                 else ALIAS_INDEX_BUCKETS,
+                None,
             )
-    fit_n, fit_buckets = _ALIAS_META_CACHE[mkey]
+    fit_n, fit_buckets, fit_champion_c = _ALIAS_META_CACHE[mkey]
     if n is not None and n != fit_n:
         raise ValueError(
             f"alias index at {path!r} was fit with n={fit_n}, "
@@ -396,12 +508,28 @@ def link_with_alias_index(
             f"{fit_buckets}, probe requested n_buckets={n_buckets}"
         )
     n, n_buckets = fit_n, fit_buckets
+    if use_champions is None:
+        use_champions = fit_champion_c is not None
+    elif use_champions and fit_champion_c is None:
+        raise ValueError(
+            f"alias index at {path!r} was saved without champion "
+            "lists (champion_c=None); rebuild with save_alias_index("
+            "..., champion_c=C) to serve the champion probe"
+        )
 
     distinct_mentions = (
         mentions.select(F.col(mention_col).alias("mention"))
         .filter(F.col("mention").isNotNull())
         .distinct()
     )
+
+    def _gram_side(sub: str, cols: list[str], buckets) -> DataFrame:
+        out = _read_index(spark, path + sub)
+        if buckets is not None:
+            out = out.filter(F.col("gram_bucket").isin(buckets))
+        return out.select(*cols)
+
+    buckets = None
     if prune_buckets:
         mcounts = char_wb_gram_counts(
             distinct_mentions, "mention", "mention", n
@@ -412,19 +540,86 @@ def link_with_alias_index(
                 _gram_bucket(F.col("gram"), n_buckets).alias("b")
             ).distinct().collect()
         ]
-        postings = _read_index(spark, path + "/postings").filter(
-            F.col("gram_bucket").isin(buckets)
-        ).select("gram", "alias", "w")
-        idf = _read_index(spark, path + "/idf").filter(
-            F.col("gram_bucket").isin(buckets)
-        ).select("gram", "idf")
-    else:
-        postings = _read_index(spark, path + "/postings").select(
-            "gram", "alias", "w"
-        )
-        idf = _read_index(spark, path + "/idf").select("gram", "idf")
+    postings = _gram_side("/postings", ["gram", "alias", "w"], buckets)
+    idf = _gram_side("/idf", ["gram", "idf"], buckets)
     alias_map = _read_index(spark, path + "/alias_map")
-    return _link_tail(
-        distinct_mentions, "mention", postings, idf, alias_map,
+    if not use_champions:
+        return _link_tail(
+            distinct_mentions, "mention", postings, idf, alias_map,
+            threshold, k, n, broadcast_max_rows,
+        )
+
+    from drugbankner_spark.caching import shared_persist
+
+    champions = _gram_side("/champions", ["gram", "alias", "w"], buckets)
+    cutoffs = _gram_side("/cutoffs", ["gram", "cutoff"], buckets)
+    mcounts = char_wb_gram_counts(
+        distinct_mentions, "mention", "mention", n
+    )
+    # mvec feeds candidate gen, the rerank and the certificate bound
+    mvec = shared_persist(
+        _mention_vectors(mcounts, idf, broadcast_max_rows)
+    )
+    cand = shared_persist(
+        mvec.join(_maybe_broadcast(champions, broadcast_max_rows), "gram")
+        .select("mention", "alias")
+        .distinct()
+    )
+    # exact rerank: per-pair join through the candidate's FULL alias
+    # vector — output bounded by Σ_candidates |grams(alias)|, with no
+    # cross-mention blow-up (the join key is (mention, gram))
+    if prune_buckets:
+        abuckets = [
+            r["b"]
+            for r in cand.select(
+                _gram_bucket(F.col("alias"), n_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        avecs = _read_index(spark, path + "/alias_vecs").filter(
+            F.col("alias_bucket").isin(abuckets)
+        ).select("alias", "gram", "w")
+    else:
+        avecs = _read_index(spark, path + "/alias_vecs").select(
+            "alias", "gram", "w"
+        )
+    scored = (
+        cand.join(avecs, "alias")
+        .join(mvec, ["mention", "gram"])
+        .groupBy("mention", "alias")
+        .agg(F.round(F.sum(F.col("mw") * F.col("w")), 6).alias("score"))
+    )
+    ranked = shared_persist(
+        _fold_rank(scored, alias_map, threshold, k, broadcast_max_rows)
+    )
+    # completeness certificate: B(m) bounds every NON-candidate pair's
+    # score; a mention is certified when no missed pair could enter
+    # its top-k or raise a surviving concept's folded max
+    bound = mvec.join(cutoffs, "gram", "left").groupBy("mention").agg(
+        F.least(
+            F.sum(F.col("mw") * F.coalesce(F.col("cutoff"), F.lit(0.0))),
+            F.sqrt(F.sum(
+                F.coalesce(F.col("cutoff"), F.lit(0.0))
+                * F.coalesce(F.col("cutoff"), F.lit(0.0))
+            )),
+        ).alias("_b")
+    )
+    kth = ranked.groupBy("mention").agg(
+        F.count(F.lit(1)).alias("_nc"), F.min("score").alias("_sk")
+    )
+    risky = shared_persist(
+        bound.join(kth, "mention", "left")
+        .filter(
+            F.col("_b")
+            >= F.when(F.col("_nc") == k, F.col("_sk"))
+            .otherwise(F.lit(float(threshold))) - F.lit(_CERT_MARGIN)
+        )
+        .select("mention")
+    )
+    safe_out = ranked.join(risky, "mention", "left_anti")
+    # uncertified tail: the full posting join, exactly the
+    # non-champion probe, restricted to the risky mentions
+    risky_out = _link_tail(
+        risky, "mention", postings, idf, alias_map,
         threshold, k, n, broadcast_max_rows,
     )
+    return safe_out.unionByName(risky_out)

@@ -308,3 +308,88 @@ def test_alias_index_probe_validates_fit_params(spark, tmp_path):
         link_with_alias_index(
             spark, path, mentions, "mention", n_buckets=64
         )
+
+
+def test_champion_probe_exact_even_at_champion_c_1(spark, tmp_path):
+    # VERDICT r10 next #1: the champion-list probe must be EXACT at
+    # every champion_c — candidates get an exact rerank, and the
+    # per-mention certificate routes any mention the cap could have
+    # hurt through the full posting join. champion_c=1 is the
+    # adversarial setting: almost every candidate list is truncated,
+    # so correctness rests entirely on the certificate + fallback.
+    from drugbankner_spark.operators.linker import (
+        link_by_tfidf,
+        link_with_alias_index,
+        save_alias_index,
+    )
+
+    aliases = spark.createDataFrame(
+        [("aspirin", 1), ("acetylsalicylic acid", 2), ("ecotrin", 3),
+         ("aspirin tablet", 4), ("aspirin gel", 5), ("asp", 6),
+         ("headache", 7), ("tension headache", 8), ("fever", 9),
+         ("hay fever", 10), ("yellow fever", 11)],
+        ["alias", "alias_id"],
+    )
+    mentions = spark.createDataFrame(
+        [("aspirin",), ("asprin",), ("aspirin tablets",),
+         ("tension headaches",), ("high fever",), ("hay fevers",),
+         ("zzz",)],
+        ["mention"],
+    )
+    for c in (1, 2, 1000):
+        path = str(tmp_path / f"idx_c{c}")
+        save_alias_index(
+            aliases, "alias", "alias_id", path, champion_c=c
+        )
+        for thr, k in [(0.05, 3), (0.3, 1), (0.7, 2)]:
+            inline = sorted(
+                tuple(r) for r in link_by_tfidf(
+                    mentions, "mention", aliases, "alias", "alias_id",
+                    threshold=thr, k=k,
+                ).collect()
+            )
+            for prune in (True, False):
+                probe = sorted(
+                    tuple(r) for r in link_with_alias_index(
+                        spark, path, mentions, "mention",
+                        threshold=thr, k=k, prune_buckets=prune,
+                    ).collect()
+                )
+                assert probe == inline and probe, (c, thr, k, prune)
+
+
+def test_champion_probe_opt_out_and_missing_layout(spark, tmp_path):
+    # champion_c=None saves the legacy layout (postings/idf only);
+    # the probe auto-detects and serves the full-join path, while an
+    # explicit use_champions=True on such an index raises loudly.
+    import pytest
+
+    from drugbankner_spark.operators.linker import (
+        link_with_alias_index,
+        save_alias_index,
+    )
+
+    aliases = spark.createDataFrame(
+        [("aspirin", 1), ("ecotrin", 3)], ["alias", "alias_id"]
+    )
+    mentions = spark.createDataFrame([("aspirin",)], ["mention"])
+    path = str(tmp_path / "legacy_idx")
+    save_alias_index(aliases, "alias", "alias_id", path,
+                     champion_c=None)
+    out = link_with_alias_index(
+        spark, path, mentions, "mention", threshold=0.3, k=1
+    ).collect()
+    assert [r["alias_id"] for r in out] == [1]
+    with pytest.raises(ValueError, match="without champion"):
+        link_with_alias_index(
+            spark, path, mentions, "mention", use_champions=True
+        ).collect()
+    # use_champions=False on a champion-carrying index also works
+    path2 = str(tmp_path / "champ_idx")
+    save_alias_index(aliases, "alias", "alias_id", path2,
+                     champion_c=8)
+    out2 = link_with_alias_index(
+        spark, path2, mentions, "mention", threshold=0.3, k=1,
+        use_champions=False,
+    ).collect()
+    assert [r["alias_id"] for r in out2] == [1]
