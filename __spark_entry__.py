@@ -1836,9 +1836,57 @@ def _x1_linker_indexed(spark: SparkSession, sf: str) -> DataFrame:
     # thousands of distinct mentions touch every gram bucket, so the
     # bucket pre-pass (a full mention-gram job) would be pure
     # overhead. Small-batch serving keeps the default pruning.
+    # Round 12 (VERDICT r11 next #1): prune_buckets=False now also
+    # auto-disables the champion machinery — on the bulk shape the
+    # candidate set approaches the full join's output, so champions +
+    # rerank + certificate were strictly additive (BENCH_r11: 10.17 s
+    # vs 7.9 s flat at sf1). The champion path keeps its own window
+    # row + bench entry on the serving shape (x1_linker_served).
     return link_with_alias_index(
         spark, _ensure_alias_index(spark, sf), mentions, "mention",
         threshold=0.6, k=1, prune_buckets=False,
+    )
+
+
+def _serving_batch_mentions(spark: SparkSession, sf: str):
+    # The SMALL-batch serving shape: trigram mentions of five pinned
+    # documents (~200 distinct mentions at every SF) — the query-time
+    # face of the linker, where bucket pruning + champion lists earn
+    # their keep against an sf-scaled ontology.
+    d = load_table(spark, sf, "documents").filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 250)
+    )
+    toks = d.select(
+        F.expr("filter(split(text, '\\\\s+'), t -> t <> '')")
+        .alias("_toks")
+    )
+    return toks.select(
+        F.explode(F.expr(
+            """transform(
+                CASE WHEN size(_toks) >= 3
+                     THEN sequence(1, size(_toks) - 2)
+                     ELSE array() END,
+                i -> array_join(slice(_toks, i, 3), ' '))"""
+        )).alias("mention")
+    ).distinct()
+
+
+def _x1_linker_served(spark: SparkSession, sf: str) -> DataFrame:
+    # Round 12: the champion-list serving probe on its OWN shape — a
+    # ~200-mention batch against the persisted (bucket-partitioned,
+    # max_df=0.1, champion_c=128) index, prune_buckets=True so the
+    # scans prune to the mention grams' buckets and use_champions
+    # auto-resolves ON. Exact at every champion_c (the certificate
+    # routes uncertified mentions through the full join, reusing the
+    # persisted mention vectors) — hash-oracled against the same
+    # TF-IDF SQL as the bulk probes, mention set restricted to the
+    # serving slice.
+    from drugbankner_spark.operators.linker import link_with_alias_index
+
+    return link_with_alias_index(
+        spark, _ensure_alias_index(spark, sf),
+        _serving_batch_mentions(spark, sf), "mention",
+        threshold=0.6, k=1,
     )
 
 
@@ -5458,8 +5506,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     original stays individually runnable via ``all_queries`` and
     hash-checked in tests/test_oracle_parity.py. The remaining three
     slots carry this round's new hash-oracled operators (e5_chi2,
-    t_acf, e6_hll_distinct)."""
+    t_acf, e6_hll_distinct).
+
+    Round-12 rotation (VERDICT r11 next #3): the window had been
+    identical for two rounds, so the five OLDEST demoted suites —
+    driver-verified last in their r6/r7-era windows — rotate back in
+    for re-verification at sf0.01 (syn_suite, j_join_suite,
+    e1_dedup_suite, e2_ann_suite, e3_qual_suite), plus the round-12
+    new op x1_linker_served (the champion-list serving probe on its
+    own small-batch shape). The six slots come from demoting six
+    TWICE-driver-green singles (green in both CORRECTNESS_r10 and
+    _r11 on identical code): t_seasonal, e5_fim_transform, e5_bleu,
+    e2_mean_pool, q2_min_cost_supplier, e6_funnel — the established
+    mechanism; each stays individually runnable via ``all_queries``
+    and hash-checked in tests/test_oracle_parity.py, ready to rotate
+    back."""
     return {
+        # -- round-12 rotation: oldest suites back for re-verification
+        # (VERDICT r11 next #3) + the champion serving probe ----------
+        "syn_suite": _syn_suite,
+        "j_join_suite": _j_join_suite,
+        "e1_dedup_suite": _e1_dedup_suite,
+        "e2_ann_suite": _e2_ann_suite,
+        "e3_qual_suite": _e3_qual_suite,
+        "x1_linker_served": _x1_linker_served,
         # -- round-10 rotation (VERDICT r09 next #1/#7): the eight
         # never-driver-verified pool entries enter the window; the
         # slots come from consolidating 17 r09-GREEN singles into the
@@ -5486,7 +5556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_acf": _t_acf,
         "e6_hll_distinct": _e6_hll_distinct,
         # -- r09-green rows staying in the window ----------------------
-        "t_seasonal": _t_seasonal,
         "pipeline_pretrain_prep": _pipeline_pretrain_prep,
         "ep1_spotted_nodes": _ep1_spotted_nodes,
         "t_ts_suite": _t_ts_suite,
@@ -5499,21 +5568,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_gov_suite": _e5_gov_suite,
         "e2_assign_stream": _e2_assign_stream,
         "e1_semantic_decontaminate": _e1_semantic_decontaminate,
-        "e5_fim_transform": _e5_fim_transform,
         "g_kcore": _g_kcore,
         "t_cusum": _t_cusum,
-        "e5_bleu": _e5_bleu,
         "j_er_suite": _j_er_suite,
         "e1_pair_suite": _e1_pair_suite,
         "e5_prep_suite": _e5_prep_suite,
         "g_graph_suite": _g_graph_suite,
-        "e6_funnel": _e6_funnel,
         "e4_mpeg_decode": _e4_mpeg_decode,
         "e3_gopher_rep": _e3_gopher_rep,
         "e2_hard_negatives": _e2_hard_negatives,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
         "pipeline_curate_corpus": _pipeline_curate_corpus,
-        "e2_mean_pool": _e2_mean_pool,
         # -- round-7 new ops: the in-engine TF-IDF linker (X1 closure)
         "x1_tfidf_linker": _x1_tfidf_linker,
         "ep1_tfidf_mechanistic_nodes": _ep1_tfidf_mechanistic_nodes,
@@ -6231,12 +6295,17 @@ def _e2_kmeans_oracle(k: int = 8, n_iters: int = 3, dim: int = 64,
     return "".join(parts)
 
 
-def _x1_linker_corpus_oracle(max_df_ratio: float | None) -> str:
+def _x1_linker_corpus_oracle(
+    max_df_ratio: float | None,
+    mention_pred: str = "doc_id % 50 = 0 AND doc_id < 5000",
+) -> str:
     """The corpus-scale linker probe in SQL (VERDICT r07 next #4):
     trigram mentions (doc_id % 50 slice) linked against a trigram
     alias dim (doc_id % 70 == 3 slice, md5-hash ids) through the same TF-IDF
     replication the mini-KB linker oracle uses — parameterized by the
-    max_df stop-gram cut so both bench variants hash-check."""
+    max_df stop-gram cut so both bench variants hash-check, and by the
+    mention slice so the small-batch serving probe (x1_linker_served,
+    round 12) shares the same oracle body."""
     trigram = """
             SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS gram
             FROM (
@@ -6246,7 +6315,7 @@ def _x1_linker_corpus_oracle(max_df_ratio: float | None) -> str:
             ), UNNEST(generate_series(1, len(tk) - 2)) AS ii(i)
     """
     return ("WITH mentions_rel AS (SELECT gram AS mention FROM ("
-            + trigram.format(pred="doc_id % 50 = 0 AND doc_id < 5000")
+            + trigram.format(pred=mention_pred)
             + ")), alias_dim AS (SELECT gram AS name, "
             + _sql_hash32("gram")
             + " AS id FROM (" + trigram.format(pred="doc_id % 70 = 3")
@@ -12167,6 +12236,12 @@ def oracle_sql() -> dict[str, str]:
     # the serving index is fit with max_df_ratio=0.1, the production
     # stop-gram cut, so its oracle is the maxdf twin)
     out["x1_linker_indexed"] = out["x1_linker_corpus_maxdf"]
+    # round 12: the small-batch champion serving probe — same TF-IDF
+    # body, mention slice restricted to the five pinned serving docs,
+    # same max_df=0.1 fit as the persisted index it probes
+    out["x1_linker_served"] = _x1_linker_corpus_oracle(
+        0.1, mention_pred="doc_id % 50 = 0 AND doc_id < 250"
+    )
     # -- round-10 consolidation suites: tagged unions of the r09-green
     # singles they replace in the window; every constituent oracle
     # stays registered above, so the singles remain individually

@@ -232,6 +232,28 @@ def _fold_rank(
     )
 
 
+def _score_full(
+    mvec: DataFrame,
+    postings: DataFrame,
+    alias_map: DataFrame,
+    threshold: float,
+    k: int,
+    broadcast_max_rows: int,
+) -> DataFrame:
+    """Full sparse matmul + fold over PRE-VECTORIZED mentions: one
+    equi-join on gram + one (mention, alias) agg. Split out of
+    :func:`_link_tail` so the champion path's uncertified tail can
+    reuse its already-persisted mention vectors instead of re-running
+    gram counting + vectorization (VERDICT r11 next #1b — the risky
+    mentions were paying for vectorization twice)."""
+    scored = (
+        mvec.join(_maybe_broadcast(postings, broadcast_max_rows), "gram")
+        .groupBy("mention", "alias")
+        .agg(F.round(F.sum(F.col("mw") * F.col("w")), 6).alias("score"))
+    )
+    return _fold_rank(scored, alias_map, threshold, k, broadcast_max_rows)
+
+
 def _link_tail(
     mentions: DataFrame,
     mention_col: str,
@@ -254,13 +276,9 @@ def _link_tail(
     )
     mcounts = char_wb_gram_counts(distinct_mentions, "mention", "mention", n)
     mvec = _mention_vectors(mcounts, idf, broadcast_max_rows)
-    # the sparse matmul: one equi-join on gram + one (mention, alias) agg
-    scored = (
-        mvec.join(_maybe_broadcast(postings, broadcast_max_rows), "gram")
-        .groupBy("mention", "alias")
-        .agg(F.round(F.sum(F.col("mw") * F.col("w")), 6).alias("score"))
+    return _score_full(
+        mvec, postings, alias_map, threshold, k, broadcast_max_rows
     )
-    return _fold_rank(scored, alias_map, threshold, k, broadcast_max_rows)
 
 
 #: Bucket count for the persisted alias index's gram partitioning.
@@ -334,7 +352,14 @@ def save_alias_index(
       rerank join is bounded by candidates, never by the ontology.
 
     ``champion_c=None`` skips the serving layout (postings/idf probes
-    still work); the probe auto-detects what the index carries."""
+    still work); the probe auto-detects what the index carries.
+
+    Build-time skew note (ADVICE r11): the champion ranking runs a
+    window partitioned by ``gram`` over the full postings, and AQE's
+    skew splitting does NOT apply to windows — a stop gram's postings
+    land in one task. ``max_df_ratio`` is the mitigation (it removes
+    exactly those grams before the window); fit WITH it when the alias
+    dim is large enough for one gram's postings to straggle a task."""
     from drugbankner_spark.operators.similarity import (
         invalidate_index_cache,
     )
@@ -429,6 +454,7 @@ def link_with_alias_index(
     broadcast_max_rows: int = ALIAS_BROADCAST_MAX_ROWS,
     prune_buckets: bool = True,
     use_champions: bool | None = None,
+    probe_stats: dict | None = None,
 ) -> DataFrame:
     """Probe a :func:`save_alias_index` layout: identical results to
     ``link_by_tfidf`` with the same fit parameters (parity-tested),
@@ -438,27 +464,53 @@ def link_with_alias_index(
     scale).
 
     ``use_champions`` (default: auto — on when the index carries the
-    champion layout): candidate generation joins mention grams against
-    the top-C champion postings per gram (bounded by C, not the
-    ontology), candidates get an EXACT rerank through their full alias
-    vectors (a per-pair join bounded by the candidate count), and a
-    per-mention completeness certificate decides whether the champion
-    result is provably the full result:
+    champion layout AND ``prune_buckets`` is True, i.e. the
+    small-batch serving shape): candidate generation joins mention
+    grams against the top-C champion postings per gram (bounded by C,
+    not the ontology), candidates get an EXACT rerank through their
+    full alias vectors (a per-pair join bounded by the candidate
+    count), and a per-mention completeness certificate decides whether
+    the champion result is provably the full result:
 
         any non-candidate alias a of mention m shares only grams g
-        where w(g, a) ≤ cutoff(g), so
-        score(m, a) ≤ B(m) = min(Σ_g mw·cutoff_g, √(Σ_g cutoff_g²))
-        (the second term by Cauchy–Schwarz, ‖mw‖ = 1).
+        where w(g, a) ≤ cutoff(g) — and w(g, a) = 0 on every mention
+        gram with cutoff 0 (df ≤ C means ALL of that gram's postings
+        are champions, so sharing it would have made a a candidate).
+        With G+ = the mention's grams with cutoff > 0, and using
+        ‖w(·, a)‖ ≤ 1 (alias rows are unit vectors):
+
+        score(m, a) ≤ B(m) = min( Σ_{G+} mw·cutoff,
+                                  √(Σ_{G+} mw²) · √(min(1, Σ_{G+} cutoff²)) )
+
+        (first term: pointwise bound; second: Cauchy–Schwarz with BOTH
+        factors restricted to G+ — tighter than the r11 bound, which
+        used ‖mw‖ = 1 over ALL grams; VERDICT r11 next #1c).
 
     If B(m) < (k-th surviving champion score, or the threshold when
     fewer than k survive) − 1e-6, no missed pair can enter the top-k
     or raise a surviving concept's folded max — the champion answer IS
     the exact answer. The remaining (uncertified) mentions re-run
-    through the full posting join, so the probe is EXACT at every
-    champion_c; C only moves the certified fraction. Probe cost is
-    therefore bounded by the mention batch × C plus the uncertified
-    tail — the inline fit's alias-dim scaling (BENCH_r10: slope 6.7
-    per 10× aliases) collapses to the certificate-miss rate.
+    through the full posting join REUSING the already-persisted
+    mention vectors (vectorization is never paid twice), so the probe
+    is EXACT at every champion_c; C only moves the certified fraction.
+
+    Why the bulk default is champions-OFF (VERDICT r11 next #1): on a
+    corpus-scale re-link batch every gram bucket is touched and the
+    candidate set approaches the full posting join's output, so the
+    champion machinery (candidate distinct + rerank join + certificate
+    agg + fallback) is strictly additive — BENCH_r11 measured the
+    champion probe at 10.17 s vs 7.9 s for the flat probe at sf1.
+    Champions win when the mention batch is small relative to the
+    ontology — exactly when bucket pruning wins — so the auto default
+    follows ``prune_buckets``. Pass ``use_champions=True`` explicitly
+    to force the champion path on any shape (it stays exact).
+
+    ``probe_stats``: pass a dict to receive instrumentation (VERDICT
+    r11 next #1a): ``n_mentions``, ``n_risky``, ``certified_fraction``
+    and ``used_champions``. Filling it costs two bounded count jobs
+    (they also pre-materialize the persisted probe subtrees, which the
+    consuming action would otherwise pay) — leave it None on latency-
+    sensitive paths.
 
     ``n`` / ``n_buckets`` default to the values persisted by
     :func:`save_alias_index` (the ``meta`` parquet); passing explicit
@@ -474,7 +526,15 @@ def link_with_alias_index(
     the gram pre-pass is pure overhead — pass ``False`` for bulk
     re-linking jobs (an adaptive count was tried and rejected: the
     decision job re-materializes the caller's mention derivation,
-    which for corpus batches costs more than the pruning saves)."""
+    which for corpus batches costs more than the pruning saves).
+
+    Cache contract: the champion path registers its shared subtrees
+    (mention vectors, candidates, ranked, risky) via
+    ``caching.shared_persist``; long-lived serving drivers should call
+    ``caching.release_shared_caches()`` (or ``cache_mark()`` /
+    ``release_since()``) between probe batches, after the consuming
+    action — the caches are needed DURING the returned DataFrame's
+    execution, so the probe cannot release them itself (ADVICE r11)."""
     from drugbankner_spark.operators.similarity import _read_index
 
     mkey = (spark.sparkContext.applicationId, path)
@@ -509,7 +569,9 @@ def link_with_alias_index(
         )
     n, n_buckets = fit_n, fit_buckets
     if use_champions is None:
-        use_champions = fit_champion_c is not None
+        # auto: champions only on the small-batch serving shape (see
+        # docstring — on bulk shapes the machinery is strictly additive)
+        use_champions = fit_champion_c is not None and prune_buckets
     elif use_champions and fit_champion_c is None:
         raise ValueError(
             f"alias index at {path!r} was saved without champion "
@@ -530,10 +592,10 @@ def link_with_alias_index(
         return out.select(*cols)
 
     buckets = None
+    mcounts = char_wb_gram_counts(
+        distinct_mentions, "mention", "mention", n
+    )
     if prune_buckets:
-        mcounts = char_wb_gram_counts(
-            distinct_mentions, "mention", "mention", n
-        )
         buckets = [
             r["b"]
             for r in mcounts.select(
@@ -544,19 +606,23 @@ def link_with_alias_index(
     idf = _gram_side("/idf", ["gram", "idf"], buckets)
     alias_map = _read_index(spark, path + "/alias_map")
     if not use_champions:
-        return _link_tail(
-            distinct_mentions, "mention", postings, idf, alias_map,
-            threshold, k, n, broadcast_max_rows,
+        if probe_stats is not None:
+            probe_stats.update(
+                used_champions=False,
+                n_mentions=distinct_mentions.count(),
+                n_risky=None, certified_fraction=None,
+            )
+        return _score_full(
+            _mention_vectors(mcounts, idf, broadcast_max_rows),
+            postings, alias_map, threshold, k, broadcast_max_rows,
         )
 
     from drugbankner_spark.caching import shared_persist
 
     champions = _gram_side("/champions", ["gram", "alias", "w"], buckets)
     cutoffs = _gram_side("/cutoffs", ["gram", "cutoff"], buckets)
-    mcounts = char_wb_gram_counts(
-        distinct_mentions, "mention", "mention", n
-    )
-    # mvec feeds candidate gen, the rerank and the certificate bound
+    # mvec feeds candidate gen, the rerank, the certificate bound AND
+    # the uncertified tail (VERDICT r11 next #1b — one vectorization)
     mvec = shared_persist(
         _mention_vectors(mcounts, idf, broadcast_max_rows)
     )
@@ -593,14 +659,20 @@ def link_with_alias_index(
     )
     # completeness certificate: B(m) bounds every NON-candidate pair's
     # score; a mention is certified when no missed pair could enter
-    # its top-k or raise a surviving concept's folded max
+    # its top-k or raise a surviving concept's folded max. Both factors
+    # of the Cauchy–Schwarz term restrict to G+ = grams with cutoff > 0
+    # (a non-candidate alias has weight 0 on cutoff-0 grams — see the
+    # docstring), which is what lets mentions dominated by rare grams
+    # certify even when they carry a couple of stop grams.
+    _cut = F.coalesce(F.col("cutoff"), F.lit(0.0))
     bound = mvec.join(cutoffs, "gram", "left").groupBy("mention").agg(
         F.least(
-            F.sum(F.col("mw") * F.coalesce(F.col("cutoff"), F.lit(0.0))),
+            F.sum(F.col("mw") * _cut),
             F.sqrt(F.sum(
-                F.coalesce(F.col("cutoff"), F.lit(0.0))
-                * F.coalesce(F.col("cutoff"), F.lit(0.0))
-            )),
+                F.when(_cut > 0, F.col("mw") * F.col("mw"))
+                .otherwise(F.lit(0.0))
+            ))
+            * F.sqrt(F.least(F.lit(1.0), F.sum(_cut * _cut))),
         ).alias("_b")
     )
     kth = ranked.groupBy("mention").agg(
@@ -615,11 +687,24 @@ def link_with_alias_index(
         )
         .select("mention")
     )
+    if probe_stats is not None:
+        n_mentions = distinct_mentions.count()
+        n_risky = risky.count()
+        probe_stats.update(
+            used_champions=True, n_mentions=n_mentions, n_risky=n_risky,
+            certified_fraction=round(
+                1.0 - n_risky / n_mentions, 4
+            ) if n_mentions else None,
+        )
     safe_out = ranked.join(risky, "mention", "left_anti")
     # uncertified tail: the full posting join, exactly the
-    # non-champion probe, restricted to the risky mentions
-    risky_out = _link_tail(
-        risky, "mention", postings, idf, alias_map,
-        threshold, k, n, broadcast_max_rows,
+    # non-champion probe, restricted to the risky mentions — REUSING
+    # the persisted mention vectors (no second vectorization)
+    risky_out = _score_full(
+        mvec.join(
+            _maybe_broadcast(risky, broadcast_max_rows),
+            "mention", "left_semi",
+        ),
+        postings, alias_map, threshold, k, broadcast_max_rows,
     )
     return safe_out.unionByName(risky_out)

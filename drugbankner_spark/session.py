@@ -114,6 +114,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # pinned, not inherited (ADVICE r11): overflow guards
+        # (timeseries.autocorrelation's check_overflow=False backstop)
+        # document that BIGINT overflow RAISES rather than wrapping —
+        # that must hold even if a future Spark default flips
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
