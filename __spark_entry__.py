@@ -1872,15 +1872,19 @@ def _serving_batch_mentions(spark: SparkSession, sf: str):
 
 
 def _x1_linker_served(spark: SparkSession, sf: str) -> DataFrame:
-    # Round 12: the champion-list serving probe on its OWN shape — a
-    # ~200-mention batch against the persisted (bucket-partitioned,
-    # max_df=0.1, champion_c=128) index, prune_buckets=True so the
-    # scans prune to the mention grams' buckets and use_champions
-    # auto-resolves ON. Exact at every champion_c (the certificate
+    # Round 12: the serving probe on its OWN shape — a ~200-mention
+    # batch against the persisted (bucket-partitioned, max_df=0.1,
+    # champion_c=128) index, prune_buckets=True so the scans prune to
+    # the mention grams' buckets. use_champions auto-resolves by the
+    # index meta's n_aliases (CHAMPION_AUTO_MIN_ALIASES crossover):
+    # OFF at sf0.01/sf0.1 (3.5k aliases — flat pruned join wins
+    # outright), ON at the bench's sf1 section (35.6k aliases —
+    # champion candidate-gen + rerank beats the flat join there,
+    # measured 5.1 s vs 6.2 s). Exact on EVERY path (the certificate
     # routes uncertified mentions through the full join, reusing the
     # persisted mention vectors) — hash-oracled against the same
     # TF-IDF SQL as the bulk probes, mention set restricted to the
-    # serving slice.
+    # serving slice, so the oracle is strategy-independent.
     from drugbankner_spark.operators.linker import link_with_alias_index
 
     return link_with_alias_index(

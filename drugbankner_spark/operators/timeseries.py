@@ -679,6 +679,14 @@ def holt_linear(
     )
 
 
+#: (applicationId, bucketed-series semantic plan hash) pairs whose
+#: overflow check already PASSED this session — the memo that keeps
+#: repeat autocorrelation calls from paying a driver job each
+#: (VERDICT r11 next #7; same discipline as linker._ALIAS_META_CACHE).
+#: Failures are never cached: a violating call raises every time.
+_ACF_CHECK_MEMO: set[tuple[str, str]] = set()
+
+
 def autocorrelation(
     events: DataFrame,
     key_cols: list[str],
@@ -686,7 +694,7 @@ def autocorrelation(
     value_col: str = "value",
     step_seconds: int = 21600,
     max_lag: int = 6,
-    check_overflow: bool = True,
+    check_overflow: bool | str = True,
 ) -> DataFrame:
     """Sample autocorrelation function per key over the bucketed
     series, lags 1..``max_lag`` — the seasonality/persistence probe
@@ -721,12 +729,28 @@ def autocorrelation(
     BEFORE any BIGINT term is built (the ``require_converged``
     posture from ``coreness_hindex``). When the check passes, every
     intermediate sum/product in num/den is bounded by 4·n³·max|x|²
-    and therefore exact; and since the session runs ANSI mode, even a
+    and therefore exact; and since the bundled session builder PINS
+    ``spark.sql.ansi.enabled=true`` (session.py — pinned, not
+    inherited from the Spark default; ADVICE r11), even a
     ``check_overflow=False`` bypass fails loudly with Spark's
-    ARITHMETIC_OVERFLOW rather than wrapping. The checked series is
-    persisted so the main plan reuses the bucket agg instead of
-    re-scanning the events. Remedies the error names: coarser
-    ``step_seconds`` (fewer buckets) or pre-scaling the value column.
+    ARITHMETIC_OVERFLOW rather than wrapping. Remedies the error
+    names: coarser ``step_seconds`` (fewer buckets) or pre-scaling
+    the value column.
+
+    The check is an EAGER driver action (one bounded agg + a
+    ``limit(5)`` collect) at call time — the one deliberately non-lazy
+    step in this module — and it is MEMOIZED per (session, bucketed
+    series plan) the way the linker's ``_ALIAS_META_CACHE`` memoizes
+    index metadata (VERDICT r11 next #7): a serving driver calling
+    ``autocorrelation`` per batch over the same source pays ONE
+    check job, not one per call. A growing source under an identical
+    plan (e.g. a parquet dir appended between calls) re-uses the memo
+    — pass ``check_overflow="always"`` to re-verify every call. The
+    checked series rides a ``caching.shared_persist`` so the main
+    plan reuses the bucket agg instead of re-scanning events; callers
+    batching many series should ``release_shared_caches()`` (or
+    ``cache_mark()``/``release_since()``) after their action, same
+    contract as the linker serving path (ADVICE r11).
 
     Plan: one bucket-agg shuffle, one window shuffle on the series
     key (``lead`` per lag over the ordered buckets — max_lag lead
@@ -749,34 +773,46 @@ def autocorrelation(
         from drugbankner_spark.caching import shared_persist
 
         obs = shared_persist(obs)
-        bad = (
-            obs.groupBy(*key_cols)
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.max(F.abs(F.col("x"))).alias("_xmax"),
+        try:
+            plan_key = str(
+                obs._jdf.queryExecution().analyzed().semanticHash()
             )
-            .filter(
-                F.lit(4.0)
-                * F.pow(F.col("_n").cast("double"), F.lit(3.0))
-                * F.pow(F.col("_xmax").cast("double"), F.lit(2.0))
-                >= F.lit(9.223372036854775808e18)
-            )
-            .limit(5)
-            .collect()
+        except Exception:  # pragma: no cover — plan-hash API drift
+            plan_key = obs._jdf.queryExecution().analyzed().toString()
+        memo_key = (
+            events.sparkSession.sparkContext.applicationId, plan_key
         )
-        if bad:
-            keys = [
-                {c: r[c] for c in key_cols} | {
-                    "n_buckets": r["_n"], "max_abs_x_centi": r["_xmax"]
-                }
-                for r in bad
-            ]
-            raise ValueError(
-                "autocorrelation: BIGINT overflow bound exceeded "
-                "(4*n_buckets^3*max|x|^2 >= 2^63 at centi-scale) for "
-                f"key(s) {keys}; increase step_seconds (fewer "
-                "buckets) or rescale the value column"
+        if check_overflow == "always" or memo_key not in _ACF_CHECK_MEMO:
+            bad = (
+                obs.groupBy(*key_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.max(F.abs(F.col("x"))).alias("_xmax"),
+                )
+                .filter(
+                    F.lit(4.0)
+                    * F.pow(F.col("_n").cast("double"), F.lit(3.0))
+                    * F.pow(F.col("_xmax").cast("double"), F.lit(2.0))
+                    >= F.lit(9.223372036854775808e18)
+                )
+                .limit(5)
+                .collect()
             )
+            if bad:
+                keys = [
+                    {c: r[c] for c in key_cols} | {
+                        "n_buckets": r["_n"],
+                        "max_abs_x_centi": r["_xmax"],
+                    }
+                    for r in bad
+                ]
+                raise ValueError(
+                    "autocorrelation: BIGINT overflow bound exceeded "
+                    "(4*n_buckets^3*max|x|^2 >= 2^63 at centi-scale) "
+                    f"for key(s) {keys}; increase step_seconds (fewer "
+                    "buckets) or rescale the value column"
+                )
+            _ACF_CHECK_MEMO.add(memo_key)
     wo = Window.partitionBy(*key_cols).orderBy("bucket_start")
     led = obs.select(
         *key_cols, "x",

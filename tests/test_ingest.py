@@ -237,3 +237,49 @@ def test_stream_corpus_stats_equals_batch(spark, tmp_path):
             <= max(1, 0.05 * b["n_distinct_texts"]), key
         # KLL p50 lands within the token-length range near the median
         assert b["min_tokens"] <= m["p50_tokens_approx"] <= b["max_tokens"]
+
+
+def test_stream_hll_partials_equals_batch_build(spark, tmp_path):
+    # Round 12 (VERDICT r11 next #5): the exact-oracle HLL's streaming
+    # face — two micro-batches land epoch register partials; the
+    # merge-on-read estimate must equal hll_exact_distinct over the
+    # full corpus bit for bit (registers are deterministic, so this is
+    # equality, not tolerance).
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.sketches import (
+        hll_exact_distinct, read_hll_distinct, stream_hll_partials,
+    )
+
+    src = str(tmp_path / "hll_src")
+    state = str(tmp_path / "hll_state")
+    rows = [(i, f"g{i % 3}", f"user-{i % 41}") for i in range(120)]
+    schema = "doc_id long, grp string, uid string"
+    spark.createDataFrame(rows[:60], schema) \
+        .repartition(1).write.parquet(src)
+    spark.createDataFrame(rows[60:], schema) \
+        .repartition(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_hll_partials(stream, state, ["grp"], "uid")
+
+    merged = sorted(map(tuple, read_hll_distinct(
+        spark, state, ["grp"]).collect()))
+    single = sorted(map(tuple, hll_exact_distinct(
+        spark.createDataFrame(rows, schema), ["grp"], "uid").collect()))
+    assert merged == single
+    # replay idempotency: re-landing epoch 0 changes nothing
+    from drugbankner_spark.operators.scale import upsert_partitions
+    epoch0 = spark.read.parquet(state).filter(F.col("_epoch") == 0)
+    upsert_partitions(epoch0, state, ["_epoch"])
+    spark.catalog.refreshByPath(state)
+    again = sorted(map(tuple, read_hll_distinct(
+        spark, state, ["grp"]).collect()))
+    assert again == single
+    # width contract: reading with a different b_bits raises instead
+    # of silently estimating off mis-shaped registers
+    import pytest
+
+    with pytest.raises(Exception) as exc:
+        read_hll_distinct(spark, state, ["grp"], b_bits=10).collect()
+    assert "b_bits" in str(exc.value)

@@ -348,14 +348,19 @@ def test_champion_probe_exact_even_at_champion_c_1(spark, tmp_path):
                     threshold=thr, k=k,
                 ).collect()
             )
-            for prune in (True, False):
+            # (use_champions=True forces the champion path — the tiny
+            # fixture sits under the round-12 n_aliases auto-gate)
+            for prune, champs in ((True, True), (True, None),
+                                  (False, None)):
                 probe = sorted(
                     tuple(r) for r in link_with_alias_index(
                         spark, path, mentions, "mention",
                         threshold=thr, k=k, prune_buckets=prune,
+                        use_champions=champs,
                     ).collect()
                 )
-                assert probe == inline and probe, (c, thr, k, prune)
+                assert probe == inline and probe, (c, thr, k, prune,
+                                                   champs)
 
 
 def test_champion_probe_opt_out_and_missing_layout(spark, tmp_path):
@@ -393,3 +398,68 @@ def test_champion_probe_opt_out_and_missing_layout(spark, tmp_path):
         use_champions=False,
     ).collect()
     assert [r["alias_id"] for r in out2] == [1]
+
+
+def test_champion_probe_stats_and_zero_risky_fast_path(spark, tmp_path):
+    # Round 12 (VERDICT r11 next #1a): probe_stats reports the
+    # certified fraction, and a fully-certified batch returns the
+    # champion result WITHOUT the full-posting fallback branch in the
+    # executed plan (the eager n_risky==0 short-circuit) — still
+    # bit-identical to the inline linker.
+    from drugbankner_spark.operators.linker import (
+        link_by_tfidf,
+        link_with_alias_index,
+        save_alias_index,
+    )
+
+    aliases = spark.createDataFrame(
+        [("aspirin", 1), ("acetylsalicylic acid", 2), ("ecotrin", 3),
+         ("headache", 7), ("fever", 9)],
+        ["alias", "alias_id"],
+    )
+    mentions = spark.createDataFrame(
+        [("aspirin",), ("fever",), ("headache",)], ["mention"]
+    )
+    path = str(tmp_path / "stats_idx")
+    # champion_c large enough that every gram's postings are ALL
+    # champions -> every cutoff is 0 -> every mention certifies
+    save_alias_index(aliases, "alias", "alias_id", path,
+                     champion_c=1000)
+    stats: dict = {}
+    out = link_with_alias_index(
+        spark, path, mentions, "mention", threshold=0.3, k=1,
+        use_champions=True, probe_stats=stats,
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in link_by_tfidf(
+        mentions, "mention", aliases, "alias", "alias_id",
+        threshold=0.3, k=1,
+    ).collect())
+    assert got == want and got
+    assert stats["used_champions"] is True
+    assert stats["n_mentions"] == 3
+    assert stats["n_risky"] == 0
+    assert stats["certified_fraction"] == 1.0
+    # zero-risky plan: no Union (fallback branch never scheduled)
+    assert "Union" not in out._jdf.queryExecution().executedPlan() \
+        .toString()
+    # adversarial c=1: stats still report, result still exact
+    path1 = str(tmp_path / "stats_idx_c1")
+    save_alias_index(aliases, "alias", "alias_id", path1, champion_c=1)
+    stats1: dict = {}
+    out1 = sorted(tuple(r) for r in link_with_alias_index(
+        spark, path1, mentions, "mention", threshold=0.3, k=1,
+        use_champions=True, probe_stats=stats1,
+    ).collect())
+    assert out1 == want
+    assert stats1["n_risky"] + round(
+        stats1["certified_fraction"] * stats1["n_mentions"]
+    ) == stats1["n_mentions"]
+    # flat path stats: used_champions False, fraction None
+    stats_flat: dict = {}
+    link_with_alias_index(
+        spark, path, mentions, "mention", threshold=0.3, k=1,
+        use_champions=False, probe_stats=stats_flat,
+    ).collect()
+    assert stats_flat["used_champions"] is False
+    assert stats_flat["certified_fraction"] is None

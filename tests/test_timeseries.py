@@ -406,3 +406,38 @@ def test_acf_overflow_bound_raises_instead_of_wrapping(spark):
     ).collect()
     assert sorted(r["lag"] for r in rows) == [1, 2]
     assert all(abs(r["acf"]) <= 1.0 + 1e-9 for r in rows)
+
+
+def test_acf_overflow_check_memoized_per_plan(spark):
+    # Round 12 (VERDICT r11 next #7): a serving driver calling
+    # autocorrelation repeatedly over the SAME source pays the eager
+    # check job ONCE per session — the memo keys on the bucketed
+    # series' semantic plan hash. Failures are never cached (every
+    # violating call raises); check_overflow="always" re-verifies.
+    import pytest
+
+    from drugbankner_spark.operators import timeseries as ts
+
+    src = _series(spark, [(i, 10.0 + i) for i in range(12)])
+    before = len(ts._ACF_CHECK_MEMO)
+    ts.autocorrelation(src, ["key"], step_seconds=STEP, max_lag=2) \
+        .collect()
+    after_first = len(ts._ACF_CHECK_MEMO)
+    assert after_first == before + 1
+    ts.autocorrelation(src, ["key"], step_seconds=STEP, max_lag=2) \
+        .collect()
+    assert len(ts._ACF_CHECK_MEMO) == after_first  # memo hit, no growth
+    # different params -> different bucketed plan -> fresh check
+    ts.autocorrelation(src, ["key"], step_seconds=STEP * 2, max_lag=2) \
+        .collect()
+    assert len(ts._ACF_CHECK_MEMO) == after_first + 1
+    # failures never cache: the same bad series raises on BOTH calls
+    big = _series(spark, [(i, 1.0e7 * (i + 1)) for i in range(4)])
+    for _ in range(2):
+        with pytest.raises(ValueError, match="overflow bound"):
+            ts.autocorrelation(big, ["key"], step_seconds=STEP,
+                               max_lag=2)
+    # "always" re-runs the check even on a memoized plan (no error,
+    # just a fresh job) — the growing-source escape hatch
+    ts.autocorrelation(src, ["key"], step_seconds=STEP, max_lag=2,
+                       check_overflow="always").collect()
