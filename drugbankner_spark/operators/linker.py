@@ -381,12 +381,14 @@ def save_alias_index(
     ``champion_c=None`` skips the serving layout (postings/idf probes
     still work); the probe auto-detects what the index carries.
 
-    Build-time skew note (ADVICE r11): the champion ranking runs a
-    window partitioned by ``gram`` over the full postings, and AQE's
-    skew splitting does NOT apply to windows — a stop gram's postings
-    land in one task. ``max_df_ratio`` is the mitigation (it removes
-    exactly those grams before the window); fit WITH it when the alias
-    dim is large enough for one gram's postings to straggle a task."""
+    Build-time skew (ADVICE r11 — CLOSED round 12): the champion
+    ranking now runs through ``scale.sharded_topk`` — shard-local
+    top-(C+1) then a bounded re-rank — so no window partition ever
+    holds more than shards×(C+1) rows regardless of how hot a stop
+    gram is (AQE cannot split skewed windows; the two-phase shape
+    removes the skew structurally). ``max_df_ratio`` remains the
+    PROBE-side stop-gram lever (it shrinks the posting join itself),
+    no longer a build-time necessity."""
     from drugbankner_spark.operators.similarity import (
         invalidate_index_cache,
     )
@@ -422,14 +424,23 @@ def save_alias_index(
     alias_map.write.mode("overwrite").parquet(path + "/alias_map")
     subs = ["/postings", "/idf", "/alias_map", "/meta"]
     if champion_c is not None:
-        # impact ordering: one window over the (persisted) postings —
-        # rank each gram's postings by weight desc, alias asc
-        rn = F.row_number().over(
-            Window.partitionBy("gram").orderBy(
-                F.desc("w"), F.asc("alias")
-            )
+        # impact ordering via scale.sharded_topk (round 12, ADVICE
+        # r11): the r11 form ran ONE window partitioned by gram over
+        # the full postings, and AQE cannot split a skewed window — a
+        # stop gram's whole posting list straggled one task. The
+        # two-phase top-k bounds every window partition: shard-local
+        # top-(C+1), then a re-rank over ≤ shards×(C+1) rows per
+        # gram. Ranked to C+1 (not C) because the cutoff — the max
+        # weight the champion list EXCLUDED — is exactly the weight
+        # at global rank C+1 under (w desc, alias asc); grams whose
+        # postings all fit under C keep cutoff 0 (they still appear:
+        # the pool retains all their rows).
+        from drugbankner_spark.operators.scale import sharded_topk
+
+        ranked = sharded_topk(
+            postings, ["gram"], [F.desc("w"), F.asc("alias")],
+            champion_c + 1, rank_col="_rn",
         )
-        ranked = postings.withColumn("_rn", rn)
         ranked.filter(F.col("_rn") <= champion_c).drop("_rn").withColumn(
             "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
         ).repartition(n_buckets, "gram_bucket").write.mode(

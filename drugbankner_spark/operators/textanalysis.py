@@ -1064,12 +1064,17 @@ def ngram_topk(
     same phenomenon at span granularity).
 
     Exact counts via one map-side-combinable groupBy over exploded
-    n-grams, then a per-group window top-k over COUNTS (group
-    cardinality × distinct grams — far smaller than the corpus; ties
-    pinned by gram text for determinism). At 100 TB the agg is the
-    only corpus-sized shuffle, and it shuffles (group, gram, partial
+    n-grams, then a TWO-PHASE per-group top-k over COUNTS
+    (``scale.sharded_topk``, round 12): the count table holds one row
+    per (group, distinct gram), and a big language's vocabulary is
+    corpus-scale — a single window partitioned by group would land
+    all of it in one task (AQE cannot split skewed windows). The
+    sharded form bounds every window partition at shards×k rows;
+    ties pinned by gram text, so output is identical to the
+    single-window form. At 100 TB the count agg is the only
+    corpus-sized shuffle, and it shuffles (group, gram, partial
     count), never documents."""
-    from pyspark.sql import Window
+    from drugbankner_spark.operators.scale import sharded_topk
 
     grams = docs.select(
         F.col(group_col), tokens(F.col(text_col)).alias("_toks")
@@ -1080,12 +1085,8 @@ def ngram_topk(
     counts = grams.groupBy(group_col, "gram").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
-    w = Window.partitionBy(group_col).orderBy(
-        F.desc("n_occurrences"), F.asc("gram")
-    )
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return sharded_topk(
+        counts, [group_col], [F.desc("n_occurrences"), F.asc("gram")], k
     )
 
 

@@ -303,3 +303,42 @@ def test_snapshot_manifest_scheme_qualified_path(spark, tmp_path):
     assert bare == schemed
     assert all(p.endswith(".parquet") and not p.startswith("/")
                for p in bare)
+
+
+def test_sharded_topk_equals_single_window(spark):
+    # Round 12 (ADVICE r11): the two-phase top-k must return EXACTLY
+    # the single-window rows and ranks — including on a hot group
+    # holding most rows, on ties (broken by the unique tiebreaker),
+    # and on groups smaller than k.
+    from pyspark.sql import Window
+
+    from drugbankner_spark.operators.scale import sharded_topk
+
+    rows = []
+    # hot group: 5000 rows, many tied weights
+    for i in range(5000):
+        rows.append(("hot", f"id{i:05d}", float(i % 37)))
+    # small groups, one BELOW k
+    for i in range(40):
+        rows.append(("warm", f"id{i:05d}", float(i)))
+    rows.append(("tiny", "id00000", 1.0))
+    df = spark.createDataFrame(rows, "grp string, uid string, w double")
+
+    for k, shards in [(1, 4), (7, 3), (25, 16)]:
+        order = [F.desc("w"), F.asc("uid")]
+        got = sharded_topk(df, ["grp"], order, k, shards=shards) \
+            .orderBy("grp", "rank").collect()
+        w = Window.partitionBy("grp").orderBy(*order)
+        want = (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("grp", "rank").collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], \
+            (k, shards)
+    # the plan really is two-phase: two Window nodes, the first over
+    # (grp, _shard) — no single corpus-wide partition for a hot group
+    plan = sharded_topk(df, ["grp"], [F.desc("w"), F.asc("uid")], 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "_shard" in plan
