@@ -255,11 +255,35 @@ def distinct_rows(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def first_writer_wins(
-    df: DataFrame, key_cols: list[str], order_cols: list[str]
+    df: DataFrame, key_cols: list[str], order_cols: list[str],
+    via: str = "window",
 ) -> DataFrame:
     """A6 shape (``look_for_identifiers.py:86-89, 102-105``): insert only
     if key absent — i.e. per key keep the first row by writer priority.
-    Expressed as row_number()=1 over an explicit deterministic order."""
+
+    ``via="window"`` (default, the oracle-replicable form): expressed
+    as row_number()=1 over an explicit deterministic order — one
+    window partition per key, fine when per-key row counts are
+    bounded. ``via="agg"`` (round 12, the hot-key scale form): one
+    ``min_by(full_row, order_struct)`` hash aggregate — MAP-SIDE
+    COMBINABLE, so a key appearing 10⁸ times reduces on every
+    executor before one exchange, where the window form funnels the
+    whole hot key through a single task (AQE cannot split skewed
+    windows). Identical output whenever ``order_cols`` is a total
+    order per key (struct comparison is the same lexicographic
+    ascending order the window uses; equality pinned in tests) —
+    exactly the precondition the window form already needs for
+    deterministic results."""
+    if via == "agg":
+        ord_struct = F.struct(*[F.col(c) for c in order_cols])
+        row_struct = F.struct(*[F.col(c) for c in df.columns])
+        return (
+            df.groupBy(*key_cols)
+            .agg(F.min_by(row_struct, ord_struct).alias("_row"))
+            .select("_row.*")
+        )
+    if via != "window":
+        raise ValueError(f"first_writer_wins: unknown via={via!r}")
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
     return (
         df.withColumn("_rn", F.row_number().over(w))
