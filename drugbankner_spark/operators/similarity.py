@@ -78,8 +78,15 @@ def cosine_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self). The query side is
-    broadcast; ties pinned by neighbor id for determinism."""
-    from pyspark.sql import Window
+    broadcast; ties pinned by neighbor id for determinism.
+
+    Top-k runs through ``scale.sharded_topk`` (round 12): the scored
+    set is |corpus| rows PER QUERY, and a single window partitioned by
+    query_id would scan each query's whole corpus slice in one task —
+    the brute-force baseline was parallel across queries but serial
+    within one. The sharded form spreads every query across the salt
+    shards (identical rows/ranks; the order is total)."""
+    from drugbankner_spark.operators.scale import sharded_topk
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -95,12 +102,8 @@ def cosine_topk(
             F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return sharded_topk(
+        scored, ["query_id"], [F.desc("cos_sim"), F.asc("neighbor_id")], k
     )
 
 
@@ -984,12 +987,14 @@ def pq_adc_topk(
             ).alias("adc_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # sharded top-k (round 12): ADC scans the WHOLE code table per
+    # query (PQ compresses, it does not prune), so the per-query
+    # candidate set is corpus-scale — the two-phase form keeps any one
+    # query from ranking it in a single task
+    from drugbankner_spark.operators.scale import sharded_topk
+
+    return sharded_topk(
+        scored, ["query_id"], [F.asc("adc_dist"), F.asc("neighbor_id")], k
     )
 
 
@@ -1401,12 +1406,18 @@ def hard_negatives(
             .alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
+    # sharded top-(skip_top+k) (round 12): the anti-joined candidate
+    # set is still corpus-scale per query — rank the bounded head in
+    # two phases, then drop the skipped band (identical rows/ranks)
+    from drugbankner_spark.operators.scale import sharded_topk
+
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter((F.col("_r") > skip_top) & (F.col("_r") <= skip_top + k))
+        sharded_topk(
+            scored, ["query_id"],
+            [F.desc("cos_sim"), F.asc("neighbor_id")],
+            skip_top + k, rank_col="_r",
+        )
+        .filter(F.col("_r") > skip_top)
         .select(
             "query_id", "neighbor_id", "cos_sim",
             (F.col("_r") - skip_top).alias("rank"),
@@ -1613,12 +1624,13 @@ def hamming_topk(
         .select("query_id", "neighbor_id",
                 dist.cast("long").alias("hamming"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("hamming"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # sharded top-k (round 12): the 1-bit scan scores every code per
+    # query — corpus-scale per-query candidates, same treatment as
+    # cosine_topk/pq_adc_topk
+    from drugbankner_spark.operators.scale import sharded_topk
+
+    return sharded_topk(
+        scored, ["query_id"], [F.asc("hamming"), F.asc("neighbor_id")], k
     )
 
 
