@@ -155,6 +155,68 @@ def sharded_topk(
     )
 
 
+def sharded_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """FULL per-group row_number (every row ranked, no truncation)
+    without landing any group's whole row set in one window task —
+    the companion to :func:`sharded_topk` for rankings that cannot
+    truncate (Zipf rank-frequency points need rank 1..V over the
+    ENTIRE vocabulary; a corpus-wide group is one task under the
+    plain window).
+
+    Two phases, the :func:`~drugbankner_spark.operators.suffixarray.
+    global_dense_rank` discipline generalized to per-group:
+    range-repartition on (part_cols, order_cols) — equal keys land in
+    one partition and each group's rows occupy a CONTIGUOUS run of
+    partitions in sort order — then row_number within (partition,
+    group) and shift by the group's row count in earlier partitions.
+    The offset dim has at most (#partitions + #groups) rows (ranges
+    are contiguous, so a partition adds one boundary group), windowed
+    per group over the partition id and broadcast back.
+
+    ``order_cols`` must be a TOTAL order within each group (same
+    determinism contract as sharded_topk); pass ``F.desc(...)`` /
+    ``F.asc(...)`` expressions — they drive both the range exchange
+    and the in-partition sort, so the global order is exact."""
+    from pyspark.sql import Window
+
+    parts = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []),
+        *[F.col(c) for c in part_cols], *order_cols,
+    )
+    # persist the branch point: the histogram and the rank pass must
+    # observe ONE range exchange's _pid, not two independently-sampled
+    # RangePartitioner boundary draws
+    local = shared_persist(
+        parts.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_lrn",
+            F.row_number().over(
+                Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
+            ),
+        )
+    )
+    hist = local.groupBy("_pid", *part_cols).agg(
+        F.max("_lrn").alias("_n")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols).orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = hist.withColumn(
+        "_base", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", *part_cols, "_base")
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *part_cols])
+        .withColumn(out_col, F.col("_base") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_base")
+    )
+
+
 def key_skew_profile(
     df: DataFrame, key: str, top_n: int = 20, hot_share: float = 0.01
 ) -> DataFrame:

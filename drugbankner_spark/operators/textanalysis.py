@@ -1396,11 +1396,15 @@ def zipf_slope(
     (or one '__corpus__' row): the :func:`relational.group_ols`
     columns (n, slope, intercept, r2).
 
-    Shape: one token count agg + one rank window over the (bounded)
-    vocabulary + the closed-form OLS agg."""
-    from pyspark.sql import Window
-
+    Shape: one token count agg + the TWO-PHASE per-group rank
+    (``scale.sharded_row_number``, round 12) + the closed-form OLS
+    agg. The rank cannot truncate (every vocabulary term is an OLS
+    point), and the default group is the WHOLE corpus — under a plain
+    ``row_number().over(partitionBy(grp))`` that is one task ranking
+    the entire vocabulary; the two-phase form range-partitions the
+    vocabulary and stitches ranks with a broadcast offset dim."""
     from drugbankner_spark.operators.relational import group_ols
+    from drugbankner_spark.operators.scale import sharded_row_number
 
     grp = (F.col(group_col) if group_col
            else F.lit("__corpus__")).alias("grp")
@@ -1411,10 +1415,12 @@ def zipf_slope(
         .groupBy("grp", "term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("term"))
-    pts = counts.select(
+    ranked = sharded_row_number(
+        counts, ["grp"], [F.desc("n"), F.asc("term")], out_col="_rank"
+    )
+    pts = ranked.select(
         "grp",
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("_rank").cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
     )
     return group_ols(pts, "x", "y", ["grp"])
@@ -1548,16 +1554,17 @@ def chi2_feature_selection(
             ((ad + bd) * (cd + dd)) * ((ad + cd) * (bd + dd))
         )
     )
-    w = Window.partitionBy("label").orderBy(
-        F.desc("chi2"), F.asc("token")
+    # sharded top-k (round 12): the ranked set is the FULL (surviving)
+    # vocabulary per label, and labels are few — a plain per-label
+    # window is one task scanning a vocabulary-scale slice
+    from drugbankner_spark.operators.scale import sharded_topk
+
+    scored = j.select(
+        "label", "token",
+        F.col("a").alias("df_in_class"),
+        "df_token",
+        chi2.alias("chi2"),
     )
-    return (
-        j.select(
-            "label", "token",
-            F.col("a").alias("df_in_class"),
-            "df_token",
-            chi2.alias("chi2"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+    return sharded_topk(
+        scored, ["label"], [F.desc("chi2"), F.asc("token")], top_k
     )

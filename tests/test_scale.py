@@ -342,3 +342,37 @@ def test_sharded_topk_equals_single_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 2
     assert "_shard" in plan
+
+
+def test_sharded_row_number_equals_single_window(spark):
+    # Round 12: the two-phase FULL rank (no truncation) must equal the
+    # single-window row_number on every row — hot group dominating the
+    # input, tie-heavy weights, a group below any partition size, and
+    # both rank directions exercised via the desc/asc order.
+    from pyspark.sql import Window
+
+    from drugbankner_spark.operators.scale import sharded_row_number
+
+    rows = []
+    for i in range(4000):
+        rows.append(("hot", f"id{i:05d}", float(i % 23)))
+    for i in range(60):
+        rows.append(("warm", f"id{i:05d}", float(i)))
+    rows.append(("tiny", "id00000", 5.0))
+    df = spark.createDataFrame(rows, "grp string, uid string, w double")
+
+    order = [F.desc("w"), F.asc("uid")]
+    for np_ in (None, 7):
+        got = sharded_row_number(
+            df, ["grp"], order, out_col="rank", num_partitions=np_
+        ).orderBy("grp", "rank").collect()
+        w = Window.partitionBy("grp").orderBy(*order)
+        want = df.withColumn("rank", F.row_number().over(w)) \
+            .orderBy("grp", "rank").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], np_
+
+    # the plan ranks within (partition-id, group): no Window node
+    # partitioned by the bare group over the full input
+    plan = sharded_row_number(df, ["grp"], order)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "_pid" in plan
