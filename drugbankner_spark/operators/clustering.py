@@ -195,23 +195,25 @@ def cluster_balanced_sample(
     drawn by the engine's deterministic hash rank (md5 of the id), so
     a rare topic cluster survives a draw that frequency-proportional
     sampling would flood with the head topic. Output: (id, cluster_id,
-    draw_rank). One window per cluster (bounded by cluster size) on
-    top of the k-means cost; pass precomputed ``assignments`` to reuse
-    a fit."""
+    draw_rank). Top-k per cluster runs through ``scale.sharded_topk``
+    (round 12): a head-topic cluster can hold most of the corpus, and
+    the plain per-cluster window ranks that whole cluster in one task;
+    the two-phase form returns identical rows/ranks (the hash+id order
+    is total). Pass precomputed ``assignments`` to reuse a fit."""
     from drugbankner_spark.operators.dedup import content_hash32
+    from drugbankner_spark.operators.scale import sharded_topk
 
     if assignments is None:
         assignments = kmeans_lloyd(
             vecs, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
         )
-    w = Window.partitionBy("cluster_id").orderBy(
-        content_hash32(F.col(id_col).cast("string")), F.col(id_col)
+    keyed = assignments.withColumn(
+        "_h", content_hash32(F.col(id_col).cast("string"))
     )
-    return (
-        assignments.withColumn("draw_rank", F.row_number().over(w))
-        .filter(F.col("draw_rank") <= per_cluster)
-        .select(id_col, "cluster_id", "draw_rank")
-    )
+    return sharded_topk(
+        keyed, ["cluster_id"], [F.asc("_h"), F.asc(id_col)],
+        int(per_cluster), rank_col="draw_rank",
+    ).select(id_col, "cluster_id", "draw_rank")
 
 
 def semdedup_clustered(

@@ -605,9 +605,17 @@ def coreness_hindex(
     chained-CTE SQL oracle, the same contract as ``pagerank``.
 
     Per round: one shuffle join (directed-edge table ⋈ values on the
-    neighbor endpoint), one row_number window partitioned by vertex,
-    one max(least(rank, value)) hash agg — all integer arithmetic, no
-    float convention anywhere. No collect; the value table stays
+    neighbor endpoint), one (v, value) count agg, one cumulative-count
+    window over each vertex's DISTINCT neighbor values, one
+    max(least(cum, value)) hash agg — all integer arithmetic, no
+    float convention anywhere. The H-index never needs the per-
+    neighbor rank: with c(u) = #neighbors holding value ≥ u,
+    h = max over distinct u of min(c(u), u) — so the degree-scale
+    row_number window (round ≤11: a hub's whole adjacency list ranked
+    in ONE task per round) collapses to a map-side-combinable count
+    plus a window over distinct values only (≤ min(degree, max core)
+    rows per vertex, and the hub's edge-scale rows never reach the
+    window's shuffle). No collect; the value table stays
     distributed, so the node set can be web-scale. Output:
     (v, core) after ``rounds`` iterations (equal to true coreness once
     converged — tests pin equality against ``kcore_decomposition``).
@@ -645,15 +653,25 @@ def coreness_hindex(
             vals.select(F.col("v").alias("u"), F.col("core").alias("uval")),
             "u",
         )
-        # H-index of the neighbor multiset: rank neighbor values desc,
-        # h = max(min(rank, value)). The (uval desc, u) tiebreak pins a
-        # deterministic rank order, though max(least(...)) is invariant
-        # to how ties are broken.
-        w = Window.partitionBy("v").orderBy(F.desc("uval"), F.asc("u"))
+        # H-index of the neighbor multiset from VALUE-GROUPED counts:
+        # for each distinct neighbor value u, c(u) = #neighbors with
+        # value >= u (cumulative count over values desc), and
+        # h = max(min(c(u), u)) — identical to ranking every neighbor
+        # (each sorted-rank block's best min(rank, value) is exactly
+        # min(c(u), u)), but the window sees distinct values, not the
+        # adjacency list, and the count agg combines map-side.
+        vcounts = nb.groupBy("v", "uval").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = (
+            Window.partitionBy("v").orderBy(F.desc("uval"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         vals = (
-            nb.withColumn("rk", F.row_number().over(w))
+            vcounts.withColumn("_cum", F.sum("_c").over(w))
             .groupBy("v")
-            .agg(F.max(F.least(F.col("rk"), F.col("uval"))).alias("core"))
+            .agg(F.max(F.least(F.col("_cum"), F.col("uval")))
+                 .cast("long").alias("core"))
         )
         if r == rounds and require_converged:
             prev = prev_vals.select(
