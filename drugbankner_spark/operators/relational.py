@@ -389,28 +389,43 @@ def percentile_normalize(
     back (broadcast-able group dim) + one rank window — the window
     shuffle reuses the same group key. NULL values pass through with
     NULL rank/winsorized."""
-    from pyspark.sql.window import Window
+    from drugbankner_spark.operators.scale import sharded_row_number
 
     keys = key_cols or []
     q = df.groupBy(*keys).agg(
         F.expr(f"percentile({value_col}, {lo})").alias("_qlo"),
         F.expr(f"percentile({value_col}, {hi})").alias("_qhi"),
+        F.count(F.lit(1)).alias("_ngrp"),
     )
     j = df.join(F.broadcast(q), keys) if keys else df.crossJoin(
         F.broadcast(q)
     )
-    # asc_nulls_last pins the NULL position cross-engine (Spark ASC
-    # defaults NULLS FIRST, DuckDB NULLS LAST)
-    w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    ).orderBy(F.col(value_col).asc_nulls_last())
-    ranked = j.withColumn(
+    # percent_rank = (rank - 1) / (n - 1), computed from the TWO-PHASE
+    # rank (round 12): the ungrouped form was a single-partition window
+    # over the whole input (partitionBy(lit(1))), and a grouped call
+    # can still put most rows under one key. method='rank' keeps
+    # percent_rank's tie semantics (equal values share a rank); NULLs
+    # sort last (asc_nulls_last pins the NULL position cross-engine —
+    # Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST), count toward
+    # n, and are masked back to NULL below — exactly the built-in's
+    # behavior. n == 1 pins 0.0, the built-in's convention.
+    granked = sharded_row_number(
+        j, keys, [F.col(value_col).asc_nulls_last()],
+        out_col="_grk", method="rank",
+    )
+    ranked = granked.withColumn(
         "pct_rank",
         F.when(
             F.col(value_col).isNotNull(),
-            F.round(F.percent_rank().over(w), 6),
+            F.round(
+                F.when(F.col("_ngrp") > 1,
+                       (F.col("_grk") - 1)
+                       / (F.col("_ngrp") - 1).cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
         ),
-    )
+    ).drop("_grk", "_ngrp")
     # explicit NULL guard: Spark's greatest() IGNORES NULL arguments
     # (returns the non-null side), so a bare clip would winsorize NULL
     # values to the lower quantile

@@ -161,6 +161,7 @@ def sharded_row_number(
     order_cols: list,
     out_col: str = "rank",
     num_partitions: int | None = None,
+    method: str = "row_number",
 ) -> DataFrame:
     """FULL per-group row_number (every row ranked, no truncation)
     without landing any group's whole row set in one window task —
@@ -168,6 +169,15 @@ def sharded_row_number(
     truncate (Zipf rank-frequency points need rank 1..V over the
     ENTIRE vocabulary; a corpus-wide group is one task under the
     plain window).
+
+    ``method='rank'`` switches the in-partition function to SQL
+    ``rank()`` (ties share a rank, gaps follow) — exact because the
+    range exchange puts equal sort keys in ONE partition, so a tie
+    block never spans the offset boundary and the shift (earlier
+    partitions' ROW count, identical for both methods) is the plain
+    #rows-before-the-block that rank semantics add to the local rank.
+    Use it when the order is intentionally NON-total (percent_rank
+    over raw values); 'row_number' keeps the total-order contract.
 
     Two phases, the :func:`~drugbankner_spark.operators.suffixarray.
     global_dense_rank` discipline generalized to per-group:
@@ -185,6 +195,9 @@ def sharded_row_number(
     and the in-partition sort, so the global order is exact."""
     from pyspark.sql import Window
 
+    if method not in ("row_number", "rank"):
+        raise ValueError(f"sharded_row_number: unknown method={method!r}")
+    rank_fn = F.row_number if method == "row_number" else F.rank
     parts = df.repartitionByRange(
         *([num_partitions] if num_partitions else []),
         *[F.col(c) for c in part_cols], *order_cols,
@@ -195,13 +208,13 @@ def sharded_row_number(
     local = shared_persist(
         parts.withColumn("_pid", F.spark_partition_id()).withColumn(
             "_lrn",
-            F.row_number().over(
+            rank_fn().over(
                 Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
             ),
         )
     )
     hist = local.groupBy("_pid", *part_cols).agg(
-        F.max("_lrn").alias("_n")
+        F.count(F.lit(1)).alias("_n")
     )
     w_off = (
         Window.partitionBy(*part_cols).orderBy("_pid")

@@ -376,3 +376,28 @@ def test_sharded_row_number_equals_single_window(spark):
     plan = sharded_row_number(df, ["grp"], order)._jdf \
         .queryExecution().executedPlan().toString()
     assert "_pid" in plan
+
+
+def test_sharded_row_number_rank_method_equals_percent_rank(spark):
+    # method='rank' must reproduce SQL rank() (ties share, gaps
+    # follow) so percent_rank rebuilt as (rank-1)/(n-1) matches the
+    # built-in bit for bit — including on a heavily tied column and
+    # with NULLs ordered last.
+    from pyspark.sql import Window
+
+    from drugbankner_spark.operators.scale import sharded_row_number
+
+    rows = [("g", f"id{i:04d}", float(i % 5)) for i in range(1000)]
+    rows += [("g", f"nul{i}", None) for i in range(3)]
+    rows += [("h", "only", 9.0)]
+    df = spark.createDataFrame(rows, "grp string, uid string, v double")
+
+    order = [F.col("v").asc_nulls_last()]
+    got = sharded_row_number(
+        df, ["grp"], order, out_col="rk", method="rank", num_partitions=5
+    )
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = df.withColumn("rk", F.rank().over(w))
+    ga = sorted(tuple(r) for r in got.collect())
+    wa = sorted(tuple(r) for r in want.collect())
+    assert ga == wa
