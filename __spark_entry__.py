@@ -220,10 +220,11 @@ def _w_window_suite(spark: SparkSession, sf: str) -> DataFrame:
 def _f_name_normalize(spark: SparkSession, sf: str) -> DataFrame:
     # F1+F2+F3 consolidated, plus the O2 ordering (sort by uppercased
     # key → position column) — all four normalization kernels over one
-    # scan of documents. The global row_number is the O2 demo (the
+    # scan of documents. The global position column is the O2 demo (the
     # reference sorts an entire output list, node_synonymizer.py:280-281);
-    # at scale a global sort is a last-stage operation on small output.
-    from pyspark.sql import Window
+    # it runs through the two-phase scale.sharded_row_number (round 12)
+    # — the corpus never funnels through one window task.
+    from drugbankner_spark.operators.scale import sharded_row_number
 
     docs = load_table(spark, sf, "documents")
     tagged = F.concat(
@@ -235,8 +236,10 @@ def _f_name_normalize(spark: SparkSession, sf: str) -> DataFrame:
         N.strip_sentence_marks(F.substring(F.col("text"), 1, 60)).alias("stripped"),
         N.simplify_name(F.substring(F.col("text"), 1, 40)).alias("name_simplified"),
     )
-    w = Window.orderBy(F.upper("name_simplified"), "doc_id")
-    return step.withColumn("pos", F.row_number().over(w))
+    return sharded_row_number(
+        step, [], [F.upper("name_simplified"), F.asc("doc_id")],
+        out_col="pos",
+    )
 
 
 def _e1_dedup_survivor(spark: SparkSession, sf: str) -> DataFrame:
@@ -629,10 +632,12 @@ def _q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     # E5: TPC-H Q15 shape — supplier(s) with the maximum quarterly
-    # revenue. The max is an unpartitioned window over the ALREADY
-    # AGGREGATED per-supplier frame (cardinality = |suppliers|, not
-    # |lineitem|) — cheap at any fact scale; ties all surface.
-    from pyspark.sql import Window
+    # revenue. The per-supplier revenue frame is persisted (one
+    # lineitem scan) and the max rides back as a broadcast 1-row agg —
+    # no unpartitioned window (the supplier DIM is still ~10⁸ rows at
+    # the 100 TB point; one window task over it is a needless funnel).
+    # Ties all surface. Caller releases via release_shared_caches().
+    from drugbankner_spark.caching import shared_persist
 
     li = load_table(spark, sf, "lineitem")
     supp = load_table(spark, sf, "supplier")
@@ -648,8 +653,9 @@ def _q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    mx = rev.withColumn(
-        "_max", F.max("total_revenue").over(Window.partitionBy())
+    rev = shared_persist(rev)
+    mx = rev.crossJoin(
+        F.broadcast(rev.agg(F.max("total_revenue").alias("_max")))
     ).filter(F.col("total_revenue") == F.col("_max"))
     return mx.join(supp, mx.l_suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -81,16 +81,18 @@ def seed_vocab(
         ).alias("piece"),
     )
     counts = subs.groupBy("piece").agg(F.sum("n").alias("count"))
-    # unpartitioned window over the (bounded) piece-count table, not
-    # the corpus — the same post-agg shape as q15's top-supplier max
-    ranked = counts.withColumn(
-        "_rk",
-        F.row_number().over(Window.orderBy(F.desc("count"), F.asc("piece"))),
+    # top-seed_size via sort+limit — plans as TakeOrderedAndProject
+    # (per-partition heap, k rows to the driver side), never a
+    # single-partition window: the candidate-piece table is
+    # vocab × len² substrings, NOT bounded (round 12; the previous
+    # global row_number window ranked it in one task). Single-char
+    # pieces are kept unconditionally (closure requirement) and
+    # deduped against top-N by the distinct over identical rows.
+    top_n = counts.orderBy(F.desc("count"), F.asc("piece")).limit(
+        int(seed_size)
     )
-    top = ranked.filter(
-        (F.col("_rk") <= seed_size) | (F.length("piece") == 1)
-    )
-    return top.select("piece", "count")
+    singles = counts.filter(F.length("piece") == 1)
+    return top_n.unionByName(singles).distinct().select("piece", "count")
 
 
 def _expected_counts_kernel(probs: dict, max_piece_len: int):
