@@ -420,6 +420,69 @@ def _skew_section(spark, sf_dir: str) -> dict:
                 conf.unset(k)
             else:
                 conf.set(k, v)
+    # window-skew companion (round 12): the same hot key as a GROUP —
+    # per-name top-10 by quantity. AQE's skew rule cannot split a
+    # window partition, so the plain form ranks the hot name's 300k
+    # rows in ONE task; scale.sharded_topk is the structural fix the
+    # round-12 rankings (ANN top-k, chi-square, cluster draws) run on.
+    # Read the two metrics together: local[32] shares one memory bus,
+    # so 16 parallel shard sorts cost the same wall-clock as one
+    # hot-task sort (measured up to 77M rows: plain 9.6 s vs sharded
+    # 10.4 s — BOTH track total bytes, the skew is invisible) and the
+    # seconds mostly price the sharded form's constant extra pass.
+    # The *_max_task_rows pair is the scale-relevant evidence: the
+    # biggest window task's input, i.e. what ONE core of ONE executor
+    # must sort alone while the rest of a 1000-node cluster waits —
+    # plain carries the whole hot group, sharded is bounded by
+    # total/parallelism regardless of key skew.
+    from pyspark.sql import Window
+
+    from drugbankner_spark.operators.scale import fact_salt_expr, sharded_topk
+
+    wfact = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("protein"))
+        .otherwise(F.concat(F.lit("name-"),
+                            (F.col("l_orderkey") % 5000).cast("string")))
+        .alias("name"),
+        "l_quantity",
+        F.col("l_orderkey").alias("uid"),
+    )
+    order = [F.desc("l_quantity"), F.asc("uid")]
+
+    def run_topk(df) -> float:
+        t0 = time.perf_counter()
+        df.groupBy("name").agg(F.count(F.lit(1))).collect()
+        return time.perf_counter() - t0
+
+    w = Window.partitionBy("name").orderBy(*order)
+    plain_topk = (
+        wfact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    out["window_plain_topk_sec"] = round(
+        min(run_topk(plain_topk) for _ in range(2)), 3)
+    out["window_sharded_topk_sec"] = round(
+        min(run_topk(sharded_topk(wfact, ["name"], order, 10))
+            for _ in range(2)), 3)
+
+    # largest window-task input under each form: rows landing in the
+    # fullest shuffle partition of the window exchange (hash layout
+    # identical to Exchange hashpartitioning: pmod(murmur3, P))
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def max_task_rows(df, cols) -> int:
+        return (
+            df.groupBy(
+                F.pmod(F.hash(*[F.col(c) for c in cols]),
+                       F.lit(n_shuffle)).alias("_p"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n")).first()[0]
+        )
+
+    out["window_plain_max_task_rows"] = max_task_rows(wfact, ["name"])
+    out["window_sharded_max_task_rows"] = max_task_rows(
+        wfact.withColumn("_shard", fact_salt_expr(16)), ["name", "_shard"])
+
     prof = key_skew_profile(fact, "name", top_n=5)
     top = prof.collect()[0]
     out["hot_key"] = top["name"]

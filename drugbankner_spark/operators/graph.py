@@ -764,7 +764,12 @@ def label_propagation(
     iteration count — count/max/min are partition-order free.
 
     Per round: one join (adjacency ⋈ labels) + one (node, label) count
-    agg + one max-count window + one min-agg — two shuffles, the same
+    agg + one map-side-combinable min_by agg picking the winning label
+    per node (round 12: in early rounds a hub's distinct neighbor
+    labels are degree-scale — the previous max-count window put them
+    all in one task; min_by over struct(−count, label) computes the
+    same most-frequent-min-tiebreak winner with partial aggregation,
+    so a hub's votes combine map-side) — two shuffles, the same
     budget as a CC round; isolated nodes keep their label via the
     left join + coalesce."""
     sym = (
@@ -777,7 +782,6 @@ def label_propagation(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")) \
         .localCheckpoint(eager=True)
-    from pyspark.sql import Window
 
     for _ in range(iterations):
         votes = (
@@ -785,12 +789,12 @@ def label_propagation(
             .groupBy(F.col("a").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("node")
-        top = (
-            votes.withColumn("mx", F.max("c").over(w))
-            .filter(F.col("c") == F.col("mx"))
-            .groupBy("node")
-            .agg(F.min("label").alias("new_label"))
+        top = votes.groupBy("node").agg(
+            F.min_by(
+                "label",
+                F.struct((-F.col("c")).alias("_nc"),
+                         F.col("label").alias("_lb")),
+            ).alias("new_label")
         )
         labels = (
             labels.join(top, "node", "left")

@@ -215,7 +215,15 @@ def _fold_rank(
     broadcast_max_rows: int,
 ) -> DataFrame:
     """Per-concept fold + threshold + top-k rank — the deterministic
-    tail every linker face ends in (scores already rounded to 6dp)."""
+    tail every linker face ends in (scores already rounded to 6dp).
+
+    The rank stays a PLAIN per-mention window (not
+    ``scale.sharded_topk``): the threshold filter runs BEFORE the
+    window, so a group is only the concepts scoring ≥ threshold for
+    one mention — cosine ≥ 0.x against distinct ontology concepts,
+    a score-bounded handful, not a corpus-scale slice. The sharded
+    form's extra pass would cost every linker face more than the
+    biggest surviving group can."""
     per_concept = (
         scored.join(_maybe_broadcast(alias_map, broadcast_max_rows), "alias")
         .groupBy("mention", "alias_id")
