@@ -603,3 +603,61 @@ def test_round9_graph_plan_shapes(spark):
     # the only nominal cross join is the broadcast of the 1-row m
     # aggregate — assert it broadcasts rather than shuffles
     assert X.count_broadcast_joins(mod) >= 1
+
+
+def test_round12_desked_rankings_plan_shapes(spark):
+    # The round-12 de-skew conversions must KEEP their two-phase
+    # shapes: a regression back to a bare per-group (or global)
+    # window re-creates the unsplittable hot task even though every
+    # result stays hash-identical — exactly the failure mode plan
+    # tests exist for.
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+    from drugbankner_spark.operators.relational import (
+        percentile_normalize,
+    )
+    from drugbankner_spark.operators.textanalysis import (
+        chi2_feature_selection,
+        zipf_slope,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i % 7}", "en" if i % 2 else "de")
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    # chi-square per-label top-k: sharded (salt column in the plan)
+    chi = chi2_feature_selection(docs, label_col="lang", top_k=3,
+                                 min_df=1)
+    assert "_shard" in X.plan_string(chi, "simple")
+    # Zipf full-vocab rank: two-phase (partition-id rank + offsets)
+    zipf = zipf_slope(docs, group_col="lang")
+    assert "_pid" in X.plan_string(zipf, "simple")
+    # ungrouped percent_rank: no single-partition window — the rank
+    # rides the two-phase _pid machinery
+    vals = spark.createDataFrame(
+        [(i, float(i % 11)) for i in range(50)], "id long, v double"
+    )
+    pn = percentile_normalize(vals, "v", key_cols=None)
+    assert "_pid" in X.plan_string(pn, "simple")
+    # cluster-balanced draw: sharded top-k per cluster
+    assigned = spark.createDataFrame(
+        [(f"v{i}", i % 3) for i in range(30)],
+        "vec_id string, cluster_id int",
+    )
+    draw = cluster_balanced_sample(
+        None, per_cluster=5, id_col="vec_id", assignments=assigned
+    )
+    assert "_shard" in X.plan_string(draw, "simple")
+    # ANN brute-force top-k: the per-query corpus scan ranks sharded
+    from drugbankner_spark.operators.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [(f"e{i}", [float(i), 1.0]) for i in range(20)],
+        "vec_id string, embedding array<double>",
+    )
+    ann = cosine_topk(vecs.limit(3), vecs, k=2)
+    assert "_shard" in X.plan_string(ann, "simple")
