@@ -324,6 +324,15 @@ def main() -> None:
         "fit_sec": linker_fit_sec,
         "served_certified": serving_stats.get("certified_fraction"),
     }
+    skew_d = result.get("skew", {})
+    if "window_plain_max_task_rows" in skew_d:
+        compact["window_skew"] = {
+            "plain_sec": skew_d.get("window_plain_topk_sec"),
+            "sharded_sec": skew_d.get("window_sharded_topk_sec"),
+            "plain_max_task_rows": skew_d["window_plain_max_task_rows"],
+            "sharded_max_task_rows":
+                skew_d.get("window_sharded_max_task_rows"),
+        }
     sf1_q = result.get("sf1", {}).get("queries", {})
     if sf1_q:
         compact["sf1_linker"] = {
