@@ -179,6 +179,21 @@ def sharded_row_number(
     Use it when the order is intentionally NON-total (percent_rank
     over raw values); 'row_number' keeps the total-order contract.
 
+    Cost shape (round 12, second pass): 'row_number' pays ONE
+    full-data exchange — the range repartition, followed by an
+    in-partition sort; in-partition positions come from
+    ``monotonically_increasing_id`` (consecutive within a partition,
+    and nondeterministic, so Catalyst will not reorder it past the
+    Sort), normalized by a map-side-combinable per-(partition, group)
+    min/count agg that broadcasts back — the same work a plain
+    single-window rank does, minus the unsplittable hot task. A
+    window over (partition-id, group) would NOT reuse the range
+    exchange (RangePartitioning does not satisfy the window's
+    ClusteredDistribution) and was measured inserting a second
+    full-data hash exchange. 'rank' keeps that window form — tie
+    semantics need rank() itself — and so pays both exchanges;
+    percent_rank is its only engine caller.
+
     Two phases, the :func:`~drugbankner_spark.operators.suffixarray.
     global_dense_rank` discipline generalized to per-group:
     range-repartition on (part_cols, order_cols) — equal keys land in
@@ -197,28 +212,56 @@ def sharded_row_number(
 
     if method not in ("row_number", "rank"):
         raise ValueError(f"sharded_row_number: unknown method={method!r}")
-    rank_fn = F.row_number if method == "row_number" else F.rank
     parts = df.repartitionByRange(
         *([num_partitions] if num_partitions else []),
         *[F.col(c) for c in part_cols], *order_cols,
     )
-    # persist the branch point: the histogram and the rank pass must
-    # observe ONE range exchange's _pid, not two independently-sampled
-    # RangePartitioner boundary draws
+    w_off = (
+        Window.partitionBy(*part_cols).orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    if method == "row_number":
+        # in-partition position WITHOUT a second exchange: sort inside
+        # the range partitions, then read positions off
+        # monotonically_increasing_id (consecutive per partition; its
+        # nondeterminism PINS it above the Sort). Persist the branch
+        # point: the offsets agg and the output must observe one
+        # evaluation of (_pid, _mid), not two.
+        local = shared_persist(
+            parts.sortWithinPartitions(
+                *[F.col(c) for c in part_cols], *order_cols
+            )
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        hist = local.groupBy("_pid", *part_cols).agg(
+            F.min("_mid").alias("_m0"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        offsets = hist.withColumn(
+            "_base", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+        ).select("_pid", *part_cols, "_m0", "_base")
+        return (
+            local.join(F.broadcast(offsets), ["_pid", *part_cols])
+            .withColumn(
+                out_col,
+                F.col("_mid") - F.col("_m0") + F.lit(1) + F.col("_base"),
+            )
+            .drop("_pid", "_mid", "_m0", "_base")
+        )
+    # method == 'rank': ties must share a rank, so the in-partition
+    # function has to be rank() itself — a window over (partition id,
+    # group), which costs the second (hash) exchange documented above.
     local = shared_persist(
         parts.withColumn("_pid", F.spark_partition_id()).withColumn(
             "_lrn",
-            rank_fn().over(
+            F.rank().over(
                 Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
             ),
         )
     )
     hist = local.groupBy("_pid", *part_cols).agg(
         F.count(F.lit(1)).alias("_n")
-    )
-    w_off = (
-        Window.partitionBy(*part_cols).orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     )
     offsets = hist.withColumn(
         "_base", F.coalesce(F.sum("_n").over(w_off), F.lit(0))

@@ -376,11 +376,23 @@ def test_jw_match_blocked_equi_join_no_cartesian(spark):
 
 def test_winsorize_broadcasts_the_quantile_dim(spark):
     # round 6 late: the per-group [p05, p95] dim reaches the events as
-    # a broadcast; the rank window reuses the same group key.
+    # a broadcast. Round 12: percent_rank rides the two-phase rank
+    # (method='rank'), whose tie semantics need a rank() window over
+    # (partition id, group) — two full-data exchanges (range + the
+    # window's hash), the rest are map-side-combined aggs and the
+    # bounded offsets dim. The Exchange count is higher than the old
+    # single-window form on purpose: the old form put a whole group
+    # (or, ungrouped, the whole input) in ONE window task.
+    # no numeric Exchange-count bound: the printed count is AQE- and
+    # cache-state-dependent (13 mid-suite vs 8 in isolation for the
+    # same logical plan — reused subtrees render differently); the
+    # contract is carried structurally instead.
     df = QUERIES["e5_winsorize"](spark, SF)
     assert not X.has_cartesian(df)
-    assert "BroadcastHashJoin" in X.plan_string(df, "simple")
-    assert X.count_shuffles(df) <= 3
+    plan = X.plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "_pid" in plan  # two-phase rank present
+    assert "rangepartitioning" in plan  # the ONE intended full-data range exchange
 
 
 def test_wordpiece_apply_single_scan_arrow_pass(spark):
