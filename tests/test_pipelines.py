@@ -295,10 +295,10 @@ def test_model_loads_once_per_worker_process_not_per_task(spark, tmp_path):
     # task or per batch — or a real scispaCy model (GBs) would reload
     # per partition. The heavyweight fake allocates a 32 MB numpy
     # payload and journals every construction as "<pid>" to a shared
-    # file; after running 24 partitions TWICE, the number of factory
-    # constructions must equal the number of DISTINCT worker pids that
-    # journaled (one load per process), strictly fewer than the 48
-    # task executions.
+    # file; after one action of 96 tasks (3× the worker slots), the
+    # number of factory constructions must equal the number of
+    # DISTINCT worker pids that journaled (one load per process),
+    # strictly fewer than the 96 task executions.
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -321,17 +321,24 @@ def test_model_loads_once_per_worker_process_not_per_task(spark, tmp_path):
 
         return run
 
+    # 96 tasks against local[32]'s ≤32 python-worker slots: at least
+    # 64 tasks MUST land on an already-warm worker WITHIN this one
+    # action — reuse across separate jobs is runtime policy (idle
+    # workers get reaped under a long suite's memory pressure, which
+    # made the old two-job form flake with 48 fresh pids), but within
+    # a running stage a freed worker returns to the pool and is
+    # grabbed immediately, so the cross-task cache must show.
+    n_tasks = 96
     sents = spark.range(240).select(
         F.col("id").alias("sid"),
         F.concat(F.lit("tok"), F.col("id").cast("string"),
                  F.lit(" rest of sentence")).alias("sentence"),
-    ).repartition(24)
-    for _ in range(2):
-        out = NER.detect_entities(
-            sents, "sentence", ["sid"], heavy_factory,
-            model_key="heavy-fake-lifecycle-test",
-        )
-        assert out.count() == 240
+    ).repartition(n_tasks)
+    out = NER.detect_entities(
+        sents, "sentence", ["sid"], heavy_factory,
+        model_key="heavy-fake-lifecycle-test",
+    )
+    assert out.count() == 240
     with open(journal) as fh:
         pids = [ln.strip() for ln in fh if ln.strip()]
     n_loads, n_procs = len(pids), len(set(pids))
@@ -339,7 +346,7 @@ def test_model_loads_once_per_worker_process_not_per_task(spark, tmp_path):
         f"{n_loads} factory constructions across {n_procs} worker "
         "processes — the model reloaded within a process"
     )
-    assert n_loads < 48, "one load per task means the cache is dead"
+    assert n_loads < n_tasks, "one load per task means the cache is dead"
     # numpy was only needed on the workers; keep the driver import to
     # pin the test environment assumption
     assert np.ones(1)[0] == 1.0
