@@ -141,6 +141,12 @@ def sharded_topk(
     keys); pick per call site."""
     from pyspark.sql import Window
 
+    if k < 1 or shards < 1:
+        raise ValueError(
+            f"sharded_topk: k and shards must be >= 1 (k={k}, "
+            f"shards={shards})"
+        )
+
     w_shard = Window.partitionBy(*part_cols, "_shard").orderBy(*order_cols)
     pool = (
         df.withColumn("_shard", fact_salt_expr(shards))

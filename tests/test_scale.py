@@ -401,3 +401,22 @@ def test_sharded_row_number_rank_method_equals_percent_rank(spark):
     ga = sorted(tuple(r) for r in got.collect())
     wa = sorted(tuple(r) for r in want.collect())
     assert ga == wa
+
+
+def test_sharded_primitives_validate_args(spark):
+    import pytest as _pytest
+
+    from drugbankner_spark.operators.scale import (
+        sharded_row_number,
+        sharded_topk,
+    )
+
+    df = spark.createDataFrame([("g", "a", 1.0)],
+                               "grp string, uid string, v double")
+    order = [F.desc("v"), F.asc("uid")]
+    with _pytest.raises(ValueError, match="sharded_topk"):
+        sharded_topk(df, ["grp"], order, 0)
+    with _pytest.raises(ValueError, match="sharded_topk"):
+        sharded_topk(df, ["grp"], order, 5, shards=0)
+    with _pytest.raises(ValueError, match="method"):
+        sharded_row_number(df, ["grp"], order, method="dense")
