@@ -1880,7 +1880,8 @@ def _serving_batch_mentions(spark: SparkSession, sf: str):
 def _x1_linker_served(spark: SparkSession, sf: str) -> DataFrame:
     # Round 12: the serving probe on its OWN shape — a ~200-mention
     # batch against the persisted (bucket-partitioned, max_df=0.1,
-    # champion_c=128) index, prune_buckets=True so the scans prune to
+    # default-champion_c — see ALIAS_CHAMPION_C / the fit-time df
+    # sizing in save_alias_index) index, prune_buckets=True so the scans prune to
     # the mention grams' buckets. use_champions auto-resolves by the
     # index meta's n_aliases (CHAMPION_AUTO_MIN_ALIASES crossover):
     # OFF at sf0.01/sf0.1 (3.5k aliases — flat pruned join wins

@@ -108,6 +108,45 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+#: Internal helper columns the two-phase rank primitives inject. An
+#: input already carrying one of these names would be silently
+#: clobbered mid-plan (and dropped from the output), so both entry
+#: points REJECT such inputs up front (ADVICE r12) — rename before
+#: calling; the names are deliberately unlikely.
+_RANK_HELPER_COLS = frozenset(
+    {"_shard", "_rns", "_pid", "_mid", "_m0", "_n", "_base", "_lrn"}
+)
+
+
+def _check_rank_helper_collisions(df: DataFrame, fn_name: str) -> None:
+    clash = _RANK_HELPER_COLS.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"{fn_name}: input columns {sorted(clash)} collide with "
+            "reserved internal helper names — rename them before calling"
+        )
+
+
+def _null_safe_broadcast_join(
+    local: DataFrame, offsets: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Broadcast equi-join that KEEPS rows whose group key is NULL
+    (ADVICE r12: the list-form ``join(df, [cols])`` uses ``=`` which is
+    never true for NULL = NULL, so NULL-keyed groups — e.g. the
+    NULL-language bucket in ``zipf_slope(group_col=...)`` — silently
+    vanished from the ranking). The offset side renames its key columns
+    so the ``eqNullSafe`` condition is unambiguous, then drops them."""
+    offs = offsets
+    for c in keys:
+        offs = offs.withColumnRenamed(c, f"_r_{c}")
+    cond = None
+    for c in keys:
+        piece = local[c].eqNullSafe(offs[f"_r_{c}"])
+        cond = piece if cond is None else cond & piece
+    joined = local.join(F.broadcast(offs), cond)
+    return joined.drop(*[f"_r_{c}" for c in keys])
+
+
 def sharded_topk(
     df: DataFrame,
     part_cols: list[str],
@@ -146,6 +185,7 @@ def sharded_topk(
             f"sharded_topk: k and shards must be >= 1 (k={k}, "
             f"shards={shards})"
         )
+    _check_rank_helper_collisions(df, "sharded_topk")
 
     w_shard = Window.partitionBy(*part_cols, "_shard").orderBy(*order_cols)
     pool = (
@@ -218,6 +258,7 @@ def sharded_row_number(
 
     if method not in ("row_number", "rank"):
         raise ValueError(f"sharded_row_number: unknown method={method!r}")
+    _check_rank_helper_collisions(df, "sharded_row_number")
     parts = df.repartitionByRange(
         *([num_partitions] if num_partitions else []),
         *[F.col(c) for c in part_cols], *order_cols,
@@ -248,7 +289,7 @@ def sharded_row_number(
             "_base", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
         ).select("_pid", *part_cols, "_m0", "_base")
         return (
-            local.join(F.broadcast(offsets), ["_pid", *part_cols])
+            _null_safe_broadcast_join(local, offsets, ["_pid", *part_cols])
             .withColumn(
                 out_col,
                 F.col("_mid") - F.col("_m0") + F.lit(1) + F.col("_base"),
@@ -273,7 +314,7 @@ def sharded_row_number(
         "_base", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
     ).select("_pid", *part_cols, "_base")
     return (
-        local.join(F.broadcast(offsets), ["_pid", *part_cols])
+        _null_safe_broadcast_join(local, offsets, ["_pid", *part_cols])
         .withColumn(out_col, F.col("_base") + F.col("_lrn"))
         .drop("_pid", "_lrn", "_base")
     )

@@ -361,7 +361,17 @@ def hll_exact_merge(
       2^b_bits) raise at EXECUTION time via a zero-cost per-row guard
       — schema can't carry the register width, so this is the
       cheapest check that exists; pass it when the caller knows the
-      fit width (the streaming merge-on-read face does)."""
+      fit width (the streaming merge-on-read face does).
+
+    ONE-SIDED (ADVICE r12): the row guard catches only WIDER inputs.
+    Registers built with SMALLER b_bits than declared always satisfy
+    reg_idx < 2^b_bits and max-merge into a silently wrong estimate —
+    reg_idx alone cannot distinguish a narrow fit from a wide fit
+    whose high buckets happen to be empty. Equality enforcement needs
+    the fit width persisted NEXT TO the registers: do what
+    :func:`stream_hll_partials` does (a ``_b_bits`` column that
+    :func:`read_hll_distinct` checks for equality) when you control
+    the register tables' layout."""
     if not register_frames:
         raise ValueError("hll_exact_merge: no register frames")
     first = register_frames[0]

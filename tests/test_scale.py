@@ -403,6 +403,70 @@ def test_sharded_row_number_rank_method_equals_percent_rank(spark):
     assert ga == wa
 
 
+def test_sharded_rank_keeps_null_group_keys(spark):
+    # ADVICE r12 (medium): the broadcast offsets join used the
+    # list-form equi-join, whose `=` is never true for NULL = NULL —
+    # rows in a NULL-keyed group (e.g. the NULL-language bucket of
+    # zipf_slope(group_col=...)) silently vanished. Both methods must
+    # return every input row, with ranks equal to the window form,
+    # which treats NULL as an ordinary group.
+    from pyspark.sql import Window
+
+    from drugbankner_spark.operators.scale import (
+        sharded_row_number,
+        sharded_topk,
+    )
+
+    rows = [(None, f"n{i:03d}", float(i % 7)) for i in range(50)]
+    rows += [("en", f"e{i:03d}", float(i)) for i in range(30)]
+    rows += [(None, "extra", 99.0)]
+    df = spark.createDataFrame(rows, "grp string, uid string, w double")
+    order = [F.desc("w"), F.asc("uid")]
+    w = Window.partitionBy("grp").orderBy(*order)
+
+    for method in ("row_number", "rank"):
+        got = sharded_row_number(
+            df, ["grp"], order, out_col="rank", method=method,
+            num_partitions=5,
+        )
+        assert got.count() == df.count(), method
+        fn = F.row_number() if method == "row_number" else F.rank()
+        want = df.withColumn("rank", fn.over(w))
+        nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        ga = sorted((tuple(r) for r in got.collect()), key=nkey)
+        wa = sorted((tuple(r) for r in want.collect()), key=nkey)
+        assert ga == wa, method
+
+    got = sharded_topk(df, ["grp"], order, 5, shards=4) \
+        .orderBy("grp", "rank").collect()
+    want = (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5).orderBy("grp", "rank").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_sharded_primitives_reject_helper_column_collisions(spark):
+    # ADVICE r12: an input already carrying a reserved helper name
+    # (_shard/_pid/...) was silently clobbered and dropped; now raises.
+    import pytest as _pytest
+
+    from drugbankner_spark.operators.scale import (
+        sharded_row_number,
+        sharded_topk,
+    )
+
+    order = [F.desc("v"), F.asc("uid")]
+    for bad in ("_shard", "_pid", "_mid", "_base"):
+        df = spark.createDataFrame(
+            [("g", "a", 1.0, 0)], f"grp string, uid string, v double, {bad} int"
+        )
+        with _pytest.raises(ValueError, match="helper"):
+            sharded_topk(df, ["grp"], order, 5)
+        with _pytest.raises(ValueError, match="helper"):
+            sharded_row_number(df, ["grp"], order)
+
+
 def test_sharded_primitives_validate_args(spark):
     import pytest as _pytest
 
