@@ -542,3 +542,89 @@ def read_hll_distinct(
         regs.select(*group_cols, "reg_idx", "reg_max"), b_bits=b_bits
     )
     return hll_exact_estimate(merged, group_cols, b_bits)
+
+
+#: Epoch id of the compacted base partition. Negative so it can never
+#: collide with a foreachBatch epoch_id (those count up from 0), and
+#: always included by a ``_epoch <= up_to_epoch`` filter.
+HLL_BASE_EPOCH = -1
+
+
+def compact_hll_state(
+    spark,
+    state_dir: str,
+    up_to_epoch: int,
+    group_cols: list[str],
+    b_bits: int = HLL_B_BITS,
+) -> int:
+    """Fold old epochs of a :func:`stream_hll_partials` state dir into
+    ONE base partition (VERDICT r12 next #2): the stream face accretes
+    an ``_epoch`` partition per micro-batch forever, and
+    :func:`read_hll_distinct` max-merges ALL of them on every read —
+    per-epoch register rows are bounded, epoch count is not, so read
+    cost grows linearly with stream lifetime. Registers are
+    max-mergeable, which makes compaction a pure re-max: merge every
+    epoch ≤ ``up_to_epoch`` (including any previous base) through the
+    guarded :func:`hll_exact_merge`, land the result in the reserved
+    ``_epoch = -1`` base partition via the same dynamic-overwrite
+    discipline the stream face uses, then drop the folded epoch
+    partitions. Returns how many epoch partitions were removed.
+
+    Crash-safe by max-idempotence: the base is written BEFORE the old
+    partitions are deleted, and max-merging an already-folded epoch
+    into the base again changes nothing — a crash between the write
+    and any delete leaves a state dir that reads EXACTLY the same and
+    a re-run that completes the cleanup. Run it from maintenance (or
+    the foreachBatch hook) with ``up_to_epoch`` strictly below the
+    epoch currently being ingested — the in-flight partition must not
+    fold mid-write. Reads concurrent with the delete step can observe
+    a transient missing-file listing (the usual non-transactional
+    layout caveat; same posture as ``compact_small_files``)."""
+    from drugbankner_spark.operators.scale import (
+        _hadoop_fs,
+        upsert_partitions,
+    )
+
+    regs = spark.read.parquet(state_dir)
+    old = regs.filter(F.col("_epoch") <= int(up_to_epoch))
+    if "_b_bits" in old.columns:
+        old = old.withColumn(
+            "reg_idx",
+            F.when(
+                F.col("_b_bits") == int(b_bits), F.col("reg_idx")
+            ).otherwise(F.raise_error(F.concat(
+                F.lit("compact_hll_state: state written with b_bits="),
+                F.col("_b_bits").cast("string"),
+                F.lit(f", compaction requested b_bits={int(b_bits)}"),
+            )).cast("int")),
+        )
+    base = hll_exact_merge(
+        old.select(*group_cols, "reg_idx", "reg_max"), b_bits=b_bits
+    ).withColumn("_b_bits", F.lit(int(b_bits))).withColumn(
+        "_epoch", F.lit(int(HLL_BASE_EPOCH))
+    )
+    upsert_partitions(base, state_dir, ["_epoch"])
+    # drop the folded epochs — pure namespace deletes via the Hadoop
+    # FS API (HDFS/S3A-portable, the scale.py discipline). A leftover
+    # epoch is harmless (max-idempotent), but a failed delete raises
+    # rather than reporting the partition removed, so maintenance
+    # knows to re-run.
+    fs, root = _hadoop_fs(spark, state_dir)
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("_epoch="):
+            continue
+        try:
+            epoch = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if HLL_BASE_EPOCH < epoch <= int(up_to_epoch):
+            if not fs.delete(st.getPath(), True):
+                raise IOError(
+                    f"compact_hll_state: deleting folded partition "
+                    f"{name} under {state_dir} failed — re-run "
+                    "compaction (reads stay correct meanwhile)"
+                )
+            removed += 1
+    return removed

@@ -283,3 +283,80 @@ def test_stream_hll_partials_equals_batch_build(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         read_hll_distinct(spark, state, ["grp"], b_bits=10).collect()
     assert "b_bits" in str(exc.value)
+
+
+def test_compact_hll_state_preserves_estimate_and_bounds_reads(
+    spark, tmp_path
+):
+    # Round 13 (VERDICT r12 next #2): the stream face accretes one
+    # _epoch partition per micro-batch forever; compaction folds old
+    # epochs into the _epoch=-1 base and the merged estimate must not
+    # move — across the compaction boundary, after a post-compaction
+    # ingest, and under a re-run (idempotence). Read cost: register
+    # rows after compaction <= groups x 2^b_bits + the un-folded
+    # epochs' rows.
+    import pytest
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.sketches import (
+        HLL_B_BITS,
+        compact_hll_state,
+        hll_exact_distinct,
+        read_hll_distinct,
+        stream_hll_partials,
+    )
+
+    src = str(tmp_path / "chs_src")
+    state = str(tmp_path / "chs_state")
+    rows = [(i, f"g{i % 3}", f"user-{i % 53}") for i in range(240)]
+    schema = "doc_id long, grp string, uid string"
+    # four micro-batches -> epochs 0..3
+    for lo in range(0, 240, 60):
+        spark.createDataFrame(rows[lo:lo + 60], schema) \
+            .repartition(1).write.mode("append").parquet(src)
+    stream_hll_partials(
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(schema).parquet(src), state, ["grp"], "uid",
+    )
+    epochs = sorted(
+        r["_epoch"] for r in spark.read.parquet(state)
+        .select("_epoch").distinct().collect()
+    )
+    assert len(epochs) >= 3, epochs  # need a real boundary to fold
+
+    want = sorted(map(tuple, hll_exact_distinct(
+        spark.createDataFrame(rows, schema), ["grp"], "uid").collect()))
+
+    # fold everything but the newest epoch
+    removed = compact_hll_state(spark, state, epochs[-2], ["grp"])
+    assert removed == len(epochs) - 1
+    spark.catalog.refreshByPath(state)
+    left = sorted(
+        r["_epoch"] for r in spark.read.parquet(state)
+        .select("_epoch").distinct().collect()
+    )
+    assert left == [-1, epochs[-1]]
+    got = sorted(map(tuple, read_hll_distinct(
+        spark, state, ["grp"]).collect()))
+    assert got == want
+    # read-cost bound: base <= groups x 2^b_bits, plus the one
+    # un-folded epoch's (bounded) rows
+    n_regs = spark.read.parquet(state).count()
+    n_groups = 3
+    assert n_regs <= 2 * n_groups * (1 << HLL_B_BITS)
+    # idempotent re-run: nothing left to remove, estimate unchanged
+    assert compact_hll_state(spark, state, epochs[-2], ["grp"]) == 0
+    spark.catalog.refreshByPath(state)
+    assert sorted(map(tuple, read_hll_distinct(
+        spark, state, ["grp"]).collect())) == want
+    # fold the rest too — single base partition, still exact
+    compact_hll_state(spark, state, epochs[-1], ["grp"])
+    spark.catalog.refreshByPath(state)
+    assert sorted(map(tuple, read_hll_distinct(
+        spark, state, ["grp"]).collect())) == want
+    assert [r["_epoch"] for r in spark.read.parquet(state)
+            .select("_epoch").distinct().collect()] == [-1]
+    # width contract: compacting with a different b_bits raises
+    with pytest.raises(Exception) as exc:
+        compact_hll_state(spark, state, 99, ["grp"], b_bits=10)
+    assert "b_bits" in str(exc.value)
