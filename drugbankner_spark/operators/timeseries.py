@@ -684,7 +684,7 @@ def holt_linear(
 #: repeat autocorrelation calls from paying a driver job each
 #: (VERDICT r11 next #7; same discipline as linker._ALIAS_META_CACHE).
 #: Failures are never cached: a violating call raises every time.
-_ACF_CHECK_MEMO: set[tuple[str, str]] = set()
+_ACF_CHECK_MEMO: set[tuple[str, str, str]] = set()
 
 
 def autocorrelation(
@@ -779,8 +779,24 @@ def autocorrelation(
             )
         except Exception:  # pragma: no cover — plan-hash API drift
             plan_key = obs._jdf.queryExecution().analyzed().toString()
+        # VERDICT r12 next #3: the semantic hash of a file-backed scan
+        # does NOT change when files are appended to the directory, so
+        # the memo could re-use a pass verdict the data had outgrown
+        # (failing later as the ANSI ARITHMETIC_OVERFLOW instead of
+        # this actionable error). Fold the source-file snapshot into
+        # the key — the listing is driver-side catalog metadata the
+        # relation's FileIndex already holds, and part-file names are
+        # unique per write, so an append/compaction/overwrite changes
+        # the snapshot and re-triggers the check. Non-file sources
+        # (memory, streams) list empty and keep the plan-only key.
+        try:
+            files = events.inputFiles()
+            src_key = f"{len(files)}:{hash(tuple(sorted(files)))}"
+        except Exception:  # pragma: no cover — source without listing
+            src_key = ""
         memo_key = (
-            events.sparkSession.sparkContext.applicationId, plan_key
+            events.sparkSession.sparkContext.applicationId, plan_key,
+            src_key,
         )
         if check_overflow == "always" or memo_key not in _ACF_CHECK_MEMO:
             bad = (

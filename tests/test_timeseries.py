@@ -441,3 +441,38 @@ def test_acf_overflow_check_memoized_per_plan(spark):
     # just a fresh job) — the growing-source escape hatch
     ts.autocorrelation(src, ["key"], step_seconds=STEP, max_lag=2,
                        check_overflow="always").collect()
+
+
+def test_acf_memo_invalidated_by_source_growth(spark, tmp_path):
+    # Round 13 (VERDICT r12 next #3): the semantic plan hash of a
+    # file-backed scan does not change when files are APPENDED to the
+    # directory, so the r12 memo could re-use a pass verdict the data
+    # had outgrown — failing later as the opaque ANSI overflow. The
+    # memo now folds the source-file snapshot into its key: pass ->
+    # append rows violating the bound -> the NEXT call raises the
+    # actionable ValueError again (default settings, no "always").
+    import datetime as dt
+
+    import pytest
+
+    from drugbankner_spark.operators import timeseries as ts
+
+    src = str(tmp_path / "grow_acf")
+    base = dt.datetime(2024, 1, 1)
+    ok_rows = [("k", base + dt.timedelta(minutes=90 * i), 10.0 + i)
+               for i in range(12)]
+    schema = "key string, ts timestamp, value double"
+    spark.createDataFrame(ok_rows, schema).write.parquet(src)
+    events = spark.read.parquet(src)
+    ts.autocorrelation(events, ["key"], step_seconds=STEP,
+                       max_lag=2).collect()  # passes, memoized
+    # append a key whose values blow the centi-scale BIGINT bound
+    bad_rows = [("boom", base + dt.timedelta(minutes=90 * i),
+                 1.0e7 * (i + 1)) for i in range(4)]
+    spark.createDataFrame(bad_rows, schema) \
+        .write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
+    grown = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="overflow bound"):
+        ts.autocorrelation(grown, ["key"], step_seconds=STEP,
+                           max_lag=2)
