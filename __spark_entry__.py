@@ -5533,13 +5533,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and hash-checked in tests/test_oracle_parity.py, ready to rotate
     back."""
     return {
-        # -- round-12 rotation: oldest suites back for re-verification
-        # (VERDICT r11 next #3) + the champion serving probe ----------
-        "syn_suite": _syn_suite,
-        "j_join_suite": _j_join_suite,
-        "e1_dedup_suite": _e1_dedup_suite,
-        "e2_ann_suite": _e2_ann_suite,
-        "e3_qual_suite": _e3_qual_suite,
+        # -- round-13 rotation (VERDICT r12 next #4): the six OLDEST
+        # driver-verified pool rows — r7/r8-era, not driver-green
+        # since — rotate back in for re-verification at sf0.01. The
+        # slots come from demoting the five suites the r12 rotation
+        # just RE-verified (fresh driver evidence; each stays
+        # runnable via all_queries and hash-checked in
+        # tests/test_oracle_parity.py) plus the thrice-green
+        # e5_agreement single ------------------------------------------
+        "e5_retrieval_metrics": _e5_retrieval_metrics,
+        "e1_c4_filter": _e1_c4_filter,
+        "e1_pii_scrub": _e1_pii_scrub,
+        "t_resample_gapfill": _t_resample_gapfill,
+        "e6_transition_matrix": _e6_transition_matrix,
+        "j_jw_match": _j_jw_match,
+        # -- round-12 keeper: the champion serving probe (once-green) --
         "x1_linker_served": _x1_linker_served,
         # -- round-10 rotation (VERDICT r09 next #1/#7): the eight
         # never-driver-verified pool entries enter the window; the
@@ -5553,7 +5561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_holt": _t_holt,
         "x1_linker_indexed": _x1_linker_indexed,
         "e3_fertility": _e3_fertility,
-        "e5_agreement": _e5_agreement,
         "e6_windows": _e6_windows,
         # -- round-10 consolidation suites (r09-green singles) ---------
         "e1_sa_suite": _e1_sa_suite,
