@@ -163,6 +163,20 @@ def main() -> None:
         app_name="drugbankner-bench",
         extra_conf={"spark.ui.enabled": "true"},
     )
+    # Silence WindowExec's single-partition warning for THIS bench
+    # process only (VERDICT r12 what's-wrong #4): every unpartitioned
+    # window in the engine is a known bounded-dim form, pinned by
+    # tests/test_plans.py::test_unpartitioned_window_inventory — the
+    # warning here is noise that buries the bench tail; the inventory
+    # test is what would catch a REAL corpus-scale one.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j API drift — warnings reappear, nothing breaks
     # all_queries: the round-1 headline list is timed unchanged even
     # though some entries left the driver registry in the round-2
     # consolidation (BENCH_r{N} stays comparable round-over-round).
@@ -333,6 +347,15 @@ def main() -> None:
             "sharded_max_task_rows":
                 skew_d.get("window_sharded_max_task_rows"),
         }
+        if "fww_agg_sec" in skew_d:
+            compact["fww_skew"] = {
+                "window_sec": skew_d.get("fww_window_sec"),
+                "agg_sec": skew_d.get("fww_agg_sec"),
+                "window_max_task_rows":
+                    skew_d.get("fww_window_max_task_rows"),
+                "agg_max_task_rows":
+                    skew_d.get("fww_agg_max_task_rows"),
+            }
     sf1_q = result.get("sf1", {}).get("queries", {})
     if sf1_q:
         compact["sf1_linker"] = {
@@ -491,6 +514,38 @@ def _skew_section(spark, sf_dir: str) -> dict:
     out["window_plain_max_task_rows"] = max_task_rows(wfact, ["name"])
     out["window_sharded_max_task_rows"] = max_task_rows(
         wfact.withColumn("_shard", fact_salt_expr(16)), ["name", "_shard"])
+
+    # first_writer_wins window-vs-agg pair (round 13, VERDICT r12
+    # next #6): the A6 via="agg" face is min_by — MAP-SIDE COMBINABLE,
+    # so the hot key reduces on every input partition BEFORE the one
+    # exchange; the window form funnels the hot key's full row set
+    # through one task. Same reading discipline as the topk pair:
+    # local[32] wall-clock prices total bytes (expect ~parity); the
+    # max-task-rows pair is the 1000-node evidence — the agg's
+    # post-combine exchange carries at most (input partitions x
+    # distinct keys) rows, measured here against the window's
+    # hot-group row count.
+    from drugbankner_spark.operators.relational import first_writer_wins
+
+    def run_fww(via: str) -> float:
+        t0 = time.perf_counter()
+        first_writer_wins(
+            wfact, ["name"], ["l_quantity", "uid"], via=via
+        ).groupBy().agg(F.count(F.lit(1))).collect()
+        return time.perf_counter() - t0
+
+    out["fww_window_sec"] = round(min(run_fww("window") for _ in range(2)), 3)
+    out["fww_agg_sec"] = round(min(run_fww("agg") for _ in range(2)), 3)
+    out["fww_window_max_task_rows"] = out["window_plain_max_task_rows"]
+    # the agg exchange carries one row per (map partition, key) after
+    # the partial min_by; measure the fullest reducer's input
+    out["fww_agg_max_task_rows"] = (
+        wfact.groupBy(F.spark_partition_id().alias("_mp"), "name")
+        .agg(F.count(F.lit(1)))
+        .groupBy(F.pmod(F.hash("name"), F.lit(n_shuffle)).alias("_p"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n")).first()[0]
+    )
 
     prof = key_skew_profile(fact, "name", top_n=5)
     top = prof.collect()[0]
