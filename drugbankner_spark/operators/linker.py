@@ -301,7 +301,8 @@ ALIAS_INDEX_BUCKETS = 64
 #: could have hurt through the full posting join, so results stay
 #: bit-identical to the inline linker at every C.
 #:
-#: Default 512, measured (round 12, sf1 serving fixture — 35.6k
+#: Floor for the AUTO-sized champion cap (and the legacy fixed
+#: default), measured (round 12, sf1 serving fixture — 35.6k
 #: aliases, ~200-mention batch, threshold 0.6/k=1): C=128 → probe
 #: 3.8 s, certified fraction 0.08; C=256 → 5.0 s, 0.18 (bigger
 #: candidate lists, tail still pays); C=512 → 2.2 s, certified 1.0 —
@@ -309,10 +310,42 @@ ALIAS_INDEX_BUCKETS = 64
 #: cutoffs go to 0, every mention certifies, and the fallback tail
 #: never reaches the scheduler. The sweep is non-monotonic by design:
 #: candidate-gen cost grows with C until certification flips to ~1
-#: and deletes the (dominant) tail cost. At larger ontologies the
-#: optimum shifts; re-sweep with ``probe_stats`` when serving a new
-#: alias dim — the certified fraction is the tuning signal.
+#: and deletes the (dominant) tail cost.
 ALIAS_CHAMPION_C = 512
+
+#: Impact-threshold champion policy (round 13, VERDICT r12 next #1):
+#: a FIXED per-gram rank cap C stops tracking the ontology — at 357k
+#: aliases C=512 left 23% of the serving batch uncertified and the
+#: full-join fallback dominated the probe (BENCH_LOCAL_sf10_r12:
+#: certified 0.77, 9.8 s), while a mass-quantile-sized C (16k) flipped
+#: certification to 1.0 but exploded candidate generation on hot grams
+#: (12.3 s, measured this round). The right truncation axis is WEIGHT,
+#: not rank (impact ordering, the IR trick): champions = postings with
+#: ``w ≥ w_cut``. Stop grams have low idf → tiny weights → SHORT
+#: champion lists (cheap candidate gen); rare discriminative grams
+#: keep their full lists (high recall where it matters); and every
+#: truncated gram's cutoff is ≤ ``w_cut`` BY CONSTRUCTION, so the
+#: certificate's pointwise bound stays w_cut·Σmw — any mention with
+#: ≤ (threshold / w_cut)² grams certifies UNCONDITIONALLY; above
+#: that, certification leans on the kth-score rule (near-exact
+#: matches score ~1.0, far above any bound the small cutoffs can
+#: reach), which is exactly the serving regime.
+#:
+#: The auto threshold is RMS-relative: ``w_cut = factor / √G*`` with
+#: G* the p95 per-alias gram count — 1/√G* is the root-mean-square
+#: component of a unit alias vector spread over G* grams, so factor
+#: 1.0 keeps a gram's posting exactly when that gram is an
+#: above-average (dominant, discriminative) component of the alias.
+#: Measured on the 357k-alias sf10 fixture (G*=14, auto ⇒ 0.267;
+#: sweep 0.16/0.20/0.25/0.30 → 10.7/7.5/5.5/6.2 s, certified 1.0
+#: throughout): the knee sits at ~1/√G*, lower cuts balloon
+#: candidate generation (the 0.5/√G* form measured 22.9 s — worse
+#: than the fixed-C form it replaced), higher cuts start starving
+#: candidate recall. Result: 5.5 s vs r12's 9.8 s (C=512, certified
+#: 0.77) and 47.3 s flat — both VERDICT r12 #1 "done" bars cleared.
+ALIAS_WCUT_RMS_FACTOR = 1.0
+ALIAS_WCUT_MIN = 0.02
+ALIAS_WCUT_MAX = 0.35
 
 #: Certificate margin: scores round to 6dp before threshold/rank, so a
 #: non-candidate bounded strictly below (certificate bound − 1e-6)
@@ -345,6 +378,53 @@ def _gram_bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def _write_bucket_partitioned(
+    df: DataFrame, path: str, n_buckets: int, bucket_col: str
+) -> None:
+    """Bucket-partitioned index-sub write, repartitioned ON the bucket
+    key first so the layout is ~1 file per bucket (a 2048-file index
+    made the probe slower than the fit it amortizes — BENCH_r09).
+    An EMPTY frame falls back to a plain write: a partitioned write of
+    zero rows leaves a directory with no parquet footers, which the
+    probe's read cannot infer a schema from (round 13 — the weight
+    policy's cutoffs table is legitimately empty when nothing is
+    excluded); the plain write keeps the bucket column as an ordinary
+    int column, so probe-side bucket filters still resolve."""
+    if not df.take(1):
+        df.write.mode("overwrite").parquet(path)
+        return
+    df.repartition(n_buckets, bucket_col).write.mode(
+        "overwrite"
+    ).partitionBy(bucket_col).parquet(path)
+
+
+def _auto_champion_w_cut(
+    postings: DataFrame,
+    rms_factor: float = ALIAS_WCUT_RMS_FACTOR,
+    gram_quantile: float = 0.95,
+    w_min: float = ALIAS_WCUT_MIN,
+    w_max: float = ALIAS_WCUT_MAX,
+) -> float:
+    """Fit-time impact threshold from the fit's own shape:
+    ``w_cut = rms_factor / √(per-alias gram-count quantile)`` — the
+    RMS component of a unit alias vector spread over G* grams, so the
+    default factor 1.0 keeps a posting exactly when its gram is an
+    above-average (dominant) component of that alias. See the
+    :data:`ALIAS_WCUT_RMS_FACTOR` comment for the measured sweep that
+    placed the knee at ~1/√G*. Engine-side: one per-alias count agg +
+    a 1-row approx-quantile collect at publish time."""
+    row = (
+        postings.groupBy("alias")
+        .agg(F.count(F.lit(1)).alias("_g"))
+        .agg(F.percentile_approx("_g", gram_quantile).alias("_q"))
+        .collect()
+    )
+    q = row[0]["_q"]
+    if q is None or q <= 0:  # empty ontology — any cut works
+        return w_max
+    return max(w_min, min(w_max, rms_factor / float(q) ** 0.5))
+
+
 def save_alias_index(
     aliases: DataFrame,
     alias_col: str,
@@ -353,7 +433,8 @@ def save_alias_index(
     n: int = 3,
     max_df_ratio: float | None = None,
     n_buckets: int = ALIAS_INDEX_BUCKETS,
-    champion_c: int | None = ALIAS_CHAMPION_C,
+    champion_c: int | str | None = "auto",
+    champion_w_cut: float | None = None,
 ) -> None:
     """Fit the TF-IDF alias model ONCE and persist it as a serving
     index — the production shape the corpus-scale bench exposed: the
@@ -389,6 +470,29 @@ def save_alias_index(
     ``champion_c=None`` skips the serving layout (postings/idf probes
     still work); the probe auto-detects what the index carries.
 
+    ``champion_c="auto"`` (the default, round 13 — VERDICT r12 next
+    #1) switches the truncation axis from RANK to WEIGHT (impact
+    thresholding): champions = postings with ``w ≥ w_cut``, cutoffs =
+    each gram's max EXCLUDED weight (≤ w_cut by construction, 0 when
+    nothing excluded — only grams with exclusions get a row; the
+    probe's left join + coalesce supplies the zeros). A fixed C stops
+    certifying as the ontology grows (C=512 → certified 0.77 at 357k
+    aliases, fallback-dominated probe) and a mass-sized C explodes
+    candidate generation on hot grams (C=16384 → certified 1.0 but
+    12.3 s — both measured, BENCH_LOCAL_sf10); the weight cut gives
+    short lists exactly where lists are hot (low-idf grams) and full
+    lists where recall lives (rare grams), plus the analytic
+    certification story in :data:`ALIAS_WCUT_RMS_FACTOR`'s
+    comment. ``champion_w_cut`` overrides the auto threshold
+    (:func:`_auto_champion_w_cut`); the chosen value is persisted in
+    the meta parquet (``champion_c = -1`` marks the weight policy).
+    An explicit INT ``champion_c`` keeps the legacy rank policy.
+    Results are policy-independent — the probe's certificate routes
+    anything truncation could hurt through the full join; the policy
+    only moves the certified fraction and candidate-gen cost. The
+    weight-policy fit needs NO ranking pass at all (two filters + a
+    max agg), so the fit also gets cheaper.
+
     Build-time skew (ADVICE r11 — CLOSED round 12): the champion
     ranking now runs through ``scale.sharded_topk`` — shard-local
     top-(C+1) then a bounded re-rank — so no window partition ever
@@ -412,63 +516,108 @@ def save_alias_index(
     postings, idf = build_alias_vectors(
         alias_map, "alias", n, max_df_ratio=max_df_ratio
     )
+    # the fit is consumed by up to five actions inside this function
+    # (auto-C sizing, postings/champions/cutoffs/alias_vecs writes);
+    # persist it for the function's scope so the TF-IDF fit runs once.
+    # save_alias_index is eager (every write completes before return),
+    # so the release is safe here — unlike the lazy probe subtrees.
+    from drugbankner_spark.caching import (
+        cache_mark,
+        release_since,
+        shared_persist,
+    )
+
     spark = aliases.sparkSession
+    _mark = cache_mark()
+    postings = shared_persist(postings)
+    w_cut: float | None = None
+    if champion_c == "auto":
+        w_cut = (
+            float(champion_w_cut) if champion_w_cut is not None
+            else _auto_champion_w_cut(postings)
+        )
+        champion_c = -1  # meta sentinel: weight-policy champions
+    elif isinstance(champion_c, str):
+        raise ValueError(
+            f"save_alias_index: champion_c={champion_c!r} — expected "
+            "'auto', an int, or None"
+        )
+    elif champion_w_cut is not None:
+        raise ValueError(
+            "save_alias_index: champion_w_cut only applies to the "
+            "weight policy (champion_c='auto'); got an explicit "
+            f"champion_c={champion_c!r} as well"
+        )
     # repartition ON the bucket key before the partitioned write: each
     # task then owns whole buckets, so the layout is ~1 file per bucket
     # instead of (shuffle tasks × buckets) tiny files — the probe-side
     # scan pays per-file footer/open costs, and a 2048-file index made
     # the serving probe SLOWER than the inline fit it amortizes
     # (BENCH_r09: 13.4 s vs 10.5 s at sf1).
-    postings.withColumn(
-        "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
-    ).repartition(n_buckets, "gram_bucket").write.mode(
-        "overwrite"
-    ).partitionBy("gram_bucket").parquet(path + "/postings")
-    idf.withColumn(
-        "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
-    ).repartition(n_buckets, "gram_bucket").write.mode(
-        "overwrite"
-    ).partitionBy("gram_bucket").parquet(path + "/idf")
+    _write_bucket_partitioned(
+        postings.withColumn(
+            "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
+        ), path + "/postings", n_buckets, "gram_bucket",
+    )
+    _write_bucket_partitioned(
+        idf.withColumn(
+            "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
+        ), path + "/idf", n_buckets, "gram_bucket",
+    )
     alias_map.write.mode("overwrite").parquet(path + "/alias_map")
     subs = ["/postings", "/idf", "/alias_map", "/meta"]
     if champion_c is not None:
-        # impact ordering via scale.sharded_topk (round 12, ADVICE
-        # r11): the r11 form ran ONE window partitioned by gram over
-        # the full postings, and AQE cannot split a skewed window — a
-        # stop gram's whole posting list straggled one task. The
-        # two-phase top-k bounds every window partition: shard-local
-        # top-(C+1), then a re-rank over ≤ shards×(C+1) rows per
-        # gram. Ranked to C+1 (not C) because the cutoff — the max
-        # weight the champion list EXCLUDED — is exactly the weight
-        # at global rank C+1 under (w desc, alias asc); grams whose
-        # postings all fit under C keep cutoff 0 (they still appear:
-        # the pool retains all their rows).
-        from drugbankner_spark.operators.scale import sharded_topk
+        if w_cut is not None:
+            # WEIGHT policy (round 13): champions/cutoffs are two
+            # complementary filters + one map-side-combinable max agg
+            # — no ranking pass, no window, nothing skew-sensitive.
+            # The probe's certificate contract is the only invariant:
+            # every EXCLUDED posting of gram g has w ≤ cutoff(g).
+            champs = postings.filter(F.col("w") >= F.lit(w_cut))
+            cuts = (
+                postings.filter(F.col("w") < F.lit(w_cut))
+                .groupBy("gram")
+                .agg(F.max("w").alias("cutoff"))
+            )
+        else:
+            # legacy RANK policy via scale.sharded_topk (round 12,
+            # ADVICE r11): the two-phase top-k bounds every window
+            # partition at shards×(C+1) rows regardless of how hot a
+            # stop gram is (AQE cannot split skewed windows). Ranked
+            # to C+1 because the cutoff — the max weight the champion
+            # list EXCLUDED — is the weight at global rank C+1 under
+            # (w desc, alias asc); grams whose postings all fit under
+            # C keep cutoff 0.
+            from drugbankner_spark.operators.scale import sharded_topk
 
-        ranked = sharded_topk(
-            postings, ["gram"], [F.desc("w"), F.asc("alias")],
-            champion_c + 1, rank_col="_rn",
+            ranked = shared_persist(sharded_topk(
+                postings, ["gram"], [F.desc("w"), F.asc("alias")],
+                champion_c + 1, rank_col="_rn",
+            ))
+            champs = ranked.filter(F.col("_rn") <= champion_c) \
+                .drop("_rn")
+            cuts = ranked.groupBy("gram").agg(
+                F.coalesce(
+                    F.max(F.when(F.col("_rn") > champion_c,
+                                 F.col("w"))),
+                    F.lit(0.0),
+                ).alias("cutoff")
+            )
+        _write_bucket_partitioned(
+            champs.withColumn(
+                "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
+            ), path + "/champions", n_buckets, "gram_bucket",
         )
-        ranked.filter(F.col("_rn") <= champion_c).drop("_rn").withColumn(
-            "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
-        ).repartition(n_buckets, "gram_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("gram_bucket").parquet(path + "/champions")
-        ranked.groupBy("gram").agg(
-            F.coalesce(
-                F.max(F.when(F.col("_rn") > champion_c, F.col("w"))),
-                F.lit(0.0),
-            ).alias("cutoff")
-        ).withColumn(
-            "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
-        ).repartition(n_buckets, "gram_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("gram_bucket").parquet(path + "/cutoffs")
-        postings.withColumn(
-            "alias_bucket", _gram_bucket(F.col("alias"), n_buckets)
-        ).repartition(n_buckets, "alias_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("alias_bucket").parquet(path + "/alias_vecs")
+        _write_bucket_partitioned(
+            cuts.withColumn(
+                "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
+            ), path + "/cutoffs", n_buckets, "gram_bucket",
+        )
+        _write_bucket_partitioned(
+            postings.withColumn(
+                "alias_bucket", _gram_bucket(F.col("alias"), n_buckets)
+            ), path + "/alias_vecs", n_buckets, "alias_bucket",
+        )
         subs += ["/champions", "/cutoffs", "/alias_vecs"]
     # Fit metadata rides WITH the index (ADVICE r09: a probe whose n /
     # n_buckets differ from the fit silently prunes away every posting
@@ -485,10 +634,12 @@ def save_alias_index(
         [(int(n), int(n_buckets),
           float(max_df_ratio) if max_df_ratio is not None else None,
           int(champion_c) if champion_c is not None else None,
-          int(n_aliases))],
+          int(n_aliases),
+          float(w_cut) if w_cut is not None else None)],
         "n int, n_buckets int, max_df_ratio double, champion_c int, "
-        "n_aliases int",
+        "n_aliases int, champion_w_cut double",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    release_since(_mark)
     for sub in subs:
         invalidate_index_cache(spark, path + sub)
     _ALIAS_META_CACHE.pop(

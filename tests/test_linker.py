@@ -363,6 +363,114 @@ def test_champion_probe_exact_even_at_champion_c_1(spark, tmp_path):
                                                    champs)
 
 
+def test_auto_champion_w_cut_quantile_math(spark):
+    # Round 13 (VERDICT r12 next #1): the impact threshold sizes
+    # itself from the per-alias gram-count distribution — w_cut =
+    # rms_factor / sqrt(p95 gram count), the RMS component of a unit
+    # alias vector at that length (factor 1.0 keeps a posting exactly
+    # when its gram is an above-average component of the alias).
+    from drugbankner_spark.operators.linker import _auto_champion_w_cut
+
+    # 19 aliases with 4 grams, 1 with 25 -> p95 spans the tail
+    rows = []
+    for a in range(19):
+        for g in range(4):
+            rows.append((f"g{a}_{g}", f"a{a}", 0.5))
+    for g in range(25):
+        rows.append((f"long_{g}", "a_long", 0.2))
+    postings = spark.createDataFrame(
+        rows, "gram string, alias string, w double"
+    )
+    got = _auto_champion_w_cut(
+        postings, rms_factor=0.5, gram_quantile=0.5,
+        w_min=0.0, w_max=10.0,
+    )
+    assert abs(got - 0.5 / 2.0) < 1e-9  # median gram count 4
+    # clamping binds on both sides
+    assert _auto_champion_w_cut(
+        postings, rms_factor=0.5, gram_quantile=0.5,
+        w_min=0.3, w_max=10.0,
+    ) == 0.3
+    assert _auto_champion_w_cut(
+        postings, rms_factor=0.5, gram_quantile=0.5,
+        w_min=0.0, w_max=0.1,
+    ) == 0.1
+    # empty ontology falls back to the max (everything is champion)
+    empty = postings.filter(F.lit(False))
+    assert _auto_champion_w_cut(empty, w_min=0.02, w_max=0.2) == 0.2
+
+
+def test_weight_policy_champions_exact_and_meta(spark, tmp_path):
+    # champion_c='auto' (the default) builds WEIGHT-thresholded
+    # champion lists; the probe must stay bit-identical to the inline
+    # linker at EVERY w_cut — including an adversarial cut that
+    # truncates almost everything (certificate + fallback carry the
+    # whole answer) and one that truncates nothing. Meta records the
+    # policy (champion_c=-1) and the chosen w_cut.
+    import pytest
+
+    from drugbankner_spark.operators.linker import (
+        link_by_tfidf,
+        link_with_alias_index,
+        save_alias_index,
+    )
+
+    aliases = spark.createDataFrame(
+        [("aspirin", 1), ("acetylsalicylic acid", 2), ("ecotrin", 3),
+         ("aspirin tablet", 4), ("aspirin gel", 5), ("asp", 6),
+         ("headache", 7), ("tension headache", 8), ("fever", 9),
+         ("hay fever", 10), ("yellow fever", 11)],
+        ["alias", "alias_id"],
+    )
+    mentions = spark.createDataFrame(
+        [("aspirin",), ("asprin",), ("aspirin tablets",),
+         ("tension headaches",), ("high fever",), ("zzz",)],
+        ["mention"],
+    )
+    path = str(tmp_path / "auto_idx")
+    save_alias_index(aliases, "alias", "alias_id", path)
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    from drugbankner_spark.operators.linker import (
+        ALIAS_WCUT_MAX,
+        ALIAS_WCUT_MIN,
+    )
+
+    assert meta["champion_c"] == -1
+    assert meta["champion_w_cut"] is not None
+    assert ALIAS_WCUT_MIN <= meta["champion_w_cut"] <= ALIAS_WCUT_MAX
+    for w_cut in (None, 0.9, 1e-6):
+        p = path if w_cut is None else str(tmp_path / f"wc_{w_cut}")
+        if w_cut is not None:
+            save_alias_index(aliases, "alias", "alias_id", p,
+                             champion_w_cut=w_cut)
+        for thr, k in [(0.05, 3), (0.3, 1), (0.7, 2)]:
+            want = sorted(tuple(r) for r in link_by_tfidf(
+                mentions, "mention", aliases, "alias", "alias_id",
+                threshold=thr, k=k,
+            ).collect())
+            got = sorted(tuple(r) for r in link_with_alias_index(
+                spark, p, mentions, "mention", threshold=thr, k=k,
+                use_champions=True,
+            ).collect())
+            assert got == want and got, (w_cut, thr, k)
+    # the analytic guarantee: at w_cut tiny nothing is excluded, so
+    # every mention certifies (n_risky 0)
+    stats: dict = {}
+    link_with_alias_index(
+        spark, str(tmp_path / "wc_1e-06"), mentions, "mention",
+        threshold=0.3, k=1, use_champions=True, probe_stats=stats,
+    ).collect()
+    assert stats["n_risky"] == 0 and stats["certified_fraction"] == 1.0
+    # invalid combos raise
+    with pytest.raises(ValueError, match="champion_c"):
+        save_alias_index(aliases, "alias", "alias_id",
+                         str(tmp_path / "bad"), champion_c="big")
+    with pytest.raises(ValueError, match="champion_w_cut"):
+        save_alias_index(aliases, "alias", "alias_id",
+                         str(tmp_path / "bad2"), champion_c=64,
+                         champion_w_cut=0.1)
+
+
 def test_champion_probe_opt_out_and_missing_layout(spark, tmp_path):
     # champion_c=None saves the legacy layout (postings/idf only);
     # the probe auto-detects and serves the full-join path, while an

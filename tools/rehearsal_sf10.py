@@ -1,0 +1,138 @@
+"""sf10 rehearsal (100x the bench SF): documents-only corpus, linker
+serving A/B across the champion crossover + zero-shuffle gopher slope.
+
+Writes BENCH_LOCAL_sf10_r{N}.json into the repo; pass the round tag as
+argv[1] (default "dev"). Committed in round 13 — the r12 run was an
+ad-hoc script the round lost; the fixture layout (replica letters n..w,
+disjoint from sf1's a-j and sf3's k-m) must stay stable so slopes are
+comparable across rounds.
+
+Usage:  python tools/rehearsal_sf10.py r13
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from drugbankner_spark.caching import release_shared_caches
+from drugbankner_spark.operators.textanalysis import STOPWORDS
+from drugbankner_spark.session import get_spark
+
+
+def ensure_sf10(spark, sf1_dir):
+    """100x-bench-SF documents corpus from the sf1 corpus: 10 replicas
+    with the bench's token-rewrite scheme (non-stopword tokens get a
+    replica letter prepended and their last char dropped — lengths,
+    stopwords and digit ratio preserved so quality filters behave
+    identically; every shingle touching a non-stopword token becomes
+    replica-unique, so the duplicate structure scales ~linearly)."""
+    out = "/tmp/spark_graft_sf10"
+    marker = os.path.join(out, "_DOCS_OK_V1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    sw_list = sorted({w for lang in STOPWORDS.values() for w in lang})
+    sw_sql = ",".join(f"'{w}'" for w in sw_list)
+
+    def perturb(i):
+        letter = chr(ord("n") + i)  # n..w, disjoint from sf1 a-j / sf3 k-m
+        return F.expr(
+            "array_join(transform(split(text, ' '), t -> "
+            f"CASE WHEN lower(t) IN ({sw_sql}) THEN t "
+            f"ELSE concat('{letter}', substring(t, 1, "
+            "greatest(length(t) - 1, 0))) END), ' ')"
+        )
+
+    parts = [
+        docs.select(
+            (F.col("doc_id") + i * 100_000_000_000).alias("doc_id"),
+            perturb(i).alias("text"), "lang", "source",
+        ).withColumn("n_chars", F.length("text"))
+        for i in range(10)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    with open(marker, "w") as fd:
+        fd.write("ok")
+    return out
+
+
+def best_of(fn, reps=2):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n = fn()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+        release_shared_caches()
+    return round(best, 3), n
+
+
+def main():
+    tag = sys.argv[1] if len(sys.argv) > 1 else "dev"
+    spark = get_spark(app_name="sf10-rehearsal",
+                      extra_conf={"spark.ui.enabled": "true"})
+    import bench
+    import __spark_entry__ as em
+    from drugbankner_spark.operators.linker import link_with_alias_index
+
+    sf1 = bench._ensure_sf1(spark, "/root/testdata/sf0.1")
+    sf10 = ensure_sf10(spark, sf1)
+    out = {"dir": sf10, "data_scale_vs_bench_sf": 100}
+
+    _m, aliases = em._linker_corpus_mentions(spark, sf10)
+    out["n_aliases"] = aliases.select("alias").distinct().count()
+    print("n_aliases:", out["n_aliases"], flush=True)
+
+    t0 = time.perf_counter()
+    idx = em._ensure_alias_index(spark, sf10)
+    out["x1_linker_index_fit_sec"] = round(time.perf_counter() - t0, 3)
+    meta = spark.read.parquet(idx + "/meta").collect()[0].asDict()
+    out["x1_linker_index_champion_c"] = meta.get("champion_c")
+    print("fit:", out["x1_linker_index_fit_sec"],
+          "champion_c:", out["x1_linker_index_champion_c"], flush=True)
+
+    m = em._serving_batch_mentions(spark, sf10)
+    stats = {}
+    len(link_with_alias_index(spark, idx, m, "mention", threshold=0.6,
+                              k=1, probe_stats=stats).toPandas())
+    release_shared_caches()
+    out["x1_linker_served_stats"] = stats
+    print("stats:", stats, flush=True)
+
+    sec, n = best_of(lambda: len(link_with_alias_index(
+        spark, idx, m, "mention", threshold=0.6, k=1).toPandas()))
+    out["x1_linker_served"] = {"sec": sec, "rows": n}
+    print("served:", out["x1_linker_served"], flush=True)
+
+    sec, n = best_of(lambda: len(link_with_alias_index(
+        spark, idx, m, "mention", threshold=0.6, k=1,
+        use_champions=False).toPandas()))
+    out["x1_linker_served_flat"] = {"sec": sec, "rows": n}
+    print("served_flat:", out["x1_linker_served_flat"], flush=True)
+
+    qs = em.all_queries()
+    for name in ("x1_linker_corpus_maxdf", "x1_linker_indexed",
+                 "e3_gopher_rep_hash", "e1_suffix_array_bench"):
+        fn = qs[name]
+        len(fn(spark, sf10).toPandas())  # warmup
+        release_shared_caches()
+        sec, n = best_of(lambda: len(fn(spark, sf10).toPandas()))
+        out[name] = {"sec": sec, "rows": n}
+        print(name, out[name], flush=True)
+
+    path = f"/root/repo/BENCH_LOCAL_sf10_{tag}.json"
+    with open(path, "w") as fd:
+        json.dump(out, fd, indent=1)
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
