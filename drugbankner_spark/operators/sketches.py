@@ -175,6 +175,20 @@ def cm_estimate(
     )
 
 
+#: Epoch id of a compacted base partition (shared by every
+#: epoch-partial stream face). Negative so it can never collide with a
+#: foreachBatch epoch_id, and always included by ``_epoch <= E``.
+EPOCH_BASE = -1
+
+#: Epoch id of the SUM-family compactor's staging partition
+#: (:func:`compact_epoch_state`). Unlike the HLL max-merge, summed
+#: partials are NOT idempotent under re-folding, so the new base is
+#: staged here first and every read face EXCLUDES it — counts stay in
+#: the original epochs until the swap completes, and a crash at any
+#: step leaves a state dir that reads exactly right.
+EPOCH_STAGING = -2
+
+
 def stream_cm_token_stats(
     docs_stream: DataFrame,
     state_dir: str,
@@ -259,10 +273,13 @@ def read_corpus_stats(
     """Merge-on-read of a :func:`stream_corpus_stats` state dir: counts
     sum, min/max fold, KLL/HLL sketches union — one bounded groupBy
     over (epochs × groups) rows. Output: (group, n_docs, total_tokens,
-    min/max, p50_tokens approx, n_distinct_texts_approx)."""
+    min/max, p50_tokens approx, n_distinct_texts_approx). A crashed
+    compaction's staging partition is excluded (see
+    :func:`read_cm_sketch`)."""
     a, b = group_cols
     return (
         spark.read.parquet(state_dir)
+        .filter(F.col("_epoch") != EPOCH_STAGING)
         .groupBy(a, b)
         .agg(
             F.sum("n_docs").alias("n_docs"),
@@ -283,12 +300,160 @@ def read_corpus_stats(
 def read_cm_sketch(spark, state_dir: str) -> DataFrame:
     """Merge-on-read of a :func:`stream_cm_token_stats` state dir: one
     bounded groupBy over (epochs x cells) rows — equals the sketch a
-    single batch build over the full corpus would produce (tested)."""
+    single batch build over the full corpus would produce (tested).
+    The staging partition a crashed :func:`compact_epoch_state` may
+    have left behind is EXCLUDED — its counts still live in the
+    original epochs until the swap completes, so reading both would
+    double-count."""
     return (
         spark.read.parquet(state_dir)
+        .filter(F.col("_epoch") != EPOCH_STAGING)
         .groupBy("row", "pos")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def compact_epoch_state(
+    spark,
+    state_dir: str,
+    up_to_epoch: int,
+    fold,
+) -> int:
+    """Generic compaction for SUM-family epoch-partial state dirs
+    (round 13 — :func:`compact_hll_state`'s discipline extended to the
+    faces whose merge is NOT idempotent): fold every epoch ≤
+    ``up_to_epoch`` (including any existing base) into one base
+    partition and drop the folded epochs. ``fold`` maps the old rows
+    (base + folded epochs, ``_epoch`` still attached) to the new base
+    rows (same schema as one epoch's partials, WITHOUT ``_epoch``).
+    Returns how many epoch partitions were removed.
+
+    Summed partials double-count if an epoch is folded twice, so the
+    HLL compactor's write-then-delete is not safe here. Protocol
+    (staging + marker, every step idempotent to resume):
+
+    1. write the fold to the ``_epoch = -2`` STAGING partition — every
+       read face excludes it, so a crash here changes nothing;
+    2. persist a ``_COMPACTING`` marker recording ``up_to_epoch`` —
+       from this point a re-run RESUMES (it must not re-fold: some
+       inputs may already be deleted);
+    3. delete the folded epochs and the old base — reads during this
+       window UNDERCOUNT (the usual non-transactional maintenance
+       caveat; run it when no reader is live, same posture as
+       ``compact_small_files``);
+    4. rename ``_epoch=-2`` → ``_epoch=-1`` (one namespace rename) and
+       remove the marker. Marker-present + staging-missing means a
+       crash landed after the rename: cleanup only.
+
+    Do not replay stream epochs ≤ ``up_to_epoch`` once compaction has
+    started — a replayed partition would land next to a base that
+    already contains it (the stream faces' replay idempotence is
+    per-partition, and that partition no longer exists)."""
+    from drugbankner_spark.operators.scale import (
+        _hadoop_fs,
+        read_text_file,
+        upsert_partitions,
+        write_text_file,
+    )
+
+    fs, root = _hadoop_fs(spark, state_dir)
+    marker_str = state_dir.rstrip("/") + "/_COMPACTING"
+    _, marker = _hadoop_fs(spark, marker_str)
+    staging_str = state_dir.rstrip("/") + f"/_epoch={EPOCH_STAGING}"
+    _, staging = _hadoop_fs(spark, staging_str)
+    base_str = state_dir.rstrip("/") + f"/_epoch={EPOCH_BASE}"
+    _, base_path = _hadoop_fs(spark, base_str)
+
+    if fs.exists(marker):
+        # resume a crashed run at ITS boundary (not the caller's — the
+        # staged fold contains exactly the epochs ≤ the recorded E)
+        up_to_epoch = int(read_text_file(spark, marker_str).strip())
+        if not fs.exists(staging):
+            # crash after the rename: compaction already completed
+            fs.delete(marker, False)
+            return 0
+    else:
+        old = spark.read.parquet(state_dir).filter(
+            (F.col("_epoch") <= int(up_to_epoch))
+            & (F.col("_epoch") != EPOCH_STAGING)
+        )
+        upsert_partitions(
+            fold(old).withColumn("_epoch", F.lit(int(EPOCH_STAGING))),
+            state_dir, ["_epoch"],
+        )
+        write_text_file(spark, marker_str, str(int(up_to_epoch)))
+
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("_epoch="):
+            continue
+        try:
+            epoch = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if epoch != EPOCH_STAGING and epoch <= int(up_to_epoch):
+            if not fs.delete(st.getPath(), True):
+                raise IOError(
+                    f"compact_epoch_state: deleting folded partition "
+                    f"{name} under {state_dir} failed — re-run to "
+                    "resume (the marker records the boundary)"
+                )
+            if epoch >= 0:
+                removed += 1
+    if not fs.rename(staging, base_path):
+        raise IOError(
+            f"compact_epoch_state: promoting {staging_str} -> "
+            f"{base_str} failed — re-run to resume"
+        )
+    if not fs.delete(marker, False):
+        raise IOError(
+            f"compact_epoch_state: compaction succeeded but removing "
+            f"{marker_str} failed — remove it before the next run"
+        )
+    spark.catalog.refreshByPath(state_dir)
+    return removed
+
+
+def compact_cm_state(spark, state_dir: str, up_to_epoch: int) -> int:
+    """Fold old epochs of a :func:`stream_cm_token_stats` state dir
+    into the base partition: CM merge is a cell-wise SUM, routed
+    through the staged :func:`compact_epoch_state` protocol. Read cost
+    after compaction: ≤ depth×width base cells + the un-folded
+    epochs' cells."""
+    return compact_epoch_state(
+        spark, state_dir, up_to_epoch,
+        lambda old: old.groupBy("row", "pos").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+    )
+
+
+def compact_corpus_stats_state(
+    spark,
+    state_dir: str,
+    up_to_epoch: int,
+    group_cols: tuple[str, str] = ("source", "lang"),
+) -> int:
+    """Fold old epochs of a :func:`stream_corpus_stats` state dir into
+    the base partition — counts sum, min/max fold, KLL/HLL sketches
+    union, producing EXACTLY one epoch's partial schema so the base
+    partition is indistinguishable from a (big) epoch to the read
+    face."""
+    a, b = group_cols
+
+    def fold(old: DataFrame) -> DataFrame:
+        return old.groupBy(a, b).agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.min("min_tokens").alias("min_tokens"),
+            F.max("max_tokens").alias("max_tokens"),
+            F.expr("kll_merge_agg_bigint(kll_tokens)")
+            .alias("kll_tokens"),
+            F.hll_union_agg("hll_texts").alias("hll_texts"),
+        )
+
+    return compact_epoch_state(spark, state_dir, up_to_epoch, fold)
 
 
 # ---------------------------------------------------------------------
@@ -544,10 +709,10 @@ def read_hll_distinct(
     return hll_exact_estimate(merged, group_cols, b_bits)
 
 
-#: Epoch id of the compacted base partition. Negative so it can never
-#: collide with a foreachBatch epoch_id (those count up from 0), and
-#: always included by a ``_epoch <= up_to_epoch`` filter.
-HLL_BASE_EPOCH = -1
+#: Epoch id of the compacted base partition — same value as the
+#: module-level :data:`EPOCH_BASE` (kept as a named alias because the
+#: HLL compactor predates the generic sum-family one).
+HLL_BASE_EPOCH = EPOCH_BASE
 
 
 def compact_hll_state(

@@ -187,6 +187,132 @@ def test_stream_cm_sketch_equals_batch_build(spark, tmp_path):
     assert again.equals(single)
 
 
+def test_compact_cm_state_staged_protocol(spark, tmp_path):
+    # Round 13: the SUM-family compactor (CM merge is cell-wise sum,
+    # NOT idempotent under re-fold like the HLL max) — equality across
+    # the compaction boundary, a staging partition left by a "crash"
+    # must neither double-count a read nor break the resume, and the
+    # resumed run must finish the swap.
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.sketches import (
+        EPOCH_BASE,
+        EPOCH_STAGING,
+        cm_build,
+        compact_cm_state,
+        read_cm_sketch,
+        stream_cm_token_stats,
+    )
+
+    src = str(tmp_path / "ccm_src")
+    state = str(tmp_path / "ccm_state")
+    docs = [(i, f"tok{i % 7} tok{i % 3} shared common words {i}")
+            for i in range(60)]
+    for lo in range(0, 60, 20):
+        _df(spark, docs[lo:lo + 20]).repartition(1) \
+            .write.mode("append").parquet(src)
+    stream_cm_token_stats(
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("doc_id long, text string").parquet(src),
+        state, width=256, depth=3,
+    )
+    epochs = sorted(r["_epoch"] for r in spark.read.parquet(state)
+                    .select("_epoch").distinct().collect())
+    assert len(epochs) >= 3
+    toks = _df(spark, docs).select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    want = cm_build(toks, "tok", width=256, depth=3).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True)
+
+    # fold all but the newest epoch
+    removed = compact_cm_state(spark, state, epochs[-2])
+    assert removed == len(epochs) - 1
+    left = sorted(r["_epoch"] for r in spark.read.parquet(state)
+                  .select("_epoch").distinct().collect())
+    assert left == [EPOCH_BASE, epochs[-1]]
+    got = read_cm_sketch(spark, state).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True)
+    assert got.equals(want)
+
+    # crash simulation AFTER staging+marker, BEFORE deletes: stage a
+    # fold of everything and write the marker by hand — a read in this
+    # window must NOT double-count (staging excluded), and a re-run
+    # must resume (no re-fold) and complete the swap.
+    from drugbankner_spark.operators.scale import (
+        upsert_partitions,
+        write_text_file,
+    )
+
+    staged = (
+        spark.read.parquet(state)
+        .filter(F.col("_epoch") != EPOCH_STAGING)
+        .groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+        .withColumn("_epoch", F.lit(int(EPOCH_STAGING)))
+    )
+    upsert_partitions(staged, state, ["_epoch"])
+    write_text_file(spark, state + "/_COMPACTING", str(epochs[-1]))
+    spark.catalog.refreshByPath(state)
+    mid = read_cm_sketch(spark, state).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True)
+    assert mid.equals(want)  # staging invisible, no double count
+    compact_cm_state(spark, state, 10**9)  # boundary comes from marker
+    spark.catalog.refreshByPath(state)
+    after = read_cm_sketch(spark, state).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True)
+    assert after.equals(want)
+    assert [r["_epoch"] for r in spark.read.parquet(state)
+            .select("_epoch").distinct().collect()] == [EPOCH_BASE]
+    # marker-present + staging-missing (crash after rename): cleanup
+    write_text_file(spark, state + "/_COMPACTING", "0")
+    assert compact_cm_state(spark, state, 0) == 0
+    spark.catalog.refreshByPath(state)
+    assert read_cm_sketch(spark, state).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True).equals(want)
+
+
+def test_compact_corpus_stats_state(spark, tmp_path):
+    # Round 13: the data-card partials compact the same way — counts
+    # sum, min/max fold, KLL/HLL sketches union; the merged read after
+    # compaction equals the uncompacted one exactly (same sketches,
+    # same estimates), across a fold boundary and a full fold.
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from drugbankner_spark.operators.sketches import (
+        EPOCH_BASE,
+        compact_corpus_stats_state,
+        read_corpus_stats,
+        stream_corpus_stats,
+    )
+
+    src = str(tmp_path / "ccs_src")
+    state = str(tmp_path / "ccs_state")
+    rows = [(i, f"w{i % 11} text body {'x ' * (i % 9)}",
+             f"s{i % 2}", "en") for i in range(60)]
+    schema = "doc_id long, text string, source string, lang string"
+    for lo in range(0, 60, 20):
+        spark.createDataFrame(rows[lo:lo + 20], schema) \
+            .repartition(1).write.mode("append").parquet(src)
+    stream_corpus_stats(
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(schema).parquet(src), state,
+    )
+    epochs = sorted(r["_epoch"] for r in spark.read.parquet(state)
+                    .select("_epoch").distinct().collect())
+    assert len(epochs) >= 3
+    want = sorted(map(tuple, read_corpus_stats(spark, state).collect()))
+
+    compact_corpus_stats_state(spark, state, epochs[-2])
+    spark.catalog.refreshByPath(state)
+    got = sorted(map(tuple, read_corpus_stats(spark, state).collect()))
+    assert got == want
+    compact_corpus_stats_state(spark, state, epochs[-1])
+    spark.catalog.refreshByPath(state)
+    assert sorted(map(tuple,
+                      read_corpus_stats(spark, state).collect())) == want
+    assert [r["_epoch"] for r in spark.read.parquet(state)
+            .select("_epoch").distinct().collect()] == [EPOCH_BASE]
+
+
 def test_stream_corpus_stats_equals_batch(spark, tmp_path):
     # Streaming data-card maintenance: two micro-batches land epoch
     # partitions of mergeable partials; merge-on-read counts/sums/minmax
