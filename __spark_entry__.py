@@ -1842,12 +1842,14 @@ def _x1_linker_indexed(spark: SparkSession, sf: str) -> DataFrame:
     # thousands of distinct mentions touch every gram bucket, so the
     # bucket pre-pass (a full mention-gram job) would be pure
     # overhead. Small-batch serving keeps the default pruning.
-    # Round 12 (VERDICT r11 next #1): prune_buckets=False now also
-    # auto-disables the champion machinery — on the bulk shape the
-    # candidate set approaches the full join's output, so champions +
-    # rerank + certificate were strictly additive (BENCH_r11: 10.17 s
-    # vs 7.9 s flat at sf1). The champion path keeps its own window
-    # row + bench entry on the serving shape (x1_linker_served).
+    # Round 13: under the weight-policy index the champion auto-gate
+    # no longer keys on prune_buckets — impact-thresholded champion
+    # tables are a small fraction of the postings, so candidate-gen
+    # beats the flat join on the bulk shape too once n_aliases clears
+    # the crossover (measured 29.9 s vs 185 s flat at sf10 bulk,
+    # certified 1.0; at the driver's sf0.01 the tiny ontology keeps
+    # the gate off and this row serves the flat pruned join). The
+    # serving shape keeps its own window row (x1_linker_served).
     return link_with_alias_index(
         spark, _ensure_alias_index(spark, sf), mentions, "mention",
         threshold=0.6, k=1, prune_buckets=False,

@@ -207,6 +207,42 @@ def _mention_vectors(
     )
 
 
+def _pinned_shuffle_n(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _mention_clustered(products: DataFrame) -> DataFrame:
+    """Repartition raw (mention, alias, product) rows by MENTION with a
+    PINNED partition count before the scoring aggregation — the one
+    exchange the whole linker tail then shares (round 13, found
+    staring at a 25-minute single task in the sf10 bulk probe).
+
+    The failure chain it breaks: the mention-vector side of the
+    posting join is TINY on disk (trigram strings compress 10-20×, so
+    even a 55k-mention batch's vectors sit under AQE's 64 MB advisory
+    size) → AQE coalesces the exchanges feeding it down to ~1
+    partition → the gram join against the BROADCAST postings dim then
+    EXPLODES each mention-gram row into its posting list — a
+    hundred-million-row product table materializing inside that one
+    partition — and every downstream op (scoring agg, concept fold,
+    rank window) inherits the partitioning, so one task builds the
+    whole aggregation hash map while 31 cores idle (observed:
+    BytesToBytesMap.append hot for 25+ min). AQE cannot see the
+    explosion coming: its byte estimates are pre-join and compressed.
+
+    A REPARTITION_BY_NUM exchange is exempt from AQE coalescing, and
+    hash(mention) satisfies the clustering of the scoring agg
+    (mention, alias), the fold (mention, alias_id) AND the window
+    (mention) — equal keys co-locate when any subset is the hash — so
+    the whole tail runs exchange-free after this one pinned shuffle.
+    MUST sit where the child partitioning differs from hash(mention)
+    (e.g. over the gram-keyed join output): Catalyst statically
+    elides it when the child already hashes by mention — exactly what
+    silently re-created the collapse on the first attempt."""
+    n = _pinned_shuffle_n(products)
+    return products.repartition(n, F.col("mention"))
+
+
 def _fold_rank(
     scored: DataFrame,
     alias_map: DataFrame,
@@ -223,7 +259,14 @@ def _fold_rank(
     one mention — cosine ≥ 0.x against distinct ontology concepts,
     a score-bounded handful, not a corpus-scale slice. The sharded
     form's extra pass would cost every linker face more than the
-    biggest surviving group can."""
+    biggest surviving group can.
+
+    Exchange-free by contract: every producer hands ``scored`` over
+    already mention-clustered (:func:`_mention_clustered`), which the
+    fold's (mention, alias_id) clustering and the window's (mention)
+    clustering both reuse — provided ``alias_map`` broadcasts (the
+    serving contract; a >broadcast_max_rows alias dim re-shuffles on
+    alias, which that shape needs anyway)."""
     per_concept = (
         scored.join(_maybe_broadcast(alias_map, broadcast_max_rows), "alias")
         .groupBy("mention", "alias_id")
@@ -253,11 +296,27 @@ def _score_full(
     :func:`_link_tail` so the champion path's uncertified tail can
     reuse its already-persisted mention vectors instead of re-running
     gram counting + vectorization (VERDICT r11 next #1b — the risky
-    mentions were paying for vectorization twice)."""
+    mentions were paying for vectorization twice).
+
+    The mention side enters the join under a PINNED gram-keyed
+    repartition: when the postings dim broadcasts, the join's fan-out
+    (each mention-gram row × its posting list) runs at the CHILD's
+    parallelism, and AQE had coalesced that child to ~1 partition on
+    its tiny pre-explosion bytes (see :func:`_mention_clustered` for
+    the full post-mortem). Keyed by gram, so when postings DON'T
+    broadcast the sort-merge join reuses this exchange instead of
+    adding one."""
+    n = _pinned_shuffle_n(mvec)
     scored = (
-        mvec.join(_maybe_broadcast(postings, broadcast_max_rows), "gram")
+        _mention_clustered(
+            mvec.repartition(n, F.col("gram"))
+            .join(_maybe_broadcast(postings, broadcast_max_rows),
+                  "gram")
+            .select("mention", "alias",
+                    (F.col("mw") * F.col("w")).alias("_prod"))
+        )
         .groupBy("mention", "alias")
-        .agg(F.round(F.sum(F.col("mw") * F.col("w")), 6).alias("score"))
+        .agg(F.round(F.sum("_prod"), 6).alias("score"))
     )
     return _fold_rank(scored, alias_map, threshold, k, broadcast_max_rows)
 
@@ -703,16 +762,21 @@ def link_with_alias_index(
     mention vectors (vectorization is never paid twice), so the probe
     is EXACT at every champion_c; C only moves the certified fraction.
 
-    Why the bulk default is champions-OFF (VERDICT r11 next #1): on a
-    corpus-scale re-link batch every gram bucket is touched and the
-    candidate set approaches the full posting join's output, so the
-    champion machinery (candidate distinct + rerank join + certificate
-    agg + fallback) is strictly additive — BENCH_r11 measured the
-    champion probe at 10.17 s vs 7.9 s for the flat probe at sf1.
-    Champions win when the mention batch is small relative to the
-    ontology — exactly when bucket pruning wins — so the auto default
-    follows ``prune_buckets``. Pass ``use_champions=True`` explicitly
-    to force the champion path on any shape (it stays exact).
+    Bulk-shape auto gate, policy-dependent (round 13): under the
+    LEGACY rank policy the bulk default stays champions-OFF (VERDICT
+    r11 next #1 — a rank-capped champion table approaches the full
+    posting join's output on a corpus-scale batch, so the machinery
+    was strictly additive: 10.17 s vs 7.9 s flat at sf1), and the
+    auto default follows ``prune_buckets``. Under the WEIGHT policy
+    the champion table is a small fraction of the postings (only
+    dominant components survive the cut), so candidate generation is
+    far cheaper than the full join on EVERY batch shape — measured on
+    the 357k-alias sf10 fixture's 4548-mention bulk batch: champion
+    29.9 s vs 185 s flat (6×), certified fraction 1.0 — and the auto
+    default uses champions whenever the ontology clears
+    :data:`CHAMPION_AUTO_MIN_ALIASES`, regardless of
+    ``prune_buckets``. Pass ``use_champions`` explicitly to force
+    either direction (both stay exact).
 
     The champion path runs ONE eager bounded driver job per probe
     (``risky.count()``, ≤ the distinct-mention count; the subtrees it
@@ -785,18 +849,22 @@ def link_with_alias_index(
         )
     n, n_buckets = fit_n, fit_buckets
     if use_champions is None:
-        # auto: champions only on the small-batch serving shape (see
-        # docstring — on bulk shapes the machinery is strictly
-        # additive) AND only when the ontology is big enough that
-        # bounded candidate-gen beats the flat join (round 12: the
-        # meta's n_aliases vs CHAMPION_AUTO_MIN_ALIASES crossover; a
-        # pre-round-12 meta without n_aliases keeps the r11 rule)
-        use_champions = (
-            fit_champion_c is not None
-            and prune_buckets
-            and (fit_n_aliases is None
-                 or fit_n_aliases >= CHAMPION_AUTO_MIN_ALIASES)
-        )
+        # auto (see docstring's bulk-gate rationale): weight-policy
+        # indexes (champion_c == -1) serve champions on EVERY batch
+        # shape once the ontology clears the size crossover — their
+        # champion table is a small fraction of the postings, so
+        # candidate-gen beats the flat join even corpus-scale
+        # (measured 6× at sf10 bulk). Legacy rank-policy indexes keep
+        # the r11/r12 rule: serving shape (prune_buckets) only.
+        big_enough = (fit_n_aliases is None
+                      or fit_n_aliases >= CHAMPION_AUTO_MIN_ALIASES)
+        if fit_champion_c == -1:
+            use_champions = big_enough
+        else:
+            use_champions = (
+                fit_champion_c is not None and prune_buckets
+                and big_enough
+            )
     elif use_champions and fit_champion_c is None:
         raise ValueError(
             f"alias index at {path!r} was saved without champion "
@@ -874,10 +942,14 @@ def link_with_alias_index(
             "alias", "gram", "w"
         )
     scored = (
-        cand.join(avecs, "alias")
-        .join(mvec, ["mention", "gram"])
+        _mention_clustered(
+            cand.join(avecs, "alias")
+            .join(mvec, ["mention", "gram"])
+            .select("mention", "alias",
+                    (F.col("mw") * F.col("w")).alias("_prod"))
+        )
         .groupBy("mention", "alias")
-        .agg(F.round(F.sum(F.col("mw") * F.col("w")), 6).alias("score"))
+        .agg(F.round(F.sum("_prod"), 6).alias("score"))
     )
     ranked = shared_persist(
         _fold_rank(scored, alias_map, threshold, k, broadcast_max_rows)

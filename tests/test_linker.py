@@ -471,6 +471,59 @@ def test_weight_policy_champions_exact_and_meta(spark, tmp_path):
                          champion_w_cut=0.1)
 
 
+def test_weight_policy_bulk_gate_and_pinned_exchanges(
+    spark, tmp_path, monkeypatch
+):
+    # Round 13: (a) weight-policy indexes serve champions on the BULK
+    # shape too (prune_buckets=False) once n_aliases clears the
+    # crossover — the legacy rank policy keeps the serving-only gate;
+    # (b) the probe tail's exchanges are PINNED (REPARTITION_BY_NUM):
+    # AQE's compressed-byte coalescing collapsed the broadcast-join
+    # explosion into one task (25-minute straggler at sf10), and a
+    # pinned exchange is exempt.
+    from drugbankner_spark.operators import linker as L
+
+    aliases = spark.createDataFrame(
+        [("aspirin", 1), ("ecotrin", 3), ("fever", 9), ("headache", 7)],
+        ["alias", "alias_id"],
+    )
+    mentions = spark.createDataFrame(
+        [("aspirin",), ("fever",)], ["mention"]
+    )
+    wpath = str(tmp_path / "w_idx")
+    L.save_alias_index(aliases, "alias", "alias_id", wpath)
+    rpath = str(tmp_path / "r_idx")
+    L.save_alias_index(aliases, "alias", "alias_id", rpath,
+                       champion_c=64)
+    monkeypatch.setattr(L, "CHAMPION_AUTO_MIN_ALIASES", 1)
+    # weight policy: champions auto-ON even with prune_buckets=False
+    stats_w: dict = {}
+    out_w = L.link_with_alias_index(
+        spark, wpath, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, probe_stats=stats_w,
+    )
+    rows_w = sorted(tuple(r) for r in out_w.collect())
+    assert stats_w["used_champions"] is True
+    # legacy rank policy: bulk shape keeps champions OFF
+    stats_r: dict = {}
+    rows_r = sorted(tuple(r) for r in L.link_with_alias_index(
+        spark, rpath, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, probe_stats=stats_r,
+    ).collect())
+    assert stats_r["used_champions"] is False
+    assert rows_w == rows_r and rows_w
+    # pinned exchanges in the tail: the gram-side and mention-side
+    # repartitions survive as REPARTITION_BY_NUM (not elided, not
+    # AQE-coalescible)
+    plan = out_w._jdf.queryExecution().executedPlan().toString()
+    flat_plan = L.link_with_alias_index(
+        spark, wpath, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, use_champions=False,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in flat_plan
+    assert "REPARTITION_BY_NUM" in plan
+
+
 def test_champion_probe_opt_out_and_missing_layout(spark, tmp_path):
     # champion_c=None saves the legacy layout (postings/idf only);
     # the probe auto-detects and serves the full-join path, while an
