@@ -211,6 +211,19 @@ def _pinned_shuffle_n(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
+#: Posting-table size above which the probe tail pins its exchanges
+#: (REPARTITION_BY_NUM). Below it, AQE's coalesced plan is strictly
+#: faster (measured at sf0.1 / ~35k postings: pinning cost +0.5-1 s
+#: per probe — two full-width shuffles on data that fits one
+#: partition); above it, the un-pinned plan risks the compressed-byte
+#: collapse → broadcast-join explosion documented in
+#: :func:`_mention_clustered` (measured at sf10 / 1.8M postings: a
+#: 25-minute single task). 200k postings ≈ a 20k-alias ontology —
+#: the same order as the champion crossover, and two decades below
+#: where the collapse was observed.
+LINKER_PIN_MIN_POSTINGS = 200_000
+
+
 def _mention_clustered(products: DataFrame) -> DataFrame:
     """Repartition raw (mention, alias, product) rows by MENTION with a
     PINNED partition count before the scoring aggregation — the one
@@ -298,24 +311,30 @@ def _score_full(
     gram counting + vectorization (VERDICT r11 next #1b — the risky
     mentions were paying for vectorization twice).
 
-    The mention side enters the join under a PINNED gram-keyed
-    repartition: when the postings dim broadcasts, the join's fan-out
-    (each mention-gram row × its posting list) runs at the CHILD's
-    parallelism, and AQE had coalesced that child to ~1 partition on
-    its tiny pre-explosion bytes (see :func:`_mention_clustered` for
-    the full post-mortem). Keyed by gram, so when postings DON'T
-    broadcast the sort-merge join reuses this exchange instead of
-    adding one."""
-    n = _pinned_shuffle_n(mvec)
+    Above :data:`LINKER_PIN_MIN_POSTINGS`, the mention side enters the
+    join under a PINNED gram-keyed repartition and the products under
+    a mention-keyed one: when the postings dim broadcasts, the join's
+    fan-out (each mention-gram row × its posting list) runs at the
+    CHILD's parallelism, and AQE had coalesced that child to ~1
+    partition on its tiny pre-explosion bytes (see
+    :func:`_mention_clustered` for the full post-mortem). Keyed by
+    gram, so when postings DON'T broadcast the sort-merge join reuses
+    the exchange instead of adding one. Below the threshold the
+    coalesced plan is strictly faster and the pins are skipped — the
+    posting count is already paid for by the broadcast decision."""
+    n_post = postings.count()
+    post_dim = (F.broadcast(postings) if n_post <= broadcast_max_rows
+                else postings)
+    pin = n_post >= LINKER_PIN_MIN_POSTINGS
+    mside = (mvec.repartition(_pinned_shuffle_n(mvec), F.col("gram"))
+             if pin else mvec)
+    products = mside.join(post_dim, "gram").select(
+        "mention", "alias", (F.col("mw") * F.col("w")).alias("_prod")
+    )
+    if pin:
+        products = _mention_clustered(products)
     scored = (
-        _mention_clustered(
-            mvec.repartition(n, F.col("gram"))
-            .join(_maybe_broadcast(postings, broadcast_max_rows),
-                  "gram")
-            .select("mention", "alias",
-                    (F.col("mw") * F.col("w")).alias("_prod"))
-        )
-        .groupBy("mention", "alias")
+        products.groupBy("mention", "alias")
         .agg(F.round(F.sum("_prod"), 6).alias("score"))
     )
     return _fold_rank(scored, alias_map, threshold, k, broadcast_max_rows)
@@ -941,14 +960,21 @@ def link_with_alias_index(
         avecs = _read_index(spark, path + "/alias_vecs").select(
             "alias", "gram", "w"
         )
+    # rerank products pin by ontology size (the explosion scales with
+    # the alias dim; the same crossover logic as _score_full's
+    # LINKER_PIN_MIN_POSTINGS, using the meta's n_aliases the gate
+    # already read — no extra job)
+    rerank_products = (
+        cand.join(avecs, "alias")
+        .join(mvec, ["mention", "gram"])
+        .select("mention", "alias",
+                (F.col("mw") * F.col("w")).alias("_prod"))
+    )
+    if fit_n_aliases is None or \
+            fit_n_aliases >= CHAMPION_AUTO_MIN_ALIASES:
+        rerank_products = _mention_clustered(rerank_products)
     scored = (
-        _mention_clustered(
-            cand.join(avecs, "alias")
-            .join(mvec, ["mention", "gram"])
-            .select("mention", "alias",
-                    (F.col("mw") * F.col("w")).alias("_prod"))
-        )
-        .groupBy("mention", "alias")
+        rerank_products.groupBy("mention", "alias")
         .agg(F.round(F.sum("_prod"), 6).alias("score"))
     )
     ranked = shared_persist(

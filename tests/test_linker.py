@@ -512,16 +512,23 @@ def test_weight_policy_bulk_gate_and_pinned_exchanges(
     ).collect())
     assert stats_r["used_champions"] is False
     assert rows_w == rows_r and rows_w
-    # pinned exchanges in the tail: the gram-side and mention-side
-    # repartitions survive as REPARTITION_BY_NUM (not elided, not
-    # AQE-coalescible)
+    # pinned exchanges in the tail, gated by scale: above the posting
+    # threshold the gram-side and mention-side repartitions survive as
+    # REPARTITION_BY_NUM (not elided, not AQE-coalescible); below it
+    # the coalesced plan is kept (measured faster at small SF).
     plan = out_w._jdf.queryExecution().executedPlan().toString()
-    flat_plan = L.link_with_alias_index(
+    assert "REPARTITION_BY_NUM" in plan  # rerank pin: n_aliases gate
+    flat_small = L.link_with_alias_index(
         spark, wpath, mentions, "mention", threshold=0.3, k=1,
         prune_buckets=False, use_champions=False,
     )._jdf.queryExecution().executedPlan().toString()
-    assert "REPARTITION_BY_NUM" in flat_plan
-    assert "REPARTITION_BY_NUM" in plan
+    assert "REPARTITION_BY_NUM" not in flat_small
+    monkeypatch.setattr(L, "LINKER_PIN_MIN_POSTINGS", 1)
+    flat_pinned = L.link_with_alias_index(
+        spark, wpath, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, use_champions=False,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in flat_pinned
 
 
 def test_champion_probe_opt_out_and_missing_layout(spark, tmp_path):
