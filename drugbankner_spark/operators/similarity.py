@@ -1533,6 +1533,20 @@ def srp_sketch(
     literal-heavy single-expression lesson: one Py4J call, not
     n_bits·dim of them).
 
+    KNOWN + ADJUDICATED (round 13): at the default 64×64 shape the
+    packed expression is ~4096 inlined terms — ONE Java expression,
+    which the codegen method-splitter cannot cut, so Janino fails with
+    "Code grows beyond 64 KB" (a LOGGED ERROR, not a failure) and
+    Spark evaluates the expression via its interpreter. The obvious
+    reformulation — sign matrix as a broadcast DATA column + nested
+    ``aggregate``/``transform`` lambdas, which codegens cleanly — was
+    measured 7.4× SLOWER (36.8 s vs 4.9 s on a 60k×64 corpus,
+    results bit-identical): per-element lambda dispatch costs more
+    than interpreting one flat arithmetic tree, the same finding as
+    the Gopher-repetition profiling (ARCHITECTURE §7f lambda-capture
+    law's cousin). The unrolled form is kept deliberately; revisit
+    only if a future Spark splits monolithic expressions.
+
     Output: (id, code array<long> of ceil(n_bits/32) words)."""
     signs = srp_sign_matrix(n_bits, dim, seed)
     nw = (n_bits + 31) // 32
