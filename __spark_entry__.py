@@ -5533,7 +5533,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     e2_mean_pool, q2_min_cost_supplier, e6_funnel — the established
     mechanism; each stays individually runnable via ``all_queries``
     and hash-checked in tests/test_oracle_parity.py, ready to rotate
-    back."""
+    back.
+
+    Round-13 rotation (VERDICT r12 next #4): the six OLDEST
+    driver-verified pool rows — r7/r8-era, last driver-green in their
+    own windows — rotate back in (e5_retrieval_metrics, e1_c4_filter,
+    e1_pii_scrub, t_resample_gapfill, e6_transition_matrix,
+    j_jw_match). Slots from demoting the five suites the r12 rotation
+    just RE-verified plus the thrice-green e5_agreement; the
+    once-green x1_linker_served stays."""
     return {
         # -- round-13 rotation (VERDICT r12 next #4): the six OLDEST
         # driver-verified pool rows — r7/r8-era, not driver-green
