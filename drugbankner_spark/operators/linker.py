@@ -223,6 +223,15 @@ def _pinned_shuffle_n(df: DataFrame) -> int:
 #: where the collapse was observed.
 LINKER_PIN_MIN_POSTINGS = 200_000
 
+#: Alias-count equivalent of :data:`LINKER_PIN_MIN_POSTINGS` (~10
+#: grams per alias on the serving fixtures) — the champion rerank's
+#: pin gate, which knows the meta's n_aliases but not the posting
+#: count. A legacy meta without n_aliases does NOT pin (matching the
+#: posting gate's skip-below-threshold policy; round-13 review
+#: finding — the first cut pinned at the champion on/off crossover,
+#: 2x lower, and always pinned legacy indexes).
+LINKER_PIN_MIN_ALIASES = 20_000
+
 
 def _mention_clustered(products: DataFrame) -> DataFrame:
     """Repartition raw (mention, alias, product) rows by MENTION with a
@@ -651,8 +660,14 @@ def save_alias_index(
             # — no ranking pass, no window, nothing skew-sensitive.
             # The probe's certificate contract is the only invariant:
             # every EXCLUDED posting of gram g has w ≤ cutoff(g).
-            champs = postings.filter(F.col("w") >= F.lit(w_cut))
-            cuts = (
+            # persisted: each feeds TWO actions under the _mark scope
+            # — the writer's emptiness probe (take(1)) and the write
+            # itself; unpersisted, the cutoffs agg shuffle ran twice
+            # per publish (round-13 review finding)
+            champs = shared_persist(
+                postings.filter(F.col("w") >= F.lit(w_cut))
+            )
+            cuts = shared_persist(
                 postings.filter(F.col("w") < F.lit(w_cut))
                 .groupBy("gram")
                 .agg(F.max("w").alias("cutoff"))
@@ -674,13 +689,16 @@ def save_alias_index(
             ))
             champs = ranked.filter(F.col("_rn") <= champion_c) \
                 .drop("_rn")
-            cuts = ranked.groupBy("gram").agg(
+            # persisted for the same two-action reason as the weight
+            # policy's cuts (the champs filter over the cached pool
+            # is cheap enough to skip)
+            cuts = shared_persist(ranked.groupBy("gram").agg(
                 F.coalesce(
                     F.max(F.when(F.col("_rn") > champion_c,
                                  F.col("w"))),
                     F.lit(0.0),
                 ).alias("cutoff")
-            )
+            ))
         _write_bucket_partitioned(
             champs.withColumn(
                 "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
@@ -961,17 +979,18 @@ def link_with_alias_index(
             "alias", "gram", "w"
         )
     # rerank products pin by ontology size (the explosion scales with
-    # the alias dim; the same crossover logic as _score_full's
-    # LINKER_PIN_MIN_POSTINGS, using the meta's n_aliases the gate
-    # already read — no extra job)
+    # the alias dim; LINKER_PIN_MIN_ALIASES is the alias-count twin
+    # of _score_full's posting crossover, read from the meta the gate
+    # already loaded — no extra job; legacy metas without n_aliases
+    # skip the pin, same below-threshold policy)
     rerank_products = (
         cand.join(avecs, "alias")
         .join(mvec, ["mention", "gram"])
         .select("mention", "alias",
                 (F.col("mw") * F.col("w")).alias("_prod"))
     )
-    if fit_n_aliases is None or \
-            fit_n_aliases >= CHAMPION_AUTO_MIN_ALIASES:
+    if fit_n_aliases is not None and \
+            fit_n_aliases >= LINKER_PIN_MIN_ALIASES:
         rerank_products = _mention_clustered(rerank_products)
     scored = (
         rerank_products.groupBy("mention", "alias")

@@ -136,6 +136,16 @@ def _null_safe_broadcast_join(
     NULL-language bucket in ``zipf_slope(group_col=...)`` — silently
     vanished from the ranking). The offset side renames its key columns
     so the ``eqNullSafe`` condition is unambiguous, then drops them."""
+    clash = {f"_r_{c}" for c in keys}.intersection(local.columns)
+    if clash:
+        # drop-by-name after the join would remove the user's column
+        # too (same clobber class as _RANK_HELPER_COLS, via the other
+        # namespace — round-13 review finding)
+        raise ValueError(
+            f"sharded ranking: input columns {sorted(clash)} collide "
+            "with the null-safe join's renamed-key namespace — rename "
+            "them before calling"
+        )
     offs = offsets
     for c in keys:
         offs = offs.withColumnRenamed(c, f"_r_{c}")

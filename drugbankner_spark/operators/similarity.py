@@ -86,8 +86,6 @@ def cosine_topk(
     the brute-force baseline was parallel across queries but serial
     within one. The sharded form spreads every query across the salt
     shards (identical rows/ranks; the order is total)."""
-    from drugbankner_spark.operators.scale import sharded_topk
-
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -102,9 +100,7 @@ def cosine_topk(
             F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
         )
     )
-    return sharded_topk(
-        scored, ["query_id"], [F.desc("cos_sim"), F.asc("neighbor_id")], k
-    )
+    return _rerank_topk(scored, k)
 
 
 def hyperplane(dim: int, plane: int) -> list[float]:
@@ -589,6 +585,12 @@ def _rerank_topk(
     in tests/test_plans.py."""
     from drugbankner_spark.operators.scale import sharded_topk
 
+    if k < 1:
+        # preserve the pre-round-13 public contract: the plain-window
+        # form's filter(rank <= 0) returned an EMPTY frame for a
+        # degenerate k (callers compute k dynamically); sharded_topk
+        # validates k >= 1, so short-circuit with the same schema
+        return scored.withColumn("rank", F.lit(1)).filter(F.lit(False))
     order = order_cols or [F.desc("cos_sim"), F.asc("neighbor_id")]
     return sharded_topk(scored, ["query_id"], order, k, rank_col="rank")
 
@@ -980,10 +982,8 @@ def pq_adc_topk(
     # query (PQ compresses, it does not prune), so the per-query
     # candidate set is corpus-scale — the two-phase form keeps any one
     # query from ranking it in a single task
-    from drugbankner_spark.operators.scale import sharded_topk
-
-    return sharded_topk(
-        scored, ["query_id"], [F.asc("adc_dist"), F.asc("neighbor_id")], k
+    return _rerank_topk(
+        scored, k, order_cols=[F.asc("adc_dist"), F.asc("neighbor_id")]
     )
 
 
@@ -1626,10 +1626,8 @@ def hamming_topk(
     # sharded top-k (round 12): the 1-bit scan scores every code per
     # query — corpus-scale per-query candidates, same treatment as
     # cosine_topk/pq_adc_topk
-    from drugbankner_spark.operators.scale import sharded_topk
-
-    return sharded_topk(
-        scored, ["query_id"], [F.asc("hamming"), F.asc("neighbor_id")], k
+    return _rerank_topk(
+        scored, k, order_cols=[F.asc("hamming"), F.asc("neighbor_id")]
     )
 
 

@@ -381,6 +381,16 @@ def compact_epoch_state(
             fold(old).withColumn("_epoch", F.lit(int(EPOCH_STAGING))),
             state_dir, ["_epoch"],
         )
+        if not fs.exists(staging):
+            # the fold produced ZERO rows (nothing at or below the
+            # boundary — e.g. a maintenance cron firing before the
+            # first epoch lands): a zero-row partitioned write
+            # materializes no staging partition, so there is nothing
+            # to swap. Return a clean no-op WITHOUT writing the
+            # marker — a marker without staging would send the next
+            # call down the "crash after rename" cleanup branch and
+            # silently skip ITS requested boundary.
+            return 0
         write_text_file(spark, marker_str, str(int(up_to_epoch)))
 
     removed = 0

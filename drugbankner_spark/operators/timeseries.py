@@ -743,9 +743,13 @@ def autocorrelation(
     series plan) the way the linker's ``_ALIAS_META_CACHE`` memoizes
     index metadata (VERDICT r11 next #7): a serving driver calling
     ``autocorrelation`` per batch over the same source pays ONE
-    check job, not one per call. A growing source under an identical
-    plan (e.g. a parquet dir appended between calls) re-uses the memo
-    — pass ``check_overflow="always"`` to re-verify every call. The
+    check job, not one per call. The memo key folds in the SOURCE
+    FILE SNAPSHOT (round 13, VERDICT r12 next #3), so a parquet dir
+    that gained/lost/replaced files between calls re-triggers the
+    check automatically; ``check_overflow="always"`` remains the
+    belt-and-braces opt-in for sources whose listing the snapshot
+    cannot see (e.g. in-place mutation behind an unchanged file
+    name). The
     checked series rides a ``caching.shared_persist`` so the main
     plan reuses the bucket agg instead of re-scanning events; callers
     batching many series should ``release_shared_caches()`` (or

@@ -212,3 +212,21 @@ def test_srp_sketch_raises_on_short_vector(spark):
     )
     with pytest.raises(Exception, match="srp_sketch"):
         srp_sketch(df, n_bits=32, dim=64).collect()
+
+
+def test_rerank_k0_returns_empty_not_error(spark):
+    # Round-13 review finding: routing the rerank tails through
+    # sharded_topk (which validates k >= 1) changed the public k=0
+    # contract from "empty result" to a ValueError naming an internal
+    # function. The short-circuit restores it — schema intact.
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [(f"v{i}", [float(i), 1.0]) for i in range(6)],
+        "vec_id string, embedding array<double>",
+    )
+    out = cosine_topk(vecs, vecs.limit(2), k=0)
+    assert out.count() == 0
+    assert out.columns[-1] == "rank"

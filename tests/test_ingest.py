@@ -268,6 +268,16 @@ def test_compact_cm_state_staged_protocol(spark, tmp_path):
     spark.catalog.refreshByPath(state)
     assert read_cm_sketch(spark, state).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True).equals(want)
+    # EMPTY fold (round-13 review finding): a boundary below every
+    # epoch must be a clean no-op — no crash, no marker left behind,
+    # and a later call at a REAL boundary still compacts
+    assert compact_cm_state(spark, state, -100) == 0
+    import os as _os
+
+    assert not _os.path.exists(state + "/_COMPACTING")
+    spark.catalog.refreshByPath(state)
+    assert read_cm_sketch(spark, state).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True).equals(want)
 
 
 def test_compact_corpus_stats_state(spark, tmp_path):

@@ -496,6 +496,7 @@ def test_weight_policy_bulk_gate_and_pinned_exchanges(
     L.save_alias_index(aliases, "alias", "alias_id", rpath,
                        champion_c=64)
     monkeypatch.setattr(L, "CHAMPION_AUTO_MIN_ALIASES", 1)
+    monkeypatch.setattr(L, "LINKER_PIN_MIN_ALIASES", 1)
     # weight policy: champions auto-ON even with prune_buckets=False
     stats_w: dict = {}
     out_w = L.link_with_alias_index(
