@@ -288,6 +288,16 @@ def main() -> None:
             result["skew"] = _skew_section(spark, sf_dir)
         except Exception as exc:  # pragma: no cover
             result["skew"] = {"error": f"{type(exc).__name__}: {exc}"}
+    # stream-state compaction read-cost pair (VERDICT r13 next #6):
+    # the "read cost bounded after compaction" claim, timed with
+    # row-count evidence — merge-on-read over 200 epochs vs the
+    # compacted base for both the HLL (max-merge) and CM (sum) faces.
+    if os.environ.get("SPARK_GRAFT_COMPACT", "1") == "1":
+        try:
+            result["compaction"] = _compaction_section(spark)
+        except Exception as exc:  # pragma: no cover
+            result["compaction"] = {
+                "error": f"{type(exc).__name__}: {exc}"}
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "1" and sf == 0.1:
         try:
             result["sf1"] = _sf1_section(spark, sf_dir, qs, timings)
@@ -336,7 +346,15 @@ def main() -> None:
         "loadavg_after_1m": result["loadavg_after_1m"],
         "calibration_sec": calib,
         "fit_sec": linker_fit_sec,
-        "served_certified": serving_stats.get("certified_fraction"),
+        # VERDICT r13 #4 (cosmetic): below the champion auto-gate the
+        # probe serves the flat pruned join and there IS no certified
+        # fraction — say so explicitly instead of a null the compact
+        # line's consumer reads as a missing number.
+        "served_certified": (
+            "flat-gated"
+            if serving_stats.get("used_champions") is False
+            else serving_stats.get("certified_fraction")
+        ),
     }
     skew_d = result.get("skew", {})
     if "window_plain_max_task_rows" in skew_d:
@@ -353,8 +371,8 @@ def main() -> None:
                 "agg_sec": skew_d.get("fww_agg_sec"),
                 "window_max_task_rows":
                     skew_d.get("fww_window_max_task_rows"),
-                "agg_max_task_rows":
-                    skew_d.get("fww_agg_max_task_rows"),
+                "agg_est_max_task_rows":
+                    skew_d.get("fww_agg_est_max_task_rows"),
             }
     sf1_q = result.get("sf1", {}).get("queries", {})
     if sf1_q:
@@ -368,6 +386,10 @@ def main() -> None:
         compact["sf1_linker"]["served_certified"] = result["sf1"].get(
             "x1_linker_served_stats", {}
         ).get("certified_fraction")
+        pp = result["sf1"].get("linker_pin_pair", {})
+        if pp:
+            compact["sf1_linker"]["pin_off_sec"] = pp.get("off_sec")
+            compact["sf1_linker"]["pin_full_sec"] = pp.get("full_sec")
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1500:  # belt-and-braces: never regrow past the tail
         compact["queries"] = {k: round(v, 1)
@@ -538,8 +560,13 @@ def _skew_section(spark, sf_dir: str) -> dict:
     out["fww_agg_sec"] = round(min(run_fww("agg") for _ in range(2)), 3)
     out["fww_window_max_task_rows"] = out["window_plain_max_task_rows"]
     # the agg exchange carries one row per (map partition, key) after
-    # the partial min_by; measure the fullest reducer's input
-    out["fww_agg_max_task_rows"] = (
+    # the partial min_by; MODEL the fullest reducer's input under the
+    # static pmod(hash, P) layout. "est_" because it is a model, not a
+    # task metric read from the executed agg (ADVICE r13: AQE
+    # coalescing/skew handling can make the real reducer input differ
+    # — the window/topk pairs above model the same layout, but theirs
+    # IS the exchange input; this one is post-partial-combine).
+    out["fww_agg_est_max_task_rows"] = (
         wfact.groupBy(F.spark_partition_id().alias("_mp"), "name")
         .agg(F.count(F.lit(1)))
         .groupBy(F.pmod(F.hash("name"), F.lit(n_shuffle)).alias("_p"))
@@ -554,6 +581,92 @@ def _skew_section(spark, sf_dir: str) -> dict:
     out["decision_big_dim"] = recommended_join_strategy(
         prof, dim_rows=50_000_000)
     out["decision_small_dim"] = recommended_join_strategy(prof, dim_rows=5_001)
+    return out
+
+
+def _compaction_section(spark) -> dict:
+    """Stream-state compaction read-cost pair (VERDICT r13 next #6):
+    200 epochs of synthetic HLL register partials (64 groups × 2^8
+    registers) and CM sketch partials (4×4096 cells) — one dir read
+    raw (merge-on-read over every epoch) and a twin compacted to
+    base + 2 recent epochs — timed side by side with the live row
+    counts each read actually scans. The fixture is marker-gated (one
+    build, reused across rounds) and the section asserts the two
+    reads AGREE before timing, so the numbers can't drift from a
+    broken fold."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.sketches import (
+        _live_epoch_filter,
+        compact_cm_state,
+        compact_hll_state,
+        read_cm_sketch,
+        read_hll_distinct,
+    )
+
+    root = "/tmp/spark_graft_compact_bench"
+    marker = os.path.join(root, "_FIXTURE_OK_V1")
+    n_epochs, n_groups, m = 200, 64, 256
+    cm_depth, cm_width = 4, 4096
+    dirs = {k: os.path.join(root, k) for k in
+            ("hll_raw", "hll_compacted", "cm_raw", "cm_compacted")}
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        rest = F.floor(F.col("id") / n_epochs)
+        hll = spark.range(n_epochs * n_groups * m).select(
+            F.concat(F.lit("g"), F.pmod(rest, n_groups).cast("int"))
+            .alias("grp"),
+            F.floor(rest / n_groups).cast("int").alias("reg_idx"),
+            (F.pmod(F.xxhash64("id"), 20) + 1).cast("int")
+            .alias("reg_max"),
+            F.lit(8).cast("int").alias("_b_bits"),
+            F.pmod(F.col("id"), n_epochs).cast("int").alias("_epoch"),
+        )
+        cm = spark.range(n_epochs * cm_depth * cm_width).select(
+            F.pmod(rest, cm_depth).cast("int").alias("row"),
+            F.floor(rest / cm_depth).cast("int").alias("pos"),
+            (F.pmod(F.xxhash64("id"), 100) + 1).cast("long")
+            .alias("cnt"),
+            F.pmod(F.col("id"), n_epochs).cast("int").alias("_epoch"),
+        )
+        for df, raw, compacted in ((hll, "hll_raw", "hll_compacted"),
+                                   (cm, "cm_raw", "cm_compacted")):
+            for d in (raw, compacted):
+                df.repartition(32, "_epoch").write.mode("overwrite") \
+                    .partitionBy("_epoch").parquet(dirs[d])
+        compact_hll_state(spark, dirs["hll_compacted"], n_epochs - 3,
+                          ["grp"], b_bits=8)
+        compact_cm_state(spark, dirs["cm_compacted"], n_epochs - 3)
+        with open(marker, "w") as fd:
+            fd.write("ok")
+
+    out: dict = {"epochs": n_epochs}
+
+    def pair(tag, reader, raw, compacted):
+        a = sorted(map(tuple, reader(dirs[raw]).collect()))
+        b = sorted(map(tuple, reader(dirs[compacted]).collect()))
+        out[f"{tag}_reads_equal"] = a == b
+        for side in (raw, compacted):
+            rows = (
+                spark.read.parquet(dirs[side])
+                .filter(_live_epoch_filter(spark, dirs[side]))
+                .count()
+            )
+            best = None
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                reader(dirs[side]).collect()
+                el = _time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            out[f"{side}_rows"] = rows
+            out[f"{side}_read_sec"] = round(best, 3)
+
+    pair("hll", lambda d: read_hll_distinct(spark, d, ["grp"], 8),
+         "hll_raw", "hll_compacted")
+    pair("cm", lambda d: read_cm_sketch(spark, d), "cm_raw",
+         "cm_compacted")
     return out
 
 
@@ -693,7 +806,10 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
     t0 = time.perf_counter()
     entrymod._ensure_alias_index(spark, sf1_dir)
     fit_sec = round(time.perf_counter() - t0, 3)
+    from drugbankner_spark.operators import linker as L
+
     queries: dict = {}
+    pin_pair: dict = {}
     for name in SF1_QUERIES:
         fn = qs.get(ALIAS.get(name, name))
         if fn is None:
@@ -717,6 +833,33 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
             entry["slope_vs_sf0_1"] = round(best / base, 1)
         queries[name] = entry
         print(f"# sf1 {name}: {entry}", file=sys.stderr)
+        if name == "x1_linker_corpus_maxdf":
+            # snapshot the auto gate's decision before a later linker
+            # query overwrites the instrumentation dict
+            pin_pair["auto_sec"] = entry["sec"]
+            pin_pair["auto_decision"] = dict(L.LAST_PIN_DECISION)
+    # VERDICT r13 next #1: the pin gate measured AT THE SCALE IT TAXES
+    # — the same inline fit re-timed with the pin forced off and
+    # forced full-width (the r13 default), so BENCH_r{N} carries the
+    # pinned-vs-unpinned pair next to the auto gate's estimate.
+    try:
+        fn = qs.get("x1_linker_corpus_maxdf")
+        if fn is not None:
+            for mode in ("off", "full"):
+                os.environ[L.LINKER_PIN_ENV] = mode
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf1_dir).toPandas()
+                    el = time.perf_counter() - t0
+                    best = el if best is None else min(best, el)
+                release_shared_caches()
+                pin_pair[f"{mode}_sec"] = round(best, 3)
+            print(f"# sf1 linker_pin_pair: {pin_pair}", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover
+        pin_pair["error"] = f"{type(exc).__name__}: {exc}"
+    finally:
+        os.environ.pop(L.LINKER_PIN_ENV, None)
     # serving-probe instrumentation at 10x aliases — the regime where
     # the n_aliases auto-gate turns the champion machinery ON; the
     # certified fraction here is the number VERDICT r11 #1a asked for
@@ -740,6 +883,7 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
             "calibration_sec": round(calib, 3),
             "x1_linker_index_fit_sec": fit_sec,
             "x1_linker_served_stats": serving_stats,
+            "linker_pin_pair": pin_pair,
             "queries": queries}
 
 

@@ -45,6 +45,8 @@ size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -211,29 +213,164 @@ def _pinned_shuffle_n(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
-#: Posting-table size above which the probe tail pins its exchanges
-#: (REPARTITION_BY_NUM). Below it, AQE's coalesced plan is strictly
-#: faster (measured at sf0.1 / ~35k postings: pinning cost +0.5-1 s
-#: per probe — two full-width shuffles on data that fits one
-#: partition); above it, the un-pinned plan risks the compressed-byte
-#: collapse → broadcast-join explosion documented in
-#: :func:`_mention_clustered` (measured at sf10 / 1.8M postings: a
-#: 25-minute single task). 200k postings ≈ a 20k-alias ontology —
-#: the same order as the champion crossover, and two decades below
-#: where the collapse was observed.
+#: Posting-table size below which the probe tail skips the pin
+#: machinery ENTIRELY — including the 1-row product-estimate job
+#: (measured at sf0.1 / ~35k postings: even a worst-case product fits
+#: one task, and the serving probe is sub-second, so an extra driver
+#: job is pure latency). Above it, the gate is the ESTIMATED gram-join
+#: product row count (:data:`LINKER_PIN_MIN_PRODUCT_ROWS`) — round
+#: 14, VERDICT r13 #1: the r13 posting-count gate (200k) pinned two
+#: FULL-WIDTH shuffles at sf1 (~356k postings) where AQE's coalesced
+#: plan was strictly better, doubling the inline fit (7.9 → 14.0 s);
+#: the quantity that actually collapses is the product table built
+#: inside the coalesced partition, not the posting count.
 LINKER_PIN_MIN_POSTINGS = 200_000
 
-#: Alias-count equivalent of :data:`LINKER_PIN_MIN_POSTINGS` (~10
-#: grams per alias on the serving fixtures) — the champion rerank's
-#: pin gate, which knows the meta's n_aliases but not the posting
-#: count. A legacy meta without n_aliases does NOT pin (matching the
-#: posting gate's skip-below-threshold policy; round-13 review
-#: finding — the first cut pinned at the champion on/off crossover,
-#: 2x lower, and always pinned legacy indexes).
-LINKER_PIN_MIN_ALIASES = 20_000
+#: Pin the probe tail's exchanges only when the gram join is estimated
+#: to explode at least this many product rows into its child's
+#: (possibly AQE-collapsed-to-1) partitioning. The estimate is EXACT
+#: join cardinality — Σ_gram (mention rows × posting rows), one small
+#: agg + 1-row collect, self-filtering on the vocabulary — not a
+#: heuristic. Placement (round 14, MEASURED at the scale it taxes —
+#: VERDICT r13 #1): sf1's inline corpus fit estimates 1.02×10⁸
+#: products and runs HEALTHY unpinned (9.7 s loaded / ~8 s quiet; the
+#: r13 full-width pin made it 13.9-14.8 s — pin cost is shuffle-byte
+#: -bound, so even a narrow width pays most of it), while the
+#: observed sf10 bulk collapse built products another decade up
+#: (~10⁹) in one task for 25 min. 4×10⁸ sits 4× above the measured
+#: healthy point and comfortably below the measured disaster.
+LINKER_PIN_MIN_PRODUCT_ROWS = 400_000_000
+
+#: Rows-per-task target for the PINNED width: width =
+#: clamp(est_products / target, 2, spark.sql.shuffle.partitions).
+#: A full-width pin at mid scale shuffles the raw product table for
+#: parallelism it cannot use (the r13 sf1 regression); sizing from the
+#: estimate keeps the exchange proportional to the work it protects.
+LINKER_PIN_TARGET_ROWS_PER_TASK = 4_000_000
+
+#: Env override for the probe-tail pin: "auto" (the estimate gate,
+#: default), "off", "full" (every exchange at
+#: spark.sql.shuffle.partitions — the r13 behavior), or an explicit
+#: integer width. The bench's pinned-vs-unpinned sf1 pair and the
+#: sf10 rehearsal's collapse guard both record through this knob.
+LINKER_PIN_ENV = "SPARK_GRAFT_LINKER_PIN"
+
+#: Instrumentation: the most recent auto-gate decisions, keyed by
+#: path ("score_full": n_postings/est_products/width; "rerank":
+#: est_products/width) — read by bench.py so the pin evidence lands
+#: in BENCH JSON without a second estimate job.
+LAST_PIN_DECISION: dict = {}
+
+#: Alias-count gate for the champion rerank's ESTIMATE-AND-MAYBE-PIN
+#: (the rerank knows the meta's n_aliases but not the posting count).
+#: A legacy meta without n_aliases does NOT pin (matching the posting
+#: gate's skip-below-threshold policy). Round 14: raised 20k → 100k,
+#: measured — at sf1 (35.6k aliases) the estimate jobs alone cost the
+#: bulk probe ~0.7-1.7 s and every decision came back "don't pin"
+#: (unpinned 2.13 s vs r13's full-width-pinned 2.56 s), while sf10
+#: (357k aliases) is where the pin earns its keep. Below the gate:
+#: no estimate job, no pin; above it the width is sized by the exact
+#: candidate-pair gram-count bound (:func:`_rerank_pin_width`), not
+#: full shuffle width.
+LINKER_PIN_MIN_ALIASES = 100_000
 
 
-def _mention_clustered(products: DataFrame) -> DataFrame:
+def _pin_width(
+    mvec: DataFrame,
+    postings: DataFrame,
+    n_post: int,
+    gram_counts: DataFrame | None = None,
+) -> int:
+    """Auto-gate + size the probe tail's pinned exchanges. Returns 0
+    (no pin — leave the plan to AQE) or the REPARTITION_BY_NUM width.
+
+    The gate is the estimated product row count of the gram join —
+    Σ_gram (mention-side rows × posting-side rows), computed EXACTLY
+    by one (gram → count) agg on each side, an equi-join on the
+    (bounded, vocabulary-sized) gram dim, and a 1-row collect. Grams
+    outside the posting vocabulary self-filter in the join, so the
+    pre-idf ``gram_counts`` a caller passes (from raw mention gram
+    counts — cheaper than re-deriving vectors) gives the same number
+    as counting ``mvec`` itself. The whole estimate job is skipped
+    below :data:`LINKER_PIN_MIN_POSTINGS` where no product can reach
+    the gate."""
+    mode = os.environ.get(LINKER_PIN_ENV, "auto").strip().lower()
+    full = _pinned_shuffle_n(mvec)
+    if mode == "off":
+        return 0
+    if mode == "full":
+        return full
+    if mode != "auto":
+        return max(0, min(full, int(mode)))
+    if n_post < LINKER_PIN_MIN_POSTINGS:
+        return 0
+    mcnt = (
+        gram_counts if gram_counts is not None
+        else mvec.groupBy("gram").agg(F.count(F.lit(1)).alias("_mcnt"))
+    )
+    if "_mcnt" not in mcnt.columns:
+        raise ValueError("gram_counts must carry (gram, _mcnt)")
+    est_row = (
+        mcnt.join(
+            postings.groupBy("gram").agg(
+                F.count(F.lit(1)).alias("_pcnt")
+            ),
+            "gram",
+        )
+        .agg(F.sum(F.col("_mcnt") * F.col("_pcnt")).alias("_est"))
+        .collect()
+    )
+    est = int(est_row[0]["_est"] or 0)
+    if est < LINKER_PIN_MIN_PRODUCT_ROWS:
+        width = 0
+    else:
+        width = min(
+            full, max(2, -(-est // LINKER_PIN_TARGET_ROWS_PER_TASK))
+        )
+    LAST_PIN_DECISION["score_full"] = {
+        "n_postings": n_post, "est_products": est, "width": width,
+    }
+    return width
+
+
+def _rerank_pin_width(cand: DataFrame, avecs: DataFrame) -> int:
+    """Estimate-sized width for the champion rerank's mention-keyed
+    pin: the exact UPPER BOUND on rerank product rows is Σ over
+    candidate (mention, alias) pairs of that alias's full gram count
+    (the (mention, gram) join against mvec only shrinks it). One
+    bounded agg over the bucket-pruned alias vectors joined to the
+    persisted candidate set. Same gate/width constants as
+    :func:`_pin_width`; same env override."""
+    mode = os.environ.get(LINKER_PIN_ENV, "auto").strip().lower()
+    full = _pinned_shuffle_n(cand)
+    if mode == "off":
+        return 0
+    if mode == "full":
+        return full
+    if mode != "auto":
+        return max(0, min(full, int(mode)))
+    est_row = (
+        cand.join(
+            avecs.groupBy("alias").agg(F.count(F.lit(1)).alias("_g")),
+            "alias",
+        )
+        .agg(F.sum("_g").alias("_est"))
+        .collect()
+    )
+    est = int(est_row[0]["_est"] or 0)
+    if est < LINKER_PIN_MIN_PRODUCT_ROWS:
+        width = 0
+    else:
+        width = min(
+            full, max(2, -(-est // LINKER_PIN_TARGET_ROWS_PER_TASK))
+        )
+    LAST_PIN_DECISION["rerank"] = {
+        "est_products": est, "width": width,
+    }
+    return width
+
+
+def _mention_clustered(products: DataFrame, width: int) -> DataFrame:
     """Repartition raw (mention, alias, product) rows by MENTION with a
     PINNED partition count before the scoring aggregation — the one
     exchange the whole linker tail then shares (round 13, found
@@ -260,9 +397,13 @@ def _mention_clustered(products: DataFrame) -> DataFrame:
     MUST sit where the child partitioning differs from hash(mention)
     (e.g. over the gram-keyed join output): Catalyst statically
     elides it when the child already hashes by mention — exactly what
-    silently re-created the collapse on the first attempt."""
-    n = _pinned_shuffle_n(products)
-    return products.repartition(n, F.col("mention"))
+    silently re-created the collapse on the first attempt.
+
+    ``width`` comes from the caller's estimate-sized gate
+    (:func:`_pin_width` or the rerank's candidate bound) — round 14:
+    the r13 full-width pin shuffled the whole raw product table for
+    parallelism the mid-scale data couldn't use."""
+    return products.repartition(width, F.col("mention"))
 
 
 def _fold_rank(
@@ -312,6 +453,7 @@ def _score_full(
     threshold: float,
     k: int,
     broadcast_max_rows: int,
+    gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Full sparse matmul + fold over PRE-VECTORIZED mentions: one
     equi-join on gram + one (mention, alias) agg. Split out of
@@ -320,28 +462,30 @@ def _score_full(
     gram counting + vectorization (VERDICT r11 next #1b — the risky
     mentions were paying for vectorization twice).
 
-    Above :data:`LINKER_PIN_MIN_POSTINGS`, the mention side enters the
-    join under a PINNED gram-keyed repartition and the products under
-    a mention-keyed one: when the postings dim broadcasts, the join's
-    fan-out (each mention-gram row × its posting list) runs at the
-    CHILD's parallelism, and AQE had coalesced that child to ~1
-    partition on its tiny pre-explosion bytes (see
-    :func:`_mention_clustered` for the full post-mortem). Keyed by
-    gram, so when postings DON'T broadcast the sort-merge join reuses
-    the exchange instead of adding one. Below the threshold the
-    coalesced plan is strictly faster and the pins are skipped — the
-    posting count is already paid for by the broadcast decision."""
+    When :func:`_pin_width` fires (the estimated gram-join product
+    exceeds :data:`LINKER_PIN_MIN_PRODUCT_ROWS`), the mention side
+    enters the join under a PINNED gram-keyed repartition and the
+    products under a mention-keyed one, both at the estimate-sized
+    width: when the postings dim broadcasts, the join's fan-out (each
+    mention-gram row × its posting list) runs at the CHILD's
+    parallelism, and AQE had coalesced that child to ~1 partition on
+    its tiny pre-explosion bytes (see :func:`_mention_clustered` for
+    the full post-mortem). Keyed by gram, so when postings DON'T
+    broadcast the sort-merge join reuses the exchange instead of
+    adding one. Below the gate the coalesced plan is strictly faster
+    and the pins are skipped — the posting count is already paid for
+    by the broadcast decision, and the estimate job itself is skipped
+    below :data:`LINKER_PIN_MIN_POSTINGS`."""
     n_post = postings.count()
     post_dim = (F.broadcast(postings) if n_post <= broadcast_max_rows
                 else postings)
-    pin = n_post >= LINKER_PIN_MIN_POSTINGS
-    mside = (mvec.repartition(_pinned_shuffle_n(mvec), F.col("gram"))
-             if pin else mvec)
+    width = _pin_width(mvec, postings, n_post, gram_counts)
+    mside = mvec.repartition(width, F.col("gram")) if width else mvec
     products = mside.join(post_dim, "gram").select(
         "mention", "alias", (F.col("mw") * F.col("w")).alias("_prod")
     )
-    if pin:
-        products = _mention_clustered(products)
+    if width:
+        products = _mention_clustered(products, width)
     scored = (
         products.groupBy("mention", "alias")
         .agg(F.round(F.sum("_prod"), 6).alias("score"))
@@ -364,15 +508,31 @@ def _link_tail(
     inline fit (:func:`link_by_tfidf`) and the persisted-index serving
     path (:func:`link_with_alias_index`) so the two can never drift —
     the index probe's parity test leans on exactly this."""
+    from drugbankner_spark.caching import shared_persist
+
     distinct_mentions = (
         mentions.select(F.col(mention_col).alias("mention"))
         .filter(F.col("mention").isNotNull())
         .distinct()
     )
     mcounts = char_wb_gram_counts(distinct_mentions, "mention", "mention", n)
+    # above the pin floor the product-estimate job will scan the
+    # mention grams once more — persist them so the mention-source
+    # derivation (document trigram extraction on the corpus shapes) is
+    # paid once, shared with the main probe's vectorization. postings
+    # is persisted (inline fit) or a parquet footer count (serving),
+    # so the count here is cheap and _score_full's own count reuses it.
+    if postings.count() >= LINKER_PIN_MIN_POSTINGS:
+        mcounts = shared_persist(mcounts)
     mvec = _mention_vectors(mcounts, idf, broadcast_max_rows)
+    # the pin gate's product estimate counts mention gram rows from the
+    # RAW gram counts (grams outside the posting vocabulary self-filter
+    # in the estimate join), sparing a second vectorization pass
     return _score_full(
-        mvec, postings, alias_map, threshold, k, broadcast_max_rows
+        mvec, postings, alias_map, threshold, k, broadcast_max_rows,
+        gram_counts=mcounts.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("_mcnt")
+        ),
     )
 
 
@@ -430,7 +590,19 @@ ALIAS_CHAMPION_C = 512
 #: than the fixed-C form it replaced), higher cuts start starving
 #: candidate recall. Result: 5.5 s vs r12's 9.8 s (C=512, certified
 #: 0.77) and 47.3 s flat — both VERDICT r12 #1 "done" bars cleared.
-ALIAS_WCUT_RMS_FACTOR = 1.0
+#:
+#: Round 14 (VERDICT r13 next #2): 1.0 → 0.9, swept AT sf1 TOO
+#: (35.6k aliases, G*=16 — the mid-scale regime the sf10-only tuning
+#: under-served: 11/202 mentions uncertified, every probe paying the
+#: full-join fallback). Measured (tools/exp_wcut_sf1.py, loaded box,
+#: relative deltas): factor 1.0 → certified 0.9455 / 5.6 s; 0.9 →
+#: **1.0 / 3.2 s**; 0.8 → 1.0 / 3.9 s; 0.7 → 1.0 / 5.0 s (candidate
+#: gen growing); legacy C=512 → 1.0 / 2.9 s. Factor 0.9 is the
+#: largest cut that certifies everything at mid scale, and at sf10 it
+#: maps to w_cut 0.2405 — inside the r13-measured 0.20-0.25 plateau
+#: (7.5-5.5 s, certified 1.0), re-verified in the round-14 rehearsal.
+#: One policy at every scale; no rank-policy blend needed.
+ALIAS_WCUT_RMS_FACTOR = 0.9
 ALIAS_WCUT_MIN = 0.02
 ALIAS_WCUT_MAX = 0.35
 
@@ -978,11 +1150,14 @@ def link_with_alias_index(
         avecs = _read_index(spark, path + "/alias_vecs").select(
             "alias", "gram", "w"
         )
-    # rerank products pin by ontology size (the explosion scales with
-    # the alias dim; LINKER_PIN_MIN_ALIASES is the alias-count twin
-    # of _score_full's posting crossover, read from the meta the gate
-    # already loaded — no extra job; legacy metas without n_aliases
-    # skip the pin, same below-threshold policy)
+    # rerank products pin by an estimate-sized width (round 14 — the
+    # r13 cut pinned FULL width whenever the meta's n_aliases cleared
+    # LINKER_PIN_MIN_ALIASES, which taxed every mid-scale serving
+    # batch): the alias gate (no extra job) still decides whether to
+    # estimate at all, then the width comes from the exact upper bound
+    # on rerank products — Σ over candidate pairs of the candidate
+    # alias's gram count (the mvec join can only shrink it) — one
+    # bounded agg over the bucket-pruned avecs + the persisted cand.
     rerank_products = (
         cand.join(avecs, "alias")
         .join(mvec, ["mention", "gram"])
@@ -991,7 +1166,9 @@ def link_with_alias_index(
     )
     if fit_n_aliases is not None and \
             fit_n_aliases >= LINKER_PIN_MIN_ALIASES:
-        rerank_products = _mention_clustered(rerank_products)
+        width = _rerank_pin_width(cand, avecs)
+        if width:
+            rerank_products = _mention_clustered(rerank_products, width)
     scored = (
         rerank_products.groupBy("mention", "alias")
         .agg(F.round(F.sum("_prod"), 6).alias("score"))

@@ -188,6 +188,70 @@ EPOCH_BASE = -1
 #: step leaves a state dir that reads exactly right.
 EPOCH_STAGING = -2
 
+#: Generation-0 anchor for the SUM-family compactor's VERSIONED base
+#: partitions (round 14, VERDICT r13 next #5): generation g's base
+#: lives at ``_epoch = EPOCH_GEN_ANCHOR - g`` (-11, -12, ...), far
+#: below the legacy single base (-1) and the staging id (-2) so the
+#: three namespaces can never collide. The live generation is named
+#: by the highest-numbered ``_MANIFEST_G<g>`` file; readers resolve
+#: base + folded boundary through it, which is what makes the swap
+#: read-safe (see :func:`compact_epoch_state`).
+EPOCH_GEN_ANCHOR = -10
+
+#: Filename prefix of the sum-family manifest files. Underscore-
+#: prefixed, so Spark's file index ignores them inside the parquet
+#: dir; creation of a new one is the compactor's atomic commit point.
+EPOCH_MANIFEST_PREFIX = "_MANIFEST_G"
+
+
+def _epoch_manifest(spark, state_dir: str) -> tuple[int, int] | None:
+    """(generation, folded_up_to) from the highest-numbered manifest
+    file, or None for a dir the generation compactor has never touched
+    (legacy layout: optional ``_epoch=-1`` base + raw epochs)."""
+    import json as _json
+
+    from drugbankner_spark.operators.scale import _hadoop_fs, read_text_file
+
+    fs, root = _hadoop_fs(spark, state_dir)
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(EPOCH_MANIFEST_PREFIX):
+            try:
+                g = int(name[len(EPOCH_MANIFEST_PREFIX):])
+            except ValueError:
+                continue
+            best = g if best is None or g > best else best
+    if best is None:
+        return None
+    d = _json.loads(read_text_file(
+        spark, state_dir.rstrip("/") + f"/{EPOCH_MANIFEST_PREFIX}{best}"
+    ))
+    return int(d["generation"]), int(d["folded_up_to"])
+
+
+def _live_epoch_filter(spark, state_dir: str):
+    """Partition-pruning filter for the CURRENT contents of a
+    sum-family epoch state dir: under a manifest, the live generation's
+    base plus every stream epoch above the folded boundary (superseded
+    bases and already-folded epochs are excluded even if a crashed
+    vacuum left them behind — that is what makes reads exact at every
+    point of the protocol); without one, everything but staging."""
+    m = _epoch_manifest(spark, state_dir)
+    if m is None:
+        # no manifest: everything but staging AND any generation base
+        # — a base only becomes live through its manifest (a crash
+        # between the rename and the commit must not double-count)
+        return (F.col("_epoch") != EPOCH_STAGING) & (
+            F.col("_epoch") > EPOCH_GEN_ANCHOR
+        )
+    gen, folded = m
+    return (F.col("_epoch") == EPOCH_GEN_ANCHOR - gen) | (
+        (F.col("_epoch") >= 0) & (F.col("_epoch") > folded)
+    )
+
 
 def stream_cm_token_stats(
     docs_stream: DataFrame,
@@ -273,13 +337,13 @@ def read_corpus_stats(
     """Merge-on-read of a :func:`stream_corpus_stats` state dir: counts
     sum, min/max fold, KLL/HLL sketches union — one bounded groupBy
     over (epochs × groups) rows. Output: (group, n_docs, total_tokens,
-    min/max, p50_tokens approx, n_distinct_texts_approx). A crashed
-    compaction's staging partition is excluded (see
+    min/max, p50_tokens approx, n_distinct_texts_approx). The live
+    rows are resolved through the compaction manifest (see
     :func:`read_cm_sketch`)."""
     a, b = group_cols
     return (
         spark.read.parquet(state_dir)
-        .filter(F.col("_epoch") != EPOCH_STAGING)
+        .filter(_live_epoch_filter(spark, state_dir))
         .groupBy(a, b)
         .agg(
             F.sum("n_docs").alias("n_docs"),
@@ -301,13 +365,16 @@ def read_cm_sketch(spark, state_dir: str) -> DataFrame:
     """Merge-on-read of a :func:`stream_cm_token_stats` state dir: one
     bounded groupBy over (epochs x cells) rows — equals the sketch a
     single batch build over the full corpus would produce (tested).
-    The staging partition a crashed :func:`compact_epoch_state` may
-    have left behind is EXCLUDED — its counts still live in the
-    original epochs until the swap completes, so reading both would
-    double-count."""
+    Live rows resolve through the compaction manifest
+    (:func:`_live_epoch_filter`): the current generation's base + the
+    epochs above its folded boundary — so a read planned at ANY point
+    of a concurrent :func:`compact_epoch_state` (staging, swap, or a
+    crashed vacuum's leftovers) counts every row exactly once. A
+    staging partition is never live; a superseded base is excluded by
+    generation, not by deletion."""
     return (
         spark.read.parquet(state_dir)
-        .filter(F.col("_epoch") != EPOCH_STAGING)
+        .filter(_live_epoch_filter(spark, state_dir))
         .groupBy("row", "pos")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -321,34 +388,59 @@ def compact_epoch_state(
 ) -> int:
     """Generic compaction for SUM-family epoch-partial state dirs
     (round 13 — :func:`compact_hll_state`'s discipline extended to the
-    faces whose merge is NOT idempotent): fold every epoch ≤
-    ``up_to_epoch`` (including any existing base) into one base
-    partition and drop the folded epochs. ``fold`` maps the old rows
-    (base + folded epochs, ``_epoch`` still attached) to the new base
-    rows (same schema as one epoch's partials, WITHOUT ``_epoch``).
-    Returns how many epoch partitions were removed.
+    faces whose merge is NOT idempotent): fold every live epoch ≤
+    ``up_to_epoch`` (including the current base) into one NEW base
+    generation and retire the folded epochs. ``fold`` maps the old
+    rows (base + folded epochs, ``_epoch`` still attached) to the new
+    base rows (same schema as one epoch's partials, WITHOUT
+    ``_epoch``). Returns how many stream-epoch partitions were
+    removed.
 
-    Summed partials double-count if an epoch is folded twice, so the
-    HLL compactor's write-then-delete is not safe here. Protocol
-    (staging + marker, every step idempotent to resume):
+    Read-safety (round 14, VERDICT r13 next #5 — lifted to the HLL
+    face's read-anytime guarantee): the commit point is the atomic
+    CREATION of a new ``_MANIFEST_G<g>`` file naming the new base
+    generation and its folded boundary; every read face resolves live
+    rows through the highest manifest (:func:`_live_epoch_filter`), so
+    a read planned at ANY point sees each row exactly once — before
+    the commit it reads the old base + all epochs (the staged fold is
+    never live), after it the new base + the tail epochs. Deletion of
+    superseded partitions happens strictly AFTER the commit, so the
+    old undercount window is gone; a reader that planned against the
+    old generation and races the final vacuum can only fail loudly on
+    a missing file (the HLL face's posture), never return silently
+    short counts — and a crashed vacuum's leftovers are excluded by
+    generation, not double-counted.
 
-    1. write the fold to the ``_epoch = -2`` STAGING partition — every
-       read face excludes it, so a crash here changes nothing;
-    2. persist a ``_COMPACTING`` marker recording ``up_to_epoch`` —
-       from this point a re-run RESUMES (it must not re-fold: some
-       inputs may already be deleted);
-    3. delete the folded epochs and the old base — reads during this
-       window UNDERCOUNT (the usual non-transactional maintenance
-       caveat; run it when no reader is live, same posture as
-       ``compact_small_files``);
-    4. rename ``_epoch=-2`` → ``_epoch=-1`` (one namespace rename) and
-       remove the marker. Marker-present + staging-missing means a
-       crash landed after the rename: cleanup only.
+    Protocol (every step idempotent to resume; summed partials
+    double-count if an epoch is folded twice, so the HLL compactor's
+    plain write-then-delete is not safe here):
+
+    1. write the fold of the LIVE rows ≤ ``up_to_epoch`` to the
+       ``_epoch = -2`` staging partition (never live — a crash here
+       changes nothing; a re-run before the marker re-folds from the
+       still-intact inputs);
+    2. persist a ``_COMPACTING`` marker recording the boundary and
+       the target generation — from here a re-run RESUMES the swap;
+    3. rename staging → ``_epoch = EPOCH_GEN_ANCHOR - g`` (the new
+       generation's base — still invisible: no manifest names it);
+    4. COMMIT: create ``_MANIFEST_G<g>`` — one atomic file creation
+       flips every new read to (new base, epochs > boundary);
+    5. remove the marker;
+    6. vacuum: delete the folded epochs, every superseded base
+       (legacy ``_epoch=-1`` included), and older manifest files.
+
+    A resumed call finishes the crashed run's boundary FIRST, then —
+    if the caller asked for a HIGHER boundary — runs a fresh cycle up
+    to the caller's boundary in the same call (ADVICE r13: the old
+    behavior silently returned after the resumed boundary and the
+    caller's request needed a second call).
 
     Do not replay stream epochs ≤ ``up_to_epoch`` once compaction has
     started — a replayed partition would land next to a base that
     already contains it (the stream faces' replay idempotence is
-    per-partition, and that partition no longer exists)."""
+    per-partition, and that partition is retired)."""
+    import json as _json
+
     from drugbankner_spark.operators.scale import (
         _hadoop_fs,
         read_text_file,
@@ -356,73 +448,151 @@ def compact_epoch_state(
         write_text_file,
     )
 
+    state_dir = state_dir.rstrip("/")
     fs, root = _hadoop_fs(spark, state_dir)
-    marker_str = state_dir.rstrip("/") + "/_COMPACTING"
+    marker_str = state_dir + "/_COMPACTING"
     _, marker = _hadoop_fs(spark, marker_str)
-    staging_str = state_dir.rstrip("/") + f"/_epoch={EPOCH_STAGING}"
+    staging_str = state_dir + f"/_epoch={EPOCH_STAGING}"
     _, staging = _hadoop_fs(spark, staging_str)
-    base_str = state_dir.rstrip("/") + f"/_epoch={EPOCH_BASE}"
-    _, base_path = _hadoop_fs(spark, base_str)
 
-    if fs.exists(marker):
-        # resume a crashed run at ITS boundary (not the caller's — the
-        # staged fold contains exactly the epochs ≤ the recorded E)
-        up_to_epoch = int(read_text_file(spark, marker_str).strip())
-        if not fs.exists(staging):
-            # crash after the rename: compaction already completed
-            fs.delete(marker, False)
-            return 0
-    else:
-        old = spark.read.parquet(state_dir).filter(
-            (F.col("_epoch") <= int(up_to_epoch))
-            & (F.col("_epoch") != EPOCH_STAGING)
+    def gen_base_path(gen: int):
+        s = state_dir + f"/_epoch={EPOCH_GEN_ANCHOR - gen}"
+        return _hadoop_fs(spark, s)[1]
+
+    def vacuum(gen: int, folded: int) -> int:
+        """Delete everything the generation-``gen`` manifest
+        superseded. Idempotent — a crash partway re-deletes on the
+        next call."""
+        removed = 0
+        live_base = EPOCH_GEN_ANCHOR - gen
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith(EPOCH_MANIFEST_PREFIX):
+                try:
+                    g = int(name[len(EPOCH_MANIFEST_PREFIX):])
+                except ValueError:
+                    continue
+                if g < gen:
+                    fs.delete(st.getPath(), False)
+                continue
+            if not name.startswith("_epoch="):
+                continue
+            try:
+                epoch = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            dead = (
+                (0 <= epoch <= folded)          # folded stream epochs
+                or epoch == EPOCH_BASE          # legacy single base
+                or (epoch <= EPOCH_GEN_ANCHOR   # superseded generation
+                    and epoch != live_base)
+            )
+            if dead:
+                if not fs.delete(st.getPath(), True):
+                    raise IOError(
+                        f"compact_epoch_state: vacuuming {name} under "
+                        f"{state_dir} failed — re-run to resume"
+                    )
+                if epoch >= 0:
+                    removed += 1
+        return removed
+
+    def finish_swap(boundary: int, gen: int) -> int:
+        """Steps 3-6 from wherever the crash (or the happy path)
+        left off."""
+        base_path = gen_base_path(gen)
+        if fs.exists(staging):
+            if not fs.rename(staging, base_path):
+                raise IOError(
+                    f"compact_epoch_state: promoting {staging_str} -> "
+                    f"generation {gen} failed — re-run to resume"
+                )
+        write_text_file(
+            spark,
+            state_dir + f"/{EPOCH_MANIFEST_PREFIX}{gen}",
+            _json.dumps({"generation": gen, "folded_up_to": boundary}),
         )
-        upsert_partitions(
-            fold(old).withColumn("_epoch", F.lit(int(EPOCH_STAGING))),
-            state_dir, ["_epoch"],
-        )
-        if not fs.exists(staging):
-            # the fold produced ZERO rows (nothing at or below the
-            # boundary — e.g. a maintenance cron firing before the
-            # first epoch lands): a zero-row partitioned write
-            # materializes no staging partition, so there is nothing
-            # to swap. Return a clean no-op WITHOUT writing the
-            # marker — a marker without staging would send the next
-            # call down the "crash after rename" cleanup branch and
-            # silently skip ITS requested boundary.
-            return 0
-        write_text_file(spark, marker_str, str(int(up_to_epoch)))
+        if fs.exists(marker) and not fs.delete(marker, False):
+            raise IOError(
+                f"compact_epoch_state: compaction committed but "
+                f"removing {marker_str} failed — remove it before the "
+                "next run"
+            )
+        removed = vacuum(gen, boundary)
+        spark.catalog.refreshByPath(state_dir)
+        return removed
 
     removed = 0
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not name.startswith("_epoch="):
-            continue
+    if fs.exists(marker):
+        # resume the crashed run at ITS boundary first — the staged
+        # fold (or already-renamed base) contains exactly the epochs
+        # ≤ the recorded boundary
+        raw = read_text_file(spark, marker_str).strip()
         try:
-            epoch = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if epoch != EPOCH_STAGING and epoch <= int(up_to_epoch):
-            if not fs.delete(st.getPath(), True):
-                raise IOError(
-                    f"compact_epoch_state: deleting folded partition "
-                    f"{name} under {state_dir} failed — re-run to "
-                    "resume (the marker records the boundary)"
-                )
-            if epoch >= 0:
-                removed += 1
-    if not fs.rename(staging, base_path):
-        raise IOError(
-            f"compact_epoch_state: promoting {staging_str} -> "
-            f"{base_str} failed — re-run to resume"
+            md = _json.loads(raw)
+            r_boundary, r_gen = int(md["up_to"]), int(md["generation"])
+        except (ValueError, TypeError, KeyError):
+            # legacy (r13) plain-int marker: its staged fold targets
+            # the first generation after whatever the manifest names
+            r_boundary = int(raw)
+            cur = _epoch_manifest(spark, state_dir)
+            r_gen = (cur[0] if cur else 0) + 1
+        if not fs.exists(staging) and not fs.exists(gen_base_path(r_gen)):
+            # stale marker: nothing staged, nothing renamed — the
+            # crashed run never reached step 2's contract (or a
+            # completed run's marker delete raced); just clean up
+            fs.delete(marker, False)
+        else:
+            removed += finish_swap(r_boundary, r_gen)
+        # ADVICE r13: continue to the CALLER's boundary in the same
+        # call when it reaches past the resumed one (falls through)
+
+    cur = _epoch_manifest(spark, state_dir)
+    gen, folded = cur if cur else (0, None)
+    if folded is not None:
+        # no stream epoch in (folded, up_to] → folding would only
+        # rewrite the base into a new generation (a maintenance cron
+        # re-firing at the same boundary must be a no-op, not base
+        # churn); one partition listing, no job
+        has_new = False
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("_epoch="):
+                continue
+            try:
+                epoch = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if folded < epoch <= int(up_to_epoch):
+                has_new = True
+                break
+        if not has_new:
+            return removed
+    old = spark.read.parquet(state_dir).filter(
+        _live_epoch_filter(spark, state_dir)
+        & (
+            (F.col("_epoch") <= int(up_to_epoch))
+            | (F.col("_epoch") == EPOCH_GEN_ANCHOR - gen)
+            | (F.col("_epoch") == EPOCH_BASE)
         )
-    if not fs.delete(marker, False):
-        raise IOError(
-            f"compact_epoch_state: compaction succeeded but removing "
-            f"{marker_str} failed — remove it before the next run"
-        )
-    spark.catalog.refreshByPath(state_dir)
-    return removed
+    )
+    upsert_partitions(
+        fold(old).withColumn("_epoch", F.lit(int(EPOCH_STAGING))),
+        state_dir, ["_epoch"],
+    )
+    if not fs.exists(staging):
+        # the fold produced ZERO rows (nothing at or below the
+        # boundary — e.g. a maintenance cron firing before the first
+        # epoch lands): a zero-row partitioned write materializes no
+        # staging partition, so there is nothing to swap. Return a
+        # clean no-op WITHOUT writing the marker — a marker without
+        # staging would read as a stale crash on the next call.
+        return removed
+    write_text_file(
+        spark, marker_str,
+        _json.dumps({"up_to": int(up_to_epoch), "generation": gen + 1}),
+    )
+    return removed + finish_swap(int(up_to_epoch), gen + 1)
 
 
 def compact_cm_state(spark, state_dir: str, up_to_epoch: int) -> int:

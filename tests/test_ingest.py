@@ -188,16 +188,20 @@ def test_stream_cm_sketch_equals_batch_build(spark, tmp_path):
 
 
 def test_compact_cm_state_staged_protocol(spark, tmp_path):
-    # Round 13: the SUM-family compactor (CM merge is cell-wise sum,
-    # NOT idempotent under re-fold like the HLL max) — equality across
-    # the compaction boundary, a staging partition left by a "crash"
-    # must neither double-count a read nor break the resume, and the
-    # resumed run must finish the swap.
+    # Round 13/14: the SUM-family compactor (CM merge is cell-wise
+    # sum, NOT idempotent under re-fold like the HLL max) — equality
+    # across the compaction boundary, a staging partition left by a
+    # "crash" must neither double-count a read nor break the resume,
+    # the resumed run must finish the swap AND continue to the
+    # caller's higher boundary in the same call (ADVICE r13), and the
+    # manifest commit makes reads exact at EVERY protocol point
+    # (VERDICT r13 next #5 — no undercount window).
     from pyspark.sql import functions as F
 
     from drugbankner_spark.operators.sketches import (
-        EPOCH_BASE,
+        EPOCH_GEN_ANCHOR,
         EPOCH_STAGING,
+        _epoch_manifest,
         cm_build,
         compact_cm_state,
         read_cm_sketch,
@@ -224,20 +228,29 @@ def test_compact_cm_state_staged_protocol(spark, tmp_path):
     want = cm_build(toks, "tok", width=256, depth=3).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True)
 
-    # fold all but the newest epoch
+    def live_epochs():
+        spark.catalog.refreshByPath(state)
+        return sorted(r["_epoch"] for r in spark.read.parquet(state)
+                      .select("_epoch").distinct().collect())
+
+    # fold all but the newest epoch → generation-1 base + manifest
     removed = compact_cm_state(spark, state, epochs[-2])
     assert removed == len(epochs) - 1
-    left = sorted(r["_epoch"] for r in spark.read.parquet(state)
-                  .select("_epoch").distinct().collect())
-    assert left == [EPOCH_BASE, epochs[-1]]
+    assert _epoch_manifest(spark, state) == (1, epochs[-2])
+    assert live_epochs() == [EPOCH_GEN_ANCHOR - 1, epochs[-1]]
     got = read_cm_sketch(spark, state).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True)
     assert got.equals(want)
+    # re-firing the cron at the same boundary is a no-op, not base
+    # churn (round 14: a fold of base-only must not bump generations)
+    assert compact_cm_state(spark, state, epochs[-2]) == 0
+    assert _epoch_manifest(spark, state) == (1, epochs[-2])
 
-    # crash simulation AFTER staging+marker, BEFORE deletes: stage a
-    # fold of everything and write the marker by hand — a read in this
-    # window must NOT double-count (staging excluded), and a re-run
-    # must resume (no re-fold) and complete the swap.
+    # crash simulation AFTER staging+marker, BEFORE the swap: stage a
+    # fold of everything live and write a LEGACY (r13 plain-int)
+    # marker by hand — a read in this window must NOT double-count
+    # (staging never live), and a re-run must resume (no re-fold),
+    # commit, vacuum, and then continue to the caller's boundary.
     from drugbankner_spark.operators.scale import (
         upsert_partitions,
         write_text_file,
@@ -255,29 +268,110 @@ def test_compact_cm_state_staged_protocol(spark, tmp_path):
     mid = read_cm_sketch(spark, state).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True)
     assert mid.equals(want)  # staging invisible, no double count
-    compact_cm_state(spark, state, 10**9)  # boundary comes from marker
-    spark.catalog.refreshByPath(state)
+    # resume completes the marker's boundary as generation 2, then the
+    # caller's 10**9 boundary short-circuits (no epochs above)
+    compact_cm_state(spark, state, 10**9)
     after = read_cm_sketch(spark, state).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True)
     assert after.equals(want)
-    assert [r["_epoch"] for r in spark.read.parquet(state)
-            .select("_epoch").distinct().collect()] == [EPOCH_BASE]
-    # marker-present + staging-missing (crash after rename): cleanup
+    assert _epoch_manifest(spark, state) == (2, epochs[-1])
+    assert live_epochs() == [EPOCH_GEN_ANCHOR - 2]
+    # marker-present + staging-missing + nothing renamed (stale
+    # marker): cleanup only, reads unchanged
     write_text_file(spark, state + "/_COMPACTING", "0")
     assert compact_cm_state(spark, state, 0) == 0
-    spark.catalog.refreshByPath(state)
-    assert read_cm_sketch(spark, state).toPandas() \
-        .sort_values(["row", "pos"]).reset_index(drop=True).equals(want)
-    # EMPTY fold (round-13 review finding): a boundary below every
-    # epoch must be a clean no-op — no crash, no marker left behind,
-    # and a later call at a REAL boundary still compacts
-    assert compact_cm_state(spark, state, -100) == 0
     import os as _os
 
     assert not _os.path.exists(state + "/_COMPACTING")
     spark.catalog.refreshByPath(state)
     assert read_cm_sketch(spark, state).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True).equals(want)
+    # EMPTY fold (round-13 review finding): a boundary below every
+    # epoch must be a clean no-op — no crash, no marker left behind
+    assert compact_cm_state(spark, state, -100) == 0
+    assert not _os.path.exists(state + "/_COMPACTING")
+    spark.catalog.refreshByPath(state)
+    assert read_cm_sketch(spark, state).toPandas() \
+        .sort_values(["row", "pos"]).reset_index(drop=True).equals(want)
+
+
+def test_compact_epoch_state_read_safe_swap_and_resume_continue(
+    spark, tmp_path
+):
+    # Round 14 (VERDICT r13 next #5 + ADVICE r13): (a) reads planned
+    # at EVERY hand-simulated protocol point — staged, marker written,
+    # renamed-but-uncommitted, committed-but-unvacuumed — count every
+    # row exactly once (the old undercount window is gone: deletion
+    # happens only after the manifest commit); (b) a resumed call that
+    # was asked for a HIGHER boundary finishes the crashed run AND
+    # compacts to the caller's boundary in the same call.
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.scale import (
+        upsert_partitions,
+        write_text_file,
+    )
+    from drugbankner_spark.operators.sketches import (
+        EPOCH_GEN_ANCHOR,
+        EPOCH_STAGING,
+        _epoch_manifest,
+        compact_epoch_state,
+        read_cm_sketch,
+    )
+
+    state = str(tmp_path / "swap_state")
+    # three epochs of simple one-cell partials: epoch e contributes
+    # cnt = e+1 at (0, 0)
+    for e in range(3):
+        spark.createDataFrame([(0, 0, e + 1, e)],
+                              "row int, pos int, cnt long, _epoch int") \
+            .write.mode("append").partitionBy("_epoch").parquet(state)
+    want = [(0, 0, 6)]
+
+    def read_now():
+        spark.catalog.refreshByPath(state)
+        return [tuple(r) for r in read_cm_sketch(spark, state).collect()]
+
+    fold = lambda old: old.groupBy("row", "pos").agg(  # noqa: E731
+        F.sum("cnt").alias("cnt"))
+
+    # --- hand-simulate a compaction of epochs ≤ 1, pausing at every
+    # protocol point and reading ---
+    live = spark.read.parquet(state).filter(
+        (F.col("_epoch") <= 1) & (F.col("_epoch") != EPOCH_STAGING))
+    upsert_partitions(
+        fold(live).withColumn("_epoch", F.lit(int(EPOCH_STAGING))),
+        state, ["_epoch"])
+    assert read_now() == want          # staged: not live
+    write_text_file(spark, state + "/_COMPACTING",
+                    _json.dumps({"up_to": 1, "generation": 1}))
+    assert read_now() == want          # marker: nothing changed
+    import os as _os
+
+    _os.rename(state + f"/_epoch={EPOCH_STAGING}",
+               state + f"/_epoch={EPOCH_GEN_ANCHOR - 1}")
+    assert read_now() == want          # renamed but UNCOMMITTED: the
+    #                                    new base is not live (no
+    #                                    manifest), old epochs still are
+    write_text_file(spark, state + "/_MANIFEST_G1",
+                    _json.dumps({"generation": 1, "folded_up_to": 1}))
+    assert read_now() == want          # committed, NOT vacuumed: new
+    #                                    base live, folded epochs and
+    #                                    leftovers excluded by manifest
+    # --- resume with a HIGHER caller boundary: finishes the crashed
+    # run (marker cleanup + vacuum) AND folds epoch 2 in the same call
+    removed = compact_epoch_state(spark, state, 2, fold)
+    assert read_now() == want
+    assert not _os.path.exists(state + "/_COMPACTING")
+    assert _epoch_manifest(spark, state) == (2, 2)
+    spark.catalog.refreshByPath(state)
+    assert sorted(
+        r["_epoch"] for r in spark.read.parquet(state)
+        .select("_epoch").distinct().collect()
+    ) == [EPOCH_GEN_ANCHOR - 2]
+    assert removed >= 1  # epoch 2 folded in the continuation cycle
 
 
 def test_compact_corpus_stats_state(spark, tmp_path):
@@ -288,7 +382,8 @@ def test_compact_corpus_stats_state(spark, tmp_path):
     from pyspark.sql import functions as F  # noqa: F401
 
     from drugbankner_spark.operators.sketches import (
-        EPOCH_BASE,
+        EPOCH_GEN_ANCHOR,
+        _epoch_manifest,
         compact_corpus_stats_state,
         read_corpus_stats,
         stream_corpus_stats,
@@ -319,8 +414,11 @@ def test_compact_corpus_stats_state(spark, tmp_path):
     spark.catalog.refreshByPath(state)
     assert sorted(map(tuple,
                       read_corpus_stats(spark, state).collect())) == want
+    gen, folded = _epoch_manifest(spark, state)
+    assert folded == epochs[-1]
     assert [r["_epoch"] for r in spark.read.parquet(state)
-            .select("_epoch").distinct().collect()] == [EPOCH_BASE]
+            .select("_epoch").distinct().collect()] \
+        == [EPOCH_GEN_ANCHOR - gen]
 
 
 def test_stream_corpus_stats_equals_batch(spark, tmp_path):

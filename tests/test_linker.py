@@ -513,16 +513,26 @@ def test_weight_policy_bulk_gate_and_pinned_exchanges(
     ).collect())
     assert stats_r["used_champions"] is False
     assert rows_w == rows_r and rows_w
-    # pinned exchanges in the tail, gated by scale: above the posting
-    # threshold the gram-side and mention-side repartitions survive as
-    # REPARTITION_BY_NUM (not elided, not AQE-coalescible); below it
-    # the coalesced plan is kept (measured faster at small SF).
-    plan = out_w._jdf.queryExecution().executedPlan().toString()
-    assert "REPARTITION_BY_NUM" in plan  # rerank pin: n_aliases gate
+    # pinned exchanges in the tail, gated by ESTIMATED PRODUCT ROWS
+    # (round 14 — the r13 posting-count gate taxed mid-scale data
+    # where AQE's coalesced plan was strictly better): with the
+    # product gate forced open the gram-side and mention-side
+    # repartitions survive as REPARTITION_BY_NUM (not elided, not
+    # AQE-coalescible); at the default gate this tiny fixture's
+    # estimate keeps the coalesced plan.
+    monkeypatch.setattr(L, "LINKER_PIN_MIN_PRODUCT_ROWS", 1)
+    out_w2 = L.link_with_alias_index(
+        spark, wpath, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False,
+    )
+    plan = out_w2._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan  # rerank pin: estimate-sized
+    assert sorted(tuple(r) for r in out_w2.collect()) == rows_w
     flat_small = L.link_with_alias_index(
         spark, wpath, mentions, "mention", threshold=0.3, k=1,
         prune_buckets=False, use_champions=False,
     )._jdf.queryExecution().executedPlan().toString()
+    # estimate job is skipped entirely below LINKER_PIN_MIN_POSTINGS
     assert "REPARTITION_BY_NUM" not in flat_small
     monkeypatch.setattr(L, "LINKER_PIN_MIN_POSTINGS", 1)
     flat_pinned = L.link_with_alias_index(
@@ -530,6 +540,30 @@ def test_weight_policy_bulk_gate_and_pinned_exchanges(
         prune_buckets=False, use_champions=False,
     )._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in flat_pinned
+    assert L.LAST_PIN_DECISION["score_full"]["width"] >= 2
+    assert L.LAST_PIN_DECISION["score_full"]["est_products"] > 0
+    # the estimate itself gates: a sky-high product threshold keeps
+    # the coalesced plan even above the posting floor
+    monkeypatch.setattr(L, "LINKER_PIN_MIN_PRODUCT_ROWS", 10**15)
+    flat_est_gated = L.link_with_alias_index(
+        spark, wpath, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, use_champions=False,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" not in flat_est_gated
+    # env override wins in both directions (the bench's paired-run knob)
+    monkeypatch.setenv(L.LINKER_PIN_ENV, "full")
+    forced = L.link_with_alias_index(
+        spark, wpath, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, use_champions=False,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in forced
+    monkeypatch.setattr(L, "LINKER_PIN_MIN_PRODUCT_ROWS", 1)
+    monkeypatch.setenv(L.LINKER_PIN_ENV, "off")
+    suppressed = L.link_with_alias_index(
+        spark, wpath, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, use_champions=False,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" not in suppressed
 
 
 def test_champion_probe_opt_out_and_missing_layout(spark, tmp_path):
