@@ -5541,23 +5541,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     e1_pii_scrub, t_resample_gapfill, e6_transition_matrix,
     j_jw_match). Slots from demoting the five suites the r12 rotation
     just RE-verified plus the thrice-green e5_agreement; the
-    once-green x1_linker_served stays."""
+    once-green x1_linker_served stays.
+
+    Round-14 rotation (VERDICT r13 next #4): the eight OLDEST demoted
+    driver-verified rows by the correctness-history ledger — the
+    r6-era consolidation suites, last driver-green in CORRECTNESS_r06
+    (a_agg_suite, u_set_suite, f_text_suite, f_curie_suite,
+    w_window_suite, e4_media_suite, e3_docmeta_suite,
+    e1_near_dup_suite; older than the r9/r10 singles the verdict
+    named, which are all still IN the window with 4-5 greens each) —
+    rotate back in. Slots from demoting eight 5-6×-green non-keeper
+    rows (x1_tfidf_linker, e5_prep_suite, e2_hard_negatives,
+    e4_mpeg_decode, e3_gopher_rep, pipeline_curate_corpus,
+    g_graph_suite, e5_gov_suite — X1 stays covered by
+    ep1_tfidf_mechanistic_nodes + the three x1_linker rows; E4's
+    driver presence moves to the rotated-in e4_media_suite); every
+    demoted name stays runnable + oracle-backed in ``all_queries``
+    and hash-checked in tests/test_oracle_parity.py."""
     return {
-        # -- round-13 rotation (VERDICT r12 next #4): the six OLDEST
-        # driver-verified pool rows — r7/r8-era, not driver-green
-        # since — rotate back in for re-verification at sf0.01. The
-        # slots come from demoting the five suites the r12 rotation
-        # just RE-verified (fresh driver evidence; each stays
-        # runnable via all_queries and hash-checked in
-        # tests/test_oracle_parity.py) plus the thrice-green
-        # e5_agreement single ------------------------------------------
+        # -- round-14 rotation (VERDICT r13 next #4): the eight OLDEST
+        # demoted driver-verified rows (r6-era suites, last green in
+        # CORRECTNESS_r06) rotate back in for re-verification --------
+        "a_agg_suite": _a_agg_suite,
+        "u_set_suite": _u_set_suite,
+        "f_text_suite": _f_text_suite,
+        "f_curie_suite": _f_curie_suite,
+        "w_window_suite": _w_window_suite,
+        "e4_media_suite": _e4_media_suite,
+        "e3_docmeta_suite": _e3_docmeta_suite,
+        "e1_near_dup_suite": _e1_near_dup_suite,
+        # -- round-13 rotation rows (twice-green, stay one more round
+        # before demotion eligibility) ---------------------------------
         "e5_retrieval_metrics": _e5_retrieval_metrics,
         "e1_c4_filter": _e1_c4_filter,
         "e1_pii_scrub": _e1_pii_scrub,
         "t_resample_gapfill": _t_resample_gapfill,
         "e6_transition_matrix": _e6_transition_matrix,
         "j_jw_match": _j_jw_match,
-        # -- round-12 keeper: the champion serving probe (once-green) --
+        # -- round-12 keeper: the champion serving probe (twice-green) --
         "x1_linker_served": _x1_linker_served,
         # -- round-10 rotation (VERDICT r09 next #1/#7): the eight
         # never-driver-verified pool entries enter the window; the
@@ -5584,6 +5605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_acf": _t_acf,
         "e6_hll_distinct": _e6_hll_distinct,
         # -- r09-green rows staying in the window ----------------------
+        # (round 14 demotions: e5_gov_suite, e5_prep_suite,
+        # g_graph_suite, e4_mpeg_decode, e3_gopher_rep,
+        # e2_hard_negatives, pipeline_curate_corpus, x1_tfidf_linker —
+        # all 5-6× driver-green, all still in all_queries)
         "pipeline_pretrain_prep": _pipeline_pretrain_prep,
         "ep1_spotted_nodes": _ep1_spotted_nodes,
         "t_ts_suite": _t_ts_suite,
@@ -5593,21 +5618,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_lm_suite": _e3_lm_suite,
         "e5_sft_suite": _e5_sft_suite,
         "g_count_suite": _g_count_suite,
-        "e5_gov_suite": _e5_gov_suite,
         "e2_assign_stream": _e2_assign_stream,
         "e1_semantic_decontaminate": _e1_semantic_decontaminate,
         "g_kcore": _g_kcore,
         "t_cusum": _t_cusum,
         "j_er_suite": _j_er_suite,
         "e1_pair_suite": _e1_pair_suite,
-        "e5_prep_suite": _e5_prep_suite,
-        "g_graph_suite": _g_graph_suite,
-        "e4_mpeg_decode": _e4_mpeg_decode,
-        "e3_gopher_rep": _e3_gopher_rep,
-        "e2_hard_negatives": _e2_hard_negatives,
-        "pipeline_curate_corpus": _pipeline_curate_corpus,
-        # -- round-7 new ops: the in-engine TF-IDF linker (X1 closure)
-        "x1_tfidf_linker": _x1_tfidf_linker,
+        # -- round-7 new op: the X1-closure composition (the in-engine
+        # TF-IDF linker's own row x1_tfidf_linker demoted this round;
+        # the composed EP1 face keeps X1 driver-verified) ---------------
         "ep1_tfidf_mechanistic_nodes": _ep1_tfidf_mechanistic_nodes,
         # -- keepers: the EP2 flagship merge (its oracle hash-checks the
         # classic EP1 assembly downstream too), the 14-query TPC-H
@@ -5868,6 +5887,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the synthesis filterbank has no SQL twin; SNR/PR goldens in
         # tests/test_mpeg_audio.py)
         "e4_mpeg_decode": _e4_mpeg_decode,
+        # round-14 demotions (5-6x driver-green; oracles unchanged)
+        "x1_tfidf_linker": _x1_tfidf_linker,
+        "e5_gov_suite": _e5_gov_suite,
         # round 7 (round-8 pool): distributed suffix array (prefix
         # doubling, two-phase global dense-rank) + Lee-et-al exact
         # substring duplication — both hash-oracled against direct

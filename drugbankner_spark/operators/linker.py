@@ -241,12 +241,40 @@ LINKER_PIN_MIN_POSTINGS = 200_000
 #: healthy point and comfortably below the measured disaster.
 LINKER_PIN_MIN_PRODUCT_ROWS = 400_000_000
 
-#: Rows-per-task target for the PINNED width: width =
-#: clamp(est_products / target, 2, spark.sql.shuffle.partitions).
-#: A full-width pin at mid scale shuffles the raw product table for
-#: parallelism it cannot use (the r13 sf1 regression); sizing from the
-#: estimate keeps the exchange proportional to the work it protects.
-LINKER_PIN_TARGET_ROWS_PER_TASK = 4_000_000
+#: Posting-table size at/above which the tail pins REGARDLESS of the
+#: product estimate (VERDICT r13 #1's "raise the gate to ~1M" option,
+#: kept as an OR-condition alongside the estimate): r12's UNPINNED
+#: sf10 numbers show the collapse hits shapes whose product estimate
+#: is small — the 202-mention serving-flat probe against the 1.8M-
+#: posting index ran 47.3 s unpinned vs 9.0 s pinned — because at
+#: that index scale AQE coalesces the tiny mention side to one
+#: partition and everything downstream inherits it. 1M postings is a
+#: decade of margin over sf1's measured-healthy 390k and sits under
+#: the 1.8M where both collapses were observed.
+LINKER_PIN_FULL_MIN_POSTINGS = 1_000_000
+
+# When the gate fires, the pin is always FULL width
+# (spark.sql.shuffle.partitions). VERDICT r13 #1 suggested sizing
+# the width from the estimate instead; implemented, measured,
+# REJECTED with numbers (round 14): pin cost is dominated by the
+# product-table bytes through the exchange, which every width pays —
+# at sf1's 1.02×10⁸-product inline fit, width 26 and width 32 both
+# cost ~14 s vs 9.7 s unpinned (the only winning mid-scale move is
+# not pinning, which the estimate gate now delivers) — while a
+# NARROW pin under-provisions the explosion when the gate fires on
+# the posting-count condition with a small product table: sf10
+# serving-flat measured 15.6 s at width ~3 vs 9.0 s at full width
+# (the products are tiny there, so full width costs nothing and
+# distributes the fan-out work).
+
+#: (applicationId, gram-plan semanticHash, n_postings) → estimated
+#: product rows. The estimate is a pure function of the mention batch
+#: plan and the posting table; repeat probes of the same shape (the
+#: bench's min-of-N, a serving loop on a fixed corpus slice) pay the
+#: estimate job once. A stale hit can only mis-size a pin width —
+#: performance, never results — so plan-hash + posting-count keying
+#: is enough (no file-snapshot component like the ACF memo needs).
+_PIN_EST_CACHE: dict = {}
 
 #: Env override for the probe-tail pin: "auto" (the estimate gate,
 #: default), "off", "full" (every exchange at
@@ -261,17 +289,15 @@ LINKER_PIN_ENV = "SPARK_GRAFT_LINKER_PIN"
 #: in BENCH JSON without a second estimate job.
 LAST_PIN_DECISION: dict = {}
 
-#: Alias-count gate for the champion rerank's ESTIMATE-AND-MAYBE-PIN
-#: (the rerank knows the meta's n_aliases but not the posting count).
-#: A legacy meta without n_aliases does NOT pin (matching the posting
-#: gate's skip-below-threshold policy). Round 14: raised 20k → 100k,
-#: measured — at sf1 (35.6k aliases) the estimate jobs alone cost the
-#: bulk probe ~0.7-1.7 s and every decision came back "don't pin"
-#: (unpinned 2.13 s vs r13's full-width-pinned 2.56 s), while sf10
-#: (357k aliases) is where the pin earns its keep. Below the gate:
-#: no estimate job, no pin; above it the width is sized by the exact
-#: candidate-pair gram-count bound (:func:`_rerank_pin_width`), not
-#: full shuffle width.
+#: Alias-count gate for the champion rerank's full-width pin (the
+#: rerank knows the meta's n_aliases but not the posting count). A
+#: legacy meta without n_aliases does NOT pin (matching the posting
+#: gate's skip-below-threshold policy). Round 14: raised 20k → 100k
+#: with measurements on BOTH sides — sf1 bulk (35.6k aliases) runs
+#: faster unpinned (2.13 s vs r13's pinned 2.56 s), sf10 bulk (357k)
+#: collapses without the pin (36.9 s vs 25.7 s pinned, loaded box).
+#: See :func:`_rerank_pin_width` for the estimate-gated variant this
+#: replaced after measurement.
 LINKER_PIN_MIN_ALIASES = 100_000
 
 
@@ -284,16 +310,23 @@ def _pin_width(
     """Auto-gate + size the probe tail's pinned exchanges. Returns 0
     (no pin — leave the plan to AQE) or the REPARTITION_BY_NUM width.
 
-    The gate is the estimated product row count of the gram join —
-    Σ_gram (mention-side rows × posting-side rows), computed EXACTLY
-    by one (gram → count) agg on each side, an equi-join on the
-    (bounded, vocabulary-sized) gram dim, and a 1-row collect. Grams
-    outside the posting vocabulary self-filter in the join, so the
-    pre-idf ``gram_counts`` a caller passes (from raw mention gram
-    counts — cheaper than re-deriving vectors) gives the same number
-    as counting ``mvec`` itself. The whole estimate job is skipped
-    below :data:`LINKER_PIN_MIN_POSTINGS` where no product can reach
-    the gate."""
+    The gate fires when EITHER the estimated product row count clears
+    :data:`LINKER_PIN_MIN_PRODUCT_ROWS` (a big batch × any index) OR
+    the posting table clears :data:`LINKER_PIN_FULL_MIN_POSTINGS` (a
+    corpus-scale index, where even a tiny batch's plan collapses —
+    the r12 serving-flat evidence); a fired pin is always FULL width
+    (narrow widths measured strictly worse — see the constants'
+    comment). The estimate is the exact product row count of the gram
+    join — Σ_gram (mention-side rows × posting-side rows), one
+    (gram → count) agg per side, an equi-join on the (bounded,
+    vocabulary-sized) gram dim, and a 1-row collect, memoized per
+    (app, batch plan, posting count). Grams outside the posting
+    vocabulary self-filter in the join, so the pre-idf
+    ``gram_counts`` a caller passes (from raw mention gram counts —
+    cheaper than re-deriving vectors) gives the same number as
+    counting ``mvec`` itself. The whole estimate job is skipped below
+    :data:`LINKER_PIN_MIN_POSTINGS` where neither condition can
+    fire."""
     mode = os.environ.get(LINKER_PIN_ENV, "auto").strip().lower()
     full = _pinned_shuffle_n(mvec)
     if mode == "off":
@@ -310,37 +343,56 @@ def _pin_width(
     )
     if "_mcnt" not in mcnt.columns:
         raise ValueError("gram_counts must carry (gram, _mcnt)")
-    est_row = (
-        mcnt.join(
-            postings.groupBy("gram").agg(
-                F.count(F.lit(1)).alias("_pcnt")
-            ),
-            "gram",
+    key = None
+    try:
+        key = (
+            mvec.sparkSession.sparkContext.applicationId,
+            mcnt._jdf.queryExecution().logical().semanticHash(),
+            n_post,
         )
-        .agg(F.sum(F.col("_mcnt") * F.col("_pcnt")).alias("_est"))
-        .collect()
-    )
-    est = int(est_row[0]["_est"] or 0)
-    if est < LINKER_PIN_MIN_PRODUCT_ROWS:
+    except Exception:
+        pass  # py4j API drift — just skip memoization
+    if key is not None and key in _PIN_EST_CACHE:
+        est = _PIN_EST_CACHE[key]
+    else:
+        est_row = (
+            mcnt.join(
+                postings.groupBy("gram").agg(
+                    F.count(F.lit(1)).alias("_pcnt")
+                ),
+                "gram",
+            )
+            .agg(F.sum(F.col("_mcnt") * F.col("_pcnt")).alias("_est"))
+            .collect()
+        )
+        est = int(est_row[0]["_est"] or 0)
+        if key is not None:
+            _PIN_EST_CACHE[key] = est
+    if (est < LINKER_PIN_MIN_PRODUCT_ROWS
+            and n_post < LINKER_PIN_FULL_MIN_POSTINGS):
         width = 0
     else:
-        width = min(
-            full, max(2, -(-est // LINKER_PIN_TARGET_ROWS_PER_TASK))
-        )
+        width = full
     LAST_PIN_DECISION["score_full"] = {
         "n_postings": n_post, "est_products": est, "width": width,
     }
     return width
 
 
-def _rerank_pin_width(cand: DataFrame, avecs: DataFrame) -> int:
-    """Estimate-sized width for the champion rerank's mention-keyed
-    pin: the exact UPPER BOUND on rerank product rows is Σ over
-    candidate (mention, alias) pairs of that alias's full gram count
-    (the (mention, gram) join against mvec only shrinks it). One
-    bounded agg over the bucket-pruned alias vectors joined to the
-    persisted candidate set. Same gate/width constants as
-    :func:`_pin_width`; same env override."""
+def _rerank_pin_width(cand: DataFrame, n_aliases: int) -> int:
+    """Alias-count gate for the champion rerank's mention-keyed pin
+    (full width when fired; env override like :func:`_pin_width`).
+
+    An estimate-gated variant (exact candidate-pair gram-count bound,
+    one agg + 1-row collect) was implemented, MEASURED at both
+    scales, and rejected (round 14): the sf10 bulk rerank estimates
+    2.6×10⁸ products — under the 4×10⁸ gate that is correct for
+    :func:`_score_full`'s shape — yet runs 36.9 s unpinned vs 25.7 s
+    pinned, while sf1's 35.6k-alias bulk runs FASTER unpinned
+    (2.13 s vs 2.56 s). Two shapes, two thresholds — and the simple
+    alias gate at :data:`LINKER_PIN_MIN_ALIASES` already separates
+    the measured-healthy from the measured-unhealthy points at both
+    scales, with no estimate job on any probe."""
     mode = os.environ.get(LINKER_PIN_ENV, "auto").strip().lower()
     full = _pinned_shuffle_n(cand)
     if mode == "off":
@@ -349,23 +401,9 @@ def _rerank_pin_width(cand: DataFrame, avecs: DataFrame) -> int:
         return full
     if mode != "auto":
         return max(0, min(full, int(mode)))
-    est_row = (
-        cand.join(
-            avecs.groupBy("alias").agg(F.count(F.lit(1)).alias("_g")),
-            "alias",
-        )
-        .agg(F.sum("_g").alias("_est"))
-        .collect()
-    )
-    est = int(est_row[0]["_est"] or 0)
-    if est < LINKER_PIN_MIN_PRODUCT_ROWS:
-        width = 0
-    else:
-        width = min(
-            full, max(2, -(-est // LINKER_PIN_TARGET_ROWS_PER_TASK))
-        )
+    width = full if n_aliases >= LINKER_PIN_MIN_ALIASES else 0
     LAST_PIN_DECISION["rerank"] = {
-        "est_products": est, "width": width,
+        "n_aliases": n_aliases, "width": width,
     }
     return width
 
@@ -454,6 +492,7 @@ def _score_full(
     k: int,
     broadcast_max_rows: int,
     gram_counts: DataFrame | None = None,
+    n_post: int | None = None,
 ) -> DataFrame:
     """Full sparse matmul + fold over PRE-VECTORIZED mentions: one
     equi-join on gram + one (mention, alias) agg. Split out of
@@ -476,7 +515,8 @@ def _score_full(
     and the pins are skipped — the posting count is already paid for
     by the broadcast decision, and the estimate job itself is skipped
     below :data:`LINKER_PIN_MIN_POSTINGS`."""
-    n_post = postings.count()
+    if n_post is None:
+        n_post = postings.count()
     post_dim = (F.broadcast(postings) if n_post <= broadcast_max_rows
                 else postings)
     width = _pin_width(mvec, postings, n_post, gram_counts)
@@ -521,8 +561,10 @@ def _link_tail(
     # derivation (document trigram extraction on the corpus shapes) is
     # paid once, shared with the main probe's vectorization. postings
     # is persisted (inline fit) or a parquet footer count (serving),
-    # so the count here is cheap and _score_full's own count reuses it.
-    if postings.count() >= LINKER_PIN_MIN_POSTINGS:
+    # so the count here is cheap; passed down so _score_full doesn't
+    # re-count.
+    n_post = postings.count()
+    if n_post >= LINKER_PIN_MIN_POSTINGS:
         mcounts = shared_persist(mcounts)
     mvec = _mention_vectors(mcounts, idf, broadcast_max_rows)
     # the pin gate's product estimate counts mention gram rows from the
@@ -533,6 +575,7 @@ def _link_tail(
         gram_counts=mcounts.groupBy("gram").agg(
             F.count(F.lit(1)).alias("_mcnt")
         ),
+        n_post=n_post,
     )
 
 
@@ -591,18 +634,29 @@ ALIAS_CHAMPION_C = 512
 #: candidate recall. Result: 5.5 s vs r12's 9.8 s (C=512, certified
 #: 0.77) and 47.3 s flat — both VERDICT r12 #1 "done" bars cleared.
 #:
-#: Round 14 (VERDICT r13 next #2): 1.0 → 0.9, swept AT sf1 TOO
-#: (35.6k aliases, G*=16 — the mid-scale regime the sf10-only tuning
-#: under-served: 11/202 mentions uncertified, every probe paying the
-#: full-join fallback). Measured (tools/exp_wcut_sf1.py, loaded box,
-#: relative deltas): factor 1.0 → certified 0.9455 / 5.6 s; 0.9 →
-#: **1.0 / 3.2 s**; 0.8 → 1.0 / 3.9 s; 0.7 → 1.0 / 5.0 s (candidate
-#: gen growing); legacy C=512 → 1.0 / 2.9 s. Factor 0.9 is the
-#: largest cut that certifies everything at mid scale, and at sf10 it
-#: maps to w_cut 0.2405 — inside the r13-measured 0.20-0.25 plateau
-#: (7.5-5.5 s, certified 1.0), re-verified in the round-14 rehearsal.
-#: One policy at every scale; no rank-policy blend needed.
+#: Round 14 (VERDICT r13 next #2): the factor is now TWO-REGIME by
+#: ontology size, both regimes measured. Mid scale (sf1, 35.6k
+#: aliases, G*=16 — where the sf10-only tuning left 11/202 mentions
+#: uncertified and every probe paying the full-join fallback): the
+#: sweep (tools/exp_wcut_sf1.py) measured factor 1.0 → certified
+#: 0.9455 / 5.6 s; 0.9 → **1.0 / 3.2 s**; 0.8 → 1.0 / 3.9 s; 0.7 →
+#: 1.0 / 5.0 s (candidate gen growing); legacy C=512 → 1.0 / 2.9 s —
+#: 0.9 is the largest cut that certifies everything. Large scale
+#: (sf10, 357k aliases): factor 1.0 already certifies 1.0 (the
+#: kth-score rule dominates — near-exact matches outscore any bound
+#: the cutoffs reach) and the shorter lists are strictly faster
+#: (bulk 23.7 s / serving 6.5 s at 1.0 vs 30.7 s / 7.8 s at 0.9,
+#: both measured round 14) — so a single global 0.9 would tax every
+#: large-ontology probe ~30% to fix a regime it isn't in. A fixed
+#: factor stops tracking the ontology exactly the way the fixed
+#: rank cap C did (VERDICT r12 #1); the fit auto-picks by its own
+#: alias count (boundary 100k — interpolated between the two
+#: measured points, aligned with the machinery's other crossovers).
 ALIAS_WCUT_RMS_FACTOR = 0.9
+
+#: Large-ontology regime: factor and boundary (see above).
+ALIAS_WCUT_RMS_FACTOR_LARGE = 1.0
+ALIAS_WCUT_LARGE_MIN_ALIASES = 100_000
 ALIAS_WCUT_MIN = 0.02
 ALIAS_WCUT_MAX = 0.35
 
@@ -789,11 +843,23 @@ def save_alias_index(
     spark = aliases.sparkSession
     _mark = cache_mark()
     postings = shared_persist(postings)
+    # the fit's own N — needed up front now: the auto weight policy's
+    # RMS factor is two-regime by ontology size (round 14); also
+    # persisted in the meta below (ADVICE r09 successor) and reused
+    # there, so this stays one bounded count per publish.
+    n_aliases = alias_map.select("alias").distinct().count()
     w_cut: float | None = None
     if champion_c == "auto":
         w_cut = (
             float(champion_w_cut) if champion_w_cut is not None
-            else _auto_champion_w_cut(postings)
+            else _auto_champion_w_cut(
+                postings,
+                rms_factor=(
+                    ALIAS_WCUT_RMS_FACTOR_LARGE
+                    if n_aliases >= ALIAS_WCUT_LARGE_MIN_ALIASES
+                    else ALIAS_WCUT_RMS_FACTOR
+                ),
+            )
         )
         champion_c = -1  # meta sentinel: weight-policy champions
     elif isinstance(champion_c, str):
@@ -893,11 +959,8 @@ def save_alias_index(
     # matches with no error). A 1-row parquet, not a sidecar JSON, so
     # the layout stays portable to any Hadoop-compatible FS. Round 12:
     # also carries n_aliases (distinct alias strings — the fit's own
-    # N) so probes can auto-gate the champion machinery by ontology
-    # size; one bounded count at publish time.
-    n_aliases = (
-        alias_map.select("alias").distinct().count()
-    )
+    # N, counted once above) so probes can auto-gate the champion
+    # machinery by ontology size.
     spark.createDataFrame(
         [(int(n), int(n_buckets),
           float(max_df_ratio) if max_df_ratio is not None else None,
@@ -1150,23 +1213,19 @@ def link_with_alias_index(
         avecs = _read_index(spark, path + "/alias_vecs").select(
             "alias", "gram", "w"
         )
-    # rerank products pin by an estimate-sized width (round 14 — the
-    # r13 cut pinned FULL width whenever the meta's n_aliases cleared
-    # LINKER_PIN_MIN_ALIASES, which taxed every mid-scale serving
-    # batch): the alias gate (no extra job) still decides whether to
-    # estimate at all, then the width comes from the exact upper bound
-    # on rerank products — Σ over candidate pairs of the candidate
-    # alias's gram count (the mvec join can only shrink it) — one
-    # bounded agg over the bucket-pruned avecs + the persisted cand.
+    # rerank products pin by the alias gate (round 14: the r13 20k
+    # threshold taxed mid-scale serving — raised to 100k with sf1/sf10
+    # bulk measurements on both sides; an estimate-gated variant was
+    # measured and rejected, see _rerank_pin_width). Legacy metas
+    # without n_aliases do not pin (skip-below-threshold policy).
     rerank_products = (
         cand.join(avecs, "alias")
         .join(mvec, ["mention", "gram"])
         .select("mention", "alias",
                 (F.col("mw") * F.col("w")).alias("_prod"))
     )
-    if fit_n_aliases is not None and \
-            fit_n_aliases >= LINKER_PIN_MIN_ALIASES:
-        width = _rerank_pin_width(cand, avecs)
+    if fit_n_aliases is not None:
+        width = _rerank_pin_width(cand, fit_n_aliases)
         if width:
             rerank_products = _mention_clustered(rerank_products, width)
     scored = (
