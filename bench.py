@@ -390,8 +390,24 @@ def main() -> None:
         if pp:
             compact["sf1_linker"]["pin_off_sec"] = pp.get("off_sec")
             compact["sf1_linker"]["pin_full_sec"] = pp.get("full_sec")
+    # compaction read-cost pair (VERDICT r13 next #6): rows + seconds
+    # belong in the driver-recorded line, not just the detail file
+    cd = result.get("compaction", {})
+    if "hll_raw_rows" in cd:
+        compact["compaction"] = {
+            k: cd.get(k) for k in (
+                "epochs", "hll_raw_rows", "hll_raw_read_sec",
+                "hll_compacted_rows", "hll_compacted_read_sec",
+                "cm_raw_read_sec", "cm_compacted_read_sec",
+                "hll_reads_equal", "cm_reads_equal",
+            )
+        }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1500:  # belt-and-braces: never regrow past the tail
+    # belt-and-braces: never regrow past the driver's 2,000-char
+    # combined tail (stdout line + the ~60-char stderr detail-path
+    # line before it). Raised 1500 → 1800 in round 14 when the
+    # compaction pair joined the line.
+    if len(line) > 1800:
         compact["queries"] = {k: round(v, 1)
                               for k, v in sorted(
                                   timings.items(), key=lambda kv: -kv[1]

@@ -471,6 +471,11 @@ def compact_epoch_state(
                 try:
                     g = int(name[len(EPOCH_MANIFEST_PREFIX):])
                 except ValueError:
+                    if name.endswith(".tmp"):
+                        # orphan of a crashed commit (the rename that
+                        # follows the tmp write never ran) — the
+                        # committed manifest supersedes it
+                        fs.delete(st.getPath(), False)
                     continue
                 if g < gen:
                     fs.delete(st.getPath(), False)
@@ -507,11 +512,25 @@ def compact_epoch_state(
                     f"compact_epoch_state: promoting {staging_str} -> "
                     f"generation {gen} failed — re-run to resume"
                 )
+        # the COMMIT: write the manifest under a name the readers'
+        # prefix-scan skips (int('<g>.tmp') fails), then RENAME it
+        # into place — rename is atomic on local/HDFS, so a reader
+        # can never parse a torn manifest
+        tmp_str = state_dir + f"/{EPOCH_MANIFEST_PREFIX}{gen}.tmp"
         write_text_file(
-            spark,
-            state_dir + f"/{EPOCH_MANIFEST_PREFIX}{gen}",
+            spark, tmp_str,
             _json.dumps({"generation": gen, "folded_up_to": boundary}),
         )
+        _, tmp_p = _hadoop_fs(spark, tmp_str)
+        final_str = state_dir + f"/{EPOCH_MANIFEST_PREFIX}{gen}"
+        _, final_p = _hadoop_fs(spark, final_str)
+        if fs.exists(final_p):  # resume re-commit: same content
+            fs.delete(tmp_p, False)
+        elif not fs.rename(tmp_p, final_p):
+            raise IOError(
+                f"compact_epoch_state: committing {final_str} failed "
+                "— re-run to resume"
+            )
         if fs.exists(marker) and not fs.delete(marker, False):
             raise IOError(
                 f"compact_epoch_state: compaction committed but "
