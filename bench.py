@@ -271,6 +271,14 @@ def main() -> None:
             * (REF_CALIBRATION / calib if calib else 1.0), 3
         ),
         "headline_all_total": total,
+        # round 14: the growing all-queries total gets the same
+        # environment normalization the v1 total has had since r07 —
+        # r13 vs r14 raw totals differed mostly by ambient loadavg
+        # (4.1 vs 9.8) and the attribution argument had to detour
+        # through the v1 subset
+        "headline_all_total_calibrated": round(
+            total * (REF_CALIBRATION / calib if calib else 1.0), 3
+        ),
         "queries": timings,
         "sf": sf,
         "loadavg_1m": round(load_before[0], 2),
@@ -340,6 +348,8 @@ def main() -> None:
         "headline_v1_total": result["headline_v1_total"],
         "headline_v1_total_calibrated": result["headline_v1_total_calibrated"],
         "headline_all_total": result["headline_all_total"],
+        "headline_all_total_calibrated":
+            result["headline_all_total_calibrated"],
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "loadavg_1m": result["loadavg_1m"],
@@ -727,6 +737,16 @@ SF1_QUERIES = [
     # round 8 late: the Lloyd fit at 10x vectors (per-iteration rows
     # scale linearly; the centroid dim stays k x dim)
     "e2_kmeans",
+    # round 14: three families with no sf1 slope row yet — the
+    # synchronized h-index coreness iteration (graph fixpoints at 10x
+    # edges), the brute-force cosine baseline (query x corpus scoring
+    # at 10x vectors — the exact path the ANN indexes are measured
+    # against), and the cross-document substring dedup (gram-stats
+    # shuffle + co-partitioned occurrence join, the heaviest dedup
+    # shape in the headline set)
+    "g_kcore",
+    "e2_cosine_topk",
+    "e1_crossdoc_dedup",
 ]
 
 
