@@ -737,14 +737,16 @@ SF1_QUERIES = [
     # round 8 late: the Lloyd fit at 10x vectors (per-iteration rows
     # scale linearly; the centroid dim stays k x dim)
     "e2_kmeans",
-    # round 14: three families with no sf1 slope row yet — the
-    # synchronized h-index coreness iteration (graph fixpoints at 10x
-    # edges), the brute-force cosine baseline (query x corpus scoring
-    # at 10x vectors — the exact path the ANN indexes are measured
-    # against), and the cross-document substring dedup (gram-stats
-    # shuffle + co-partitioned occurrence join, the heaviest dedup
-    # shape in the headline set)
-    "g_kcore",
+    # round 14: three families with no sf1 slope row yet — basket
+    # co-occurrence + lift (events-scaled pair structure; the g_*
+    # entries were considered and rejected: they share the bounded
+    # 97-node synthetic graph, so their slope says nothing), the
+    # brute-force cosine baseline (query x corpus scoring at 10x
+    # vectors — the exact path the ANN indexes are measured against),
+    # and the cross-document substring dedup (gram-stats shuffle +
+    # co-partitioned occurrence join, the heaviest dedup shape in the
+    # headline set)
+    "e6_cooccurrence",
     "e2_cosine_topk",
     "e1_crossdoc_dedup",
 ]

@@ -372,6 +372,31 @@ def test_compact_epoch_state_read_safe_swap_and_resume_continue(
         .select("_epoch").distinct().collect()
     ) == [EPOCH_GEN_ANCHOR - 2]
     assert removed >= 1  # epoch 2 folded in the continuation cycle
+    # --- crashed-VACUUM leftovers: a superseded generation base and
+    # its stale manifest reappear (the deletes that raced a crash) —
+    # reads stay exact (liveness is by MAX manifest generation, not
+    # by deletion), and the next compaction's vacuum sweeps them
+    spark.createDataFrame(
+        [(0, 0, 999, EPOCH_GEN_ANCHOR - 1)],
+        "row int, pos int, cnt long, _epoch int",
+    ).write.mode("append").partitionBy("_epoch").parquet(state)
+    write_text_file(spark, state + "/_MANIFEST_G1",
+                    _json.dumps({"generation": 1, "folded_up_to": 1}))
+    # plus an orphaned .tmp from a crashed commit
+    write_text_file(spark, state + "/_MANIFEST_G3.tmp", "{torn")
+    assert read_now() == want
+    spark.createDataFrame(
+        [(0, 0, 4, 3)], "row int, pos int, cnt long, _epoch int"
+    ).write.mode("append").partitionBy("_epoch").parquet(state)
+    want2 = [(0, 0, 10)]
+    assert compact_epoch_state(spark, state, 3, fold) == 1
+    assert read_now() == want2
+    assert _epoch_manifest(spark, state) == (3, 3)
+    left = {
+        st.name for st in _os.scandir(state)
+        if st.name.startswith(("_epoch=", "_MANIFEST"))
+    }
+    assert left == {f"_epoch={EPOCH_GEN_ANCHOR - 3}", "_MANIFEST_G3"}
 
 
 def test_compact_corpus_stats_state(spark, tmp_path):
