@@ -206,6 +206,7 @@ def main() -> None:
     # uniform +25-30% drift vs r02 had no such evidence in the JSON.
     load_before = os.getloadavg()
     calib = _calibration(spark, sf_dir)
+    job_lat = _job_latency_ms(spark)
 
     # min-of-N measured runs per query (N=5 for the noise-prone entries,
     # 3 otherwise): the environment (shared VM, JIT re-compilation
@@ -284,6 +285,7 @@ def main() -> None:
         "loadavg_1m": round(load_before[0], 2),
         "loadavg_after_1m": round(os.getloadavg()[0], 2),
         "calibration_sec": calib,
+        "job_latency_ms": job_lat,
         "x1_linker_index_fit_sec": linker_fit_sec,
         "x1_linker_served_stats": serving_stats,
     }
@@ -355,6 +357,7 @@ def main() -> None:
         "loadavg_1m": result["loadavg_1m"],
         "loadavg_after_1m": result["loadavg_after_1m"],
         "calibration_sec": calib,
+        "job_latency_ms": job_lat,
         "fit_sec": linker_fit_sec,
         # VERDICT r13 #4 (cosmetic): below the champion auto-gate the
         # probe serves the flat pruned join and there IS no certified
@@ -1036,6 +1039,26 @@ def _sf3_section(spark, qs, sf1_result: dict) -> dict:
         print(f"# sf3 {name}: {entry}", file=sys.stderr)
     return {"dir": sf3_dir, "data_scale_vs_sf1": 3,
             "data_scale_vs_bench_sf": 30, "queries": queries}
+
+
+def _job_latency_ms(spark, n: int = 20) -> float:
+    """Median latency of a 1-task no-op job (``spark.range(1).count``)
+    — the PER-JOB overhead axis the throughput calibration cannot see
+    (round 14): under shared-VM CPU steal, stage-scheduling/IPC
+    latency inflates 2-4x while scan+agg throughput stays flat, so
+    latency-bound queries (many small stages — the inline linker fit
+    at sf0.1 measured 3.4x slower in exactly this mode, reproduced on
+    the r13 commit in a side-by-side worktree) drift without any
+    calibration_sec movement. A rising ``job_latency_ms`` next to a
+    flat ``calibration_sec`` attributes that pattern to the
+    environment in one number."""
+    lats = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        lats.append((time.perf_counter() - t0) * 1000.0)
+    lats.sort()
+    return round(lats[len(lats) // 2], 1)
 
 
 def _calibration(spark, sf_dir: str) -> float:
