@@ -400,6 +400,39 @@ def test_auto_champion_w_cut_quantile_math(spark):
     assert _auto_champion_w_cut(empty, w_min=0.02, w_max=0.2) == 0.2
 
 
+def test_wcut_factor_two_regime_by_alias_count(spark, tmp_path,
+                                               monkeypatch):
+    # Round 14 (VERDICT r13 next #2): the fit auto-picks the RMS
+    # factor by its OWN alias count — the mid-scale factor (0.9,
+    # certifies 1.0 at 35.6k aliases) below the boundary, the
+    # large-scale factor (1.0, measured ~30% faster at 357k with
+    # certification already 1.0) at/above it. Pinned by fitting the
+    # SAME ontology on both sides of a monkeypatched boundary and
+    # reading the persisted w_cut back from the meta.
+    from drugbankner_spark.operators import linker as L
+
+    # long single-token aliases → q = len+1 = 16 grams, so BOTH
+    # factors land strictly inside the [w_min, w_max] clamp
+    aliases = spark.createDataFrame(
+        [(f"aliasnumber{i:04d}", i) for i in range(8)],
+        ["alias", "alias_id"],
+    )
+    paths = {}
+    for tag, boundary in (("mid", 100), ("large", 4)):
+        monkeypatch.setattr(L, "ALIAS_WCUT_LARGE_MIN_ALIASES", boundary)
+        p = str(tmp_path / f"idx_{tag}")
+        L.save_alias_index(aliases, "alias", "alias_id", p)
+        paths[tag] = spark.read.parquet(p + "/meta").collect()[0]
+    w_mid = paths["mid"]["champion_w_cut"]
+    w_large = paths["large"]["champion_w_cut"]
+    assert w_mid is not None and w_large is not None
+    # same ontology, same q — the w_cut ratio IS the factor ratio
+    # (both inside the clamp for this fixture's gram counts)
+    assert abs(w_mid / w_large
+               - L.ALIAS_WCUT_RMS_FACTOR / L.ALIAS_WCUT_RMS_FACTOR_LARGE
+               ) < 1e-9
+
+
 def test_weight_policy_champions_exact_and_meta(spark, tmp_path):
     # champion_c='auto' (the default) builds WEIGHT-thresholded
     # champion lists; the probe must stay bit-identical to the inline
