@@ -677,6 +677,14 @@ def _compaction_section(spark) -> dict:
         a = sorted(map(tuple, reader(dirs[raw]).collect()))
         b = sorted(map(tuple, reader(dirs[compacted]).collect()))
         out[f"{tag}_reads_equal"] = a == b
+        if a != b:
+            # the docstring's promise, enforced (round-14 review
+            # finding): a broken fold must fail the section loudly,
+            # not publish timings next to a buried false flag
+            raise ValueError(
+                f"compaction bench: {tag} merge-on-read and compacted "
+                "reads DISAGREE — fold is broken, timings withheld"
+            )
         for side in (raw, compacted):
             rows = (
                 spark.read.parquet(dirs[side])
@@ -883,6 +891,7 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
     # — the same inline fit re-timed with the pin forced off and
     # forced full-width (the r13 default), so BENCH_r{N} carries the
     # pinned-vs-unpinned pair next to the auto gate's estimate.
+    prior_pin = os.environ.get(L.LINKER_PIN_ENV)
     try:
         fn = qs.get("x1_linker_corpus_maxdf")
         if fn is not None:
@@ -900,7 +909,13 @@ def _sf1_section(spark, sf01_dir: str, qs, sf01_timings: dict) -> dict:
     except Exception as exc:  # pragma: no cover
         pin_pair["error"] = f"{type(exc).__name__}: {exc}"
     finally:
-        os.environ.pop(L.LINKER_PIN_ENV, None)
+        # RESTORE the caller's pin mode, don't clear it (round-14
+        # review finding: a user-forced mode must keep applying to
+        # everything after this paired section)
+        if prior_pin is None:
+            os.environ.pop(L.LINKER_PIN_ENV, None)
+        else:
+            os.environ[L.LINKER_PIN_ENV] = prior_pin
     # serving-probe instrumentation at 10x aliases — the regime where
     # the n_aliases auto-gate turns the champion machinery ON; the
     # certified fraction here is the number VERDICT r11 #1a asked for

@@ -301,6 +301,28 @@ LAST_PIN_DECISION: dict = {}
 LINKER_PIN_MIN_ALIASES = 100_000
 
 
+def _pin_env_override(df: DataFrame) -> int | None:
+    """Resolve :data:`LINKER_PIN_ENV`: None for "auto"/unset (let the
+    gate decide), else the forced width (0 for "off"). A malformed
+    value names the variable instead of surfacing a bare int() error
+    mid-probe (round-14 review finding)."""
+    mode = os.environ.get(LINKER_PIN_ENV, "auto").strip().lower()
+    if mode in ("", "auto"):
+        return None
+    if mode == "off":
+        return 0
+    full = _pinned_shuffle_n(df)
+    if mode == "full":
+        return full
+    try:
+        return max(0, min(full, int(mode)))
+    except ValueError:
+        raise ValueError(
+            f"{LINKER_PIN_ENV}={mode!r} — expected 'auto', 'off', "
+            "'full', or an integer width"
+        ) from None
+
+
 def _pin_width(
     mvec: DataFrame,
     postings: DataFrame,
@@ -327,16 +349,21 @@ def _pin_width(
     counting ``mvec`` itself. The whole estimate job is skipped below
     :data:`LINKER_PIN_MIN_POSTINGS` where neither condition can
     fire."""
-    mode = os.environ.get(LINKER_PIN_ENV, "auto").strip().lower()
+    override = _pin_env_override(mvec)
+    if override is not None:
+        return override
     full = _pinned_shuffle_n(mvec)
-    if mode == "off":
-        return 0
-    if mode == "full":
-        return full
-    if mode != "auto":
-        return max(0, min(full, int(mode)))
     if n_post < LINKER_PIN_MIN_POSTINGS:
         return 0
+    if n_post >= LINKER_PIN_FULL_MIN_POSTINGS:
+        # the OR-condition alone forces the pin — don't pay the
+        # estimate job for a decision it cannot change (round-14
+        # review finding: the corpus-scale serving path was paying a
+        # full posting-table agg per new batch plan for evidence only)
+        LAST_PIN_DECISION["score_full"] = {
+            "n_postings": n_post, "est_products": None, "width": full,
+        }
+        return full
     mcnt = (
         gram_counts if gram_counts is not None
         else mvec.groupBy("gram").agg(F.count(F.lit(1)).alias("_mcnt"))
@@ -368,20 +395,19 @@ def _pin_width(
         est = int(est_row[0]["_est"] or 0)
         if key is not None:
             _PIN_EST_CACHE[key] = est
-    if (est < LINKER_PIN_MIN_PRODUCT_ROWS
-            and n_post < LINKER_PIN_FULL_MIN_POSTINGS):
-        width = 0
-    else:
-        width = full
+    width = 0 if est < LINKER_PIN_MIN_PRODUCT_ROWS else full
     LAST_PIN_DECISION["score_full"] = {
         "n_postings": n_post, "est_products": est, "width": width,
     }
     return width
 
 
-def _rerank_pin_width(cand: DataFrame, n_aliases: int) -> int:
+def _rerank_pin_width(cand: DataFrame, n_aliases: int | None) -> int:
     """Alias-count gate for the champion rerank's mention-keyed pin
-    (full width when fired; env override like :func:`_pin_width`).
+    (full width when fired; env override like :func:`_pin_width` —
+    and the override wins even on a legacy meta whose ``n_aliases``
+    is None, so a forced paired measurement is actually forced;
+    round-14 review finding).
 
     An estimate-gated variant (exact candidate-pair gram-count bound,
     one agg + 1-row collect) was implemented, MEASURED at both
@@ -393,15 +419,14 @@ def _rerank_pin_width(cand: DataFrame, n_aliases: int) -> int:
     alias gate at :data:`LINKER_PIN_MIN_ALIASES` already separates
     the measured-healthy from the measured-unhealthy points at both
     scales, with no estimate job on any probe."""
-    mode = os.environ.get(LINKER_PIN_ENV, "auto").strip().lower()
-    full = _pinned_shuffle_n(cand)
-    if mode == "off":
-        return 0
-    if mode == "full":
-        return full
-    if mode != "auto":
-        return max(0, min(full, int(mode)))
-    width = full if n_aliases >= LINKER_PIN_MIN_ALIASES else 0
+    override = _pin_env_override(cand)
+    if override is not None:
+        return override
+    width = (
+        _pinned_shuffle_n(cand)
+        if n_aliases is not None and n_aliases >= LINKER_PIN_MIN_ALIASES
+        else 0
+    )
     LAST_PIN_DECISION["rerank"] = {
         "n_aliases": n_aliases, "width": width,
     }
@@ -1177,9 +1202,23 @@ def link_with_alias_index(
                 n_mentions=distinct_mentions.count(),
                 n_risky=None, certified_fraction=None,
             )
+        # mirror _link_tail's estimate plumbing (round-14 review
+        # finding: this path passed neither gram_counts nor n_post,
+        # so a mid-scale index's estimate job re-derived the mention
+        # vectors and re-counted postings)
+        from drugbankner_spark.caching import shared_persist as _sp
+
+        flat_counts = mcounts
+        n_post = postings.count()
+        if n_post >= LINKER_PIN_MIN_POSTINGS:
+            flat_counts = _sp(mcounts)
         return _score_full(
-            _mention_vectors(mcounts, idf, broadcast_max_rows),
+            _mention_vectors(flat_counts, idf, broadcast_max_rows),
             postings, alias_map, threshold, k, broadcast_max_rows,
+            gram_counts=flat_counts.groupBy("gram").agg(
+                F.count(F.lit(1)).alias("_mcnt")
+            ),
+            n_post=n_post,
         )
 
     from drugbankner_spark.caching import shared_persist
@@ -1217,17 +1256,17 @@ def link_with_alias_index(
     # threshold taxed mid-scale serving — raised to 100k with sf1/sf10
     # bulk measurements on both sides; an estimate-gated variant was
     # measured and rejected, see _rerank_pin_width). Legacy metas
-    # without n_aliases do not pin (skip-below-threshold policy).
+    # without n_aliases do not auto-pin (skip-below-threshold policy)
+    # but the env override still applies.
     rerank_products = (
         cand.join(avecs, "alias")
         .join(mvec, ["mention", "gram"])
         .select("mention", "alias",
                 (F.col("mw") * F.col("w")).alias("_prod"))
     )
-    if fit_n_aliases is not None:
-        width = _rerank_pin_width(cand, fit_n_aliases)
-        if width:
-            rerank_products = _mention_clustered(rerank_products, width)
+    width = _rerank_pin_width(cand, fit_n_aliases)
+    if width:
+        rerank_products = _mention_clustered(rerank_products, width)
     scored = (
         rerank_products.groupBy("mention", "alias")
         .agg(F.round(F.sum("_prod"), 6).alias("score"))

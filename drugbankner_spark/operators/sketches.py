@@ -566,13 +566,33 @@ def compact_epoch_state(
         # ADVICE r13: continue to the CALLER's boundary in the same
         # call when it reaches past the resumed one (falls through)
 
+    # an orphan staging partition with NO marker is a pre-marker
+    # crash's leftover (round-14 review finding): its content is a
+    # fold of a DIFFERENT boundary, and committing it would
+    # double-count — e.g. a later zero-row fold would see
+    # fs.exists(staging) true and swap the stale fold in. It is
+    # always safe to drop: nothing was deleted before the marker, so
+    # this cycle re-folds from intact inputs.
+    if fs.exists(staging):
+        if not fs.delete(staging, True):
+            raise IOError(
+                f"compact_epoch_state: dropping the orphan staging "
+                f"partition {staging_str} failed — remove it before "
+                "re-running"
+            )
     cur = _epoch_manifest(spark, state_dir)
     gen, folded = cur if cur else (0, None)
     if folded is not None:
         # no stream epoch in (folded, up_to] → folding would only
         # rewrite the base into a new generation (a maintenance cron
         # re-firing at the same boundary must be a no-op, not base
-        # churn); one partition listing, no job
+        # churn); one partition listing, no job. STILL vacuum first:
+        # a crash mid-vacuum with the marker already gone leaves dead
+        # generations that only vacuum sweeps, and a quiet stream
+        # would otherwise never reclaim them (round-14 review
+        # finding). Its return (epochs a crashed vacuum failed to
+        # delete) folds into this call's count.
+        removed += vacuum(gen, folded)
         has_new = False
         for st in fs.listStatus(root):
             name = st.getPath().getName()

@@ -399,6 +399,57 @@ def test_compact_epoch_state_read_safe_swap_and_resume_continue(
     assert left == {f"_epoch={EPOCH_GEN_ANCHOR - 3}", "_MANIFEST_G3"}
 
 
+def test_compact_epoch_state_orphan_staging_never_commits(
+    spark, tmp_path
+):
+    # Round-14 review finding (critical): a staging partition left by
+    # a PRE-MARKER crash holds a fold of a DIFFERENT boundary; a later
+    # call whose own fold is empty (e.g. a cron boundary below every
+    # epoch) used to see fs.exists(staging) and swap the stale fold in
+    # — permanently double-counting. The orphan must be dropped, never
+    # committed.
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.scale import upsert_partitions
+    from drugbankner_spark.operators.sketches import (
+        EPOCH_STAGING,
+        _epoch_manifest,
+        compact_epoch_state,
+        read_cm_sketch,
+    )
+
+    state = str(tmp_path / "orphan_state")
+    for e in range(3):
+        spark.createDataFrame([(0, 0, e + 1, e)],
+                              "row int, pos int, cnt long, _epoch int") \
+            .write.mode("append").partitionBy("_epoch").parquet(state)
+    want = [(0, 0, 6)]
+    fold = lambda old: old.groupBy("row", "pos").agg(  # noqa: E731
+        F.sum("cnt").alias("cnt"))
+    # pre-marker crash: the fold landed in staging, no marker written
+    live = spark.read.parquet(state).filter(
+        F.col("_epoch") != EPOCH_STAGING)
+    upsert_partitions(
+        fold(live).withColumn("_epoch", F.lit(int(EPOCH_STAGING))),
+        state, ["_epoch"])
+    spark.catalog.refreshByPath(state)
+    # a below-every-epoch boundary must be a clean NO-OP: the stale
+    # staging is dropped, nothing is committed, reads stay exact
+    assert compact_epoch_state(spark, state, -100, fold) == 0
+    import os as _os
+
+    assert not _os.path.exists(state + "/_COMPACTING")
+    assert _epoch_manifest(spark, state) is None
+    spark.catalog.refreshByPath(state)
+    assert [tuple(r) for r in read_cm_sketch(spark, state).collect()] \
+        == want
+    # and a real boundary afterwards compacts the INTACT inputs
+    assert compact_epoch_state(spark, state, 2, fold) == 3
+    spark.catalog.refreshByPath(state)
+    assert [tuple(r) for r in read_cm_sketch(spark, state).collect()] \
+        == want
+
+
 def test_compact_corpus_stats_state(spark, tmp_path):
     # Round 13: the data-card partials compact the same way — counts
     # sum, min/max fold, KLL/HLL sketches union; the merged read after
