@@ -675,8 +675,13 @@ ALIAS_CHAMPION_C = 512
 #: large-ontology probe ~30% to fix a regime it isn't in. A fixed
 #: factor stops tracking the ontology exactly the way the fixed
 #: rank cap C did (VERDICT r12 #1); the fit auto-picks by its own
-#: alias count (boundary 100k — interpolated between the two
-#: measured points, aligned with the machinery's other crossovers).
+#: alias count. Boundary 100k, MEASURED from above
+#: (tools/exp_wcut_sf3.py — the sf3 corpus's 107k-alias dim: factor
+#: 1.0 certifies 1.0 AND serves faster, 4.48 s vs 5.14 s, so the
+#: large regime is correct at 107k) and below (sf1, 35.6k: only
+#: ≤0.9 certifies 1.0). The true switch lies in (35.6k, 107k);
+#: anything in that gap runs 0.9, which errs toward certification —
+#: the exactness-preserving direction.
 ALIAS_WCUT_RMS_FACTOR = 0.9
 
 #: Large-ontology regime: factor and boundary (see above).
