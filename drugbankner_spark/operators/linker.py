@@ -92,8 +92,18 @@ def build_alias_vectors(
 
     - ``postings``: (gram, alias, w) — the alias matrix in sparse
       (inverted-index) form, rows L2-normalized;
-    - ``idf``: (gram, idf) — the fitted vocabulary, reused verbatim to
-      vectorize mentions (sklearn transform semantics).
+    - ``idf``: (gram, idf, df) — the fitted vocabulary, reused
+      verbatim to vectorize mentions (sklearn transform semantics).
+      ``df`` is the gram's document frequency == its POSTING-LIST
+      LENGTH (one posting row per (gram, alias) pair), a byproduct of
+      the idf fit kept so the pin gate's product estimate
+      (:func:`_pin_width`) can price the gram join against this
+      vocabulary-sized broadcastable dim instead of re-aggregating
+      the posting table per batch plan (VERDICT r14 next #1); it
+      rides into the persisted index with ``/idf``, so the decision
+      is also restart-stable on the serving path. Consumers that
+      only vectorize select (gram, idf) and Catalyst prunes ``df``
+      out of their scans.
 
     ``max_df_ratio`` (sklearn's ``max_df``): drop grams occurring in
     more than that fraction of aliases — the stop-gram pruning knob.
@@ -126,7 +136,9 @@ def build_alias_vectors(
         idf = idf.filter(
             F.col("_df") <= F.col("_n_aliases") * F.lit(max_df_ratio)
         )
-    idf = idf.select("gram", "idf")
+    idf = idf.select(
+        "gram", "idf", F.col("_df").cast("long").alias("df")
+    )
     weighted = counts.join(idf, "gram").select(
         "gram", F.col("_id").alias("alias"),
         (F.col("tf") * F.col("idf")).alias("_w"),
@@ -274,7 +286,13 @@ LINKER_PIN_FULL_MIN_POSTINGS = 1_000_000
 #: estimate job once. A stale hit can only mis-size a pin width —
 #: performance, never results — so plan-hash + posting-count keying
 #: is enough (no file-snapshot component like the ACF memo needs).
+#: Bounded (ADVICE r14): a long-lived serving app issuing many
+#: distinct batch plans would otherwise grow it without limit — at
+#: the cap the whole dict clears (the entries are 1-row estimates; a
+#: re-estimate costs one broadcast-join job, and with the published
+#: ``df`` dim it is near-free anyway).
 _PIN_EST_CACHE: dict = {}
+_PIN_EST_CACHE_MAX = 1024
 
 #: Env override for the probe-tail pin: "auto" (the estimate gate,
 #: default), "off", "full" (every exchange at
@@ -328,6 +346,7 @@ def _pin_width(
     postings: DataFrame,
     n_post: int,
     gram_counts: DataFrame | None = None,
+    gram_df: DataFrame | None = None,
 ) -> int:
     """Auto-gate + size the probe tail's pinned exchanges. Returns 0
     (no pin — leave the plan to AQE) or the REPARTITION_BY_NUM width.
@@ -348,12 +367,38 @@ def _pin_width(
     cheaper than re-deriving vectors) gives the same number as
     counting ``mvec`` itself. The whole estimate job is skipped below
     :data:`LINKER_PIN_MIN_POSTINGS` where neither condition can
-    fire."""
+    fire.
+
+    ``gram_df`` (VERDICT r14 next #1): a precomputed ``(gram,
+    _pcnt)`` dim — the fit's per-gram posting-list lengths, i.e. the
+    ``df`` column :func:`build_alias_vectors` now keeps and
+    :func:`save_alias_index` publishes with ``/idf``. When provided,
+    the posting side of the estimate is this vocabulary-sized
+    broadcast dim instead of a fresh ``groupBy(gram).count()`` over
+    the posting table, so the estimate job collapses to
+    mention-side-counts ⋈ broadcast-dim → 1-row sum: near-free per
+    new batch plan, and stable across driver restarts because the
+    dim comes from the published index, not a recomputation
+    (the r14 bench priced the old posting-side agg at ~17% of the
+    sf1 inline fit — ``linker_pin_pair`` auto 8.22 s vs off 7.04 s).
+
+    Every exit records its decision in :data:`LAST_PIN_DECISION`
+    (ADVICE r14: the env-override and below-floor early returns used
+    to leave a stale decision from an earlier probe for bench's
+    snapshot to pick up)."""
     override = _pin_env_override(mvec)
     if override is not None:
+        LAST_PIN_DECISION["score_full"] = {
+            "n_postings": n_post, "est_products": None,
+            "width": override, "reason": "override",
+        }
         return override
     full = _pinned_shuffle_n(mvec)
     if n_post < LINKER_PIN_MIN_POSTINGS:
+        LAST_PIN_DECISION["score_full"] = {
+            "n_postings": n_post, "est_products": None, "width": 0,
+            "reason": "below-floor",
+        }
         return 0
     if n_post >= LINKER_PIN_FULL_MIN_POSTINGS:
         # the OR-condition alone forces the pin — don't pay the
@@ -362,6 +407,7 @@ def _pin_width(
         # full posting-table agg per new batch plan for evidence only)
         LAST_PIN_DECISION["score_full"] = {
             "n_postings": n_post, "est_products": None, "width": full,
+            "reason": "posting-floor",
         }
         return full
     mcnt = (
@@ -382,22 +428,31 @@ def _pin_width(
     if key is not None and key in _PIN_EST_CACHE:
         est = _PIN_EST_CACHE[key]
     else:
-        est_row = (
-            mcnt.join(
-                postings.groupBy("gram").agg(
-                    F.count(F.lit(1)).alias("_pcnt")
-                ),
-                "gram",
+        # posting side of Σ_gram (mention rows × posting rows): the
+        # published df dim when the caller has one (vocabulary-sized,
+        # broadcast — no posting-table re-aggregation per batch
+        # plan), else the on-the-fly agg for legacy indexes
+        pside = (
+            F.broadcast(gram_df) if gram_df is not None
+            else postings.groupBy("gram").agg(
+                F.count(F.lit(1)).alias("_pcnt")
             )
+        )
+        est_row = (
+            mcnt.join(pside, "gram")
             .agg(F.sum(F.col("_mcnt") * F.col("_pcnt")).alias("_est"))
             .collect()
         )
         est = int(est_row[0]["_est"] or 0)
         if key is not None:
+            if len(_PIN_EST_CACHE) >= _PIN_EST_CACHE_MAX:
+                _PIN_EST_CACHE.clear()
             _PIN_EST_CACHE[key] = est
     width = 0 if est < LINKER_PIN_MIN_PRODUCT_ROWS else full
     LAST_PIN_DECISION["score_full"] = {
         "n_postings": n_post, "est_products": est, "width": width,
+        "reason": "estimate",
+        "est_from_published_df": gram_df is not None,
     }
     return width
 
@@ -421,6 +476,10 @@ def _rerank_pin_width(cand: DataFrame, n_aliases: int | None) -> int:
     scales, with no estimate job on any probe."""
     override = _pin_env_override(cand)
     if override is not None:
+        LAST_PIN_DECISION["rerank"] = {
+            "n_aliases": n_aliases, "width": override,
+            "reason": "override",
+        }
         return override
     width = (
         _pinned_shuffle_n(cand)
@@ -428,7 +487,7 @@ def _rerank_pin_width(cand: DataFrame, n_aliases: int | None) -> int:
         else 0
     )
     LAST_PIN_DECISION["rerank"] = {
-        "n_aliases": n_aliases, "width": width,
+        "n_aliases": n_aliases, "width": width, "reason": "alias-gate",
     }
     return width
 
@@ -518,6 +577,7 @@ def _score_full(
     broadcast_max_rows: int,
     gram_counts: DataFrame | None = None,
     n_post: int | None = None,
+    gram_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full sparse matmul + fold over PRE-VECTORIZED mentions: one
     equi-join on gram + one (mention, alias) agg. Split out of
@@ -544,7 +604,7 @@ def _score_full(
         n_post = postings.count()
     post_dim = (F.broadcast(postings) if n_post <= broadcast_max_rows
                 else postings)
-    width = _pin_width(mvec, postings, n_post, gram_counts)
+    width = _pin_width(mvec, postings, n_post, gram_counts, gram_df)
     mside = mvec.repartition(width, F.col("gram")) if width else mvec
     products = mside.join(post_dim, "gram").select(
         "mention", "alias", (F.col("mw") * F.col("w")).alias("_prod")
@@ -601,6 +661,12 @@ def _link_tail(
             F.count(F.lit(1)).alias("_mcnt")
         ),
         n_post=n_post,
+        # the fit's own df column prices the estimate's posting side
+        # (VERDICT r14 next #1) — no posting re-aggregation
+        gram_df=(
+            idf.select("gram", F.col("df").alias("_pcnt"))
+            if "df" in idf.columns else None
+        ),
     )
 
 
@@ -1198,7 +1264,18 @@ def link_with_alias_index(
             ).distinct().collect()
         ]
     postings = _gram_side("/postings", ["gram", "alias", "w"], buckets)
-    idf = _gram_side("/idf", ["gram", "idf"], buckets)
+    idf_raw = _read_index(spark, path + "/idf")
+    if buckets is not None:
+        idf_raw = idf_raw.filter(F.col("gram_bucket").isin(buckets))
+    idf = idf_raw.select("gram", "idf")
+    # published per-gram posting counts (VERDICT r14 next #1): the
+    # pin gate's product estimate prices its posting side from this
+    # stored vocabulary dim — restart-stable, no posting-table agg
+    # per new batch plan. Legacy indexes predate the column.
+    gram_df = (
+        idf_raw.select("gram", F.col("df").alias("_pcnt"))
+        if "df" in idf_raw.columns else None
+    )
     alias_map = _read_index(spark, path + "/alias_map")
     if not use_champions:
         if probe_stats is not None:
@@ -1224,6 +1301,7 @@ def link_with_alias_index(
                 F.count(F.lit(1)).alias("_mcnt")
             ),
             n_post=n_post,
+            gram_df=gram_df,
         )
 
     from drugbankner_spark.caching import shared_persist
@@ -1339,5 +1417,6 @@ def link_with_alias_index(
             "mention", "left_semi",
         ),
         postings, alias_map, threshold, k, broadcast_max_rows,
+        gram_df=gram_df,
     )
     return safe_out.unionByName(risky_out)

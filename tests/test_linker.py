@@ -599,6 +599,107 @@ def test_weight_policy_bulk_gate_and_pinned_exchanges(
     assert "REPARTITION_BY_NUM" not in suppressed
 
 
+def test_pin_estimate_from_published_df_dim(spark, tmp_path,
+                                            monkeypatch):
+    # VERDICT r14 next #1: the pin gate's product estimate prices its
+    # posting side from the (gram, df) dim the fit publishes with
+    # /idf — same number as the legacy posting-table aggregation
+    # (df == posting-list length by construction), no posting agg per
+    # batch plan, restart-stable. Also covers ADVICE r14: every
+    # _pin_width exit path records LAST_PIN_DECISION.
+    from drugbankner_spark.operators import linker as L
+
+    aliases = spark.createDataFrame(
+        [("aspirin", 1), ("ecotrin", 3), ("fever", 9), ("aspirin jr", 4)],
+        ["alias", "alias_id"],
+    )
+    mentions = spark.createDataFrame(
+        [("aspirin",), ("fever",)], ["mention"]
+    )
+    path = str(tmp_path / "df_idx")
+    L.save_alias_index(aliases, "alias", "alias_id", path)
+
+    # the published /idf carries df == per-gram posting-list length
+    idf_disk = spark.read.parquet(path + "/idf")
+    assert "df" in idf_disk.columns
+    post_disk = spark.read.parquet(path + "/postings")
+    mism = (
+        idf_disk.select("gram", "df")
+        .join(
+            post_disk.groupBy("gram").agg(
+                F.count(F.lit(1)).alias("_pcnt")
+            ),
+            "gram", "full",
+        )
+        .filter(
+            F.col("df").isNull() | F.col("_pcnt").isNull()
+            | (F.col("df") != F.col("_pcnt"))
+        )
+        .count()
+    )
+    assert mism == 0
+
+    # default floors on a tiny fixture: below-floor decision recorded
+    L.LAST_PIN_DECISION.clear()
+    L.link_with_alias_index(
+        spark, path, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, use_champions=False,
+    ).collect()
+    assert L.LAST_PIN_DECISION["score_full"]["reason"] == "below-floor"
+    assert L.LAST_PIN_DECISION["score_full"]["width"] == 0
+
+    # estimate path: posting side comes from the published dim, and
+    # the estimate equals the legacy posting-agg number exactly
+    monkeypatch.setattr(L, "LINKER_PIN_MIN_POSTINGS", 1)
+    L._PIN_EST_CACHE.clear()
+    L.LAST_PIN_DECISION.clear()
+    L.link_with_alias_index(
+        spark, path, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, use_champions=False,
+    ).collect()
+    dec_df = dict(L.LAST_PIN_DECISION["score_full"])
+    assert dec_df["reason"] == "estimate"
+    assert dec_df["est_from_published_df"] is True
+    assert dec_df["est_products"] > 0
+
+    # legacy-index fallback (no df column): same estimate via the
+    # on-the-fly posting agg — the decision number must not change
+    legacy = str(tmp_path / "legacy_df_idx")
+    L.save_alias_index(aliases, "alias", "alias_id", legacy)
+    import shutil
+
+    # strip the df column to simulate a pre-r15 index
+    idf_legacy = spark.read.parquet(legacy + "/idf").select(
+        "gram", "idf", "gram_bucket"
+    ).toPandas()
+    shutil.rmtree(legacy + "/idf")
+    spark.createDataFrame(idf_legacy).write.partitionBy(
+        "gram_bucket"
+    ).parquet(legacy + "/idf")
+    L._PIN_EST_CACHE.clear()
+    L.LAST_PIN_DECISION.clear()
+    L._ALIAS_META_CACHE.clear()
+    L.link_with_alias_index(
+        spark, legacy, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, use_champions=False,
+    ).collect()
+    dec_legacy = dict(L.LAST_PIN_DECISION["score_full"])
+    assert dec_legacy["est_from_published_df"] is False
+    assert dec_legacy["est_products"] == dec_df["est_products"]
+
+    # override path records its decision too (ADVICE r14)
+    L.LAST_PIN_DECISION.clear()
+    monkeypatch.setenv(L.LINKER_PIN_ENV, "off")
+    L.link_with_alias_index(
+        spark, path, mentions, "mention", threshold=0.3, k=1,
+        prune_buckets=False, use_champions=False,
+    ).collect()
+    assert L.LAST_PIN_DECISION["score_full"] == {
+        "n_postings": L.LAST_PIN_DECISION["score_full"]["n_postings"],
+        "est_products": None, "width": 0, "reason": "override",
+    }
+
+
 def test_champion_probe_opt_out_and_missing_layout(spark, tmp_path):
     # champion_c=None saves the legacy layout (postings/idf only);
     # the probe auto-detects and serves the full-join path, while an
