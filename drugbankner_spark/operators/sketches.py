@@ -232,24 +232,63 @@ def _epoch_manifest(spark, state_dir: str) -> tuple[int, int] | None:
     return int(d["generation"]), int(d["folded_up_to"])
 
 
-def _live_epoch_filter(spark, state_dir: str):
-    """Partition-pruning filter for the CURRENT contents of a
-    sum-family epoch state dir: under a manifest, the live generation's
-    base plus every stream epoch above the folded boundary (superseded
-    bases and already-folded epochs are excluded even if a crashed
-    vacuum left them behind — that is what makes reads exact at every
-    point of the protocol); without one, everything but staging."""
-    m = _epoch_manifest(spark, state_dir)
+def _manifest_filter(m: tuple[int, int] | None):
+    """Partition-pruning filter for the live rows under a RESOLVED
+    manifest value: under a manifest, the live generation's base plus
+    every stream epoch above the folded boundary (superseded bases and
+    already-folded epochs are excluded even if a crashed vacuum left
+    them behind); without one, everything but staging and generation
+    bases — a base only becomes live through its manifest (a crash
+    after the base write but before the commit must not
+    double-count)."""
     if m is None:
-        # no manifest: everything but staging AND any generation base
-        # — a base only becomes live through its manifest (a crash
-        # between the rename and the commit must not double-count)
         return (F.col("_epoch") != EPOCH_STAGING) & (
             F.col("_epoch") > EPOCH_GEN_ANCHOR
         )
     gen, folded = m
     return (F.col("_epoch") == EPOCH_GEN_ANCHOR - gen) | (
         (F.col("_epoch") >= 0) & (F.col("_epoch") > folded)
+    )
+
+
+def _live_epoch_filter(spark, state_dir: str):
+    """:func:`_manifest_filter` of the dir's CURRENT highest manifest.
+    Single-writer faces (the compactor itself) use this directly; the
+    read faces go through :func:`_live_rows`, whose manifest-stability
+    retry also closes the list/manifest race (ADVICE r14)."""
+    return _manifest_filter(_epoch_manifest(spark, state_dir))
+
+
+def _live_rows(spark, state_dir: str, max_attempts: int = 5) -> DataFrame:
+    """Snapshot-consistent live rows of a sum-family epoch state dir.
+
+    Resolves the manifest, LISTS the directory (``spark.read.parquet``
+    builds its file index eagerly — partition discovery runs at
+    DataFrame creation), then re-resolves the manifest and retries if
+    a concurrent compaction committed in between. When the two
+    manifest reads agree, every partition that manifest names was
+    fully on disk BEFORE the listing (a generation base is completely
+    written before its manifest commits, and folded partitions are
+    deleted only by the vacuum of a LATER commit — which would change
+    the second manifest read), so the filtered listing contains each
+    live row exactly once. A vacuum that races the subsequent SCAN
+    (after a newer generation commits mid-read) can only fail loudly
+    on a missing file, never return silently short counts — the
+    pre-r15 guarantee needed a no-concurrent-vacuum assumption between
+    plan and listing (ADVICE r14); the retry removes it."""
+    last = None
+    for _ in range(max_attempts):
+        before = _epoch_manifest(spark, state_dir)
+        spark.catalog.refreshByPath(state_dir)
+        df = spark.read.parquet(state_dir)
+        after = _epoch_manifest(spark, state_dir)
+        if before == after:
+            return df.filter(_manifest_filter(before))
+        last = after
+    raise IOError(
+        f"_live_rows: the compaction manifest under {state_dir} kept "
+        f"changing across {max_attempts} listing attempts (last saw "
+        f"{last}) — compactions are outpacing reads"
     )
 
 
@@ -338,12 +377,12 @@ def read_corpus_stats(
     sum, min/max fold, KLL/HLL sketches union — one bounded groupBy
     over (epochs × groups) rows. Output: (group, n_docs, total_tokens,
     min/max, p50_tokens approx, n_distinct_texts_approx). The live
-    rows are resolved through the compaction manifest (see
-    :func:`read_cm_sketch`)."""
+    rows are resolved through the compaction manifest with the
+    list/manifest consistency retry (see :func:`read_cm_sketch` and
+    :func:`_live_rows`)."""
     a, b = group_cols
     return (
-        spark.read.parquet(state_dir)
-        .filter(_live_epoch_filter(spark, state_dir))
+        _live_rows(spark, state_dir)
         .groupBy(a, b)
         .agg(
             F.sum("n_docs").alias("n_docs"),
@@ -366,15 +405,18 @@ def read_cm_sketch(spark, state_dir: str) -> DataFrame:
     bounded groupBy over (epochs x cells) rows — equals the sketch a
     single batch build over the full corpus would produce (tested).
     Live rows resolve through the compaction manifest
-    (:func:`_live_epoch_filter`): the current generation's base + the
-    epochs above its folded boundary — so a read planned at ANY point
-    of a concurrent :func:`compact_epoch_state` (staging, swap, or a
-    crashed vacuum's leftovers) counts every row exactly once. A
-    staging partition is never live; a superseded base is excluded by
-    generation, not by deletion."""
+    (:func:`_live_rows`): the current generation's base + the epochs
+    above its folded boundary — so a read planned at ANY point of a
+    concurrent :func:`compact_epoch_state` (mid-fold, committed,
+    crashed-vacuum leftovers) counts every row exactly once: an
+    unmanifested base is never live, a superseded base is excluded by
+    generation (not by deletion), and the list/manifest race — a
+    commit+vacuum completing between the manifest resolution and the
+    file listing — is closed by :func:`_live_rows`'s stability retry
+    (ADVICE r14). A vacuum racing the SCAN itself can only fail
+    loudly on a missing file, never silently undercount."""
     return (
-        spark.read.parquet(state_dir)
-        .filter(_live_epoch_filter(spark, state_dir))
+        _live_rows(spark, state_dir)
         .groupBy("row", "pos")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -396,44 +438,57 @@ def compact_epoch_state(
     ``_epoch``). Returns how many stream-epoch partitions were
     removed.
 
-    Read-safety (round 14, VERDICT r13 next #5 — lifted to the HLL
-    face's read-anytime guarantee): the commit point is the atomic
-    CREATION of a new ``_MANIFEST_G<g>`` file naming the new base
-    generation and its folded boundary; every read face resolves live
-    rows through the highest manifest (:func:`_live_epoch_filter`), so
-    a read planned at ANY point sees each row exactly once — before
-    the commit it reads the old base + all epochs (the staged fold is
-    never live), after it the new base + the tail epochs. Deletion of
-    superseded partitions happens strictly AFTER the commit, so the
-    old undercount window is gone; a reader that planned against the
-    old generation and races the final vacuum can only fail loudly on
-    a missing file (the HLL face's posture), never return silently
-    short counts — and a crashed vacuum's leftovers are excluded by
-    generation, not double-counted.
+    Read-safety (round 14, VERDICT r13 next #5; protocol hardened
+    round 15, VERDICT r14 next #2): the commit point is the creation
+    of a new ``_MANIFEST_G<g>`` file naming the new base generation
+    and its folded boundary; every read face resolves live rows
+    through the highest manifest (:func:`_live_rows`), so a read
+    planned at ANY point sees each row exactly once — before the
+    commit it reads the old base + all epochs (an unmanifested base
+    is never live), after it the new base + the tail epochs.
+    Deletion of superseded partitions happens strictly AFTER the
+    commit; a reader that races the final vacuum mid-scan can only
+    fail loudly on a missing file (the HLL face's posture), never
+    return silently short counts — and a crashed vacuum's leftovers
+    are excluded by generation, not double-counted.
 
-    Protocol (every step idempotent to resume; summed partials
-    double-count if an epoch is folded twice, so the HLL compactor's
-    plain write-then-delete is not safe here):
+    OBJECT-STORE SAFE (round 15): the pre-r15 protocol staged the
+    fold at ``_epoch=-2`` and RENAMED the directory into place —
+    atomic on local/HDFS, but copy-per-object on S3-like stores,
+    where a mid-rename crash left rows in both places with
+    filesystem-dependent resume semantics. The directory rename is
+    now GONE: the fold writes DIRECTLY into the new generation's
+    base partition, which is dead until the manifest names it, so a
+    partial write (however the store tears it) is invisible to every
+    reader and simply swept + redone by the next call. The only
+    rename left is the manifest's own tmp → final, a SINGLE small
+    file — atomic on HDFS, atomic-appearance on object stores (the
+    copied object materializes whole or not at all, so no reader can
+    parse a torn manifest).
 
-    1. write the fold of the LIVE rows ≤ ``up_to_epoch`` to the
-       ``_epoch = -2`` staging partition (never live — a crash here
-       changes nothing; a re-run before the marker re-folds from the
-       still-intact inputs);
-    2. persist a ``_COMPACTING`` marker recording the boundary and
-       the target generation — from here a re-run RESUMES the swap;
-    3. rename staging → ``_epoch = EPOCH_GEN_ANCHOR - g`` (the new
-       generation's base — still invisible: no manifest names it);
-    4. COMMIT: create ``_MANIFEST_G<g>`` — one atomic file creation
-       flips every new read to (new base, epochs > boundary);
-    5. remove the marker;
-    6. vacuum: delete the folded epochs, every superseded base
+    Protocol (single writer; summed partials double-count if an
+    epoch is folded twice, so the HLL compactor's plain
+    write-then-delete is not safe here):
+
+    1. sweep: drop pre-r15 leftovers (staging partition, marker
+       file) and every dead generation base (unmanifested or
+       superseded) — nothing live is touched, and the target base
+       dir is guaranteed empty;
+    2. write the fold of the LIVE rows ≤ ``up_to_epoch`` directly to
+       ``_epoch = EPOCH_GEN_ANCHOR - (gen+1)`` (the new generation's
+       base — invisible: no manifest names it; a crash anywhere up
+       to here changes nothing a reader can see, and the next call
+       re-folds from the still-intact inputs);
+    3. COMMIT: create ``_MANIFEST_G<g+1>`` (tmp write + single-file
+       rename) — flips every new read to (new base, epochs >
+       boundary);
+    4. vacuum: delete the folded epochs, every superseded base
        (legacy ``_epoch=-1`` included), and older manifest files.
 
-    A resumed call finishes the crashed run's boundary FIRST, then —
-    if the caller asked for a HIGHER boundary — runs a fresh cycle up
-    to the caller's boundary in the same call (ADVICE r13: the old
-    behavior silently returned after the resumed boundary and the
-    caller's request needed a second call).
+    There is no resume state: a crashed run either committed (its
+    vacuum is finished by the next call's step 1/4) or left only
+    dead data (swept and redone). A pre-r15 ``_COMPACTING`` marker
+    is dropped the same way — its staged fold was never live.
 
     Do not replay stream epochs ≤ ``up_to_epoch`` once compaction has
     started — a replayed partition would land next to a base that
@@ -443,7 +498,6 @@ def compact_epoch_state(
 
     from drugbankner_spark.operators.scale import (
         _hadoop_fs,
-        read_text_file,
         upsert_partitions,
         write_text_file,
     )
@@ -452,17 +506,19 @@ def compact_epoch_state(
     fs, root = _hadoop_fs(spark, state_dir)
     marker_str = state_dir + "/_COMPACTING"
     _, marker = _hadoop_fs(spark, marker_str)
-    staging_str = state_dir + f"/_epoch={EPOCH_STAGING}"
-    _, staging = _hadoop_fs(spark, staging_str)
 
     def gen_base_path(gen: int):
         s = state_dir + f"/_epoch={EPOCH_GEN_ANCHOR - gen}"
         return _hadoop_fs(spark, s)[1]
 
     def vacuum(gen: int, folded: int) -> int:
-        """Delete everything the generation-``gen`` manifest
-        superseded. Idempotent — a crash partway re-deletes on the
-        next call."""
+        """Delete everything dead under a generation-``gen`` live
+        manifest: folded stream epochs, the legacy single base, every
+        OTHER generation base (superseded ones AND unmanifested
+        orphans of a crashed fold — both unreachable through any
+        manifest a reader can resolve), the pre-r15 staging
+        partition, and older/torn manifest files. Idempotent — a
+        crash partway re-deletes on the next call."""
         removed = 0
         live_base = EPOCH_GEN_ANCHOR - gen
         for st in fs.listStatus(root):
@@ -489,8 +545,9 @@ def compact_epoch_state(
             dead = (
                 (0 <= epoch <= folded)          # folded stream epochs
                 or epoch == EPOCH_BASE          # legacy single base
-                or (epoch <= EPOCH_GEN_ANCHOR   # superseded generation
-                    and epoch != live_base)
+                or epoch == EPOCH_STAGING       # pre-r15 staged fold
+                or (epoch <= EPOCH_GEN_ANCHOR   # superseded or orphan
+                    and epoch != live_base)     # generation base
             )
             if dead:
                 if not fs.delete(st.getPath(), True):
@@ -502,96 +559,28 @@ def compact_epoch_state(
                     removed += 1
         return removed
 
-    def finish_swap(boundary: int, gen: int) -> int:
-        """Steps 3-6 from wherever the crash (or the happy path)
-        left off."""
-        base_path = gen_base_path(gen)
-        if fs.exists(staging):
-            if not fs.rename(staging, base_path):
-                raise IOError(
-                    f"compact_epoch_state: promoting {staging_str} -> "
-                    f"generation {gen} failed — re-run to resume"
-                )
-        # the COMMIT: write the manifest under a name the readers'
-        # prefix-scan skips (int('<g>.tmp') fails), then RENAME it
-        # into place — rename is atomic on local/HDFS, so a reader
-        # can never parse a torn manifest
-        tmp_str = state_dir + f"/{EPOCH_MANIFEST_PREFIX}{gen}.tmp"
-        write_text_file(
-            spark, tmp_str,
-            _json.dumps({"generation": gen, "folded_up_to": boundary}),
-        )
-        _, tmp_p = _hadoop_fs(spark, tmp_str)
-        final_str = state_dir + f"/{EPOCH_MANIFEST_PREFIX}{gen}"
-        _, final_p = _hadoop_fs(spark, final_str)
-        if fs.exists(final_p):  # resume re-commit: same content
-            fs.delete(tmp_p, False)
-        elif not fs.rename(tmp_p, final_p):
-            raise IOError(
-                f"compact_epoch_state: committing {final_str} failed "
-                "— re-run to resume"
-            )
-        if fs.exists(marker) and not fs.delete(marker, False):
-            raise IOError(
-                f"compact_epoch_state: compaction committed but "
-                f"removing {marker_str} failed — remove it before the "
-                "next run"
-            )
-        removed = vacuum(gen, boundary)
-        spark.catalog.refreshByPath(state_dir)
-        return removed
-
     removed = 0
     if fs.exists(marker):
-        # resume the crashed run at ITS boundary first — the staged
-        # fold (or already-renamed base) contains exactly the epochs
-        # ≤ the recorded boundary
-        raw = read_text_file(spark, marker_str).strip()
-        try:
-            md = _json.loads(raw)
-            r_boundary, r_gen = int(md["up_to"]), int(md["generation"])
-        except (ValueError, TypeError, KeyError):
-            # legacy (r13) plain-int marker: its staged fold targets
-            # the first generation after whatever the manifest names
-            r_boundary = int(raw)
-            cur = _epoch_manifest(spark, state_dir)
-            r_gen = (cur[0] if cur else 0) + 1
-        if not fs.exists(staging) and not fs.exists(gen_base_path(r_gen)):
-            # stale marker: nothing staged, nothing renamed — the
-            # crashed run never reached step 2's contract (or a
-            # completed run's marker delete raced); just clean up
-            fs.delete(marker, False)
-        else:
-            removed += finish_swap(r_boundary, r_gen)
-        # ADVICE r13: continue to the CALLER's boundary in the same
-        # call when it reaches past the resumed one (falls through)
-
-    # an orphan staging partition with NO marker is a pre-marker
-    # crash's leftover (round-14 review finding): its content is a
-    # fold of a DIFFERENT boundary, and committing it would
-    # double-count — e.g. a later zero-row fold would see
-    # fs.exists(staging) true and swap the stale fold in. It is
-    # always safe to drop: nothing was deleted before the marker, so
-    # this cycle re-folds from intact inputs.
-    if fs.exists(staging):
-        if not fs.delete(staging, True):
-            raise IOError(
-                f"compact_epoch_state: dropping the orphan staging "
-                f"partition {staging_str} failed — remove it before "
-                "re-running"
-            )
+        # pre-r15 protocol leftover. Nothing depends on it now: an
+        # uncommitted staged fold / base is dead by construction (no
+        # manifest names it) and this call re-folds from the intact
+        # inputs; a committed-but-unvacuumed crash is finished by the
+        # unconditional vacuum below.
+        fs.delete(marker, False)
     cur = _epoch_manifest(spark, state_dir)
     gen, folded = cur if cur else (0, None)
     if folded is not None:
-        # no stream epoch in (folded, up_to] → folding would only
-        # rewrite the base into a new generation (a maintenance cron
-        # re-firing at the same boundary must be a no-op, not base
-        # churn); one partition listing, no job. STILL vacuum first:
-        # a crash mid-vacuum with the marker already gone leaves dead
-        # generations that only vacuum sweeps, and a quiet stream
-        # would otherwise never reclaim them (round-14 review
-        # finding). Its return (epochs a crashed vacuum failed to
-        # delete) folds into this call's count.
+        # step 1 under a manifest: vacuum FIRST — a crash after a
+        # commit (or mid-vacuum) leaves dead generations and folded
+        # epochs that only this sweep reclaims, and a quiet stream
+        # would otherwise never trigger it (round-14 review finding).
+        # Also guarantees the target base dir (gen+1 — an orphan of
+        # a crashed fold) is gone before this call's fold writes
+        # into it. Then the no-op check: no stream epoch in
+        # (folded, up_to] → folding would only rewrite the base into
+        # a new generation (a maintenance cron re-firing at the same
+        # boundary must be a no-op, not base churn); one partition
+        # listing, no job.
         removed += vacuum(gen, folded)
         has_new = False
         for st in fs.listStatus(root):
@@ -607,6 +596,27 @@ def compact_epoch_state(
                 break
         if not has_new:
             return removed
+    else:
+        # step 1 with NO manifest: sweep the pre-r15 staging
+        # partition and any orphan (unmanifested) generation base a
+        # crashed fold left — both dead, never live, and the fold
+        # below must start from an empty target dir
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("_epoch="):
+                continue
+            try:
+                epoch = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if epoch == EPOCH_STAGING or epoch <= EPOCH_GEN_ANCHOR:
+                if not fs.delete(st.getPath(), True):
+                    raise IOError(
+                        f"compact_epoch_state: sweeping the dead "
+                        f"partition {name} under {state_dir} failed "
+                        "— remove it before re-running"
+                    )
+    new_gen = gen + 1
     old = spark.read.parquet(state_dir).filter(
         _live_epoch_filter(spark, state_dir)
         & (
@@ -615,23 +625,45 @@ def compact_epoch_state(
             | (F.col("_epoch") == EPOCH_BASE)
         )
     )
+    # step 2: the fold lands DIRECTLY in the new generation's base —
+    # dead until the manifest commit names it, so a torn write on any
+    # store is invisible and redone, with no directory rename anywhere
     upsert_partitions(
-        fold(old).withColumn("_epoch", F.lit(int(EPOCH_STAGING))),
+        fold(old).withColumn(
+            "_epoch", F.lit(int(EPOCH_GEN_ANCHOR - new_gen))
+        ),
         state_dir, ["_epoch"],
     )
-    if not fs.exists(staging):
+    if not fs.exists(gen_base_path(new_gen)):
         # the fold produced ZERO rows (nothing at or below the
         # boundary — e.g. a maintenance cron firing before the first
         # epoch lands): a zero-row partitioned write materializes no
-        # staging partition, so there is nothing to swap. Return a
-        # clean no-op WITHOUT writing the marker — a marker without
-        # staging would read as a stale crash on the next call.
+        # base partition, so there is nothing to commit
         return removed
+    # step 3, the COMMIT: write the manifest under a name the
+    # readers' prefix-scan skips (int('<g>.tmp') fails), then RENAME
+    # it into place — a single small FILE: atomic on local/HDFS,
+    # atomic-appearance on object stores, so a reader can never
+    # parse a torn manifest. G{new_gen} cannot already exist: the
+    # manifest scan above would have returned it as current.
+    tmp_str = state_dir + f"/{EPOCH_MANIFEST_PREFIX}{new_gen}.tmp"
     write_text_file(
-        spark, marker_str,
-        _json.dumps({"up_to": int(up_to_epoch), "generation": gen + 1}),
+        spark, tmp_str,
+        _json.dumps({"generation": new_gen,
+                     "folded_up_to": int(up_to_epoch)}),
     )
-    return removed + finish_swap(int(up_to_epoch), gen + 1)
+    _, tmp_p = _hadoop_fs(spark, tmp_str)
+    final_str = state_dir + f"/{EPOCH_MANIFEST_PREFIX}{new_gen}"
+    _, final_p = _hadoop_fs(spark, final_str)
+    if not fs.rename(tmp_p, final_p):
+        raise IOError(
+            f"compact_epoch_state: committing {final_str} failed "
+            "— re-run to resume"
+        )
+    # step 4: reclaim everything the new manifest superseded
+    removed += vacuum(new_gen, int(up_to_epoch))
+    spark.catalog.refreshByPath(state_dir)
+    return removed
 
 
 def compact_cm_state(spark, state_dir: str, up_to_epoch: int) -> int:

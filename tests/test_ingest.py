@@ -246,11 +246,13 @@ def test_compact_cm_state_staged_protocol(spark, tmp_path):
     assert compact_cm_state(spark, state, epochs[-2]) == 0
     assert _epoch_manifest(spark, state) == (1, epochs[-2])
 
-    # crash simulation AFTER staging+marker, BEFORE the swap: stage a
-    # fold of everything live and write a LEGACY (r13 plain-int)
-    # marker by hand — a read in this window must NOT double-count
-    # (staging never live), and a re-run must resume (no re-fold),
-    # commit, vacuum, and then continue to the caller's boundary.
+    # crash simulation with a PRE-R15 staged fold + LEGACY (r13
+    # plain-int) marker written by hand — a read in this window must
+    # NOT double-count (staging never live), and a re-run under the
+    # r15 direct-write protocol DROPS the stale staging and marker
+    # and re-folds from the intact inputs at the CALLER's boundary
+    # (there is no resume state anymore — an uncommitted crash left
+    # nothing live, so redo is the recovery).
     from drugbankner_spark.operators.scale import (
         upsert_partitions,
         write_text_file,
@@ -268,16 +270,14 @@ def test_compact_cm_state_staged_protocol(spark, tmp_path):
     mid = read_cm_sketch(spark, state).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True)
     assert mid.equals(want)  # staging invisible, no double count
-    # resume completes the marker's boundary as generation 2, then the
-    # caller's 10**9 boundary short-circuits (no epochs above)
+    # the re-run folds fresh at the caller's boundary as generation 2
     compact_cm_state(spark, state, 10**9)
     after = read_cm_sketch(spark, state).toPandas() \
         .sort_values(["row", "pos"]).reset_index(drop=True)
     assert after.equals(want)
-    assert _epoch_manifest(spark, state) == (2, epochs[-1])
+    assert _epoch_manifest(spark, state) == (2, 10**9)
     assert live_epochs() == [EPOCH_GEN_ANCHOR - 2]
-    # marker-present + staging-missing + nothing renamed (stale
-    # marker): cleanup only, reads unchanged
+    # stale marker with nothing staged: cleanup only, reads unchanged
     write_text_file(spark, state + "/_COMPACTING", "0")
     assert compact_cm_state(spark, state, 0) == 0
     import os as _os
@@ -298,13 +298,15 @@ def test_compact_cm_state_staged_protocol(spark, tmp_path):
 def test_compact_epoch_state_read_safe_swap_and_resume_continue(
     spark, tmp_path
 ):
-    # Round 14 (VERDICT r13 next #5 + ADVICE r13): (a) reads planned
-    # at EVERY hand-simulated protocol point — staged, marker written,
-    # renamed-but-uncommitted, committed-but-unvacuumed — count every
-    # row exactly once (the old undercount window is gone: deletion
-    # happens only after the manifest commit); (b) a resumed call that
-    # was asked for a HIGHER boundary finishes the crashed run AND
-    # compacts to the caller's boundary in the same call.
+    # Round 14 (VERDICT r13 next #5), protocol re-cut round 15
+    # (VERDICT r14 next #2 — no directory rename anywhere): (a) reads
+    # planned at EVERY hand-simulated crash state — pre-r15 staged
+    # fold, marker written, unmanifested generation base (however it
+    # got there: a legacy rename or a direct fold write),
+    # committed-but-unvacuumed — count every row exactly once;
+    # (b) a call over any of those states recovers: committed work is
+    # finished (vacuum), uncommitted leftovers are swept and the
+    # caller's boundary is folded fresh in the same call.
     import json as _json
 
     from pyspark.sql import functions as F
@@ -352,16 +354,17 @@ def test_compact_epoch_state_read_safe_swap_and_resume_continue(
 
     _os.rename(state + f"/_epoch={EPOCH_STAGING}",
                state + f"/_epoch={EPOCH_GEN_ANCHOR - 1}")
-    assert read_now() == want          # renamed but UNCOMMITTED: the
-    #                                    new base is not live (no
-    #                                    manifest), old epochs still are
+    assert read_now() == want          # base on disk but UNCOMMITTED:
+    #                                    not live (no manifest names
+    #                                    it), old epochs still are
     write_text_file(spark, state + "/_MANIFEST_G1",
                     _json.dumps({"generation": 1, "folded_up_to": 1}))
     assert read_now() == want          # committed, NOT vacuumed: new
     #                                    base live, folded epochs and
     #                                    leftovers excluded by manifest
-    # --- resume with a HIGHER caller boundary: finishes the crashed
-    # run (marker cleanup + vacuum) AND folds epoch 2 in the same call
+    # --- a call over the committed-but-unvacuumed state: marker
+    # cleanup + vacuum of the committed generation, then epoch 2
+    # folds to generation 2 in the same call
     removed = compact_epoch_state(spark, state, 2, fold)
     assert read_now() == want
     assert not _os.path.exists(state + "/_COMPACTING")
@@ -448,6 +451,72 @@ def test_compact_epoch_state_orphan_staging_never_commits(
     spark.catalog.refreshByPath(state)
     assert [tuple(r) for r in read_cm_sketch(spark, state).collect()] \
         == want
+
+
+def test_compact_epoch_state_torn_write_object_store(spark, tmp_path):
+    # Round 15 (VERDICT r14 next #2): the r14 protocol's staging →
+    # base DIRECTORY rename was atomic only on local/HDFS; on an
+    # object store a mid-"rename" crash leaves rows in BOTH places.
+    # The r15 protocol has no directory rename — the fold writes
+    # directly into the (dead until manifested) generation base — so
+    # the worst any store can produce is a TORN, UNMANIFESTED base,
+    # possibly alongside pre-r15 staging leftovers. Simulate exactly
+    # that: rows present in the next generation's base AND in
+    # staging, no manifest naming either. Reads must count every
+    # live row exactly once (no double count, no undercount), and
+    # the next compaction must sweep the torn state and fold fresh —
+    # never commit or merge the garbage.
+    from pyspark.sql import functions as F
+
+    from drugbankner_spark.operators.sketches import (
+        EPOCH_GEN_ANCHOR,
+        EPOCH_STAGING,
+        _epoch_manifest,
+        compact_epoch_state,
+        read_cm_sketch,
+    )
+
+    state = str(tmp_path / "torn_state")
+    for e in range(3):
+        spark.createDataFrame([(0, 0, e + 1, e)],
+                              "row int, pos int, cnt long, _epoch int") \
+            .write.mode("append").partitionBy("_epoch").parquet(state)
+    want = [(0, 0, 6)]
+    fold = lambda old: old.groupBy("row", "pos").agg(  # noqa: E731
+        F.sum("cnt").alias("cnt"))
+    # generation 1 over epochs ≤ 1 — the healthy starting point
+    assert compact_epoch_state(spark, state, 1, fold) == 2
+    assert _epoch_manifest(spark, state) == (1, 1)
+
+    def read_now():
+        spark.catalog.refreshByPath(state)
+        return [tuple(r) for r in read_cm_sketch(spark, state).collect()]
+
+    assert read_now() == want
+    # torn crash toward generation 2: half the fold's rows landed in
+    # the new base, half are still in a pre-r15 staging dir — the
+    # copy-per-object mid-state a real S3 "rename" can tear into
+    spark.createDataFrame(
+        [(0, 0, 999, EPOCH_GEN_ANCHOR - 2)],
+        "row int, pos int, cnt long, _epoch int",
+    ).write.mode("append").partitionBy("_epoch").parquet(state)
+    spark.createDataFrame(
+        [(0, 0, 777, EPOCH_STAGING)],
+        "row int, pos int, cnt long, _epoch int",
+    ).write.mode("append").partitionBy("_epoch").parquet(state)
+    # exactly-once through the torn state: neither partial is live
+    assert read_now() == want
+    # recovery: sweep both partials, fold fresh from intact inputs
+    assert compact_epoch_state(spark, state, 2, fold) == 1
+    assert read_now() == want
+    assert _epoch_manifest(spark, state) == (2, 2)
+    import os as _os
+
+    left = {
+        st.name for st in _os.scandir(state)
+        if st.name.startswith(("_epoch=", "_MANIFEST", "_COMPACTING"))
+    }
+    assert left == {f"_epoch={EPOCH_GEN_ANCHOR - 2}", "_MANIFEST_G2"}
 
 
 def test_compact_corpus_stats_state(spark, tmp_path):
