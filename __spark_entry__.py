@@ -5557,11 +5557,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ep1_tfidf_mechanistic_nodes + the three x1_linker rows; E4's
     driver presence moves to the rotated-in e4_media_suite); every
     demoted name stays runnable + oracle-backed in ``all_queries``
-    and hash-checked in tests/test_oracle_parity.py."""
+    and hash-checked in tests/test_oracle_parity.py.
+
+    Round-15 rotation (VERDICT r14 next #3, ledger-driven): the six
+    OLDEST demoted driver-verified rows rotate back in —
+    e6_props_json (last green r06) and the five r7-demoted
+    consolidation suites syn_suite, j_join_suite, e2_ann_suite,
+    e1_dedup_suite, e3_qual_suite (last green r12, when the r12
+    rotation re-verified them). Slots from demoting six 5-6×-green
+    r9/r10-era singles (t_cusum, t_holt, t_acf, e5_dp_quantile,
+    e5_chi2, g_kcore — the verdict's named candidates; g_modularity
+    and e6_hll_distinct stay one more round so the graph/sketch
+    families keep a fresh row each); every demoted name stays
+    runnable + oracle-backed in ``all_queries`` and hash-checked in
+    tests/test_oracle_parity.py. Window stays exactly 50."""
     return {
-        # -- round-14 rotation (VERDICT r13 next #4): the eight OLDEST
-        # demoted driver-verified rows (r6-era suites, last green in
-        # CORRECTNESS_r06) rotate back in for re-verification --------
+        # -- round-15 rotation (VERDICT r14 next #3): the six OLDEST
+        # demoted driver-verified rows rotate back in ------------------
+        "syn_suite": _syn_suite,
+        "j_join_suite": _j_join_suite,
+        "e2_ann_suite": _e2_ann_suite,
+        "e1_dedup_suite": _e1_dedup_suite,
+        "e3_qual_suite": _e3_qual_suite,
+        "e6_props_json": _e6_props_json,
+        # -- round-14 rotation rows (once-green since, stay one more
+        # round before demotion eligibility) ---------------------------
         "a_agg_suite": _a_agg_suite,
         "u_set_suite": _u_set_suite,
         "f_text_suite": _f_text_suite,
@@ -5588,8 +5608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and hash-checked in tests/test_oracle_parity.py -------------
         "g_modularity": _g_modularity,
         "e6_interval_join": _e6_interval_join,
-        "e5_dp_quantile": _e5_dp_quantile,
-        "t_holt": _t_holt,
         "x1_linker_indexed": _x1_linker_indexed,
         "e3_fertility": _e3_fertility,
         "e6_windows": _e6_windows,
@@ -5600,15 +5618,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_dp_suite": _e5_dp_suite,
         "e2_kmeans_suite": _e2_kmeans_suite,
         "x1_linker_suite": _x1_linker_suite,
-        # -- round-10 NEW ops (hash-oracled at both SFs this round) ----
-        "e5_chi2": _e5_chi2,
-        "t_acf": _t_acf,
+        # -- round-10 NEW op staying (the sketch family's window row) --
         "e6_hll_distinct": _e6_hll_distinct,
         # -- r09-green rows staying in the window ----------------------
-        # (round 14 demotions: e5_gov_suite, e5_prep_suite,
+        # (round 15 demotions: t_cusum, t_holt, t_acf, e5_dp_quantile,
+        # e5_chi2, g_kcore — all 5-6× driver-green, all still in
+        # all_queries; round 14 demotions: e5_gov_suite, e5_prep_suite,
         # g_graph_suite, e4_mpeg_decode, e3_gopher_rep,
-        # e2_hard_negatives, pipeline_curate_corpus, x1_tfidf_linker —
-        # all 5-6× driver-green, all still in all_queries)
+        # e2_hard_negatives, pipeline_curate_corpus, x1_tfidf_linker)
         "pipeline_pretrain_prep": _pipeline_pretrain_prep,
         "ep1_spotted_nodes": _ep1_spotted_nodes,
         "t_ts_suite": _t_ts_suite,
@@ -5620,8 +5637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_count_suite": _g_count_suite,
         "e2_assign_stream": _e2_assign_stream,
         "e1_semantic_decontaminate": _e1_semantic_decontaminate,
-        "g_kcore": _g_kcore,
-        "t_cusum": _t_cusum,
         "j_er_suite": _j_er_suite,
         "e1_pair_suite": _e1_pair_suite,
         # -- round-7 new op: the X1-closure composition (the in-engine
@@ -5652,8 +5667,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room for the 45-entry pool — every one stays hash-checked
         # per-entry in tests/test_oracle_parity.py and ready to rotate
         # back (the established mechanism)
-        "syn_suite": _syn_suite,
-        "j_join_suite": _j_join_suite,
+        # round-15 rotation: the six demoted 5-6×-green singles stay
+        # individually runnable + per-entry hash-checked here
+        "t_cusum": _t_cusum,
+        "t_holt": _t_holt,
+        "t_acf": _t_acf,
+        "e5_dp_quantile": _e5_dp_quantile,
+        "e5_chi2": _e5_chi2,
+        "g_kcore": _g_kcore,
         "a_agg_suite": _a_agg_suite,
         "e1_near_dup_suite": _e1_near_dup_suite,
         "e3_docmeta_suite": _e3_docmeta_suite,

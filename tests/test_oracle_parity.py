@@ -54,6 +54,35 @@ def test_driver_window_is_exactly_50():
         sorted(QUERIES_DRIVER)
 
 
+#: The CLOSED list of registered queries with no DuckDB oracle twin
+#: (VERDICT r14 next #6) — each individually justified in the table
+#: in COVERAGE.md §rows-only-exemptions: xxhash64-dependent results,
+#: engine-native approx sketches, binary decode kernels, and the raw
+#: XML record fetch — shapes DuckDB cannot express. The driver
+#: records a weaker rows-only check for these. A NEW oracle-less
+#: query cannot slip in silently: it must be added here AND to the
+#: COVERAGE.md table with a justification.
+ROWS_ONLY_EXEMPT = {
+    "e3_gopher_rep_hash",       # xxhash64 prod kernel (hash values)
+    "e1_minhash_near_dup_xxh",  # xxhash64 minhash signatures
+    "e3_unigram_tokens",        # trained-model tokenization (seed EM)
+    "approx_distinct",          # engine-native HLL approx_count_distinct
+    "e5_sketch_distinct",       # datasketches HLL binary sketches
+    "e3_compression_ratio",     # zlib-ratio signal (no duckdb zlib)
+    "e4_image_hashes",          # binary PNG decode + perceptual hash
+    "e4_audio_features",        # binary WAV decode + numpy FFT
+    "ep1_drug_records",         # XML source ingest (no XML in DuckDB)
+}
+
+
+def test_rows_only_exemptions_are_exactly_the_documented_set():
+    # The exemption list is CLOSED: every registered query either has
+    # a DuckDB oracle or is one of the 9 documented rows-only cases.
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY_EXEMPT
+    # and none of them pretends to have an oracle elsewhere
+    assert not (ROWS_ONLY_EXEMPT & set(ORACLES))
+
+
 def test_rotation_candidates_stay_oracle_ready():
     # Every pytest-only entry intended for future rotation keeps a
     # DuckDB oracle so the driver can hash-check it the day it rotates

@@ -717,12 +717,41 @@ def test_unpartitioned_window_inventory():
                         t.id for t in node.targets
                         if isinstance(t, ast.Name)
                     )
+        def chain_spine(call):
+            """The method-call chain strictly BELOW ``call`` (receiver
+            side only — arguments stay out, so an unrelated window
+            spec passed AS an argument can't be whitelisted)."""
+            cur = call.func.value
+            while True:
+                if (isinstance(cur, ast.Call)
+                        and isinstance(cur.func, ast.Attribute)):
+                    yield cur
+                    cur = cur.func.value
+                elif isinstance(cur, ast.Attribute):
+                    cur = cur.value
+                else:
+                    return
+
+        # ADVICE r14: a valid Window.orderBy(...).partitionBy(...)
+        # ordering puts the partitionBy ABOVE the orderBy node, which
+        # the below-the-node walk can't see — collect every orderBy
+        # that sits on the receiver spine of an enclosing partitionBy
+        # so either ordering counts as partitioned.
+        enclosed: set = set()
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "partitionBy"):
+                for sub in chain_spine(node):
+                    if sub.func.attr == "orderBy":
+                        enclosed.add(id(sub))
         for node in ast.walk(tree):
             if not (isinstance(node, ast.Call)
                     and isinstance(node.func, ast.Attribute)
                     and node.func.attr == "orderBy"):
                 continue
-            cur, has_partition = node.func.value, False
+            has_partition = id(node) in enclosed
+            cur = node.func.value
             while True:
                 if (isinstance(cur, ast.Call)
                         and isinstance(cur.func, ast.Attribute)):
