@@ -123,6 +123,10 @@ HEADLINE = [
     # round 8 late: the distributed Lloyd fit (3 iterations over the
     # full embeddings table — two bounded-key shuffles per iteration)
     "e2_kmeans",
+    # round 15 (VERDICT r14 next #5): basket co-occurrence + lift —
+    # already in the sf1 slope table since r14, now timed at sf0.1 too
+    # so its slope row prints a ratio like every other row
+    "e6_cooccurrence",
 ]
 
 #: Name→registry aliases. "e6_sessionize" has ALWAYS benched the batch
@@ -147,6 +151,205 @@ ALIAS = {
 #: deltas attribute to CODE, not shared-VM load (r06/r07 both ran at
 #: loadavg ≥7.6 and their raw deltas were unreadable). Do not re-pin.
 REF_CALIBRATION = 0.084
+
+#: Top of the healthy per-job scheduling-latency band measured on this
+#: box (round 14: healthy probes read 10-30 ms; the drifted rounds
+#: read 66-130 ms while scan throughput stayed flat). The drift
+#: section triggers above 2× this.
+HEALTHY_JOB_LATENCY_MS = 30.0
+
+
+def _prev_round_bench() -> tuple[int, dict] | None:
+    """(round N, per-query seconds) from the highest-numbered
+    driver-recorded ``BENCH_r{N}.json`` next to this file — the
+    round-over-round comparison base the drift section adjudicates
+    against."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    best, data = None, None
+    for p in os.listdir(root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best:
+            try:
+                with open(os.path.join(root, p)) as fd:
+                    d = json.load(fd)
+            except (OSError, ValueError):
+                continue
+            best, data = n, d
+    if data is None:
+        return None
+    # the driver wraps the compact stdout line under "parsed"
+    # (alongside n/rc/tail); a locally-written detail file carries
+    # "queries" at top level — accept both
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return best, data.get("queries", {}) or {}
+
+
+#: Child script for the pinned-worktree A/B: runs the named queries
+#: from the PREVIOUS round's commit in its own process + SparkSession
+#: (same protocol as the headline loop: one warmup, min-of-3, cache
+#: release between queries) and prints one JSON line {name: sec}.
+_DRIFT_AB_SCRIPT = """
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+import __spark_entry__ as em
+from drugbankner_spark.session import get_spark
+from drugbankner_spark.caching import release_shared_caches
+
+spark = get_spark(app_name="drugbankner-drift-ab")
+qs = em.all_queries()
+names = json.loads(os.environ["SPARK_GRAFT_DRIFT_NAMES"])
+alias = json.loads(os.environ["SPARK_GRAFT_DRIFT_ALIAS"])
+sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+out = {}
+for name in names:
+    fn = qs.get(alias.get(name, name))
+    if fn is None:
+        continue
+    fn(spark, sf_dir).toPandas()  # warmup (codegen + page cache)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).toPandas()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    release_shared_caches()
+    out[name] = round(best, 3)
+print("DRIFT_AB_JSON:" + json.dumps(out))
+"""
+
+
+def _pinned_worktree_ab(names: list, sf_dir: str) -> dict | None:
+    """Re-time ``names`` on the previous round's commit (the one that
+    recorded the highest ``BENCH_r{N}.json``) in a pinned git
+    worktree, in a separate process with its own SparkSession — the
+    paired measurement round 14 did by hand (VERDICT r14 next #4).
+    Returns {name: sec} or None when the A/B is unavailable (no git,
+    artifact untracked, child failed) — callers fall back to
+    min-of-N re-timing on HEAD."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    prev = _prev_round_bench()
+    if prev is None:
+        return None
+    try:
+        commit = subprocess.run(
+            ["git", "-C", root, "log", "-n1", "--format=%H", "--",
+             f"BENCH_r{prev[0]}.json"],
+            capture_output=True, text=True, timeout=60, check=True,
+        ).stdout.strip()
+        if not commit:
+            return None
+        wt = f"/tmp/spark_graft_drift_{commit[:12]}"
+        if not os.path.exists(wt):
+            subprocess.run(
+                ["git", "-C", root, "worktree", "add", "--detach",
+                 wt, commit],
+                capture_output=True, text=True, timeout=120,
+                check=True,
+            )
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_DRIFT_NAMES=json.dumps(names),
+            SPARK_GRAFT_DRIFT_ALIAS=json.dumps(ALIAS),
+            SPARK_GRAFT_SF_DIR=sf_dir,
+        )
+        child = subprocess.run(
+            [sys.executable, "-"], input=_DRIFT_AB_SCRIPT,
+            capture_output=True, text=True, timeout=1800, cwd=wt,
+            env=env,
+        )
+        for ln in child.stdout.splitlines():
+            if ln.startswith("DRIFT_AB_JSON:"):
+                return json.loads(ln[len("DRIFT_AB_JSON:"):])
+        return None
+    except Exception:
+        return None
+
+
+def _drift_section(spark, qs, sf_dir: str, timings: dict, job_lat) -> dict:
+    """Automated drift adjudication (VERDICT r14 next #4 — round 14
+    proved a +23% raw total was ambient by hand-running the previous
+    commit in a worktree; this makes that proof a bench feature).
+    When the per-job latency probe exceeds 2× the healthy band, the
+    3 worst-drifted queries vs the last driver-recorded round are
+    re-timed ON THE PREVIOUS ROUND'S COMMIT in a pinned worktree: if
+    the unmodified old code drifts the same way NOW, the drift is
+    ambient, not a code regression. Falls back to min-of-5 re-timing
+    on HEAD when the worktree A/B is unavailable. Empty (triggered:
+    false) on a quiet box."""
+    out: dict = {
+        "job_latency_ms": job_lat,
+        "healthy_max_ms": HEALTHY_JOB_LATENCY_MS,
+        "triggered": False,
+        "queries": {},
+    }
+    if job_lat is None or job_lat <= 2 * HEALTHY_JOB_LATENCY_MS:
+        return out
+    prev = _prev_round_bench()
+    if prev is None:
+        out["note"] = "latency elevated but no BENCH_r{N}.json to compare"
+        return out
+    n_prev, prev_q = prev
+    out["triggered"] = True
+    out["vs_round"] = n_prev
+    ratios = []
+    for name, sec in timings.items():
+        p = prev_q.get(name)
+        # sub-200ms rows are pure scheduling noise at elevated latency
+        if p and p >= 0.2 and sec > p:
+            ratios.append((sec / p, name, sec, p))
+    ratios.sort(reverse=True)
+    worst = [r for r in ratios[:3] if r[0] >= 1.25]
+    if not worst:
+        out["note"] = "latency elevated but no query drifted >=25%"
+        return out
+    ab = _pinned_worktree_ab([w[1] for w in worst], sf_dir)
+    for ratio, name, sec, p in worst:
+        entry = {
+            "head_sec": sec,
+            "prev_recorded_sec": p,
+            "ratio": round(ratio, 2),
+        }
+        prev_sec = (ab or {}).get(name)
+        if prev_sec is not None:
+            entry["prev_commit_sec"] = prev_sec
+            prev_ratio = prev_sec / p
+            entry["prev_commit_ratio"] = round(prev_ratio, 2)
+            # the unmodified old code drifting ~as far now = ambient
+            entry["verdict"] = (
+                "ambient" if prev_ratio >= 0.7 * ratio
+                else "code-suspect"
+            )
+        else:
+            # fallback when no worktree A/B: min-of-5 re-time on HEAD
+            # — more chances to land between noise spikes; within 25%
+            # of the recorded number reads as ambient scheduling noise
+            fn = qs.get(ALIAS.get(name, name))
+            if fn is not None:
+                from drugbankner_spark.caching import (
+                    release_shared_caches,
+                )
+
+                best = None
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).toPandas()
+                    el = time.perf_counter() - t0
+                    best = el if best is None else min(best, el)
+                release_shared_caches()
+                entry["head_retimed_min5_sec"] = round(best, 3)
+                entry["verdict"] = (
+                    "ambient" if best <= p * 1.25
+                    else "unresolved (no worktree A/B)"
+                )
+        out["queries"][name] = entry
+        print(f"# drift {name}: {entry}", file=sys.stderr)
+    return out
 
 
 def main() -> None:
@@ -289,6 +492,20 @@ def main() -> None:
         "x1_linker_index_fit_sec": linker_fit_sec,
         "x1_linker_served_stats": serving_stats,
     }
+    # automated drift adjudication (VERDICT r14 next #4): on an
+    # elevated-latency box, re-time the worst-drifted queries on the
+    # previous round's commit in a pinned worktree and name the
+    # verdict per query; empty on a quiet box
+    # sf-gated like the sf1 section: the BENCH_r{N} baselines are
+    # driver-recorded at sf0.1, so ratios at any other sf are
+    # apples-to-oranges
+    if os.environ.get("SPARK_GRAFT_DRIFT", "1") == "1" and sf == 0.1:
+        try:
+            result["drift"] = _drift_section(
+                spark, qs, sf_dir, timings, job_lat
+            )
+        except Exception as exc:  # pragma: no cover
+            result["drift"] = {"error": f"{type(exc).__name__}: {exc}"}
     # skew demonstration + sf1 scaling rehearsal (VERDICT r04 next #6/#7);
     # separate sections so the headline total stays round-comparable.
     # Failure-proofed: a broken section records its error instead of
@@ -369,6 +586,15 @@ def main() -> None:
             else serving_stats.get("certified_fraction")
         ),
     }
+    # the drift verdicts belong in the driver-recorded line; compact
+    # to the adjudication alone (seconds stay in the detail file)
+    dr = result.get("drift", {})
+    if dr.get("triggered"):
+        compact["drift"] = {
+            name: e.get("verdict")
+            for name, e in dr.get("queries", {}).items()
+        }
+        compact["drift"]["vs_round"] = dr.get("vs_round")
     skew_d = result.get("skew", {})
     if "window_plain_max_task_rows" in skew_d:
         compact["window_skew"] = {

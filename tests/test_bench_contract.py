@@ -46,3 +46,31 @@ def test_calibration_reference_pinned():
     # r05 clean-load environment; re-pinning would silently re-base
     # every round-over-round comparison.
     assert bench.REF_CALIBRATION == 0.084
+
+
+def test_drift_section_gating():
+    # Round 15 (VERDICT r14 next #4): the drift adjudicator fires only
+    # when the latency probe exceeds 2x the healthy band, and even
+    # then only names queries that actually drifted >=25% vs the last
+    # driver-recorded round. Neither path below reaches Spark or git.
+    quiet = bench._drift_section(
+        None, {}, "/root/testdata/sf0.1", {"q1_pricing_summary": 9.9},
+        bench.HEALTHY_JOB_LATENCY_MS,
+    )
+    assert quiet["triggered"] is False and quiet["queries"] == {}
+    # elevated latency, but every timing at/below its recorded value
+    fast = bench._drift_section(
+        None, {}, "/root/testdata/sf0.1", {"q1_pricing_summary": 0.01},
+        10 * bench.HEALTHY_JOB_LATENCY_MS,
+    )
+    assert fast["triggered"] is True and fast["queries"] == {}
+    assert "drifted" in fast.get("note", "")
+
+
+def test_prev_round_bench_reads_latest_artifact():
+    # The adjudicator compares against the HIGHEST-numbered
+    # driver-recorded BENCH_r{N}.json next to bench.py.
+    prev = bench._prev_round_bench()
+    assert prev is not None
+    n, qs = prev
+    assert n >= 14 and isinstance(qs, dict) and qs
