@@ -741,18 +741,21 @@ ALIAS_CHAMPION_C = 512
 #: large-ontology probe ~30% to fix a regime it isn't in. A fixed
 #: factor stops tracking the ontology exactly the way the fixed
 #: rank cap C did (VERDICT r12 #1); the fit auto-picks by its own
-#: alias count. Boundary 100k, MEASURED from above
+#: alias count. Boundary MEASURED from above
 #: (tools/exp_wcut_sf3.py — the sf3 corpus's 107k-alias dim: factor
-#: 1.0 certifies 1.0 AND serves faster, 4.48 s vs 5.14 s, so the
-#: large regime is correct at 107k) and below (sf1, 35.6k: only
-#: ≤0.9 certifies 1.0). The true switch lies in (35.6k, 107k);
-#: anything in that gap runs 0.9, which errs toward certification —
-#: the exactness-preserving direction.
+#: 1.0 certifies 1.0 AND serves faster, 4.48 s vs 5.14 s;
+#: tools/exp_wcut_70k.py, round 15 — a 69.5k-alias hash-cut of the
+#: same dim: factor 1.0 STILL certifies 1.0 with zero risky
+#: mentions, so the large regime is correct down to ~70k) and below
+#: (sf1, 35.6k: only ≤0.9 certifies 1.0). Boundary lowered 100k →
+#: 70k on that round-15 point (VERDICT r14 next #7); the remaining
+#: unmeasured gap (35.6k, 69.5k) runs 0.9, which errs toward
+#: certification — the exactness-preserving direction.
 ALIAS_WCUT_RMS_FACTOR = 0.9
 
 #: Large-ontology regime: factor and boundary (see above).
 ALIAS_WCUT_RMS_FACTOR_LARGE = 1.0
-ALIAS_WCUT_LARGE_MIN_ALIASES = 100_000
+ALIAS_WCUT_LARGE_MIN_ALIASES = 70_000
 ALIAS_WCUT_MIN = 0.02
 ALIAS_WCUT_MAX = 0.35
 
