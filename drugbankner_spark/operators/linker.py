@@ -452,7 +452,10 @@ def _pin_width(
     LAST_PIN_DECISION["score_full"] = {
         "n_postings": n_post, "est_products": est, "width": width,
         "reason": "estimate",
-        "est_from_published_df": gram_df is not None,
+        # True when the posting side was the fit's df dim (in-memory
+        # on inline fits, read from /idf on serving probes) rather
+        # than a fresh posting-table aggregation
+        "est_from_df_dim": gram_df is not None,
     }
     return width
 

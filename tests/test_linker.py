@@ -659,7 +659,7 @@ def test_pin_estimate_from_published_df_dim(spark, tmp_path,
     ).collect()
     dec_df = dict(L.LAST_PIN_DECISION["score_full"])
     assert dec_df["reason"] == "estimate"
-    assert dec_df["est_from_published_df"] is True
+    assert dec_df["est_from_df_dim"] is True
     assert dec_df["est_products"] > 0
 
     # legacy-index fallback (no df column): same estimate via the
@@ -684,7 +684,7 @@ def test_pin_estimate_from_published_df_dim(spark, tmp_path,
         prune_buckets=False, use_champions=False,
     ).collect()
     dec_legacy = dict(L.LAST_PIN_DECISION["score_full"])
-    assert dec_legacy["est_from_published_df"] is False
+    assert dec_legacy["est_from_df_dim"] is False
     assert dec_legacy["est_products"] == dec_df["est_products"]
 
     # override path records its decision too (ADVICE r14)
