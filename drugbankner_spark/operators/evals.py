@@ -558,11 +558,39 @@ def stream_calibration_partials(
                       max_files_per_trigger=1)
 
 
+def compact_calibration_state(spark, state_dir: str,
+                              up_to_epoch: int) -> int:
+    """Fold old epochs of a :func:`stream_calibration_partials` state
+    dir into one base generation: per-bin sums merge associatively,
+    routed through the sum-family
+    :func:`sketches.compact_epoch_state` protocol (manifest-committed,
+    object-store safe, read-anytime — round 15 closes the family: the
+    calibration partials were the one sum-family face without a
+    compactor, so a long-lived stream's read cost grew with epoch
+    count forever). Read cost after: ≤ n_bins base rows + the
+    un-folded tail epochs."""
+    from drugbankner_spark.operators.sketches import compact_epoch_state
+
+    def fold(old: DataFrame) -> DataFrame:
+        return old.groupBy("bin").agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_conf").alias("sum_conf"),
+            F.sum("sum_correct").alias("sum_correct"),
+        )
+
+    return compact_epoch_state(spark, state_dir, up_to_epoch, fold)
+
+
 def read_calibration(spark, state_dir: str) -> DataFrame:
     """Merge the streamed per-bin partials and emit the SAME schema as
     :func:`calibration_report` — sums add across epochs, the ratios
-    and ECE recompute at read."""
-    parts = spark.read.parquet(state_dir)
+    and ECE recompute at read. Live rows resolve through the
+    compaction manifest with the list/manifest consistency retry
+    (:func:`sketches._live_rows`), so reads stay exactly-once at any
+    point of a concurrent :func:`compact_calibration_state`."""
+    from drugbankner_spark.operators.sketches import _live_rows
+
+    parts = _live_rows(spark, state_dir)
     per_bin = parts.groupBy("bin").agg(
         F.sum("n").alias("n"),
         F.round(F.sum("sum_conf") / F.sum("n"), 6)

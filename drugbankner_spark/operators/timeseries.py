@@ -394,6 +394,28 @@ def stream_bucket_partials(
                       max_files_per_trigger=1)
 
 
+def compact_bucket_state(spark, state_dir: str, key_cols: list[str],
+                         up_to_epoch: int) -> int:
+    """Fold old epochs of a :func:`stream_bucket_partials` state dir
+    into one base generation: the (n_obs, _sum, _nval) partials merge
+    by per-(key, bucket) SUM, routed through the sum-family
+    :func:`sketches.compact_epoch_state` protocol (manifest-committed,
+    object-store safe, read-anytime — round 15 closes the family
+    uniformly). Read cost after: ≤ keys × span/step base rows + the
+    un-folded tail epochs instead of that times every epoch ever
+    ingested."""
+    from drugbankner_spark.operators.sketches import compact_epoch_state
+
+    def fold(old: DataFrame) -> DataFrame:
+        return old.groupBy(*key_cols, "bucket_start").agg(
+            F.sum("n_obs").alias("n_obs"),
+            F.sum("_sum").alias("_sum"),
+            F.sum("_nval").alias("_nval"),
+        )
+
+    return compact_epoch_state(spark, state_dir, up_to_epoch, fold)
+
+
 def read_anomalies(
     spark,
     state_dir: str,
@@ -404,9 +426,15 @@ def read_anomalies(
     """Merge-on-read of a :func:`stream_bucket_partials` state dir:
     partials sum per (key, bucket), then the shared scoring stage —
     equals the batch :func:`detect_anomalies` over the same events
-    (stream==batch test in tests/test_timeseries.py)."""
+    (stream==batch test in tests/test_timeseries.py). Live rows
+    resolve through the compaction manifest with the list/manifest
+    consistency retry (:func:`sketches._live_rows`), so reads stay
+    exactly-once at any point of a concurrent
+    :func:`compact_bucket_state`."""
+    from drugbankner_spark.operators.sketches import _live_rows
+
     obs = (
-        spark.read.parquet(state_dir)
+        _live_rows(spark, state_dir)
         .groupBy(*key_cols, "bucket_start")
         .agg(
             F.sum("n_obs").alias("n_obs"),

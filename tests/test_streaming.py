@@ -826,6 +826,23 @@ def test_stream_calibration_partials_match_batch(spark, tmp_path):
     want = sorted(map(tuple, calibration_report(
         spark.createDataFrame(rows1 + rows2, schema)).collect()))
     assert got == want and len(got) >= 3
+    # round 15: calibration partials joined the sum-family compaction
+    # protocol — fold all epochs to a generation base, the report is
+    # unchanged across the boundary, same-boundary re-fire is a no-op
+    from drugbankner_spark.operators.evals import (
+        compact_calibration_state,
+    )
+    from drugbankner_spark.operators.sketches import _epoch_manifest
+
+    epochs = sorted(r["_epoch"] for r in spark.read.parquet(state)
+                    .select("_epoch").distinct().collect())
+    assert compact_calibration_state(spark, state, epochs[-1]) \
+        == len(epochs)
+    spark.catalog.refreshByPath(state)
+    after = sorted(map(tuple, read_calibration(spark, state).collect()))
+    assert after == want
+    assert _epoch_manifest(spark, state) == (1, epochs[-1])
+    assert compact_calibration_state(spark, state, epochs[-1]) == 0
     shutil.rmtree(state, ignore_errors=True)
 
 

@@ -226,6 +226,25 @@ def test_streaming_anomalies_equal_batch(spark, tmp_path):
         ev, ["key"], step_seconds=STEP, lookback=8, z_threshold=3.0
     ).collect()))
     assert got == want and len(got) == 9
+    # round 15: the bucket partials joined the sum-family compaction
+    # protocol — fold every epoch into a generation base, reads equal
+    # across the boundary, re-firing the same boundary is a no-op
+    from drugbankner_spark.operators.sketches import _epoch_manifest
+    from drugbankner_spark.operators.timeseries import (
+        compact_bucket_state,
+    )
+
+    epochs = sorted(r["_epoch"] for r in spark.read.parquet(state)
+                    .select("_epoch").distinct().collect())
+    assert compact_bucket_state(spark, state, ["key"],
+                                epochs[-1]) == len(epochs)
+    spark.catalog.refreshByPath(state)
+    after = sorted(map(tuple, read_anomalies(
+        spark, state, ["key"], lookback=8, z_threshold=3.0
+    ).collect()))
+    assert after == want
+    assert _epoch_manifest(spark, state) == (1, epochs[-1])
+    assert compact_bucket_state(spark, state, ["key"], epochs[-1]) == 0
 
 
 def test_seasonal_decompose_recovers_planted_components(spark):
