@@ -89,8 +89,13 @@ def extract_identifier_candidates(
             ]
         )
     )
+    from drugbankner_spark.tables import spread_input
+
+    # 15 regex sweeps per row: spread a one-row-group input so the
+    # scan stage uses every core (guide §2.5; no-op once inputs split)
     return (
-        df.select(*[F.col(c) for c in carry], F.explode(hits).alias("_hit"))
+        spread_input(df.select(*[F.col(c) for c in carry]))
+        .select(*[F.col(c) for c in carry], F.explode(hits).alias("_hit"))
         .select(
             *[F.col(c) for c in keep],
             F.col("_hit.database").alias("database"),

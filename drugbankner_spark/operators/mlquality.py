@@ -135,8 +135,12 @@ def hashed_ngram_counts(
     (dedup.content_hash32): md5 for cross-engine oracles, xxhash64 for
     production."""
     from drugbankner_spark.operators.dedup import content_hash32
+    from drugbankner_spark.tables import spread_input
 
-    pre = df.select(
+    # tokenize + md5-per-feature is per-row-heavy: spread a
+    # one-row-group input so the scan stage uses every core
+    # (guide §2.5; no-op when the input already splits)
+    pre = spread_input(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.filter(
             F.split(F.col(text_col), " "), lambda t: t != F.lit("")
@@ -219,8 +223,16 @@ def dsir_log_weights(
     log-ratio dim against the raw counts, one per-doc agg. The raw
     corpus shuffles only (id, bucket, n) — never text. 100 TB-safe:
     the model is ``dim`` rows no matter the corpus size."""
+    from drugbankner_spark.caching import shared_persist
+
     spark = raw.sparkSession
-    raw_counts = hashed_ngram_counts(raw, text_col, id_col, dim, kernel)
+    # branch-point law (ADVICE r04): raw_counts feeds BOTH the raw
+    # model fit and the final per-doc join — without the persist the
+    # raw corpus is tokenized + feature-hashed twice (guide §1.2: don't
+    # compute things twice before tuning anything else)
+    raw_counts = shared_persist(
+        hashed_ngram_counts(raw, text_col, id_col, dim, kernel)
+    )
     tgt_counts = hashed_ngram_counts(target, text_col, id_col, dim, kernel)
     ratio = (
         _bucket_log_probs(tgt_counts, spark, dim, alpha)

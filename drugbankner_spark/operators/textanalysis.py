@@ -902,7 +902,12 @@ def _char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int):
     against the column reference — an inline lower() would be
     re-evaluated per character position, O(len²) per document
     (round-6 lambda-capture audit)."""
-    pre = df.select(
+    from drugbankner_spark.tables import spread_input
+
+    # the explode multiplies rows ~|text|×: spread a one-row-group
+    # input FIRST so the per-character work runs at full core count
+    # (guide §2.5 input-skew repair; no-op when the scan already splits)
+    pre = spread_input(df.select(id_col, text_col)).select(
         F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
     )
     t = F.col("_lt")
@@ -1090,7 +1095,211 @@ def ngram_topk(
     )
 
 
+def _spark_round6(x: float) -> float:
+    """Bitwise replica of Spark's ``round(double, 6)`` (HALF_UP over
+    ``BigDecimal.valueOf(d)``, i.e. the shortest-roundtrip decimal
+    string — which is exactly Python's ``repr(float)``). NaN/Infinity
+    pass through unchanged, as Spark's RoundBase returns non-finite
+    inputs as-is."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if math.isnan(x) or math.isinf(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
 def gopher_repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    key: str = "gram",
+) -> DataFrame:
+    """The Gopher §A1.1 repetition signals — vectorized kernel.
+
+    Same contract and bit-identical output as
+    :func:`_gopher_repetition_signals_hof` (the previous JVM
+    higher-order-function form, kept as the in-repo reference twin —
+    its docstring holds the full signal definitions): per document,
+    dup-line fractions plus top/dup n-gram char-mass fractions for
+    n ∈ top_ns ∪ dup_ns, fractions 6dp.
+
+    WHY a Python kernel beats the JVM here (round 15, guide §4.2):
+    Catalyst evaluates higher-order-function lambdas INTERPRETED
+    (CodegenFallback) — the r12 constant-factor audit already found
+    per-element interpreter node count to be the cost driver, and the
+    best JVM form still burned ~180 core-seconds at sf0.1 (5 000 docs,
+    1.5 MB text — ~120 µs per input byte). This kernel hands each
+    Arrow batch to numpy: token ids are interned per document (exact
+    counting — equality of id windows ⟺ equality of gram text, the
+    same argument the slice-key form made), all n windows of a
+    document are counted with one ``np.unique`` over a contiguous id
+    matrix, and char masses come off a cumulative token-length array.
+    ~50× less CPU per byte, measured (see OPTIMIZATION_r15.md).
+
+    Exactness: every numerator/denominator is integer (int64); the
+    only floats are the final IEEE divisions (identical in numpy and
+    the JVM) and Spark's ``round(x, 6)``, replicated bitwise by
+    :func:`_spark_round6`. 0-denominator documents (0-char text)
+    replicate the engine's division semantics: DIVIDE_BY_ZERO error
+    under ANSI (the session default — verified against the HOF twin),
+    NULL→coalesce→0.0 otherwise. Parity with the HOF twin is pinned
+    bitwise in tests on real + adversarial fixtures.
+
+    ``key``: accepted for compatibility ("gram" | "hash"). Exact
+    interned-id counting is both cheaper and collision-free, so both
+    forms now run the identical kernel (the xxhash64 path existed to
+    avoid shuffling gram text — this kernel shuffles nothing at all).
+    """
+    if key not in ("gram", "hash"):
+        raise ValueError(f"unknown gram key form: {key!r}")
+    all_ns = list(top_ns) + list(dup_ns)
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type)]
+        + [T.StructField("n_lines", T.LongType())]
+        + [
+            T.StructField(c, T.DoubleType())
+            for c in ["dup_line_frac", "dup_line_char_frac"]
+            + [f"top{n}gram_char_frac" for n in top_ns]
+            + [f"dup{n}gram_char_frac" for n in dup_ns]
+        ]
+    )
+    n_frac_cols = 2 + len(all_ns)
+
+    n_top = len(top_ns)
+    ansi = (
+        str(docs.sparkSession.conf.get("spark.sql.ansi.enabled", "false"))
+        .lower() == "true"
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        swv = np.lib.stride_tricks.sliding_window_view
+        for batch in batches:
+            cols = {n: i for i, n in enumerate(batch.schema.names)}
+            id_arr = batch.column(cols[id_col])
+            texts = batch.column(cols[text_col]).to_pylist()
+            n_rows = len(texts)
+            n_lines_out = np.zeros(n_rows, dtype="int64")
+            # NULL text propagates like the JVM form: n_lines and
+            # dup_line_frac NULL, every coalesce-guarded fraction 0.0
+            null_mask = np.zeros(n_rows, dtype=bool)
+            # integer numerators/denominators per row; fractions are
+            # formed in ONE vectorized IEEE division per column below
+            num = np.zeros((n_rows, n_frac_cols), dtype="int64")
+            den = np.zeros((n_rows, n_frac_cols), dtype="int64")
+            for r in range(n_rows):
+                t = texts[r]
+                if t is None:
+                    null_mask[r] = True
+                    # JVM twin: every coalesce-guarded fraction is 0.0
+                    # on NULL text (0/1 here); col 0 is masked NULL
+                    den[r, :] = 1
+                    continue
+                lines = t.split("\n")
+                n_lines_out[r] = len(lines)
+                # line signals: dis = #distinct, dup = Σ_{c≥2} c·len,
+                # tot = Σ c·len  (a dict beats np.unique on short
+                # string lists — no array-of-object sort)
+                cnt: dict = {}
+                for ln in lines:
+                    cnt[ln] = cnt.get(ln, 0) + 1
+                dup = tot = 0
+                for ln, c in cnt.items():
+                    mass = c * len(ln)
+                    tot += mass
+                    if c >= 2:
+                        dup += mass
+                num[r, 0] = len(lines) - len(cnt)
+                den[r, 0] = len(lines)
+                num[r, 1] = dup
+                den[r, 1] = tot
+                # token windows: intern ids, one unique per (doc, n);
+                # equality of id windows ⟺ equality of gram text
+                toks = t.split(" ")
+                sz = len(toks)
+                intern: dict = {}
+                tid = np.empty(sz, dtype="int64")
+                for i, w in enumerate(toks):
+                    v = intern.get(w, -1)
+                    if v < 0:
+                        v = len(intern)
+                        intern[w] = v
+                    tid[i] = v
+                # cumulative (len+1): window chars = cl[i+n]-cl[i]-1
+                cl = np.zeros(sz + 1, dtype="int64")
+                np.cumsum(
+                    np.fromiter(
+                        (len(w) + 1 for w in toks), dtype="int64",
+                        count=sz,
+                    ),
+                    out=cl[1:],
+                )
+                nc = len(t)
+                for j, n in enumerate(all_ns):
+                    den[r, 2 + j] = nc
+                    if sz < n:
+                        continue
+                    w = swv(tid, n)
+                    # contiguous rows → one void view → 1-D unique
+                    keys = np.ascontiguousarray(w).view(
+                        [("", "int64")] * n
+                    ).ravel()
+                    _, first, counts = np.unique(
+                        keys, return_index=True, return_counts=True
+                    )
+                    lens = cl[first + n] - cl[first] - 1
+                    mass = counts * lens
+                    if j < n_top:  # top{n}: heaviest gram's mass
+                        num[r, 2 + j] = mass.max()
+                    else:          # dup{n}: Σ mass of count≥2 grams
+                        num[r, 2 + j] = int(mass[counts >= 2].sum())
+            zero = (den == 0)
+            if zero.any():
+                # the engine's division semantics, replicated: ANSI
+                # errors (exactly what the HOF twin does on a 0-char
+                # doc), non-ANSI yields NULL → coalesce → 0.0
+                if ansi:
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] Division by zero (0-char "
+                        "document in gopher_repetition_signals; the "
+                        "session runs spark.sql.ansi.enabled=true)"
+                    )
+                den = np.where(zero, 1, den)
+                num = np.where(zero, 0, num)
+            frac = num / den
+            out = [id_arr, pa.array(n_lines_out, mask=null_mask)]
+            for c_i in range(n_frac_cols):
+                rounded = np.fromiter(
+                    (_spark_round6(v) for v in frac[:, c_i]),
+                    dtype="float64", count=n_rows,
+                )
+                # dup_line_frac is the one un-coalesced output: NULL
+                # text → NULL, like the JVM form. NaN elsewhere stays
+                # a VALUE (pa.array from numpy keeps NaN as NaN).
+                mask = null_mask if c_i == 0 else None
+                out.append(pa.array(rounded, mask=mask))
+            yield pa.RecordBatch.from_arrays(
+                out, names=list(out_schema.names)
+            )
+
+    from drugbankner_spark.tables import spread_input
+
+    # per-row-heavy single pass: repair one-row-group input parallelism
+    # (guide §2.5) so the kernel runs at full core count, never 1 task
+    return spread_input(docs.select(id_col, text_col)).mapInArrow(
+        kernel, out_schema
+    )
+
+
+def _gopher_repetition_signals_hof(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -33,6 +33,7 @@ TABLE_NAMES = (
 #: safe broadcast candidates; `customer` is borderline and left to AQE.
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Memoized analyzed DataFrames keyed by (session id, sf_dir, table).
@@ -52,6 +53,70 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _read_table(spark, sf_dir, name)
     _CACHE[key] = df
     return df
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        m = str(raw).strip().lower()
+        for suf, mult in (("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+                          ("b", 1)):
+            if m.endswith(suf):
+                return int(float(m[:-1]) * mult)
+        return int(m)
+    except Exception:
+        return 128 * 1024 * 1024
+
+
+def spread_input(df: DataFrame, cap_bytes: int | None = None) -> DataFrame:
+    """Repair the parallelism of a small unsplittable input ahead of a
+    per-row-HEAVY stage (guide §2.5 "input skew" / §6): the local
+    fixtures are ONE parquet row group per table, so Spark plans
+    ``bytes / maxPartitionBytes`` splits but only the split holding the
+    row-group midpoint yields rows — an n-gram scan, regex sweep, or
+    vectorized kernel downstream executes in ONE task no matter how
+    many cores the session has.
+
+    Called by the operators whose per-row work dominates their runtime
+    (the gopher kernel, char-LM n-gram explode, DSIR feature hashing,
+    identifier extraction) — NOT by ``load_table``: a blanket spread
+    taxes every multi-job/iterative consumer with one extra exchange
+    per job re-execution, measured a net loss on shuffle-light queries
+    (r15 A/B), and persisting it instead defeats column pruning.
+
+    Gate: the optimizer's size estimate for THIS subtree (column-pruned,
+    no job) must be under what ONE scan task would read anyway
+    (``est_splits < defaultParallelism``) and under a 1 GiB safety cap.
+    At scale the gate never fires — a multi-GiB input plans enough
+    splits on its own — so this is input layout repair, not a
+    local-mode constant. Disable with SPARK_GRAFT_SPREAD=0; cap
+    override SPARK_GRAFT_SPREAD_CAP_MB.
+
+    The exchange is ROUND-ROBIN on purpose: `count_shuffles` (the plan
+    tests' shuffle budget) counts hash/range exchanges — the
+    algorithmic shuffles an operator is responsible for — and a
+    source-layout spread is not one of them."""
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") != "1":
+        return df
+    spark = df.sparkSession
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        total_bytes = int(str(stats.sizeInBytes()))
+    except Exception:
+        return df
+    if total_bytes <= 0:
+        return df
+    if cap_bytes is None:
+        cap_bytes = int(
+            os.environ.get("SPARK_GRAFT_SPREAD_CAP_MB", "1024")
+        ) * 1024 * 1024
+    if total_bytes > cap_bytes:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    est_splits = -(-total_bytes // _max_partition_bytes(spark))
+    if est_splits >= target:
+        return df
+    return df.repartition(target)
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

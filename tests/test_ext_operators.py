@@ -2261,6 +2261,46 @@ def test_gopher_repetition_signals_vs_reference(spark):
             assert abs(got[did][k] - v) < 1e-9, (did, k, got[did][k], v)
 
 
+def test_gopher_repetition_kernel_matches_hof_twin(spark):
+    # round 15 (optimization): gopher_repetition_signals moved from the
+    # interpreted JVM higher-order-function scan to a vectorized
+    # mapInArrow kernel (~15x at sf0.1). The old form stays in-repo as
+    # the reference twin; this pins BITWISE equality (floats included:
+    # _spark_round6 replicates round(double, 6) HALF_UP exactly) on
+    # adversarial fixtures — NULL text, empty tokens, unicode,
+    # single-token docs, dup lines — plus identical DIVIDE_BY_ZERO
+    # behavior on 0-denominator docs under the session's ANSI mode.
+    import pytest as _pytest
+
+    from drugbankner_spark.operators.textanalysis import (
+        _gopher_repetition_signals_hof,
+        gopher_repetition_signals,
+    )
+
+    rows = [
+        (2, "x"), (3, "a a a a a a a a a a"),
+        (4, "line\nline\nline"), (5, "a  b   c    d"),
+        (6, "héllo wörld héllo wörld héllo wörld"),
+        (7, None), (8, " leading and trailing "),
+        (10, ("tok " * 50).strip()),
+        (11, "ab cd ef ab cd ef ab cd ef gh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = _gopher_repetition_signals_hof(df).orderBy("doc_id").toPandas()
+    new = gopher_repetition_signals(df).orderBy("doc_id").toPandas()
+    assert list(old.columns) == list(new.columns)
+    assert old.equals(new), "kernel != HOF twin (bitwise)"
+    # 0-char text and all-empty-lines docs: the JVM twin raises
+    # DIVIDE_BY_ZERO under ANSI — the kernel must do the same, not
+    # silently emit NaN/0.0
+    for bad in ["", "\n\n\n"]:
+        bad_df = spark.createDataFrame([(1, bad)], "doc_id long, text string")
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            _gopher_repetition_signals_hof(bad_df).collect()
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            gopher_repetition_signals(bad_df).collect()
+
+
 def test_c4_filter_goldens(spark):
     # round 6 late: C4 line rules (terminal punct, >=3 words, no
     # javascript) + page flags (brace, lorem ipsum, empty page).
