@@ -47,11 +47,35 @@ def release_since(mark: int) -> int:
     n = 0
     while len(_SHARED) > mark:
         df = _SHARED.pop()
+        if df is None:
+            continue  # already released via release_between
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
+    return n
+
+
+def release_between(lo: int, hi: int) -> int:
+    """Unpersist registry entries recorded in ``[lo, hi)`` WITHOUT
+    disturbing later entries (round 15): a lazy-checkpoint fixpoint
+    loop (suffix array) materializes round r−1's checkpoint only
+    during round r's first job, so round r−1's branch-point persist
+    can be released only AFTER round r has registered its own —
+    a stack-shaped ``release_since`` would release both. Released
+    slots become ``None``; the stack releases skip them."""
+    n = 0
+    for i in range(lo, min(hi, len(_SHARED))):
+        df = _SHARED[i]
+        if df is None:
+            continue
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+        _SHARED[i] = None
     return n
 
 
@@ -62,6 +86,8 @@ def release_shared_caches() -> int:
     n = 0
     while _SHARED:
         df = _SHARED.pop()
+        if df is None:
+            continue  # already released via release_between
         try:
             df.unpersist()
             n += 1

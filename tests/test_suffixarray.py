@@ -74,9 +74,12 @@ def test_corpus_positions_no_single_partition_doc_window(spark):
     docs = spark.createDataFrame([(i, "abc") for i in range(10)],
                                  ["doc_id", "text"])
     plan = corpus_positions(docs)._jdf.queryExecution().optimizedPlan().toString()
-    assert "windowspecdefinition(_pid#" in plan, plan  # two-phase inner window
+    # round 15: the two-phase inner window partitions by the
+    # deterministic id-range bucket _b (collected-histogram offsets)
+    # rather than the sampled-range _pid — still never single-partition
+    assert "windowspecdefinition(_b#" in plan, plan  # two-phase inner window
     assert "windowspecdefinition(doc_id#" not in plan, (
-        "doc-table window must partition by _pid, not run single-partition"
+        "doc-table window must partition by _b, not run single-partition"
     )
 
 
