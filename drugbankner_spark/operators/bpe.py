@@ -72,7 +72,8 @@ def train_bpe(
     ordered merge list — the whole trained tokenizer state (vocabulary =
     initial characters + one entry per merge). Deterministic: ties on
     pair count break lexicographically."""
-    vocab = _word_vocab(corpus, text_col).localCheckpoint(eager=True)
+    # lazy: the first merge round's collect materializes it (round 15)
+    vocab = _word_vocab(corpus, text_col).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         pairs = (
@@ -105,7 +106,8 @@ def train_bpe(
         merges.append((a, b))
         vocab = vocab.withColumn("syms", _merge_fold(F.col("syms"), a, b))
         if (i + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            # lazy: the next round's pair-count collect materializes it
+            vocab = vocab.localCheckpoint(eager=False)
     return merges
 
 

@@ -154,8 +154,13 @@ def _kmeans(
     )
     assigned = None
     for it in range(n_iters):
+        # LAZY between rounds (round 15): the next centroid
+        # checkpoint's job traverses the assignment anyway and
+        # materializes it — one job per round instead of two. The
+        # final round stays EAGER so the result is block-backed
+        # before release_since drops the pts persist below.
         assigned = _assign_step(pts, centroids).localCheckpoint(
-            eager=True
+            eager=(it == n_iters - 1)
         )
         if it == n_iters - 1:
             break  # the last update would never be read

@@ -61,18 +61,25 @@ def connected_components(
     doesn't replan rounds 1..N-1. Pass ``stats={}`` to receive
     ``stats["rounds"]``.
     """
+    # LAZY checkpoints (round 15, guide §1/§2.4): every round already
+    # runs an invariant action over the full label table — that action
+    # doubles as the checkpoint's materializing job, so the separate
+    # eager-checkpoint job per round (and two at setup) disappears.
+    # Blocks are cached on first computation exactly as before; only
+    # WHICH job pays for them changes.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # materializes labels AND sym (labels reads every sym partition)
     prev_inv = _label_invariant(labels)
     rounds = 0
     for _ in range(max_iterations):
@@ -83,10 +90,10 @@ def connected_components(
             labels.union(via_neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
-        inv = _label_invariant(new_labels)
+        inv = _label_invariant(new_labels)  # materializes new_labels
         labels = new_labels
         if inv == prev_inv:
             break
@@ -168,6 +175,10 @@ def connected_components_star(
     instead of two ``exceptAll`` compares. Pass ``stats={}`` to receive
     ``stats["rounds"]``, the number of star rounds executed.
     """
+    # lazy checkpoints: the per-round invariant action materializes
+    # each round's edge set (same trick as connected_components —
+    # round 15); `nodes` stays eager because nothing reads it until
+    # the final join, after the loop's checkpoints have cut lineage.
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
@@ -178,14 +189,14 @@ def connected_components_star(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    prev_inv = _edge_invariant(e)
+    prev_inv = _edge_invariant(e)  # materializes e
     rounds = 0
     for _ in range(max_iterations):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
-        inv = _edge_invariant(e2)
+        inv = _edge_invariant(e2)  # materializes e2
         e = e2
         if inv == prev_inv:
             break

@@ -169,7 +169,9 @@ def train_unigram(
     ``seed_size``; the driver-side model is the documented contract, as
     with the PQ codebooks). Deterministic given the corpus."""
     words = _word_vocab(corpus, text_col).select("word", "n")
-    words = words.localCheckpoint(eager=True)
+    # lazy: the seed collect below reads every partition and
+    # materializes the checkpoint — no separate eager job (round 15)
+    words = words.localCheckpoint(eager=False)
     seed = seed_vocab(words, max_piece_len, seed_size).collect()
     total = sum(r["count"] for r in seed)
     probs = {r["piece"]: r["count"] / total for r in seed}
@@ -177,17 +179,24 @@ def train_unigram(
 
     while True:
         for _ in range(em_iters_per_round):
-            ec_rows = (
-                words.mapInPandas(
-                    _expected_counts_kernel(probs, max_piece_len),
-                    _EC_SCHEMA,
-                )
-                .groupBy("piece")
-                .agg(F.sum("ec").alias("ec"))
-                .collect()
-            )
-            z = sum(r["ec"] for r in ec_rows)
-            probs = {r["piece"]: r["ec"] / z for r in ec_rows}
+            # per-partition partial dicts, merged on the DRIVER
+            # (round 15): the kernel already aggregates within each
+            # partition, so the collect is bounded by pieces × P rows
+            # (≤ seed_size per partition — never corpus-scale); the
+            # former groupBy(piece) shuffled those same partials
+            # through one extra Spark job per EM iteration just to add
+            # ≤ seed_size doubles. Merge order = partition order
+            # (deterministic), where the shuffle agg's merge order was
+            # fetch-order; both are IEEE sums of the same partials.
+            ec_rows = words.mapInPandas(
+                _expected_counts_kernel(probs, max_piece_len),
+                _EC_SCHEMA,
+            ).collect()
+            acc: dict[str, float] = {}
+            for r in ec_rows:
+                acc[r["piece"]] = acc.get(r["piece"], 0.0) + r["ec"]
+            z = sum(acc.values())
+            probs = {p: v / z for p, v in acc.items()}
             # pieces the E-step never used drop out naturally; single
             # chars must never — restore them at epsilon mass if lost
             for c in single_chars:

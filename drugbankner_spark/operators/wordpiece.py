@@ -93,7 +93,8 @@ def train_wordpiece(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("syms", _wp_syms(F.col("word")))
-        .localCheckpoint(eager=True)
+        # lazy: the alphabet collect below materializes it (round 15)
+        .localCheckpoint(eager=False)
     )
     # the initial alphabet stays in the vocabulary even when every
     # occurrence of a character later merges (the HF trainer contract —
@@ -163,7 +164,8 @@ def train_wordpiece(
             "syms", _merge_fold(F.col("syms"), a, b, merge_symbol(a, b))
         )
         if (i + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            # lazy: the next round's pair-count collect materializes it
+            vocab = vocab.localCheckpoint(eager=False)
     return sorted(set(alphabet) | set(merged_pieces))
 
 
