@@ -2489,16 +2489,26 @@ def _e3_charlm(spark: SparkSession, sf: str) -> DataFrame:
     # bounded by charset^3, broadcast at scoring.
     from drugbankner_spark.caching import shared_persist
     from drugbankner_spark.operators.textanalysis import (
-        _char_ngrams,
+        _char_ngram_pairs,
         char_lm_logprob,
         train_char_lm,
     )
 
     docs = load_table(spark, sf, "documents")
-    # self-perplexity: the trigram occurrences feed BOTH training's gram
-    # counts and scoring — one persisted explode instead of two scans
-    occ3 = shared_persist(_char_ngrams(docs, "text", "doc_id", 3))
-    model = train_char_lm(docs, grams=occ3)
+    # self-perplexity (round 15): ONE persisted fused explode feeds
+    # training gram counts, training context counts AND the scoring
+    # occurrences (the former shape persisted only the trigram pass
+    # and re-ran a full bigram corpus explode per consuming action);
+    # the bounded model dim persists too, so the broadcast-size count
+    # and the scoring join read it instead of re-aggregating
+    occ = shared_persist(_char_ngram_pairs(docs, "text", "doc_id"))
+    occ3 = occ.filter(F.length("g3") == 3).select(
+        "doc_id", F.col("g3").alias("gram")
+    )
+    model = shared_persist(train_char_lm(
+        docs, grams=occ3,
+        ctx_grams=occ.select(F.col("g2").alias("gram")),
+    ))
     return char_lm_logprob(docs, model, occ=occ3)
 
 
@@ -3950,15 +3960,23 @@ def _e3_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     # side) → threshold bucketing. No global sort, no ntile window.
     from drugbankner_spark.caching import shared_persist
     from drugbankner_spark.operators.textanalysis import (
-        _char_ngrams,
+        _char_ngram_pairs,
         char_lm_logprob,
         ppl_buckets,
         train_char_lm,
     )
 
     docs = load_table(spark, sf, "documents")
-    occ3 = shared_persist(_char_ngrams(docs, "text", "doc_id", 3))
-    model = train_char_lm(docs, grams=occ3)
+    # same fused single-explode self-perplexity shape as _e3_charlm
+    # (round 15) — see the rationale there
+    occ = shared_persist(_char_ngram_pairs(docs, "text", "doc_id"))
+    occ3 = occ.filter(F.length("g3") == 3).select(
+        "doc_id", F.col("g3").alias("gram")
+    )
+    model = shared_persist(train_char_lm(
+        docs, grams=occ3,
+        ctx_grams=occ.select(F.col("g2").alias("gram")),
+    ))
     return ppl_buckets(char_lm_logprob(docs, model, occ=occ3))
 
 
@@ -4116,8 +4134,11 @@ def _e5_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     from drugbankner_spark.operators.mlquality import dsir_log_weights
 
     docs = load_table(spark, sf, "documents")
+    # target = a predicate-slice of raw → single-pass fit (round 15):
+    # both bucket models fall out of one tokenize+hash scan; results
+    # bit-identical (same integer counts, same log expression tree)
     return dsir_log_weights(
-        docs, docs.filter(F.col("lang") == "en"), dim=64
+        docs, None, dim=64, target_pred=F.col("lang") == "en"
     )
 
 

@@ -126,6 +126,7 @@ def hashed_ngram_counts(
     id_col: str = "doc_id",
     dim: int = 256,
     kernel: str = "md5",
+    flag=None,
 ) -> DataFrame:
     """(id, bucket, n): counts of whitespace unigrams AND bigrams
     hashed into ``dim`` buckets — DSIR's feature map. One explode (the
@@ -133,22 +134,33 @@ def hashed_ngram_counts(
     split runs once per doc) + one map-side-combinable agg; nothing
     driver-side. Same dual hash kernel as the dedup family
     (dedup.content_hash32): md5 for cross-engine oracles, xxhash64 for
-    production."""
+    production.
+
+    ``flag``: optional boolean Column over ``df``'s columns; when
+    given, the output carries it as ``_tgt`` (constant per id — it
+    joins the groupBy key, which cannot change the (id, bucket, n)
+    triples). Lets :func:`dsir_log_weights` fit both of its corpus
+    models from ONE tokenize+hash pass when the target corpus is a
+    predicate-slice of the raw pool (round 15)."""
     from drugbankner_spark.operators.dedup import content_hash32
     from drugbankner_spark.tables import spread_input
 
+    proj = [F.col(id_col), F.col(text_col)]
+    if flag is not None:
+        proj.append(flag.alias("_tgt"))
+    key_cols = [id_col] if flag is None else [id_col, "_tgt"]
     # tokenize + md5-per-feature is per-row-heavy: spread a
     # one-row-group input so the scan stage uses every core
     # (guide §2.5; no-op when the input already splits)
-    pre = spread_input(df.select(id_col, text_col)).select(
-        F.col(id_col),
+    pre = spread_input(df.select(*proj)).select(
+        *key_cols,
         F.filter(
             F.split(F.col(text_col), " "), lambda t: t != F.lit("")
         ).alias("_tk"),
     )
     tk = F.col("_tk")
     feats = pre.select(
-        F.col(id_col),
+        *key_cols,
         F.explode(
             F.concat(
                 tk,
@@ -167,12 +179,12 @@ def hashed_ngram_counts(
     )
     return (
         feats.select(
-            F.col(id_col),
+            *key_cols,
             F.pmod(content_hash32(F.col("feat"), kernel), F.lit(dim)).alias(
                 "bucket"
             ),
         )
-        .groupBy(id_col, "bucket")
+        .groupBy(*key_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -205,12 +217,13 @@ def _bucket_log_probs(
 
 def dsir_log_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 256,
     kernel: str = "md5",
     alpha: float = 1.0,
+    target_pred=None,
 ) -> DataFrame:
     """Per-raw-doc DSIR importance log-weight, rounded to 6dp:
     Σ_buckets c_b · (log p_target(b) − log p_raw(b)), with c the doc's
@@ -222,10 +235,67 @@ def dsir_log_weights(
     corpus's exploded features), ONE broadcast join of the dim-row
     log-ratio dim against the raw counts, one per-doc agg. The raw
     corpus shuffles only (id, bucket, n) — never text. 100 TB-safe:
-    the model is ``dim`` rows no matter the corpus size."""
+    the model is ``dim`` rows no matter the corpus size.
+
+    ``target_pred`` (round 15, guide §1.2 "don't compute things
+    twice"): when the target corpus is a predicate-slice of ``raw``
+    (the common curation setup — e.g. ``lang = 'en'``), pass the
+    predicate instead of a ``target`` frame. The target model then
+    falls out of the SAME tokenize+hash pass as the raw model — the
+    per-bucket fit aggregates both corpora in one exchange
+    (conditional sum), the totals come off the dim-row result, and
+    the second corpus-scale tokenize/explode/agg chain disappears
+    (sf0.1 plan: 32 → 9 Exchanges). The per-doc (id, bucket, n)
+    triples are untouched (the flag joins the groupBy key, constant
+    per id), both models see exactly the counts they saw before
+    (conditional integer sums), and the smoothing/log math is the
+    same expression tree — results are bit-identical, which the
+    unchanged DuckDB oracle checks."""
     from drugbankner_spark.caching import shared_persist
 
     spark = raw.sparkSession
+    if target_pred is not None:
+        flagged = shared_persist(
+            hashed_ngram_counts(
+                raw, text_col, id_col, dim, kernel, flag=target_pred
+            )
+        )
+        grid = spark.range(1).select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(dim - 1))
+            ).alias("bucket")
+        )
+        per_bucket = flagged.groupBy("bucket").agg(
+            F.sum("n").alias("_cr"),
+            F.sum(F.when(F.col("_tgt"), F.col("n"))).alias("_ct"),
+        )
+        totals = per_bucket.agg(
+            F.sum("_cr").alias("_tot_r"),
+            F.sum("_ct").alias("_tot_t"),
+        )
+        a = F.lit(alpha)
+        ratio = (
+            grid.join(per_bucket, "bucket", "left")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "bucket",
+                (
+                    (F.log(F.coalesce(F.col("_ct"), F.lit(0)) + a)
+                     - F.log(F.col("_tot_t") + F.lit(alpha * dim)))
+                    - (F.log(F.coalesce(F.col("_cr"), F.lit(0)) + a)
+                       - F.log(F.col("_tot_r") + F.lit(alpha * dim)))
+                ).alias("_ratio"),
+            )
+        )
+        return (
+            flagged.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.round(F.sum(F.col("n") * F.col("_ratio")), 6).alias(
+                    "dsir_log_weight"
+                )
+            )
+        )
     # branch-point law (ADVICE r04): raw_counts feeds BOTH the raw
     # model fit and the final per-doc join — without the persist the
     # raw corpus is tokenized + feature-hashed twice (guide §1.2: don't

@@ -511,6 +511,33 @@ def _bigram_pairs(df: DataFrame, text_col: str, extra_cols: list[str]):
     )
 
 
+def _headed_pair_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, n) counts of EVERY token position: w2 = the token,
+    w1 = its predecessor in the raw split array (NULL at position 0).
+    One explode + one map-side-combinable agg — the single corpus
+    pass both word-LM trainers derive their dims from (round 15):
+    bigram counts are the (w1 valid, w2 valid) slice; unigram counts
+    are a second agg over THIS bounded pair-type dim (every token
+    occurrence appears exactly once as w2), not another corpus scan.
+    Empty tokens (consecutive delimiters) are carried and filtered at
+    the derivation, exactly as the separate passes filtered them."""
+    pre = docs.select(F.split(F.col(text_col), " ").alias("_tk"))
+    return (
+        pre.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk)), i -> struct("
+                    "CASE WHEN i > 1 THEN _tk[i - 2] END AS w1,"
+                    " _tk[i - 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
 def train_word_lm(
     docs: DataFrame,
     text_col: str = "text",
@@ -518,23 +545,40 @@ def train_word_lm(
 ) -> dict:
     """Token-bigram counts with unigram backoff totals — the word-level
     sibling of ``train_char_lm``. Returns {'bigrams': DF(w1, w2, n12),
-    'unigrams': DF(w, n1), 'total': DF(total)} — three
-    map-side-combinable aggs over one tokenized scan each. Unlike the
+    'unigrams': DF(w, n1), 'total': DF(total)} — all derived from ONE
+    tokenized corpus pass (round 15): the corpus aggregates once into
+    the headed pair-count dim (:func:`_headed_pair_counts`, persisted
+    — it is the model-sized table every dim below reads), bigram
+    counts are its both-tokens-valid slice, unigram counts re-aggregate
+    it on w2 (every token occurrence is exactly one pair row's w2 —
+    integer-exact, so counts are identical to the former separate
+    unigram scan), and the total folds the unigram dim. The former
+    shape paid one tokenize+explode+agg chain per table. Unlike the
     char model (bounded by charset³) the word tables grow with
     vocabulary: ``min_count`` prunes the tail so the broadcast model
     stays bounded at web scale (document the cutoff in the run config).
     """
-    toks = docs.select(
-        F.explode(tokens(F.col(text_col))).alias("w")
-    ).filter(F.col("w") != "")
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    from drugbankner_spark.caching import shared_persist
+
+    pc = shared_persist(_headed_pair_counts(docs, text_col))
+    uni = (
+        pc.filter(F.col("w2") != "")
+        .groupBy(F.col("w2").alias("w"))
+        .agg(F.sum("_n").alias("n1"))
+    )
     total = uni.agg(F.sum("n1").cast("double").alias("total"))
-    pairs = _bigram_pairs(docs, text_col, [])
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    big = (
+        pc.filter(
+            F.col("w1").isNotNull()
+            & (F.col("w1") != "") & (F.col("w2") != "")
+        )
+        .select("w1", "w2", F.col("_n").alias("n12"))
+    )
     if min_count > 1:
         uni = uni.filter(F.col("n1") >= min_count)
         big = big.filter(F.col("n12") >= min_count)
-    return {"bigrams": big, "unigrams": uni, "total": total}
+    return {"bigrams": big, "unigrams": uni, "total": total,
+            "_pair_counts": pc}
 
 
 def word_lm_logprob(
@@ -569,12 +613,21 @@ def word_lm_logprob(
     uni2 = model["unigrams"].select(
         F.col("w").alias("w2"), F.col("n1").alias("_n2")
     )
+    # ONE broadcast-size decision for both model dims (round 15): the
+    # persisted headed-pair dim's row count bounds every derived dim
+    # (each is a filter or a coarser re-agg of its rows), so one count
+    # job on the cached dim sizes them all — the per-dim counts each
+    # re-derived an UNPERSISTED model chain (one full training scan per
+    # dim per action). Decision-only: a conservative skip of the hint
+    # changes the join strategy, never the rows.
+    if "_pair_counts" in model:
+        fits = model["_pair_counts"].count() <= broadcast_max_rows
+        _dim = (lambda d: F.broadcast(d)) if fits else (lambda d: d)
+    else:
+        _dim = lambda d: _maybe_broadcast(d, broadcast_max_rows)
     scored = (
-        occ.join(
-            _maybe_broadcast(lp_known, broadcast_max_rows),
-            ["w1", "w2"], "left",
-        )
-        .join(_maybe_broadcast(uni2, broadcast_max_rows), "w2", "left")
+        occ.join(_dim(lp_known), ["w1", "w2"], "left")
+        .join(_dim(uni2), "w2", "left")
         .crossJoin(F.broadcast(model["total"]))  # always exactly 1 row
         .select(
             F.col(id_col),
@@ -616,15 +669,26 @@ def train_kn_lm(
     ``min_count`` prunes the bigram tail BEFORE the derived dims so all
     four stay broadcastable at web scale; the continuation distribution
     is then computed over the kept types — document the cutoff with the
-    run config, as for :func:`train_word_lm`."""
-    big = (
-        _bigram_pairs(docs, text_col, [])
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n12"))
-    )
+    run config, as for :func:`train_word_lm`.
+
+    Round 15: the corpus aggregates ONCE into the persisted
+    headed-pair dim (:func:`_headed_pair_counts`); the bigram table is
+    its both-tokens-valid slice (identical groups and counts), so the
+    scorer's three broadcast-size decisions and the model joins all
+    read the cached dim instead of re-running the tokenize+agg chain
+    per action."""
+    from drugbankner_spark.caching import shared_persist
+
+    pc = shared_persist(_headed_pair_counts(docs, text_col))
+    big = pc.filter(
+        F.col("w1").isNotNull()
+        & (F.col("w1") != "") & (F.col("w2") != "")
+    ).select("w1", "w2", F.col("_n").alias("n12"))
     if min_count > 1:
         big = big.filter(F.col("n12") >= min_count)
-    return _kn_dims(big)
+    dims = _kn_dims(big)
+    dims["_pair_counts"] = pc
+    return dims
 
 
 def _kn_dims(big: DataFrame) -> dict:
@@ -724,11 +788,18 @@ def kn_lm_logprob(
         / F.col("_n1")
         + (d * F.col("_d_after") / F.col("_n1")) * pcont
     )
+    # one broadcast-size decision for all three dims (round 15): the
+    # persisted pair dim bounds each derived dim's rows — see
+    # word_lm_logprob for the rationale; decision-only, never rows
+    if "_pair_counts" in model:
+        fits = model["_pair_counts"].count() <= broadcast_max_rows
+        _dim = (lambda d: F.broadcast(d)) if fits else (lambda d: d)
+    else:
+        _dim = lambda d: _maybe_broadcast(d, broadcast_max_rows)
     scored = (
-        occ.join(_maybe_broadcast(big, broadcast_max_rows),
-                 ["w1", "w2"], "left")
-        .join(_maybe_broadcast(ctx, broadcast_max_rows), "w1", "left")
-        .join(_maybe_broadcast(cont, broadcast_max_rows), "w2", "left")
+        occ.join(_dim(big), ["w1", "w2"], "left")
+        .join(_dim(ctx), "w1", "left")
+        .join(_dim(cont), "w2", "left")
         .crossJoin(F.broadcast(model["types"]))  # always exactly 1 row
         .select(
             F.col(id_col),
@@ -927,12 +998,42 @@ def _char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int):
     ).filter(F.length("gram") == n)
 
 
+def _char_ngram_pairs(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Fused bigram+trigram occurrence extraction (round 15): one
+    position explode yielding (id, g2, g3) — ``g2`` the length-2 gram
+    at each bigram position (1..len-1, exactly ``_char_ngrams(n=2)``),
+    ``g3`` the trigram at the same start (shorter than 3 at the last
+    position; filter ``length(g3) = 3`` to recover exactly
+    ``_char_ngrams(n=3)``). The char-LM self-perplexity query derives
+    training gram counts, context counts AND scoring occurrences from
+    this ONE persisted pass instead of two full corpus explodes."""
+    from drugbankner_spark.tables import spread_input
+
+    pre = spread_input(df.select(id_col, text_col)).select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    )
+    t = F.col("_lt")
+    return pre.select(
+        F.col(id_col), "_lt",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(0)))
+        ).alias("_i"),
+    ).select(
+        F.col(id_col),
+        F.expr("substring(_lt, _i, 2)").alias("g2"),
+        F.expr("substring(_lt, _i, 3)").alias("g3"),
+    ).filter(F.length("g2") == 2)
+
+
 def train_char_lm(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     order: int = 3,
     grams: DataFrame | None = None,
+    ctx_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Count table for an order-``n`` character LM: one row per distinct
     n-gram with its corpus count plus the (n-1)-gram context count —
@@ -941,14 +1042,18 @@ def train_char_lm(
     scan each; the table size is bounded by the charset^order, not the
     corpus (lowercased text → typically ≪ 1M rows even at 100 TB).
     Output: (gram, n_gram, n_context)."""
-    # ``grams``: caller-supplied (id, gram) occurrences — pass a
-    # persisted table when the SAME corpus is also being scored
-    # (self-perplexity), saving one full scan+explode
+    # ``grams`` / ``ctx_grams``: caller-supplied (…, gram) occurrence
+    # tables — pass slices of a persisted fused extraction
+    # (:func:`_char_ngram_pairs`) when the SAME corpus is also being
+    # scored (self-perplexity), saving full scan+explodes
     g = grams if grams is not None else _char_ngrams(
         corpus, text_col, id_col, order
     )
     grams = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_gram"))
-    ctx = _char_ngrams(corpus, text_col, id_col, order - 1).groupBy(
+    c = ctx_grams if ctx_grams is not None else _char_ngrams(
+        corpus, text_col, id_col, order - 1
+    )
+    ctx = c.groupBy(
         F.col("gram").alias("context")
     ).agg(F.count(F.lit(1)).alias("n_context"))
     return (
