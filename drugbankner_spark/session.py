@@ -113,19 +113,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE partition coalescing for CACHED plans too (SPARK-37702,
-        # default false): the engine persists shared subtrees
-        # everywhere (caching.shared_persist), and with the default
-        # every cached exchange materializes at the full
-        # spark.sql.shuffle.partitions width and every downstream
-        # stage pays that many tasks regardless of data size. With
-        # the flag on, the cached plan's output partitioning follows
-        # the same advisory-size coalescing as uncached plans —
-        # scale-adaptive in both directions (round 15, guide §2.2).
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # stays at its DEFAULT (false) — evaluated and REJECTED with
+        # numbers (round 15): flipping it lets AQE coalesce cached
+        # plans' partitioning by BYTE statistics, which collapsed
+        # every compute-heavy-per-byte stage fed by a small cached dim
+        # to one task (the TF-IDF linker's posting fan-out: 6.0 s →
+        # 46.7 s at sf0.1; the same failure class the linker's pin
+        # gate exists for, induced engine-wide). The cached dims'
+        # static width is what keeps per-row-heavy kernels parallel
+        # when their input BYTES are tiny.
         .config("spark.sql.session.timeZone", "UTC")
         # pinned, not inherited (ADVICE r11): overflow guards
         # (timeseries.autocorrelation's check_overflow=False backstop)
