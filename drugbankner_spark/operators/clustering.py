@@ -133,7 +133,18 @@ def _kmeans(
     if k < 1 or n_iters < 1:
         raise ValueError("kmeans_lloyd: k and n_iters must be >= 1")
     mark = cache_mark()
-    pts = shared_persist(_quantized_points(vecs, id_col, vec_col, scale))
+    # Hash-partition the point table by _id ONCE before caching (round
+    # 15, guide §2.4): every Lloyd iteration groups the scored join by
+    # (_id, cluster_id) then by (_id), and the update joins back on
+    # (_id) — HashPartitioning(_id) satisfies all three clustered
+    # distributions (partitioning keys ⊆ grouping keys), and the cached
+    # plan's partitioning survives into every consumer (static cache
+    # width), so no iteration ever re-exchanges the (corpus-scale)
+    # point table; only the k×dim centroid dim and the per-point
+    # assignment rows move per round.
+    pts = shared_persist(
+        _quantized_points(vecs, id_col, vec_col, scale).repartition("_id")
+    )
     # seed draw: global sort + limit(k) plans as TakeOrderedAndProject
     # (distributed per-partition top-k, k rows to the driver side) —
     # never a single-partition window over the full id set; ordinals

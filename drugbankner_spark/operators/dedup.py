@@ -289,6 +289,15 @@ def minhash_band_pairs_rowwise(
     banded = shared_persist(_banded_keys(
         df, text_col, id_col, num_hashes, n, bands, rows_per_band, kernel
     ))
+    # Materialize the persist BEFORE the self-join fans out (round 15,
+    # guide §2.3/§5): AQE submits the join sides' (and any union
+    # branches') shuffle stages as CONCURRENT jobs, and parallel cold
+    # tasks of the same persisted partition each compute it — measured
+    # on pipeline_clean_corpus: the shingle-hash pass ran 4× (~10 s of
+    # the query's ~15 s startup) because sym's two union branches ×
+    # two join sides all hit the cold cache at once. One count() pays
+    # the hashing exactly once; every fan-out branch then reads blocks.
+    banded.count()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -320,6 +329,9 @@ def minhash_band_pairs(
         )
     )
     banded = shared_persist(banded)  # both self-join sides
+    # materialize before the self-join fans out — same concurrent-cold-
+    # cache rationale as minhash_band_pairs_rowwise above
+    banded.count()
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )

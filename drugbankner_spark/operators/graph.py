@@ -67,11 +67,38 @@ def connected_components(
     # eager-checkpoint job per round (and two at setup) disappears.
     # Blocks are cached on first computation exactly as before; only
     # WHICH job pays for them changes.
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    #
+    # Symmetrize with ONE scan of the edge plan (round 15, guide §2.3):
+    # the union-of-two-projections form embedded the caller's ``edges``
+    # subtree TWICE in one plan — Catalyst does not dedupe common
+    # subtrees, so an expensive pair generator (MinHash band self-join,
+    # blocked Jaro-Winkler) was computed twice, and under AQE its
+    # shuffle stages materialize CONCURRENTLY, defeating even a persist
+    # on the subtree (parallel cold tasks can't see each other's cache).
+    # explode(array(fwd, rev)) emits both directions from a single scan.
+    #
+    # Partition AND sort the edge table by the per-round join key ONCE,
+    # then persist (guide §2.4): every round joins sym on "b", so under
+    # the at-scale sort-merge plan an unprepared sym would be
+    # re-exchanged and re-sorted every round. A persist is the right
+    # lifetime tool here — sym is STATIC across rounds (no lineage
+    # growth to cut), and InMemoryTableScan preserves the cached plan's
+    # partitioning+ordering, which localCheckpoint's LogicalRDD drops
+    # under AQE (verified in-plan: ExistingRDD re-exchanged; cached scan
+    # not). Only the label table moves per round.
+    sym = shared_persist(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .distinct()
-        .localCheckpoint(eager=False)
+        .repartition("b")
+        .sortWithinPartitions("b")
     )
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -177,17 +204,31 @@ def connected_components_star(
     """
     # lazy checkpoints: the per-round invariant action materializes
     # each round's edge set (same trick as connected_components —
-    # round 15); `nodes` stays eager because nothing reads it until
-    # the final join, after the loop's checkpoints have cut lineage.
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # round 15). The caller's ``edges`` plan is scanned ONCE via
+    # explode(array(fwd, rev)) — the previous three projections of
+    # ``edges`` (nodes × 2 + e) embedded an expensive pair subtree
+    # three times in the startup plans (see connected_components).
+    # ``ends`` is checkpointed so nodes and e both read its blocks;
+    # the first invariant materializes e → ends; nodes (consumed only
+    # by the final join) reads the cached blocks lazily.
+    ends = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .localCheckpoint(eager=False)
     )
+    # symmetric ends: "a" alone covers both endpoints of every edge
+    nodes = ends.select(F.col("a").alias("id")).distinct()
+    # one canonical direction per undirected edge (a < b drops loops);
+    # orientation is free — the first large-star round re-symmetrizes
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        ends.filter(F.col("a") < F.col("b"))
         .distinct()
         .localCheckpoint(eager=False)
     )

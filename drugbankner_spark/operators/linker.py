@@ -115,12 +115,20 @@ def build_alias_vectors(
     One gram pass over aliases, two bounded aggs (df per gram, norm per
     alias). N (alias count) rides a 1-row broadcast cross join, never a
     driver collect."""
+    from drugbankner_spark.caching import shared_persist
+
     texts = (
         alias_texts.select(F.col(text_col).alias("alias"))
         .filter(F.col("alias").isNotNull())
         .distinct()
     )
-    counts = char_wb_gram_counts(texts, "alias", "alias", n)
+    # The gram pass fans into THREE branches (idf agg, weighted join,
+    # norms agg) that AQE materializes as CONCURRENT shuffle-stage jobs
+    # — unpersisted, each branch re-ran the explode cold (measured at
+    # publish: six ~2.7 s duplicate jobs for one fit, round 15, guide
+    # §2.3/§5). Persist the single gram pass; the eager idf
+    # materialization below populates it before any fan-out.
+    counts = shared_persist(char_wb_gram_counts(texts, "alias", "alias", n))
     n_rows = texts.select(F.count(F.lit(1)).alias("_n_aliases"))
     idf = (
         counts.groupBy("gram")
@@ -153,9 +161,13 @@ def build_alias_vectors(
     # count action, the posting join, the mention transform) — without
     # the persist each consumer re-runs the whole fit; the first
     # corpus-scale bench (r08) measured the recompute at ~5x
-    from drugbankner_spark.caching import shared_persist
-
-    return shared_persist(postings), shared_persist(idf)
+    postings, idf = shared_persist(postings), shared_persist(idf)
+    # Materialize counts+idf NOW (one sequential job): every later
+    # action — the publish's w_cut quantile, the probe tail's gate
+    # counts, the posting materialization — then reads the cached gram
+    # pass instead of racing cold copies of it across AQE stage jobs.
+    idf.count()
+    return postings, idf
 
 
 def link_by_tfidf(
@@ -920,6 +932,23 @@ def save_alias_index(
         invalidate_index_cache,
     )
 
+    # the fit is consumed by up to five actions inside this function
+    # (auto-C sizing, postings/champions/cutoffs/alias_vecs writes);
+    # build_alias_vectors persists it (counts/postings/idf) for the
+    # function's scope so the TF-IDF fit runs once. save_alias_index is
+    # eager (every write completes before return), so the release is
+    # safe here — unlike the lazy probe subtrees. The mark is taken
+    # BEFORE the fit so the fit's own persists release with the scope
+    # (a long-lived publisher must not accumulate one fit cache per
+    # published index).
+    from drugbankner_spark.caching import (
+        cache_mark,
+        release_since,
+        shared_persist,
+    )
+
+    spark = aliases.sparkSession
+    _mark = cache_mark()
     alias_map = (
         aliases.select(
             F.col(alias_col).alias("alias"),
@@ -931,20 +960,6 @@ def save_alias_index(
     postings, idf = build_alias_vectors(
         alias_map, "alias", n, max_df_ratio=max_df_ratio
     )
-    # the fit is consumed by up to five actions inside this function
-    # (auto-C sizing, postings/champions/cutoffs/alias_vecs writes);
-    # persist it for the function's scope so the TF-IDF fit runs once.
-    # save_alias_index is eager (every write completes before return),
-    # so the release is safe here — unlike the lazy probe subtrees.
-    from drugbankner_spark.caching import (
-        cache_mark,
-        release_since,
-        shared_persist,
-    )
-
-    spark = aliases.sparkSession
-    _mark = cache_mark()
-    postings = shared_persist(postings)
     # alias_map feeds three actions under the _mark scope (the fit's
     # distinct-texts scan inside build_alias_vectors already ran; the
     # n_aliases count and the /alias_map write remain) — persist so
