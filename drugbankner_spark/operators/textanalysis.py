@@ -494,7 +494,13 @@ def _bigram_pairs(df: DataFrame, text_col: str, extra_cols: list[str]):
     """(extra_cols..., w1, w2) adjacent-token pairs. The token array is
     projected ONCE and indexed by column reference inside the lambda —
     an inline split() would be re-evaluated per element, O(tokens²)
-    per document (round-6 lambda-capture audit)."""
+    per document (round-6 lambda-capture audit).
+
+    A spread_input() ahead of this explode was measured and REJECTED
+    (round 15): interleaved A/B at sf0.1 AND sf1 showed the extra
+    exchange a wash to a loss (e3_kn_ppl sf1 min 2.94 s spread vs
+    2.33 s off) — the explode + broadcast joins are cheap enough per
+    row that the single-row-group scan is not the bottleneck here."""
     pre = df.select(
         *extra_cols, F.split(F.col(text_col), " ").alias("_tk")
     )
@@ -520,7 +526,9 @@ def _headed_pair_counts(docs: DataFrame, text_col: str) -> DataFrame:
     are a second agg over THIS bounded pair-type dim (every token
     occurrence appears exactly once as w2), not another corpus scan.
     Empty tokens (consecutive delimiters) are carried and filtered at
-    the derivation, exactly as the separate passes filtered them."""
+    the derivation, exactly as the separate passes filtered them.
+    (A spread_input() here was measured and rejected — see
+    :func:`_bigram_pairs`.)"""
     pre = docs.select(F.split(F.col(text_col), " ").alias("_tk"))
     return (
         pre.select(

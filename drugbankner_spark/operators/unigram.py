@@ -154,6 +154,14 @@ _EC_SCHEMA = T.StructType([
     T.StructField("ec", T.DoubleType()),
 ])
 
+#: E-step words per task: one word's lattice DP costs ~L·max_piece_len
+#: logsumexp steps (~50 per word at the default lengths) — 16k words
+#: ≈ 1M steps ≈ a few hundred ms, comfortably amortizing one Python
+#: worker round trip. Below one task's worth, the single-partition
+#: E-step is faster than any spread (measured at sf0.1: a blanket
+#: 32-way spread made each EM job 0.33 s vs 0.20 s single-task).
+_EM_WORDS_PER_TASK = 16384
+
 
 def train_unigram(
     corpus: DataFrame,
@@ -169,9 +177,28 @@ def train_unigram(
     ``seed_size``; the driver-side model is the documented contract, as
     with the PQ codebooks). Deterministic given the corpus."""
     words = _word_vocab(corpus, text_col).select("word", "n")
-    # lazy: the seed collect below reads every partition and
-    # materializes the checkpoint — no separate eager job (round 15)
+    # lazy checkpoint; the count below is the first reader, so it
+    # materializes it (no separate eager job — round 15)
     words = words.localCheckpoint(eager=False)
+    # Scale-adaptive E-step width (round 15, guide §2.5 input skew):
+    # the vocab agg's output is byte-tiny at bench scale, so AQE
+    # coalesces it to ONE partition — and each EM pass's
+    # forward-backward DP (per-row-heavy, byte-light) would run in ONE
+    # task at ANY vocab size. Re-spread only when the vocab is large
+    # enough for parallel DP to beat the per-task overhead
+    # (~_EM_WORDS_PER_TASK words amortize one Python worker round).
+    # The count job doubles as the checkpoint materializer the seed
+    # collect used to pay. Per-partition EC partials still merge on
+    # the driver in partition order — deterministic for a fixed
+    # partitioning, and partition-count invariance of the result is
+    # pinned to 1e-9 in tests/test_unigram.py.
+    n_words = words.count()
+    width = min(
+        corpus.sparkSession.sparkContext.defaultParallelism,
+        max(1, n_words // _EM_WORDS_PER_TASK),
+    )
+    if width > 1:
+        words = words.repartition(width).localCheckpoint(eager=False)
     seed = seed_vocab(words, max_piece_len, seed_size).collect()
     total = sum(r["count"] for r in seed)
     probs = {r["piece"]: r["count"] / total for r in seed}
@@ -283,6 +310,9 @@ def apply_unigram(
                 rows.append((did, toks))
             yield pd.DataFrame(rows, columns=[id_col, "tokens"])
 
+    # (a spread_input() ahead of this pass was measured and rejected —
+    # round-15 A/B at sf0.1 and sf1: the memoized Viterbi is cheap
+    # enough per row that the exchange never paid for itself)
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 

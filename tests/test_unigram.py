@@ -161,6 +161,22 @@ def test_training_is_partitioning_invariant(spark):
         assert a[p] == pytest.approx(b[p], rel=1e-9, abs=1e-12)
 
 
+def test_em_spread_width_gt1_matches_single_partition(spark, monkeypatch):
+    # Round 15: the scale-adaptive E-step spread (words //
+    # _EM_WORDS_PER_TASK partitions) must not move the trained model —
+    # force the width>1 path with a tiny per-task floor and compare
+    # against the default (single-partition at this vocab) fit.
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    base = U.train_unigram(corpus, vocab_size=30, max_piece_len=6,
+                           seed_size=60)
+    monkeypatch.setattr(U, "_EM_WORDS_PER_TASK", 2)
+    spread = U.train_unigram(corpus, vocab_size=30, max_piece_len=6,
+                             seed_size=60)
+    assert set(spread) == set(base)
+    for p in base:
+        assert spread[p] == pytest.approx(base[p], rel=1e-9, abs=1e-12)
+
+
 def test_tokenizer_save_load_roundtrips(spark, tmp_path):
     from drugbankner_spark.operators.bpe import (
         load_bpe, save_bpe, train_bpe,
