@@ -586,15 +586,21 @@ def main() -> None:
             else serving_stats.get("certified_fraction")
         ),
     }
-    # the drift verdicts belong in the driver-recorded line; compact
-    # to the adjudication alone (seconds stay in the detail file)
+    # Drift verdicts: the r15 per-query verdict map lengthened the
+    # line enough to fire the top-25 truncation and hide a third of
+    # the per-query timings from the driver (VERDICT r15 what's-wrong
+    # #2). The full adjudication (seconds + verdicts) lives in the
+    # detail file; the line keeps only the count of code-suspect
+    # queries — zero-length when nothing drifted.
     dr = result.get("drift", {})
     if dr.get("triggered"):
+        n_sus = sum(
+            1 for e in dr.get("queries", {}).values()
+            if e.get("verdict") == "code-suspect"
+        )
         compact["drift"] = {
-            name: e.get("verdict")
-            for name, e in dr.get("queries", {}).items()
+            "n_suspect": n_sus, "vs_round": dr.get("vs_round")
         }
-        compact["drift"]["vs_round"] = dr.get("vs_round")
     skew_d = result.get("skew", {})
     if "window_plain_max_task_rows" in skew_d:
         compact["window_skew"] = {
@@ -629,23 +635,33 @@ def main() -> None:
         if pp:
             compact["sf1_linker"]["pin_off_sec"] = pp.get("off_sec")
             compact["sf1_linker"]["pin_full_sec"] = pp.get("full_sec")
-    # compaction read-cost pair (VERDICT r13 next #6): rows + seconds
-    # belong in the driver-recorded line, not just the detail file
+    # compaction read-cost pair: the r13-r15 full rows+seconds block
+    # (~270 chars) helped push the line over the truncation limit
+    # (VERDICT r15 what's-wrong #2). The line now carries only the
+    # equality verdicts + read speedups; rows and raw seconds stay in
+    # the detail file.
     cd = result.get("compaction", {})
     if "hll_raw_rows" in cd:
+        def _x(raw, compacted):
+            try:
+                return round(cd[raw] / cd[compacted], 1)
+            except (KeyError, TypeError, ZeroDivisionError):
+                return None
         compact["compaction"] = {
-            k: cd.get(k) for k in (
-                "epochs", "hll_raw_rows", "hll_raw_read_sec",
-                "hll_compacted_rows", "hll_compacted_read_sec",
-                "cm_raw_read_sec", "cm_compacted_read_sec",
-                "hll_reads_equal", "cm_reads_equal",
-            )
+            "ok": bool(cd.get("hll_reads_equal"))
+            and bool(cd.get("cm_reads_equal")),
+            "hll_read_x": _x("hll_raw_read_sec", "hll_compacted_read_sec"),
+            "cm_read_x": _x("cm_raw_read_sec", "cm_compacted_read_sec"),
         }
     line = json.dumps(compact, separators=(",", ":"))
     # belt-and-braces: never regrow past the driver's 2,000-char
     # combined tail (stdout line + the ~60-char stderr detail-path
     # line before it). Raised 1500 → 1800 in round 14 when the
-    # compaction pair joined the line.
+    # compaction pair joined the line. Round 16: the drift and
+    # compaction sections were compacted (see above) exactly so this
+    # backstop stays dormant — with all ~36 queries at 1 dp the line
+    # measures ~1.65k chars; the truncation firing again would hide
+    # per-query timings from PERF comparison (VERDICT r15 #2).
     if len(line) > 1800:
         compact["queries"] = {k: round(v, 1)
                               for k, v in sorted(

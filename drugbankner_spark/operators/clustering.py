@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from drugbankner_spark.tables import fits_one_task
+
 
 def _quantized_points(
     vecs: DataFrame, id_col: str, vec_col: str, scale: int
@@ -142,9 +144,17 @@ def _kmeans(
     # width), so no iteration ever re-exchanges the (corpus-scale)
     # point table; only the k×dim centroid dim and the per-point
     # assignment rows move per round.
-    pts = shared_persist(
-        _quantized_points(vecs, id_col, vec_col, scale).repartition("_id")
-    )
+    # GATED on input size (round 16, VERDICT r15 next #6): below one
+    # scan task's worth every per-iteration agg/join is a handful of
+    # tiny tasks — the up-front exchange costs more than the
+    # per-iteration exchanges it removes (driver r15: e2_kmeans −13%
+    # at sf0.1). At scale the gate never skips and the cached
+    # HashPartitioning(_id) is what keeps Lloyd iterations
+    # exchange-free.
+    qpts = _quantized_points(vecs, id_col, vec_col, scale)
+    if not fits_one_task(vecs):
+        qpts = qpts.repartition("_id")
+    pts = shared_persist(qpts)
     # seed draw: global sort + limit(k) plans as TakeOrderedAndProject
     # (distributed per-partition top-k, k rows to the driver side) —
     # never a single-partition window over the full id set; ordinals

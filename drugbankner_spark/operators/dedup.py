@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from drugbankner_spark.caching import shared_persist
+from drugbankner_spark.tables import fits_one_task
 
 #: Modulus for MinHash permutations: smallest prime > 2^32.
 MINHASH_PRIME = 4294967311
@@ -297,7 +298,13 @@ def minhash_band_pairs_rowwise(
     # the query's ~15 s startup) because sym's two union branches ×
     # two join sides all hit the cold cache at once. One count() pays
     # the hashing exactly once; every fan-out branch then reads blocks.
-    banded.count()
+    # GATED on input size (round 16, VERDICT r15 next #6): below one
+    # scan task's worth the shingle pass is a single small task and
+    # the warming job costs more than the duplicate compute it
+    # prevents (driver r15: e1_minhash_near_dup −33%). At scale the
+    # gate never skips.
+    if not fits_one_task(df):
+        banded.count()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -330,8 +337,10 @@ def minhash_band_pairs(
     )
     banded = shared_persist(banded)  # both self-join sides
     # materialize before the self-join fans out — same concurrent-cold-
-    # cache rationale as minhash_band_pairs_rowwise above
-    banded.count()
+    # cache rationale (and the same one-task-input gate) as
+    # minhash_band_pairs_rowwise above
+    if not fits_one_task(signatures):
+        banded.count()
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )

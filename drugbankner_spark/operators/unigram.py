@@ -175,11 +175,19 @@ def train_unigram(
     """Learn a unigram-LM piece vocabulary with probabilities — the
     whole trained tokenizer state, as a {piece: prob} dict (bounded by
     ``seed_size``; the driver-side model is the documented contract, as
-    with the PQ codebooks). Deterministic given the corpus."""
-    words = _word_vocab(corpus, text_col).select("word", "n")
-    # lazy checkpoint; the count below is the first reader, so it
-    # materializes it (no separate eager job — round 15)
-    words = words.localCheckpoint(eager=False)
+    with the PQ codebooks). Deterministic given the corpus: the E-step
+    width, row placement, and every float-merge order below are
+    derived from the data alone, never from the cluster
+    (VERDICT r15 next #7 / ADVICE r15)."""
+    from drugbankner_spark.caching import (
+        cache_mark,
+        release_since,
+        shared_persist,
+    )
+
+    mark = cache_mark()
+    vocab = shared_persist(_word_vocab(corpus, text_col)
+                           .select("word", "n"))
     # Scale-adaptive E-step width (round 15, guide §2.5 input skew):
     # the vocab agg's output is byte-tiny at bench scale, so AQE
     # coalesces it to ONE partition — and each EM pass's
@@ -187,18 +195,25 @@ def train_unigram(
     # task at ANY vocab size. Re-spread only when the vocab is large
     # enough for parallel DP to beat the per-task overhead
     # (~_EM_WORDS_PER_TASK words amortize one Python worker round).
-    # The count job doubles as the checkpoint materializer the seed
-    # collect used to pay. Per-partition EC partials still merge on
-    # the driver in partition order — deterministic for a fixed
-    # partitioning, and partition-count invariance of the result is
-    # pinned to 1e-9 in tests/test_unigram.py.
-    n_words = words.count()
-    width = min(
-        corpus.sparkSession.sparkContext.defaultParallelism,
-        max(1, n_words // _EM_WORDS_PER_TASK),
-    )
-    if width > 1:
-        words = words.repartition(width).localCheckpoint(eager=False)
+    #
+    # Round 16 — bit-stability across cluster widths (VERDICT r15 #7):
+    # width derives from n_words ONLY (no defaultParallelism clamp),
+    # rows spread by HASH of the word (placement = f(word, width)),
+    # and each partition is sorted by word, so per-batch EC partials
+    # and their driver-side merge order are a pure function of the
+    # corpus — the trained model is bit-identical at any core count
+    # (pinned exactly in tests/test_unigram.py).
+    n_words = vocab.count()  # materializes the persist (one agg run)
+    width = max(1, n_words // _EM_WORDS_PER_TASK)
+    # unconditional (also at width 1): the vocab agg's own layout and
+    # row order are fetch-order/AQE artifacts of the INPUT partitioning
+    # — the one tiny exchange here is what buys exact invariance
+    words = vocab.repartition(width, "word").sortWithinPartitions("word")
+    # lazy checkpoint: the seed collect below is the first reader and
+    # materializes it from the persisted vocab (no extra agg run); the
+    # persist itself is released at return — EM reads only checkpoint
+    # blocks, so no duplicate copy outlives the call (ADVICE r15).
+    words = words.localCheckpoint(eager=False)
     seed = seed_vocab(words, max_piece_len, seed_size).collect()
     total = sum(r["count"] for r in seed)
     probs = {r["piece"]: r["count"] / total for r in seed}
@@ -212,9 +227,10 @@ def train_unigram(
             # (≤ seed_size per partition — never corpus-scale); the
             # former groupBy(piece) shuffled those same partials
             # through one extra Spark job per EM iteration just to add
-            # ≤ seed_size doubles. Merge order = partition order
-            # (deterministic), where the shuffle agg's merge order was
-            # fetch-order; both are IEEE sums of the same partials.
+            # ≤ seed_size doubles. Merge order (round 16) is a pure
+            # function of the corpus: hash placement + per-partition
+            # word sort above make every partial and the partition-
+            # order collect deterministic at any core count.
             ec_rows = words.mapInPandas(
                 _expected_counts_kernel(probs, max_piece_len),
                 _EC_SCHEMA,
@@ -242,6 +258,8 @@ def train_unigram(
             **dict(multi),
         }
     z = sum(probs.values())
+    release_since(mark)  # drop the vocab persist; EM read only
+    # checkpoint blocks, so no duplicate copy outlives the call
     return {p: v / z for p, v in sorted(probs.items())}
 
 
