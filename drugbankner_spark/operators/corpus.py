@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from drugbankner_spark.caching import shared_persist
+from drugbankner_spark.tables import local_df
 
 from drugbankner_spark.operators.graph import near_dup_clusters
 from drugbankner_spark.operators.textanalysis import gopher_quality_filter
@@ -146,8 +147,10 @@ def pack_sequence_assignments(
     for b in range(1, n_buckets + 1):
         base.append((b, acc))
         acc += per_bucket.get(b, 0)
-    offsets = docs.sparkSession.createDataFrame(
-        base, "_bucket int, _base long"
+    # Arrow-backed literal dim (round 16): avoids a Python-worker
+    # round trip inside every job that executes this subtree
+    offsets = local_df(
+        docs.sparkSession, base, "_bucket int, _base long"
     )
     w = (
         Window.partitionBy("_bucket").orderBy(id_col)

@@ -85,10 +85,10 @@ def char_wb_gram_counts(
 def build_alias_vectors(
     alias_texts: DataFrame, text_col: str, n: int = 3,
     max_df_ratio: float | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """Fit the TF-IDF model over DISTINCT alias strings.
 
-    Returns ``(postings, idf)``:
+    Returns ``(postings, idf, n_aliases)``:
 
     - ``postings``: (gram, alias, w) — the alias matrix in sparse
       (inverted-index) form, rows L2-normalized;
@@ -113,8 +113,10 @@ def build_alias_vectors(
     vectors stay unit-length in the pruned space (what sklearn does).
 
     One gram pass over aliases, two bounded aggs (df per gram, norm per
-    alias). N (alias count) rides a 1-row broadcast cross join, never a
-    driver collect."""
+    alias). N (alias count) is ONE bounded count job whose value both
+    parameterizes the idf expression as a literal and returns to the
+    caller (round 16: save_alias_index used to re-count the distinct
+    aliases as a separate job; the fit already pays this count)."""
     from drugbankner_spark.caching import shared_persist
 
     texts = (
@@ -129,14 +131,14 @@ def build_alias_vectors(
     # §2.3/§5). Persist the single gram pass; the eager idf
     # materialization below populates it before any fan-out.
     counts = shared_persist(char_wb_gram_counts(texts, "alias", "alias", n))
-    n_rows = texts.select(F.count(F.lit(1)).alias("_n_aliases"))
+    n_aliases = texts.count()
     idf = (
         counts.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .crossJoin(F.broadcast(n_rows))
         .select(
-            "gram", "_df", "_n_aliases",
-            (F.log((1.0 + F.col("_n_aliases")) / (1.0 + F.col("_df")))
+            "gram", "_df",
+            F.lit(n_aliases).alias("_n_aliases"),
+            (F.log((1.0 + F.lit(float(n_aliases))) / (1.0 + F.col("_df")))
              + 1.0).alias("idf"),
         )
     )
@@ -167,7 +169,7 @@ def build_alias_vectors(
     # counts, the posting materialization — then reads the cached gram
     # pass instead of racing cold copies of it across AQE stage jobs.
     idf.count()
-    return postings, idf
+    return postings, idf, n_aliases
 
 
 def link_by_tfidf(
@@ -202,7 +204,7 @@ def link_by_tfidf(
         .filter(F.col("alias").isNotNull() & F.col("alias_id").isNotNull())
         .distinct()
     )
-    postings, idf = build_alias_vectors(
+    postings, idf, _ = build_alias_vectors(
         alias_map, "alias", n, max_df_ratio=max_df_ratio
     )
 
@@ -805,24 +807,46 @@ def _gram_bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def _dir_has_parquet(spark, path: str) -> bool:
+    """Driver-side recursive listing for at least one parquet data
+    file — Hadoop FS API, so any production filesystem works."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def _write_bucket_partitioned(
     df: DataFrame, path: str, n_buckets: int, bucket_col: str
 ) -> None:
     """Bucket-partitioned index-sub write, repartitioned ON the bucket
     key first so the layout is ~1 file per bucket (a 2048-file index
     made the probe slower than the fit it amortizes — BENCH_r09).
-    An EMPTY frame falls back to a plain write: a partitioned write of
+    An EMPTY frame needs a plain fallback write: a partitioned write of
     zero rows leaves a directory with no parquet footers, which the
     probe's read cannot infer a schema from (round 13 — the weight
     policy's cutoffs table is legitimately empty when nothing is
     excluded); the plain write keeps the bucket column as an ordinary
-    int column, so probe-side bucket filters still resolve."""
-    if not df.take(1):
-        df.write.mode("overwrite").parquet(path)
-        return
+    int column, so probe-side bucket filters still resolve.
+
+    Round 16 (guide §1/§5): emptiness is detected AFTER the write by a
+    driver-side file listing, not by a ``take(1)`` pre-probe — under
+    AQE each take(1) planned the full query as its own multi-stage job
+    cascade over the (possibly cold) fit caches; five probes per
+    publish summed to ~10 s of job time at sf0.1 (measured, round 16).
+    The listing costs no Spark job, and only a genuinely empty frame
+    pays the tiny fallback rewrite."""
     df.repartition(n_buckets, bucket_col).write.mode(
         "overwrite"
     ).partitionBy(bucket_col).parquet(path)
+    if not _dir_has_parquet(df.sparkSession, path):
+        df.write.mode("overwrite").parquet(path)
 
 
 def _auto_champion_w_cut(
@@ -957,24 +981,28 @@ def save_alias_index(
         .filter(F.col("alias").isNotNull() & F.col("alias_id").isNotNull())
         .distinct()
     )
-    postings, idf = build_alias_vectors(
+    postings, idf, n_aliases = build_alias_vectors(
         alias_map, "alias", n, max_df_ratio=max_df_ratio
     )
-    # alias_map feeds three actions under the _mark scope (the fit's
-    # distinct-texts scan inside build_alias_vectors already ran; the
-    # n_aliases count and the /alias_map write remain) — persist so
-    # the distinct shuffle runs once per publish (round 15)
+    # alias_map feeds the /alias_map write below plus the fit's
+    # distinct-texts scan — persist so the distinct shuffle runs once
+    # per publish (round 15). The fit's own N (needed up front: the
+    # auto weight policy's RMS factor is two-regime by ontology size,
+    # round 14; persisted in the meta below) now rides out of the fit
+    # itself — the separate distinct-count job is gone (round 16).
     alias_map = shared_persist(alias_map)
-    # the fit's own N — needed up front now: the auto weight policy's
-    # RMS factor is two-regime by ontology size (round 14); also
-    # persisted in the meta below (ADVICE r09 successor) and reused
-    # there, so this stays one bounded count per publish.
-    n_aliases = alias_map.select("alias").distinct().count()
     w_cut: float | None = None
     if champion_c == "auto":
-        w_cut = (
-            float(champion_w_cut) if champion_w_cut is not None
-            else _auto_champion_w_cut(
+        if champion_w_cut is not None:
+            w_cut = float(champion_w_cut)
+            # the auto path's quantile collect doubles as the postings
+            # cache warm; with an explicit cut, warm it here so the
+            # write pool's concurrent consumers (postings/champions/
+            # alias_vecs writes, cutoffs agg) read blocks, not four
+            # cold copies of the fit (round 16, guide §2.3/§5)
+            postings.count()
+        else:
+            w_cut = _auto_champion_w_cut(
                 postings,
                 rms_factor=(
                     ALIAS_WCUT_RMS_FACTOR_LARGE
@@ -982,7 +1010,6 @@ def save_alias_index(
                     else ALIAS_WCUT_RMS_FACTOR
                 ),
             )
-        )
         champion_c = -1  # meta sentinel: weight-policy champions
     elif isinstance(champion_c, str):
         raise ValueError(
@@ -1009,19 +1036,19 @@ def save_alias_index(
     # files written are identical; only the wall clock changes
     # (round 15: publish ~2x faster at sf0.1).
     write_jobs = [
-        lambda: _write_bucket_partitioned(
+        ("postings", lambda: _write_bucket_partitioned(
             postings.withColumn(
                 "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
             ), path + "/postings", n_buckets, "gram_bucket",
-        ),
-        lambda: _write_bucket_partitioned(
+        )),
+        ("idf", lambda: _write_bucket_partitioned(
             idf.withColumn(
                 "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
             ), path + "/idf", n_buckets, "gram_bucket",
-        ),
-        lambda: alias_map.write.mode("overwrite").parquet(
+        )),
+        ("alias_map", lambda: alias_map.write.mode("overwrite").parquet(
             path + "/alias_map"
-        ),
+        )),
     ]
     subs = ["/postings", "/idf", "/alias_map", "/meta"]
     if champion_c is not None:
@@ -1031,14 +1058,12 @@ def save_alias_index(
             # — no ranking pass, no window, nothing skew-sensitive.
             # The probe's certificate contract is the only invariant:
             # every EXCLUDED posting of gram g has w ≤ cutoff(g).
-            # persisted: each feeds TWO actions under the _mark scope
-            # — the writer's emptiness probe (take(1)) and the write
-            # itself; unpersisted, the cutoffs agg shuffle ran twice
-            # per publish (round-13 review finding)
-            champs = shared_persist(
-                postings.filter(F.col("w") >= F.lit(w_cut))
-            )
-            cuts = shared_persist(
+            # NOT persisted (round 16): with the take(1) emptiness
+            # probes gone each feeds exactly ONE action (its write),
+            # reading the warm postings cache the w_cut collect above
+            # materialized — a persist would only copy blocks.
+            champs = postings.filter(F.col("w") >= F.lit(w_cut))
+            cuts = (
                 postings.filter(F.col("w") < F.lit(w_cut))
                 .groupBy("gram")
                 .agg(F.max("w").alias("cutoff"))
@@ -1058,35 +1083,39 @@ def save_alias_index(
                 postings, ["gram"], [F.desc("w"), F.asc("alias")],
                 champion_c + 1, rank_col="_rn",
             ))
+            # materialize the ranking ONCE before the write pool fans
+            # its two consumers (champs + cuts writes) out over it
+            # concurrently — the weight path gets this for free from
+            # the w_cut collect; the legacy rank path pays one count
+            # (round 16, same concurrent-cold-cache rationale as
+            # dedup.minhash_band_pairs)
+            ranked.count()
             champs = ranked.filter(F.col("_rn") <= champion_c) \
                 .drop("_rn")
-            # persisted for the same two-action reason as the weight
-            # policy's cuts (the champs filter over the cached pool
-            # is cheap enough to skip)
-            cuts = shared_persist(ranked.groupBy("gram").agg(
+            cuts = ranked.groupBy("gram").agg(
                 F.coalesce(
                     F.max(F.when(F.col("_rn") > champion_c,
                                  F.col("w"))),
                     F.lit(0.0),
                 ).alias("cutoff")
-            ))
+            )
         write_jobs += [
-            lambda: _write_bucket_partitioned(
+            ("champions", lambda: _write_bucket_partitioned(
                 champs.withColumn(
                     "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
                 ), path + "/champions", n_buckets, "gram_bucket",
-            ),
-            lambda: _write_bucket_partitioned(
+            )),
+            ("cutoffs", lambda: _write_bucket_partitioned(
                 cuts.withColumn(
                     "gram_bucket", _gram_bucket(F.col("gram"), n_buckets)
                 ), path + "/cutoffs", n_buckets, "gram_bucket",
-            ),
-            lambda: _write_bucket_partitioned(
+            )),
+            ("alias_vecs", lambda: _write_bucket_partitioned(
                 postings.withColumn(
                     "alias_bucket",
                     _gram_bucket(F.col("alias"), n_buckets),
                 ), path + "/alias_vecs", n_buckets, "alias_bucket",
-            ),
+            )),
         ]
         subs += ["/champions", "/cutoffs", "/alias_vecs"]
     # Fit metadata rides WITH the index (ADVICE r09: a probe whose n /
@@ -1097,25 +1126,48 @@ def save_alias_index(
     # also carries n_aliases (distinct alias strings — the fit's own
     # N, counted once above) so probes can auto-gate the champion
     # machinery by ontology size.
+    # Built as range(1).select(lit…), not createDataFrame(list): a
+    # python-list local relation executes through a Python worker, and
+    # inside a parquet write task that round trip measured ~5 s per
+    # publish (round 16) — for one metadata row. Literal columns plan
+    # as a pure-JVM LocalTableScan.
+    def _lit_or_null(v, typ):
+        return (F.lit(v) if v is not None
+                else F.lit(None)).cast(typ)
+
     write_jobs.append(
-        lambda: spark.createDataFrame(
-            [(int(n), int(n_buckets),
-              float(max_df_ratio) if max_df_ratio is not None else None,
-              int(champion_c) if champion_c is not None else None,
-              int(n_aliases),
-              float(w_cut) if w_cut is not None else None)],
-            "n int, n_buckets int, max_df_ratio double, champion_c int, "
-            "n_aliases int, champion_w_cut double",
-        ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+        ("meta", lambda: spark.range(1).select(
+            _lit_or_null(int(n), "int").alias("n"),
+            _lit_or_null(int(n_buckets), "int").alias("n_buckets"),
+            _lit_or_null(
+                float(max_df_ratio) if max_df_ratio is not None else None,
+                "double").alias("max_df_ratio"),
+            _lit_or_null(
+                int(champion_c) if champion_c is not None else None,
+                "int").alias("champion_c"),
+            _lit_or_null(int(n_aliases), "int").alias("n_aliases"),
+            _lit_or_null(
+                float(w_cut) if w_cut is not None else None,
+                "double").alias("champion_w_cut"),
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/meta"))
     )
     from concurrent.futures import ThreadPoolExecutor
 
     # 3 in flight: enough to fill each write's commit/straggler tail,
     # not enough to thrash the scheduler (guide §2.6). FIFO scheduling
     # back-fills freed cores exactly as the guide describes; exceptions
-    # propagate through pool.map.
+    # propagate through pool.map. Job descriptions are thread-local
+    # (guide §1.5), so each concurrent write is labelled in the UI.
+    def _run_write(job):
+        name, fn = job
+        spark.sparkContext.setJobDescription(f"alias-index write {name}")
+        try:
+            fn()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
     with ThreadPoolExecutor(max_workers=3) as _pool:
-        list(_pool.map(lambda job: job(), write_jobs))
+        list(_pool.map(_run_write, write_jobs))
     release_since(_mark)
     for sub in subs:
         invalidate_index_cache(spark, path + sub)

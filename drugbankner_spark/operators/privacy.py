@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from drugbankner_spark.tables import local_df
+
 
 def k_anonymity_report(
     df: DataFrame,
@@ -350,8 +352,9 @@ def dp_quantiles(
         F.sum("noisy_count").over(wcum).alias("noisy_cum"),
         F.sum("noisy_count").over(wall).alias("noisy_total"),
     )
-    qdim = df.sparkSession.createDataFrame(
-        [(int(q),) for q in qs_permille], "q_permille long"
+    qdim = local_df(
+        df.sparkSession, [(int(q),) for q in qs_permille],
+        "q_permille long",
     )
     hit = (
         cdf.join(F.broadcast(qdim))

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from drugbankner_spark.caching import shared_persist
+from drugbankner_spark.tables import local_df
 from pyspark.sql import types as T
 
 
@@ -690,7 +691,7 @@ def probe_lsh_index(
     # broadcast join side — no second scan of the query source
     qrows = _collect_probe_queries(q, "probe_lsh_index")
     want = sorted({r["bucket"] for r in qrows})
-    q_local = spark.createDataFrame(qrows, q.schema)
+    q_local = local_df(spark, qrows, q.schema)
     idx = _read_index(spark, path).filter(F.col("bucket").isin(want))
     scored = (
         idx.select(
@@ -798,7 +799,7 @@ def probe_ivf_index(
     )
     qrows = _collect_probe_queries(q, "probe_ivf_index")
     want = sorted({r["cell"] for r in qrows})
-    q_local = spark.createDataFrame(qrows, q.schema)
+    q_local = local_df(spark, qrows, q.schema)
     idx = _read_index(spark, path).filter(F.col("cell").isin(want))
     scored = (
         idx.select(
@@ -1138,7 +1139,7 @@ def probe_ivfpq_index(
     )
     qrows = _collect_probe_queries(q, "probe_ivfpq_index")
     want = sorted({r["cell"] for r in qrows})
-    q_local = spark.createDataFrame(qrows, q.schema)
+    q_local = local_df(spark, qrows, q.schema)
     idx = _read_index(spark, path).filter(F.col("cell").isin(want))
     scored = (
         idx.select(F.col(id_col).alias("neighbor_id"), "codes", "cell")

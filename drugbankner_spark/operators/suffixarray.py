@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from drugbankner_spark.tables import local_df
+
 #: Separator between concatenated documents — sorts below every
 #: printable character in BOTH engines (binary collation) and never
 #: occurs in text, so duplicated spans cannot cross document bounds.
@@ -99,6 +101,7 @@ def corpus_positions(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = DOC_SEP,
+    win_len: int = 1,
 ) -> DataFrame:
     """(gpos, doc_id, local_pos, ch): one row per character of the
     doc-id-ordered, separator-joined corpus string. Global positions
@@ -112,7 +115,20 @@ def corpus_positions(
     into a broadcast literal offset dim — two jobs total where
     :func:`global_running_sum`'s sampled-range + window-over-histogram
     shape cost ~5. The per-character explode (sequence + substring,
-    the _char_ngrams pattern) is embarrassingly parallel."""
+    the _char_ngrams pattern) is embarrassingly parallel.
+
+    ``win_len > 1`` (round 16): ``ch`` becomes the TRUE ``win_len``-char
+    corpus window starting at each position — including characters that
+    cross document boundaries. Each doc's string is extended with the
+    next ``win_len−1`` corpus characters, gathered on the DOC dim (two
+    bounded passes: per-bucket lead() prefixes + a collected per-bucket
+    head table chained on the driver), so the per-position cost is one
+    substring — the corpus is never re-shuffled for the window. The
+    window truncates only at the true corpus end, where the shorter
+    string IS the true suffix. This is what lets :func:`suffix_array`
+    start prefix doubling at k = win_len: every equal-window tie
+    certifies ``win_len`` agreed characters (truncated windows never
+    tie — distinct corpus-end positions have distinct lengths)."""
     from drugbankner_spark.caching import shared_persist
 
     spark = docs.sparkSession
@@ -156,21 +172,101 @@ def corpus_positions(
         key=lambda r: r["_b"],
     )
     base = 0
-    offsets = []
+    offsets = {}
     for r in hist:
-        offsets.append((r["_b"], base))
+        offsets[r["_b"]] = base
         base += int(r["_tot"])
-    off_df = spark.createDataFrame(offsets or [], "_b int, _base long")
-    offs = (
-        local.join(F.broadcast(off_df), "_b")
-        .select(
-            F.col(id_col),
-            (F.col("_base") + F.col("_lsum")).alias("_off"),
-            "_t",
+    max_b = max(offsets) if offsets else -1
+    src = local
+    if win_len > 1:
+        ext = win_len - 1
+        # Extend every doc's string with the next ``ext`` CORPUS chars
+        # so each position's window is the true corpus window. All
+        # doc-dim work: in-bucket continuation from the next docs'
+        # lead() prefixes (every _t is ≥1 char — the sep — so ext
+        # following docs always cover ext chars), cross-bucket
+        # continuation from a collected per-bucket head table chained
+        # on the driver (≤P×ext chars). The per-position table is
+        # never re-shuffled for the window.
+        w_doc = Window.partitionBy("_b").orderBy(id_col)
+        heads = sorted(
+            local.withColumn("_rn", F.row_number().over(w_doc))
+            .filter(F.col("_rn") <= ext)
+            .select("_b", "_rn", F.substring("_t", 1, ext).alias("_h"))
+            .collect(),
+            key=lambda r: (r["_b"], r["_rn"]),
         )
-    )
+        bucket_head: dict[int, str] = {}
+        for r in heads:
+            bucket_head[r["_b"]] = (
+                bucket_head.get(r["_b"], "") + r["_h"]
+            )[:ext]
+        # after[b] = the first ext corpus chars AFTER bucket b's docs
+        after: dict[int, str] = {}
+        tail = ""
+        for b in reversed(range(max_b + 1)):
+            after[b] = tail
+            if b in bucket_head:
+                tail = (bucket_head[b] + tail)[:ext]
+        lead_parts = [
+            F.coalesce(
+                F.substring(F.lead("_t", j).over(w_doc), 1, ext),
+                F.lit(""),
+            )
+            for j in range(1, ext + 1)
+        ]
+        if max_b < 4096:
+            after_col = F.element_at(
+                F.array(*[F.lit(after.get(b, ""))
+                          for b in range(max_b + 1)]),
+                F.col("_b") + 1,
+            )
+            src = local.withColumn(
+                "_ext",
+                F.substring(
+                    F.concat_ws("", *lead_parts, after_col), 1, ext
+                ),
+            )
+        else:  # pragma: no cover — cluster-scale width
+            after_df = local_df(
+                spark, sorted(after.items()), "_b int, _after string"
+            )
+            src = local.join(F.broadcast(after_df), "_b").withColumn(
+                "_ext",
+                F.substring(
+                    F.concat_ws("", *lead_parts, F.col("_after")), 1, ext
+                ),
+            )
+    else:
+        src = local.withColumn("_ext", F.lit(""))
+    # literal-array offset lookup — same rationale (and the same ~4k
+    # fallback) as _collected_dense_rank below
+    if max_b < 4096:
+        arr = F.array(*[
+            F.lit(int(offsets.get(b, 0))).cast("long")
+            for b in range(max_b + 1)
+        ])
+        offs = src.select(
+            F.col(id_col),
+            (F.element_at(arr, F.col("_b") + 1)
+             + F.col("_lsum")).alias("_off"),
+            "_t", "_ext",
+        )
+    else:  # pragma: no cover — cluster-scale width
+        off_df = local_df(
+            spark, sorted(offsets.items()), "_b int, _base long"
+        )
+        offs = (
+            src.join(F.broadcast(off_df), "_b")
+            .select(
+                F.col(id_col),
+                (F.col("_base") + F.col("_lsum")).alias("_off"),
+                "_t", "_ext",
+            )
+        )
     return offs.select(
-        F.col(id_col), "_off", "_t",
+        F.col(id_col), "_off",
+        F.concat(F.col("_t"), F.col("_ext")).alias("_tx"),
         F.explode(
             F.sequence(F.lit(1), F.length("_t"))
         ).alias("_i"),
@@ -178,7 +274,7 @@ def corpus_positions(
         (F.col("_off") + F.col("_i")).alias("gpos"),
         F.col(id_col).alias("doc_id"),
         F.col("_i").alias("local_pos"),
-        F.expr("substring(_t, _i, 1)").alias("ch"),
+        F.expr(f"substring(_tx, _i, {int(win_len)})").alias("ch"),
     )
 
 
@@ -293,20 +389,57 @@ def _collected_dense_rank(
     n_distinct = sum(r["_n_keys"] for r in hist)
     n_rows = sum(r["_n_rows"] for r in hist)
     base = 0
-    offsets = []
+    offsets = {}
     for r in hist:
-        offsets.append((r[group], base))
+        offsets[r[group]] = base
         base += r["_n_keys"]
-    if offsets:
-        off_df = spark.createDataFrame(offsets, f"{group} int, _base long")
-    else:  # empty input: keep the schema contract
-        off_df = spark.createDataFrame([], f"{group} int, _base long")
-    ranked = (
-        local.join(F.broadcast(off_df), group)
-        .withColumn("rank", F.col("_base") + F.col("_lrank"))
-        .drop(group, "_lrank", "_base", *(["_b"] if bucket_col is not None else []))
-    )
+    # Offsets applied as a LITERAL ARRAY LOOKUP, not a broadcast join
+    # (round 16, guide §2.4): the dim is ≤P driver-held longs, and the
+    # join cost one broadcast-build job PLUS a join node in every
+    # round's re-planned query (the driver-side planning gaps measured
+    # LARGER than the round's job time at sf0.1). element_at over a
+    # literal array is a pure projection: zero extra jobs, a smaller
+    # per-round plan. Every row's group id appears in the histogram by
+    # construction, so padded slots (0) are never read. Above ~4k
+    # groups (cluster-scale shuffle widths) fall back to the broadcast
+    # join — a multi-thousand-element literal bloats plan/codegen.
+    max_g = max(offsets) if offsets else -1
+    if max_g < 4096:
+        arr = F.array(*[
+            F.lit(int(offsets.get(g, 0))).cast("long")
+            for g in range(max_g + 1)
+        ])
+        ranked = (
+            local.withColumn(
+                "rank",
+                F.element_at(arr, F.col(group) + 1) + F.col("_lrank"),
+            )
+            .drop(group, "_lrank",
+                  *(["_b"] if bucket_col is not None else []))
+        )
+    else:  # pragma: no cover — cluster-scale width
+        off_df = local_df(
+            spark, sorted(offsets.items()), f"{group} int, _base long"
+        )
+        ranked = (
+            local.join(F.broadcast(off_df), group)
+            .withColumn("rank", F.col("_base") + F.col("_lrank"))
+            .drop(group, "_lrank", "_base",
+                  *(["_b"] if bucket_col is not None else []))
+        )
     return ranked, n_distinct, n_rows
+
+
+#: Round-0 window width for :func:`suffix_array`: the initial rank keys
+#: on the true ``SA_INITIAL_WINDOW``-char corpus window of each
+#: position, so prefix doubling starts at k=16 instead of k=1 — two
+#: whole ranking rounds gone. Cost: round 0's exchange carries ~15
+#: extra bytes/position, far below the ~80 bytes/position/round the
+#: eliminated rounds shuffled (the window rides ONE exchange; a round
+#: pays an explode×4 gather plus a repartition). 16 = one more
+#: quadrupling step bought (64-char guarantee after round 1) while the
+#: per-doc extension gather stays trivially small.
+SA_INITIAL_WINDOW = 16
 
 
 def suffix_array(
@@ -316,6 +449,7 @@ def suffix_array(
     sep: str = DOC_SEP,
     max_rounds: int = 40,
     num_partitions: int | None = None,
+    initial_window: int = SA_INITIAL_WINDOW,
 ) -> DataFrame:
     """(gpos, doc_id, local_pos, sa_rank): the suffix array of the
     doc-ordered, separator-joined corpus — ``sa_rank`` is the 1-based
@@ -332,14 +466,27 @@ def suffix_array(
     after ``max_rounds``; suffixes are pairwise distinct (distinct
     lengths), so the final rank is a permutation.
 
+    WINDOWED ROUND 0 (round 16, guide §1.2 — remove whole passes):
+    round 0 ranks each position by its true ``initial_window``-char
+    corpus window (cross-document continuation included — see
+    :func:`corpus_positions` ``win_len``), so k starts at
+    ``initial_window``, not 1. Exactness: a window always terminates
+    at a separator, so no window is a proper prefix of another
+    (differing windows order exactly as the true suffixes), and a
+    corpus-end-truncated window IS its whole suffix (distinct lengths
+    → it never ties) — hence every round-0 tie certifies
+    ``initial_window`` agreed characters, which is precisely the
+    precondition prefix doubling needs to begin at that k.
+
     Per-round Spark-job budget (round 15, guide §2.4/§1): ONE
     histogram-collect job (which doubles as the stop criterion — no
     separate max(rank) pass) + ONE eager checkpoint. Rounds ≥ 1
     partition by the FORMULA bucket ``⌊(r−1)·P/n_prev⌋`` over the
     previous round's dense rank instead of sampled range partitioning
     — deterministic, evenly spread over the dense rank domain, and no
-    sampling job; round 0 (character keys) keeps range partitioning.
-    Measured at sf0.1: ~5 jobs/round × 8 rounds → 2 jobs × 4 rounds.
+    sampling job; round 0 (window keys) buckets by the first char's
+    codepoint, monotone with binary string order. Measured at sf0.1:
+    r14 ~5 jobs/round × 8 rounds → r15 2 × 4 → r16 2 × 2.
 
     ``num_partitions`` sizes every per-round shuffle: leave None for
     the session default at cluster scale; set it small for bench-scale
@@ -350,10 +497,12 @@ def suffix_array(
     # mark BEFORE corpus_positions: its internal offset persist is
     # only needed until the round-0 checkpoint materializes
     prev_lo = cache_mark()
-    pos = corpus_positions(docs, text_col, id_col, sep)
-    # round 0 keys are single characters: ascii() (the codepoint) is
-    # monotone with binary string order (UTF-8 is order-preserving),
-    # so even round 0 needs no sampled range partitioning
+    pos = corpus_positions(docs, text_col, id_col, sep,
+                           win_len=initial_window)
+    # round-0 bucket: ascii() (the FIRST char's codepoint) is monotone
+    # with binary string order (UTF-8 is order-preserving) — equal
+    # keys share a bucket and bucket order follows key order, so no
+    # sampled range partitioning even at round 0
     ranked, n_distinct, n = _collected_dense_rank(
         pos.select("gpos", "doc_id", "local_pos",
                    F.col("ch").alias("_k1")),
@@ -374,7 +523,7 @@ def suffix_array(
     )
     d_doc = cur.schema["doc_id"].dataType.simpleString()
     d_pos = cur.schema["local_pos"].dataType.simpleString()
-    k = 1
+    k = max(1, int(initial_window))  # round 0 certified this many chars
     rounds = 0
     while rounds < max_rounds and n_distinct < n:
         # ONE exchange gathers all four rank components (round 15):

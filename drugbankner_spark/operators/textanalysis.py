@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from drugbankner_spark.operators.dedup import content_hash32
+from drugbankner_spark.tables import local_df
 
 #: Tiny per-language stopword lists for the n-gram/stopword heuristic.
 #: Deliberately minimal — the operator shape (explode → dim join →
@@ -35,7 +36,9 @@ def token_count(col: Column) -> Column:
 
 def stopword_dim(spark) -> DataFrame:
     rows = [(lang, w) for lang, ws in STOPWORDS.items() for w in ws]
-    return spark.createDataFrame(rows, ["sw_lang", "sw_word"])
+    # Arrow-backed literal dim (round 16): the python-list path pays a
+    # Python-worker round trip per consuming job
+    return local_df(spark, rows, "sw_lang string, sw_word string")
 
 
 def predict_language(

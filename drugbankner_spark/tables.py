@@ -119,6 +119,31 @@ def spread_input(df: DataFrame, cap_bytes: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Literal dim via the Arrow fast path (round 16, guide §4).
+
+    ``spark.createDataFrame(list, schema)`` plans a Python-RDD-backed
+    local relation: EVERY execution of the subtree round-trips a
+    Python worker (~0.3-0.5 s per consuming job on a warm session, and
+    ~5 s inside a parquet write task — both measured this round). For
+    the engine's driver-built dims (per-round rank offsets, bucket
+    offset tables, collected query rows) that tax recurs once per
+    consuming job. Routing the same rows through a pandas frame ships
+    ONE Arrow batch to the JVM at plan time; execution is then pure
+    JVM. Non-empty rows only — empty inputs keep the plain path (their
+    execution is trivially cheap), as does anything pandas/Arrow
+    cannot represent (the fallback preserves exact semantics)."""
+    if rows:
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame([tuple(r) for r in rows])
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def est_plan_bytes(df: DataFrame) -> int | None:
     """Catalyst's size estimate for this subtree (column-pruned
     optimized plan, no job). None when the estimate is unavailable."""
