@@ -3647,6 +3647,27 @@ _STREAM_SRC: dict[tuple[str, str], str] = {}
 _STREAM_SEQ = __import__("itertools").count()
 
 
+def _stream_state_width(spark: SparkSession, sf: str) -> int | None:
+    """Scale-adaptive state-store width for the bounded event-stream
+    replays (round 16, guide §2.2/§5): streaming aggregations cannot
+    use AQE coalescing, so the batch-sized session shuffle width
+    over-partitions a small replay into that many state stores, each
+    paying per-batch setup+commit (measured ~0.3 s of the sessionize
+    stream's 1.4 s at sf0.1 under 32 stores). Width derives from the
+    INPUT size only (never the core count — the driver benches at two
+    core counts); above the session default the estimate returns None
+    and the default stands, so at scale this never fires. Only passed
+    to partitioning-independent aggregation faces."""
+    from drugbankner_spark.tables import est_plan_bytes
+
+    b = est_plan_bytes(load_table(spark, sf, "events"))
+    if b is None or b <= 0:
+        return None
+    width = max(4, -(-b // (32 << 20)))  # one store per ~32 MB
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return int(width) if width < default else None
+
+
 def _events_stream_dir(spark: SparkSession, sf: str) -> str:
     import tempfile
 
@@ -3674,13 +3695,14 @@ def _e6_windows(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _events_stream_dir(spark, sf)
     n = next(_STREAM_SEQ)
+    w = _stream_state_width(spark, sf)
     t = S.run_to_memory(
         S.tumbling_stream(S.read_event_stream(spark, d)),
-        f"e6_stream_t_{n}", output_mode="complete",
+        f"e6_stream_t_{n}", output_mode="complete", state_partitions=w,
     )
     s = S.run_to_memory(
         S.sliding_stream(S.read_event_stream(spark, d)),
-        f"e6_stream_s_{n}", output_mode="complete",
+        f"e6_stream_s_{n}", output_mode="complete", state_partitions=w,
     )
     return _e6_shape_suite(t, s)
 
@@ -3710,6 +3732,7 @@ def _e6_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return S.run_to_memory(
         S.session_stream(S.read_event_stream(spark, d)),
         f"e6_stream_sess_{n}", output_mode="complete",
+        state_partitions=_stream_state_width(spark, sf),
     )
 
 
@@ -3730,6 +3753,7 @@ def _e6_sessionize_closed(spark: SparkSession, sf: str) -> DataFrame:
             S.read_event_stream(spark, d, watermark="10 minutes")
         ),
         f"e6_stream_closed_{n}", output_mode="append",
+        state_partitions=_stream_state_width(spark, sf),
     )
 
 
